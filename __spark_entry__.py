@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship end-to-end search pipeline on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 (+ M6 extensions), checked against DuckDB at sf0.01.
+
+Conventions (FIXTURES.md): every computed column is aliased identically in
+the Spark plan and the oracle SQL; float results are rounded to 6 decimals on
+both sides; deterministic tie-breaks are included wherever the operator under
+test is a sort/top-k.
 """
 
 from __future__ import annotations
@@ -13,26 +16,28 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from openai_vector_search_demo_spark import queries as Q
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents → chunk → cleanse → embed (deterministic local
+    model) → exact cosine KNN top-10 → rerank → answer shape (SURVEY §3.2)."""
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        ingest_documents,
+        search,
+    )
+
+    docs = spark.read.parquet(f"{SF0001}/documents.parquet")
+    chunks = ingest_documents(docs, text_col="text", path_col="source")
+    return search(chunks, "how does a hash join work on a spark table", k=10,
+                  score_threshold=0)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLE_SQL)

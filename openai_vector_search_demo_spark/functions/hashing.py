@@ -1,0 +1,30 @@
+"""Key hashing (SURVEY.md §2.2 P3, §2.1 S9).
+
+The reference keys every chunk row by ``sha1(f'{doc_path}_{page_no}')``
+(modules/utilities.py:344) and upserts by that key — deterministic keys are
+what make re-ingestion idempotent.  ``record_key`` reproduces that exactly
+with Spark's built-in ``sha1``.
+
+``md5_key`` is the portable variant used wherever a DuckDB oracle must
+recompute the same digest (DuckDB ships md5 but not sha1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def record_key(doc_path: Column | str, page_no: Column | str) -> Column:
+    """S9 key derivation — sha1(doc_path || '_' || page_no)
+    (modules/utilities.py:344)."""
+    p = F.col(doc_path) if isinstance(doc_path, str) else doc_path
+    n = F.col(page_no) if isinstance(page_no, str) else page_no
+    return F.sha1(F.concat_ws("_", p, n.cast("string")))
+
+
+def md5_key(*cols: Column | str) -> Column:
+    """Oracle-portable digest of '_'-joined parts (DuckDB: md5(concat_ws(...)))."""
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
+             for c in cols]
+    return F.md5(F.concat_ws("_", *parts))

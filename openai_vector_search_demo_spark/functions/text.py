@@ -1,0 +1,108 @@
+"""Text scalar functions (SURVEY.md §2.2).
+
+Each function mirrors an exact reference behavior (cited file:line into
+/root/reference) as a Catalyst Column expression — no UDFs, so every one of
+these stays inside whole-stage codegen and is trivially pushed through by the
+optimizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.config import (
+    HIGHLIGHT_PREFIX,
+    HIGHLIGHT_SUFFIX,
+    KEYWORD_PUNCT,
+    KEYWORD_STOPWORDS,
+)
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def cleanse_text(text: Column | str) -> Column:
+    """P1 — cleanseText (modules/utilities.py:132-141).
+
+    Single pass: ``'\\n' -> ' '`` then one non-recursive left-to-right
+    replacement of double space by single space.  Both Python ``str.replace``
+    and Spark ``regexp_replace`` substitute non-overlapping matches
+    left-to-right, so semantics match exactly (``'a   b'`` → ``'a  b'``).
+    """
+    c = _col(text)
+    return F.regexp_replace(F.regexp_replace(c, "\n", " "), "  ", " ")
+
+
+def non_empty(text: Column | str) -> Column:
+    """P2 — empty-chunk predicate (modules/utilities.py:198).
+
+    The reference's ``.strip != ''`` is a method-reference bug (always truthy);
+    the *effective* predicate is not-null and non-empty — implemented as such.
+    """
+    c = _col(text)
+    return c.isNotNull() & (F.length(c) > 0)
+
+
+def document_extension(path: Column | str) -> Column:
+    """P4 — getDocumentExtension (modules/utilities.py:121-126) + ``.lower()``
+    at :157: last dot-separated token of the basename, lowercased."""
+    base = basename(path)
+    return F.lower(F.element_at(F.split(base, "\\."), -1))
+
+
+def basename(path: Column | str) -> Column:
+    """P9 — os.path.basename (app/app.py:281,329)."""
+    return F.element_at(F.split(_col(path), "/"), -1)
+
+
+def whitespace_tokens(text: Column | str) -> Column:
+    """Python ``str.split()`` semantics: split on whitespace runs, no empty
+    tokens (used by keyword extraction, app/app.py:55)."""
+    toks = F.split(F.trim(_col(text)), "\\s+")
+    # trim handles leading/trailing; a fully-empty input still yields ['']
+    return F.filter(toks, lambda t: t != F.lit(""))
+
+
+def keyword_list(text: Column | str) -> Column:
+    """P5 — getKeywordList (app/app.py:49-56).
+
+    Replace ``.-=?!`` with spaces, whitespace-split, lowercase, drop the
+    31-token stopword list.  Uses ``filter`` (not ``array_except``) to keep
+    duplicates, matching the reference's list comprehension.
+    """
+    spaces = " " * len(KEYWORD_PUNCT)
+    cleaned = F.translate(_col(text), KEYWORD_PUNCT, spaces)
+    toks = F.transform(whitespace_tokens(cleaned), lambda t: F.lower(t))
+    stop = F.array(*[F.lit(w) for w in KEYWORD_STOPWORDS])
+    return F.filter(toks, lambda t: ~F.array_contains(stop, t))
+
+
+def highlight_keywords(keywords: Column | str, text: Column | str) -> Column:
+    """P6 — highlightKeywords (app/app.py:58-62).
+
+    Reference splits on a *single space* (not whitespace runs) and wraps tokens
+    whose lowercase form is in the keyword list.
+    """
+    kw = _col(keywords)
+    toks = F.split(_col(text), " ")
+    marked = F.transform(
+        toks,
+        lambda t: F.when(
+            F.array_contains(kw, F.lower(t)),
+            F.concat(F.lit(HIGHLIGHT_PREFIX), t, F.lit(HIGHLIGHT_SUFFIX)),
+        ).otherwise(t),
+    )
+    return F.array_join(marked, " ")
+
+
+# BPE-ish word/number/punct tokenizer — engine extension (text analysis).
+# Kept RE2-compatible so the DuckDB oracle can run the identical pattern.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count(text: Column | str) -> Column:
+    """Engine extension: token count = whitespace-insensitive count of
+    letter-runs, digit-runs, and single punctuation marks."""
+    return F.array_size(F.regexp_extract_all(_col(text), F.lit(TOKEN_REGEX), F.lit(0)))

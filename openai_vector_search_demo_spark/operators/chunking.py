@@ -1,0 +1,52 @@
+"""C3 — fixed-size word chunking (modules/utilities.py:59-73).
+
+The reference splits a whole DOCX into synthetic 300-word "pages":
+
+    words = text.split(' ')
+    for i in range(len(words) // 300 + 1):
+        emit ' '.join(words[i*300 : (i+1)*300]), page = i
+
+Edge semantics preserved *exactly* (SURVEY.md §7 hard-part 5):
+
+- split on a single space (empty tokens survive double spaces);
+- ``len // size + 1`` iterations, so a text whose word count is an exact
+  multiple of 300 emits one trailing **empty** chunk (dropped later only by
+  the P2 filter);
+- an empty text still emits one empty chunk (page 0).
+
+Implemented as pure array functions + ``posexplode`` — a generator expression
+Catalyst codegens; the explode multiplies rows without any shuffle, so at
+100 TB chunking is a map-only stage that pipelines straight into the
+embedding stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.config import CHUNK_WORDS
+
+
+def word_chunks(text: Column | str, size: int = CHUNK_WORDS) -> Column:
+    """array<string> of ``floor(n_words/size)+1`` space-rejoined slices."""
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(c, " ")  # single space, exactly like str.split(' ')
+    n_chunks = (F.size(words) / F.lit(size)).cast("int")  # floor for non-neg
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
+    )
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    size: int = CHUNK_WORDS,
+                    page_col: str = "page_no",
+                    chunk_col: str = "chunk") -> DataFrame:
+    """Explode a document table into (…, page_no, chunk) rows — the engine's
+    UDTF-shaped operator (one row in, many out), matching S2+C3."""
+    other = [c for c in df.columns if c not in (page_col, chunk_col)]
+    return df.select(
+        *other,
+        F.posexplode(word_chunks(text_col, size)).alias(page_col, chunk_col),
+    )

@@ -1,0 +1,128 @@
+"""Q2–Q5 — exact KNN top-k vector search, Spark-first.
+
+The reference runs approximate HNSW cosine KNN inside redis-server
+(`FT.SEARCH ... KNN`, modules/utilities.py:380-389) — the one place it pushes
+compute to data.  Spark's equivalent of that pushdown is
+``orderBy(sim.desc).limit(k)``: Catalyst plans it as ``TakeOrderedAndProject``
+— a per-partition bounded heap plus a driver merge of k·P rows, no global
+sort, no shuffle of the scored relation.  The query vector is broadcast by
+value into the plan, so the whole search is one map stage over the chunks
+table; at 100 TB it scales linearly with partitions and moves only k rows per
+partition.
+
+Two scoring paths behind one operator (SURVEY.md §4.3):
+
+- ``method='sql'``  — higher-order-function cosine, whole-stage-codegen,
+  DuckDB-oracle-comparable.  Default.
+- ``method='numpy'`` — ``mapInPandas``: stack each Arrow batch's vectors into
+  an (n, dim) float32 matrix and do one BLAS matvec.  For dim ≥ 1024 (the
+  reference's real dims go to 12288) this beats the scalar loop by an order
+  of magnitude; transfer cost is amortized by Arrow batches.
+
+Approximate variants (LSH buckets) live in ``operators.ann``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.vectors import (
+    cosine_similarity,
+    dot_product,
+    vector_lit,
+)
+
+
+def knn(df: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        vec_col: str = "embedding",
+        sim_col: str = "similarity",
+        tie_break: str | None = None,
+        method: str = "sql",
+        metric: str = "cosine",
+        pre_normalized: bool = False) -> DataFrame:
+    """Exact top-k by cosine (or dot) similarity to ``query_vec``.
+
+    Returns ``df``'s columns plus ``sim_col``, ordered sim desc (distance asc,
+    Q3) limited to k (Q4).  ``tie_break`` adds a deterministic secondary key so
+    results are reproducible across engines — the reference's HNSW ordering is
+    its own tiebreak; ours must be explicit.
+    """
+    if method == "numpy":
+        scored = _score_numpy(df, query_vec, vec_col, sim_col, metric, pre_normalized)
+    else:
+        q = vector_lit(query_vec)
+        if metric == "dot" or pre_normalized:
+            sim = dot_product(F.col(vec_col), q)
+        else:
+            sim = cosine_similarity(F.col(vec_col), q)
+        scored = df.withColumn(sim_col, sim)
+    order = [F.col(sim_col).desc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    # orderBy+limit → TakeOrderedAndProject (top-k pushdown, SURVEY §4.1)
+    return scored.orderBy(*order).limit(k)
+
+
+def _score_numpy(df: DataFrame, query_vec: Sequence[float], vec_col: str,
+                 sim_col: str, metric: str, pre_normalized: bool) -> DataFrame:
+    """Vectorized scorer: one matvec per Arrow batch, float32 storage order."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # fresh StructType — .add() would mutate the DataFrame's cached schema
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(sim_col, DoubleType())])
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    cosine = metric == "cosine" and not pre_normalized
+
+    def score(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[sim_col] = []
+                yield pdf
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            dots = mat @ q
+            if cosine:
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                pdf[sim_col] = dots / (norms * qn)
+            else:
+                pdf[sim_col] = dots
+            yield pdf
+
+    return df.mapInPandas(score, out_schema)
+
+
+def similarity_join(left: DataFrame, right: DataFrame,
+                    k: int,
+                    left_vec: str = "embedding", right_vec: str = "embedding",
+                    left_id: str = "vec_id", right_id: str = "vec_id",
+                    sim_col: str = "similarity") -> DataFrame:
+    """Top-k similarity join: for every left row, its k nearest right rows.
+
+    Generalizes Q2 from one query vector to a query *relation* (the reference
+    only ever has a 1-row left side).  Plan: broadcast the smaller (left) side,
+    cross-score, then a ``row_number`` window partitioned by left id — the
+    cross product never materializes beyond each partition's stream.  For
+    large×large use ``operators.ann`` LSH buckets instead.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lvec"))
+    r = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rvec"))
+    pairs = r.crossJoin(F.broadcast(l))
+    scored = pairs.withColumn(sim_col, cosine_similarity("_lvec", "_rvec"))
+    w = Window.partitionBy("_lid").orderBy(F.col(sim_col).desc(), F.col("_rid").asc())
+    return (scored.withColumn("_rank", F.row_number().over(w))
+            .filter(F.col("_rank") <= k)
+            .select(F.col("_lid").alias(left_id + "_query"),
+                    F.col("_rid").alias(right_id),
+                    F.col("_rank").alias("rank"),
+                    F.col(sim_col)))

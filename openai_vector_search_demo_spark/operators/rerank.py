@@ -1,0 +1,72 @@
+"""Q7–Q9 — the map_rerank stage as a DataFrame plan.
+
+Reference (app/app.py:79-110): one LLM call per KNN candidate produces
+``{answer, score 0..100}``; candidates are sorted by the full tuple
+``(score, retrieval_idx, answer)`` DESCENDING — ties on score break by *later*
+retrieval index first, then answer text desc (app/app.py:88-92); then the
+first ``top_n`` rows are kept and filtered to ``score >= 50``
+(app/app.py:97-110 — implementing the *intended* semantics, not the
+IndexError the reference swallows; SURVEY.md Q8).
+
+The scorer is pluggable (E3): production would be an LLM pandas_udf
+(temperature 0.2, max_tokens 500 — app/app.py:28-29); tests use the
+deterministic local scorer below so results are oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.config import DEFAULT_TOP_K, SCORE_THRESHOLD
+
+
+def with_retrieval_idx(hits: DataFrame,
+                       sim_col: str = "similarity",
+                       tie_break: str = "id") -> DataFrame:
+    """Candidate order as the KNN stage returned it (0-based), which is the
+    reference's implicit list position (app/app.py:88-90)."""
+    w = Window.orderBy(F.col(sim_col).desc(), F.col(tie_break).asc())
+    return hits.withColumn("retrieval_idx", F.row_number().over(w) - 1)
+
+
+def deterministic_scorer(question: str, hits: DataFrame,
+                         content_col: str = "page_content") -> DataFrame:
+    """E3 stand-in: deterministic answer + 0..100 score.
+
+    score = integer in 0..100 derived from the md5 of (question, content) —
+    stable across runs/partitions; answer = first 160 chars of the chunk
+    (extractive stand-in for the LLM's answer).
+    """
+    digest = F.md5(F.concat_ws(":", F.lit(question), F.col(content_col)))
+    score = (F.conv(F.substring(digest, 1, 6), 16, 10).cast("long") % 101)
+    return (hits
+            .withColumn("answer", F.substring(F.col(content_col), 1, 160))
+            .withColumn("score", score.cast("int")))
+
+
+def rerank_order(df: DataFrame,
+                 score_col: str = "score",
+                 idx_col: str = "retrieval_idx",
+                 answer_col: str = "answer") -> list:
+    """Q7 — the exact 3-key descending sort of app/app.py:92."""
+    return [F.col(score_col).desc(), F.col(idx_col).desc(), F.col(answer_col).desc()]
+
+
+def rerank(scored: DataFrame,
+           k: int = DEFAULT_TOP_K,
+           threshold: int = SCORE_THRESHOLD) -> DataFrame:
+    """Q7 sort → Q8 limit+threshold → Q9 answer assembly."""
+    if "retrieval_idx" not in scored.columns:
+        scored = with_retrieval_idx(scored)
+    ordered = scored.orderBy(*rerank_order(scored))
+    return (ordered.limit(k)
+            .filter(F.col("score") >= threshold)
+            .select(
+                F.col("answer").alias("Answer"),
+                F.col("score").alias("Score"),
+                F.col("page_content").alias("Content"),
+                F.col("doc_path").alias("Source"),
+                F.col("similarity").alias("Similarity"),
+                (F.col("page_no") + 1).alias("Page"),  # P8, app/app.py:108
+            ))

@@ -1,0 +1,86 @@
+"""The two reference entry points as declarative DataFrame plans.
+
+§3.1 ingest/index  (upload_button_click, app/app.py:130-190):
+    raw docs → chunk (C3) → cleanse (P1) → non-empty filter (P2) → embed (E1)
+    → key (S9) → chunks table.
+One job; the embed stage is the only Python boundary and is Arrow-batched.
+
+§3.2 search  (search_click → getResult, app/app.py:249-334,64-113):
+    embed prompt (Q1) → exact cosine KNN top-k (Q2–Q5) → similarity (P7/Q6)
+    → rerank score (E3) → 3-key desc sort (Q7) → limit+threshold (Q8) →
+    answer assembly (Q9).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.config import (
+    DEFAULT_TOP_K,
+    SCORE_THRESHOLD,
+)
+from openai_vector_search_demo_spark.embedding.embedder import (
+    Embedder,
+    embed_text,
+    embed_udf,
+)
+from openai_vector_search_demo_spark.functions.hashing import record_key
+from openai_vector_search_demo_spark.functions.text import cleanse_text, non_empty
+from openai_vector_search_demo_spark.operators.chunking import chunk_documents
+from openai_vector_search_demo_spark.operators.knn import knn
+
+
+def ingest_documents(docs: DataFrame,
+                     text_col: str = "text",
+                     path_col: str = "source",
+                     tenant: str = "default",
+                     embedder: Embedder | None = None,
+                     chunk_size: int | None = None) -> DataFrame:
+    """§3.1 as one plan: documents(text, source) → chunks table rows
+    ``(id, tenant, doc_path, page_no, page_content, embedding)``.
+
+    Stores the *original* chunk text (pre-cleanse) like the reference does
+    (modules/utilities.py:204); the cleansed form feeds only the filter and
+    the embedder (modules/utilities.py:196-206).
+    """
+    kwargs = {} if chunk_size is None else {"size": chunk_size}
+    chunked = chunk_documents(
+        docs.select(F.col(path_col).alias("doc_path"), F.col(text_col)),
+        text_col=text_col, chunk_col="page_content", **kwargs)
+    cleansed = chunked.withColumn("_cleansed", cleanse_text("page_content"))
+    kept = cleansed.filter(non_empty(F.col("_cleansed")))
+    embedded = kept.withColumn("embedding", embed_udf(embedder)(F.col("_cleansed")))
+    return (embedded
+            .filter(F.col("embedding").isNotNull())  # E2 null-skip, :207-208
+            .withColumn("id", record_key("doc_path", "page_no"))
+            .withColumn("tenant", F.lit(tenant))
+            .select("id", "tenant", "doc_path", "page_no",
+                    "page_content", "embedding"))
+
+
+def search(chunks: DataFrame,
+           question: str,
+           k: int = DEFAULT_TOP_K,
+           tenant: str | None = None,
+           embedder: Embedder | None = None,
+           scorer=None,
+           score_threshold: int = SCORE_THRESHOLD) -> DataFrame:
+    """§3.2 as one plan.  Returns the reference's answer shape
+    (app/app.py:102-109): Answer, Score, Content, Source, Similarity, Page.
+
+    ``scorer(question, df) -> df + (answer, score)`` is the pluggable E3
+    stage; None uses the deterministic local scorer (tests/bench).
+    """
+    from openai_vector_search_demo_spark.operators.rerank import (
+        deterministic_scorer,
+        rerank,
+    )
+
+    qvec = embed_text(question, embedder)
+    scoped = chunks.filter(F.col("tenant") == tenant) if tenant else chunks
+    hits = knn(scoped, qvec, k=k, sim_col="similarity", tie_break="id")
+    scored = (scorer or deterministic_scorer)(question, hits)
+    return rerank(scored, k=k, threshold=score_threshold)

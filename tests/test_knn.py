@@ -1,0 +1,60 @@
+"""KNN operator tests: exact top-k vs numpy brute force (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.operators.knn import knn, similarity_join
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def brute_force_topk(emb_rows, qvec, k):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    mat = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))
+    return [(int(ids[i]), float(sims[i])) for i in order[:k]]
+
+
+@pytest.mark.parametrize("method", ["sql", "numpy"])
+def test_knn_matches_numpy_brute_force(spark, emb, method):
+    rows = emb.collect()
+    qvec = rows[7]["embedding"]
+    expected = brute_force_topk(rows, qvec, 10)
+    got = knn(emb, qvec, k=10, sim_col="sim", tie_break="vec_id",
+              method=method).select("vec_id", "sim").collect()
+    assert [r["vec_id"] for r in got] == [i for i, _ in expected]
+    for (_, es), r in zip(expected, got):
+        assert abs(r["sim"] - es) < 1e-9
+
+
+def test_knn_self_is_top1(spark, emb):
+    row0 = emb.filter(F.col("vec_id") == 0).first()
+    got = knn(emb, row0["embedding"], k=1, sim_col="sim",
+              tie_break="vec_id").first()
+    assert got["vec_id"] == 0
+    assert abs(got["sim"] - 1.0) < 1e-9
+
+
+def test_similarity_join_topk_per_query(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity_join(queries, emb, k=5).collect()
+    assert len(out) == 15
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["vec_id_query"], []).append(r)
+    rows = emb.collect()
+    for qid, hits in by_query.items():
+        qvec = next(r["embedding"] for r in rows if r["vec_id"] == qid)
+        expected = brute_force_topk(rows, qvec, 5)
+        hits.sort(key=lambda r: r["rank"])
+        assert [h["vec_id"] for h in hits] == [i for i, _ in expected]
