@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness (driver contract).
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "headline_total", "value": <sum sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <float>}
+
+Headline set: bounded-output queries that exercise the engine's core physical
+paths — scan+filter+agg, multi-way broadcast join, exact KNN both scoring
+paths, the full ingest→search pipeline, windowing, and the dedup/text-analysis
+extensions.  Each is timed to full materialization (``collect``); results are
+small (top-k / grouped), so collect cost is the query, not the transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from openai_vector_search_demo_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    registry = entry_mod.queries()
+    headline = [name for name in HEADLINE if name in registry]
+
+    # one tiny warmup to pay JVM/codegen startup outside the timings
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        registry[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+# Ordered headline list — extended as operators land.  Names must exist in
+# queries(); unknown names are skipped so bench never breaks on a rename.
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "join_top_customers",
+    "q2_knn_exact",
+    "q2_knn_numpy",
+    "q7_q9_rerank",
+    "q11_history_top1",
+    "flagship_search",
+]
+
+
+if __name__ == "__main__":
+    sys.exit(main())

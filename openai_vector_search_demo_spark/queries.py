@@ -315,6 +315,20 @@ def q11_history_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
                         select=["user_id", "event_id", "event_type", "value", "ts_us"])
 
 
+@query("flagship_search")  # embed UDF → not SQL-expressible → rows-only check
+def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 + §3.2 end-to-end: documents → chunk → cleanse → embed → KNN
+    top-10 → rerank → answer shape.  The bench's pipeline headline."""
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        ingest_documents,
+        search,
+    )
+    docs = t(spark, sf_dir, "documents")
+    chunks = ingest_documents(docs, text_col="text", path_col="source")
+    return search(chunks, "how does a hash join work on a spark table",
+                  k=10, score_threshold=0)
+
+
 # ---------------------------------------------------------------------------
 # Standard relational surface (joins/aggs/windows Spark provides natively;
 # included because a reference user switching engines runs these too, and the
