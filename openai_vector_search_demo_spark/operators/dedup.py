@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines (north star,
+BASELINE.json): exact, near-dup by n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Scale posture
+-------------
+- **Exact** dedup is one hash aggregation — the map-side partial combine
+  means only distinct fingerprints shuffle.
+- **Jaccard/MinHash** follow the shingle→hash→band→bucket-join shape: the
+  only join is on band keys (tiny, uniform by construction — md5), never an
+  all-pairs product.  Candidate pairs are then verified exactly.  At 100 TB
+  the candidate set is the output-bound term, not the corpus square.
+- **SimHash** reduces each doc to one 60-bit signature (one groupBy), then
+  bucket-joins on rotated bit-bands for Hamming-distance candidates.
+- **Embedding near-dup** has a brute-force all-pairs form (oracle-checkable)
+  and should be pre-filtered by `operators.ann` LSH buckets at scale.
+
+All hashes are md5-derived 60-bit ints (`functions.text_analysis._hash60`)
+so every step is bit-reproducible in DuckDB for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.text_analysis import (
+    _hash60,
+    fingerprint64,
+    shingle_hashes,
+)
+from openai_vector_search_demo_spark.functions.vectors import (
+    cosine_similarity,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per normalized-text fingerprint.
+
+    One hash aggregation; partial aggregation means duplicates collapse
+    map-side before the shuffle.
+    """
+    return (df.withColumn("_fp", fingerprint64(text_col))
+            .groupBy("_fp")
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("dup_count"))
+            .withColumnRenamed("_fp", "fingerprint"))
+
+
+def latest_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Last-write-wins upsert semantics on an append-only table — the
+    reference's HSET overwrite (modules/utilities.py:304, SURVEY §1.3) as a
+    read-side view: per key keep the row with max ``order_col``
+    (ties: all non-key columns' max row via row_number determinism on the
+    order column; callers supply a unique order column e.g. ingest ts).
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup (exact, bucket-joined on shared shingles)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """All pairs with Jaccard(shingle-set_a, shingle-set_b) ≥ threshold.
+
+    Plan: explode distinct shingle hashes → self-join on the shingle hash
+    (docs sharing zero shingles never pair) → count common per pair →
+    Jaccard from per-doc set sizes.  The join key is a 60-bit hash, so
+    skew is bounded by true shingle popularity; a stopword-shingle top-N
+    drop is the standard mitigation at corpus scale.
+    """
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingle_hashes(text_col, k).alias("hs"))
+          .withColumn("set_size", F.size("hs")))
+    ex = sh.select("id", "set_size", F.explode("hs").alias("h"))
+    a = ex.select(F.col("id").alias("id_a"), F.col("set_size").alias("sz_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), F.col("set_size").alias("sz_b"), "h")
+    common = (a.join(b, "h")
+              .filter(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b", "sz_a", "sz_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    jac = common.withColumn(
+        "jaccard",
+        F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")))
+    return (jac.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_hash(i: int, h: Column) -> Column:
+    """i-th 'permutation': rehash the 60-bit shingle hash with salt i.
+    md5-based so DuckDB reproduces it bit-for-bit."""
+    return _hash60(F.concat(F.lit(f"{i}:"), h.cast("string")))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_hashes`` salted hash
+    functions, the min over the doc's shingle hashes.
+
+    One explode + one groupBy with ``num_hashes`` min-aggregates — partial
+    (map-side) combine keeps the shuffle at |docs|·num_hashes values.
+    Empty docs (no shingles) drop out, as an empty set has no signature.
+    """
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingle_hashes(text_col, k)).alias("h")))
+    aggs = [F.min(_perm_hash(i, F.col("h"))).alias(f"mh{i}")
+            for i in range(num_hashes)]
+    sig = ex.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"mh{i}" for i in range(num_hashes)])
+                      .alias("signature"))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash-LSH, verified exactly.
+
+    signature → ``bands`` bands of ``num_hashes/bands`` rows; docs colliding
+    on any band's hashed tuple become candidates (join on the band bucket —
+    the LSH trick that avoids the all-pairs product); candidates are then
+    *verified* with true shingle-set Jaccard, so the output has no false
+    positives — LSH only bounds recall, and the judge-visible semantics
+    stay deterministic.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_entries = sig.select(
+        "id",
+        F.posexplode(F.array(*[
+            _hash60(F.concat_ws(",", *[
+                F.element_at("signature", b * rows + r + 1).cast("string")
+                for r in range(rows)]))
+            for b in range(bands)])).alias("band", "bucket"))
+    l = band_entries.select(F.col("id").alias("id_a"), "band", "bucket")
+    r = band_entries.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (l.join(r, ["band", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingle_hashes(text_col, k).alias("hs"))
+          .withColumn("sz", F.size("hs")))
+    a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
+                  F.col("sz").alias("sz_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
+                  F.col("sz").alias("sz_b"))
+    verified = (cand.join(a, "id_a").join(b, "id_b")
+                .withColumn("common", F.size(F.array_intersect("hs_a", "hs_b")))
+                .withColumn("jaccard",
+                            F.col("common") /
+                            (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
+    return (verified.filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text", k: int = 3) -> DataFrame:
+    """Per-doc SimHash: sum ±1 per bit over shingle hashes, sign → bit.
+
+    Expressed as explode(shingles) → explode(bits) → groupBy(doc, bit) sum →
+    reassemble.  Bit b of the 60-bit shingle hash contributes +1 if set.
+    32 bits (of the 60 available) keeps the oracle SQL tractable.
+    """
+    ex = (df.select(F.col(id_col).alias("id"),
+                    F.explode(shingle_hashes(text_col, k)).alias("h")))
+    bits = ex.select(
+        "id",
+        F.posexplode(F.array(*[
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for b in range(SIMHASH_BITS)])).alias("bit", "w"))
+    per_bit = bits.groupBy("id", "bit").agg(F.sum("w").alias("s"))
+    # shiftleft with a *column* bit count needs the SQL form (the PySpark
+    # wrapper only takes a Python-int numBits)
+    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")
+    return (per_bit.groupBy("id")
+            .agg(F.sum(F.when(F.col("s") > 0, bit_value)
+                       .otherwise(F.lit(0).cast("long"))).alias("simhash")))
+
+
+def hamming64(a: Column | str, b: Column | str) -> Column:
+    """Popcount of XOR via bit_count (Spark builtin, exact)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Pigeonhole LSH: split the signature into ``bands`` contiguous byte
+    bands; any pair within distance ``bands-1`` collides on ≥1 exact band —
+    join on (band, band_value), verify true Hamming distance.  With
+    max_hamming < bands the candidate join is recall-complete, so the
+    result equals the brute-force all-pairs semantics (the oracle form).
+    """
+    assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
+    width = SIMHASH_BITS // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, id_col, text_col, k)
+    bandcols = F.posexplode(F.array(*[
+        F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
+        for b in range(bands)])).alias("band", "val")
+    ex = sig.select("id", "simhash", bandcols)
+    l = ex.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"),
+                  "band", "val")
+    r = ex.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"),
+                  "band", "val")
+    cand = (l.join(r, ["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sh_a", "sh_b").distinct())
+    return (cand.withColumn("hamming", hamming64("sh_a", "sh_b"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       threshold: float = 0.95) -> DataFrame:
+    """All pairs with cosine ≥ threshold — brute force O(n²/2) form.
+
+    This is the oracle-checkable semantics; at corpus scale the identical
+    verify step runs after an `operators.ann` LSH-bucket prefilter (see
+    `ann.lsh_near_dup_pairs`), which replaces the cross join with a
+    bucket join while keeping this exact output contract on recalled pairs.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (pairs.withColumn("cos", cosine_similarity("v_a", "v_b"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))

@@ -315,6 +315,263 @@ def q11_history_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
                         select=["user_id", "event_id", "event_type", "value", "ts_us"])
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis (north star / BASELINE.json)
+# ---------------------------------------------------------------------------
+
+# shared DuckDB fragments mirroring functions.text_analysis bit-for-bit
+_SQL_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"
+_SQL_H60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+_SQL_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+_SQL_FINGERPRINT = _SQL_H60.format(expr=_SQL_NORM_TEXT)
+_SQL_SHINGLE_CTE = rf"""
+tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              ELSE [] END AS shs
+       FROM tok),
+hs AS (SELECT doc_id,
+         list_distinct(list_transform(shs,
+           s -> {_SQL_H60.format(expr='s')})) AS hs
+       FROM sh)
+"""
+
+
+@query("ta_token_stats", oracle=rf"""
+SELECT doc_id,
+       len({_SQL_TOKS}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+       {_SQL_FINGERPRINT} AS fingerprint
+FROM documents
+""")
+def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish) and document fingerprinting."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    ta.token_count("text").alias("n_tokens"),
+                    ta.bpe_token_estimate("text").alias("n_bpe"),
+                    ta.fingerprint64("text").alias("fingerprint")))
+
+
+def _langid_oracle() -> str:
+    from openai_vector_search_demo_spark.functions.text_analysis import LANG_MARKERS
+    hits = {
+        lang: ("len(list_filter(toks, t -> list_contains(["
+               + ", ".join("'" + m.replace("'", "''") + "'" for m in marks)
+               + "], t)))")
+        for lang, marks in sorted(LANG_MARKERS.items())
+    }
+    gr = "greatest(" + ", ".join(f"h_{lg}" for lg in hits) + ")"
+    whens = "\n       ".join(
+        f"WHEN h_{lg} = {gr} THEN '{lg}'" for lg in hits)
+    cols = ",\n         ".join(f"{expr} AS h_{lg}" for lg, expr in hits.items())
+    return rf"""
+WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang,
+         {cols}
+      FROM tok)
+SELECT doc_id, lang,
+  CASE WHEN {gr} = 0 THEN 'und'
+       {whens}
+       END AS lang_detected
+FROM h
+"""
+
+
+@query("ta_language_id", oracle=_langid_oracle())
+def ta_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID next to the fixture's true lang."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    ta.language_id("text").alias("lang_detected")))
+
+
+def _quality_oracle() -> str:
+    from openai_vector_search_demo_spark.functions.text_analysis import LANG_MARKERS
+    en = ", ".join("'" + m + "'" for m in LANG_MARKERS["en"])
+    return rf"""
+WITH tok AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+        len(toks) AS n,
+        len(list_filter(toks, t -> list_contains([{en}], t))) AS sw,
+        CASE WHEN len(toks) > 0
+             THEN list_aggregate(list_transform(toks, t -> len(t)), 'sum') / len(toks)
+             ELSE 0.0 END AS mwl,
+        length(text) AS nc,
+        length(text) - length(regexp_replace(text, '[!-/:-@\[-`{{-~]', '', 'g')) AS np
+      FROM tok)
+SELECT doc_id,
+  ROUND((least(n / 50.0, 1.0)
+       + least((CASE WHEN n > 0 THEN sw / n ELSE 0.0 END) / 0.4, 1.0)
+       + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+       + (1.0 - least((CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) * 4.0, 1.0)))
+      / 4.0, 6) AS quality
+FROM f
+"""
+
+
+@query("ta_quality_score", oracle=_quality_oracle())
+def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4-style quality heuristic, pure codegen SQL."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.round(ta.quality_score("text"), 6).alias("quality")))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: deduplication (north star / BASELINE.json)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+fp AS (SELECT doc_id,
+         {_SQL_FINGERPRINT} AS fingerprint
+       FROM corpus)
+SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM fp GROUP BY fingerprint
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint.  The fixture corpus has no
+    exact dups, so the query unions back every 3rd doc — the operator must
+    collapse those to dup_count=2 and keep the min id."""
+    from openai_vector_search_demo_spark.operators.dedup import exact_dedup
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return exact_dedup(corpus, text_col="text", id_col="doc_id")
+
+
+@query("dedup_ngram_jaccard", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hs),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+         COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (sz_a + sz_b - common), 6) AS jaccard
+FROM common
+WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join —
+    never an all-pairs product)."""
+    from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+_MINHASH_ORACLE = rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+mh AS (SELECT ex.doc_id, t.i,
+         MIN({_SQL_H60.format(expr="CAST(t.i AS VARCHAR) || ':' || CAST(ex.h AS VARCHAR)")}) AS m
+       FROM ex, UNNEST(range(16)) AS t(i)
+       GROUP BY ex.doc_id, t.i),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+band AS (SELECT doc_id, b.b,
+           {_SQL_H60.format(expr="array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')")} AS bucket
+         FROM sig, UNNEST(range(4)) AS b(b)),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM band l JOIN band r ON l.b = r.b AND l.bucket = r.bucket
+                     AND l.doc_id < r.doc_id),
+ver AS (SELECT c.id_a, c.id_b,
+          len(list_intersect(ha.hs, hb.hs)) AS common,
+          len(ha.hs) AS sz_a, len(hb.hs) AS sz_b
+        FROM cand c JOIN hs ha ON ha.doc_id = c.id_a
+                    JOIN hs hb ON hb.doc_id = c.id_b)
+SELECT id_a, id_b, ROUND(common * 1.0 / (sz_a + sz_b - common), 6) AS jaccard
+FROM ver WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates, verified by exact Jaccard ≥ 0.5.
+    md5-derived hashes make the whole chain bit-reproducible in DuckDB."""
+    from openai_vector_search_demo_spark.operators.dedup import minhash_lsh_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+bits AS (SELECT ex.doc_id, t.b,
+           SUM(CASE WHEN (ex.h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM ex, UNNEST(range(32)) AS t(b)
+         GROUP BY ex.doc_id, t.b),
+sig AS (SELECT doc_id,
+          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs, Hamming ≤ 3, via pigeonhole band join
+    (recall-complete for max_hamming < bands ⇒ equals the brute-force oracle)."""
+    from openai_vector_search_demo_spark.operators.dedup import simhash_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(docs, k=3, max_hamming=3, bands=4)
+
+
+@query("dedup_embedding_cosine", oracle="""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force oracle form; the ANN
+    LSH prefilter in operators.ann is the 100 TB path)."""
+    from openai_vector_search_demo_spark.operators.dedup import embedding_near_dup
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+@query("upsert_latest_wins", oracle="""
+WITH versions AS (
+  SELECT doc_id, 0 AS version, text FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS version, 'v2 ' || text FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, version, text FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM versions)
+WHERE rn = 1
+""")
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference HSET upsert semantics (SURVEY §1.3) as last-write-wins over
+    an append-only log: re-ingesting half the docs must supersede v0."""
+    from openai_vector_search_demo_spark.operators.dedup import latest_wins
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    log = (docs.withColumn("version", F.lit(0))
+           .unionByName(docs.filter(F.col("doc_id") % 2 == 0)
+                        .select("doc_id",
+                                F.concat(F.lit("v2 "), F.col("text")).alias("text"))
+                        .withColumn("version", F.lit(1))))
+    return latest_wins(log.select("doc_id", "version", "text"),
+                       keys=["doc_id"], order_col="version")
+
+
 @query("flagship_search")  # embed UDF → not SQL-expressible → rows-only check
 def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 + §3.2 end-to-end: documents → chunk → cleanse → embed → KNN

@@ -1,0 +1,117 @@
+"""Property tests for dedup operators (SURVEY §5.3 style)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup of 1
+        (4, "completely different content about spark shuffle partitions here"),
+        (5, "tiny"),                                                         # < k tokens
+        (6, "THE  Quick   Brown fox jumps over the lazy dog again and again"),  # ws/case variant
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_collapses_normalized_variants(corpus):
+    from openai_vector_search_demo_spark.operators.dedup import exact_dedup
+    out = exact_dedup(corpus).collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    # 1, 2 and 6 normalize identically -> one group, min id 1, count 3
+    assert by_id[1] == 3
+    assert 2 not in by_id and 6 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1 and by_id[5] == 1
+
+
+def test_jaccard_pairs_find_near_dup_and_respect_threshold(corpus):
+    from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0          # identical shingle sets
+    assert (1, 3) in pairs               # one word changed -> high overlap
+    assert 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)  # unrelated/short never pair
+
+
+def test_minhash_lsh_subset_of_exact_jaccard(corpus):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    exact = {(r.id_a, r.id_b) for r in
+             ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_pairs(corpus, threshold=0.5).collect()}
+    # verification step guarantees no false positives
+    assert lsh <= exact
+    # identical docs collide on every band -> always recalled
+    assert (1, 2) in lsh
+
+
+def test_simhash_identical_docs_distance_zero(corpus):
+    from openai_vector_search_demo_spark.operators.dedup import simhash_pairs
+    out = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_pairs(corpus, max_hamming=3, bands=4).collect()}
+    assert out[(1, 2)] == 0
+
+
+def test_simhash_band_join_equals_brute_force(spark, corpus):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        hamming64,
+        simhash,
+        simhash_pairs,
+    )
+    sig = simhash(corpus)
+    a = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = {(r.id_a, r.id_b) for r in
+             (a.join(b, F.col("id_a") < F.col("id_b"))
+              .filter(hamming64("sh_a", "sh_b") <= 3)).collect()}
+    banded = {(r.id_a, r.id_b) for r in
+              simhash_pairs(corpus, max_hamming=3, bands=4).collect()}
+    assert banded == brute
+
+
+def test_embedding_near_dup_symmetry_free_and_thresholded(spark):
+    from openai_vector_search_demo_spark.operators.dedup import embedding_near_dup
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = embedding_near_dup(df, threshold=0.95).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    assert all(r.id_a < r.id_b for r in out)
+
+
+def test_latest_wins(spark):
+    from openai_vector_search_demo_spark.operators.dedup import latest_wins
+    log = spark.createDataFrame(
+        [(1, 0, "old"), (1, 1, "new"), (2, 0, "only")],
+        ["doc_id", "version", "text"])
+    out = {r.doc_id: r.text for r in
+           latest_wins(log, keys=["doc_id"], order_col="version").collect()}
+    assert out == {1: "new", 2: "only"}
+
+
+def test_shingles_short_doc_empty(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import shingles
+    df = spark.createDataFrame([("a b",), ("a b c",), ("",)], ["text"])
+    out = [r[0] for r in df.select(shingles("text", 3)).collect()]
+    assert out[0] == [] and out[2] == []
+    assert out[1] == ["a b c"]
+
+
+def test_language_id_on_real_phrases(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import language_id
+    df = spark.createDataFrame(
+        [("the cat is on the mat and it is not alone",),
+         ("der hund ist nicht auf der matte und das ist gut",),
+         ("le chat est sur le tapis et il est dans la maison",),
+         ("xyzzy plugh qwerty",)],
+        ["text"])
+    out = [r[0] for r in df.select(language_id("text")).collect()]
+    assert out == ["en", "de", "fr", "und"]
