@@ -1,0 +1,216 @@
+"""Approximate nearest-neighbor search — the 100 TB path for Q2.
+
+The reference's HNSW index (modules/utilities.py:272-278) has no Spark
+analog; the scalable substitutes here are the two standard shared-nothing
+ANN layouts:
+
+- **LSH (random hyperplanes)** — ``nbits`` sign bits of projections onto
+  fixed random hyperplanes form a bucket id.  At write time the bucket is a
+  stored column (cheap: nbits dot products per row, all codegen); at query
+  time only rows whose bucket is within Hamming distance ``probe_hamming``
+  of the query's bucket are scored exactly.  Pruning is data-independent,
+  so the scan prunes to candidate buckets *before* any vector math.
+- **IVF (inverted file)** — k-means centroids partition the corpus; each row
+  stores its nearest-centroid id.  A query scores only the ``nprobe``
+  nearest cells.  Centroids train offline (here: seeded numpy k-means on a
+  driver-side sample — at corpus scale you train once on a sample and
+  broadcast; the per-row assignment stays a distributed map).
+
+Determinism contract: hyperplanes/centroids derive from a fixed seed and are
+inlined as plan literals, so the full approximate search — bucket assignment,
+probe set, final exact scoring — is bit-reproducible in DuckDB SQL for the
+correctness gate (`queries.py` builds the mirrored oracle from the same
+Python arrays).  Recall is a measured property (tests assert it on the
+fixtures), never silently assumed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from itertools import combinations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.vectors import (
+    cosine_similarity,
+    vector_lit,
+)
+
+
+# ---------------------------------------------------------------------------
+# LSH — random hyperplanes
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Fixed random hyperplanes (standard normal), bit-stable via seeded
+    numpy; rounded to 6 dp so SQL literals round-trip exactly."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(nbits)]
+
+
+def _dot_lit(vec_col: Column | str, plane: Sequence[float]) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.zip_with(F.transform(c, lambda x: x.cast("double")),
+                   vector_lit(plane), lambda x, y: x * y),
+        F.lit(0.0), lambda s, x: s + x)
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit b set iff dot(vec, plane_b) >= 0."""
+    out = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        out = out + F.when(_dot_lit(vec_col, plane) >= 0,
+                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def query_buckets(qvec: Sequence[float], planes: list[list[float]],
+                  probe_hamming: int = 1) -> list[int]:
+    """The query's bucket plus all buckets within Hamming ≤ probe_hamming
+    (multi-probe: recall against boundary effects without more tables)."""
+    q = np.asarray(qvec, dtype=np.float64)
+    base = 0
+    for b, plane in enumerate(planes):
+        if float(q @ np.asarray(plane)) >= 0:
+            base |= 1 << b
+    nbits = len(planes)
+    out = [base]
+    for d in range(1, probe_hamming + 1):
+        for bits in combinations(range(nbits), d):
+            flip = base
+            for b in bits:
+                flip ^= 1 << b
+            out.append(flip)
+    return sorted(out)
+
+
+def lsh_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
+            vec_col: str = "embedding", planes: list[list[float]] | None = None,
+            nbits: int = 16, seed: int = 42, probe_hamming: int = 1,
+            sim_col: str = "similarity", tie_break: str | None = None) -> DataFrame:
+    """Approximate KNN: prune to probed buckets, then exact cosine top-k.
+
+    At scale the bucket is precomputed at write time (``lsh_assign``) and
+    this becomes a partition-pruned scan + small exact top-k; computed
+    inline here so the operator also works on raw tables.
+    """
+    dim = len(list(qvec))
+    planes = planes or hyperplanes(dim, nbits, seed)
+    probes = query_buckets(qvec, planes, probe_hamming)
+    cand = df.withColumn("_bucket", lsh_bucket(vec_col, planes)) \
+             .filter(F.col("_bucket").isin(probes))
+    scored = cand.withColumn(sim_col, cosine_similarity(F.col(vec_col),
+                                                        vector_lit(qvec)))
+    order = [F.col(sim_col).desc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return scored.orderBy(*order).limit(k).drop("_bucket")
+
+
+def lsh_assign(df: DataFrame, vec_col: str = "embedding",
+               planes: list[list[float]] | None = None,
+               nbits: int = 16, seed: int = 42,
+               bucket_col: str = "bucket") -> DataFrame:
+    """Write-time bucket assignment — persist (and partition/bucket by) this
+    column so query-time pruning is a metadata operation."""
+    dim = len(df.select(vec_col).first()[0])
+    planes = planes or hyperplanes(dim, nbits, seed)
+    return df.withColumn(bucket_col, lsh_bucket(vec_col, planes))
+
+
+def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", threshold: float = 0.9,
+                       planes: list[list[float]] | None = None,
+                       nbits: int = 8, seed: int = 42) -> DataFrame:
+    """Embedding near-dup with an LSH-bucket prefilter: candidate pairs share
+    a bucket (equi-join — replaces dedup.embedding_near_dup's all-pairs
+    product), then exact cosine verification.  High-cosine pairs land in the
+    same bucket with probability (1 - θ/π)^nbits; recall is tested, and the
+    bucket join semantics are mirrored exactly in the oracle.
+    """
+    if planes is None:
+        dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, nbits, seed)
+    with_b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
+               .withColumn("b", lsh_bucket("v", planes))
+    a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")
+    b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "b")
+    cand = a.join(b, "b").filter(F.col("id_a") < F.col("id_b"))
+    return (cand.withColumn("cos", cosine_similarity("v_a", "v_b"))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# IVF — inverted file over k-means centroids
+# ---------------------------------------------------------------------------
+
+def train_centroids(vectors: np.ndarray, nlist: int, seed: int = 42,
+                    iters: int = 10) -> list[list[float]]:
+    """Seeded Lloyd k-means (offline training step).  Deterministic:
+    init = first-k of a seeded permutation; fixed iteration count; empty
+    cells keep their previous centroid.  Rounded to 6 dp for SQL literal
+    round-trip."""
+    rng = np.random.RandomState(seed)
+    x = np.asarray(vectors, dtype=np.float64)
+    cent = x[rng.permutation(len(x))[:nlist]].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(nlist):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return [[round(float(v), 6) for v in row] for row in cent]
+
+
+def _sq_dist_lit(vec_col: Column | str, center: Sequence[float]) -> Column:
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.aggregate(
+        F.zip_with(F.transform(c, lambda x: x.cast("double")),
+                   vector_lit(center), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda s, x: s + x)
+
+
+def ivf_cell(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid id (first index at the min — ties break low, same
+    scan order as the SQL oracle's list_position-of-min)."""
+    dists = F.array(*[_sq_dist_lit(vec_col, c) for c in centroids])
+    return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+
+def ivf_probe_cells(qvec: Sequence[float], centroids: list[list[float]],
+                    nprobe: int) -> list[int]:
+    q = np.asarray(qvec, dtype=np.float64)
+    cent = np.asarray(centroids, dtype=np.float64)
+    d = ((cent - q) ** 2).sum(axis=1)
+    return sorted(int(i) for i in np.argsort(d, kind="stable")[:nprobe])
+
+
+def ivf_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
+            vec_col: str = "embedding",
+            centroids: list[list[float]] | None = None,
+            nlist: int = 16, nprobe: int = 4, seed: int = 42,
+            sim_col: str = "similarity", tie_break: str | None = None) -> DataFrame:
+    """IVF approximate KNN: score only rows in the nprobe nearest cells.
+
+    ``centroids=None`` trains on a driver-side collect of ``vec_col`` —
+    fixture-scale convenience; production passes pretrained centroids and
+    the operator stays a pure distributed map + top-k.
+    """
+    if centroids is None:
+        sample = np.array([r[0] for r in df.select(vec_col).collect()],
+                          dtype=np.float64)
+        centroids = train_centroids(sample, nlist, seed)
+    probes = ivf_probe_cells(qvec, centroids, nprobe)
+    cand = df.withColumn("_cell", ivf_cell(vec_col, centroids)) \
+             .filter(F.col("_cell").isin(probes))
+    scored = cand.withColumn(sim_col, cosine_similarity(F.col(vec_col),
+                                                        vector_lit(qvec)))
+    order = [F.col(sim_col).desc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return scored.orderBy(*order).limit(k).drop("_cell")

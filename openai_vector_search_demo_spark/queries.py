@@ -424,6 +424,154 @@ def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline: approximate similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_ANN_DIM = 64  # fixture embedding dim (FIXTURES.md); asserted at runtime
+
+
+def _sql_vec_lit(vec) -> str:
+    return "CAST([" + ", ".join(repr(float(x)) for x in vec) + "] AS DOUBLE[])"
+
+
+def _sql_dot_lit(vec_expr: str, lit_vec) -> str:
+    n = len(lit_vec)
+    return (f"list_aggregate(list_transform(range(1, {n + 1}), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({_sql_vec_lit(lit_vec)})[i]), 'sum')")
+
+
+def _sql_lsh_bucket(vec_expr: str, planes) -> str:
+    terms = [
+        f"(CASE WHEN {_sql_dot_lit(vec_expr, p)} >= 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b, p in enumerate(planes)
+    ]
+    return "(" + "\n   + ".join(terms) + ")"
+
+
+_SQL_COS_TO_Q = """
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                   'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+
+
+def _lsh_knn_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT {_sql_lsh_bucket("qv", planes)} AS qbucket FROM q),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding FROM embeddings e, qb
+  WHERE e.vec_id <> 0
+    AND bit_count(xor({_sql_lsh_bucket("e.embedding", planes)}, qb.qbucket)) <= 1),
+s AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim FROM cand e, q)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_lsh_knn", oracle=_lsh_knn_oracle())
+def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate KNN (8 hyperplane bits, Hamming-1 probing).
+    Seeded planes are inlined as literals on both sides, so the *approximate*
+    search itself is oracle-checked bit-for-bit — recall is a measured
+    property (tests), never a silent assumption."""
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes, lsh_knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == _ANN_DIM
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+    top = lsh_knn(emb.filter(F.col("vec_id") != 0), qvec, k=10, planes=planes,
+                  probe_hamming=1, sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+_IVF_NLIST = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_knn_oracle() -> str:
+    sq = ("list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+          "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+          "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')")
+    qsq = ("list_aggregate(list_transform(range(1, len(qv) + 1), "
+           "i -> (CAST(qv[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+           "* (CAST(qv[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+         WHERE vec_id BETWEEN 1 AND {_IVF_NLIST}),
+d AS (SELECT e.vec_id, c.cid, {sq} AS dist
+      FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0),
+m AS (SELECT vec_id, MIN(dist) AS md FROM d GROUP BY vec_id),
+a AS (SELECT d.vec_id, MIN(d.cid) AS cell
+      FROM d JOIN m USING (vec_id) WHERE d.dist = m.md GROUP BY d.vec_id),
+qd AS (SELECT c.cid, {qsq} AS dist FROM cent c, q),
+probes AS (SELECT cid FROM qd ORDER BY dist ASC, cid ASC LIMIT {_IVF_NPROBE}),
+s AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim
+      FROM embeddings e
+      JOIN a ON a.vec_id = e.vec_id, q
+      WHERE a.cell IN (SELECT cid FROM probes))
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_ivf_knn", oracle=_ivf_knn_oracle())
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate KNN with data-derived cell centers (the embeddings of
+    vec_id 1..nlist — a deterministic, SQL-expressible stand-in for offline
+    k-means training; `operators.ann.train_centroids` is the numpy trainer
+    used when oracle parity isn't required)."""
+    from openai_vector_search_demo_spark.operators.ann import ivf_knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent_rows = (emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= _IVF_NLIST))
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    top = ivf_knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                  centroids=centroids, nprobe=_IVF_NPROBE,
+                  sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+def _lsh_near_dup_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+    cos = """
+    list_aggregate(list_transform(range(1, len(a.v) + 1),
+                                  i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+    return f"""
+WITH wb AS (SELECT vec_id AS id, embedding AS v,
+                   {_sql_lsh_bucket("embedding", planes)} AS b
+            FROM embeddings),
+pairs AS (SELECT a.id AS id_a, b.id AS id_b, {cos} AS cos
+          FROM wb a JOIN wb b ON a.b = b.b AND a.id < b.id)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM pairs WHERE cos >= 0.4
+"""
+
+
+@query("ann_lsh_near_dup", oracle=_lsh_near_dup_oracle())
+def ann_lsh_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of dedup_embedding_cosine: LSH-bucket equi-join
+    prefilter instead of the all-pairs product, exact cosine verify after."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        lsh_near_dup_pairs,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+    return lsh_near_dup_pairs(emb, threshold=0.4, planes=planes)
+
+
+# ---------------------------------------------------------------------------
 # Training-data pipeline: deduplication (north star / BASELINE.json)
 # ---------------------------------------------------------------------------
 
@@ -570,6 +718,66 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .withColumn("version", F.lit(1))))
     return latest_wins(log.select("doc_id", "version", "text"),
                        keys=["doc_id"], order_col="version")
+
+
+# ---------------------------------------------------------------------------
+# Time-window aggregations over events (streaming extension, batch form —
+# streaming equivalence is pytest-checked in tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+@query("events_tumbling_window", oracle="""
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from openai_vector_search_demo_spark.operators.windows import tumbling_counts
+    return tumbling_counts(t(spark, sf_dir, "events"), "1 hour")
+
+
+@query("events_sliding_window", oracle="""
+WITH e AS (SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS b,
+                  event_type, value
+           FROM events),
+x AS (SELECT b AS ws, event_type, value FROM e
+      UNION ALL
+      SELECT b - 1800000000, event_type, value FROM e)
+SELECT ws AS window_start_us, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM x GROUP BY 1, 2
+""")
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding by 30m — every event in exactly two windows; the
+    oracle materializes both membership copies explicitly."""
+    from openai_vector_search_demo_spark.operators.windows import sliding_counts
+    return sliding_counts(t(spark, sf_dir, "events"), "1 hour", "30 minutes")
+
+
+@query("events_session_window", oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+SELECT epoch_us(MIN(ts)) AS session_start_us, user_id,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM g GROUP BY user_id, grp
+""")
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 5-minute inactivity gap.  The oracle is the
+    classic gap-island rewrite (lag → break flags → running sum) — checking
+    Spark's native session_window against first principles."""
+    from openai_vector_search_demo_spark.operators.windows import session_windows
+    return session_windows(t(spark, sf_dir, "events"), "5 minutes")
 
 
 @query("flagship_search")  # embed UDF → not SQL-expressible → rows-only check

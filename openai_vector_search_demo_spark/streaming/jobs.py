@@ -1,0 +1,73 @@
+"""Structured Streaming jobs (engine extension — SURVEY §2.6 notes the
+reference has no streaming; its closest analog is one-doc-at-a-time
+incremental upsert ingestion, which is exactly `stream_ingest_documents`).
+
+Design: the *logical* transformations are the same functions batch uses
+(`plans.pipeline.ingest_documents`, `operators.windows.tumbling_counts`);
+streaming only changes the source/sink wiring.  State stays bounded via
+watermarks; ingestion idempotency comes from the deterministic record key +
+last-write-wins on read (dedup.latest_wins), so at-least-once file delivery
+still converges — the same convergence argument as the reference's HSET
+overwrite semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def read_document_stream(spark: SparkSession, input_dir: str,
+                         max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of document parquet drops (the reference's upload
+    box, S4, as a watched directory)."""
+    reader = (spark.readStream.schema(DOCUMENTS_SCHEMA)
+              .format("parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def stream_ingest_documents(stream: DataFrame, output_dir: str,
+                            checkpoint_dir: str, tenant: str = "default"):
+    """Incremental §3.1 ingest: chunk → cleanse → embed → append as parquet.
+
+    Append-only + deterministic id (sha1(doc_path_page)) means re-delivered
+    files produce identical rows; readers apply `dedup.latest_wins` on
+    (tenant, doc_path, page_no) for exact reference upsert semantics.
+    """
+    from openai_vector_search_demo_spark.plans.pipeline import ingest_documents
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = ingest_documents(batch_df, text_col="text", path_col="source",
+                                  tenant=tenant)
+        (chunks.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").partitionBy("tenant").parquet(output_dir))
+
+    return (stream.writeStream
+            .foreachBatch(ingest_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def stream_tumbling_counts(events_stream: DataFrame, width: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts: late events beyond the watermark
+    are dropped and state for closed windows is evicted — bounded state at
+    unbounded input, the property that matters at stream scale."""
+    from openai_vector_search_demo_spark.operators.windows import tumbling_counts
+    return tumbling_counts(events_stream.withWatermark("ts", watermark), width)

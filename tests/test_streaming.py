@@ -1,0 +1,75 @@
+"""Structured Streaming ⇔ batch equivalence (engine extension, SURVEY §2.6).
+
+The streaming jobs reuse the exact batch transformations; these tests prove
+the streaming execution mode produces the same results — including under
+re-delivery (at-least-once) for the idempotent ingest path.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    yield tmp_path
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_stream_tumbling_equals_batch(spark, workdir):
+    from openai_vector_search_demo_spark.operators.windows import tumbling_counts
+    from openai_vector_search_demo_spark.queries import load_events
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_tumbling_counts,
+    )
+
+    events = load_events(spark, SF)
+    # stage as a stream-watchable directory (micros ts — nanos already handled)
+    src = str(workdir / "events_in")
+    events.write.parquet(src)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (stream_tumbling_counts(stream, "1 hour", watermark="100 days")
+         .writeStream.format("memory").queryName("tumbling_test")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM tumbling_test").collect()}
+    want = {tuple(r) for r in tumbling_counts(events, "1 hour").collect()}
+    assert got == want
+
+
+def test_stream_ingest_idempotent_under_redelivery(spark, workdir):
+    from openai_vector_search_demo_spark.operators.dedup import latest_wins
+    from openai_vector_search_demo_spark.plans.pipeline import ingest_documents
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        read_document_stream,
+        stream_ingest_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    src, out = str(workdir / "docs_in"), str(workdir / "chunks_out")
+    ck1, ck2 = str(workdir / "ck1"), str(workdir / "ck2")
+
+    docs.write.parquet(src)
+    stream_ingest_documents(read_document_stream(spark, src), out, ck1) \
+        .start().awaitTermination(120)
+    # simulate at-least-once re-delivery: fresh checkpoint, same files
+    stream_ingest_documents(read_document_stream(spark, src), out, ck2) \
+        .start().awaitTermination(120)
+
+    raw = spark.read.parquet(out)
+    assert raw.count() > 0
+    deduped = latest_wins(raw, keys=["tenant", "doc_path", "page_no"],
+                          order_col="batch_id")
+    batch = ingest_documents(docs, text_col="text", path_col="source")
+    # after latest-wins, re-delivered rows collapse to the batch result
+    got = {(r.id, r.page_content) for r in deduped.collect()}
+    want = {(r.id, r.page_content) for r in batch.collect()}
+    assert got == want
