@@ -1,0 +1,101 @@
+"""S5–S7 — index lifecycle as Spark catalog operations.
+
+Reference semantics (SURVEY §2.1, §3.3):
+- create is idempotent (`createRedisIndex` checks existence first,
+  modules/utilities.py:266, "Index already exists" :289);
+- the index name and key prefix are the same string — the tenant alias —
+  optionally SHA-1-"encrypted" (modules/utilities.py:234-235,263-264);
+- drop keeps the documents (`delete_documents=False`, :247) — i.e. the
+  catalog entry is metadata over externally-owned storage.
+
+Spark mapping: an **external parquet table partitioned by tenant**.  CREATE
+TABLE registers metadata over a LOCATION; DROP TABLE removes only metadata;
+per-tenant scoping is partition pruning instead of a key prefix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+# the chunks-table schema (SURVEY §1.1 row #2; FIXTURES.md `chunks`)
+CHUNKS_DDL = (
+    "id STRING, doc_path STRING, page_no INT, "
+    "page_content STRING, embedding ARRAY<FLOAT>"
+)
+PARTITION_COL = "tenant"
+
+
+def encode_name(name: str) -> str:
+    """The reference's optional index-name 'encryption' — hex SHA-1
+    (modules/utilities.py:98-99 via encode())."""
+    return hashlib.sha1(name.encode("utf-8")).hexdigest()
+
+
+def create_index(spark: SparkSession, name: str, location: str,
+                 encrypt_name: bool = False) -> bool:
+    """Idempotent CREATE (S5).  Returns True if created, False if it already
+    existed (the reference logs "Index already exists")."""
+    table = encode_name(name) if encrypt_name else name
+    if index_exists(spark, table):
+        return False
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table}` ({CHUNKS_DDL}, "
+        f"{PARTITION_COL} STRING) USING parquet "
+        f"PARTITIONED BY ({PARTITION_COL}) LOCATION '{location}'")
+    return True
+
+
+def index_exists(spark: SparkSession, name: str,
+                 encrypt_name: bool = False) -> bool:
+    """S6 — FT.INFO probe → catalog lookup."""
+    table = encode_name(name) if encrypt_name else name
+    return spark.catalog.tableExists(table)
+
+
+def drop_index(spark: SparkSession, name: str, delete_documents: bool = False,
+               encrypt_name: bool = False) -> None:
+    """S7 — drop metadata; external LOCATION means the parquet files stay
+    unless delete_documents=True (then callers clean the path themselves —
+    kept explicit, mirroring dropindex(delete_documents) signature)."""
+    table = encode_name(name) if encrypt_name else name
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+    if delete_documents:
+        raise NotImplementedError(
+            "storage deletion is owner-managed for external tables; "
+            "remove the LOCATION path explicitly")
+
+
+COLUMNS = ["id", "doc_path", "page_no", "page_content", "embedding", "tenant"]
+
+
+def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
+                  staging_dir: str | None = None) -> None:
+    """S8/S9 — batch put with HSET per-key upsert semantics.
+
+    Merge-then-swap: union the incoming batch with the existing rows of the
+    affected tenants, keep the incoming row per (tenant, doc_path, page_no),
+    stage to a scratch path (Spark refuses to overwrite a location it is
+    reading), then dynamic-partition-overwrite ONLY those tenants.  Other
+    tenants' partitions are never rewritten — per-batch cost scales with the
+    touched tenants, not the table.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    incoming = chunks.dropDuplicates(["tenant", "doc_path", "page_no"])
+    tenants = [r[0] for r in incoming.select("tenant").distinct().collect()]
+    existing = spark.table(name).filter(F.col("tenant").isin(tenants))
+    merged = (existing.withColumn("_pri", F.lit(0))
+              .unionByName(incoming.select(*COLUMNS).withColumn("_pri", F.lit(1))))
+    from openai_vector_search_demo_spark.operators.dedup import latest_wins
+    resolved = latest_wins(merged, keys=["tenant", "doc_path", "page_no"],
+                           order_col="_pri").drop("_pri").select(*COLUMNS)
+
+    staging = staging_dir or tempfile.mkdtemp(prefix="chunks_upsert_")
+    resolved.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).select(*COLUMNS) \
+        .write.mode("overwrite").insertInto(name)

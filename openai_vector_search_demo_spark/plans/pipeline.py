@@ -61,6 +61,56 @@ def ingest_documents(docs: DataFrame,
                     "page_content", "embedding"))
 
 
+def ingest_pages(pages: DataFrame,
+                 text_col: str = "text",
+                 path_col: str = "doc_path",
+                 page_col: str = "page_no",
+                 tenant: str = "default",
+                 embedder: Embedder | None = None) -> DataFrame:
+    """§3.1 for *pre-paginated* input (cracked PDF pages, repaginated DOCX):
+    cleanse → filter → embed → key, keeping the given page numbers.  The
+    record key is sha1(doc_path + '_' + page_no) over the **cracked page
+    index** (modules/utilities.py:344 keys the post-crack list position) —
+    re-chunking here would collide ids across pages of one document.
+    """
+    renamed = pages.select(F.col(path_col).alias("doc_path"),
+                           F.col(page_col).cast("int").alias("page_no"),
+                           F.col(text_col).alias("page_content"))
+    cleansed = renamed.withColumn("_cleansed", cleanse_text("page_content"))
+    kept = cleansed.filter(non_empty(F.col("_cleansed")))
+    embedded = kept.withColumn("embedding", embed_udf(embedder)(F.col("_cleansed")))
+    return (embedded
+            .filter(F.col("embedding").isNotNull())
+            .withColumn("id", record_key("doc_path", "page_no"))
+            .withColumn("tenant", F.lit(tenant))
+            .select("id", "tenant", "doc_path", "page_no",
+                    "page_content", "embedding"))
+
+
+def crack_and_ingest(raw: DataFrame, tenant: str = "default",
+                     embedder: Embedder | None = None) -> DataFrame:
+    """S1–S3 + §3.1 end-to-end for raw binary documents.
+
+    Reference page semantics per format (SURVEY §2.1): PDF (and the fake
+    test format) → one page per physical page (S1); DOCX → whole blob
+    re-paginated into 300-word synthetic pages (S2, modules/utilities.py:62-73).
+    """
+    from openai_vector_search_demo_spark.operators.chunking import chunk_documents
+    from openai_vector_search_demo_spark.sources.doc_crack import crack_documents
+
+    pages = crack_documents(raw)
+    ext = F.lower(F.element_at(F.split(F.element_at(
+        F.split("doc_path", "/"), -1), r"\."), -1))
+    is_word = ext.isin("docx", "doc")
+    word_pages = (chunk_documents(
+        pages.filter(is_word).select("doc_path", F.col("text")),
+        text_col="text", chunk_col="page_text")
+        .select("doc_path", F.col("page_no"), F.col("page_text").alias("text")))
+    other_pages = pages.filter(~is_word).select("doc_path", "page_no", "text")
+    return ingest_pages(other_pages.unionByName(word_pages),
+                        tenant=tenant, embedder=embedder)
+
+
 def search(chunks: DataFrame,
            question: str,
            k: int = DEFAULT_TOP_K,

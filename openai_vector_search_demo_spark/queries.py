@@ -780,6 +780,34 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_windows(t(spark, sf_dir, "events"), "5 minutes")
 
 
+@query("s1_s2_doc_crack")  # binary cracking → not SQL-expressible → rows-only
+def s1_s2_doc_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3 — binaryFile scan → extension dispatch → page extraction →
+    the ordinary ingest pipeline.  Inputs are deterministic in-test documents
+    (a form-feed fake and a real stdlib-built DOCX); output is the chunks
+    shape minus the embedding column (stable for the driver's schema check).
+    """
+    import tempfile
+    from pathlib import Path
+
+    from openai_vector_search_demo_spark.plans.pipeline import crack_and_ingest
+    from openai_vector_search_demo_spark.sources.doc_crack import (
+        FAKE_PAGE_SEP,
+        make_docx,
+        read_raw,
+    )
+
+    d = Path(tempfile.mkdtemp(prefix="doc_crack_q_"))
+    (d / "a.fake").write_bytes(
+        b"alpha beta gamma" + FAKE_PAGE_SEP + b"delta epsilon")
+    (d / "b.docx").write_bytes(make_docx(
+        ["one paragraph of text", "and a second one"]))
+    chunks = crack_and_ingest(read_raw(spark, str(d)))
+    return (chunks.select("id", "page_no", "page_content",
+                          F.element_at(F.split("doc_path", "/"), -1).alias("doc"))
+            .orderBy("doc", "page_no"))
+
+
 @query("flagship_search")  # embed UDF → not SQL-expressible → rows-only check
 def flagship_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.1 + §3.2 end-to-end: documents → chunk → cleanse → embed → KNN

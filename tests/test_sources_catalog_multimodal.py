@@ -1,0 +1,186 @@
+"""Tests: doc-cracking sources (S1-S3), catalog lifecycle (S5-S7), and the
+multimodal column stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# doc cracking
+# ---------------------------------------------------------------------------
+
+def test_docx_extract_real_bytes():
+    from openai_vector_search_demo_spark.sources.doc_crack import (
+        docx_extract,
+        make_docx,
+    )
+    data = make_docx(["hello world", "second paragraph"])
+    assert docx_extract(data) == ["hello world\nsecond paragraph"]
+
+
+def test_crack_documents_distributed(spark, tmp_path):
+    from openai_vector_search_demo_spark.sources.doc_crack import (
+        FAKE_PAGE_SEP,
+        crack_documents,
+        make_docx,
+        read_raw,
+    )
+    (tmp_path / "a.fake").write_bytes(
+        b"page zero" + FAKE_PAGE_SEP + b"page one")
+    (tmp_path / "b.docx").write_bytes(make_docx(["from docx"]))
+    (tmp_path / "c.xyz").write_bytes(b"ignored format")
+
+    pages = crack_documents(read_raw(spark, str(tmp_path))).collect()
+    by_doc = {}
+    for r in pages:
+        by_doc.setdefault(r.doc_path.rsplit("/", 1)[-1], []).append(
+            (r.page_no, r.text))
+    assert sorted(by_doc["a.fake"]) == [(0, "page zero"), (1, "page one")]
+    assert by_doc["b.docx"] == [(0, "from docx")]
+    assert "c.xyz" not in by_doc
+
+
+def test_pdf_extract_reports_missing_dependency():
+    from openai_vector_search_demo_spark.sources.doc_crack import pdf_extract
+    with pytest.raises(ImportError, match="pypdf"):
+        pdf_extract(b"%PDF-1.4 fake")
+
+
+def test_crack_to_chunks_pipeline(spark, tmp_path):
+    """S1/S2→P1→P2→E1 with reference page semantics: multi-page formats keep
+    their physical page index; DOCX is repaginated into 300-word pages; ids
+    stay unique across pages of one document."""
+    from openai_vector_search_demo_spark.plans.pipeline import crack_and_ingest
+    from openai_vector_search_demo_spark.sources.doc_crack import (
+        FAKE_PAGE_SEP,
+        make_docx,
+        read_raw,
+    )
+    (tmp_path / "p.fake").write_bytes(
+        b"first page words" + FAKE_PAGE_SEP + b"second page words")
+    (tmp_path / "w.docx").write_bytes(
+        make_docx([" ".join(f"w{i}" for i in range(650))]))
+    rows = crack_and_ingest(read_raw(spark, str(tmp_path))).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_path.rsplit("/", 1)[-1], []).append(r)
+    assert sorted(r.page_no for r in by_doc["p.fake"]) == [0, 1]   # S1: physical pages
+    assert sorted(r.page_no for r in by_doc["w.docx"]) == [0, 1, 2]  # S2: 300-word pages
+    assert len({r.id for r in rows}) == len(rows)                  # no key collisions
+    assert all(len(r.embedding) == 64 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# catalog lifecycle
+# ---------------------------------------------------------------------------
+
+def test_index_lifecycle_external_semantics(spark, tmp_path):
+    from openai_vector_search_demo_spark import catalog
+    loc = str(tmp_path / "chunks_tbl")
+    name = "tenant_abc"
+
+    assert not catalog.index_exists(spark, name)
+    assert catalog.create_index(spark, name, loc) is True
+    assert catalog.create_index(spark, name, loc) is False  # idempotent
+    assert catalog.index_exists(spark, name)
+
+    chunks = spark.createDataFrame(
+        [("k1", "/d.pdf", 0, "text a", [0.1] * 4, "t1"),
+         ("k2", "/d.pdf", 1, "text b", [0.2] * 4, "t1")],
+        "id string, doc_path string, page_no int, page_content string, "
+        "embedding array<float>, tenant string")
+    catalog.upsert_chunks(spark, chunks, name)
+    assert spark.table(name).count() == 2
+
+    # upsert: same keys, new content -> overwrite not duplicate (HSET parity)
+    chunks2 = spark.createDataFrame(
+        [("k1", "/d.pdf", 0, "text a v2", [0.3] * 4, "t1")],
+        chunks.schema)
+    catalog.upsert_chunks(spark, chunks2, name)
+    t = spark.table(name)
+    assert t.count() == 2
+    assert t.filter(F.col("page_no") == 0).first().page_content == "text a v2"
+
+    # drop keeps data files (external-table semantics, S7)
+    catalog.drop_index(spark, name)
+    assert not catalog.index_exists(spark, name)
+    assert spark.read.parquet(loc).count() == 2
+
+
+def test_encrypted_index_name(spark, tmp_path):
+    from openai_vector_search_demo_spark import catalog
+    name, loc = "secret_alias", str(tmp_path / "enc_tbl")
+    catalog.create_index(spark, name, loc, encrypt_name=True)
+    assert not spark.catalog.tableExists(name)
+    assert catalog.index_exists(spark, name, encrypt_name=True)
+    catalog.drop_index(spark, name, encrypt_name=True)
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def images(spark):
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        encode_synthetic_image,
+    )
+    rng = np.random.RandomState(42)
+    rows = [(f"img{i}",
+             bytearray(encode_synthetic_image(8 + i, 4 + i,
+                                              rng.randint(0, 256, (4 + i, 8 + i)))))
+            for i in range(5)]
+    rows.append(("bad", bytearray(b"not an image")))
+    return spark.createDataFrame(rows, "media_id string, data binary")
+
+
+def test_image_metadata_and_error_rows(images):
+    from openai_vector_search_demo_spark.operators.multimodal import image_metadata
+    out = {r.media_id: r for r in image_metadata(images).collect()}
+    assert out["img0"].width == 8 and out["img0"].height == 4
+    assert out["img4"].width == 12 and out["img4"].height == 8
+    assert out["bad"].ok == "error" and out["bad"].width is None
+
+
+def test_image_features_shape_and_determinism(images):
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        FEATURE_DIM,
+        image_features,
+    )
+    a = {r.media_id: r.features for r in image_features(images).collect()}
+    b = {r.media_id: r.features for r in image_features(images).collect()}
+    assert set(a) == {f"img{i}" for i in range(5)}  # bad row skipped
+    assert all(len(v) == FEATURE_DIM for v in a.values())
+    assert all(abs(sum(v) - 1.0) < 1e-5 for v in a.values())
+    assert a == b
+
+
+def test_resize_roundtrip(images):
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        decode_synthetic_image,
+        resize_images,
+    )
+    out = {r.media_id: bytes(r.data)
+           for r in resize_images(images, 4, 2).collect()}
+    w, h, px = decode_synthetic_image(out["img0"])
+    assert (w, h) == (4, 2) and px.shape == (2, 4)
+
+
+def test_sample_frames_jvm_side(spark):
+    from openai_vector_search_demo_spark.operators.multimodal import sample_frames
+    df = spark.createDataFrame(
+        [("v1", [bytearray([i]) for i in range(6)])],
+        "media_id string, frames array<binary>")
+    out = sample_frames(df, every_n=2).first()
+    assert [bytes(b)[0] for b in out.sampled_frames] == [0, 2, 4]
+
+
+def test_decode_image_real_gated():
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        decode_image_real,
+    )
+    with pytest.raises(ImportError, match="Pillow"):
+        decode_image_real(b"\x89PNG fake")
