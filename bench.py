@@ -62,12 +62,19 @@ def main() -> None:
 # queries(); unknown names are skipped so bench never breaks on a rename.
 HEADLINE = [
     "tpch_q1_pricing_summary",
+    "tpch_q6_revenue_forecast",
     "join_top_customers",
     "q2_knn_exact",
     "q2_knn_numpy",
     "q7_q9_rerank",
     "q11_history_top1",
     "flagship_search",
+    "ta_quality_score",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_lsh_knn",
+    "events_session_window",
+    "corpus_distinct_stats",
 ]
 
 

@@ -416,11 +416,11 @@ FROM f
 
 @query("ta_quality_score", oracle=_quality_oracle())
 def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite Gopher/C4-style quality heuristic, pure codegen SQL."""
+    """Composite Gopher/C4-style quality heuristic, pure codegen SQL
+    (DataFrame form — tokenizes once per row)."""
     from openai_vector_search_demo_spark.functions import text_analysis as ta
-    return (t(spark, sf_dir, "documents")
-            .select("doc_id",
-                    F.round(ta.quality_score("text"), 6).alias("quality")))
+    scored = ta.with_quality_score(t(spark, sf_dir, "documents"))
+    return scored.select("doc_id", F.round("quality", 6).alias("quality"))
 
 
 # ---------------------------------------------------------------------------
@@ -854,6 +854,130 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
                  F.round(F.avg("l_discount"), 6).alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
+
+
+@query("tpch_q6_revenue_forecast", oracle="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure scan+filter+agg — the pushdown showcase: every predicate reaches
+    the parquet reader (PushedFilters), only 4 columns are read."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue")))
+
+
+@query("semi_anti_customers", oracle="""
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 'active' ELSE 'inactive' END AS status
+FROM customer c
+""")
+def semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (SURVEY §2.6: the engine inherits the full
+    join family from Spark; this query pins both null-safe forms)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    active = (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+              .select("c_custkey", "c_name", F.lit("active").alias("status")))
+    inactive = (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+                .select("c_custkey", "c_name", F.lit("inactive").alias("status")))
+    return active.unionByName(inactive)
+
+
+@query("setops_segments", oracle="""
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+UNION
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def setops_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT with SQL's left-to-right same-precedence
+    chaining ((A ∩ B) ∪ C) \\ D — distinct set semantics throughout."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    a = (c.filter(F.col("c_mktsegment") == "BUILDING")
+         .select(F.col("c_custkey")))
+    b = (o.filter(F.col("o_totalprice") > 100000)
+         .select(F.col("o_custkey").alias("c_custkey")))
+    d = (c.filter(F.col("c_mktsegment") == "MACHINERY")
+         .select(F.col("c_custkey")))
+    e = (o.filter(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("c_custkey")))
+    return a.intersect(b).union(d).distinct().exceptAll(e.distinct()) \
+            .distinct()
+
+
+@query("window_customer_order_rank", oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk, ROUND(running_total, 2) AS running_total
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk,
+         SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                                 ROWS UNBOUNDED PRECEDING) AS running_total
+  FROM orders)
+WHERE rnk <= 3
+""")
+def window_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking + running-sum window frames per customer (top-3 orders)."""
+    from pyspark.sql import Window
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (o.select(
+        "o_custkey", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rnk"),
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .alias("running_total"))
+        .filter(F.col("rnk") <= 3))
+
+
+@query("corpus_distinct_stats", oracle="""
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id || '|' || event_type) AS n_user_type_pairs
+FROM events
+""")
+def corpus_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-distinct aggregation (the oracle-checkable form;
+    `approx_count_distinct` is benchmarked rows-only below as the 100 TB
+    path — HLL sketches don't hash-match across engines by design)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.concat_ws("|", "user_id", "event_type"))
+        .alias("n_user_type_pairs"))
+
+
+@query("corpus_approx_stats")  # HLL sketches are engine-specific → rows-only
+def corpus_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch-based distincts whose
+    merge is associative, i.e. one pass, no distinct-shuffle: the form that
+    survives 100 TB.  rsd pinned for determinism."""
+    ev = t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_count_distinct("event_type", rsd=0.02).alias("approx_event_types"),
+        F.count(F.lit(1)).alias("n_events"))
 
 
 @query("join_top_customers", oracle="""
