@@ -720,6 +720,102 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
                        keys=["doc_id"], order_col="version")
 
 
+@query("skew_salted_agg", oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+""")
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a hot low-cardinality key (5 event
+    types).  Exactly equals the one-phase GROUP BY — which is the oracle —
+    while spreading each hot key over 32 reducers (SURVEY §4.4 skew note)."""
+    from openai_vector_search_demo_spark.operators.skew import salted_aggregate
+    ev = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev, ["event_type"],
+        {"n": (F.count(F.lit(1)), F.sum("n")),
+         "sum_value": (F.sum("value"), F.sum("sum_value")),
+         "max_value": (F.max("value"), F.max("max_value"))},
+        salt_buckets=32)
+    return out.select("event_type", "n",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      F.round("max_value", 6).alias("max_value"))
+
+
+@query("similarity_join_topk", oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+s AS (
+  SELECT q.vec_id AS vec_id_query, r.vec_id AS vec_id,
+    list_aggregate(list_transform(range(1, len(r.embedding) + 1),
+        i -> CAST(r.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+  FROM q CROSS JOIN r)
+SELECT vec_id_query, vec_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(sim, 6) AS similarity
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id_query
+                                   ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+""")
+def similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 generalized to a query *relation*: top-3 similarity join of 20
+    query vectors against the rest (broadcast small side, per-key window —
+    SURVEY §2.6 'similarity join' is the one join the engine must build)."""
+    from openai_vector_search_demo_spark.operators.knn import similarity_join
+    emb = t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    out = similarity_join(left, right, k=3)
+    return out.select("vec_id_query", "vec_id", "rank",
+                      F.round("similarity", 6).alias("similarity"))
+
+
+@query("tfidf_top_terms", oracle=rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * (ln((n.n + 1.0) / (dfq.dfc + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+  WHERE tf.doc_id < 50)
+SELECT doc_id, token, CAST(rank AS INTEGER) AS rank,
+       ROUND(score, 6) AS tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-5 terms per doc
+    (first 50 docs).  Document frequency joins on the token — broadcast
+    (vocabulary ≪ corpus); corpus size enters as a literal from a 1-row agg."""
+    from openai_vector_search_demo_spark.functions.text_analysis import tokens
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = (tf.filter(F.col("doc_id") < 50)
+              .join(F.broadcast(dfq), "token")
+              .withColumn("score",
+                          F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
+                                               / (F.col("dfc") + 1.0)) + 1.0)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("doc_id", "token", "rank",
+                    F.round("score", 6).alias("tfidf")))
+
+
 # ---------------------------------------------------------------------------
 # Time-window aggregations over events (streaming extension, batch form —
 # streaming equivalence is pytest-checked in tests/test_streaming.py)
@@ -778,6 +874,43 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's native session_window against first principles."""
     from openai_vector_search_demo_spark.operators.windows import session_windows
     return session_windows(t(spark, sf_dir, "events"), "5 minutes")
+
+
+_TUMBLING_ORACLE = """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+_STREAM_SEQ = iter(range(1, 1 << 30))
+
+
+@query("streaming_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling-window aggregation executed as a real Structured
+    Streaming job (file source → watermark → window agg → memory sink,
+    availableNow) — then hash-checked against the SAME DuckDB oracle as the
+    batch form.  Streaming execution mode, batch-grade correctness."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_tumbling_counts,
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = ("event_id long, ts long, user_id long, "
+                  "event_type string, value double, props string")
+    stream = (spark.readStream.schema(raw_schema)
+              .format("parquet").option("pathGlobFilter", "events.parquet")
+              .load(sf_dir)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    name = f"stream_tumbling_{next(_STREAM_SEQ)}"
+    q = (stream_tumbling_counts(stream, "1 hour", watermark="100 days")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
 
 
 @query("s1_s2_doc_crack")  # binary cracking → not SQL-expressible → rows-only

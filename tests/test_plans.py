@@ -1,0 +1,65 @@
+"""Physical-plan regression tests — the scale posture, pinned.
+
+These assert the *shape* of the plan, not timings: top-k pushdown, broadcast
+join selection, predicate pushdown into the parquet scan, and column
+pruning.  A regression here is a 100 TB incident that small-SF correctness
+tests cannot see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_knn_uses_takeordered_not_global_sort(spark):
+    p = plan_of(spark, "q2_knn_exact")
+    assert "TakeOrderedAndProject" in p      # per-partition heap + merge
+    assert "Exchange rangepartitioning" not in p  # no global sort shuffle
+
+
+def test_join_top_customers_all_broadcast(spark):
+    p = plan_of(spark, "join_top_customers")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p          # dims must broadcast at this size
+
+
+def test_tpch_q6_pushes_filters_and_prunes_columns(spark):
+    p = plan_of(spark, "tpch_q6_revenue_forecast")
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters", 1)[1]
+    # projection pruning: the scan must not read unneeded lineitem columns
+    read = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_knn_scan_prunes_to_three_columns(spark):
+    p = plan_of(spark, "q2_knn_exact")
+    read = p.split("ReadSchema", 1)[1].splitlines()[0]
+    assert "vec_id" in read and "embedding" in read and "label" in read
+
+
+def test_lineitem_agg_has_partial_aggregation(spark):
+    # partial (map-side) + final HashAggregate pair around the exchange
+    p = plan_of(spark, "tpch_q1_pricing_summary")
+    assert p.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_ngram_jaccard"])
+def test_dedup_never_builds_cartesian(spark, name):
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
