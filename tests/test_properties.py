@@ -1,0 +1,121 @@
+"""Property-based tests (hypothesis) — SURVEY §5.3.
+
+The heavyweight property is fast-vs-SQL shingle equivalence: the vectorized
+hashlib path and the pure-SQL md5 HOF path MUST be bit-identical for any
+input, because the DuckDB oracle mirrors the SQL form while pipelines run
+the fast form.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# text with unicode letters, digits, punctuation and assorted whitespace
+texts = st.text(
+    alphabet=st.characters(
+        whitelist_categories=("L", "N", "P", "Zs"),
+        whitelist_characters=" \t\n"),
+    max_size=120)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(texts, min_size=1, max_size=25))
+def test_fast_shingles_bit_identical_to_sql(spark, batch):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        shingle_hashes,
+        shingle_hashes_fast,
+    )
+    df = spark.createDataFrame([(t,) for t in batch], ["text"])
+    out = df.select(
+        shingle_hashes("text", 3).alias("sql"),
+        shingle_hashes_fast(3)("text").alias("fast")).collect()
+    for r in out:
+        assert sorted(r.sql) == sorted(r.fast)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.floats(min_value=-100, max_value=100,
+                                   allow_nan=False, width=32),
+                         min_size=4, max_size=4),
+                min_size=1, max_size=20))
+def test_cosine_self_similarity_and_symmetry(spark, vecs):
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    rows = [(i, v) for i, v in enumerate(vecs) if any(x != 0 for x in v)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, ["i", "v"])
+    out = df.select(cosine_similarity("v", "v").alias("self")).collect()
+    for r in out:
+        assert math.isclose(r.self, 1.0, abs_tol=1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=2, max_value=12), st.integers(min_value=0, max_value=3),
+       st.integers(min_value=0, max_value=10**9))
+def test_query_buckets_within_hamming(nbits, h, seed):
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        query_buckets,
+    )
+    rng = np.random.RandomState(seed % 2**31)
+    planes = hyperplanes(8, nbits, seed=7)
+    q = rng.randn(8)
+    probes = query_buckets(q, planes, probe_hamming=h)
+    base = probes[0] if h == 0 else None
+    # recompute base deterministically
+    base = 0
+    for b, p in enumerate(planes):
+        if float(np.dot(q, p)) >= 0:
+            base |= 1 << b
+    assert base in probes
+    assert len(probes) == len(set(probes))
+    for x in probes:
+        assert bin(x ^ base).count("1") <= h
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(alphabet="ab ", max_size=200))
+def test_embedder_unit_norm_and_determinism(text):
+    import pandas as pd
+
+    from openai_vector_search_demo_spark.embedding.embedder import (
+        HashNgramEmbedder,
+    )
+    emb = HashNgramEmbedder(dim=16)
+    v1 = emb.embed_batch(pd.Series([text])).iloc[0]
+    v2 = emb.embed_batch(pd.Series([text])).iloc[0]
+    assert v1 == v2
+    if text.split():
+        # unit norm — except when opposite-sign bucket collisions cancel the
+        # whole vector (legitimate: a zero vector cannot be normalized)
+        sq = sum(x * x for x in v1)
+        assert math.isclose(sq, 1.0, rel_tol=1e-3) or sq == 0.0
+
+
+@pytest.mark.parametrize("n_words", [0, 1, 299, 300, 301, 599, 600, 601])
+def test_chunker_reconstruction_and_trailing_chunk(spark, n_words):
+    """C3: chunks rejoined with ' ' reproduce the original single-spaced
+    text, and an exact-300-multiple emits the reference's trailing empty
+    chunk (modules/utilities.py:62 — SURVEY C3 edge semantics)."""
+    from openai_vector_search_demo_spark.operators.chunking import (
+        chunk_documents,
+    )
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(chunk_documents(df, text_col="text").collect(),
+                  key=lambda r: r.page_no)
+    rejoined = " ".join(r.chunk for r in rows).rstrip(" ")
+    assert rejoined == text
+    expected_chunks = (n_words // 300) + 1 if n_words else 1
+    assert len(rows) == expected_chunks
+    if n_words > 0 and n_words % 300 == 0:
+        assert rows[-1].chunk == ""  # the reference's off-by-one, preserved
