@@ -68,7 +68,7 @@ HEADLINE = [
     "q2_knn_numpy",
     "q7_q9_rerank",
     "q11_history_top1",
-    "flagship_search",
+    "flagship_search_oracled",
     "ta_quality_score",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",

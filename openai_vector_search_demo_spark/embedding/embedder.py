@@ -43,8 +43,11 @@ class Embedder:
 class HashNgramEmbedder(Embedder):
     """Deterministic feature-hash embedder.
 
-    token → md5(token) → (bucket = h mod dim, sign = parity of next bit);
-    accumulate sign into bucket; L2-normalize; cast fp32 (P10 contract).
+    token → first 15 hex of md5 as a 60-bit int h (the engine-wide
+    `_hash60` convention — SQL-expressible in both Spark and DuckDB, which
+    makes the *whole embedding* oracle-checkable);
+    bucket = h mod dim; sign = bit 59 of h; accumulate sign into bucket;
+    L2-normalize (float64, exact: ±1 integer sums); cast fp32 (P10).
     Deterministic across processes/partitions — no RNG, no state.
     """
 
@@ -56,13 +59,18 @@ class HashNgramEmbedder(Embedder):
             return None
         v = np.zeros(self.dim, dtype=np.float64)
         for tok in text.lower().split():
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
             bucket = h % self.dim
-            sign = 1.0 if (h >> 63) & 1 == 0 else -1.0
+            sign = 1.0 if (h >> 59) & 1 == 0 else -1.0
             v[bucket] += sign
-        n = np.linalg.norm(v)
-        if n > 0:
-            v /= n
+        n = float(np.sqrt((v * v).sum()))
+        if n == 0:
+            # no tokens, or sign-cancelled features: no meaningful direction.
+            # Report as embedding failure (E1's None contract) — a zero
+            # vector would make cosine NaN, and NaN sorts *above* every
+            # similarity in a descending Spark sort.
+            return None
+        v /= n
         return [float(np.float32(x)) for x in v]
 
     def embed_batch(self, texts: pd.Series) -> pd.Series:

@@ -720,6 +720,49 @@ def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
                        keys=["doc_id"], order_col="version")
 
 
+@query("p11_validation_bounds", oracle="""
+SELECT doc_id,
+       (length(trim(text)) >= 5 AND length(text) <= 300) AS valid_prompt,
+       (length(trim(source)) >= 6 AND length(source) <= 10) AS valid_alias
+FROM documents
+""")
+def p11_validation_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — the reference's prompt/alias validation predicates
+    (app/app.py:36-39,254: prompt len in [5,300], alias len in [6,10]),
+    applied as vectorized boolean columns."""
+    from openai_vector_search_demo_spark.config import (
+        PROMPT_MAX_LEN,
+        PROMPT_MIN_LEN,
+        TENANT_MAX_LEN,
+        TENANT_MIN_LEN,
+    )
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ((F.length(F.trim("text")) >= PROMPT_MIN_LEN)
+         & (F.length("text") <= PROMPT_MAX_LEN)).alias("valid_prompt"),
+        ((F.length(F.trim("source")) >= TENANT_MIN_LEN)
+         & (F.length("source") <= TENANT_MAX_LEN)).alias("valid_alias"))
+
+
+@query("events_value_percentiles", oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation).  The sketch-based
+    `approx_percentile` is the 100 TB form — same call shape, rows-only."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99")))
+
+
 @query("skew_salted_agg", oracle="""
 SELECT event_type,
        COUNT(*) AS n,
@@ -939,6 +982,115 @@ def s1_s2_doc_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (chunks.select("id", "page_no", "page_content",
                           F.element_at(F.split("doc_path", "/"), -1).alias("doc"))
             .orderBy("doc", "page_no"))
+
+
+_FLAGSHIP_Q = "how does a hash join work on a spark table"
+
+_FLAGSHIP_ORACLE = r"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS words FROM documents),
+chunks AS (
+  SELECT doc_id, source, CAST(i AS INTEGER) AS page_no,
+         array_to_string(list_slice(words, i*300 + 1, i*300 + 300), ' ') AS chunk
+  FROM w, UNNEST(range(0, len(words)//300 + 1)) AS u(i)),
+cl AS (SELECT *, regexp_replace(regexp_replace(chunk, '\n', ' ', 'g'), '  ', ' ', 'g') AS cleansed
+       FROM chunks),
+kept AS (SELECT * FROM cl WHERE cleansed IS NOT NULL AND length(cleansed) > 0),
+ex AS (SELECT doc_id, source, page_no, chunk, unnest(
+         list_filter(regexp_split_to_array(lower(cleansed), '\s+'), x -> x != '')) AS tk
+       FROM kept),
+hx AS (SELECT doc_id, source, page_no, chunk,
+              CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h
+       FROM ex),
+acc AS (SELECT doc_id, source, page_no, chunk, h % 64 AS b,
+               CAST(SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS s
+        FROM hx GROUP BY ALL),
+norms AS (SELECT doc_id, source, page_no, chunk, sqrt(SUM(s*s)) AS nrm
+          FROM acc GROUP BY ALL),
+grid AS (SELECT n.doc_id, n.source, n.page_no, n.chunk, n.nrm, r.b AS b
+         FROM norms n CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r
+         WHERE n.nrm > 0),
+dense AS (SELECT g.doc_id, g.source, g.page_no, g.chunk,
+                 list(CAST(CAST(COALESCE(a.s, 0) / g.nrm AS REAL) AS DOUBLE) ORDER BY g.b) AS v
+          FROM grid g
+          LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.source = g.source
+                         AND a.page_no = g.page_no AND a.b = g.b
+          GROUP BY ALL),
+qex AS (SELECT unnest(list_filter(regexp_split_to_array(lower('{Q}'), '\s+'), x -> x != '')) AS tk),
+qhx AS (SELECT CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) AS h FROM qex),
+qacc AS (SELECT h % 64 AS b, CAST(SUM(CASE WHEN (h >> 59) & 1 = 0 THEN 1 ELSE -1 END) AS DOUBLE) AS s
+         FROM qhx GROUP BY 1),
+qnorm AS (SELECT sqrt(SUM(s*s)) AS nrm FROM qacc),
+qdense AS (SELECT list(CAST(CAST(COALESCE(a.s, 0) / q.nrm AS REAL) AS DOUBLE) ORDER BY r.b) AS qv
+           FROM (SELECT unnest(range(0, 64)) AS b) r
+           CROSS JOIN qnorm q
+           LEFT JOIN qacc a ON a.b = r.b
+           GROUP BY ALL),
+scored AS (
+  SELECT d.doc_id, d.source, d.page_no, d.chunk,
+    list_aggregate(list_transform(range(1, 65), i -> (d.v)[i] * (q.qv)[i]), 'sum')
+    / (sqrt(list_aggregate(list_transform(d.v, x -> x*x), 'sum'))
+     * sqrt(list_aggregate(list_transform(q.qv, x -> x*x), 'sum'))) AS sim
+  FROM dense d CROSS JOIN qdense q),
+knn AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, source ASC, page_no ASC) AS INTEGER) - 1 AS retrieval_idx
+        FROM scored ORDER BY sim DESC, source ASC, page_no ASC LIMIT 10),
+rr AS (SELECT *,
+         substr(chunk, 1, 160) AS answer,
+         CAST(CAST(('0x' || substr(md5('{Q}' || ':' || chunk), 1, 6)) AS BIGINT) % 101 AS INTEGER) AS score
+       FROM knn)
+SELECT answer AS "Answer", score AS "Score", chunk AS "Content", source AS "Source",
+       ROUND(sim, 6) AS "Similarity", page_no + 1 AS "Page"
+FROM (SELECT * FROM rr ORDER BY score DESC, retrieval_idx DESC, answer DESC LIMIT 10)
+WHERE score >= 50
+""".replace("{Q}", _FLAGSHIP_Q)
+
+
+@query("flagship_search_oracled", oracle=_FLAGSHIP_ORACLE)
+def flagship_search_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 + §3.2 — the ENTIRE search pipeline (C3 chunk → P1 cleanse →
+    P2 filter → E1 hash-embed → Q2 cosine KNN top-10 → E3 score → Q7-Q9
+    rerank/threshold/assembly) hash-checked end-to-end against one DuckDB
+    oracle.  Possible because every stage, including the embedder (md5-60bit
+    feature hashing) and the scorer, is bit-reproducible in SQL."""
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.embedding.embedder import (
+        embed_text,
+        embed_udf,
+    )
+    from openai_vector_search_demo_spark.functions.text import cleanse_text, non_empty
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+        vector_lit,
+    )
+    from openai_vector_search_demo_spark.operators.chunking import chunk_documents
+    from openai_vector_search_demo_spark.operators.rerank import (
+        deterministic_scorer,
+        rerank_order,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chunked = chunk_documents(docs, text_col="text", chunk_col="page_content")
+    kept = (chunked.withColumn("_cleansed", cleanse_text("page_content"))
+            .filter(non_empty(F.col("_cleansed"))))
+    embedded = (kept.withColumn("embedding", embed_udf()(F.col("_cleansed")))
+                .filter(F.col("embedding").isNotNull()))
+    qvec = embed_text(_FLAGSHIP_Q)
+    scored = embedded.withColumn(
+        "sim", cosine_similarity(F.col("embedding"), vector_lit(qvec)))
+    knn_order = [F.col("sim").desc(), F.col("source").asc(), F.col("page_no").asc()]
+    hits = (scored.orderBy(*knn_order).limit(10)
+            .withColumn("retrieval_idx",
+                        F.row_number().over(Window.orderBy(*knn_order)) - 1))
+    rr = deterministic_scorer(_FLAGSHIP_Q, hits, content_col="page_content")
+    out = (rr.orderBy(*rerank_order(rr)).limit(10)
+           .filter(F.col("score") >= 50)
+           .select(F.col("answer").alias("Answer"),
+                   F.col("score").alias("Score"),
+                   F.col("page_content").alias("Content"),
+                   F.col("source").alias("Source"),
+                   F.round("sim", 6).alias("Similarity"),
+                   (F.col("page_no") + 1).alias("Page")))
+    return out
 
 
 @query("flagship_search")  # embed UDF → not SQL-expressible → rows-only check

@@ -94,11 +94,9 @@ def test_embedder_unit_norm_and_determinism(text):
     v1 = emb.embed_batch(pd.Series([text])).iloc[0]
     v2 = emb.embed_batch(pd.Series([text])).iloc[0]
     assert v1 == v2
-    if text.split():
-        # unit norm — except when opposite-sign bucket collisions cancel the
-        # whole vector (legitimate: a zero vector cannot be normalized)
-        sq = sum(x * x for x in v1)
-        assert math.isclose(sq, 1.0, rel_tol=1e-3) or sq == 0.0
+    # any emitted vector is unit-norm; empty/sign-cancelled inputs are None
+    if v1 is not None:
+        assert math.isclose(sum(x * x for x in v1), 1.0, rel_tol=1e-3)
 
 
 @pytest.mark.parametrize("n_words", [0, 1, 299, 300, 301, 599, 600, 601])
