@@ -45,6 +45,26 @@ def deterministic_scorer(question: str, hits: DataFrame,
             .withColumn("score", score.cast("int")))
 
 
+class RemoteScorer:
+    """Shape of the production E3 scorer (LLM map_rerank — app/app.py:79-92):
+    one completion per (question, candidate) pair at temperature 0.2,
+    max_tokens 500, parsed to {answer, score 0..100}.  Would run as a
+    pandas_udf batching prompts per Arrow batch.  Unimplemented here —
+    no network and no LLM client in this environment; the deterministic
+    scorer above carries the identical column contract.
+    """
+
+    def __init__(self, model: str, temperature: float = 0.2,
+                 max_tokens: int = 500):  # pragma: no cover
+        self.model, self.temperature, self.max_tokens = (
+            model, temperature, max_tokens)
+
+    def __call__(self, question: str, hits: DataFrame,
+                 content_col: str = "page_content") -> DataFrame:  # pragma: no cover
+        raise NotImplementedError("LLM rerank requires network access; "
+                                  "use deterministic_scorer in this environment")
+
+
 def rerank_order(df: DataFrame,
                  score_col: str = "score",
                  idx_col: str = "retrieval_idx",

@@ -71,3 +71,82 @@ def stream_tumbling_counts(events_stream: DataFrame, width: str = "1 hour",
     unbounded input, the property that matters at stream scale."""
     from openai_vector_search_demo_spark.operators.windows import tumbling_counts
     return tumbling_counts(events_stream.withWatermark("ts", watermark), width)
+
+
+def stream_dedup_documents(doc_stream: DataFrame,
+                           ts_col: str | None = None,
+                           watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact-dedup: first-occurrence-wins on the normalized-text
+    fingerprint across micro-batches.
+
+    Uses Spark's native stateful ``dropDuplicates``; with an event-time
+    column + watermark the fingerprint state is evicted once the watermark
+    passes — without one, state grows with distinct keys (documented
+    tradeoff; fine for bounded backfills, wrong for unbounded streams).
+    """
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        fingerprint64,
+    )
+    with_fp = doc_stream.withColumn("fingerprint", fingerprint64("text"))
+    if ts_col:
+        return (with_fp.withWatermark(ts_col, watermark)
+                .dropDuplicates(["fingerprint", ts_col]))
+    return with_fp.dropDuplicates(["fingerprint"])
+
+
+def stream_user_running_stats(events_stream: DataFrame,
+                              timeout_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, emitted on every update; state times
+    out (and emits a final tombstone row) after ``timeout_minutes`` of
+    processing-time inactivity.
+
+    The shape Spark's built-in aggregations can't express: arbitrary
+    per-key state transitions with timeout side effects — the engine's
+    template for session-quality models, rate limiters, CDC reducers.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("closed", BooleanType()),
+    ])
+    state_schema = StructType([
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, s = state.get
+            state.remove()
+            yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                                "sum_value": [s], "closed": [True]})
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
+                            "sum_value": [s], "closed": [False]})
+
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(update, out_schema, state_schema,
+                                    "update", GroupStateTimeout.ProcessingTimeTimeout))

@@ -45,6 +45,50 @@ def test_stream_tumbling_equals_batch(spark, workdir):
     assert got == want
 
 
+def test_stream_dedup_first_occurrence_wins(spark, workdir):
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        DOCUMENTS_SCHEMA,
+        stream_dedup_documents,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(30)
+    dup = docs.unionByName(docs)            # every doc twice
+    src = str(workdir / "dup_in")
+    dup.write.parquet(src)
+    stream = (spark.readStream.schema(DOCUMENTS_SCHEMA)
+              .format("parquet").load(src))
+    q = (stream_dedup_documents(stream)
+         .writeStream.format("memory").queryName("dedup_stream_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM dedup_stream_test")
+    assert out.count() == 30
+    assert out.select("fingerprint").distinct().count() == 30
+
+
+def test_stateful_running_stats_matches_batch(spark, workdir):
+    from openai_vector_search_demo_spark.queries import load_events
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_user_running_stats,
+    )
+    events = load_events(spark, SF).select("user_id", "value", "ts")
+    src = str(workdir / "ev_in")
+    events.write.parquet(src)
+    stream = (spark.readStream.schema(events.schema)
+              .format("parquet").load(src))
+    q = (stream_user_running_stats(stream)
+         .writeStream.format("memory").queryName("stateful_test")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last emitted row per user == the batch aggregate
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6))
+           for r in spark.sql("SELECT * FROM stateful_test").collect()}
+    want = {r.user_id: (r.n, round(r.s, 6))
+            for r in events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .collect()}
+    assert got == want
+
+
 def test_stream_ingest_idempotent_under_redelivery(spark, workdir):
     from openai_vector_search_demo_spark.operators.dedup import latest_wins
     from openai_vector_search_demo_spark.plans.pipeline import ingest_documents
