@@ -59,12 +59,14 @@ def drop_index(spark: SparkSession, name: str, delete_documents: bool = False,
     """S7 — drop metadata; external LOCATION means the parquet files stay
     unless delete_documents=True (then callers clean the path themselves —
     kept explicit, mirroring dropindex(delete_documents) signature)."""
-    table = encode_name(name) if encrypt_name else name
-    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     if delete_documents:
+        # refuse BEFORE any side effect — dropping first and then raising
+        # would leave the catalog mutated behind a failed call
         raise NotImplementedError(
             "storage deletion is owner-managed for external tables; "
             "remove the LOCATION path explicitly")
+    table = encode_name(name) if encrypt_name else name
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
 
 
 COLUMNS = ["id", "doc_path", "page_no", "page_content", "embedding", "tenant"]
@@ -81,11 +83,11 @@ def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
     tenants' partitions are never rewritten — per-batch cost scales with the
     touched tenants, not the table.
     """
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     incoming = chunks.dropDuplicates(["tenant", "doc_path", "page_no"])
     tenants = [r[0] for r in incoming.select("tenant").distinct().collect()]
     existing = spark.table(name).filter(F.col("tenant").isin(tenants))
@@ -95,7 +97,19 @@ def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
     resolved = latest_wins(merged, keys=["tenant", "doc_path", "page_no"],
                            order_col="_pri").drop("_pri").select(*COLUMNS)
 
+    own_staging = staging_dir is None
     staging = staging_dir or tempfile.mkdtemp(prefix="chunks_upsert_")
-    resolved.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).select(*COLUMNS) \
-        .write.mode("overwrite").insertInto(name)
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        resolved.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).select(*COLUMNS) \
+            .write.mode("overwrite").insertInto(name)
+    finally:
+        # session conf is shared state — restore what the caller had
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        if own_staging:
+            shutil.rmtree(staging, ignore_errors=True)

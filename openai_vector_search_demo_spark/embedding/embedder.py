@@ -23,6 +23,7 @@ Two implementations behind one interface:
 from __future__ import annotations
 
 import hashlib
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -54,11 +55,16 @@ class HashNgramEmbedder(Embedder):
     def __init__(self, dim: int = 64):
         self.dim = dim
 
+    _WS = re.compile(r"\s+", re.ASCII)
+
     def _vec(self, text: str | None) -> list[float] | None:
         if text is None:
             return None
         v = np.zeros(self.dim, dtype=np.float64)
-        for tok in text.lower().split():
+        # ASCII \s split (not str.split()): Java/RE2 \s is ASCII-only, and the
+        # flagship oracle tokenizes with regexp \s+ — Unicode whitespace like
+        # U+00A0 must stay inside tokens on both sides
+        for tok in (t for t in self._WS.split(text.lower()) if t):
             h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
             bucket = h % self.dim
             sign = 1.0 if (h >> 59) & 1 == 0 else -1.0

@@ -10,8 +10,11 @@ from openai_vector_search_demo_spark.functions.text import (  # noqa: F401
     basename,
     keyword_list,
     highlight_keywords,
-    token_count,
     whitespace_tokens,
+)
+from openai_vector_search_demo_spark.functions.text_analysis import (  # noqa: F401
+    bpe_token_estimate,
+    token_count,
 )
 from openai_vector_search_demo_spark.functions.hashing import (  # noqa: F401
     record_key,

@@ -97,12 +97,8 @@ def highlight_keywords(keywords: Column | str, text: Column | str) -> Column:
     return F.array_join(marked, " ")
 
 
-# BPE-ish word/number/punct tokenizer — engine extension (text analysis).
-# Kept RE2-compatible so the DuckDB oracle can run the identical pattern.
-TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
-
-
-def token_count(text: Column | str) -> Column:
-    """Engine extension: token count = whitespace-insensitive count of
-    letter-runs, digit-runs, and single punctuation marks."""
-    return F.array_size(F.regexp_extract_all(_col(text), F.lit(TOKEN_REGEX), F.lit(0)))
+# Token counting lives in functions/text_analysis.py: `token_count`
+# (whitespace tokens) and `bpe_token_estimate` (word/number/punct pieces).
+# A regex-piece counter previously duplicated here under the name
+# `token_count` — removed: two same-named functions with different semantics
+# in sibling modules is how silent wrong statistics happen.

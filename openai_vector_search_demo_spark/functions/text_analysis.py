@@ -213,12 +213,19 @@ def shingle_hashes_fast(k: int = 3):
 
     from pyspark.sql.types import ArrayType, LongType
 
+    import re
+
+    # ASCII \s only: Java regex and RE2 \s are ASCII, Python str.split()
+    # splits Unicode whitespace (U+00A0 etc.) — that difference would break
+    # bit-parity with the SQL twin and the DuckDB oracle
+    ws = re.compile(r"\s+", re.ASCII)
+
     @F.pandas_udf(ArrayType(LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
         def one(text: str | None) -> list[int]:
             if text is None:
                 return []
-            toks = text.lower().split()
+            toks = [t for t in ws.split(text.lower()) if t]
             if len(toks) < k:
                 return []
             out: dict[int, None] = {}

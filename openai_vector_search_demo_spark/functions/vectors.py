@@ -57,8 +57,14 @@ def l2_norm(v: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """cosθ = a·b / (‖a‖‖b‖); similarity as the reference reports it
-    (1 − cosine_distance, modules/utilities.py:394)."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    (1 − cosine_distance, modules/utilities.py:394).
+
+    Zero-norm guard: 0/0 would be NaN, and Spark ranks NaN ABOVE every
+    double in a descending sort — an all-zero vector would silently win
+    any KNN.  A zero vector has no direction; its similarity is 0 (same
+    convention as the guarded numpy path in operators.knn)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot_product(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def cosine_distance(a: Column | str, b: Column | str) -> Column:

@@ -156,6 +156,7 @@ def train_centroids(vectors: np.ndarray, nlist: int, seed: int = 42,
     round-trip."""
     rng = np.random.RandomState(seed)
     x = np.asarray(vectors, dtype=np.float64)
+    nlist = min(nlist, len(x))  # fewer vectors than cells: one cell per vector
     cent = x[rng.permutation(len(x))[:nlist]].copy()
     for _ in range(iters):
         d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)

@@ -17,6 +17,12 @@ Scale posture
 
 All hashes are md5-derived 60-bit ints (`functions.text_analysis._hash60`)
 so every step is bit-reproducible in DuckDB for the correctness gate.
+
+Cache lifecycle: the pair operators persist() their reused shingle/signature
+subtrees (Catalyst recomputes common subplans across self-join branches —
+measured 4× cost uncached).  Those caches live until the session ends;
+long-lived sessions running dedup repeatedly should pass ``cache=False`` or
+evict with ``spark.catalog.clearCache()`` between batches.
 """
 
 from __future__ import annotations
@@ -70,7 +76,8 @@ def latest_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        cache: bool = True) -> DataFrame:
     """All pairs with Jaccard(shingle-set_a, shingle-set_b) ≥ threshold.
 
     Plan: explode distinct shingle hashes → self-join on the shingle hash
@@ -84,7 +91,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # computation is the expensive part (measured 4× recompute = 4× cost)
     sh = (df.select(F.col(id_col).alias("id"),
                     shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
-          .withColumn("set_size", F.size("hs"))).persist()
+          .withColumn("set_size", F.size("hs")))
+    if cache:
+        sh = sh.persist()
     ex = sh.select("id", "set_size", F.explode("hs").alias("h"))
     a = ex.select(F.col("id").alias("id_a"), F.col("set_size").alias("sz_a"), "h")
     b = ex.select(F.col("id").alias("id_b"), F.col("set_size").alias("sz_b"), "h")
@@ -131,7 +140,8 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      cache: bool = True) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash-LSH, verified exactly.
 
     signature → ``bands`` bands of ``num_hashes/bands`` rows; docs colliding
@@ -144,7 +154,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     rows = num_hashes // bands
     # persist both reused subtrees: `sig` feeds two band-join branches and
     # `sh` two verify branches — uncached, the shingle+md5 HOF tree runs 4×
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes).persist()
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    if cache:
+        sig = sig.persist()
     band_entries = sig.select(
         "id",
         F.posexplode(F.array(*[
@@ -160,7 +172,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     sh = (df.select(F.col(id_col).alias("id"),
                     shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
-          .withColumn("sz", F.size("hs"))).persist()
+          .withColumn("sz", F.size("hs")))
+    if cache:
+        sh = sh.persist()
     a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
                   F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),
@@ -215,7 +229,8 @@ def hamming64(a: Column | str, b: Column | str) -> Column:
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  max_hamming: int = 3, bands: int = 4) -> DataFrame:
+                  max_hamming: int = 3, bands: int = 4,
+                  cache: bool = True) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Pigeonhole LSH: split the signature into ``bands`` contiguous byte
@@ -227,7 +242,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     assert max_hamming < bands, "pigeonhole completeness needs max_hamming < bands"
     width = SIMHASH_BITS // bands
     mask = (1 << width) - 1
-    sig = simhash(df, id_col, text_col, k).persist()  # reused by both join sides
+    sig = simhash(df, id_col, text_col, k)
+    if cache:
+        sig = sig.persist()  # reused by both join sides
     bandcols = F.posexplode(F.array(*[
         F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
         for b in range(bands)])).alias("band", "val")

@@ -95,13 +95,12 @@ def crack_and_ingest(raw: DataFrame, tenant: str = "default",
     test format) → one page per physical page (S1); DOCX → whole blob
     re-paginated into 300-word synthetic pages (S2, modules/utilities.py:62-73).
     """
+    from openai_vector_search_demo_spark.functions.text import document_extension
     from openai_vector_search_demo_spark.operators.chunking import chunk_documents
     from openai_vector_search_demo_spark.sources.doc_crack import crack_documents
 
     pages = crack_documents(raw)
-    ext = F.lower(F.element_at(F.split(F.element_at(
-        F.split("doc_path", "/"), -1), r"\."), -1))
-    is_word = ext.isin("docx", "doc")
+    is_word = document_extension("doc_path").isin("docx", "doc")
     word_pages = (chunk_documents(
         pages.filter(is_word).select("doc_path", F.col("text")),
         text_col="text", chunk_col="page_text")
@@ -124,12 +123,21 @@ def search(chunks: DataFrame,
     ``scorer(question, df) -> df + (answer, score)`` is the pluggable E3
     stage; None uses the deterministic local scorer (tests/bench).
     """
+    from openai_vector_search_demo_spark.config import PROMPT_MAX_LEN, PROMPT_MIN_LEN
     from openai_vector_search_demo_spark.operators.rerank import (
         deterministic_scorer,
         rerank,
     )
 
+    # P11 prompt validation (app/app.py:36-39,254) — and a clear error for
+    # E1's None-on-failure contract instead of an opaque TypeError downstream
+    if not (PROMPT_MIN_LEN <= len(question.strip()) <= PROMPT_MAX_LEN):
+        raise ValueError(
+            f"question length must be in [{PROMPT_MIN_LEN}, {PROMPT_MAX_LEN}] "
+            f"after trimming (got {len(question.strip())})")
     qvec = embed_text(question, embedder)
+    if qvec is None:
+        raise ValueError("question embedding failed (E1 returned None)")
     scoped = chunks.filter(F.col("tenant") == tenant) if tenant else chunks
     hits = knn(scoped, qvec, k=k, sim_col="similarity", tie_break="id")
     scored = (scorer or deterministic_scorer)(question, hits)

@@ -89,8 +89,11 @@ def stream_dedup_documents(doc_stream: DataFrame,
     )
     with_fp = doc_stream.withColumn("fingerprint", fingerprint64("text"))
     if ts_col:
+        # dedup on the fingerprint ALONE with watermark-bounded state —
+        # dropDuplicates(["fingerprint", ts]) would key on the pair and
+        # never collapse same-text/different-time rows
         return (with_fp.withWatermark(ts_col, watermark)
-                .dropDuplicates(["fingerprint", ts_col]))
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
     return with_fp.dropDuplicates(["fingerprint"])
 
 

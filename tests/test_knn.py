@@ -58,3 +58,16 @@ def test_similarity_join_topk_per_query(spark, emb):
         expected = brute_force_topk(rows, qvec, 5)
         hits.sort(key=lambda r: r["rank"])
         assert [h["vec_id"] for h in hits] == [i for i, _ in expected]
+
+
+def test_zero_vector_never_wins_knn(spark):
+    """Regression: cosine 0/0 = NaN, and NaN ranks ABOVE every double in a
+    descending Spark sort — an all-zero embedding would silently top any
+    KNN.  The guarded cosine scores it 0 on both scoring paths."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for method in ("sql", "numpy"):
+        top = knn(df, [1.0, 0.0], k=3, sim_col="sim",
+                  tie_break="vec_id", method=method).collect()
+        assert [r.vec_id for r in top] == [1, 2, 3], method
+        assert top[-1].sim == 0.0, method

@@ -15,11 +15,14 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-# text with unicode letters, digits, punctuation and assorted whitespace
+# text with unicode letters, digits, punctuation and assorted whitespace —
+# including U+00A0/U+2003 (Unicode spaces): Python str.split() would split
+# them but Java/RE2 \s+ must not, which is exactly the parity trap the
+# fast shingle path guards against with an ASCII-only regex
 texts = st.text(
     alphabet=st.characters(
         whitelist_categories=("L", "N", "P", "Zs"),
-        whitelist_characters=" \t\n"),
+        whitelist_characters=" \t\n  "),
     max_size=120)
 
 

@@ -89,6 +89,30 @@ def test_stateful_running_stats_matches_batch(spark, workdir):
     assert got == want
 
 
+def test_stream_dedup_watermarked_collapses_same_text_different_time(spark, workdir):
+    """Regression: the ts_col branch must dedup on fingerprint ALONE —
+    dropDuplicates(["fingerprint", ts]) keyed on the pair and never
+    collapsed same-text rows arriving at different event times."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_dedup_documents,
+    )
+    rows = [(1, "same text content", "2024-01-01 10:00:00"),
+            (2, "same text content", "2024-01-01 10:05:00"),
+            (3, "different text here", "2024-01-01 10:10:00")]
+    df = (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s"))
+    src = str(workdir / "wm_in")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .format("parquet").load(src))
+    q = (stream_dedup_documents(stream, ts_col="ts")
+         .writeStream.format("memory").queryName("wm_dedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM wm_dedup_test")
+    assert out.select("fingerprint").distinct().count() == out.count() == 2
+
+
 def test_stream_ingest_idempotent_under_redelivery(spark, workdir):
     from openai_vector_search_demo_spark.operators.dedup import latest_wins
     from openai_vector_search_demo_spark.plans.pipeline import ingest_documents
