@@ -72,6 +72,25 @@ def drop_index(spark: SparkSession, name: str, delete_documents: bool = False,
 COLUMNS = ["id", "doc_path", "page_no", "page_content", "embedding", "tenant"]
 
 
+def write_bucketed(df: DataFrame, name: str, bucket_col: str,
+                   num_buckets: int = 32,
+                   sort_col: str | None = None) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Two tables bucketed by the same key into the same bucket count join
+    WITHOUT a shuffle — the rows are already co-located per bucket.  At
+    100 TB this turns every recurring fact-to-fact join on that key from a
+    full-network shuffle into a local zip (see tests/test_plans.py for the
+    pinned no-Exchange plan).  Spark bucketing requires saveAsTable
+    (metastore-managed); bucket pruning applies to equality filters on the
+    bucket column.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(name)
+
+
 def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
                   staging_dir: str | None = None) -> None:
     """S8/S9 — batch put with HSET per-key upsert semantics.

@@ -246,6 +246,46 @@ def q2_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
 
+@query("q2_knn_prenormalized", oracle="""
+WITH raw AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings),
+unit AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+              x -> CAST(CAST(CAST(x AS DOUBLE) / nrm AS REAL) AS DOUBLE)) AS u
+  FROM raw WHERE nrm > 0),
+q AS (SELECT u AS qu FROM unit WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, e.label,
+         list_aggregate(list_transform(range(1, len(e.u) + 1),
+              i -> (e.u)[i] * (qu)[i]), 'sum') AS sim
+  FROM unit e, q WHERE e.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def q2_knn_prenormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4.3 storage-layout option: unit vectors persisted at write time
+    (fp32) degrade query-time cosine to a plain dot product — half the
+    arithmetic and no per-row norms.  The normalize-then-dot chain incl.
+    the fp32 round-trip is mirrored exactly in the oracle."""
+    from openai_vector_search_demo_spark.functions.vectors import (
+        dot_product,
+        l2_normalize,
+        vector_lit,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    unit = emb.select("vec_id", "label",
+                      l2_normalize("embedding").alias("u"))
+    qu = unit.filter(F.col("vec_id") == 0).select("u").first()[0]
+    top = (unit.filter(F.col("vec_id") != 0)
+           .withColumn("sim", dot_product(F.col("u"), vector_lit(qu)))
+           .orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10))
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
 @query("q7_q9_rerank", oracle="""
 WITH cand AS (
   SELECT doc_id, text, source,

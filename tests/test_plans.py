@@ -63,3 +63,36 @@ def test_dedup_never_builds_cartesian(spark, name):
     p = plan_of(spark, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-located join: two tables bucketed on the join key by the same
+    bucket count must join with NO Exchange on either side (SURVEY §4.4 /
+    brief: 'bucketing for co-located joins')."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.catalog import write_bucketed
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "orders_b", "o_orderkey", 8)
+        write_bucketed(lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                       "lineitem_b", "o_orderkey", 8)
+        joined = spark.table("lineitem_b").join(spark.table("orders_b"),
+                                                "o_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        p = buf.getvalue()
+        assert "SortMergeJoin" in p
+        assert "Exchange hashpartitioning" not in p  # co-located: no shuffle
+        # sanity: result matches the plain join
+        plain = lineitem.withColumnRenamed("l_orderkey", "o_orderkey") \
+                        .join(orders, "o_orderkey")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
