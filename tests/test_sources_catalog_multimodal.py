@@ -184,3 +184,21 @@ def test_decode_image_real_gated():
     )
     with pytest.raises(ImportError, match="Pillow"):
         decode_image_real(b"\x89PNG fake")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        compact_parquet,
+    )
+    path = str(tmp_path / "fragmented")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.repartition(40).write.parquet(path)     # simulate small-file buildup
+    import os
+    before_files = sum(1 for r, _, fs in os.walk(path)
+                       for f in fs if f.endswith(".parquet"))
+    assert before_files >= 40
+    before = {tuple(r) for r in spark.read.parquet(path).collect()}
+    n = compact_parquet(spark, path, target_mb=128)
+    after = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert n <= 2
+    assert after == before                       # content-identical
