@@ -134,8 +134,10 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     if planes is None:
         dim = len(df.select(vec_col).first()[0])
         planes = hyperplanes(dim, nbits, seed)
+    # persist: both join branches reuse the bucket assignment (nbits dot
+    # products per row) — uncached it is computed twice
     with_b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
-               .withColumn("b", lsh_bucket("v", planes))
+               .withColumn("b", lsh_bucket("v", planes)).persist()
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")
     b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "b")
     cand = a.join(b, "b").filter(F.col("id_a") < F.col("id_b"))
