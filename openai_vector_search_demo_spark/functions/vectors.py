@@ -79,7 +79,13 @@ def to_float32(v: Column | str) -> Column:
 
 
 def l2_normalize(v: Column | str, dtype: str = "float") -> Column:
-    """Unit-normalize at write time so query-time cosine is a dot product."""
+    """Unit-normalize at write time so query-time cosine is a dot product.
+
+    Zero vectors normalize to NULL, not a division error: Spark 4 runs ANSI
+    mode by default, where x/0 throws DIVIDE_BY_ZERO and would kill the
+    whole job over one degenerate row.  Callers filter ``isNotNull()`` —
+    the same row-drop the oracle expresses as ``WHERE nrm > 0``."""
     c = _col(v)
     n = l2_norm(c)
-    return F.transform(c, lambda x: (x.cast("double") / n).cast(dtype))
+    return F.when(n != 0,
+                  F.transform(c, lambda x: (x.cast("double") / n).cast(dtype)))

@@ -124,7 +124,8 @@ def lsh_assign(df: DataFrame, vec_col: str = "embedding",
 def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
                        planes: list[list[float]] | None = None,
-                       nbits: int = 8, seed: int = 42) -> DataFrame:
+                       nbits: int = 8, seed: int = 42,
+                       cache: bool = True) -> DataFrame:
     """Embedding near-dup with an LSH-bucket prefilter: candidate pairs share
     a bucket (equi-join — replaces dedup.embedding_near_dup's all-pairs
     product), then exact cosine verification.  High-cosine pairs land in the
@@ -135,9 +136,13 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         dim = len(df.select(vec_col).first()[0])
         planes = hyperplanes(dim, nbits, seed)
     # persist: both join branches reuse the bucket assignment (nbits dot
-    # products per row) — uncached it is computed twice
+    # products per row) — uncached it is computed twice.  Same cache
+    # lifecycle convention as operators.dedup: pass cache=False in
+    # long-lived sessions and evict with spark.catalog.clearCache().
     with_b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
-               .withColumn("b", lsh_bucket("v", planes)).persist()
+               .withColumn("b", lsh_bucket("v", planes))
+    if cache:
+        with_b = with_b.persist()
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")
     b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "b")
     cand = a.join(b, "b").filter(F.col("id_a") < F.col("id_b"))

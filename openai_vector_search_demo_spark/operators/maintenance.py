@@ -25,26 +25,52 @@ def table_bytes(path: str) -> int:
 def compact_parquet(spark: SparkSession, path: str,
                     target_mb: int = 128,
                     partition_cols: list[str] | None = None) -> int:
-    """Rewrite a parquet location into ~``target_mb`` files; returns the
-    output file count.
+    """Rewrite a parquet location into ~``target_mb``-bounded files; returns
+    the output file count.
 
-    Staged write + swap (Spark cannot overwrite a location it is reading):
-    write compacted data next to the original, then atomically replace.
-    Partitioned tables keep their partition columns.  Local-filesystem
-    implementation; on object stores the same two-phase shape applies with
-    a manifest/rename-service instead of os.replace.
+    Staged write + two-rename swap (Spark cannot overwrite a location it is
+    reading).  The swap is NOT atomic on a POSIX directory — a crash between
+    the renames leaves the data in ``<path>._compact_old``; this function
+    refuses to start while such leftovers exist and tells the operator how
+    to recover.  On object stores / managed tables the same two-phase shape
+    runs through a manifest commit instead of renames.
+
+    Partitioned tables: rows are hash-co-located by the partition columns
+    before the write (a plain round-robin ``repartition(n)`` would emit up
+    to n files per partition value — fragmentation, not compaction), and
+    partition-column type inference is disabled for the read so values like
+    ``tenant=0123`` round-trip byte-identically instead of becoming INT 123.
     """
-    from pyspark.sql import functions as F  # noqa: F401
-
-    df = spark.read.parquet(path)
-    n_files = max(1, table_bytes(path) // (target_mb * 1024 * 1024))
     staging = path.rstrip("/") + "._compact_tmp"
-    writer = df.repartition(int(n_files)).write.mode("overwrite")
-    if partition_cols:
-        writer = writer.partitionBy(*partition_cols)
-    writer.parquet(staging)
-
     backup = path.rstrip("/") + "._compact_old"
+    for leftover in (staging, backup):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"leftover {leftover} from an interrupted compaction; "
+                f"inspect it (it may hold the only copy of the table), "
+                f"restore or delete it, then re-run")
+
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, None)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        # ceiling division: floor would pack up to 2x target_mb per file
+        n_files = max(1, -(-table_bytes(path) // (target_mb * 1024 * 1024)))
+        if partition_cols:
+            compacted = df.repartition(n_files, *partition_cols)
+        else:
+            compacted = df.repartition(n_files)
+        writer = compacted.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(staging)
+    finally:
+        if prev_infer is None:
+            spark.conf.unset(infer_key)
+        else:
+            spark.conf.set(infer_key, prev_infer)
+
     os.rename(path, backup)
     try:
         os.rename(staging, path)
@@ -52,6 +78,5 @@ def compact_parquet(spark: SparkSession, path: str,
         os.rename(backup, path)  # roll back
         raise
     shutil.rmtree(backup)
-    out = sum(1 for root, _, files in os.walk(path)
-              for f in files if f.endswith(".parquet"))
-    return out
+    return sum(1 for root, _, files in os.walk(path)
+               for f in files if f.endswith(".parquet"))

@@ -277,8 +277,9 @@ def q2_knn_prenormalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         vector_lit,
     )
     emb = t(spark, sf_dir, "embeddings")
-    unit = emb.select("vec_id", "label",
-                      l2_normalize("embedding").alias("u"))
+    unit = (emb.select("vec_id", "label",
+                       l2_normalize("embedding").alias("u"))
+            .filter(F.col("u").isNotNull()))  # zero vectors: oracle's nrm > 0
     qu = unit.filter(F.col("vec_id") == 0).select("u").first()[0]
     top = (unit.filter(F.col("vec_id") != 0)
            .withColumn("sim", dot_product(F.col("u"), vector_lit(qu)))

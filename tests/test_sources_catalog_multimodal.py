@@ -202,3 +202,47 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert n <= 2
     assert after == before                       # content-identical
+
+
+def test_compact_partitioned_one_file_per_partition(spark, tmp_path):
+    """Regression: round-robin repartition before partitionBy emitted up to
+    n_files PER partition value — fragmentation, not compaction."""
+    import os
+
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        compact_parquet,
+    )
+    path = str(tmp_path / "part_frag")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (docs.withColumn("pt", F.col("doc_id") % 3)
+     .repartition(20).write.partitionBy("pt").parquet(path))
+    before = {tuple(sorted(tuple(r) for r in spark.read.parquet(path).collect()))}
+    n = compact_parquet(spark, path, target_mb=128, partition_cols=["pt"])
+    assert n <= 3                       # one file per partition value
+    after = {tuple(sorted(tuple(r) for r in spark.read.parquet(path).collect()))}
+    assert after == before
+
+
+def test_compact_refuses_leftover_dirs(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        compact_parquet,
+    )
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    os.makedirs(path + "._compact_old")
+    with _pytest.raises(RuntimeError, match="interrupted compaction"):
+        compact_parquet(spark, path)
+
+
+def test_l2_normalize_zero_vector_is_null(spark):
+    from openai_vector_search_demo_spark.functions.vectors import l2_normalize
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+                               ["i", "v"])
+    out = {r.i: r.u for r in
+           df.select("i", l2_normalize("v").alias("u")).collect()}
+    assert out[1] is None
+    assert abs(out[2][0] - 0.6) < 1e-6 and abs(out[2][1] - 0.8) < 1e-6
