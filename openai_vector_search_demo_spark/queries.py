@@ -1170,7 +1170,9 @@ GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    # timestamp_ntz: the parquet column is NTZ; a plain "timestamp" cast
+    # would interpret the literal in the driver's session timezone
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                  F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
@@ -1195,8 +1197,8 @@ def tpch_q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parquet reader (PushedFilters), only 4 columns are read."""
     li = t(spark, sf_dir, "lineitem")
     return (li.filter(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24))
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
