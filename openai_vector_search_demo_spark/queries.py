@@ -804,6 +804,45 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99")))
 
 
+@query("asof_join_last_purchase", oracle="""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             event_id AS p_event_id, value AS p_value,
+             epoch_us(ts) AS p_ts_us
+      FROM events WHERE event_type = 'purchase'),
+rd AS (SELECT * FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+                                      ORDER BY p_event_id DESC) AS rn
+         FROM r) WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts_us,
+       ROUND(l.value, 6) AS value,
+       rd.p_event_id,
+       ROUND(rd.p_value, 6) AS p_value,
+       rd.p_ts_us
+FROM l ASOF LEFT JOIN rd
+  ON l.user_id = rd.user_id AND rd.ts_us <= l.ts_us
+""")
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every click event enriched with the
+    user's most recent purchase at-or-before it.  Spark has no native ASOF
+    join — implemented as union + running last_value per key (one window
+    shuffle, no range explosion); DuckDB's native ASOF JOIN is the oracle."""
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    ev = t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts_us",
+                    F.round("value", 6).alias("value")))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts_us",
+                     F.col("event_id").alias("p_event_id"),
+                     F.round("value", 6).alias("p_value"),
+                     F.col("ts_us").alias("p_ts_us")))
+    return as_of_join(left, right, key="user_id", ts="ts_us",
+                      payload=["p_event_id", "p_value", "p_ts_us"],
+                      right_tie_break="p_event_id")
+
+
 @query("skew_salted_agg", oracle="""
 SELECT event_type,
        COUNT(*) AS n,

@@ -1,0 +1,44 @@
+"""As-of join edge semantics: <= ties, no-predecessor nulls, duplicate
+right timestamps, null payload values."""
+
+from __future__ import annotations
+
+
+def test_asof_basics_and_ties(spark):
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame(
+        [(1, 10, "l10"), (1, 20, "l20"), (1, 5, "l5"), (2, 50, "l50")],
+        ["k", "ts", "lval"])
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (2, 60, "r60")],
+        ["k", "ts", "rval"])
+    out = {r.lval: r.rval for r in
+           as_of_join(left, right, key="k", ts="ts", payload=["rval"]).collect()}
+    assert out == {
+        "l5": None,     # nothing at or before ts=5
+        "l10": "r10",   # equal timestamp matches (<= semantics)
+        "l20": "r15",   # latest preceding
+        "l50": None,    # right row is in the future
+    }
+
+
+def test_asof_duplicate_right_ts_tie_break(spark):
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame([(1, 10, "l")], ["k", "ts", "lval"])
+    right = spark.createDataFrame(
+        [(1, 10, 1, "first"), (1, 10, 2, "second")],
+        ["k", "ts", "rid", "rval"])
+    out = as_of_join(left, right, key="k", ts="ts",
+                     payload=["rid", "rval"], right_tie_break="rid").first()
+    assert (out.rid, out.rval) == (2, "second")  # max tie-break wins
+
+
+def test_asof_null_payload_still_supersedes(spark):
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame([(1, 30, "l")], ["k", "ts", "lval"])
+    right = spark.createDataFrame(
+        [(1, 10, "old"), (1, 20, None)], ["k", "ts", "rval"])
+    out = as_of_join(left, right, key="k", ts="ts", payload=["rval"]).first()
+    # the newer right row wins even though its payload is NULL — struct
+    # carrier semantics, not per-column last(ignorenulls)
+    assert out.rval is None
