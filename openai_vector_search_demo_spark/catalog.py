@@ -33,17 +33,48 @@ def encode_name(name: str) -> str:
     return hashlib.sha1(name.encode("utf-8")).hexdigest()
 
 
+def _safe_identifier(name: str) -> str:
+    """Reject identifiers that would escape their backtick quoting.  Table
+    names and locations are interpolated into DDL strings; a backtick in the
+    name (or a quote in the path, handled below) is an injection surface, not
+    a legal tenant alias (the reference's aliases are 6-10 char UI strings —
+    app/app.py:38-39)."""
+    if "`" in name or "\x00" in name or not name.strip():
+        raise ValueError(f"illegal table identifier: {name!r}")
+    return name
+
+
+def _safe_location(location: str) -> str:
+    """Escape single quotes for the LOCATION string literal."""
+    if "\x00" in location:
+        raise ValueError(f"illegal location: {location!r}")
+    return location.replace("'", "''")
+
+
 def create_index(spark: SparkSession, name: str, location: str,
                  encrypt_name: bool = False) -> bool:
     """Idempotent CREATE (S5).  Returns True if created, False if it already
-    existed (the reference logs "Index already exists")."""
-    table = encode_name(name) if encrypt_name else name
+    existed (the reference logs "Index already exists").
+
+    If the LOCATION already holds partitioned data (the S7-drop-keeps-data →
+    S5-recreate round trip), the partitions are recovered into the catalog
+    (MSCK REPAIR) — without this, the recreated table silently reads empty
+    because CREATE registers no partitions for pre-existing directories.
+    """
+    import os
+
+    table = _safe_identifier(encode_name(name) if encrypt_name else name)
     if index_exists(spark, table):
         return False
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS `{table}` ({CHUNKS_DDL}, "
         f"{PARTITION_COL} STRING) USING parquet "
-        f"PARTITIONED BY ({PARTITION_COL}) LOCATION '{location}'")
+        f"PARTITIONED BY ({PARTITION_COL}) LOCATION '{_safe_location(location)}'")
+    loc = location[7:] if location.startswith("file://") else location
+    if os.path.isdir(loc) and any(
+            e.name.startswith(f"{PARTITION_COL}=")
+            for e in os.scandir(loc) if e.is_dir()):
+        spark.catalog.recoverPartitions(table)
     return True
 
 
@@ -65,7 +96,7 @@ def drop_index(spark: SparkSession, name: str, delete_documents: bool = False,
         raise NotImplementedError(
             "storage deletion is owner-managed for external tables; "
             "remove the LOCATION path explicitly")
-    table = encode_name(name) if encrypt_name else name
+    table = _safe_identifier(encode_name(name) if encrypt_name else name)
     spark.sql(f"DROP TABLE IF EXISTS `{table}`")
 
 

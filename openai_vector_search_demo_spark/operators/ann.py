@@ -198,20 +198,35 @@ def ivf_probe_cells(qvec: Sequence[float], centroids: list[list[float]],
     return sorted(int(i) for i in np.argsort(d, kind="stable")[:nprobe])
 
 
+IVF_TRAIN_CAP = 100_000  # max vectors ever collected for centroid training
+
+
 def ivf_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             vec_col: str = "embedding",
             centroids: list[list[float]] | None = None,
             nlist: int = 16, nprobe: int = 4, seed: int = 42,
+            train_fraction: float | None = None,
             sim_col: str = "similarity", tie_break: str | None = None) -> DataFrame:
     """IVF approximate KNN: score only rows in the nprobe nearest cells.
 
-    ``centroids=None`` trains on a driver-side collect of ``vec_col`` —
-    fixture-scale convenience; production passes pretrained centroids and
-    the operator stays a pure distributed map + top-k.
+    ``centroids=None`` trains on a bounded driver-side SAMPLE of ``vec_col``:
+    ``sample(train_fraction).limit(IVF_TRAIN_CAP)`` — never an unbounded
+    collect of the table.  ``train_fraction=None`` picks a fraction from a
+    cheap count so the expected sample is ~IVF_TRAIN_CAP rows.  k-means only
+    needs a representative sample, not the corpus; production trains once
+    offline and passes ``centroids``, keeping the operator a pure
+    distributed map + top-k.
     """
     if centroids is None:
-        sample = np.array([r[0] for r in df.select(vec_col).collect()],
-                          dtype=np.float64)
+        vecs = df.select(vec_col)
+        if train_fraction is None:
+            n = vecs.count()
+            train_fraction = min(1.0, IVF_TRAIN_CAP / max(n, 1))
+        if train_fraction < 1.0:
+            vecs = vecs.sample(fraction=train_fraction, seed=seed)
+        sample = np.array(
+            [r[0] for r in vecs.limit(IVF_TRAIN_CAP).collect()],
+            dtype=np.float64)
         centroids = train_centroids(sample, nlist, seed)
     probes = ivf_probe_cells(qvec, centroids, nprobe)
     cand = df.withColumn("_cell", ivf_cell(vec_col, centroids)) \

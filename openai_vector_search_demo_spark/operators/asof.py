@@ -37,8 +37,19 @@ def as_of_join(left: DataFrame, right: DataFrame,
 
     ``right_tie_break``: column choosing among right rows sharing (key, ts)
     — the max wins; required for determinism if duplicates are possible.
+
+    Right rows with a NULL ``ts`` are dropped before the union — ASOF
+    semantics never match an undated row (NULLs otherwise sort first in the
+    window and would be carried as a bogus "earliest" payload).  Payload
+    names colliding with left columns raise instead of silently producing
+    duplicate output columns.
     """
-    r = right.select(key, ts, *payload)
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"payload column(s) {sorted(clash)} already exist in left; "
+            f"rename before joining")
+    r = right.select(key, ts, *payload).filter(F.col(ts).isNotNull())
     if right_tie_break:
         w_dedup = Window.partitionBy(key, ts).orderBy(
             F.col(right_tie_break).desc())

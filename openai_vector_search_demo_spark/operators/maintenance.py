@@ -22,6 +22,20 @@ def table_bytes(path: str) -> int:
     return total
 
 
+def _listing(path: str) -> dict[str, tuple[int, int]]:
+    """Data-file snapshot (relpath → size, mtime_ns) used to detect
+    concurrent writers between the staging write and the swap."""
+    snap: dict[str, tuple[int, int]] = {}
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            full = os.path.join(root, f)
+            st = os.stat(full)
+            snap[os.path.relpath(full, path)] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_mb: int = 128,
                     partition_cols: list[str] | None = None) -> int:
@@ -53,6 +67,7 @@ def compact_parquet(spark: SparkSession, path: str,
     infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     prev_infer = spark.conf.get(infer_key, None)
     spark.conf.set(infer_key, "false")
+    before = _listing(path)
     try:
         df = spark.read.parquet(path)
         # ceiling division: floor would pack up to 2x target_mb per file
@@ -70,6 +85,16 @@ def compact_parquet(spark: SparkSession, path: str,
             spark.conf.unset(infer_key)
         else:
             spark.conf.set(infer_key, prev_infer)
+
+    # concurrent-writer guard: rows appended between the source read and the
+    # swap (e.g. by a streaming foreachBatch targeting this path) would be
+    # silently deleted by the rename — refuse instead of losing them.
+    # Compaction requires exclusive write access; stop active writers first.
+    if _listing(path) != before:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"{path} changed during compaction (concurrent writer?); "
+            f"staging discarded, source untouched — stop writers and re-run")
 
     os.rename(path, backup)
     try:

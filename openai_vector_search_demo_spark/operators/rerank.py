@@ -21,11 +21,34 @@ from pyspark.sql import functions as F
 from openai_vector_search_demo_spark.config import DEFAULT_TOP_K, SCORE_THRESHOLD
 
 
+MAX_UNPARTITIONED_CANDIDATES = 10_000
+
+
 def with_retrieval_idx(hits: DataFrame,
                        sim_col: str = "similarity",
-                       tie_break: str = "id") -> DataFrame:
+                       tie_break: str = "id",
+                       partition_col: str | None = None) -> DataFrame:
     """Candidate order as the KNN stage returned it (0-based), which is the
-    reference's implicit list position (app/app.py:88-90)."""
+    reference's implicit list position (app/app.py:88-90).
+
+    Without ``partition_col`` the ranking window is GLOBAL — Spark funnels
+    every row through one task.  That is exactly right for a KNN candidate
+    list (≤ tens of rows) and exactly wrong for anything large, so the
+    unpartitioned path refuses inputs past ``MAX_UNPARTITIONED_CANDIDATES``
+    rather than silently single-threading them; batch callers ranking many
+    queries at once pass ``partition_col`` (e.g. the query id) and keep the
+    window parallel per group.
+    """
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(
+            F.col(sim_col).desc(), F.col(tie_break).asc())
+        return hits.withColumn("retrieval_idx", F.row_number().over(w) - 1)
+    probe = MAX_UNPARTITIONED_CANDIDATES
+    if hits.limit(probe + 1).count() > probe:
+        raise ValueError(
+            f"with_retrieval_idx without partition_col uses a global window "
+            f"(single partition); input exceeds {probe} rows — pass "
+            f"partition_col to rank per group")
     w = Window.orderBy(F.col(sim_col).desc(), F.col(tie_break).asc())
     return hits.withColumn("retrieval_idx", F.row_number().over(w) - 1)
 

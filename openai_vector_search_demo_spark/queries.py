@@ -57,8 +57,19 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``epoch_us(ts)`` on the DuckDB side matches ``ts div 1000`` here);
     - ``ts``     a real timestamp (micros) for window/streaming operators.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        # the conf is consulted at analysis time only (schema resolution);
+        # execution of the returned plan no longer needs it — verified, so
+        # restoring here is safe and keeps session conf unleaked
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     # integer `div`, not `/`: double division rounds at ~1.7e18 ns magnitudes
     ts_us = F.expr("ts div 1000")
     return (raw.withColumn("ts_us", ts_us)
@@ -1021,19 +1032,31 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openai_vector_search_demo_spark.streaming.jobs import (
         stream_tumbling_counts,
     )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = ("event_id long, ts long, user_id long, "
-                  "event_type string, value double, props string")
-    stream = (spark.readStream.schema(raw_schema)
-              .format("parquet").option("pathGlobFilter", "events.parquet")
-              .load(sf_dir)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
     name = f"stream_tumbling_{next(_STREAM_SEQ)}"
-    q = (stream_tumbling_counts(stream, "1 hour", watermark="100 days")
-         .writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.table(name)
+    try:
+        raw_schema = ("event_id long, ts long, user_id long, "
+                      "event_type string, value double, props string")
+        stream = (spark.readStream.schema(raw_schema)
+                  .format("parquet").option("pathGlobFilter", "events.parquet")
+                  .load(sf_dir)
+                  .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        q = (stream_tumbling_counts(stream, "1 hour", watermark="100 days")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        # materialize off the memory sink, then drop it — a uniquely-named
+        # sink table per run would otherwise leak for the session lifetime
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        spark.catalog.dropTempView(name)
+    return out
 
 
 @query("s1_s2_doc_crack")  # binary cracking → not SQL-expressible → rows-only

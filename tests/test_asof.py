@@ -33,6 +33,31 @@ def test_asof_duplicate_right_ts_tie_break(spark):
     assert (out.rid, out.rval) == (2, "second")  # max tie-break wins
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame([(1, 10, "l")], ["k", "ts", "lval"])
+    right = spark.createDataFrame(
+        [(1, None, "undated"), (1, 5, "dated")],
+        "k int, ts int, rval string")
+    out = as_of_join(left, right, key="k", ts="ts", payload=["rval"]).first()
+    # ASOF semantics: a NULL-timestamp right row never matches (it would
+    # otherwise sort first in the window and be carried as a bogus payload)
+    assert out.rval == "dated"
+    only_null = right.filter("ts is null")
+    out2 = as_of_join(left, only_null, key="k", ts="ts", payload=["rval"]).first()
+    assert out2.rval is None
+
+
+def test_asof_payload_collision_raises(spark):
+    import pytest
+
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame([(1, 10, "x")], ["k", "ts", "rval"])
+    right = spark.createDataFrame([(1, 5, "y")], ["k", "ts", "rval"])
+    with pytest.raises(ValueError, match="rval"):
+        as_of_join(left, right, key="k", ts="ts", payload=["rval"])
+
+
 def test_asof_null_payload_still_supersedes(spark):
     from openai_vector_search_demo_spark.operators.asof import as_of_join
     left = spark.createDataFrame([(1, 30, "l")], ["k", "ts", "lval"])

@@ -109,6 +109,25 @@ def test_index_lifecycle_external_semantics(spark, tmp_path):
     assert not catalog.index_exists(spark, name)
     assert spark.read.parquet(loc).count() == 2
 
+    # S5 recreate over the surviving data: partitions must be recovered —
+    # without MSCK REPAIR the recreated table silently reads empty
+    assert catalog.create_index(spark, name, loc) is True
+    assert spark.table(name).count() == 2
+    catalog.drop_index(spark, name)
+
+
+def test_catalog_rejects_injection_identifiers(spark, tmp_path):
+    from openai_vector_search_demo_spark import catalog
+    with pytest.raises(ValueError):
+        catalog.create_index(spark, "evil` (x int); DROP TABLE t; --",
+                             str(tmp_path / "x"))
+    with pytest.raises(ValueError):
+        catalog.drop_index(spark, "`")
+    # a quote in the path must not break the LOCATION literal
+    loc = str(tmp_path / "o'brien")
+    assert catalog.create_index(spark, "quoted_loc_tbl", loc) is True
+    catalog.drop_index(spark, "quoted_loc_tbl")
+
 
 def test_encrypted_index_name(spark, tmp_path):
     from openai_vector_search_demo_spark import catalog
@@ -236,6 +255,54 @@ def test_compact_refuses_leftover_dirs(spark, tmp_path):
     os.makedirs(path + "._compact_old")
     with _pytest.raises(RuntimeError, match="interrupted compaction"):
         compact_parquet(spark, path)
+
+
+def test_compact_aborts_on_concurrent_writer(spark, tmp_path, monkeypatch):
+    """Rows appended between the source read and the swap must never be
+    silently deleted — the listing guard aborts and leaves the source as-is."""
+    import os
+
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark.operators import maintenance
+    path = str(tmp_path / "racy")
+    spark.range(100).write.parquet(path)
+
+    real_table_bytes = maintenance.table_bytes
+
+    def racing_table_bytes(p):
+        # simulate a concurrent writer landing a file mid-compaction
+        with open(os.path.join(path, "part-concurrent.parquet"), "wb") as f:
+            f.write(b"late arrival")
+        return real_table_bytes(p)
+
+    monkeypatch.setattr(maintenance, "table_bytes", racing_table_bytes)
+    with _pytest.raises(RuntimeError, match="changed during compaction"):
+        maintenance.compact_parquet(spark, path)
+    # source untouched (late file still present), staging cleaned up
+    assert os.path.exists(os.path.join(path, "part-concurrent.parquet"))
+    assert not os.path.exists(path + "._compact_tmp")
+    os.remove(os.path.join(path, "part-concurrent.parquet"))
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_retrieval_idx_guard_refuses_large_unpartitioned(spark):
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark.operators import rerank
+    big = spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 100).alias("similarity"))
+    with _pytest.raises(ValueError, match="partition_col"):
+        rerank.with_retrieval_idx(big, sim_col="similarity", tie_break="id")
+    # per-group ranking stays allowed at any size
+    out = rerank.with_retrieval_idx(big.withColumn("q", F.col("id") % 7),
+                                    sim_col="similarity", tie_break="id",
+                                    partition_col="q")
+    assert out.filter("retrieval_idx = 0").count() == 7
+    # small unpartitioned input (the KNN candidate list) still works
+    small = big.limit(10)
+    assert rerank.with_retrieval_idx(
+        small, sim_col="similarity", tie_break="id").count() == 10
 
 
 def test_l2_normalize_zero_vector_is_null(spark):
