@@ -740,8 +740,9 @@ WITH p AS (
 SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4
 """)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force oracle form; the ANN
-    LSH prefilter in operators.ann is the 100 TB path)."""
+    """Embedding-cosine near-dup pairs — exact all-pairs semantics via the
+    triangle-blocked distributed plan (no driver collect anywhere in the
+    plan; `ann_lsh_near_dup` is the sub-quadratic 100 TB variant)."""
     from openai_vector_search_demo_spark.operators.dedup import embedding_near_dup
     emb = t(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, threshold=0.4)

@@ -87,6 +87,45 @@ def test_embedding_near_dup_symmetry_free_and_thresholded(spark):
     assert all(r.id_a < r.id_b for r in out)
 
 
+def test_embedding_near_dup_methods_agree(spark):
+    """blocked (distributed default) ≡ driver ≡ sql on a random fixture —
+    and the blocked plan stays exact for any block count."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.dedup import embedding_near_dup
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    base[13] = base[5] + 0.01 * rng.randn(8)   # planted near-dups
+    base[29] = base[11] + 0.01 * rng.randn(8)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def key(res):
+        return {(r.id_a, r.id_b, round(r.cosine, 6)) for r in res.collect()}
+
+    expected = key(embedding_near_dup(df, threshold=0.6, method="driver"))
+    assert expected  # planted pairs found
+    assert key(embedding_near_dup(df, threshold=0.6, method="sql")) == expected
+    for b in (1, 3, 8):
+        got = key(embedding_near_dup(df, threshold=0.6, method="blocked",
+                                     num_blocks=b))
+        assert got == expected, f"num_blocks={b}"
+
+
+def test_embedding_near_dup_default_plan_has_no_collect(spark):
+    """The default path must be fully distributed: its physical plan is
+    exchange→applyInPandas — never a driver-side collect/broadcast of the
+    corpus (the r1 scale-killer)."""
+    from openai_vector_search_demo_spark.operators.dedup import embedding_near_dup
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                               ["vec_id", "embedding"])
+    plan = embedding_near_dup(df, threshold=0.9)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # building the DataFrame ran no job: nothing was collected eagerly
+    assert "Broadcast" not in plan
+
+
 def test_latest_wins(spark):
     from openai_vector_search_demo_spark.operators.dedup import latest_wins
     log = spark.createDataFrame(
