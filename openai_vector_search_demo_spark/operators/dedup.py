@@ -78,14 +78,23 @@ def latest_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5,
+                        max_shingle_df: int | None = None,
                         cache: bool = True) -> DataFrame:
     """All pairs with Jaccard(shingle-set_a, shingle-set_b) ≥ threshold.
 
     Plan: explode distinct shingle hashes → self-join on the shingle hash
     (docs sharing zero shingles never pair) → count common per pair →
     Jaccard from per-doc set sizes.  The join key is a 60-bit hash, so
-    skew is bounded by true shingle popularity; a stopword-shingle top-N
-    drop is the standard mitigation at corpus scale.
+    skew is bounded by true shingle popularity.
+
+    ``max_shingle_df``: the hot-shingle mitigation for corpus scale.  A
+    shingle appearing in more than this many documents (boilerplate — page
+    headers, license blurbs, navigation chrome) is dropped BEFORE the
+    self-join; one shingle shared by d documents otherwise contributes
+    d·(d−1)/2 candidate rows, so a single hot trigram turns the join
+    quadratic.  With the cap, Jaccard is computed over the FILTERED shingle
+    sets (sizes recomputed after the drop) — a recall/precision trade the
+    caller opts into; ``None`` (default) preserves the exact semantics.
     """
     # persist: both join branches reuse this subtree — Catalyst does not share
     # common subplans across self-join branches, and the md5-HOF shingle
@@ -96,6 +105,18 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     if cache:
         sh = sh.persist()
     ex = sh.select("id", "set_size", F.explode("hs").alias("h"))
+    if max_shingle_df is not None:
+        # document frequency per shingle (shingle sets are distinct per doc,
+        # so count(*) = DF); drop hot shingles, recompute set sizes
+        keep = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df)
+                .select("h"))
+        filtered = ex.select("id", "h").join(keep, "h")
+        sizes = filtered.groupBy("id").agg(
+            F.count(F.lit(1)).alias("set_size"))
+        ex = filtered.join(sizes, "id").select("id", "set_size", "h")
+        if cache:
+            ex = ex.persist()
     a = ex.select(F.col("id").alias("id_a"), F.col("set_size").alias("sz_a"), "h")
     b = ex.select(F.col("id").alias("id_b"), F.col("set_size").alias("sz_b"), "h")
     common = (a.join(b, "h")

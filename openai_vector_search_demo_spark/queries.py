@@ -673,6 +673,35 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
 
 
+_CAPPED_JACCARD_ORACLE = rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex0 AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+keep AS (SELECT h FROM ex0 GROUP BY h HAVING COUNT(*) <= 2),
+ex AS (SELECT doc_id, h FROM ex0 JOIN keep USING (h)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (za.sz + zb.sz - common), 6) AS jaccard
+FROM common JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard_capped", oracle=_CAPPED_JACCARD_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle mitigation: shingles in more than ``max_shingle_df``
+    documents are dropped before the self-join (a shingle in d docs feeds
+    d·(d−1)/2 candidate rows — boilerplate trigrams make the join quadratic
+    at corpus scale).  Jaccard is over the filtered sets; the oracle mirrors
+    the identical DF-cap + size-recompute chain."""
+    from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=2)
+
+
 _MINHASH_ORACLE = rf"""
 WITH {_SQL_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),

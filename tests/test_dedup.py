@@ -126,6 +126,29 @@ def test_embedding_near_dup_default_plan_has_no_collect(spark):
     assert "Broadcast" not in plan
 
 
+def test_jaccard_hot_shingle_cap_drops_boilerplate_pairs(spark):
+    """Docs sharing ONLY a boilerplate shingle pair without the cap and must
+    not pair with it; genuinely-similar docs keep pairing either way."""
+    from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
+    boiler = "all rights reserved"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} epsilon zeta eta theta"),
+        (3, f"{boiler} iota kappa lambda mu"),
+        (4, "unique text one two three four five six"),
+        (5, "unique text one two three four five seven"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = {(r.id_a, r.id_b) for r in
+                ngram_jaccard_pairs(df, k=3, threshold=0.1).collect()}
+    capped = {(r.id_a, r.id_b) for r in
+              ngram_jaccard_pairs(df, k=3, threshold=0.1,
+                                  max_shingle_df=2).collect()}
+    assert (1, 2) in uncapped and (1, 3) in uncapped  # boilerplate pairs
+    assert not any({a, b} <= {1, 2, 3} for a, b in capped)  # cap kills them
+    assert (4, 5) in uncapped and (4, 5) in capped  # real similarity survives
+
+
 def test_latest_wins(spark):
     from openai_vector_search_demo_spark.operators.dedup import latest_wins
     log = spark.createDataFrame(
