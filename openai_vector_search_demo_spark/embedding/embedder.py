@@ -14,10 +14,11 @@ Two implementations behind one interface:
   determinism).  Feature-hash unigram projection with sign hashing, L2
   normalized, float32.  Same algorithm as scikit-learn's HashingVectorizer
   family, reimplemented on md5 for cross-platform determinism.
-- A remote (OpenAI-compatible) embedder would subclass ``Embedder`` and batch
-  HTTP calls inside the same UDF body; it is intentionally NOT implemented —
-  no network in this environment (stub raises, mirroring E1's None-on-failure
-  reporting path).
+- ``RemoteEmbedder`` — the production (OpenAI-compatible) shape: batched
+  calls through an injectable transport, ``max_retries=3``, None-on-failure
+  per sub-batch.  The transport itself is a plain callable so the full
+  batching/retry/failure logic is testable offline against a mock; only the
+  HTTP client is environment-specific.
 """
 
 from __future__ import annotations
@@ -84,19 +85,64 @@ class HashNgramEmbedder(Embedder):
 
 
 class RemoteEmbedder(Embedder):
-    """Shape of the production embedder (Azure/OpenAI API, E1).
+    """The production embedder shape (Azure/OpenAI API, E1) against an
+    injectable transport.
 
-    Would issue one batched HTTP call per Arrow batch with
-    ``max_retries=3`` and emit None for rows that still fail
-    (modules/utilities.py:107-115, :207-208).  Unimplemented here: this
-    environment has no network and no openai package.
+    Reference contract (modules/utilities.py:107-115): ``max_retries=3``,
+    None on failure — the failed page is skipped downstream with a log
+    (:207-208), not crashed on.  The reference's ``chunk_size=1`` (one HTTPS
+    call per page) is the anti-optimization SURVEY §4.1 flags; here each
+    Arrow batch is sliced into ``batch_size`` sub-batches, one transport
+    call each — identical semantics, ~batch_size× fewer round trips.
+
+    ``transport``: ``list[str] -> list[list[float]]`` — one batched API
+    call; raises on transient failure (the retryable unit).  It must be
+    picklable (runs inside the pandas UDF worker); a production transport
+    wraps an openai/httpx client constructed lazily on first call.  A
+    failing sub-batch is retried ``max_retries`` times, then its rows embed
+    to None — failures are per-sub-batch data, never a job abort.
     """
 
-    def __init__(self, model: str, dim: int):  # pragma: no cover
-        self.model, self.dim = model, dim
+    def __init__(self, transport, dim: int, batch_size: int = 256,
+                 max_retries: int = 3):
+        if batch_size < 1 or max_retries < 1:
+            raise ValueError("batch_size and max_retries must be >= 1")
+        self.transport = transport
+        self.dim = dim
+        self.batch_size = batch_size
+        self.max_retries = max_retries
 
-    def embed_batch(self, texts: pd.Series) -> pd.Series:  # pragma: no cover
-        raise NotImplementedError("remote embedding requires network access")
+    def _call_with_retry(self, chunk: list[str]) -> list[list[float] | None]:
+        for attempt in range(self.max_retries):
+            try:
+                vecs = self.transport(chunk)
+                break
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    return [None] * len(chunk)  # E1: None on exhausted retries
+        else:  # pragma: no cover — loop always breaks or returns
+            return [None] * len(chunk)
+        if len(vecs) != len(chunk):
+            return [None] * len(chunk)  # malformed response = failure
+        # P10 fp32 contract — same cast the reference applies at :301
+        return [None if v is None else [float(np.float32(x)) for x in v]
+                for v in vecs]
+
+    def embed_batch(self, texts: pd.Series) -> pd.Series:
+        out: list[list[float] | None] = []
+        vals = texts.tolist()
+        for start in range(0, len(vals), self.batch_size):
+            chunk = vals[start:start + self.batch_size]
+            # None texts never reach the API (reference embeds only cleansed
+            # non-empty pages); keep positions aligned
+            live = [(j, t) for j, t in enumerate(chunk) if t is not None]
+            results: list[list[float] | None] = [None] * len(chunk)
+            if live:
+                vecs = self._call_with_retry([t for _, t in live])
+                for (j, _), v in zip(live, vecs):
+                    results[j] = v
+            out.extend(results)
+        return pd.Series(out, index=texts.index, dtype="object")
 
 
 def embed_udf(embedder: Embedder | None = None):

@@ -121,19 +121,51 @@ def lsh_assign(df: DataFrame, vec_col: str = "embedding",
     return df.withColumn(bucket_col, lsh_bucket(vec_col, planes))
 
 
+LSH_TARGET_BUCKET_ROWS = 64   # adaptive-nbits sizing: expected rows/bucket
+LSH_MIN_BITS, LSH_MAX_BITS = 8, 24
+
+
+def adaptive_nbits(n_rows: int,
+                   target_bucket_rows: int = LSH_TARGET_BUCKET_ROWS) -> int:
+    """Bucket-count sizing: enough sign bits that the EXPECTED bucket
+    occupancy is ~``target_bucket_rows``.  With nbits fixed (the r1 defect)
+    bucket count is constant, so within-bucket pair counts — the join
+    output — grow QUADRATICALLY with the corpus; scaling buckets with n
+    keeps occupancy flat and candidate volume ~linear (n·target/2 pairs).
+    Clamped to [8, 24] bits (256 … 16M buckets)."""
+    import math
+    need = max(1, -(-n_rows // max(target_bucket_rows, 1)))  # ceil division
+    return min(LSH_MAX_BITS, max(LSH_MIN_BITS, math.ceil(math.log2(need))))
+
+
 def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                        vec_col: str = "embedding", threshold: float = 0.9,
                        planes: list[list[float]] | None = None,
-                       nbits: int = 8, seed: int = 42,
+                       nbits: int | None = None, seed: int = 42,
+                       max_bucket_rows: int | None = None,
                        cache: bool = True) -> DataFrame:
     """Embedding near-dup with an LSH-bucket prefilter: candidate pairs share
     a bucket (equi-join — replaces dedup.embedding_near_dup's all-pairs
     product), then exact cosine verification.  High-cosine pairs land in the
     same bucket with probability (1 - θ/π)^nbits; recall is tested, and the
     bucket join semantics are mirrored exactly in the oracle.
+
+    Scale knobs:
+
+    - ``nbits=None`` (default) sizes the bucket key from the corpus via
+      ``adaptive_nbits(df.count())`` — more data, more buckets, flat
+      occupancy.  Pass ``nbits``/``planes`` explicitly for pinned layouts
+      (the oracled query does, for bit-reproducibility).
+    - ``max_bucket_rows``: hard cap per bucket — hot buckets (skewed data
+      direction, near-zero vectors) otherwise still go quadratic.  Keeps
+      the ``max_bucket_rows`` lowest-id rows per bucket (deterministic) and
+      drops the rest from candidate generation: an explicit recall trade,
+      off by default.
     """
     if planes is None:
         dim = len(df.select(vec_col).first()[0])
+        if nbits is None:
+            nbits = adaptive_nbits(df.count())
         planes = hyperplanes(dim, nbits, seed)
     # persist: both join branches reuse the bucket assignment (nbits dot
     # products per row) — uncached it is computed twice.  Same cache
@@ -141,6 +173,11 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     # long-lived sessions and evict with spark.catalog.clearCache().
     with_b = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")) \
                .withColumn("b", lsh_bucket("v", planes))
+    if max_bucket_rows is not None:
+        from pyspark.sql import Window
+        w = Window.partitionBy("b").orderBy(F.col("id").asc())
+        with_b = (with_b.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") <= max_bucket_rows).drop("_rn"))
     if cache:
         with_b = with_b.persist()
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")

@@ -134,16 +134,39 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1 — universal-hash modulus
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per permutation, derived from md5 of the index
+    (no RNG/state — reproducible everywhere, including the DuckDB oracle,
+    which inlines these as literals)."""
+    import hashlib
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-perm-{i}".encode("utf-8")).hexdigest()
+        a = int(d[:8], 16) % (MINHASH_P - 1) + 1   # 1 .. P-1 (non-degenerate)
+        b = int(d[8:16], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
 def _perm_hash(i: int, h: Column) -> Column:
-    """i-th 'permutation': rehash the 60-bit shingle hash with salt i.
-    md5-based so DuckDB reproduces it bit-for-bit."""
-    return _hash60(F.concat(F.lit(f"{i}:"), h.cast("string")))
+    """i-th 'permutation': universal hashing ``(a_i·(h mod P) + b_i) mod P``
+    over the Mersenne-31 prime.  Pure 64-bit JVM arithmetic inside
+    whole-stage codegen — an order of magnitude cheaper than the md5-rehash
+    it replaced (16 string-md5 calls per exploded shingle row), and still
+    bit-reproducible in DuckDB with the same integer expression.
+    Overflow-safe under ANSI: a < 2^31 and (h mod P) < 2^31 ⇒ product < 2^62.
+    """
+    a, b = minhash_params(i + 1)[i]
+    return (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 3,
                        num_hashes: int = 16) -> DataFrame:
-    """MinHash signature per doc: for each of ``num_hashes`` salted hash
+    """MinHash signature per doc: for each of ``num_hashes`` universal hash
     functions, the min over the doc's shingle hashes.
 
     One explode + one groupBy with ``num_hashes`` min-aggregates — partial
@@ -152,6 +175,10 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     ex = (df.select(F.col(id_col).alias("id"),
                     F.explode(shingle_hashes_fast(k)(F.col(text_col))).alias("h")))
+    return _signatures_from_exploded(ex, num_hashes)
+
+
+def _signatures_from_exploded(ex: DataFrame, num_hashes: int) -> DataFrame:
     aggs = [F.min(_perm_hash(i, F.col("h"))).alias(f"mh{i}")
             for i in range(num_hashes)]
     sig = ex.groupBy("id").agg(*aggs)
@@ -174,9 +201,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     stay deterministic.
     """
     rows = num_hashes // bands
-    # persist both reused subtrees: `sig` feeds two band-join branches and
-    # `sh` two verify branches — uncached, the shingle+md5 HOF tree runs 4×
-    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    # ONE shingle computation feeds everything: the exploded form derives
+    # the signatures, the array form the verify stage.  (r1 computed the
+    # shingle UDF once per subtree — twice overall — because signatures
+    # started from the raw text; sharing the persisted `sh` halves the
+    # dominant md5-shingling cost.)
+    sh = (df.select(F.col(id_col).alias("id"),
+                    shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
+          .withColumn("sz", F.size("hs")))
+    if cache:
+        sh = sh.persist()
+    sig = _signatures_from_exploded(
+        sh.select("id", F.explode("hs").alias("h")), num_hashes)
     if cache:
         sig = sig.persist()
     band_entries = sig.select(
@@ -192,11 +228,6 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
 
-    sh = (df.select(F.col(id_col).alias("id"),
-                    shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
-          .withColumn("sz", F.size("hs")))
-    if cache:
-        sh = sh.persist()
     a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
                   F.col("sz").alias("sz_a"))
     b = sh.select(F.col("id").alias("id_b"), F.col("hs").alias("hs_b"),

@@ -15,6 +15,7 @@ deterministic local scorer below so results are oracle-checkable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -69,23 +70,78 @@ def deterministic_scorer(question: str, hits: DataFrame,
 
 
 class RemoteScorer:
-    """Shape of the production E3 scorer (LLM map_rerank — app/app.py:79-92):
-    one completion per (question, candidate) pair at temperature 0.2,
-    max_tokens 500, parsed to {answer, score 0..100}.  Would run as a
-    pandas_udf batching prompts per Arrow batch.  Unimplemented here —
-    no network and no LLM client in this environment; the deterministic
-    scorer above carries the identical column contract.
+    """The production E3 scorer shape (LLM map_rerank — app/app.py:79-92)
+    against an injectable transport: one completion per (question, candidate)
+    pair at temperature 0.2, max_tokens 500, parsed to {answer, score 0..100}.
+
+    ``transport``: ``(question, list[str]) -> list[(answer, score)]`` —
+    one batched LLM call per Arrow sub-batch; raises on transient failure.
+    Must be picklable (runs in the pandas UDF worker); a production
+    transport lazily builds the LLM client and carries temperature /
+    max_tokens.  A sub-batch failing ``max_retries`` times scores to NULL —
+    those candidates are dropped like E2 drops failed embeds
+    (modules/utilities.py:207-208), never a job abort.  Scores are clamped
+    to the reference's 0..100 contract (app/app.py:90).
     """
 
-    def __init__(self, model: str, temperature: float = 0.2,
-                 max_tokens: int = 500):  # pragma: no cover
-        self.model, self.temperature, self.max_tokens = (
-            model, temperature, max_tokens)
+    def __init__(self, transport, batch_size: int = 64,
+                 max_retries: int = 3,
+                 temperature: float = 0.2, max_tokens: int = 500):
+        if batch_size < 1 or max_retries < 1:
+            raise ValueError("batch_size and max_retries must be >= 1")
+        self.transport = transport
+        self.batch_size = batch_size
+        self.max_retries = max_retries
+        self.temperature, self.max_tokens = temperature, max_tokens
+
+    def _score_chunk(self, question: str,
+                     chunk: list[str]) -> list[tuple[str, int] | None]:
+        for attempt in range(self.max_retries):
+            try:
+                res = self.transport(question, chunk)
+                break
+            except Exception:
+                if attempt == self.max_retries - 1:
+                    return [None] * len(chunk)
+        else:  # pragma: no cover
+            return [None] * len(chunk)
+        if len(res) != len(chunk):
+            return [None] * len(chunk)
+        return [None if r is None
+                else (str(r[0]), max(0, min(100, int(r[1])))) for r in res]
 
     def __call__(self, question: str, hits: DataFrame,
-                 content_col: str = "page_content") -> DataFrame:  # pragma: no cover
-        raise NotImplementedError("LLM rerank requires network access; "
-                                  "use deterministic_scorer in this environment")
+                 content_col: str = "page_content") -> DataFrame:
+        from pyspark.sql.types import (
+            IntegerType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        scorer = self  # close over self, not the DataFrame
+        out_t = StructType([StructField("answer", StringType()),
+                            StructField("score", IntegerType())])
+
+        @F.pandas_udf(out_t)
+        def _score(contents: pd.Series) -> pd.DataFrame:
+            vals = contents.tolist()
+            answers: list[str | None] = []
+            scores: list[int | None] = []
+            for s in range(0, len(vals), scorer.batch_size):
+                for r in scorer._score_chunk(question,
+                                             vals[s:s + scorer.batch_size]):
+                    answers.append(None if r is None else r[0])
+                    scores.append(None if r is None else r[1])
+            return pd.DataFrame({"answer": answers, "score": scores},
+                                index=contents.index)
+
+        scored = hits.withColumn("_as", _score(F.col(content_col)))
+        return (scored
+                .withColumn("answer", F.col("_as.answer"))
+                .withColumn("score", F.col("_as.score"))
+                .drop("_as")
+                .filter(F.col("score").isNotNull()))
 
 
 def rerank_order(df: DataFrame,

@@ -702,13 +702,23 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=2)
 
 
+def _sql_minhash_perms(num_hashes: int) -> str:
+    """VALUES literal of the engine's universal-hash (a, b) parameters —
+    built by the same `minhash_params` the Spark operator uses, so the two
+    sides share one source of truth."""
+    from openai_vector_search_demo_spark.operators.dedup import minhash_params
+    rows = ", ".join(f"({i}, {a}, {b})"
+                     for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    return f"(VALUES {rows}) AS p(i, a, b)"
+
+
 _MINHASH_ORACLE = rf"""
 WITH {_SQL_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
-mh AS (SELECT ex.doc_id, t.i,
-         MIN({_SQL_H60.format(expr="CAST(t.i AS VARCHAR) || ':' || CAST(ex.h AS VARCHAR)")}) AS m
-       FROM ex, UNNEST(range(16)) AS t(i)
-       GROUP BY ex.doc_id, t.i),
+mh AS (SELECT ex.doc_id, p.i,
+         MIN((p.a * (ex.h % 2147483647) + p.b) % 2147483647) AS m
+       FROM ex, {_sql_minhash_perms(16)}
+       GROUP BY ex.doc_id, p.i),
 sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
 band AS (SELECT doc_id, b.b,
            {_SQL_H60.format(expr="array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')")} AS bucket

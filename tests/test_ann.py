@@ -103,3 +103,73 @@ def test_train_centroids_deterministic():
 
     x = np.random.RandomState(7).randn(100, 16)
     assert train_centroids(x, 4, seed=42) == train_centroids(x, 4, seed=42)
+
+
+def test_adaptive_nbits_scales_and_clamps():
+    from openai_vector_search_demo_spark.operators.ann import adaptive_nbits
+    assert adaptive_nbits(0) == 8
+    assert adaptive_nbits(1_000) == 8               # floor: 256 buckets min
+    assert adaptive_nbits(64 * (1 << 12)) == 12     # 4096 buckets at 256k rows
+    assert adaptive_nbits(10**12) == 24             # ceiling: 16M buckets
+    # monotone in corpus size
+    prev = 0
+    for n in (10**3, 10**5, 10**7, 10**9):
+        b = adaptive_nbits(n)
+        assert b >= prev
+        prev = b
+
+
+def _bucket_pair_count(spark, n, dim, nbits, seed=3):
+    """Candidate-join output size = Σ_buckets C(occupancy, 2)."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        lsh_bucket,
+    )
+    rng = np.random.RandomState(seed)
+    rows = [(i, [float(x) for x in rng.randn(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    planes = hyperplanes(dim, nbits, seed=42)
+    hist = (df.withColumn("b", lsh_bucket("embedding", planes))
+            .groupBy("b").count())
+    return hist.agg(F.sum(F.expr("count * (count - 1) / 2"))).first()[0] or 0
+
+
+def test_lsh_near_dup_candidates_subquadratic_with_adaptive_bits(spark):
+    """The r1 defect: fixed nbits ⇒ candidate pairs grow ~4× when the corpus
+    doubles.  Adaptive nbits adds a bit per doubling, keeping expected
+    occupancy flat — the pair count must grow clearly sub-quadratically."""
+    from openai_vector_search_demo_spark.operators.ann import adaptive_nbits
+    dim, target = 16, 2
+    n1, n2 = 512, 2048  # 4x corpus
+    fixed_small = _bucket_pair_count(spark, n1, dim, 8)
+    fixed_big = _bucket_pair_count(spark, n2, dim, 8)
+    assert fixed_big / max(fixed_small, 1) > 8  # fixed bits: ~quadratic (16x)
+    b1 = adaptive_nbits(n1, target_bucket_rows=target)
+    b2 = adaptive_nbits(n2, target_bucket_rows=target)
+    assert b2 > b1
+    adapt_small = _bucket_pair_count(spark, n1, dim, b1)
+    adapt_big = _bucket_pair_count(spark, n2, dim, b2)
+    # 4x corpus must cost far less than 16x candidates on the adaptive path
+    assert adapt_big / max(adapt_small, 1) < 8
+
+
+def test_lsh_near_dup_bucket_cap_bounds_and_keeps_recall(spark):
+    """max_bucket_rows bounds any bucket's contribution to C(cap, 2) while a
+    planted near-identical pair (lowest ids) survives the cap."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.ann import lsh_near_dup_pairs
+    rng = np.random.RandomState(5)
+    base = rng.randn(16)
+    # a hot direction: 60 vectors all nearly parallel → one hot bucket
+    rows = [(i, [float(x) for x in base + 0.001 * rng.randn(16)])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = lsh_near_dup_pairs(df, threshold=0.99, nbits=8,
+                                max_bucket_rows=10)
+    got = capped.collect()
+    # ≤ C(10,2) pairs per bucket survive; the lowest-id rows are kept
+    assert 0 < len(got) <= 45
+    assert {r.id_a for r in got} | {r.id_b for r in got} <= set(range(10))
