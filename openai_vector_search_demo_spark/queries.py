@@ -1103,9 +1103,12 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s1_s2_doc_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S3 — binaryFile scan → extension dispatch → page extraction →
     the ordinary ingest pipeline.  Inputs are deterministic in-test documents
-    (a form-feed fake and a real stdlib-built DOCX); output is the chunks
-    shape minus the embedding column (stable for the driver's schema check).
+    (a form-feed fake, a real stdlib-built DOCX, and — when present — the
+    reference's own 15-page sample PDF through the engine's dependency-free
+    extractor); output is the chunks shape minus the embedding column
+    (stable for the driver's schema check).
     """
+    import shutil
     import tempfile
     from pathlib import Path
 
@@ -1121,6 +1124,10 @@ def s1_s2_doc_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
         b"alpha beta gamma" + FAKE_PAGE_SEP + b"delta epsilon")
     (d / "b.docx").write_bytes(make_docx(
         ["one paragraph of text", "and a second one"]))
+    sample = Path("/root/reference/sample_docs/"
+                  "Easy_recipes_Boston_University.pdf")
+    if sample.exists():  # S1 on the reference's own input document
+        shutil.copy(sample, d / "c.pdf")
     chunks = crack_and_ingest(read_raw(spark, str(d)))
     return (chunks.select("id", "page_no", "page_content",
                           F.element_at(F.split("doc_path", "/"), -1).alias("doc"))

@@ -15,8 +15,10 @@ identical for every format and independently testable:
 - DOCX: real, dependency-free (a .docx is a zip; text lives in
   ``word/document.xml`` — stdlib zipfile + XML parse), repaginated by the
   chunking operator exactly like the reference.
-- PDF: gated on ``pypdf`` (not installed in this environment) — raises a
-  clear ImportError; the *pipeline* is still tested through the fake format.
+- PDF: real, dependency-free — the engine's own extractor
+  (``sources/pdf_text.py``: object scan → page tree → content-stream
+  interpreter → ToUnicode/encoding decode), proven against the reference's
+  own sample document; ``pypdf`` is used instead when installed.
 - ``fake``: a deterministic test format (form-feed separated UTF-8 pages) so
   the distributed path is exercised end-to-end without binary parsers.
 """
@@ -78,14 +80,21 @@ def docx_extract(data: bytes) -> list[str]:
 
 def pdf_extract(data: bytes) -> list[str]:
     """One string per physical page (reference: PyPDFLoader page granularity,
-    modules/utilities.py:34).  Requires pypdf, which this environment lacks —
-    the error is explicit rather than a silent wrong answer."""
+    modules/utilities.py:34).
+
+    Backed by the engine's own dependency-free extractor
+    (``sources/pdf_text.py`` — stdlib re+zlib only), so PDF ingestion works
+    in any environment.  When ``pypdf`` happens to be installed it is
+    preferred for maximal format coverage (encrypted files, exotic
+    filters); the built-in covers the mainstream Flate/TrueType/Type0
+    corpus, including the reference's own sample document."""
     try:
         from pypdf import PdfReader  # noqa: PLC0415
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "pdf_extract needs the 'pypdf' package (not installed here); "
-            "use fake_extract to exercise the pipeline") from e
+    except ImportError:
+        from openai_vector_search_demo_spark.sources.pdf_text import (  # noqa: PLC0415
+            extract_pdf_pages,
+        )
+        return extract_pdf_pages(data)
     reader = PdfReader(io.BytesIO(data))  # pragma: no cover
     return [page.extract_text() or "" for page in reader.pages]  # pragma: no cover
 

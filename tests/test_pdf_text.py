@@ -1,0 +1,177 @@
+"""S1 — the dependency-free PDF extractor, proven against the reference's
+own sample document (sample_docs/Easy_recipes_Boston_University.pdf — the
+input modules/utilities.py:31-45 reads via PyPDFLoader) plus synthetic
+fixtures that pin parser semantics format-feature by feature."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.sources.pdf_text import (
+    PdfError,
+    extract_pdf_pages,
+    parse_tounicode,
+)
+
+SAMPLE = Path("/root/reference/sample_docs/Easy_recipes_Boston_University.pdf")
+
+
+# ---------------------------------------------------------------------------
+# Synthetic fixture builder — uncompressed classic-xref PDF
+# ---------------------------------------------------------------------------
+
+def make_pdf(page_contents: list[bytes]) -> bytes:
+    """Minimal valid single-font PDF, one content stream per page."""
+    objs: list[bytes] = []
+    npages = len(page_contents)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(npages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {npages} "
+                f"/Resources << /Font << /F1 {3 + 2 * npages} 0 R >> >> "
+                f">>".encode())
+    for i, content in enumerate(page_contents):
+        objs.append(f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Contents {4 + 2 * i} 0 R >>".encode())
+        objs.append(b"<< /Length %d >>\nstream\n%s\nendstream"
+                    % (len(content), content))
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>")
+    out = bytearray(b"%PDF-1.4\n")
+    for n, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n%s\nendobj\n" % (n, body)
+    out += b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    return bytes(out)
+
+
+def _page(text_ops: bytes) -> bytes:
+    return b"BT /F1 12 Tf 72 720 Td " + text_ops + b" ET"
+
+
+# ---------------------------------------------------------------------------
+# The reference's own sample document
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not SAMPLE.exists(), reason="reference sample not present")
+def test_sample_pdf_all_pages_nonempty():
+    pages = extract_pdf_pages(SAMPLE.read_bytes())
+    assert len(pages) == 15
+    assert all(p.strip() for p in pages)
+
+
+@pytest.mark.skipif(not SAMPLE.exists(), reason="reference sample not present")
+def test_sample_pdf_text_quality():
+    """Known phrases survive ToUnicode subset-font decoding with word
+    boundaries intact (no per-glyph space splatter, no glued words)."""
+    pages = extract_pdf_pages(SAMPLE.read_bytes())
+    assert "Quick and easy recipes" in pages[0]
+    assert "Bon app" in pages[0]                    # accented é decodes
+    assert "Chilli con Carne" in pages[2]
+    assert "Ingredients" in pages[2]
+    joined = "\n".join(pages)
+    assert "r e c i p e s" not in joined            # glyph-splatter regression
+    assert "http://www.studentrecipes.com" in joined
+
+
+@pytest.mark.skipif(not SAMPLE.exists(), reason="reference sample not present")
+def test_sample_pdf_through_distributed_pipeline(spark, tmp_path):
+    """The verdict's S1 gate: the actual reference PDF cracks into page rows
+    with nonempty text end-to-end through read_raw → crack_and_ingest."""
+    from openai_vector_search_demo_spark.plans.pipeline import crack_and_ingest
+    from openai_vector_search_demo_spark.sources.doc_crack import read_raw
+
+    shutil.copy(SAMPLE, tmp_path / "recipes.pdf")
+    chunks = crack_and_ingest(read_raw(spark, str(tmp_path)), tenant="t1")
+    rows = chunks.collect()
+    assert len(rows) == 15                          # one row per PDF page
+    assert {r.page_no for r in rows} == set(range(15))
+    assert all(r.page_content for r in rows)        # cleansed, nonempty
+    assert all(r.embedding is not None for r in rows)
+    assert all(len(r.id) == 40 for r in rows)       # sha1 keys (S9)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic parser semantics
+# ---------------------------------------------------------------------------
+
+def test_minimal_pdf_text_and_line_breaks():
+    pdf = make_pdf([_page(b"(Hello World) Tj 0 -14 Td (Second line) Tj")])
+    pages = extract_pdf_pages(pdf)
+    assert pages == ["Hello World\nSecond line"]
+
+
+def test_multi_page_order_follows_page_tree():
+    pdf = make_pdf([_page(b"(page one) Tj"), _page(b"(page two) Tj"),
+                    _page(b"(page three) Tj")])
+    assert extract_pdf_pages(pdf) == ["page one", "page two", "page three"]
+
+
+def test_tj_array_kerning_becomes_word_space():
+    """Large negative TJ kerns (> 0.18 em) are encoded inter-word spaces;
+    small ones are letter kerning and must NOT split words."""
+    pdf = make_pdf([_page(b"[ (Hel) -20 (lo) -400 (World) ] TJ")])
+    assert extract_pdf_pages(pdf) == ["Hello World"]
+
+
+def test_escapes_and_hex_strings():
+    pdf = make_pdf([_page(rb"(paren \( close \) oct \101) Tj "
+                          rb"0 -14 Td <48657821> Tj")])
+    assert extract_pdf_pages(pdf) == ["paren ( close ) oct A\nHex!"]
+
+
+def test_encrypted_pdf_raises():
+    pdf = make_pdf([_page(b"(secret) Tj")]).replace(
+        b"trailer << /Root 1 0 R >>",
+        b"trailer << /Root 1 0 R /Encrypt 9 0 R >>")
+    with pytest.raises(PdfError, match="encrypted"):
+        extract_pdf_pages(pdf)
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(PdfError, match="PDF"):
+        extract_pdf_pages(b"PK\x03\x04 this is a zip")
+
+
+def test_flate_compressed_stream_roundtrip():
+    import zlib
+    content = _page(b"(compressed text) Tj")
+    comp = zlib.compress(content)
+    pdf = make_pdf([b""])  # placeholder page, then patch its stream object
+    pdf = pdf.replace(
+        b"<< /Length 0 >>\nstream\n\nendstream",
+        b"<< /Length %d /Filter /FlateDecode >>\nstream\n%s\nendstream"
+        % (len(comp), comp))
+    assert extract_pdf_pages(pdf) == ["compressed text"]
+
+
+def test_tounicode_bfchar_and_both_bfrange_forms():
+    cmap = b"""
+    1 begincodespacerange <00><FF> endcodespacerange
+    1 beginbfchar <41> <0058> endbfchar
+    2 beginbfrange
+    <61><63><0070>
+    <70><71>[<0041><0042>]
+    endbfrange
+    """
+    mapping, lengths = parse_tounicode(cmap)
+    assert lengths == {1}
+    assert mapping[0x41] == "X"
+    assert (mapping[0x61], mapping[0x62], mapping[0x63]) == ("p", "q", "r")
+    assert (mapping[0x70], mapping[0x71]) == ("A", "B")
+
+
+def test_tounicode_whitespace_cluster_collapses():
+    # Quartz subset quirk: one glyph → several same-appearance codepoints
+    cmap = b"1 beginbfchar <32> < 0009 000d 0020 00a0 > endbfchar"
+    mapping, _ = parse_tounicode(cmap)
+    assert mapping[0x32] == " "
+
+
+def test_winansi_encoding_decodes_high_bytes():
+    # 0xE9 is é in WinAnsi (cp1252)
+    pdf = make_pdf([_page(b"(caf\xe9) Tj")])
+    assert extract_pdf_pages(pdf) == ["café"]

@@ -43,10 +43,14 @@ def test_crack_documents_distributed(spark, tmp_path):
     assert "c.xyz" not in by_doc
 
 
-def test_pdf_extract_reports_missing_dependency():
+def test_pdf_extract_works_without_pypdf():
+    """pdf_extract is backed by the built-in extractor when pypdf is absent
+    (this environment) — a malformed PDF fails loudly, a valid one parses."""
     from openai_vector_search_demo_spark.sources.doc_crack import pdf_extract
-    with pytest.raises(ImportError, match="pypdf"):
-        pdf_extract(b"%PDF-1.4 fake")
+    from tests.test_pdf_text import _page, make_pdf
+    with pytest.raises(ValueError, match="PDF"):
+        pdf_extract(b"not a pdf at all")
+    assert pdf_extract(make_pdf([_page(b"(hi) Tj")])) == ["hi"]
 
 
 def test_crack_to_chunks_pipeline(spark, tmp_path):
