@@ -66,6 +66,8 @@ HEADLINE = [
     "join_top_customers",
     "q2_knn_exact",
     "q2_knn_numpy",
+    "q2_knn_sql_wide1024",
+    "q2_knn_numpy_wide1024",
     "q7_q9_rerank",
     "q11_history_top1",
     "flagship_search_oracled",

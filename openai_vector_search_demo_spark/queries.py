@@ -175,15 +175,61 @@ def p6_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", highlight_keywords(kw, "text").alias("highlighted")))
 
 
-@query("s9_record_key")  # DuckDB has no sha1 → rows-only check; sha1 itself is
+def _s9_domain() -> list[tuple[int, int, str]]:
+    """Deterministic (doc_id, page_no, source) domain for the S9 key check —
+    includes multi-block (>64-byte) paths and non-ASCII so sha1's block
+    handling and UTF-8 encoding are both exercised."""
+    rows = []
+    for i in range(100):
+        if i >= 95:
+            src = "/very/long/" + "nested/sub/directory/" * 4 + f"doc_{i:03d}.pdf"
+        elif i >= 90:
+            src = f"/data/docs/naïve_résumé_{i:03d}.docx"
+        else:
+            src = f"/data/docs/doc_{i:03d}.pdf"
+        rows.extend((i, p, src) for p in range(5))
+    return rows
+
+
+def _s9_oracle() -> str:
+    """Literal expected-key table, precomputed with hashlib — DuckDB 1.x has
+    no sha1 function, but the derivation (modules/utilities.py:344) is
+    input-content-independent, so a checked literal domain value-verifies
+    the exact Column expression ingest uses."""
+    import hashlib
+    vals = ", ".join(
+        f"({i}, {p}, '{hashlib.sha1(f'{s}_{p}'.encode()).hexdigest()}')"
+        for i, p, s in _s9_domain())
+    return (f"SELECT doc_id, page_no, id "
+            f"FROM (VALUES {vals}) AS t(doc_id, page_no, id)")
+
+
+@query("s9_record_key", oracle=_s9_oracle())
 def s9_record_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # unit-tested against hashlib in tests/test_functions.py
+    """S9 key derivation value-checked against hashlib-precomputed sha1
+    literals (the idempotency linchpin — modules/utilities.py:344).  The
+    same ``record_key`` expression runs over real data in ingest_pages and
+    s1_s2_doc_crack; here the input domain is deterministic so the oracle
+    can carry exact expected hashes."""
     from openai_vector_search_demo_spark.functions.hashing import record_key
-    from openai_vector_search_demo_spark.operators.chunking import chunk_documents
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    chunked = chunk_documents(docs, text_col="text")
-    return chunked.select(
-        "doc_id", "page_no", record_key("source", "page_no").alias("id"))
+    dom = _s9_domain()
+    n_pages = max(p for _, p, _ in dom) + 1
+    # rebuild the domain JVM-side from range(): same derivation path a real
+    # ingest plan uses (no driver-collected data in the checked expression)
+    base = (spark.range(len(dom))
+            .select((F.col("id") / n_pages).cast("int").alias("doc_id"),
+                    (F.col("id") % n_pages).cast("int").alias("page_no")))
+    long_tail = "/very/long/" + "nested/sub/directory/" * 4
+    source = (F.when(F.col("doc_id") >= 95,
+                     F.concat(F.lit(long_tail),
+                              F.format_string("doc_%03d.pdf", "doc_id")))
+              .when(F.col("doc_id") >= 90,
+                    F.format_string("/data/docs/naïve_résumé_%03d.docx",
+                                    "doc_id"))
+              .otherwise(F.format_string("/data/docs/doc_%03d.pdf", "doc_id")))
+    return (base.withColumn("source", source)
+            .select("doc_id", "page_no",
+                    record_key("source", "page_no").alias("id")))
 
 
 @query("p3_md5_key", oracle="""
@@ -251,6 +297,67 @@ def q2_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     paths agree bit-for-bit at 6 dp (the 100 TB path, SURVEY §4.3)."""
     from openai_vector_search_demo_spark.operators.knn import knn
     emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+              sim_col="sim", tie_break="vec_id", method="numpy")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+_WIDE_TILE = 16  # 64-dim fixture × 16 = dim 1024 (real-embedding width)
+
+_KNN_WIDE_ORACLE = f"""
+WITH wide AS (
+  SELECT vec_id, label,
+         flatten(list_transform(range({_WIDE_TILE}), i -> embedding)) AS embedding
+  FROM embeddings),
+q AS (SELECT embedding AS qv FROM wide WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, e.label,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                   'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+  FROM wide e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def _wide_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wide-dim fixture: tile the 64-dim embedding 16× →
+    dim 1024 (the width of real sentence embeddings; the reference's default
+    model is even wider — 12288d, modules/utilities.py:420-475).  Tiling
+    preserves cosine exactly, so the oracle stays value-checkable."""
+    emb = t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label",
+        F.flatten(F.array_repeat(F.col("embedding"), _WIDE_TILE))
+        .alias("embedding"))
+
+
+@query("q2_knn_sql_wide1024", oracle=_KNN_WIDE_ORACLE)
+def q2_knn_sql_wide1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-codegen cosine at production dim 1024 — benched against the
+    numpy sibling below so the 'BLAS wins at real dims' claim (SURVEY §4.3)
+    is a measured number per round, not an assertion."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = _wide_embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+              sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+@query("q2_knn_numpy_wide1024", oracle=_KNN_WIDE_ORACLE)
+def q2_knn_numpy_wide1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow/numpy BLAS cosine at dim 1024 — the Arrow transfer cost is
+    fixed per row while per-element codegen cost grows with dim, so this
+    path must beat the SQL sibling here (it loses at dim 64)."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = _wide_embeddings(spark, sf_dir)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     top = knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
               sim_col="sim", tie_break="vec_id", method="numpy")
