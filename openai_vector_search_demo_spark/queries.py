@@ -1551,3 +1551,296 @@ def join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_items"))
             .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# OLAP grouping surface: ROLLUP / CUBE / GROUPING SETS (engine extension —
+# the reference has no group-by at all, SURVEY §2.6; these are table stakes
+# for a warehouse-scale engine and plan as ONE shuffle with the grouping-id
+# expand, not one job per level)
+# ---------------------------------------------------------------------------
+
+@query("rollup_revenue_region_nation", oracle="""
+SELECT r.r_name, n.n_name,
+       GROUPING(r.r_name) AS g_region, GROUPING(n.n_name) AS g_nation,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (region → nation → grand total) in one pass:
+    Spark's Expand operator duplicates each row once per grouping level
+    before a single hash aggregate — no per-level re-scan.  Dimensions are
+    broadcast; only the expanded fact shuffles, partially pre-aggregated
+    map-side.  GROUPING() flags disambiguate rolled-up NULLs from data
+    NULLs (emitted identically by DuckDB)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+            .agg(F.grouping("r_name").cast("int").alias("g_region"),
+                 F.grouping("n_name").cast("int").alias("g_nation"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_orders"))
+            .select("r_name", "n_name", "g_region", "g_nation",
+                    "revenue", "n_orders"))
+
+
+@query("cube_orders_status_priority", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       GROUPING(o_orderstatus) AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 2^2 grouping combinations in one shuffle (Expand factor 4)."""
+    o = t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+                 F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .select("o_orderstatus", "o_orderpriority", "g_status",
+                    "g_priority", "n_orders", "revenue"))
+
+
+@query("grouping_sets_customer", oracle="""
+SELECT c_mktsegment, c_nationkey,
+       GROUPING(c_mktsegment) AS g_seg, GROUPING(c_nationkey) AS g_nat,
+       COUNT(*) AS n_customers, ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+""")
+def grouping_sets_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set selection — segment totals, nation totals, and
+    the grand total, one aggregate, no union of three jobs."""
+    c = t(spark, sf_dir, "customer")
+    return (c.groupingSets([["c_mktsegment"], ["c_nationkey"], []],
+                           "c_mktsegment", "c_nationkey")
+            .agg(F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+                 F.grouping("c_nationkey").cast("int").alias("g_nat"),
+                 F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+            .select("c_mktsegment", "c_nationkey", "g_seg", "g_nat",
+                    "n_customers", "avg_acctbal"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: Q3 / Q5 / Q18 shapes (join-reorder + broadcast showcases)
+# ---------------------------------------------------------------------------
+
+@query("tpch_q3_shipping_priority", oracle="""
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+""")
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter broadcast into the fact scan,
+    group + distributed top-10 (TakeOrderedAndProject, no global sort)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderdate")
+                 < F.lit("1998-03-15").cast("timestamp_ntz")))
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate")
+                  > F.lit("1998-03-15").cast("timestamp_ntz")))
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey))
+    return (joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+            .limit(10))
+
+
+@query("tpch_q5_local_supplier_volume", oracle="""
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC
+""")
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join where the only big-big join is
+    lineitem⋈orders; customer/supplier/nation/region all broadcast, and the
+    c_nationkey = s_nationkey 'local supplier' predicate rides the supplier
+    broadcast instead of forcing an extra shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = (t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1998-01-01").cast("timestamp_ntz"))))
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                    & (c.c_nationkey == s.s_nationkey))
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.col("revenue").desc()))
+
+
+@query("tpch_q18_large_volume_customer", oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       SUM(l.l_quantity) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o.o_orderkey ASC
+LIMIT 100
+""")
+def tpch_q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: the HAVING subquery becomes a pre-aggregated
+    key-set LEFT SEMI join — the fact table is filtered before the wide
+    join, not after."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+           .filter(F.col("qty") > 250).select("l_orderkey"))
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    filtered = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    joined = (li.join(filtered, li.l_orderkey == filtered.o_orderkey)
+              .join(F.broadcast(c), filtered.o_custkey == c.c_custkey))
+    return (joined.groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                           "o_totalprice")
+            .agg(F.sum("l_quantity").alias("total_qty"))
+            .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                    F.round("o_totalprice", 2).alias("o_totalprice"),
+                    "total_qty")
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (point-in-interval without a cross product)
+# ---------------------------------------------------------------------------
+
+_PRICE_BAND_WIDTH = 5_000
+
+
+@query("range_join_price_bands", oracle=f"""
+WITH bands AS (
+  SELECT CAST(i AS INTEGER) AS band_id,
+         CAST(i * {_PRICE_BAND_WIDTH} AS DOUBLE) AS lo,
+         CAST((i + 1) * {_PRICE_BAND_WIDTH} AS DOUBLE) AS hi
+  FROM UNNEST(range(21)) AS u(i))
+SELECT b.band_id, b.lo, b.hi, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN bands b
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY b.band_id, b.lo, b.hi
+""")
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price histogram via the banded range-join operator: each lineitem
+    lands in exactly one bucket, bands explode to their covered buckets,
+    and the match is a shuffle equi-join — the oracle's non-equi join is
+    the semantics, never the plan (that would be a nested loop)."""
+    from openai_vector_search_demo_spark.operators.ranges import band_join
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    bands = (spark.range(21)
+             .select(F.col("id").cast("int").alias("band_id"),
+                     (F.col("id") * _PRICE_BAND_WIDTH).cast("double")
+                     .alias("lo"),
+                     ((F.col("id") + 1) * _PRICE_BAND_WIDTH).cast("double")
+                     .alias("hi")))
+    joined = band_join(li, bands, "l_extendedprice",
+                       bucket_width=_PRICE_BAND_WIDTH)
+    return (joined.groupBy("band_id", "lo", "hi")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price")))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming: stream-static join
+# ---------------------------------------------------------------------------
+
+_TIER_NAMES = ["bronze", "silver", "gold", "platinum", "diamond"]
+
+_STREAM_STATIC_ORACLE = f"""
+WITH tiers AS (
+  SELECT CAST(i AS BIGINT) AS tier_id, ['{"','".join(_TIER_NAMES)}'][i + 1] AS tier
+  FROM UNNEST(range({len(_TIER_NAMES)})) AS u(i))
+SELECT t.tier, COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN tiers t ON e.user_id % {len(_TIER_NAMES)} = t.tier_id
+GROUP BY t.tier
+"""
+
+
+@query("streaming_stream_static_join", oracle=_STREAM_STATIC_ORACLE)
+def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch of the event stream joins the
+    static tier dimension (broadcast — re-resolved per batch, the Spark
+    pattern for slowly-changing dims), then a running aggregate.  Executed
+    as a real availableNow streaming job and hash-checked against the batch
+    oracle."""
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    name = f"stream_static_{next(_STREAM_SEQ)}"
+    try:
+        raw_schema = ("event_id long, ts long, user_id long, "
+                      "event_type string, value double, props string")
+        stream = (spark.readStream.schema(raw_schema)
+                  .format("parquet").option("pathGlobFilter", "events.parquet")
+                  .load(sf_dir))
+        tiers = spark.createDataFrame(
+            list(enumerate(_TIER_NAMES)), "tier_id long, tier string")
+        agg = (stream
+               .join(F.broadcast(tiers),
+                     stream.user_id % len(_TIER_NAMES) == tiers.tier_id)
+               .groupBy("tier")
+               .agg(F.count(F.lit(1)).alias("n_events"),
+                    F.round(F.sum("value"), 2).alias("total_value")))
+        q = (agg.writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        spark.catalog.dropTempView(name)
+    return out
