@@ -72,6 +72,9 @@ HEADLINE = [
     "q11_history_top1",
     "flagship_search_oracled",
     "ta_quality_score",
+    "tpch_q5_local_supplier_volume",
+    "rollup_revenue_region_nation",
+    "range_join_price_bands",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_lsh_knn",

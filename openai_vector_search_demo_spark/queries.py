@@ -1844,3 +1844,72 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
         spark.catalog.dropTempView(name)
     return out
+
+
+# ---------------------------------------------------------------------------
+# JSON + pivot/unpivot surface (§2.6 noted "no JSON/map functions" in the
+# reference; standard warehouse surface, so pinned here)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("json_extract_props", oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
+GROUP BY event_type
+""")
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over a JSON payload column: ``from_json`` with an
+    explicit schema (vectorized JVM parse inside codegen — never a Python
+    UDF), filter on the extracted field, aggregate.  At scale the parse
+    happens once in the scan stage; only (event_type, k) survive pruning."""
+    ev = load_events(spark, sf_dir)
+    k = F.from_json("props", "k bigint").getField("k")
+    return (ev.select("event_type", k.alias("k"))
+            .filter(F.col("k") >= 10)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("k").alias("sum_k"),
+                 F.max("k").alias("max_k")))
+
+
+_PIVOT_ORACLE = """
+SELECT user_id % 10 AS user_bucket,
+       {cols}
+FROM events
+GROUP BY user_id % 10
+""".format(cols=",\n       ".join(
+    f"COUNT(*) FILTER (WHERE event_type = '{t}') AS {t}"
+    for t in _EVENT_TYPES))
+
+
+@query("pivot_event_type_counts", oracle=_PIVOT_ORACLE)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide: ``pivot`` with an EXPLICIT value list — without it Spark
+    runs an extra distinct job to discover columns and the output schema
+    becomes data-dependent (nondeterministic at 100 TB).  Plans as one
+    hash aggregate with per-value count expressions."""
+    ev = load_events(spark, sf_dir)
+    return (ev.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+            .pivot("event_type", _EVENT_TYPES)
+            .count()
+            .na.fill(0, _EVENT_TYPES))
+
+
+@query("unpivot_event_type_counts", oracle="""
+SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS n
+FROM events
+GROUP BY user_id % 10, event_type
+""")
+def unpivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long (melt): unpivot the pivoted matrix back to tidy rows —
+    round-trips to exactly the plain GROUP BY the oracle runs.  Zero-count
+    cells (absent combinations) are dropped to match the long form."""
+    wide = pivot_event_type_counts(spark, sf_dir)
+    return (wide.unpivot("user_bucket", _EVENT_TYPES, "event_type", "n")
+            .filter(F.col("n") > 0))

@@ -96,3 +96,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_q18_having_subquery_plans_as_left_semi(spark):
+    p = plan_of(spark, "tpch_q18_large_volume_customer")
+    assert "LeftSemi" in p                   # key-set filter, not a full join
+    assert "NestedLoop" not in p
+
+
+def test_rollup_cube_plan_single_expand_single_agg_pass(spark):
+    for name in ("rollup_revenue_region_nation", "cube_orders_status_priority",
+                 "grouping_sets_customer"):
+        p = plan_of(spark, name)
+        assert p.count("Expand") >= 1        # grouping levels via Expand…
+        assert "Union" not in p              # …never a union of per-level jobs
+
+
+def test_range_join_query_has_no_nested_loop(spark):
+    p = plan_of(spark, "range_join_price_bands")
+    assert "NestedLoop" not in p
+    assert "Cartesian" not in p
+
+
+def test_tpch_q5_dims_broadcast(spark):
+    p = plan_of(spark, "tpch_q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_json_extract_stays_jvm_side(spark):
+    # from_json inside codegen — a Python UDF would appear as BatchEvalPython
+    p = plan_of(spark, "json_extract_props")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
