@@ -445,3 +445,78 @@ def embedding_near_dup(df: DataFrame, id_col: str = "vec_id",
                                 "cosine": np.round(sims[li, ri], 6)})
 
     return df.select(id_col, vec_col).mapInPandas(block, schema)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering — connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b",
+                       max_iter: int = 25) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: ``(id, cluster_id)`` where
+    ``cluster_id`` is the smallest member id of the connected component.
+
+    Production dedup keeps one representative per *cluster*, not per pair —
+    chains (A~B, B~C, A≁C) must collapse together, which no pairwise join
+    can do.  Algorithm: alternating **large-star / small-star** (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14 — public),
+    which converges in O(log²) rounds regardless of component diameter;
+    plain label propagation needs O(diameter) rounds, unbounded on chain
+    graphs.  Each half-round is one groupBy-min + one equi-join — all
+    shuffle-parallel, nothing driver-side except an O(1) convergence
+    checksum per round; lineage is cut with localCheckpoint each round so
+    the plan does not grow with iterations (the standard Spark iterative-
+    algorithm pattern).
+
+    Only ids appearing in ``pairs`` are emitted; singleton documents are by
+    definition their own cluster and need no row.
+    """
+    e = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
+             .distinct().localCheckpoint(eager=True)
+
+    def _large_star(sym: DataFrame) -> DataFrame:
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        return (sym.join(mins, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def _small_star(asym: DataFrame) -> DataFrame:
+        # operate on edges directed to the smaller endpoint
+        d = asym.filter(F.col("v") < F.col("u"))
+        mins = d.groupBy("u").agg(F.min("v").alias("m"))
+        joined = d.join(mins, "u")
+        re_point = joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        self_edge = joined.select("u", F.col("m").alias("v"))
+        return (re_point.union(self_edge)
+                .filter(F.col("u") != F.col("v")).distinct())
+
+    def _checksum(df: DataFrame):
+        return tuple(df.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).first())
+
+    prev = None
+    for _ in range(max_iter):
+        sym = edges.union(edges.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v"))).distinct()
+        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
+        cur = _checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected components did not converge in "
+                           f"{max_iter} rounds")
+
+    # converged: every edge is (member, root) with root = component min
+    members = edges.select(F.col("u").alias("id"),
+                           F.col("v").alias("cluster_id"))
+    roots = edges.select(F.col("v").alias("id"),
+                         F.col("v").alias("cluster_id"))
+    return (members.union(roots)
+            .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")))

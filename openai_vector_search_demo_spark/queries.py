@@ -1913,3 +1913,33 @@ def unpivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = pivot_event_type_counts(spark, sf_dir)
     return (wide.unpivot("user_bucket", _EVENT_TYPES, "event_type", "n")
             .filter(F.col("n") > 0))
+
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+)
+SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@query("dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs collapsed to duplicate clusters via
+    large-star/small-star connected components (O(log²) shuffle rounds —
+    transitive chains A~B~C land in one cluster, which no pairwise join can
+    express).  The oracle computes the same components with a recursive
+    transitive closure — fine at sf, quadratic per component at scale,
+    which is exactly why the engine runs star-contraction instead."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+    return duplicate_clusters(pairs)

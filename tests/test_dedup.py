@@ -177,3 +177,72 @@ def test_language_id_on_real_phrases(spark):
         ["text"])
     out = [r[0] for r in df.select(language_id("text")).collect()]
     assert out == ["en", "de", "fr", "und"]
+
+
+# ---------------------------------------------------------------------------
+# duplicate_clusters — connected components over pairs
+# ---------------------------------------------------------------------------
+
+def _union_find_clusters(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_duplicate_clusters_chain_collapses(spark):
+    """A~B, B~C, C~D: transitive chain -> ONE cluster rooted at the min id —
+    exactly what no pairwise operation can produce."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4)], ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Random multi-component graph ≡ driver union-find ground truth."""
+    import random
+
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    rng = random.Random(7)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    expect = _union_find_clusters(pairs)
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in duplicate_clusters(df).collect()}
+    assert got == expect
+
+
+def test_duplicate_clusters_long_chain_beats_diameter(spark):
+    """A 64-node path graph: label propagation would need 64 rounds;
+    large-star/small-star must converge within the 25-round cap."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_duplicate_clusters_empty_pairs(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert duplicate_clusters(pairs).count() == 0
