@@ -28,3 +28,25 @@ def md5_key(*cols: Column | str) -> Column:
     parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string")
              for c in cols]
     return F.md5(F.concat_ws("_", *parts))
+
+
+def hash_sample_predicate(key: Column | str, fraction: float,
+                          seed: int = 42,
+                          buckets: int = 1_000_000) -> Column:
+    """Deterministic sampling predicate: keep a row iff its KEY hashes into
+    the first ``fraction`` of ``buckets`` md5 buckets.
+
+    Why not ``df.sample()``: rand()-based sampling is nondeterministic
+    across runs/partitionings, and two tables sampled independently share
+    no keys — a sampled fact can't join a sampled dim.  Hashing the JOIN
+    KEY fixes both: the same key is kept everywhere (consistent sampling),
+    re-runs are identical, and the DuckDB oracle reproduces the exact row
+    set (md5 arithmetic mirrors ``queries._SQL_H60``).  The hash is
+    seed-salted so independent samples can be drawn from one corpus.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+    k = F.col(key) if isinstance(key, str) else key
+    h = _hash60(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
+    return F.pmod(h, F.lit(buckets)) < int(fraction * buckets)

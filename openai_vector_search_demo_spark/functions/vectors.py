@@ -89,3 +89,41 @@ def l2_normalize(v: Column | str, dtype: str = "float") -> Column:
     n = l2_norm(c)
     return F.when(n != 0,
                   F.transform(c, lambda x: (x.cast("double") / n).cast(dtype)))
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization — the 100 TB storage/shuffle lever
+# ---------------------------------------------------------------------------
+
+def quantize_int8(v: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization:
+    ``struct(scale float, codes array<tinyint>)`` with
+    ``scale = max(|x|)/127`` and ``codes = floor(x/scale + 0.5)``.
+
+    4× smaller than fp32 at rest AND in every shuffle that moves the
+    vector; cosine degrades ~0.1% at typical embedding distributions (the
+    recall property test pins it).  ``floor(x+0.5)`` instead of round():
+    engines disagree on round()'s half-rule (Spark HALF_UP, bround
+    HALF_EVEN, DuckDB away-from-zero) — an explicit floor is deterministic
+    and bit-reproducible in the DuckDB oracle.  Zero vectors get scale 0
+    and all-zero codes (dequantize restores exact zeros).
+    """
+    x = _as_double(_col(v))
+    scale = F.aggregate(x, F.lit(0.0),
+                        lambda acc, e: F.greatest(acc, F.abs(e))) / F.lit(127.0)
+    codes = F.when(
+        scale == 0.0,
+        F.transform(x, lambda e: F.lit(0).cast("tinyint"))
+    ).otherwise(
+        F.transform(x, lambda e: F.floor(e / scale + F.lit(0.5))
+                    .cast("tinyint")))
+    return F.struct(scale.cast("float").alias("scale"),
+                    codes.alias("codes"))
+
+
+def dequantize_int8(q: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8` → ``array<float>`` (lossy)."""
+    q = _col(q)
+    scale = q.getField("scale").cast("double")
+    return F.transform(q.getField("codes"),
+                       lambda c: (c.cast("double") * scale).cast("float"))

@@ -1943,3 +1943,84 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
     return duplicate_clusters(pairs)
+
+
+# ---------------------------------------------------------------------------
+# int8 quantized KNN + consistent hash sampling (scale levers, both oracled)
+# ---------------------------------------------------------------------------
+
+@query("quantized_knn_top10", oracle="""
+WITH q AS (
+  SELECT vec_id, label, embedding,
+         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                        'max') / 127.0 AS scale
+  FROM embeddings),
+dq AS (
+  SELECT vec_id, label,
+         CASE WHEN scale = 0
+              THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding,
+                     x -> floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)
+         END AS v
+  FROM q),
+qv AS (SELECT v FROM dq WHERE vec_id = 0),
+s AS (
+  SELECT d.vec_id, d.label,
+    list_aggregate(list_transform(range(1, len(d.v) + 1),
+                     i -> CAST(d.v[i] AS DOUBLE) * CAST(qv.v[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(d.v, x -> x * x), 'sum'))
+     * sqrt(list_aggregate(list_transform(qv.v, x -> x * x), 'sum'))) AS sim
+  FROM dq d, qv WHERE d.vec_id <> 0)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def quantized_knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN over int8-quantized-then-dequantized embeddings — the 4× storage
+    / shuffle cut, with the quantization arithmetic (scale = max|x|/127,
+    floor(x/scale + 0.5)) mirrored bit-for-bit in the oracle.  Recall vs
+    fp32 is pinned separately in tests/test_functions.py."""
+    from openai_vector_search_demo_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        dequantize_int8(quantize_int8("embedding")).alias("embedding"))
+    # dequantized values are exact in fp32 (code*scale rounds once), but
+    # compute cosine in double like the oracle
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+              sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+_SAMPLE_PRED = ("CAST(('0x' || substr(md5('42:' || CAST({key} AS VARCHAR)), 1, 15)) "
+                "AS BIGINT) % 1000000 < 200000")
+
+
+@query("hash_sample_consistent_join", oracle=f"""
+WITH so AS (SELECT * FROM orders    WHERE {_SAMPLE_PRED.format(key='o_orderkey')}),
+     sl AS (SELECT * FROM lineitem  WHERE {_SAMPLE_PRED.format(key='l_orderkey')})
+SELECT COUNT(*) AS n_items,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM so o JOIN sl l ON o.o_orderkey = l.l_orderkey
+""")
+def hash_sample_consistent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20 % consistent sample of orders AND lineitem by the JOIN KEY:
+    hash-sampling keeps the same keys on both sides, so the sampled join is
+    exactly the join of the sample — rand()-based sample() can't do either
+    (nondeterministic, and independently-sampled sides share ~4 % of keys).
+    The md5 predicate is reproduced verbatim by the oracle."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        hash_sample_predicate,
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        hash_sample_predicate("o_orderkey", 0.2))
+    li = t(spark, sf_dir, "lineitem").filter(
+        hash_sample_predicate("l_orderkey", 0.2))
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.agg(F.count(F.lit(1)).alias("n_items"),
+                 F.countDistinct("o_orderkey").alias("n_orders"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price"))

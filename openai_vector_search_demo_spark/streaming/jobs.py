@@ -153,3 +153,37 @@ def stream_user_running_stats(events_stream: DataFrame,
             .groupBy("user_id")
             .applyInPandasWithState(update, out_schema, state_schema,
                                     "update", GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def stream_event_followup_join(first: DataFrame, second: DataFrame,
+                               within: str = "1 hour",
+                               watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: pair each ``first`` event with every
+    ``second`` event by the same user within ``within`` afterwards
+    (click → purchase attribution, error → retry, ...).
+
+    Both sides are watermarked and the join condition carries an explicit
+    event-time range — the two things Spark REQUIRES to bound the join
+    state store (without them state grows forever; with them rows older
+    than watermark + range are evicted every micro-batch).  State is
+    hash-partitioned by user_id, so the join scales out like any shuffle.
+
+    Expects the standard events columns; ``within``/``watermark`` are SQL
+    interval strings.
+    """
+    f = (first.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("first_id"),
+                 F.col("user_id").alias("first_user"),
+                 F.col("ts").alias("first_ts")))
+    s = (second.withWatermark("ts", watermark)
+         .select(F.col("event_id").alias("second_id"),
+                 F.col("user_id").alias("second_user"),
+                 F.col("ts").alias("second_ts")))
+    return (f.join(
+        s,
+        F.expr(f"""first_user = second_user
+                   AND second_ts > first_ts
+                   AND second_ts <= first_ts + INTERVAL {within}"""),
+        "inner")
+        .select("first_user", "first_id", "second_id",
+                "first_ts", "second_ts"))

@@ -83,3 +83,91 @@ def test_cosine_self_is_one(spark):
 def test_cosine_orthogonal_is_zero(spark):
     got = one(spark, cosine_similarity(vector_lit([1.0, 0.0]), vector_lit([0.0, 2.0])))
     assert abs(got) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization + consistent hash sampling
+# ---------------------------------------------------------------------------
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """|dequant − x| ≤ scale/2 = max|x|/254 per element, zeros exact."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(32)]) for i in range(50)]
+    rows.append((50, [0.0] * 32))                      # zero vector
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = df.select("id", "v",
+                    dequantize_int8(quantize_int8("v")).alias("dq")).collect()
+    for r in out:
+        bound = max(abs(x) for x in r.v) / 254.0 + 1e-6
+        assert all(abs(a - b) <= bound for a, b in zip(r.v, r.dq))
+    zero = [r for r in out if r.id == 50][0]
+    assert list(zero.dq) == [0.0] * 32
+
+
+def test_quantized_knn_recall_at_10(spark):
+    """int8 quantization must keep ≥ 8/10 of the true fp32 top-10."""
+    from openai_vector_search_demo_spark.functions.vectors import (
+        dequantize_int8,
+        quantize_int8,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in
+             knn(base, qvec, k=10, tie_break="vec_id").collect()}
+    dq = base.select("vec_id",
+                     dequantize_int8(quantize_int8("embedding"))
+                     .alias("embedding"))
+    quant = {r.vec_id for r in
+             knn(dq, qvec, k=10, tie_break="vec_id").collect()}
+    assert len(exact & quant) >= 8
+
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        hash_sample_predicate,
+    )
+    df = spark.range(20_000)
+    a = df.filter(hash_sample_predicate("id", 0.1)).count()
+    b = df.filter(hash_sample_predicate("id", 0.1)).count()
+    assert a == b                                       # rerun-identical
+    assert 0.08 * 20_000 < a < 0.12 * 20_000            # calibrated ±20%
+    c = df.filter(hash_sample_predicate("id", 0.1, seed=7)).count()
+    assert 0.08 * 20_000 < c < 0.12 * 20_000            # other seed: same rate
+
+
+def test_hash_sample_join_consistency(spark):
+    """join(sample(A), sample(B)) == sample(join(A, B)) when both sides are
+    sampled by the join key — the property rand() sampling lacks."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        hash_sample_predicate,
+    )
+    sf = "/root/testdata/sf0.001"
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    so = o.filter(hash_sample_predicate("o_orderkey", 0.25))
+    sl = li.filter(hash_sample_predicate("l_orderkey", 0.25))
+    sampled_join = sl.join(so, sl.l_orderkey == so.o_orderkey) \
+                     .select("l_orderkey", "l_linenumber")
+    join_sampled = (li.join(o, li.l_orderkey == o.o_orderkey)
+                    .filter(hash_sample_predicate("l_orderkey", 0.25))
+                    .select("l_orderkey", "l_linenumber"))
+    assert sorted(map(tuple, sampled_join.collect())) \
+        == sorted(map(tuple, join_sampled.collect()))
+
+
+def test_hash_sample_rejects_bad_fraction():
+    import pytest
+
+    from openai_vector_search_demo_spark.functions.hashing import (
+        hash_sample_predicate,
+    )
+    with pytest.raises(ValueError):
+        hash_sample_predicate("id", 1.5)

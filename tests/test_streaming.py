@@ -141,3 +141,38 @@ def test_stream_ingest_idempotent_under_redelivery(spark, workdir):
     got = {(r.id, r.page_content) for r in deduped.collect()}
     want = {(r.id, r.page_content) for r in batch.collect()}
     assert got == want
+
+
+def test_stream_stream_join_equals_batch(spark, workdir):
+    """Stream-stream interval join (watermarks both sides + event-time range
+    — the state-bounding requirements) ≡ the same join run as a batch plan:
+    every click paired with that user's purchases within the next hour."""
+    from openai_vector_search_demo_spark.queries import load_events
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_event_followup_join,
+    )
+
+    events = load_events(spark, SF).select("event_id", "ts", "user_id",
+                                           "event_type")
+    src = str(workdir / "events_in")
+    events.write.parquet(src)
+
+    def split(df):
+        return (df.filter(F.col("event_type") == "click"),
+                df.filter(F.col("event_type") == "purchase"))
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 2).format("parquet").load(src))
+    q = (stream_event_followup_join(*split(stream), within="1 hour",
+                                    watermark="100 days")
+         .writeStream.format("memory").queryName("ss_join_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {tuple(r) for r in spark.sql("SELECT * FROM ss_join_test").collect()}
+    want = {tuple(r) for r in
+            stream_event_followup_join(*split(events), within="1 hour",
+                                       watermark="100 days").collect()}
+    spark.catalog.dropTempView("ss_join_test")
+    assert len(want) > 0
+    assert got == want
