@@ -240,3 +240,32 @@ def shingle_hashes_fast(k: int = 3):
         return texts.map(one)
 
     return _sh
+
+
+# ---------------------------------------------------------------------------
+# Training-data scrubbing: PII redaction (pure regexp_replace — codegen,
+# no Python boundary, so it runs at scan speed over 100 TB of text)
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\+?\d[\d\s().-]{7,}\d"
+IPV4_RE = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+
+def redact_pii(c: Column | str,
+               email: str = "<EMAIL>", url: str = "<URL>",
+               phone: str = "<PHONE>", ip: str = "<IP>") -> Column:
+    """Replace emails, URLs, phone-number-shaped digit runs, and IPv4
+    addresses with stable placeholder tokens — the standard scrub pass a
+    training corpus gets before tokenization.  Order matters: URLs first
+    (they may embed @ and digits), then emails, IPs, phones.  Pattern
+    syntax is the POSIX-ish common subset both Spark and DuckDB compile, so
+    the oracle applies the very same expressions.
+    """
+    col = F.col(c) if isinstance(c, str) else c
+    out = F.regexp_replace(col, URL_RE, url)
+    out = F.regexp_replace(out, EMAIL_RE, email)
+    out = F.regexp_replace(out, IPV4_RE, ip)
+    out = F.regexp_replace(out, PHONE_RE, phone)
+    return out

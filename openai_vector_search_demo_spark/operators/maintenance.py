@@ -11,7 +11,8 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def table_bytes(path: str) -> int:
@@ -105,3 +106,42 @@ def compact_parquet(spark: SparkSession, path: str,
     shutil.rmtree(backup)
     return sum(1 for root, _, files in os.walk(path)
                for f in files if f.endswith(".parquet"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Change-data capture between two table snapshots: one row per key
+    present in either side, tagged ``change_type ∈ {added, removed,
+    changed, unchanged}`` (unchanged rows filtered out — emit only deltas).
+
+    Plan: ONE full-outer shuffle join on the key columns; change detection
+    is null-safe column comparison (``<=>``), so NULL→value and
+    value→NULL transitions count as changes and NULL==NULL does not.  At
+    scale this is the standard incremental-pipeline primitive: downstream
+    jobs consume the (small) delta instead of re-reading the snapshot.
+
+    ``compare_cols=None`` compares every non-key column shared by both
+    sides.
+    """
+    if compare_cols is None:
+        compare_cols = sorted((set(old.columns) & set(new.columns))
+                              - set(key_cols))
+    o = old.select(*key_cols, *[F.col(c).alias(f"_old_{c}")
+                                for c in compare_cols])
+    n = new.select(*key_cols, *[F.col(c).alias(f"_new_{c}")
+                                for c in compare_cols])
+    # full-outer on keys; presence detected via a non-null marker column,
+    # NOT the key itself (keys survive the coalesced join output)
+    o = o.withColumn("_in_old", F.lit(1))
+    n = n.withColumn("_in_new", F.lit(1))
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"_old_{c}").eqNullSafe(F.col(f"_new_{c}"))
+    change = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+              .when(F.col("_in_new").isNull(), F.lit("removed"))
+              .when(same, F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type") != "unchanged")
+            .select(*key_cols, "change_type"))

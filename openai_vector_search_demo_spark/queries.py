@@ -2024,3 +2024,93 @@ def hash_sample_consistent_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.agg(F.count(F.lit(1)).alias("n_items"),
                  F.countDistinct("o_orderkey").alias("n_orders"),
                  F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+
+
+@query("skew_salted_join", oracle="""
+SELECT p.p_brand, COUNT(*) AS n_items,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact⋈dim join ≡ the plain join (the oracle): hot
+    keys spread over 16 salt buckets instead of one straggler task — the
+    no-AQE fallback form (operators/skew.py documents when AQE's runtime
+    skew split can't see the skew)."""
+    from openai_vector_search_demo_spark.operators.skew import salted_join
+    li = (t(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("p_partkey"), "l_extendedprice"))
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, p, "p_partkey", salt_buckets=16)
+    return (joined.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price")))
+
+
+@query("snapshot_diff_documents", oracle="""
+WITH old AS (SELECT doc_id, text FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 11 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0)
+SELECT * FROM (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+              ELSE 'changed' END AS change_type
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+WHERE change_type <> 'unchanged'
+""")
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between two snapshots (one full-outer shuffle join, null-safe
+    compare): new = documents with every 7th modified, every 11th removed,
+    every 13th re-added under a shifted key — the delta rows come back
+    tagged added/removed/changed."""
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 11 != 0)
+           .withColumn("text", F.when(F.col("doc_id") % 7 == 0,
+                                      F.concat("text", F.lit(" [v2]")))
+                       .otherwise(F.col("text")))
+           .unionByName(docs.filter(F.col("doc_id") % 13 == 0)
+                        .withColumn("doc_id", F.col("doc_id") + 1000000)))
+    return snapshot_diff(docs, new, ["doc_id"], ["text"])
+
+
+@query("ta_redact_pii", oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or https://ex.com/d/' || CAST(doc_id AS VARCHAR)
+              || ' tel 555-123-4567 host 10.0.0.1' AS text
+  FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    'https?://[^\\s]+', '<URL>', 'g'),
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+    '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS redacted
+FROM seeded
+""")
+def ta_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus scrub pass: emails/URLs/phones/IPs → placeholder tokens, all
+    regexp_replace inside codegen (scan-speed over 100 TB).  PII is seeded
+    deterministically so the redaction is observable; the oracle applies
+    the same four patterns in the same order."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        redact_pii,
+    )
+    docs = t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat("text",
+                 F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or https://ex.com/d/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit(" tel 555-123-4567 host 10.0.0.1")).alias("text"))
+    return seeded.select("doc_id", redact_pii("text").alias("redacted"))

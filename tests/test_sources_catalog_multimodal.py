@@ -317,3 +317,58 @@ def test_l2_normalize_zero_vector_is_null(spark):
            df.select("i", l2_normalize("v").alias("u")).collect()}
     assert out[1] is None
     assert abs(out[2][0] - 0.6) < 1e-6 and abs(out[2][1] - 0.8) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (CDC) — null-safe change semantics
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_null_safe_compare(spark):
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+    old = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d"), (5, None)],
+        "k int, v string")
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "now"), (3, None), (5, None), (6, "new")],
+        "k int, v string")
+    got = {r.k: r.change_type
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1: unchanged (filtered); 2: NULL→value = changed; 3: value→NULL =
+    # changed; 4: removed; 5: NULL==NULL = unchanged; 6: added
+    assert got == {2: "changed", 3: "changed", 4: "removed", 6: "added"}
+
+
+def test_snapshot_diff_multi_key_and_explicit_cols(spark):
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        snapshot_diff,
+    )
+    old = spark.createDataFrame([(1, "x", "p", 10), (1, "y", "q", 20)],
+                                "a int, b string, payload string, ignored int")
+    new = spark.createDataFrame([(1, "x", "p", 99), (1, "z", "r", 30)],
+                                "a int, b string, payload string, ignored int")
+    got = {(r.a, r.b): r.change_type
+           for r in snapshot_diff(old, new, ["a", "b"],
+                                  compare_cols=["payload"]).collect()}
+    # (1,x): payload equal, 'ignored' differs but is not compared
+    assert got == {(1, "y"): "removed", (1, "z"): "added"}
+
+
+def test_redact_pii_patterns(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        redact_pii,
+    )
+    df = spark.createDataFrame([
+        ("mail bob.smith+x@sub.example.co.uk here",),
+        ("see https://a.b/c?d=1&e=2 now",),
+        ("call +1 (415) 555-0199 today",),
+        ("node 192.168.0.1 up",),
+        ("clean text stays untouched",),
+    ], ["t"])
+    got = [r.r for r in df.select(redact_pii("t").alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> here"
+    assert got[1] == "see <URL> now"
+    assert got[2] == "call <PHONE> today"
+    assert got[3] == "node <IP> up"
+    assert got[4] == "clean text stays untouched"
