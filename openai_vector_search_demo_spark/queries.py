@@ -2114,3 +2114,90 @@ def ta_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.col("doc_id").cast("string"),
                  F.lit(" tel 555-123-4567 host 10.0.0.1")).alias("text"))
     return seeded.select("doc_id", redact_pii("text").alias("redacted"))
+
+
+_BM25_TERMS = ["hash", "join", "spark"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
+       WHERE token IN ('{"','".join(_BM25_TERMS)}') GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+    SUM(ln((s.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        * tf.tf * ({_BM25_K1} + 1.0)
+        / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                 + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+@query("bm25_top_docs", oracle=_BM25_ORACLE)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) over the corpus for a fixed term set —
+    the lexical-retrieval complement to the vector KNN path (hybrid search
+    = union of this and q2).  Shape: tf for query terms only (the WHERE
+    prunes the exploded stream before the shuffle), df + corpus stats as
+    two tiny broadcast sides, one groupBy(doc) sum, distributed top-20."""
+    from openai_vector_search_demo_spark.functions.text_analysis import tokens
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    ex = toks.select("doc_id", F.explode("toks").alias("token"))
+    tf = (ex.filter(F.col("token").isin(_BM25_TERMS))
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    idf = F.log((F.lit(n_docs) - F.col("dfc") + 0.5)
+                / (F.col("dfc") + 0.5) + 1.0)
+    denom = (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+                                       + _BM25_B * F.col("dl") / avgdl))
+    scored = (tf.join(F.broadcast(dfq), "token")
+              .join(dl, "doc_id")
+              .withColumn("part", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
+              .groupBy("doc_id").agg(F.sum("part").alias("score")))
+    return (scored.select("doc_id", F.round("score", 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+            .limit(20))
+
+
+@query("ann_lsh_recall_at_10", oracle=f"""
+WITH exact_top AS ({_KNN_ORACLE}),
+approx_top AS ({_lsh_knn_oracle()})
+SELECT (SELECT COUNT(*) FROM exact_top) AS n_exact,
+       (SELECT COUNT(*) FROM approx_top) AS n_approx,
+       (SELECT COUNT(*) FROM exact_top e JOIN approx_top a USING (vec_id))
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact_top e JOIN approx_top a
+              USING (vec_id)) / 10.0, 3) AS recall_at_10
+""")
+def ann_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH approximate KNN against exact brute force, AS A
+    QUERY — the approximate-search quality metric is computed by the engine
+    itself (and the oracle recomputes both pipelines + the overlap), so
+    every correctness round re-measures recall instead of trusting a
+    one-off test."""
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes, lsh_knn
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact_top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id") \
+        .select("vec_id")
+    planes = hyperplanes(len(qvec), nbits=8, seed=42)
+    approx_top = lsh_knn(base, qvec, k=10, planes=planes, probe_hamming=1,
+                         sim_col="sim", tie_break="vec_id").select("vec_id")
+    overlap = exact_top.join(approx_top, "vec_id")
+    return (exact_top.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(approx_top.agg(F.count(F.lit(1)).alias("n_approx")))
+            .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+            .withColumn("recall_at_10",
+                        F.round(F.col("n_overlap") / 10.0, 3)))
