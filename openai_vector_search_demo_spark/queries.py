@@ -2201,3 +2201,96 @@ def ann_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
             .withColumn("recall_at_10",
                         F.round(F.col("n_overlap") / 10.0, 3)))
+
+
+_RRF_K = 60
+
+_HYBRID_ORACLE = rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
+       WHERE token IN ('{"','".join(_BM25_TERMS)}') GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+    SUM(ln((s.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        * tf.tf * ({_BM25_K1} + 1.0)
+        / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                 + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lex_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm25),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sim AS (SELECT e.vec_id AS doc_id, {_SQL_COS_TO_Q} AS sim
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+vec_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+  FROM sim),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+         + COALESCE(1.0 / ({_RRF_K} + v.r), 0) AS rrf
+  FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id)
+SELECT doc_id, ROUND(rrf, 6) AS rrf_score
+FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("hybrid_search_rrf", oracle=_HYBRID_ORACLE)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical ranking fused with vector-cosine
+    ranking by reciprocal-rank fusion (score = Σ 1/(60+rank) — the
+    standard score-scale-free fusion).  Docs appearing in only one ranking
+    contribute only that term (full-outer fuse).  Both rankings are global
+    row_numbers over SMALL scored sets (docs matching query terms; the
+    corpus-wide cosine ranking at 100 TB would instead rank the ANN
+    candidate set — same fusion, pruned input)."""
+    from pyspark.sql import Window
+    from openai_vector_search_demo_spark.functions.text_analysis import tokens
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+        vector_lit,
+    )
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    ex = toks.select("doc_id", F.explode("toks").alias("token"))
+    tf = (ex.filter(F.col("token").isin(_BM25_TERMS))
+          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    idf = F.log((F.lit(n_docs) - F.col("dfc") + 0.5)
+                / (F.col("dfc") + 0.5) + 1.0)
+    denom = (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
+                                       + _BM25_B * F.col("dl") / avgdl))
+    bm25 = (tf.join(F.broadcast(dfq), "token").join(dl, "doc_id")
+            .withColumn("part", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
+            .groupBy("doc_id").agg(F.sum("part").alias("score")))
+    lex_rank = bm25.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("lex_r"))
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    sim = (emb.filter(F.col("vec_id") != 0)
+           .select(F.col("vec_id").alias("doc_id"),
+                   cosine_similarity("embedding", vector_lit(qvec))
+                   .alias("sim")))
+    vec_rank = sim.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("vec_r"))
+
+    fused = (lex_rank.join(vec_rank, "doc_id", "full_outer")
+             .withColumn("rrf",
+                         F.coalesce(1.0 / (_RRF_K + F.col("lex_r")), F.lit(0.0))
+                         + F.coalesce(1.0 / (_RRF_K + F.col("vec_r")),
+                                      F.lit(0.0))))
+    return (fused.select("doc_id", F.round("rrf", 6).alias("rrf_score"))
+            .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+            .limit(10))
