@@ -2294,3 +2294,185 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fused.select("doc_id", F.round("rrf", 6).alias("rrf_score"))
             .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
             .limit(10))
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: lead/lag + running frames
+# ---------------------------------------------------------------------------
+
+@query("window_lead_lag_running", oracle="""
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice)  OVER w AS prev_price,
+       LEAD(o_totalprice) OVER w AS next_price,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_total,
+       ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+         AS moving_avg3
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""")
+def window_lead_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag + running-total + bounded moving-average frames over one
+    window spec — one hash partition by customer, one sort within, all four
+    window functions evaluated in a single Window physical operator."""
+    from pyspark.sql import Window
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(),
+                                                F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .alias("running_total"),
+        F.round(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)), 4)
+        .alias("moving_avg3"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 (EXISTS) and Q17 (correlated scalar subquery) shapes
+# ---------------------------------------------------------------------------
+
+@query("tpch_q4_order_priority", oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: the EXISTS decorrelates to a LEFT SEMI join — the
+    lineitem side is pre-filtered by the correlated predicate and never
+    materializes a row per match."""
+    o = (t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-04-01").cast("timestamp_ntz"))))
+    li = t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li, (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate), "left_semi")
+    return (matched.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@query("tpch_q17_small_quantity_revenue", oracle="""
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""")
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated scalar AVG decorrelates into one
+    groupBy(partkey) aggregate joined back to the fact — the subquery runs
+    ONCE over the table, not once per row."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (t(spark, sf_dir, "part")
+         .filter(F.col("p_brand") == "Brand#1").select("p_partkey"))
+    avg_qty = (li.groupBy("l_partkey")
+               .agg((0.2 * F.avg("l_quantity")).alias("qty_cap"))
+               .withColumnRenamed("l_partkey", "cap_partkey"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(avg_qty, li.l_partkey == F.col("cap_partkey"))
+            .filter(F.col("l_quantity") < F.col("qty_cap"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+@query("events_gap_filled_hourly", oracle="""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+bounds AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx
+           FROM hourly GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 hour)) AS h
+         FROM bounds)
+SELECT g.user_id, epoch_us(g.h) AS hour_us,
+       COALESCE(n, 0) AS n_events,
+       ROUND(COALESCE(sv, 0.0), 6) AS sum_value
+FROM grid g LEFT JOIN hourly USING (user_id, h)
+""")
+def events_gap_filled_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: hours with no events appear as explicit
+    zero rows (resampling/gap-fill — a training-feature staple).  The hour
+    grid is generated DISTRIBUTED — sequence() per user between that user's
+    own bounds, exploded — never a driver-side date loop; the left join
+    back is a plain shuffle equi-join on (user, hour)."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 8)
+    hourly = (ev.groupBy("user_id",
+                         F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("value").alias("sv")))
+    grid = (hourly.groupBy("user_id")
+            .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+            .select("user_id",
+                    F.explode(F.expr(
+                        "sequence(mn, mx, interval 1 hour)")).alias("h")))
+    return (grid.join(hourly, ["user_id", "h"], "left")
+            .select("user_id",
+                    F.unix_micros("h").alias("hour_us"),
+                    F.coalesce("n", F.lit(0)).alias("n_events"),
+                    F.round(F.coalesce("sv", F.lit(0.0)), 6)
+                    .alias("sum_value")))
+
+
+@query("dedup_keep_best_per_cluster", oracle=f"""
+WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+clusters AS (SELECT u AS id, LEAST(MIN(v), u) AS cluster_id
+             FROM reach GROUP BY u),
+ranked AS (
+  SELECT c.cluster_id, c.id, length(d.text) AS text_len,
+         ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.id ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.id)
+SELECT cluster_id, id AS kept_doc_id, text_len AS kept_text_len,
+       (SELECT COUNT(*) FROM clusters c2
+        WHERE c2.cluster_id = ranked.cluster_id) AS n_members
+FROM ranked WHERE rn = 1
+""")
+def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup END GAME: near-dup pairs → connected clusters → ONE kept
+    representative per cluster (longest text, ties to the smallest id —
+    the usual keep-the-most-complete-copy policy).  Everything after pair
+    generation is one components run + one window over clusters."""
+    from pyspark.sql import Window
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    scored = (clusters.join(docs, clusters.id == docs.doc_id)
+              .select("cluster_id", "id", F.length("text").alias("text_len")))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("text_len").desc(),
+                                                 F.col("id").asc())
+    best = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1))
+    return (best.join(sizes, "cluster_id")
+            .select("cluster_id", F.col("id").alias("kept_doc_id"),
+                    F.col("text_len").alias("kept_text_len"), "n_members"))
