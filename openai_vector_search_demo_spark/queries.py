@@ -2140,30 +2140,38 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
-@query("bm25_top_docs", oracle=_BM25_ORACLE)
-def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Okapi BM25 (k1=1.2, b=0.75) over the corpus for a fixed term set —
-    the lexical-retrieval complement to the vector KNN path (hybrid search
-    = union of this and q2).  Shape: tf for query terms only (the WHERE
-    prunes the exploded stream before the shuffle), df + corpus stats as
-    two tiny broadcast sides, one groupBy(doc) sum, distributed top-20."""
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score) Okapi BM25 for _BM25_TERMS — shared by the lexical
+    and hybrid retrieval queries.  Tokenizes ONCE: doc length, corpus
+    stats, and the term explode all read one persisted subtree (uncached,
+    the regex tokenizer would run 3× — measured ~2× wall time at sf0.1);
+    the exploded stream is pruned to query terms BEFORE the shuffle."""
     from openai_vector_search_demo_spark.functions.text_analysis import tokens
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).first()
-    ex = toks.select("doc_id", F.explode("toks").alias("token"))
+    toks = (docs.select("doc_id", tokens("text").alias("toks"))
+            .withColumn("dl", F.size("toks")).persist())
+    n_docs, avgdl = toks.agg(F.count(F.lit(1)), F.avg("dl")).first()
+    ex = toks.select("doc_id", "dl", F.explode("toks").alias("token"))
     tf = (ex.filter(F.col("token").isin(_BM25_TERMS))
-          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count(F.lit(1)).alias("tf")))
     dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
     idf = F.log((F.lit(n_docs) - F.col("dfc") + 0.5)
                 / (F.col("dfc") + 0.5) + 1.0)
     denom = (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
                                        + _BM25_B * F.col("dl") / avgdl))
-    scored = (tf.join(F.broadcast(dfq), "token")
-              .join(dl, "doc_id")
-              .withColumn("part", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
-              .groupBy("doc_id").agg(F.sum("part").alias("score")))
+    return (tf.join(F.broadcast(dfq), "token")
+            .withColumn("part", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
+            .groupBy("doc_id").agg(F.sum("part").alias("score")))
+
+
+@query("bm25_top_docs", oracle=_BM25_ORACLE)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) over the corpus for a fixed term set —
+    the lexical-retrieval complement to the vector KNN path.  df + corpus
+    stats ride tiny broadcast sides; one groupBy(doc) sum; distributed
+    top-20 (TakeOrderedAndProject)."""
+    scored = _bm25_scores(spark, sf_dir)
     return (scored.select("doc_id", F.round("score", 6).alias("bm25"))
             .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
             .limit(20))
@@ -2204,6 +2212,7 @@ def ann_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RRF_K = 60
+_RRF_N = 100  # fused list depth: RRF operates on retrieved top-N lists
 
 _HYBRID_ORACLE = rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
@@ -2221,15 +2230,19 @@ bm25 AS (
                                  + {_BM25_B} * dl.dl / s.avgdl))) AS score
   FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
   GROUP BY tf.doc_id),
+lex_top AS (SELECT doc_id, score FROM bm25
+             ORDER BY score DESC, doc_id ASC LIMIT {_RRF_N}),
 lex_rank AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
-  FROM bm25),
+  FROM lex_top),
 q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 sim AS (SELECT e.vec_id AS doc_id, {_SQL_COS_TO_Q} AS sim
         FROM embeddings e, q WHERE e.vec_id <> 0),
+vec_top AS (SELECT doc_id, sim FROM sim
+            ORDER BY sim DESC, doc_id ASC LIMIT {_RRF_N}),
 vec_rank AS (
   SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS r
-  FROM sim),
+  FROM vec_top),
 fused AS (
   SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
          COALESCE(1.0 / ({_RRF_K} + l.r), 0)
@@ -2250,27 +2263,17 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide cosine ranking at 100 TB would instead rank the ANN
     candidate set — same fusion, pruned input)."""
     from pyspark.sql import Window
-    from openai_vector_search_demo_spark.functions.text_analysis import tokens
     from openai_vector_search_demo_spark.functions.vectors import (
         cosine_similarity,
         vector_lit,
     )
-    docs = t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
-    n_docs, avgdl = dl.agg(F.count(F.lit(1)), F.avg("dl")).first()
-    ex = toks.select("doc_id", F.explode("toks").alias("token"))
-    tf = (ex.filter(F.col("token").isin(_BM25_TERMS))
-          .groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf")))
-    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
-    idf = F.log((F.lit(n_docs) - F.col("dfc") + 0.5)
-                / (F.col("dfc") + 0.5) + 1.0)
-    denom = (F.col("tf") + _BM25_K1 * (1.0 - _BM25_B
-                                       + _BM25_B * F.col("dl") / avgdl))
-    bm25 = (tf.join(F.broadcast(dfq), "token").join(dl, "doc_id")
-            .withColumn("part", idf * F.col("tf") * (_BM25_K1 + 1.0) / denom)
-            .groupBy("doc_id").agg(F.sum("part").alias("score")))
-    lex_rank = bm25.select(
+    bm25 = _bm25_scores(spark, sf_dir)
+    # top-N via TakeOrderedAndProject (distributed heap top-k), THEN rank
+    # the N survivors — the global row_number window only ever sees N rows,
+    # never the corpus
+    lex_top = bm25.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+                  .limit(_RRF_N)
+    lex_rank = lex_top.select(
         "doc_id", F.row_number().over(
             Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
         .alias("lex_r"))
@@ -2281,7 +2284,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("vec_id").alias("doc_id"),
                    cosine_similarity("embedding", vector_lit(qvec))
                    .alias("sim")))
-    vec_rank = sim.select(
+    vec_top = sim.orderBy(F.col("sim").desc(), F.col("doc_id").asc()) \
+                 .limit(_RRF_N)
+    vec_rank = vec_top.select(
         "doc_id", F.row_number().over(
             Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
         .alias("vec_r"))
