@@ -2481,3 +2481,76 @@ def dedup_keep_best_per_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (best.join(sizes, "cluster_id")
             .select("cluster_id", F.col("id").alias("kept_doc_id"),
                     F.col("text_len").alias("kept_text_len"), "n_members"))
+
+
+def _curation_oracle() -> str:
+    """Compose the full curation pipeline from the already-verified oracle
+    fragments: quality + language-ID + minhash-cluster + representative
+    selection — one source of truth per stage, reused verbatim."""
+    return f"""
+WITH RECURSIVE ql AS ({ORACLE_SQL['ta_quality_score']}),
+lg AS ({ORACLE_SQL['ta_language_id']}),
+pairs AS ({_MINHASH_ORACLE}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+),
+clusters AS (SELECT u AS id, LEAST(MIN(v), u) AS cluster_id
+             FROM reach GROUP BY u),
+ranked AS (
+  SELECT c.id, ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY length(d.text) DESC, c.id ASC) AS rn
+  FROM clusters c JOIN documents d ON d.doc_id = c.id),
+dup_drop AS (SELECT id FROM ranked WHERE rn > 1),
+tok AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents)
+SELECT d.doc_id, ql.quality, lg.lang_detected AS lang, tok.n_tokens
+FROM documents d
+JOIN ql USING (doc_id) JOIN lg USING (doc_id) JOIN tok USING (doc_id)
+WHERE ql.quality >= 0.7 AND lg.lang_detected = 'en'
+  AND d.doc_id NOT IN (SELECT id FROM dup_drop)
+"""
+
+
+@query("curation_pipeline", oracle=_curation_oracle())
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data CURATION CAPSTONE, one oracled query: quality
+    scoring → language filter → near-dup clustering → drop every
+    non-representative duplicate → token accounting for what survives.
+    Each stage is the same operator its standalone query verifies; the
+    oracle is composed from those stages' own SQL fragments, so the
+    end-to-end dataflow is value-checked, not just its pieces.
+
+    Shape at scale: three narrow per-doc scoring passes over one corpus
+    scan each, the dedup pair/cluster machinery (bucketed equi-joins +
+    log²-round components), and a broadcast anti-join of the (small) drop
+    list — no stage materializes the corpus to the driver."""
+    from pyspark.sql import Window
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+        minhash_lsh_pairs,
+    )
+    docs = t(spark, sf_dir, "documents")
+    scored = ta.with_quality_score(docs)
+    scored = scored.withColumn("lang_detected", ta.language_id("text"))
+    scored = scored.withColumn("n_tokens", ta.token_count("text"))
+
+    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"),
+                              k=3, num_hashes=16, bands=4, threshold=0.5)
+    clusters = duplicate_clusters(pairs)
+    members = (clusters.join(docs.select("doc_id", F.length("text")
+                                         .alias("text_len")),
+                             clusters.id == F.col("doc_id")))
+    w = Window.partitionBy("cluster_id").orderBy(F.col("text_len").desc(),
+                                                 F.col("id").asc())
+    dup_drop = (members.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") > 1).select("id"))
+
+    kept = (scored.filter((F.col("quality") >= 0.7)
+                          & (F.col("lang_detected") == "en"))
+            .join(dup_drop, scored.doc_id == dup_drop.id, "left_anti"))
+    return kept.select("doc_id", F.round("quality", 6).alias("quality"),
+                       F.col("lang_detected").alias("lang"), "n_tokens")
