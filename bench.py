@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_lsh_knn",
     "events_session_window",
     "corpus_distinct_stats",
+    "curation_pipeline",
 ]
 
 

@@ -472,12 +472,16 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     Only ids appearing in ``pairs`` are emitted; singleton documents are by
     definition their own cluster and need no row.
     """
+    from pyspark.sql import Observation
+
     e = (pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
          .filter(F.col("u") != F.col("v")))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))) \
-             .distinct().localCheckpoint(eager=True)
+             .localCheckpoint(eager=True)
 
     def _large_star(sym: DataFrame) -> DataFrame:
+        # duplicate neighbor entries are harmless under min(), and the
+        # output distinct dedups emitted edges — no input distinct needed
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m"))
         return (sym.join(mins, "u")
@@ -495,17 +499,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         return (re_point.union(self_edge)
                 .filter(F.col("u") != F.col("v")).distinct())
 
-    def _checksum(df: DataFrame):
-        return tuple(df.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).first())
-
     prev = None
-    for _ in range(max_iter):
+    for i in range(max_iter):
         sym = edges.union(edges.select(F.col("v").alias("u"),
-                                       F.col("u").alias("v"))).distinct()
-        edges = _small_star(_large_star(sym)).localCheckpoint(eager=True)
-        cur = _checksum(edges)
+                                       F.col("u").alias("v")))
+        stepped = _small_star(_large_star(sym))
+        # convergence checksum rides the SAME action as the checkpoint
+        # materialization (Observation) — one job per round, not two
+        obs = Observation(f"cc_round_{i}")
+        stepped = stepped.observe(
+            obs, F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"))
+        edges = stepped.localCheckpoint(eager=True)
+        cur = (obs.get["n"], obs.get["h"])
         if cur == prev:
             break
         prev = cur

@@ -2554,3 +2554,39 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(dup_drop, scored.doc_id == dup_drop.id, "left_anti"))
     return kept.select("doc_id", F.round("quality", 6).alias("quality"),
                        F.col("lang_detected").alias("lang"), "n_tokens")
+
+
+@query("multimodal_image_features")  # binary decode → not SQL-expressible →
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only driver check (the real-codec slots are import-gated; this
+    # exercises the full distributed plumbing: binary column → Arrow
+    # mapInPandas decode → metadata + histogram features, corrupt rows
+    # surfacing as error rows, never task failures)
+    """Multimodal columns through the driver gate: 40 deterministic
+    synthetic images (+1 corrupt blob) as a binary column, decoded and
+    featurized distributed.  Output: media_id, ok, width, height, and the
+    16-bin intensity histogram's first moment — stable schema, seeded
+    bytes."""
+    import numpy as np
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        encode_synthetic_image,
+        image_features,
+        image_metadata,
+    )
+    rng = np.random.RandomState(7)
+    rows = [(f"img{i:02d}",
+             bytearray(encode_synthetic_image(
+                 8 + i % 5, 6 + i % 3,
+                 rng.randint(0, 256, (6 + i % 3, 8 + i % 5)))))
+            for i in range(40)]
+    rows.append(("corrupt", bytearray(b"\x00\x01 not an image")))
+    media = spark.createDataFrame(rows, "media_id string, data binary") \
+                 .repartition(8)
+    meta = image_metadata(media).select("media_id", "ok", "width", "height")
+    feats = (image_features(media)
+             .select("media_id",
+                     F.round(F.aggregate(
+                         "features", F.lit(0.0), lambda a, x: a + x), 6)
+                     .alias("feat_mass")))
+    return (meta.join(feats, "media_id", "left")
+            .orderBy("media_id"))
