@@ -42,11 +42,23 @@ def main() -> None:
     # one tiny warmup to pay JVM/codegen startup outside the timings
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # min of 2 runs per query: single-shot timings on local[32] carry
+    # 0.5-1 s of GC/scheduler noise, enough to flip close comparisons
+    # (e.g. the dim-1024 SQL-vs-BLAS crossover); min is the standard
+    # noise-floor estimator for microbenchmarks
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        registry[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            # cold caches each run: several operators persist() reused
+            # subtrees; without this the second run times the cache, not
+            # the query
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            registry[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_total",
