@@ -139,7 +139,15 @@ def crack_documents(raw: DataFrame,
                 fn = table.get(_ext_of(path))
                 if fn is None:
                     continue
-                for i, text in enumerate(fn(bytes(content))):
+                try:
+                    pages = fn(bytes(content))
+                except Exception:
+                    # a corrupt document skips, like the reference's
+                    # try/except→None around readPDF/readMSWord
+                    # (modules/utilities.py:43-45, :75-78) — at corpus scale
+                    # one bad file must never fail the ingest job
+                    continue
+                for i, text in enumerate(pages):
                     out["doc_path"].append(path)
                     out["page_no"].append(i)
                     out["text"].append(text)

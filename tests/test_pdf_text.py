@@ -175,3 +175,22 @@ def test_winansi_encoding_decodes_high_bytes():
     # 0xE9 is é in WinAnsi (cp1252)
     pdf = make_pdf([_page(b"(caf\xe9) Tj")])
     assert extract_pdf_pages(pdf) == ["café"]
+
+
+def test_corrupt_document_skips_not_fails(spark, tmp_path):
+    """One truncated PDF and one garbage DOCX in the directory: the job
+    still succeeds and cracks the healthy files (reference semantics —
+    try/except→None per document, modules/utilities.py:43-45)."""
+    from openai_vector_search_demo_spark.sources.doc_crack import (
+        crack_documents,
+        make_docx,
+        read_raw,
+    )
+    good = make_pdf([_page(b"(fine) Tj")])
+    (tmp_path / "good.pdf").write_bytes(good)
+    (tmp_path / "trunc.pdf").write_bytes(good[:40])       # cut mid-object
+    (tmp_path / "junk.docx").write_bytes(b"not a zip at all")
+    (tmp_path / "ok.docx").write_bytes(make_docx(["hello"]))
+    rows = crack_documents(read_raw(spark, str(tmp_path))).collect()
+    by_doc = {r.doc_path.rsplit("/", 1)[-1] for r in rows}
+    assert by_doc == {"good.pdf", "ok.docx"}
