@@ -43,18 +43,28 @@ def read_document_stream(spark: SparkSession, input_dir: str,
 
 
 def stream_ingest_documents(stream: DataFrame, output_dir: str,
-                            checkpoint_dir: str, tenant: str = "default"):
+                            checkpoint_dir: str, tenant: str = "default",
+                            lsh_planes: list[list[float]] | None = None):
     """Incremental §3.1 ingest: chunk → cleanse → embed → append as parquet.
 
     Append-only + deterministic id (sha1(doc_path_page)) means re-delivered
     files produce identical rows; readers apply `dedup.latest_wins` on
     (tenant, doc_path, page_no) for exact reference upsert semantics.
+
+    ``lsh_planes``: when given, every chunk is ALSO assigned its LSH sign
+    bucket at write time (`ann.lsh_assign`) — the ANN index maintenance
+    runs inside the stream, so similarity queries prune on the bucket
+    column immediately, with no separate index-build batch job.
     """
     from openai_vector_search_demo_spark.plans.pipeline import ingest_documents
 
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         chunks = ingest_documents(batch_df, text_col="text", path_col="source",
                                   tenant=tenant)
+        if lsh_planes is not None:
+            from openai_vector_search_demo_spark.operators.ann import lsh_assign
+            chunks = lsh_assign(chunks, vec_col="embedding",
+                                planes=lsh_planes)
         (chunks.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").partitionBy("tenant").parquet(output_dir))
 

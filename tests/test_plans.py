@@ -128,3 +128,21 @@ def test_json_extract_stays_jvm_side(spark):
     # from_json inside codegen — a Python UDF would appear as BatchEvalPython
     p = plan_of(spark, "json_extract_props")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_tenant_partition_pruning_reaches_scan(spark, tmp_path):
+    """filter(tenant = x) over a tenant-partitioned table must prune at the
+    file listing (PartitionFilters), not post-scan — the §4.1 per-alias
+    index-scoping equivalent."""
+    df = spark.createDataFrame(
+        [(i, f"t{i % 4}", float(i)) for i in range(100)],
+        "id int, tenant string, v double")
+    path = str(tmp_path / "tenanted")
+    df.write.partitionBy("tenant").parquet(path)
+    q = spark.read.parquet(path).filter("tenant = 't1'").select("id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    p = buf.getvalue()
+    assert "PartitionFilters" in p and "t1" in p
+    assert q.count() == 25

@@ -176,3 +176,33 @@ def test_stream_stream_join_equals_batch(spark, workdir):
     spark.catalog.dropTempView("ss_join_test")
     assert len(want) > 0
     assert got == want
+
+
+def test_stream_ingest_assigns_lsh_buckets(spark, workdir):
+    """ANN index maintenance inside the stream: chunks written by the
+    streaming ingest carry the same LSH bucket the batch assignment
+    computes — similarity queries can prune immediately, no separate
+    index-build job."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        lsh_assign,
+    )
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_ingest_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    src, out, ckpt = (str(workdir / d) for d in ("in", "out", "ckpt"))
+    docs.write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema).format("parquet").load(src))
+    planes = hyperplanes(64, nbits=8, seed=42)
+    q = stream_ingest_documents(stream, out, ckpt,
+                                lsh_planes=planes).start()
+    q.awaitTermination(120)
+
+    written = spark.read.parquet(out)
+    assert "bucket" in written.columns
+    got = {r.id: r.bucket for r in written.collect()}
+    want = {r.id: r.bucket for r in
+            lsh_assign(written.drop("bucket"), planes=planes).collect()}
+    assert len(got) > 0 and got == want
