@@ -90,6 +90,7 @@ SELECT doc_id,
 FROM documents
 """)
 def p1_cleanse_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: newline→space then ONE double-space collapse — the reference's exact single-pass cleanse (modules/utilities.py:135-136), not a loop-to-fixpoint."""
     from openai_vector_search_demo_spark.functions.text import cleanse_text
     return (t(spark, sf_dir, "documents")
             .select("doc_id", cleanse_text("text").alias("cleansed")))
@@ -105,6 +106,7 @@ SELECT doc_id, cleansed FROM c
 WHERE cleansed IS NOT NULL AND length(cleansed) > 0
 """)
 def p2_filter_non_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the effective non-empty predicate (length > 0 after cleanse) — implementing the intent, not the `.strip` method-reference bug at modules/utilities.py:198."""
     from openai_vector_search_demo_spark.functions.text import cleanse_text, non_empty
     df = (t(spark, sf_dir, "documents")
           .select("doc_id", cleanse_text("text").alias("cleansed")))
@@ -118,6 +120,7 @@ SELECT doc_id,
 FROM documents
 """)
 def p4_p9_path_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P9: extension (lowercased last dot-token of the basename) and basename extraction, pure string ops."""
     from openai_vector_search_demo_spark.functions.text import (
         basename,
         document_extension,
@@ -139,6 +142,7 @@ SELECT doc_id, unnest(
 FROM documents
 """)
 def p5_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: punctuation translate → whitespace split → lowercase → 30-verbatim-stopword removal, duplicate-KEEPING (array_except would dedup; the reference list filter does not — app/app.py:49-56)."""
     from openai_vector_search_demo_spark.functions.text import keyword_list
     return (t(spark, sf_dir, "documents")
             .select("doc_id", F.explode(keyword_list("text")).alias("keyword")))
@@ -166,6 +170,7 @@ SELECT doc_id,
 FROM documents, kw
 """)
 def p6_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: per-whitespace-token span markup when the lowercased token is in the keyword list (app/app.py:58-62)."""
     from openai_vector_search_demo_spark.functions.text import (
         highlight_keywords,
         keyword_list,
@@ -237,6 +242,7 @@ SELECT doc_id, md5(source || '_' || CAST(doc_id AS VARCHAR)) AS key
 FROM documents
 """)
 def p3_md5_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 (oracle-portable digest): md5 of the underscore-joined parts — same key shape as S9's sha1, checkable in DuckDB."""
     from openai_vector_search_demo_spark.functions.hashing import md5_key
     return (t(spark, sf_dir, "documents")
             .select("doc_id", md5_key("source", "doc_id").alias("key")))
@@ -253,6 +259,7 @@ SELECT doc_id, CAST(i AS INTEGER) AS page_no,
 FROM w, UNNEST(range(0, len(words)//300 + 1)) AS u(i)
 """)
 def c3_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: 300-word chunking with the reference's exact `len//300+1` slice count — a doc with an exact multiple of 300 words emits one trailing empty chunk (modules/utilities.py:59-73)."""
     from openai_vector_search_demo_spark.operators.chunking import chunk_documents
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return (chunk_documents(docs, text_col="text")
@@ -1112,6 +1119,7 @@ FROM events
 GROUP BY 1, 2
 """)
 def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over the event stream table: count/sum/avg per (window, type); window start exported as epoch-us for timezone-proof oracle parity."""
     from openai_vector_search_demo_spark.operators.windows import tumbling_counts
     return tumbling_counts(t(spark, sf_dir, "events"), "1 hour")
 
@@ -1385,6 +1393,7 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """)
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: full-scan aggregate with 8 simultaneous aggregates per group — partial aggregation map-side, one shuffle of pre-combined groups."""
     li = t(spark, sf_dir, "lineitem")
     # timestamp_ntz: the parquet column is NTZ; a plain "timestamp" cast
     # would interpret the literal in the driver's session timezone
