@@ -176,3 +176,132 @@ def sample_frames(df: DataFrame, every_n: int = 2,
         F.col(id_col),
         F.filter(F.col(frames_col),
                  lambda _, i: i % every_n == 0).alias("sampled_frames"))
+
+
+# ---------------------------------------------------------------------------
+# Audio — REAL, stdlib-only: PCM WAV needs no external codec (`wave` parses
+# the RIFF header, numpy handles the samples).  Unlike the image stages
+# there is no stub here; this is the production path for uncompressed audio.
+# Compressed formats (mp3/flac) would slot in behind the same mapInPandas
+# signatures via an import-gated decoder, exactly like decode_image_real.
+# ---------------------------------------------------------------------------
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Mono 16-bit PCM WAV bytes (fixture builder AND a real encoder)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
+    """→ (sample_rate, channels, mono float samples in [-1, 1])."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(data), "rb") as w:
+        sr, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got width {width}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)  # downmix
+    return sr, ch, x
+
+
+AUDIO_META_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("ok", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_s", FloatType()),
+])
+
+
+def audio_metadata(df: DataFrame, id_col: str = "media_id",
+                   data_col: str = "data") -> DataFrame:
+    """Header probe per clip; corrupt clips become ``ok='error'`` rows —
+    data, not task failures."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    sr, ch, x = _decode_wav(bytes(data))
+                    rows.append((mid, "ok", sr, ch, len(x), len(x) / sr))
+                except Exception:
+                    rows.append((mid, "error", None, None, None, None))
+            yield pd.DataFrame(rows, columns=AUDIO_META_SCHEMA.names)
+
+    return df.select(id_col, data_col).mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("rms_windows", ArrayType(FloatType())),
+    StructField("peak", FloatType()),
+])
+
+
+def audio_features(df: DataFrame, window_ms: int = 250,
+                   id_col: str = "media_id",
+                   data_col: str = "data") -> DataFrame:
+    """Windowed RMS-energy profile + peak per clip (the cheap universal
+    audio feature: silence/clipping detection, energy fingerprints).
+    Corrupt clips are skipped like failed embeds (E2 semantics)."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    sr, _, x = _decode_wav(bytes(data))
+                except Exception:
+                    continue
+                win = max(1, int(sr * window_ms / 1000))
+                n = max(1, len(x) // win)
+                rms = [float(np.sqrt(np.mean(x[i * win:(i + 1) * win] ** 2)))
+                       for i in range(n)]
+                rows.append((mid, rms, float(np.max(np.abs(x)) if len(x) else 0.0)))
+            yield pd.DataFrame(rows, columns=AUDIO_FEATURES_SCHEMA.names)
+
+    return df.select(id_col, data_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+def resample_audio(df: DataFrame, target_sr: int,
+                   id_col: str = "media_id",
+                   data_col: str = "data") -> DataFrame:
+    """Linear resample to ``target_sr`` — re-encoded as 16-bit PCM WAV so
+    the output column stays the same opaque-binary convention.  Real
+    arithmetic (np.interp), not a stub; a polyphase filter would slot into
+    the same signature."""
+    import pandas as pd
+    schema = StructType([StructField("media_id", StringType()),
+                         StructField("data", df.schema[data_col].dataType)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[data_col]):
+                try:
+                    sr, _, x = _decode_wav(bytes(data))
+                except Exception:
+                    continue
+                n_out = max(1, int(round(len(x) * target_sr / sr)))
+                t_out = np.linspace(0.0, len(x) - 1, n_out)
+                y = np.interp(t_out, np.arange(len(x)), x)
+                out = encode_wav(target_sr,
+                                 np.clip(y * 32768.0, -32768, 32767))
+                rows.append((mid, bytearray(out)))
+            yield pd.DataFrame(rows, columns=["media_id", "data"])
+
+    return df.select(id_col, data_col).mapInPandas(run, schema)

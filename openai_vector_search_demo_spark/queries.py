@@ -2599,3 +2599,39 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("feat_mass")))
     return (meta.join(feats, "media_id", "left")
             .orderBy("media_id"))
+
+
+@query("multimodal_audio_features")  # binary decode → rows-only driver check
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio through the driver gate — and unlike the image stages this
+    decode is REAL (stdlib `wave` PCM parsing, numpy energy features), not
+    a synthetic stand-in: 20 seeded noise/tone clips at mixed sample rates
+    plus one corrupt blob, distributed metadata + windowed-RMS extraction,
+    corrupt rows surfacing as data."""
+    import numpy as np
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        audio_features,
+        audio_metadata,
+        encode_wav,
+    )
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(20):
+        sr = (8000, 16000, 22050, 44100)[i % 4]
+        n = sr // (2 + i % 3)
+        if i % 2:
+            t = np.arange(n) / sr
+            x = np.sin(2 * np.pi * (220 + 20 * i) * t) * 12000
+        else:
+            x = rng.randn(n) * 6000
+        rows.append((f"clip{i:02d}", bytearray(encode_wav(sr, x))))
+    rows.append(("corrupt", bytearray(b"RIFF but not really")))
+    clips = spark.createDataFrame(rows, "media_id string, data binary") \
+                 .repartition(8)
+    meta = audio_metadata(clips).select(
+        "media_id", "ok", "sample_rate",
+        F.round("duration_s", 3).alias("duration_s"))
+    feats = (audio_features(clips, window_ms=100)
+             .select("media_id", F.size("rms_windows").alias("n_windows"),
+                     F.round("peak", 6).alias("peak")))
+    return meta.join(feats, "media_id", "left").orderBy("media_id")

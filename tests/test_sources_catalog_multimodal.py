@@ -372,3 +372,62 @@ def test_redact_pii_patterns(spark):
     assert got[2] == "call <PHONE> today"
     assert got[3] == "node <IP> up"
     assert got[4] == "clean text stays untouched"
+
+
+# ---------------------------------------------------------------------------
+# audio (REAL stdlib WAV path — no stub)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def clips(spark):
+    from openai_vector_search_demo_spark.operators.multimodal import encode_wav
+    rng = np.random.RandomState(3)
+    rows = []
+    for i, sr in enumerate([8000, 16000, 44100]):
+        samples = (rng.randn(sr // 2) * 8000)       # 0.5 s of noise
+        rows.append((f"clip{i}", bytearray(encode_wav(sr, samples))))
+    silent = np.zeros(8000)                          # 1 s of silence @ 8k
+    rows.append(("silent", bytearray(encode_wav(8000, silent))))
+    rows.append(("bad", bytearray(b"RIFFgarbage")))
+    return spark.createDataFrame(rows, "media_id string, data binary")
+
+
+def test_audio_metadata_real_wav(clips):
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        audio_metadata,
+    )
+    out = {r.media_id: r for r in audio_metadata(clips).collect()}
+    assert out["clip0"].sample_rate == 8000 and out["clip0"].channels == 1
+    assert out["clip2"].sample_rate == 44100
+    assert abs(out["clip1"].duration_s - 0.5) < 1e-3
+    assert out["silent"].n_samples == 8000
+    assert out["bad"].ok == "error" and out["bad"].sample_rate is None
+
+
+def test_audio_features_energy_profile(clips):
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        audio_features,
+    )
+    out = {r.media_id: r for r in audio_features(clips, window_ms=250).collect()}
+    assert "bad" not in out                          # corrupt clip skipped
+    assert len(out["silent"].rms_windows) == 4       # 1 s / 250 ms
+    assert all(v == 0.0 for v in out["silent"].rms_windows)
+    assert out["silent"].peak == 0.0
+    assert all(v > 0.0 for v in out["clip0"].rms_windows)
+    assert 0.0 < out["clip0"].peak <= 1.0
+
+
+def test_audio_resample_roundtrip(spark):
+    from openai_vector_search_demo_spark.operators.multimodal import (
+        audio_metadata,
+        encode_wav,
+        resample_audio,
+    )
+    t = np.arange(16000) / 16000.0
+    tone = np.sin(2 * np.pi * 440 * t) * 16000      # 1 s, 440 Hz @ 16 kHz
+    df = spark.createDataFrame([("tone", bytearray(encode_wav(16000, tone)))],
+                               "media_id string, data binary")
+    down = resample_audio(df, 8000)
+    meta = audio_metadata(down).collect()[0]
+    assert meta.sample_rate == 8000
+    assert abs(meta.duration_s - 1.0) < 1e-2         # duration preserved
