@@ -194,3 +194,43 @@ def test_corrupt_document_skips_not_fails(spark, tmp_path):
     rows = crack_documents(read_raw(spark, str(tmp_path))).collect()
     by_doc = {r.doc_path.rsplit("/", 1)[-1] for r in rows}
     assert by_doc == {"good.pdf", "ok.docx"}
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource: spark.read.format("pdfpages")
+# ---------------------------------------------------------------------------
+
+def test_pdfpages_datasource_reads_directory(spark, tmp_path):
+    from openai_vector_search_demo_spark.sources.pdf_datasource import (
+        PdfPagesDataSource,
+    )
+    spark.dataSource.register(PdfPagesDataSource)
+    (tmp_path / "a.pdf").write_bytes(
+        make_pdf([_page(b"(alpha) Tj"), _page(b"(beta) Tj")]))
+    (tmp_path / "b.pdf").write_bytes(make_pdf([_page(b"(gamma) Tj")]))
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF-1.4 truncated")
+    (tmp_path / "note.txt").write_bytes(b"not a pdf, not listed")
+
+    df = spark.read.format("pdfpages").load(str(tmp_path))
+    rows = {(r.doc_path.rsplit("/", 1)[-1], r.page_no, r.text)
+            for r in df.collect()}
+    assert rows == {("a.pdf", 0, "alpha"), ("a.pdf", 1, "beta"),
+                    ("b.pdf", 0, "gamma")}          # broken → 0 rows
+    # one input partition per document = per-file parallelism
+    assert df.rdd.getNumPartitions() == 3
+
+
+@pytest.mark.skipif(not SAMPLE.exists(), reason="reference sample not present")
+def test_pdfpages_datasource_sql_surface(spark, tmp_path):
+    """The format works from pure SQL — PDF as a first-class table."""
+    from openai_vector_search_demo_spark.sources.pdf_datasource import (
+        PdfPagesDataSource,
+    )
+    spark.dataSource.register(PdfPagesDataSource)
+    shutil.copy(SAMPLE, tmp_path / "recipes.pdf")
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW pdf_pages "
+              f"USING pdfpages OPTIONS (path '{tmp_path}')")
+    n = spark.sql("SELECT COUNT(*) AS n FROM pdf_pages "
+                  "WHERE length(text) > 0").first().n
+    spark.catalog.dropTempView("pdf_pages")
+    assert n == 15
