@@ -2635,3 +2635,100 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("media_id", F.size("rms_windows").alias("n_windows"),
                      F.round("peak", 6).alias("peak")))
     return meta.join(feats, "media_id", "left").orderBy("media_id")
+
+
+@query("tpch_q7_volume_shipping", oracle="""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+WHERE ((cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+    OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY cn.n_name, sn.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+ORDER BY cust_nation, supp_nation, l_year
+""")
+def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the nation dimension joins TWICE under different
+    roles (customer's vs supplier's) with an OR-of-pairs predicate — both
+    sides broadcast, the disjunction evaluated post-join where Catalyst
+    can't push it into either scan."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp_ntz"))))
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"),
+                  F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    pair = (((F.col("cust_nation") == "NATION_1")
+             & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2")
+               & (F.col("supp_nation") == "NATION_1")))
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+              .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+              .filter(pair))
+    return (joined
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("cust_nation", "supp_nation", "l_year"))
+
+
+@query("tpch_q20_excess_stock_suppliers", oracle="""
+WITH part_keys AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+half_qty AS (
+  SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+big_suppliers AS (
+  SELECT DISTINCT h.l_suppkey
+  FROM half_qty h
+  JOIN part_keys pk ON pk.p_partkey = h.l_partkey
+  WHERE h.half > 20)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM big_suppliers)
+ORDER BY s.s_name
+""")
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a two-level nested subquery chain (parts by name →
+    per-(part,supplier) shipped volume → supplier key set) collapsing into
+    pre-aggregated joins + a final LEFT SEMI — each nesting level is one
+    aggregate, nothing re-executes per outer row."""
+    part_keys = (t(spark, sf_dir, "part")
+                 .filter(F.col("p_name").like("red%"))
+                 .select("p_partkey"))
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1998-01-01").cast("timestamp_ntz"))))
+    half = (li.groupBy("l_partkey", "l_suppkey")
+            .agg((0.5 * F.sum("l_quantity")).alias("half")))
+    big = (half.join(F.broadcast(part_keys),
+                     half.l_partkey == part_keys.p_partkey)
+           .filter(F.col("half") > 20)
+           .select("l_suppkey").distinct())
+    s = t(spark, sf_dir, "supplier")
+    return (s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
+            .select("s_name", "s_acctbal")
+            .orderBy("s_name"))
