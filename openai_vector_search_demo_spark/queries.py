@@ -2732,3 +2732,92 @@ def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     return (s.join(big, s.s_suppkey == big.l_suppkey, "left_semi")
             .select("s_name", "s_acctbal")
             .orderBy("s_name"))
+
+
+_CMS_D, _CMS_W = 4, 1024  # depth (hash rows) × width (buckets per row)
+_CMS_PROBE_TERMS = ["scan", "join", "spark", "window", "the", "zebra"]
+
+
+def _cms_bucket_sql(expr: str, row: int) -> str:
+    return (f"CAST(('0x' || substr(md5('cms{row}:' || {expr}), 1, 15)) "
+            f"AS BIGINT) % {_CMS_W}")
+
+
+@query("cms_heavy_hitters", oracle=f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ex AS (SELECT unnest(toks) AS token FROM tok),
+cells AS (
+  SELECT r.r AS row_id,
+         CASE r.r
+           WHEN 0 THEN {_cms_bucket_sql('ex.token', 0)}
+           WHEN 1 THEN {_cms_bucket_sql('ex.token', 1)}
+           WHEN 2 THEN {_cms_bucket_sql('ex.token', 2)}
+           ELSE {_cms_bucket_sql('ex.token', 3)} END AS bucket
+  FROM ex, UNNEST(range({_CMS_D})) AS r(r)),
+sketch AS (SELECT row_id, bucket, COUNT(*) AS c
+           FROM cells GROUP BY row_id, bucket),
+probes AS (SELECT unnest(['{"','".join(_CMS_PROBE_TERMS)}']) AS token),
+lookups AS (
+  SELECT p.token, r.r AS row_id,
+         CASE r.r
+           WHEN 0 THEN {_cms_bucket_sql('p.token', 0)}
+           WHEN 1 THEN {_cms_bucket_sql('p.token', 1)}
+           WHEN 2 THEN {_cms_bucket_sql('p.token', 2)}
+           ELSE {_cms_bucket_sql('p.token', 3)} END AS bucket
+  FROM probes p, UNNEST(range({_CMS_D})) AS r(r)),
+est AS (SELECT l.token, MIN(COALESCE(s.c, 0)) AS cms_estimate
+        FROM lookups l LEFT JOIN sketch s USING (row_id, bucket)
+        GROUP BY l.token),
+exact AS (SELECT token, COUNT(*) AS exact_count FROM ex GROUP BY token)
+SELECT e.token, e.cms_estimate, COALESCE(x.exact_count, 0) AS exact_count,
+       e.cms_estimate - COALESCE(x.exact_count, 0) AS overestimate
+FROM est e LEFT JOIN exact x USING (token)
+ORDER BY e.token
+""")
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, value-checked cell by cell:
+    token counts approximated in d×w = 4×1024 counters REGARDLESS of
+    vocabulary size (the bounded-state alternative to an exact vocabulary
+    groupBy at 100 TB), probed for a fixed term list next to the exact
+    counts — CMS guarantees estimate ≥ exact, pinned by the
+    `overestimate` column.  md5 bucket hashing makes the whole sketch
+    bit-reproducible in the oracle.  The sketch aggregation is one
+    groupBy(row, bucket) with map-side combine: partial sketches merge by
+    addition, the property that makes CMS distributed-friendly."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60,
+        tokens,
+    )
+
+    def bucket(col: Column | str, row: int) -> Column:
+        c = F.col(col) if isinstance(col, str) else col
+        return F.pmod(_hash60(F.concat(F.lit(f"cms{row}:"), c)),
+                      F.lit(_CMS_W))
+
+    docs = t(spark, sf_dir, "documents")
+    ex = docs.select(F.explode(tokens("text")).alias("token"))
+    cells = ex.select(F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row_id"),
+                 bucket("token", r).alias("bucket"))
+        for r in range(_CMS_D)])).alias("cell")) \
+        .select("cell.row_id", "cell.bucket")
+    sketch = cells.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+    probes = spark.createDataFrame([(tk,) for tk in _CMS_PROBE_TERMS],
+                                   ["token"])
+    lookups = probes.select("token", F.explode(F.array(*[
+        F.struct(F.lit(r).alias("row_id"),
+                 bucket("token", r).alias("bucket"))
+        for r in range(_CMS_D)])).alias("cell")) \
+        .select("token", "cell.row_id", "cell.bucket")
+    est = (lookups.join(sketch, ["row_id", "bucket"], "left")
+           .groupBy("token")
+           .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate")))
+    exact = ex.groupBy("token").agg(F.count(F.lit(1)).alias("exact_count"))
+    return (est.join(exact, "token", "left")
+            .select("token", "cms_estimate",
+                    F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+                    (F.col("cms_estimate")
+                     - F.coalesce("exact_count", F.lit(0)))
+                    .alias("overestimate"))
+            .orderBy("token"))
