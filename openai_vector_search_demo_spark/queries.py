@@ -2821,3 +2821,45 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                      - F.coalesce("exact_count", F.lit(0)))
                     .alias("overestimate"))
             .orderBy("token"))
+
+
+@query("nested_array_functions", oracle="""
+WITH base AS (
+  SELECT o_custkey,
+         list(o_totalprice ORDER BY o_orderdate ASC, o_orderkey ASC) AS prices
+  FROM orders GROUP BY o_custkey),
+x AS (
+  SELECT o_custkey,
+         len(prices) AS n_orders,
+         ROUND(list_aggregate(list_transform(prices, p -> p * 0.9), 'sum'), 2)
+           AS discounted_total,
+         len(list_filter(prices, p -> p > 100000)) AS n_big,
+         ROUND(list_sort(prices)[len(prices)], 2) AS max_price,
+         ROUND(list_sort(prices)[1], 2) AS min_price
+  FROM base)
+SELECT * FROM x WHERE o_custkey < 200
+""")
+def nested_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order-function surface pinned explicitly: collect_list →
+    transform / filter / aggregate / array_sort, all inside whole-stage
+    codegen (no UDF, no explode-regroup round trip) — how nested columns
+    are processed in place at scale."""
+    o = t(spark, sf_dir, "orders")
+    base = (o.groupBy("o_custkey")
+            .agg(F.array_sort(F.collect_list(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")))
+                .alias("ordered")))
+    prices = F.transform("ordered", lambda s: s.getField("o_totalprice"))
+    return (base
+            .withColumn("prices", prices).drop("ordered")
+            .filter(F.col("o_custkey") < 200)
+            .select(
+                "o_custkey",
+                F.size("prices").alias("n_orders"),
+                F.round(F.aggregate(F.transform("prices", lambda p: p * 0.9),
+                                    F.lit(0.0), lambda a, x: a + x), 2)
+                .alias("discounted_total"),
+                F.size(F.filter("prices", lambda p: p > 100000))
+                .alias("n_big"),
+                F.round(F.array_max("prices"), 2).alias("max_price"),
+                F.round(F.array_min("prices"), 2).alias("min_price")))
