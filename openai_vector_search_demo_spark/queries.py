@@ -2863,3 +2863,35 @@ def nested_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_big"),
                 F.round(F.array_max("prices"), 2).alias("max_price"),
                 F.round(F.array_min("prices"), 2).alias("min_price")))
+
+
+@query("q2_knn_filtered", oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT e.vec_id, e.label,
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)),
+                   'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND e.label IN (1, 2) AND e.vec_id % 3 = 0
+)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM s ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def q2_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — metadata predicates AND the KNN in one
+    plan (the reference's FT.SEARCH uses `*`, i.e. no prefilter; real
+    deployments always filter by tenant/category/recency).  The predicate
+    sits UNDER the scoring projection, so Catalyst pushes it into the scan
+    and only surviving rows pay the cosine — the pre-filter strategy, which
+    keeps recall exact (post-filtering an ANN top-k can return < k)."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter((F.col("vec_id") != 0)
+                      & F.col("label").isin(1, 2)
+                      & (F.col("vec_id") % 3 == 0))
+    top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
