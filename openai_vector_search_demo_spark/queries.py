@@ -2895,3 +2895,59 @@ def q2_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("vec_id") % 3 == 0))
     top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+@query("tpch_q14_promo_revenue_ratio", oracle="""
+SELECT ROUND(100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+""")
+def tpch_q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation — a ratio of two aggregates
+    over one pass (CASE inside SUM), never two scans with a driver-side
+    divide."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-06-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1997-07-01").cast("timestamp_ntz"))))
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 4)
+                 .alias("promo_revenue_pct")))
+
+
+@query("tpch_q12_priority_shipping", oracle="""
+SELECT CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY CAST(year(l.l_shipdate) AS INTEGER)
+ORDER BY ship_year
+""")
+def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → ship-year adapted to the fixture):
+    two complementary CASE counts per group in one aggregate pass."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1996-01-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1999-01-01").cast("timestamp_ntz"))))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
+            .orderBy("ship_year"))
