@@ -13,8 +13,6 @@ One job; the embed stage is the only Python boundary and is Arrow-batched.
 
 from __future__ import annotations
 
-from collections.abc import Sequence
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
