@@ -2951,3 +2951,163 @@ def tpch_q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
                  F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"))
             .orderBy("ship_year"))
+
+
+@query("tpch_q13_customer_distribution", oracle="""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join keeping zero-order customers
+    (COUNT of a nullable column counts only matches) followed by a
+    count-of-counts histogram — two aggregations, one outer join."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderpriority") != "5-LOW")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.col("custdist").desc(), F.col("c_count").desc()))
+
+
+@query("tpch_q11_important_stock", oracle="""
+WITH vals AS (
+  SELECT s.s_nationkey, l.l_partkey,
+         SUM(l.l_extendedprice * l.l_quantity) AS value
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_partkey),
+tot AS (SELECT SUM(value) AS total FROM vals WHERE s_nationkey = 1)
+SELECT l_partkey, ROUND(value, 2) AS value
+FROM vals, tot
+WHERE s_nationkey = 1 AND value > 0.001 * tot.total
+ORDER BY value DESC, l_partkey ASC
+""")
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a GLOBAL aggregate fraction — the
+    scalar subquery becomes a 1-row cross join (broadcast literal at
+    runtime), so the group values are scanned once, not once per group."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    vals = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .filter(F.col("s_nationkey") == 1)
+            .groupBy("l_partkey")
+            .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                 .alias("value")))
+    tot = vals.agg(F.sum("value").alias("total"))
+    return (vals.crossJoin(F.broadcast(tot))
+            .filter(F.col("value") > 0.001 * F.col("total"))
+            .select("l_partkey", F.round("value", 2).alias("value"))
+            .orderBy(F.col("value").desc(), F.col("l_partkey").asc()))
+
+
+@query("tpch_q15_top_supplier", oracle="""
+WITH revenue AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_rev, 2) AS total_rev
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+""")
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over an aggregated view — the MAX scalar
+    joins back against the same aggregate (computed once, reused via
+    cross-join literal), keeping ties like the spec requires."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate")
+                   >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate")
+                     < F.lit("1997-04-01").cast("timestamp_ntz"))))
+    revenue = (li.groupBy("l_suppkey")
+               .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("total_rev")))
+    mx = revenue.agg(F.max("total_rev").alias("mx"))
+    s = t(spark, sf_dir, "supplier")
+    return (revenue.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(s), revenue.l_suppkey == s.s_suppkey)
+            .select("s_suppkey", "s_name",
+                    F.round("total_rev", 2).alias("total_rev"))
+            .orderBy("s_suppkey"))
+
+
+@query("tpch_q22_global_sales_opportunity", oracle="""
+WITH rich AS (
+  SELECT c_custkey, c_acctbal, c_nationkey % 7 AS cc
+  FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0)),
+no_orders AS (
+  SELECT r.* FROM rich r
+  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = r.c_custkey))
+SELECT cc AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM no_orders
+GROUP BY cc
+ORDER BY cc
+""")
+def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average filter (1-row broadcast, computed
+    once) + NOT EXISTS as a LEFT ANTI join + grouped totals."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab"))
+            .select("c_custkey", "c_acctbal",
+                    (F.col("c_nationkey") % 7).alias("cc")))
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    no_orders = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (no_orders.groupBy(F.col("cc").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+@query("datetime_function_surface", oracle="""
+SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST(month(o_orderdate) AS INTEGER) AS m,
+       CAST(dayofweek(o_orderdate) AS INTEGER) AS dow,
+       epoch_us(date_trunc('month', o_orderdate)) AS month_start_us,
+       epoch_us(o_orderdate + INTERVAL 3 MONTH) AS plus3m_us,
+       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+            AS BIGINT) AS days_since_epoch_start,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+""")
+def datetime_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal scalar surface pinned cross-engine: extract fields,
+    truncation, interval arithmetic, and day difference — exported as ints
+    / epoch-us so the comparison is timezone-proof (the engines agree on
+    arithmetic, not on timestamp rendering).  Convention gap made explicit:
+    DuckDB's dayofweek is 0=Sunday, Spark's is 1=Sunday, so the Spark side
+    emits ``dayofweek() - 1``."""
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.quarter("o_orderdate").cast("int").alias("q"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+        F.unix_micros(F.date_trunc("month", "o_orderdate")
+                      .cast("timestamp")).alias("month_start_us"),
+        F.unix_micros((F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH"))
+                      .cast("timestamp")).alias("plus3m_us"),
+        F.datediff(F.col("o_orderdate"),
+                   F.lit("1995-01-01").cast("timestamp_ntz"))
+        .cast("long").alias("days_since_epoch_start"))
+        .agg(F.count(F.lit(1)).alias("n")))
