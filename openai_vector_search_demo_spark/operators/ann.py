@@ -274,3 +274,24 @@ def ivf_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
     if tie_break:
         order.append(F.col(tie_break).asc())
     return scored.orderBy(*order).limit(k).drop("_cell")
+
+
+def ivf_assign(df: DataFrame, vec_col: str = "embedding",
+               centroids: list[list[float]] | None = None,
+               nlist: int = 16, seed: int = 42,
+               cell_col: str = "cell") -> DataFrame:
+    """Write-time IVF cell assignment — the coarse-quantizer twin of
+    ``lsh_assign``.  Persist partitioned/bucketed by this column and a
+    query's ``nprobe`` cells become partition pruning: the scan reads
+    ``nprobe/nlist`` of the corpus from the file listing down.
+    ``centroids=None`` trains on a bounded sample exactly like ivf_knn."""
+    if centroids is None:
+        vecs = df.select(vec_col)
+        n = vecs.count()
+        fraction = min(1.0, IVF_TRAIN_CAP / max(n, 1))
+        if fraction < 1.0:
+            vecs = vecs.sample(fraction=fraction, seed=seed)
+        sample = np.array([r[0] for r in vecs.limit(IVF_TRAIN_CAP).collect()],
+                          dtype=np.float64)
+        centroids = train_centroids(sample, nlist, seed)
+    return df.withColumn(cell_col, ivf_cell(vec_col, centroids))

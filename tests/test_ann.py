@@ -173,3 +173,44 @@ def test_lsh_near_dup_bucket_cap_bounds_and_keeps_recall(spark):
     # ≤ C(10,2) pairs per bucket survive; the lowest-id rows are kept
     assert 0 < len(got) <= 45
     assert {r.id_a for r in got} | {r.id_b for r in got} <= set(range(10))
+
+
+def test_ivf_assign_partition_pruned_knn(spark, tmp_path):
+    """The IVF scale path end-to-end: assign cells at write time, persist
+    partitioned by cell, and a probe-pruned KNN over the stored table (a)
+    prunes at the file listing and (b) returns exactly what ivf_knn
+    computes on the fly with the same centroids."""
+    import contextlib
+    import io
+
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_assign,
+        ivf_knn,
+        ivf_probe_cells,
+        train_centroids,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    base = emb.filter(F.col("vec_id") != 0)
+    sample = np.array([r.embedding for r in base.limit(500).collect()])
+    cents = train_centroids(sample, nlist=8, seed=42)
+
+    path = str(tmp_path / "ivf_table")
+    ivf_assign(base, centroids=cents).write.partitionBy("cell").parquet(path)
+
+    probes = ivf_probe_cells(qvec, cents, nprobe=3)
+    stored = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stored.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()      # pruning at the listing
+
+    got = knn(stored, qvec, k=10, sim_col="similarity", tie_break="vec_id") \
+        .select("vec_id").collect()
+    want = ivf_knn(base, qvec, k=10, centroids=cents, nprobe=3,
+                   tie_break="vec_id").select("vec_id").collect()
+    assert [r.vec_id for r in got] == [r.vec_id for r in want]
