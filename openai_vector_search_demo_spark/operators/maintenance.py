@@ -145,3 +145,34 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     return (j.withColumn("change_type", change)
             .filter(F.col("change_type") != "unchanged")
             .select(*key_cols, "change_type"))
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table whose files were written under EVOLVING schemas
+    (columns added over time): ``mergeSchema`` unions the footers so old
+    files surface the new columns as NULL.  The flag costs a footer read
+    per file — leave it off for frozen-schema tables (the default) and on
+    only for landing zones that append from changing producers."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def append_evolved(df: DataFrame, path: str,
+                   allow_missing: bool = True) -> None:
+    """Append a batch whose schema may have MORE columns than earlier
+    files (additive evolution).  Column renames/drops are rejected by
+    comparing against the current merged schema: additive evolution is
+    the only kind a reader with ``mergeSchema`` can reconcile — silent
+    renames would fork the data into two half-NULL columns forever."""
+    spark = df.sparkSession
+    try:
+        current = read_evolving(spark, path).schema
+    except Exception:
+        current = None  # first write
+    if current is not None:
+        old = {f.name for f in current.fields}
+        new = {f.name for f in df.schema.fields}
+        dropped = old - new
+        if dropped and not allow_missing:
+            raise ValueError(f"schema evolution dropped columns {sorted(dropped)}; "
+                             f"only additive evolution is supported")
+    df.write.mode("append").parquet(path)

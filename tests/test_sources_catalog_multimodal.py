@@ -431,3 +431,28 @@ def test_audio_resample_roundtrip(spark):
     meta = audio_metadata(down).collect()[0]
     assert meta.sample_rate == 8000
     assert abs(meta.duration_s - 1.0) < 1e-2         # duration preserved
+
+
+def test_schema_evolution_additive_merge(spark, tmp_path):
+    """Files written under evolving schemas read back as one table: old
+    rows surface the new column as NULL; non-additive appends are refused."""
+    from openai_vector_search_demo_spark.operators.maintenance import (
+        append_evolved,
+        read_evolving,
+    )
+    path = str(tmp_path / "landing")
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, payload string")
+    append_evolved(v1, path)
+    v2 = spark.createDataFrame([(3, "c", 0.5)],
+                               "id int, payload string, score double")
+    append_evolved(v2, path)
+
+    merged = read_evolving(spark, path)
+    assert set(merged.columns) == {"id", "payload", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 0.5}
+
+    import pytest as _pytest
+    v3 = spark.createDataFrame([(4, 1.0)], "id int, score double")  # drops payload
+    with _pytest.raises(ValueError, match="additive"):
+        append_evolved(v3, path, allow_missing=False)
