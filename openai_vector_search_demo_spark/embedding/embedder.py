@@ -166,3 +166,20 @@ def embed_text(text: str, embedder: Embedder | None = None) -> list[float]:
     """Q1 — driver-side single-prompt embed (modules/utilities.py:376-377)."""
     emb = embedder or HashNgramEmbedder()
     return emb.embed_batch(pd.Series([text])).iloc[0]
+
+
+class LocalModelTransport:
+    """Deterministic transport for tests and demos: the batched call hits
+    the local hash-ngram model instead of an HTTP API — same
+    ``list[str] -> list[list[float]]`` contract a production transport
+    implements, so RemoteEmbedder's batching/retry/fp32 machinery runs
+    UNCHANGED on top of it (and, because the model is the oracle-checkable
+    one, end-to-end pipelines through RemoteEmbedder stay value-verified).
+    Picklable: holds only the model config."""
+
+    def __init__(self, dim: int = 64):
+        self.dim = dim
+
+    def __call__(self, texts: list[str]) -> list[list[float]]:
+        model = HashNgramEmbedder(self.dim)
+        return [model._vec(t) for t in texts]

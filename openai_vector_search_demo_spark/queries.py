@@ -1309,13 +1309,10 @@ WHERE score >= 50
 """.replace("{Q}", _FLAGSHIP_Q)
 
 
-@query("flagship_search_oracled", oracle=_FLAGSHIP_ORACLE)
-def flagship_search_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§3.1 + §3.2 — the ENTIRE search pipeline (C3 chunk → P1 cleanse →
-    P2 filter → E1 hash-embed → Q2 cosine KNN top-10 → E3 score → Q7-Q9
-    rerank/threshold/assembly) hash-checked end-to-end against one DuckDB
-    oracle.  Possible because every stage, including the embedder (md5-60bit
-    feature hashing) and the scorer, is bit-reproducible in SQL."""
+def _flagship_pipeline(spark: SparkSession, sf_dir: str,
+                       embedder=None) -> DataFrame:
+    """Shared §3.1 + §3.2 body — embedder pluggable so the same oracled
+    dataflow verifies both the local model and the RemoteEmbedder slot."""
     from pyspark.sql import Window
 
     from openai_vector_search_demo_spark.embedding.embedder import (
@@ -1337,7 +1334,8 @@ def flagship_search_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunked = chunk_documents(docs, text_col="text", chunk_col="page_content")
     kept = (chunked.withColumn("_cleansed", cleanse_text("page_content"))
             .filter(non_empty(F.col("_cleansed"))))
-    embedded = (kept.withColumn("embedding", embed_udf()(F.col("_cleansed")))
+    embedded = (kept.withColumn("embedding",
+                                embed_udf(embedder)(F.col("_cleansed")))
                 .filter(F.col("embedding").isNotNull()))
     qvec = embed_text(_FLAGSHIP_Q)
     scored = embedded.withColumn(
@@ -1356,6 +1354,31 @@ def flagship_search_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round("sim", 6).alias("Similarity"),
                    (F.col("page_no") + 1).alias("Page")))
     return out
+
+
+@query("flagship_search_oracled", oracle=_FLAGSHIP_ORACLE)
+def flagship_search_oracled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 + §3.2 — the ENTIRE search pipeline (C3 chunk → P1 cleanse →
+    P2 filter → E1 hash-embed → Q2 cosine KNN top-10 → E3 score → Q7-Q9
+    rerank/threshold/assembly) hash-checked end-to-end against one DuckDB
+    oracle.  Possible because every stage, including the embedder (md5-60bit
+    feature hashing) and the scorer, is bit-reproducible in SQL."""
+    return _flagship_pipeline(spark, sf_dir)
+
+
+@query("flagship_search_remote_slot", oracle=_FLAGSHIP_ORACLE)
+def flagship_search_remote_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME flagship dataflow through the PRODUCTION embedding slot:
+    RemoteEmbedder's batching / retry / fp32 / null-skip machinery runs for
+    real inside the pandas UDF workers, against a deterministic transport
+    that 'calls' the local model — so the production code path itself is
+    value-checked by the identical DuckDB oracle, not just unit-mocked."""
+    from openai_vector_search_demo_spark.embedding.embedder import (
+        LocalModelTransport,
+        RemoteEmbedder,
+    )
+    emb = RemoteEmbedder(LocalModelTransport(), dim=64, batch_size=64)
+    return _flagship_pipeline(spark, sf_dir, embedder=emb)
 
 
 @query("flagship_search")  # embed UDF → not SQL-expressible → rows-only check
