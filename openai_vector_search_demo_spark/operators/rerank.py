@@ -169,3 +169,15 @@ def rerank(scored: DataFrame,
                 F.col("similarity").alias("Similarity"),
                 (F.col("page_no") + 1).alias("Page"),  # P8, app/app.py:108
             ))
+
+
+class ArithmeticScoreTransport:
+    """Deterministic transport for the RemoteScorer slot: answer = first
+    160 chars, score = (37·len(content)) mod 101 — pure arithmetic over
+    the visible inputs, so a SQL oracle recomputes the 'LLM responses'
+    exactly and the production scorer path is value-checked end-to-end.
+    Picklable (stateless)."""
+
+    def __call__(self, question: str,
+                 contents: list[str]) -> list[tuple[str, int]]:
+        return [(c[:160], (37 * len(c)) % 101) for c in contents]

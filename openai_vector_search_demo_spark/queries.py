@@ -3134,3 +3134,61 @@ def datetime_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("1995-01-01").cast("timestamp_ntz"))
         .cast("long").alias("days_since_epoch_start"))
         .agg(F.count(F.lit(1)).alias("n")))
+
+
+@query("q7_q9_rerank_remote_slot", oracle="""
+WITH cand AS (
+  SELECT doc_id, text, source,
+         ((doc_id * 7919) % 1000) / 1000.0 AS similarity
+  FROM documents
+),
+knn AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY similarity DESC, doc_id ASC) AS INTEGER) - 1
+            AS retrieval_idx
+  FROM cand
+  ORDER BY similarity DESC, doc_id ASC LIMIT 10
+),
+scored AS (
+  SELECT *,
+         substr(text, 1, 160) AS answer,
+         CAST((37 * length(text)) % 101 AS INTEGER) AS score
+  FROM knn
+)
+SELECT answer AS "Answer", score AS "Score", text AS "Content",
+       source AS "Source", ROUND(similarity, 6) AS "Similarity",
+       CAST(retrieval_idx AS INTEGER) + 1 AS "Page"
+FROM (SELECT * FROM scored ORDER BY score DESC, retrieval_idx DESC, answer DESC LIMIT 10)
+WHERE score >= 50
+""")
+def q7_q9_rerank_remote_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7–Q9 through the PRODUCTION E3 slot: RemoteScorer's batched
+    transport calls, retry machinery, 0..100 clamp and NULL-drop run for
+    real inside the pandas UDF workers against a deterministic transport —
+    and the whole path hash-matches a SQL oracle that recomputes the
+    'LLM responses' arithmetically."""
+    from pyspark.sql import Window
+    from openai_vector_search_demo_spark.operators.rerank import (
+        ArithmeticScoreTransport,
+        RemoteScorer,
+        rerank_order,
+    )
+    docs = t(spark, sf_dir, "documents")
+    cand = docs.select(
+        "doc_id", "text", "source",
+        (((F.col("doc_id") * 7919) % 1000) / 1000.0).alias("similarity"))
+    w = Window.orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+    hits = (cand.withColumn("retrieval_idx",
+                            (F.row_number().over(w) - 1).cast("int"))
+            .orderBy(F.col("similarity").desc(), F.col("doc_id").asc())
+            .limit(10))
+    scorer = RemoteScorer(ArithmeticScoreTransport(), batch_size=4)
+    scored = scorer(_FLAGSHIP_Q, hits, content_col="text")
+    out = (scored.orderBy(*rerank_order(scored)).limit(10)
+           .filter(F.col("score") >= 50)
+           .select(F.col("answer").alias("Answer"),
+                   F.col("score").alias("Score"),
+                   F.col("text").alias("Content"),
+                   F.col("source").alias("Source"),
+                   F.round("similarity", 6).alias("Similarity"),
+                   (F.col("retrieval_idx") + 1).alias("Page")))
+    return out
