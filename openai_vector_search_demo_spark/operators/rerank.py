@@ -25,10 +25,25 @@ from openai_vector_search_demo_spark.config import DEFAULT_TOP_K, SCORE_THRESHOL
 MAX_UNPARTITIONED_CANDIDATES = 10_000
 
 
+def _static_max_rows(df: DataFrame) -> int | None:
+    """Catalyst's static row bound for ``df``'s optimized logical plan
+    (``LogicalPlan.maxRows``): a KNN candidate list arrives as
+    ``orderBy(...).limit(k)`` → GlobalLimit, and Project/Filter stages the
+    scorer adds on top propagate the bound — so boundedness is provable
+    without running any job.  None = unbounded or unavailable (e.g. a
+    non-JVM-backed session); callers fall back to a guarded probe."""
+    try:
+        mr = df._jdf.queryExecution().optimizedPlan().maxRows()
+        return int(mr.get()) if mr.isDefined() else None
+    except Exception:
+        return None
+
+
 def with_retrieval_idx(hits: DataFrame,
                        sim_col: str = "similarity",
                        tie_break: str = "id",
-                       partition_col: str | None = None) -> DataFrame:
+                       partition_col: str | None = None,
+                       known_small: bool = False) -> DataFrame:
     """Candidate order as the KNN stage returned it (0-based), which is the
     reference's implicit list position (app/app.py:88-90).
 
@@ -39,17 +54,31 @@ def with_retrieval_idx(hits: DataFrame,
     rather than silently single-threading them; batch callers ranking many
     queries at once pass ``partition_col`` (e.g. the query id) and keep the
     window parallel per group.
+
+    The size guard is FREE on the hot path: a statically bounded plan
+    (``limit(k)`` anywhere below — which is how every ``knn()`` output
+    arrives) is proven small from ``LogicalPlan.maxRows`` with zero jobs.
+    Only a genuinely unbounded input pays a probe, and that probe runs over
+    a ``localCheckpoint`` so the upstream plan (including any scorer/embed
+    UDFs) executes exactly once, never twice.  ``known_small=True`` skips
+    even the plan inspection (caller vouches for boundedness).
     """
     if partition_col is not None:
         w = Window.partitionBy(partition_col).orderBy(
             F.col(sim_col).desc(), F.col(tie_break).asc())
         return hits.withColumn("retrieval_idx", F.row_number().over(w) - 1)
     probe = MAX_UNPARTITIONED_CANDIDATES
-    if hits.limit(probe + 1).count() > probe:
-        raise ValueError(
-            f"with_retrieval_idx without partition_col uses a global window "
-            f"(single partition); input exceeds {probe} rows — pass "
-            f"partition_col to rank per group")
+    if not known_small:
+        bound = _static_max_rows(hits)
+        if bound is None or bound > probe:
+            # unbounded plan: materialize once, then both the probe and the
+            # downstream window read the checkpointed rows — no re-execution
+            hits = hits.localCheckpoint(eager=True)
+            if hits.limit(probe + 1).count() > probe:
+                raise ValueError(
+                    f"with_retrieval_idx without partition_col uses a global "
+                    f"window (single partition); input exceeds {probe} rows — "
+                    f"pass partition_col to rank per group")
     w = Window.orderBy(F.col(sim_col).desc(), F.col(tie_break).asc())
     return hits.withColumn("retrieval_idx", F.row_number().over(w) - 1)
 
@@ -154,10 +183,11 @@ def rerank_order(df: DataFrame,
 
 def rerank(scored: DataFrame,
            k: int = DEFAULT_TOP_K,
-           threshold: int = SCORE_THRESHOLD) -> DataFrame:
+           threshold: int = SCORE_THRESHOLD,
+           known_small: bool = False) -> DataFrame:
     """Q7 sort → Q8 limit+threshold → Q9 answer assembly."""
     if "retrieval_idx" not in scored.columns:
-        scored = with_retrieval_idx(scored)
+        scored = with_retrieval_idx(scored, known_small=known_small)
     ordered = scored.orderBy(*rerank_order(scored))
     return (ordered.limit(k)
             .filter(F.col("score") >= threshold)

@@ -139,4 +139,7 @@ def search(chunks: DataFrame,
     scoped = chunks.filter(F.col("tenant") == tenant) if tenant else chunks
     hits = knn(scoped, qvec, k=k, sim_col="similarity", tie_break="id")
     scored = (scorer or deterministic_scorer)(question, hits)
-    return rerank(scored, k=k, threshold=score_threshold)
+    # known_small: hits is knn(..., k).limit(k) — statically bounded, so the
+    # retrieval-idx size guard must not spend a probe job (the r2 defect ran
+    # the whole KNN+scorer subtree twice per search)
+    return rerank(scored, k=k, threshold=score_threshold, known_small=True)

@@ -130,6 +130,79 @@ def test_json_extract_stays_jvm_side(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
+def test_retrieval_idx_static_bound_skips_probe(spark, monkeypatch):
+    """A statically bounded candidate list (limit(k) anywhere below) must
+    not spend a probe job or a checkpoint: LogicalPlan.maxRows proves
+    boundedness for free.  r2's guard ran the whole upstream subtree —
+    including the E3 scorer UDF — a second time on every search."""
+    from pyspark.sql import DataFrame, functions as F
+
+    from openai_vector_search_demo_spark.operators import rerank as rr
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    hits = (emb.orderBy(F.col("vec_id").asc()).limit(10)
+            .withColumn("similarity", F.col("vec_id").cast("double"))
+            .filter(F.col("vec_id") >= 0))       # Filter/Project keep the bound
+
+    def boom(self, *a, **k):
+        raise AssertionError("action ran while planning a bounded input")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", boom)
+    out = rr.with_retrieval_idx(hits, sim_col="similarity", tie_break="vec_id")
+    monkeypatch.undo()
+    assert out.count() == 10
+    assert out.filter("retrieval_idx = 0").count() == 1
+
+
+def test_search_scorer_executes_once_per_candidate(spark, tmp_path):
+    """End-to-end pin for the r2 double-execution defect: the E3 scorer
+    (production: one LLM call per candidate) must evaluate exactly k rows,
+    not 2k, across the whole search() plan.  Scored rows are tallied via a
+    filesystem side effect — local-mode UDF workers share the filesystem,
+    and accumulator updates are dropped on the CollectLimit path."""
+    import glob
+    import os
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.embedding.embedder import (
+        HashNgramEmbedder,
+    )
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        ingest_documents,
+        search,
+    )
+
+    model = HashNgramEmbedder(16)
+    docs = spark.createDataFrame(
+        [(f"doc{i}", f"alpha beta gamma delta {i} " * 3) for i in range(30)],
+        "source string, text string")
+    chunks = ingest_documents(docs, embedder=model).localCheckpoint()
+    tally_dir = str(tmp_path / "scored")
+    os.makedirs(tally_dir, exist_ok=True)
+
+    def counting_scorer(question, hits, content_col="page_content"):
+        def _score_fn(c):
+            with open(os.path.join(tally_dir, uuid.uuid4().hex), "w") as f:
+                f.write(str(len(c)))
+            return pd.Series([60] * len(c), index=c.index)
+        # explicit form: the module's `from __future__ import annotations`
+        # stringifies type hints, which pandas_udf inference can't resolve
+        _score = F.pandas_udf(_score_fn, "int")
+        return (hits.withColumn("score", _score(F.col(content_col)))
+                .withColumn("answer", F.substring(F.col(content_col), 1, 160)))
+
+    out = search(chunks, "alpha beta gamma", k=5, embedder=model,
+                 scorer=counting_scorer).collect()
+    assert len(out) == 5
+    scored_rows = sum(int(open(p).read())
+                      for p in glob.glob(os.path.join(tally_dir, "*")))
+    assert scored_rows == 5
+
+
 def test_tenant_partition_pruning_reaches_scan(spark, tmp_path):
     """filter(tenant = x) over a tenant-partitioned table must prune at the
     file listing (PartitionFilters), not post-scan — the §4.1 per-alias
