@@ -33,14 +33,23 @@ def encode_name(name: str) -> str:
     return hashlib.sha1(name.encode("utf-8")).hexdigest()
 
 
+import re
+
+_IDENT = re.compile(r"[A-Za-z0-9_]+")
+
+
 def _safe_identifier(name: str) -> str:
-    """Reject identifiers that would escape their backtick quoting.  Table
-    names and locations are interpolated into DDL strings; a backtick in the
-    name (or a quote in the path, handled below) is an injection surface, not
-    a legal tenant alias (the reference's aliases are 6-10 char UI strings —
-    app/app.py:38-39)."""
-    if "`" in name or "\x00" in name or not name.strip():
-        raise ValueError(f"illegal table identifier: {name!r}")
+    """Reject identifiers the metastore will refuse (it allows only
+    alphanumerics and underscore — a hyphenated alias fails CREATE with
+    INVALID_SCHEMA_OR_RELATION_NAME even backtick-quoted) and anything that
+    would escape backtick quoting in interpolated DDL.  Arbitrary tenant
+    aliases go through ``encrypt_name=True``: the reference's own SHA-1
+    name 'encryption' (modules/utilities.py:234-235) always yields a legal
+    hex identifier."""
+    if not _IDENT.fullmatch(name):
+        raise ValueError(
+            f"illegal table identifier {name!r} (metastore allows only "
+            f"[A-Za-z0-9_]); pass encrypt_name=True to hash arbitrary aliases")
     return name
 
 
@@ -60,9 +69,14 @@ def create_index(spark: SparkSession, name: str, location: str,
     S5-recreate round trip), the partitions are recovered into the catalog
     (MSCK REPAIR) — without this, the recreated table silently reads empty
     because CREATE registers no partitions for pre-existing directories.
+    Repair runs through SQL with the identifier backticked, gated only on
+    the LOCATION existing — checked via the Hadoop FS API, so s3://,
+    hdfs:// and every other scheme recover the same as local paths (an
+    os.scandir pre-check would only ever see local directories, silently
+    reading empty after recreate on object stores).  MSCK itself raises on
+    a missing path, hence the existence gate; an existing-but-empty
+    LOCATION repairs to zero partitions at the cost of one listing.
     """
-    import os
-
     table = _safe_identifier(encode_name(name) if encrypt_name else name)
     if index_exists(spark, table):
         return False
@@ -70,19 +84,21 @@ def create_index(spark: SparkSession, name: str, location: str,
         f"CREATE TABLE IF NOT EXISTS `{table}` ({CHUNKS_DDL}, "
         f"{PARTITION_COL} STRING) USING parquet "
         f"PARTITIONED BY ({PARTITION_COL}) LOCATION '{_safe_location(location)}'")
-    loc = location[7:] if location.startswith("file://") else location
-    if os.path.isdir(loc) and any(
-            e.name.startswith(f"{PARTITION_COL}=")
-            for e in os.scandir(loc) if e.is_dir()):
-        spark.catalog.recoverPartitions(table)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(location)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        spark.sql(f"MSCK REPAIR TABLE `{table}`")
     return True
 
 
 def index_exists(spark: SparkSession, name: str,
                  encrypt_name: bool = False) -> bool:
-    """S6 — FT.INFO probe → catalog lookup."""
-    table = encode_name(name) if encrypt_name else name
-    return spark.catalog.tableExists(table)
+    """S6 — FT.INFO probe → catalog lookup.  The identifier is backticked:
+    tenant aliases legal only inside quoting (e.g. containing '-') must
+    resolve here too, or create/exists/drop disagree about the same name."""
+    table = _safe_identifier(encode_name(name) if encrypt_name else name)
+    return spark.catalog.tableExists(f"`{table}`")
 
 
 def drop_index(spark: SparkSession, name: str, delete_documents: bool = False,

@@ -101,18 +101,28 @@ class RemoteEmbedder(Embedder):
     wraps an openai/httpx client constructed lazily on first call.  A
     failing sub-batch is retried ``max_retries`` times, then its rows embed
     to None — failures are per-sub-batch data, never a job abort.
+
+    ``backoff_base``: transient API failures overwhelmingly mean rate
+    limiting — immediate re-calls hammer the endpoint and extend the
+    outage.  Retries sleep ``backoff_base · 2^attempt`` seconds
+    (exponential; ``sleep`` injectable so tests run instantly).
     """
 
     def __init__(self, transport, dim: int, batch_size: int = 256,
-                 max_retries: int = 3):
+                 max_retries: int = 3, backoff_base: float = 0.5,
+                 sleep=None):
         if batch_size < 1 or max_retries < 1:
             raise ValueError("batch_size and max_retries must be >= 1")
         self.transport = transport
         self.dim = dim
         self.batch_size = batch_size
         self.max_retries = max_retries
+        self.backoff_base = backoff_base
+        self.sleep = sleep
 
     def _call_with_retry(self, chunk: list[str]) -> list[list[float] | None]:
+        import time
+        do_sleep = self.sleep if self.sleep is not None else time.sleep
         for attempt in range(self.max_retries):
             try:
                 vecs = self.transport(chunk)
@@ -120,12 +130,16 @@ class RemoteEmbedder(Embedder):
             except Exception:
                 if attempt == self.max_retries - 1:
                     return [None] * len(chunk)  # E1: None on exhausted retries
+                do_sleep(self.backoff_base * (2 ** attempt))
         else:  # pragma: no cover — loop always breaks or returns
             return [None] * len(chunk)
         if len(vecs) != len(chunk):
             return [None] * len(chunk)  # malformed response = failure
-        # P10 fp32 contract — same cast the reference applies at :301
-        return [None if v is None else [float(np.float32(x)) for x in v]
+        # P10 fp32 contract — same cast the reference applies at :301 — and
+        # a width check: a wrong-dim vector is a malformed response (it would
+        # poison every cosine against the table), not data
+        return [None if v is None or len(v) != self.dim
+                else [float(np.float32(x)) for x in v]
                 for v in vecs]
 
     def embed_batch(self, texts: pd.Series) -> pd.Series:

@@ -113,11 +113,19 @@ def lsh_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
 def lsh_assign(df: DataFrame, vec_col: str = "embedding",
                planes: list[list[float]] | None = None,
                nbits: int = 16, seed: int = 42,
-               bucket_col: str = "bucket") -> DataFrame:
+               bucket_col: str = "bucket",
+               dim: int | None = None) -> DataFrame:
     """Write-time bucket assignment — persist (and partition/bucket by) this
-    column so query-time pruning is a metadata operation."""
-    dim = len(df.select(vec_col).first()[0])
-    planes = planes or hyperplanes(dim, nbits, seed)
+    column so query-time pruning is a metadata operation.
+
+    Pass ``planes`` or ``dim`` and plan construction stays job-free; the
+    write path always knows the embedding width (it is the model registry's
+    ``dim`` — E4), so the ``first()`` probe is a last-resort fallback for
+    ad-hoc tables, not something a pipeline should ever pay."""
+    if planes is None:
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = hyperplanes(dim, nbits, seed)
     return df.withColumn(bucket_col, lsh_bucket(vec_col, planes))
 
 
@@ -143,7 +151,9 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                        planes: list[list[float]] | None = None,
                        nbits: int | None = None, seed: int = 42,
                        max_bucket_rows: int | None = None,
-                       cache: bool = True) -> DataFrame:
+                       cache: bool = True,
+                       dim: int | None = None,
+                       n_rows: int | None = None) -> DataFrame:
     """Embedding near-dup with an LSH-bucket prefilter: candidate pairs share
     a bucket (equi-join — replaces dedup.embedding_near_dup's all-pairs
     product), then exact cosine verification.  High-cosine pairs land in the
@@ -161,11 +171,18 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
       the ``max_bucket_rows`` lowest-id rows per bucket (deterministic) and
       drops the rest from candidate generation: an explicit recall trade,
       off by default.
+    - ``dim`` / ``n_rows``: plan-build metadata.  Without them the operator
+      probes the table (one ``first()`` for the width, one ``count()`` for
+      adaptive sizing) — two extra jobs, and the count is a full scan at
+      100 TB.  A write path knows both (model dim, table row count from the
+      catalog/last maintenance pass); pass them and plan construction is
+      job-free.  Probing remains the ad-hoc fallback only.
     """
     if planes is None:
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
         if nbits is None:
-            nbits = adaptive_nbits(df.count())
+            nbits = adaptive_nbits(n_rows if n_rows is not None else df.count())
         planes = hyperplanes(dim, nbits, seed)
     # persist: both join branches reuse the bucket assignment (nbits dot
     # products per row) — uncached it is computed twice.  Same cache
@@ -243,21 +260,23 @@ def ivf_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             centroids: list[list[float]] | None = None,
             nlist: int = 16, nprobe: int = 4, seed: int = 42,
             train_fraction: float | None = None,
+            n_rows: int | None = None,
             sim_col: str = "similarity", tie_break: str | None = None) -> DataFrame:
     """IVF approximate KNN: score only rows in the nprobe nearest cells.
 
     ``centroids=None`` trains on a bounded driver-side SAMPLE of ``vec_col``:
     ``sample(train_fraction).limit(IVF_TRAIN_CAP)`` — never an unbounded
     collect of the table.  ``train_fraction=None`` picks a fraction from a
-    cheap count so the expected sample is ~IVF_TRAIN_CAP rows.  k-means only
-    needs a representative sample, not the corpus; production trains once
-    offline and passes ``centroids``, keeping the operator a pure
-    distributed map + top-k.
+    count (or ``n_rows`` when the caller already knows it — no job) so the
+    expected sample is ~IVF_TRAIN_CAP rows.  k-means only needs a
+    representative sample, not the corpus; production trains once offline
+    and passes ``centroids``, keeping the operator a pure distributed
+    map + top-k.
     """
     if centroids is None:
         vecs = df.select(vec_col)
         if train_fraction is None:
-            n = vecs.count()
+            n = n_rows if n_rows is not None else vecs.count()
             train_fraction = min(1.0, IVF_TRAIN_CAP / max(n, 1))
         if train_fraction < 1.0:
             vecs = vecs.sample(fraction=train_fraction, seed=seed)
@@ -279,15 +298,17 @@ def ivf_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
 def ivf_assign(df: DataFrame, vec_col: str = "embedding",
                centroids: list[list[float]] | None = None,
                nlist: int = 16, seed: int = 42,
-               cell_col: str = "cell") -> DataFrame:
+               cell_col: str = "cell",
+               n_rows: int | None = None) -> DataFrame:
     """Write-time IVF cell assignment — the coarse-quantizer twin of
     ``lsh_assign``.  Persist partitioned/bucketed by this column and a
     query's ``nprobe`` cells become partition pruning: the scan reads
     ``nprobe/nlist`` of the corpus from the file listing down.
-    ``centroids=None`` trains on a bounded sample exactly like ivf_knn."""
+    ``centroids=None`` trains on a bounded sample exactly like ivf_knn;
+    pass ``n_rows`` (the write path knows it) to skip the sizing count."""
     if centroids is None:
         vecs = df.select(vec_col)
-        n = vecs.count()
+        n = n_rows if n_rows is not None else vecs.count()
         fraction = min(1.0, IVF_TRAIN_CAP / max(n, 1))
         if fraction < 1.0:
             vecs = vecs.sample(fraction=fraction, seed=seed)

@@ -157,12 +157,15 @@ def read_evolving(spark: SparkSession, path: str) -> DataFrame:
 
 
 def append_evolved(df: DataFrame, path: str,
-                   allow_missing: bool = True) -> None:
+                   allow_missing: bool = False) -> None:
     """Append a batch whose schema may have MORE columns than earlier
-    files (additive evolution).  Column renames/drops are rejected by
-    comparing against the current merged schema: additive evolution is
-    the only kind a reader with ``mergeSchema`` can reconcile — silent
-    renames would fork the data into two half-NULL columns forever."""
+    files (additive evolution).  Column renames/drops are rejected BY
+    DEFAULT by comparing against the current merged schema: additive
+    evolution is the only kind a reader with ``mergeSchema`` can
+    reconcile — a rename (drop+add) would silently fork the data into two
+    half-NULL columns forever.  ``allow_missing=True`` opts IN to
+    appending batches that omit existing columns (legitimate for sparse
+    producers that never carry every column)."""
     spark = df.sparkSession
     try:
         current = read_evolving(spark, path).schema

@@ -110,21 +110,28 @@ class RemoteScorer:
     max_tokens.  A sub-batch failing ``max_retries`` times scores to NULL —
     those candidates are dropped like E2 drops failed embeds
     (modules/utilities.py:207-208), never a job abort.  Scores are clamped
-    to the reference's 0..100 contract (app/app.py:90).
+    to the reference's 0..100 contract (app/app.py:90).  Retries back off
+    exponentially (``backoff_base · 2^attempt`` s — LLM endpoints
+    rate-limit; ``sleep`` injectable for tests).
     """
 
     def __init__(self, transport, batch_size: int = 64,
                  max_retries: int = 3,
-                 temperature: float = 0.2, max_tokens: int = 500):
+                 temperature: float = 0.2, max_tokens: int = 500,
+                 backoff_base: float = 0.5, sleep=None):
         if batch_size < 1 or max_retries < 1:
             raise ValueError("batch_size and max_retries must be >= 1")
         self.transport = transport
         self.batch_size = batch_size
         self.max_retries = max_retries
         self.temperature, self.max_tokens = temperature, max_tokens
+        self.backoff_base = backoff_base
+        self.sleep = sleep
 
     def _score_chunk(self, question: str,
                      chunk: list[str]) -> list[tuple[str, int] | None]:
+        import time
+        do_sleep = self.sleep if self.sleep is not None else time.sleep
         for attempt in range(self.max_retries):
             try:
                 res = self.transport(question, chunk)
@@ -132,6 +139,7 @@ class RemoteScorer:
             except Exception:
                 if attempt == self.max_retries - 1:
                     return [None] * len(chunk)
+                do_sleep(self.backoff_base * (2 ** attempt))
         else:  # pragma: no cover
             return [None] * len(chunk)
         if len(res) != len(chunk):

@@ -214,3 +214,42 @@ def test_ivf_assign_partition_pruned_knn(spark, tmp_path):
     want = ivf_knn(base, qvec, k=10, centroids=cents, nprobe=3,
                    tie_break="vec_id").select("vec_id").collect()
     assert [r.vec_id for r in got] == [r.vec_id for r in want]
+
+
+def test_ann_metadata_params_skip_plan_build_jobs(spark, monkeypatch):
+    """With dim/n_rows supplied (the write path always knows both), building
+    an LSH/IVF plan must run NO driver action — r2 probed first()+count()
+    per call, two extra jobs and a full scan on a 100 TB table."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_assign,
+        ivf_knn,
+        lsh_assign,
+        lsh_near_dup_pairs,
+        train_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    dim = len(emb.first().embedding)
+    qvec = [1.0] + [0.0] * (dim - 1)
+    sample_rows = [r.embedding for r in emb.limit(100).collect()]
+    import numpy as np
+    cents = train_centroids(np.array(sample_rows), nlist=4, seed=42)
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action ran at plan-build time")
+
+    # patch the CONCRETE class (pyspark 4's classic DataFrame overrides the
+    # abstract base's methods — patching pyspark.sql.DataFrame is a no-op)
+    cls = type(emb)
+    for m in ("count", "first", "collect", "take", "head", "toPandas"):
+        monkeypatch.setattr(cls, m, boom)
+    # sanity: the patch actually intercepts actions
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="plan-build"):
+        emb.count()
+    # all four operators plan without touching the cluster
+    lsh_assign(emb, dim=dim, nbits=8)
+    lsh_near_dup_pairs(emb, id_col="vec_id", dim=dim, n_rows=n, cache=False)
+    ivf_knn(emb, qvec, k=5, centroids=cents)
+    ivf_assign(emb, centroids=cents)

@@ -39,15 +39,18 @@ def test_remote_embedder_batches_and_aligns():
     assert tr.calls == 2                      # 5 rows / batch_size 3 → 2 calls
 
 
-def test_remote_embedder_retries_then_succeeds():
+def test_remote_embedder_retries_with_exponential_backoff():
     import pandas as pd
 
     from openai_vector_search_demo_spark.embedding.embedder import RemoteEmbedder
     tr = FlakyEmbedTransport(dim=2, fail_times=2)
-    emb = RemoteEmbedder(tr, dim=2, max_retries=3)
+    naps: list[float] = []
+    emb = RemoteEmbedder(tr, dim=2, max_retries=3, backoff_base=0.5,
+                         sleep=naps.append)
     out = emb.embed_batch(pd.Series(["xyz"]))
     assert out[0] == [3.0, 3.0]
     assert tr.calls == 3                      # 2 failures + 1 success
+    assert naps == [0.5, 1.0]                 # base·2^attempt between tries
 
 
 def test_remote_embedder_exhausted_retries_yield_none():
@@ -55,10 +58,31 @@ def test_remote_embedder_exhausted_retries_yield_none():
 
     from openai_vector_search_demo_spark.embedding.embedder import RemoteEmbedder
     tr = FlakyEmbedTransport(dim=2, fail_times=99)
-    emb = RemoteEmbedder(tr, dim=2, max_retries=3)
+    naps: list[float] = []
+    emb = RemoteEmbedder(tr, dim=2, max_retries=3, sleep=naps.append)
     out = emb.embed_batch(pd.Series(["xyz", "ab"]))
     assert out[0] is None and out[1] is None
     assert tr.calls == 3                      # stopped at max_retries
+    assert len(naps) == 2                     # no sleep after the final failure
+
+
+def test_remote_embedder_wrong_width_response_is_none():
+    """A response vector whose width != the registry dim is a malformed
+    response — it must map to None (E1 failure), never land in the table
+    where it would poison every cosine."""
+    import pandas as pd
+
+    from openai_vector_search_demo_spark.embedding.embedder import RemoteEmbedder
+
+    def skewed(texts):
+        # first vector correct, second too narrow, third too wide
+        widths = [2, 1, 3]
+        return [[1.0] * widths[i % 3] for i in range(len(texts))]
+
+    emb = RemoteEmbedder(skewed, dim=2)
+    out = emb.embed_batch(pd.Series(["a", "b", "c"]))
+    assert out[0] == [1.0, 1.0]
+    assert out[1] is None and out[2] is None
 
 
 def test_remote_embedder_fp32_contract():
@@ -111,13 +135,15 @@ class FlakyScoreTransport:
 def test_remote_scorer_chunk_retry_and_clamp():
     from openai_vector_search_demo_spark.operators.rerank import RemoteScorer
     tr = FlakyScoreTransport(fail_times=2)
-    sc = RemoteScorer(tr, max_retries=3)
+    naps: list[float] = []
+    sc = RemoteScorer(tr, max_retries=3, backoff_base=0.25, sleep=naps.append)
     got = sc._score_chunk("q", ["aaa", "a" * 50])
     assert tr.calls == 3
+    assert naps == [0.25, 0.5]                # exponential backoff between tries
     assert got[0] == ("answer to q from aaa", 30)
     assert got[1][1] == 100                   # 500 clamped to the 0..100 band
     tr2 = FlakyScoreTransport(fail_times=99)
-    sc2 = RemoteScorer(tr2, max_retries=3)
+    sc2 = RemoteScorer(tr2, max_retries=3, sleep=lambda s: None)
     assert sc2._score_chunk("q", ["x"]) == [None]
 
 

@@ -142,6 +142,29 @@ def test_encrypted_index_name(spark, tmp_path):
     catalog.drop_index(spark, name, encrypt_name=True)
 
 
+def test_hyphenated_alias_via_encryption_full_lifecycle(spark, tmp_path):
+    """A tenant alias the metastore cannot hold as an identifier (hyphens)
+    is refused loudly in plain mode with a pointer to encrypt_name — and the
+    full create→write→drop→recreate-with-recovery round trip works through
+    the SHA-1 name path, the reference's own mechanism for arbitrary
+    aliases (modules/utilities.py:234-235)."""
+    from openai_vector_search_demo_spark import catalog
+    name, loc = "my-tenant-index", str(tmp_path / "hyph_tbl")
+    with pytest.raises(ValueError, match="encrypt_name"):
+        catalog.create_index(spark, name, loc)
+    assert catalog.create_index(spark, name, loc, encrypt_name=True) is True
+    chunks = spark.createDataFrame(
+        [("k1", "/d.pdf", 0, "text a", [0.1] * 4, "t1")],
+        "id string, doc_path string, page_no int, page_content string, "
+        "embedding array<float>, tenant string")
+    chunks.write.mode("append").partitionBy("tenant").parquet(loc)
+    catalog.drop_index(spark, name, encrypt_name=True)
+    # recreate over surviving data: partitions recovered through MSCK
+    assert catalog.create_index(spark, name, loc, encrypt_name=True) is True
+    assert spark.table(catalog.encode_name(name)).count() == 1
+    catalog.drop_index(spark, name, encrypt_name=True)
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -455,4 +478,7 @@ def test_schema_evolution_additive_merge(spark, tmp_path):
     import pytest as _pytest
     v3 = spark.createDataFrame([(4, 1.0)], "id int, score double")  # drops payload
     with _pytest.raises(ValueError, match="additive"):
-        append_evolved(v3, path, allow_missing=False)
+        append_evolved(v3, path)          # refused BY DEFAULT (a rename =
+    # drop+add would fork the table into two half-NULL columns forever)
+    append_evolved(v3, path, allow_missing=True)   # sparse producer opts in
+    assert read_evolving(spark, path).count() == 4
