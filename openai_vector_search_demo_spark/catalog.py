@@ -138,6 +138,19 @@ def write_bucketed(df: DataFrame, name: str, bucket_col: str,
     writer.saveAsTable(name)
 
 
+def table_location(spark: SparkSession, name: str) -> str | None:
+    """The table's storage LOCATION from the catalog (None if unavailable)."""
+    from pyspark.sql import functions as F
+    row = (spark.sql(f"DESCRIBE FORMATTED `{_safe_identifier(name)}`")
+           .filter(F.col("col_name") == "Location").first())
+    return row.data_type if row else None
+
+
+def _stage_write(resolved: DataFrame, staging: str) -> None:
+    """Seam for the staging write (tests inject racing writers here)."""
+    resolved.write.mode("overwrite").parquet(staging)
+
+
 def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
                   staging_dir: str | None = None) -> None:
     """S8/S9 — batch put with HSET per-key upsert semantics.
@@ -148,11 +161,24 @@ def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
     reading), then dynamic-partition-overwrite ONLY those tenants.  Other
     tenants' partitions are never rewritten — per-batch cost scales with the
     touched tenants, not the table.
+
+    SINGLE-WRITER per tenant partition, enforced: rows appended to an
+    affected tenant between the merge read and the partition overwrite
+    would be silently deleted by the swap, so the touched partitions'
+    file listings are snapshotted before staging and re-checked after —
+    a concurrent change aborts the upsert with the table untouched (same
+    guard ``maintenance.compact_parquet`` applies to whole tables).  The
+    listing check covers local filesystems; on object stores the
+    production substitute is a transactional table format's conflict
+    detection (SCALE.md).
     """
+    import os
     import shutil
     import tempfile
 
     from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.maintenance import _listing
 
     incoming = chunks.dropDuplicates(["tenant", "doc_path", "page_no"])
     tenants = [r[0] for r in incoming.select("tenant").distinct().collect()]
@@ -163,12 +189,29 @@ def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
     resolved = latest_wins(merged, keys=["tenant", "doc_path", "page_no"],
                            order_col="_pri").drop("_pri").select(*COLUMNS)
 
+    loc = table_location(spark, name)
+    guard_dirs: list[str] = []
+    if loc and loc.startswith("file:"):
+        base = loc[len("file:"):]
+        guard_dirs = [os.path.join(base, f"{PARTITION_COL}={t}")
+                      for t in tenants]
+
+    def _snapshot():
+        return {d: (_listing(d) if os.path.isdir(d) else None)
+                for d in guard_dirs}
+
     own_staging = staging_dir is None
     staging = staging_dir or tempfile.mkdtemp(prefix="chunks_upsert_")
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        resolved.write.mode("overwrite").parquet(staging)
+        before = _snapshot()
+        _stage_write(resolved, staging)   # reads the table, writes staging
+        if _snapshot() != before:
+            raise RuntimeError(
+                f"tenant partition(s) of `{name}` changed during upsert "
+                f"(concurrent writer?); staging discarded, table untouched "
+                f"— serialize writers per tenant and re-run")
         spark.read.parquet(staging).select(*COLUMNS) \
             .write.mode("overwrite").insertInto(name)
     finally:

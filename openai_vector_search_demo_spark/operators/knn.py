@@ -36,6 +36,17 @@ from openai_vector_search_demo_spark.functions.vectors import (
 )
 
 
+KNN_AUTO_NUMPY_MIN_DIM = 256
+"""Crossover for ``method='auto'``: the r2 bench at sf0.1 measured the
+codegen'd higher-order-function cosine vs the Arrow/BLAS matvec at dim 64
+(0.376 s vs 0.316 s — a near-tie inside run noise) and dim 1024 (1.169 s vs
+0.486 s — BLAS 2.4× ahead and widening with dim, SURVEY §4.3's prediction).
+Below this width the SQL path is preferred: same speed class, but no Python
+boundary, whole-stage codegen, and DuckDB-mirrorable.  At or above it —
+production embedding dims run 1024–12288 (modules/utilities.py:420-475) —
+the matvec wins decisively."""
+
+
 def knn(df: DataFrame,
         query_vec: Sequence[float],
         k: int = 10,
@@ -51,7 +62,15 @@ def knn(df: DataFrame,
     Q3) limited to k (Q4).  ``tie_break`` adds a deterministic secondary key so
     results are reproducible across engines — the reference's HNSW ordering is
     its own tiebreak; ours must be explicit.
+
+    ``method='auto'`` picks the scoring path by vector width (measured
+    crossover, ``KNN_AUTO_NUMPY_MIN_DIM``): SQL codegen for narrow vectors,
+    BLAS matvec for production-width ones.  Both paths are exact and return
+    identical results — auto is a physical choice only.
     """
+    if method == "auto":
+        method = ("numpy" if len(list(query_vec)) >= KNN_AUTO_NUMPY_MIN_DIM
+                  else "sql")
     if method == "numpy":
         scored = _score_numpy(df, query_vec, vec_col, sim_col, metric, pre_normalized)
     else:

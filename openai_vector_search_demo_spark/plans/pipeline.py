@@ -97,7 +97,9 @@ def crack_and_ingest(raw: DataFrame, tenant: str = "default",
     from openai_vector_search_demo_spark.operators.chunking import chunk_documents
     from openai_vector_search_demo_spark.sources.doc_crack import crack_documents
 
-    pages = crack_documents(raw)
+    # error rows (unparseable documents) are data for the caller to count —
+    # only clean pages proceed to ingestion
+    pages = crack_documents(raw).filter(F.col("error").isNull())
     is_word = document_extension("doc_path").isin("docx", "doc")
     word_pages = (chunk_documents(
         pages.filter(is_word).select("doc_path", F.col("text")),

@@ -371,6 +371,31 @@ def q2_knn_numpy_wide1024(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
 
+@query("q2_knn_auto", oracle=_KNN_ORACLE)
+def q2_knn_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """method='auto' at dim 64 — resolves to the SQL codegen path (below the
+    measured crossover KNN_AUTO_NUMPY_MIN_DIM) and must match the same
+    oracle: auto is a physical choice, never a semantic one."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+              sim_col="sim", tie_break="vec_id", method="auto")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
+@query("q2_knn_auto_wide1024", oracle=_KNN_WIDE_ORACLE)
+def q2_knn_auto_wide1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """method='auto' at dim 1024 — resolves to the BLAS matvec (at/above the
+    crossover); benched so 'auto ≈ best-of-both' stays a measured number."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    emb = _wide_embeddings(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    top = knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+              sim_col="sim", tie_break="vec_id", method="auto")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
 @query("q2_knn_prenormalized", oracle="""
 WITH raw AS (
   SELECT vec_id, label, embedding,

@@ -44,6 +44,7 @@ PAGES_SCHEMA = StructType([
     StructField("doc_path", StringType()),
     StructField("page_no", IntegerType()),
     StructField("text", StringType()),
+    StructField("error", StringType()),   # NULL on good pages; one row/bad doc
 ])
 
 
@@ -121,12 +122,23 @@ def _ext_of(path: str) -> str:
 
 def crack_documents(raw: DataFrame,
                     extractors: dict[str, Extractor] | None = None) -> DataFrame:
-    """binaryFile rows → one row per page: ``(doc_path, page_no, text)``.
+    """binaryFile rows → one row per page:
+    ``(doc_path, page_no, text, error)``.
 
     Extension dispatch (S3) happens per row inside the Arrow batch; unknown
     extensions are skipped (reference behavior: unsupported uploads are
     filtered by the UI widget — app/app.py:225).  Everything downstream
     (cleanse → chunk → embed → index) is the ordinary ingest pipeline.
+
+    A document that fails to parse (encrypted PDF, truncated zip, …) emits
+    ONE ``(doc_path, NULL, NULL, error)`` row instead of raising or
+    vanishing — the multimodal corrupt-row convention: at 100 TB a bad file
+    is DATA to count and report (``filter(error.isNotNull())``), never a
+    job abort, and never a silent gap in the corpus.  (The reference's
+    try/except→None at modules/utilities.py:43-45 swallows the failure
+    entirely; we keep the never-crash property but not the silence.)
+    Good-page consumers filter ``error IS NULL`` — ``crack_and_ingest``
+    does this for the ingest path.
     """
     import pandas as pd
 
@@ -134,23 +146,25 @@ def crack_documents(raw: DataFrame,
 
     def crack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {"doc_path": [], "page_no": [], "text": []}
+            out: dict[str, list] = {"doc_path": [], "page_no": [],
+                                    "text": [], "error": []}
             for path, content in zip(pdf["path"], pdf["content"]):
                 fn = table.get(_ext_of(path))
                 if fn is None:
                     continue
                 try:
                     pages = fn(bytes(content))
-                except Exception:
-                    # a corrupt document skips, like the reference's
-                    # try/except→None around readPDF/readMSWord
-                    # (modules/utilities.py:43-45, :75-78) — at corpus scale
-                    # one bad file must never fail the ingest job
+                except Exception as e:
+                    out["doc_path"].append(path)
+                    out["page_no"].append(None)
+                    out["text"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
                     continue
                 for i, text in enumerate(pages):
                     out["doc_path"].append(path)
                     out["page_no"].append(i)
                     out["text"].append(text)
+                    out["error"].append(None)
             # object dtype: empty batches must not infer float64 columns
             yield pd.DataFrame({k: pd.Series(v, dtype="object")
                                 for k, v in out.items()})

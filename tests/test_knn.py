@@ -71,3 +71,43 @@ def test_zero_vector_never_wins_knn(spark):
                   tie_break="vec_id", method=method).collect()
         assert [r.vec_id for r in top] == [1, 2, 3], method
         assert top[-1].sim == 0.0, method
+
+
+def test_knn_auto_picks_path_by_dim(spark, emb):
+    """method='auto' is a physical choice only: SQL codegen below the
+    measured crossover (no Python boundary in the plan), BLAS matvec at or
+    above it — results identical either way."""
+    import contextlib
+    import io
+
+    from openai_vector_search_demo_spark.operators.knn import (
+        KNN_AUTO_NUMPY_MIN_DIM,
+        knn,
+    )
+
+    rows = emb.collect()
+    qvec = rows[7]["embedding"]
+    assert len(qvec) < KNN_AUTO_NUMPY_MIN_DIM
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    narrow = knn(emb, qvec, k=5, sim_col="sim", tie_break="vec_id",
+                 method="auto")
+    assert "MapInPandas" not in plan(narrow)         # codegen path
+    wide_vec = list(qvec) * (KNN_AUTO_NUMPY_MIN_DIM // len(qvec) + 1)
+    wide = emb.select("vec_id",
+                      F.flatten(F.array_repeat(
+                          F.col("embedding"),
+                          KNN_AUTO_NUMPY_MIN_DIM // len(qvec) + 1))
+                      .alias("embedding"))
+    wide_df = knn(wide, wide_vec, k=5, sim_col="sim", tie_break="vec_id",
+                  method="auto")
+    assert "MapInPandas" in plan(wide_df)            # BLAS path
+    # identical results across the crossover (tiling preserves cosine)
+    a = [r.vec_id for r in narrow.collect()]
+    b = [r.vec_id for r in wide_df.collect()]
+    assert a == b

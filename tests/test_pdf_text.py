@@ -177,10 +177,13 @@ def test_winansi_encoding_decodes_high_bytes():
     assert extract_pdf_pages(pdf) == ["café"]
 
 
-def test_corrupt_document_skips_not_fails(spark, tmp_path):
+def test_corrupt_document_becomes_error_row_not_failure(spark, tmp_path):
     """One truncated PDF and one garbage DOCX in the directory: the job
-    still succeeds and cracks the healthy files (reference semantics —
-    try/except→None per document, modules/utilities.py:43-45)."""
+    still succeeds, healthy files crack normally, and each bad document
+    surfaces as ONE (doc_path, error) row — countable and reportable, not
+    a silent gap (the reference's try/except→None at
+    modules/utilities.py:43-45 loses the failure entirely)."""
+    from openai_vector_search_demo_spark.plans.pipeline import crack_and_ingest
     from openai_vector_search_demo_spark.sources.doc_crack import (
         crack_documents,
         make_docx,
@@ -191,9 +194,18 @@ def test_corrupt_document_skips_not_fails(spark, tmp_path):
     (tmp_path / "trunc.pdf").write_bytes(good[:40])       # cut mid-object
     (tmp_path / "junk.docx").write_bytes(b"not a zip at all")
     (tmp_path / "ok.docx").write_bytes(make_docx(["hello"]))
-    rows = crack_documents(read_raw(spark, str(tmp_path))).collect()
-    by_doc = {r.doc_path.rsplit("/", 1)[-1] for r in rows}
-    assert by_doc == {"good.pdf", "ok.docx"}
+    raw = read_raw(spark, str(tmp_path))
+    rows = crack_documents(raw).collect()
+    good_docs = {r.doc_path.rsplit("/", 1)[-1] for r in rows if r.error is None}
+    bad = {r.doc_path.rsplit("/", 1)[-1]: r for r in rows if r.error is not None}
+    assert good_docs == {"good.pdf", "ok.docx"}
+    assert set(bad) == {"trunc.pdf", "junk.docx"}
+    for r in bad.values():                  # error rows carry no page payload
+        assert r.page_no is None and r.text is None and r.error
+    # and the ingest pipeline consumes only the clean pages
+    chunks = crack_and_ingest(raw).collect()
+    assert {c.doc_path.rsplit("/", 1)[-1] for c in chunks} == \
+        {"good.pdf", "ok.docx"}
 
 
 # ---------------------------------------------------------------------------

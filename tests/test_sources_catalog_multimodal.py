@@ -142,6 +142,55 @@ def test_encrypted_index_name(spark, tmp_path):
     catalog.drop_index(spark, name, encrypt_name=True)
 
 
+def test_upsert_refuses_concurrent_partition_writer(spark, tmp_path,
+                                                    monkeypatch):
+    """A row landing in an affected tenant partition between the merge read
+    and the partition overwrite would be deleted by the swap — the upsert
+    must detect the change and abort with the table untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark import catalog
+
+    loc = str(tmp_path / "race_tbl")
+    name = "race_tbl"
+    catalog.create_index(spark, name, loc)
+    schema = ("id string, doc_path string, page_no int, page_content string, "
+              "embedding array<float>, tenant string")
+    base = spark.createDataFrame(
+        [("k1", "/d.pdf", 0, "text a", [0.1] * 4, "t1")], schema)
+    catalog.upsert_chunks(spark, base, name)
+    assert spark.table(name).count() == 1
+
+    real_stage = catalog._stage_write
+
+    def racing_stage(resolved, staging):
+        real_stage(resolved, staging)
+        # another writer appends into the tenant partition mid-upsert
+        extra = spark.createDataFrame(
+            [("k9", "/late.pdf", 9, "late row", [0.9] * 4, "t1")], schema)
+        extra.write.mode("append").partitionBy("tenant").parquet(loc)
+
+    monkeypatch.setattr(catalog, "_stage_write", racing_stage)
+    update = spark.createDataFrame(
+        [("k1", "/d.pdf", 0, "text a v2", [0.2] * 4, "t1")], schema)
+    with _pytest.raises(RuntimeError, match="changed during upsert"):
+        catalog.upsert_chunks(spark, update, name)
+    monkeypatch.undo()
+    spark.catalog.refreshTable(name)   # external append → invalidate listing
+
+    # table untouched by the aborted upsert: old row + the racing row survive
+    rows = {r.id: r.page_content for r in spark.table(name).collect()}
+    assert rows == {"k1": "text a", "k9": "late row"}
+    # with no concurrent writer the same upsert applies cleanly
+    catalog.upsert_chunks(spark, update, name)
+    rows = {r.id: r.page_content for r in spark.table(name).collect()}
+    assert rows == {"k1": "text a v2", "k9": "late row"}
+    catalog.drop_index(spark, name)
+    assert os.path.isdir(loc)
+
+
 def test_hyphenated_alias_via_encryption_full_lifecycle(spark, tmp_path):
     """A tenant alias the metastore cannot hold as an identifier (hyphens)
     is refused loudly in plain mode with a pointer to encrypt_name — and the
