@@ -70,26 +70,43 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def _lang_hits_over(toks: Column, lang: str) -> Column:
+    """``lang_hits`` over an already-tokenized array column."""
+    marks = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(marks, t)))
+
+
 def lang_hits(c: Column | str, lang: str) -> Column:
     """Number of tokens that are stopwords of ``lang`` (with multiplicity —
     set-intersection would dedup and skew ratios)."""
-    marks = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    return F.size(F.filter(tokens(c), lambda t: F.array_contains(marks, t)))
+    return _lang_hits_over(tokens(c), lang)
+
+
+def _language_id_over(hits: Column, codes: list[str]) -> Column:
+    """Argmax over a per-language hit-count array; first occurrence of the
+    max ⇒ ties break by language code ascending (codes are sorted)."""
+    mx = F.array_max(hits)
+    codes_arr = F.array(*[F.lit(lang) for lang in codes])
+    return (F.when(mx > 0,
+                   F.element_at(codes_arr,
+                                F.array_position(hits, mx).cast("int")))
+            .otherwise(F.lit("und")))
 
 
 def language_id(c: Column | str) -> Column:
     """Best-scoring language code, 'und' if zero hits everywhere.
 
-    Ties break by language code ascending — encoded by scanning candidates in
-    sorted order and keeping strict-greater maxima.
+    Ties break by language code ascending (first index of the max over the
+    sorted-code hits array).  Expression size is LINEAR in the number of
+    languages: the previous strict-greater ``when``-chain embedded each
+    intermediate best-hits expression in BOTH branches of the next level —
+    2^n copies of the per-language scans, all interpreted HOFs (measured
+    ~20× slowdown at 5 languages).
     """
-    best_lang = F.lit("und")
-    best_hits = F.lit(0)
-    for lang in sorted(LANG_MARKERS):
-        h = lang_hits(c, lang)
-        best_lang = F.when(h > best_hits, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(h > best_hits, h).otherwise(best_hits)
-    return best_lang
+    codes = sorted(LANG_MARKERS)
+    toks = tokens(c)
+    hits = F.array(*[_lang_hits_over(toks, lang) for lang in codes])
+    return _language_id_over(hits, codes)
 
 
 # ---------------------------------------------------------------------------
@@ -161,6 +178,41 @@ def with_quality_score(df, text_col: str = "text", lang: str = "en",
     return (d.withColumn(out_col,
                          (len_term + sw_term + shape_term + punct_term) / 4.0)
             .drop("_toks"))
+
+
+def with_text_scores(df, text_col: str = "text", lang: str = "en",
+                     quality_col: str = "quality",
+                     lang_col: str = "lang_detected",
+                     tokens_col: str = "n_tokens"):
+    """Quality + language-ID + token count in ONE tokenization pass.
+
+    The pipeline form for corpus curation: ``_toks`` is materialized as a
+    real column (CollapseProject keeps a multi-referenced non-cheap alias
+    as its own projection level, so the split truly runs once per row), the
+    per-language hit counts land in one array column evaluated once, and
+    every score derives from those.  Calling the three scalar forms
+    separately re-tokenizes 7×; at corpus scale tokenization IS the cost.
+    """
+    codes = sorted(LANG_MARKERS)
+    marks = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    d = (df.withColumn("_toks", tokens(text_col))
+         .withColumn("_hits", F.array(*[_lang_hits_over(F.col("_toks"), c)
+                                        for c in codes])))
+    n = F.size("_toks")
+    sw = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(marks, t)))
+    total = F.aggregate(F.col("_toks"), F.lit(0).cast("long"),
+                        lambda s, t: s + F.length(t))
+    mwl = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+    len_term = F.least(n / F.lit(50.0), F.lit(1.0))
+    sw_term = F.least(
+        F.when(n > 0, sw / n).otherwise(F.lit(0.0)) / F.lit(0.4), F.lit(1.0))
+    shape_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
+    return (d.withColumn(quality_col,
+                         (len_term + sw_term + shape_term + punct_term) / 4.0)
+            .withColumn(lang_col, _language_id_over(F.col("_hits"), codes))
+            .withColumn(tokens_col, n)
+            .drop("_toks", "_hits"))
 
 
 # ---------------------------------------------------------------------------

@@ -2591,9 +2591,11 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
     )
     docs = t(spark, sf_dir, "documents")
-    scored = ta.with_quality_score(docs)
-    scored = scored.withColumn("lang_detected", ta.language_id("text"))
-    scored = scored.withColumn("n_tokens", ta.token_count("text"))
+    # one tokenization pass feeds quality, language-ID and token count —
+    # the three scalar forms would re-tokenize 7× (and r2's language_id
+    # when-chain was exponential in language count: the 6.9s bench entry
+    # was mostly interpreted-HOF re-evaluation, not dedup work)
+    scored = ta.with_text_scores(docs)
 
     pairs = minhash_lsh_pairs(docs.select("doc_id", "text"),
                               k=3, num_hashes=16, bands=4, threshold=0.5)

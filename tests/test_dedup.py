@@ -212,8 +212,11 @@ def test_duplicate_clusters_chain_collapses(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1}
 
 
-def test_duplicate_clusters_matches_union_find(spark):
-    """Random multi-component graph ≡ driver union-find ground truth."""
+@pytest.mark.parametrize("threshold", [1_000_000, 0])
+def test_duplicate_clusters_matches_union_find(spark, threshold):
+    """Random multi-component graph ≡ driver union-find ground truth —
+    through BOTH the small-graph driver fast path (default threshold) and
+    the distributed large-star/small-star loop (threshold=0)."""
     import random
 
     from openai_vector_search_demo_spark.operators.dedup import (
@@ -224,19 +227,22 @@ def test_duplicate_clusters_matches_union_find(spark):
     pairs = [(a, b) for a, b in pairs if a != b]
     expect = _union_find_clusters(pairs)
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    got = {r.id: r.cluster_id for r in duplicate_clusters(df).collect()}
+    got = {r.id: r.cluster_id
+           for r in duplicate_clusters(df, driver_threshold=threshold).collect()}
     assert got == expect
 
 
 def test_duplicate_clusters_long_chain_beats_diameter(spark):
-    """A 64-node path graph: label propagation would need 64 rounds;
-    large-star/small-star must converge within the 25-round cap."""
+    """A 64-node path graph through the DISTRIBUTED path (threshold=0):
+    label propagation would need 64 rounds; large-star/small-star must
+    converge within the 25-round cap."""
     from openai_vector_search_demo_spark.operators.dedup import (
         duplicate_clusters,
     )
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], ["id_a", "id_b"])
-    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    got = {r.id: r.cluster_id
+           for r in duplicate_clusters(pairs, driver_threshold=0).collect()}
     assert got == {i: 0 for i in range(64)}
 
 
