@@ -90,6 +90,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "ann_lsh_knn",
+    "ann_lsh_stored_knn",   # stored-index read path: pruning gets a number
+    "q2_knn_auto_wide1024",  # auto path picks BLAS at production dims
     "events_session_window",
     "corpus_distinct_stats",
     "curation_pipeline",

@@ -75,10 +75,26 @@ def latest_wins(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
 # N-gram Jaccard near-dup (exact, bucket-joined on shared shingles)
 # ---------------------------------------------------------------------------
 
+def adaptive_shingle_df(n_docs: int) -> int:
+    """Hot-shingle DF cap for ``max_shingle_df='auto'``: ~√corpus.
+
+    A shingle appearing in ``d`` documents feeds ``d·(d−1)/2`` candidate
+    rows into the self-join, so one boilerplate trigram shared by the whole
+    corpus turns the join quadratic.  Capping DF at √n bounds any single
+    shingle's contribution to ~n/2 pairs — LINEAR in the corpus no matter
+    how pathological the boilerplate — while touching only the extreme tail
+    of the DF distribution (natural-text shingle DF is Zipfian; √n sits far
+    above the useful signal).  Floored at 50 so small corpora stay
+    effectively exact."""
+    import math
+    return max(50, math.isqrt(max(n_docs, 0)))
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | None = None,
+                        max_shingle_df: int | str | None = None,
+                        n_docs: int | None = None,
                         cache: bool = True) -> DataFrame:
     """All pairs with Jaccard(shingle-set_a, shingle-set_b) ≥ threshold.
 
@@ -95,7 +111,15 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     quadratic.  With the cap, Jaccard is computed over the FILTERED shingle
     sets (sizes recomputed after the drop) — a recall/precision trade the
     caller opts into; ``None`` (default) preserves the exact semantics.
+    ``'auto'`` derives the cap from corpus size (``adaptive_shingle_df``,
+    √n with a floor of 50) — the setting PIPELINES should use: exact
+    semantics in practice on clean corpora, bounded join volume on
+    boilerplate-heavy ones.  Pass ``n_docs`` alongside to keep plan
+    construction job-free (otherwise auto pays one count).
     """
+    if max_shingle_df == "auto":
+        max_shingle_df = adaptive_shingle_df(
+            n_docs if n_docs is not None else df.count())
     # persist: both join branches reuse this subtree — Catalyst does not share
     # common subplans across self-join branches, and the md5-HOF shingle
     # computation is the expensive part (measured 4× recompute = 4× cost)

@@ -681,6 +681,45 @@ def ann_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
 
+@query("ann_lsh_stored_knn", oracle=_lsh_knn_oracle())
+def ann_lsh_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index ANN read path: write-time ``lsh_assign`` buckets
+    persisted as a bucket-partitioned parquet table; the query filters to
+    the probed buckets so pruning happens at the FILE LISTING (Hive
+    partition pruning — `tests/test_ann.py` pins PartitionFilters), before
+    a single vector is read.  Identical planes/probes/scoring to
+    ``ann_lsh_knn``, hence the identical oracle — the inline variant pays
+    a full scan + per-row bucket computation; this one reads
+    |probed buckets| / 2^nbits of the files.  The index build is cached per
+    corpus (a deployment builds it once at write time); the measured cost
+    after the first run is the pruned read."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        lsh_assign,
+        query_buckets,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+
+    store = os.path.join(
+        "/tmp", "spark_graft_lsh_store_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (lsh_assign(emb.filter(F.col("vec_id") != 0), planes=planes)
+         .write.mode("overwrite").partitionBy("bucket").parquet(store))
+
+    probes = query_buckets(qvec, planes, probe_hamming=1)
+    stored = spark.read.parquet(store).filter(F.col("bucket").isin(probes))
+    top = knn(stored, qvec, k=10, sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
 _IVF_NLIST = 16
 _IVF_NPROBE = 4
 

@@ -252,3 +252,38 @@ def test_duplicate_clusters_empty_pairs(spark):
     )
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert duplicate_clusters(pairs).count() == 0
+
+
+def test_ngram_jaccard_auto_cap(spark):
+    """max_shingle_df='auto' derives the cap from corpus size (√n, floor
+    50) and equals the explicitly-capped run; with n_docs supplied, plan
+    build runs no count job."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        adaptive_shingle_df,
+        ngram_jaccard_pairs,
+    )
+    assert adaptive_shingle_df(100) == 50          # floor
+    assert adaptive_shingle_df(1_000_000) == 1000  # √n
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    auto = ngram_jaccard_pairs(docs, max_shingle_df="auto", n_docs=n,
+                               cache=False).collect()
+    explicit = ngram_jaccard_pairs(docs,
+                                   max_shingle_df=adaptive_shingle_df(n),
+                                   cache=False).collect()
+    assert sorted(map(tuple, auto)) == sorted(map(tuple, explicit))
+
+    cls = type(docs)
+    real_count = cls.count
+    calls = []
+    def counting(self, *a, **k):
+        calls.append(1)
+        return real_count(self)
+    cls.count = counting
+    try:
+        ngram_jaccard_pairs(docs, max_shingle_df="auto", n_docs=n,
+                            cache=False)           # plan build only
+    finally:
+        cls.count = real_count
+    assert calls == []                             # no sizing job with n_docs
