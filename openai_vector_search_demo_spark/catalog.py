@@ -84,21 +84,38 @@ def create_index(spark: SparkSession, name: str, location: str,
         f"CREATE TABLE IF NOT EXISTS `{table}` ({CHUNKS_DDL}, "
         f"{PARTITION_COL} STRING) USING parquet "
         f"PARTITIONED BY ({PARTITION_COL}) LOCATION '{_safe_location(location)}'")
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(location)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
+    try:
+        # classic-session path: one FS existence probe gates the repair
+        # (MSCK raises on a missing LOCATION)
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(location)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        location_exists = bool(fs.exists(hpath))
+    except Exception:
+        # Spark Connect: no _jvm gateway — attempt the repair and treat a
+        # missing-LOCATION failure as "nothing to recover" (the table was
+        # just created, so no partitions can be lost by skipping)
+        try:
+            spark.sql(f"MSCK REPAIR TABLE `{table}`")
+        except Exception:
+            pass
+        return True
+    if location_exists:
         spark.sql(f"MSCK REPAIR TABLE `{table}`")
     return True
 
 
 def index_exists(spark: SparkSession, name: str,
                  encrypt_name: bool = False) -> bool:
-    """S6 — FT.INFO probe → catalog lookup.  The identifier is backticked:
-    tenant aliases legal only inside quoting (e.g. containing '-') must
-    resolve here too, or create/exists/drop disagree about the same name."""
-    table = _safe_identifier(encode_name(name) if encrypt_name else name)
-    return spark.catalog.tableExists(f"`{table}`")
+    """S6 — FT.INFO probe → catalog lookup.  A name the metastore would
+    refuse (anything outside [A-Za-z0-9_] — see ``_safe_identifier``) can
+    never have been created, so the existence probe answers False for it
+    instead of raising: create/exists/drop stay consistent about the same
+    string, and probing an arbitrary un-encrypted alias is harmless."""
+    raw = encode_name(name) if encrypt_name else name
+    if not _IDENT.fullmatch(raw):
+        return False
+    return spark.catalog.tableExists(f"`{raw}`")
 
 
 def drop_index(spark: SparkSession, name: str, delete_documents: bool = False,
@@ -138,10 +155,18 @@ def write_bucketed(df: DataFrame, name: str, bucket_col: str,
     writer.saveAsTable(name)
 
 
+def _quote_qualified(name: str) -> str:
+    """Backtick-quote a possibly db-qualified table name (``db.chunks``):
+    each dot-separated part is validated separately, so qualified names that
+    ``spark.table``/``insertInto`` accept resolve here too instead of being
+    rejected for the dot."""
+    return ".".join(f"`{_safe_identifier(p)}`" for p in name.split("."))
+
+
 def table_location(spark: SparkSession, name: str) -> str | None:
     """The table's storage LOCATION from the catalog (None if unavailable)."""
     from pyspark.sql import functions as F
-    row = (spark.sql(f"DESCRIBE FORMATTED `{_safe_identifier(name)}`")
+    row = (spark.sql(f"DESCRIBE FORMATTED {_quote_qualified(name)}")
            .filter(F.col("col_name") == "Location").first())
     return row.data_type if row else None
 
@@ -162,15 +187,17 @@ def upsert_chunks(spark: SparkSession, chunks: DataFrame, name: str,
     tenants' partitions are never rewritten — per-batch cost scales with the
     touched tenants, not the table.
 
-    SINGLE-WRITER per tenant partition, enforced: rows appended to an
-    affected tenant between the merge read and the partition overwrite
-    would be silently deleted by the swap, so the touched partitions'
-    file listings are snapshotted before staging and re-checked after —
-    a concurrent change aborts the upsert with the table untouched (same
-    guard ``maintenance.compact_parquet`` applies to whole tables).  The
-    listing check covers local filesystems; on object stores the
-    production substitute is a transactional table format's conflict
-    detection (SCALE.md).
+    SINGLE-WRITER per tenant partition, with BEST-EFFORT detection of
+    violations: rows appended to an affected tenant between the merge read
+    and the partition overwrite would be silently deleted by the swap, so
+    the touched partitions' file listings are snapshotted before staging
+    and re-checked after — a concurrent change seen by the re-check aborts
+    the upsert with the table untouched (same guard
+    ``maintenance.compact_parquet`` applies to whole tables).  The window
+    between the second snapshot and insertInto completing is NOT covered —
+    a writer landing there is still clobbered — and the listing check only
+    sees local filesystems; the production substitute is a transactional
+    table format's commit-time conflict detection (SCALE.md).
     """
     import os
     import shutil

@@ -93,7 +93,7 @@ def adaptive_shingle_df(n_docs: int) -> int:
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k: int = 3,
                         threshold: float = 0.5,
-                        max_shingle_df: int | str | None = None,
+                        max_shingle_df: int | str | None = "auto",
                         n_docs: int | None = None,
                         cache: bool = True) -> DataFrame:
     """All pairs with Jaccard(shingle-set_a, shingle-set_b) ≥ threshold.
@@ -109,13 +109,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     self-join; one shingle shared by d documents otherwise contributes
     d·(d−1)/2 candidate rows, so a single hot trigram turns the join
     quadratic.  With the cap, Jaccard is computed over the FILTERED shingle
-    sets (sizes recomputed after the drop) — a recall/precision trade the
-    caller opts into; ``None`` (default) preserves the exact semantics.
-    ``'auto'`` derives the cap from corpus size (``adaptive_shingle_df``,
-    √n with a floor of 50) — the setting PIPELINES should use: exact
-    semantics in practice on clean corpora, bounded join volume on
+    sets (sizes recomputed after the drop) — a recall/precision trade.
+    ``'auto'`` (the DEFAULT — a bare call must be corpus-safe) derives the
+    cap from corpus size (``adaptive_shingle_df``, √n with a floor of 50):
+    exact semantics in practice on clean corpora, bounded join volume on
     boilerplate-heavy ones.  Pass ``n_docs`` alongside to keep plan
-    construction job-free (otherwise auto pays one count).
+    construction job-free (otherwise auto pays one count).  ``None`` opts
+    back into the exact quadratic-on-hot-shingles semantics — for parity
+    checks and small corpora only.
     """
     if max_shingle_df == "auto":
         max_shingle_df = adaptive_shingle_df(

@@ -71,14 +71,18 @@ def with_retrieval_idx(hits: DataFrame,
     if not known_small:
         bound = _static_max_rows(hits)
         if bound is None or bound > probe:
-            # unbounded plan: materialize once, then both the probe and the
-            # downstream window read the checkpointed rows — no re-execution
-            hits = hits.localCheckpoint(eager=True)
-            if hits.limit(probe + 1).count() > probe:
+            # unbounded plan: materialize AT MOST probe+1 rows — never the
+            # whole input, so an oversized upstream fails cheaply instead of
+            # being persisted first.  If the guard passes, the checkpoint
+            # already holds EVERY row (n <= probe), so the downstream window
+            # reads it and the upstream plan (scorer/embed UDFs) ran once.
+            ck = hits.limit(probe + 1).localCheckpoint(eager=True)
+            if ck.count() > probe:
                 raise ValueError(
                     f"with_retrieval_idx without partition_col uses a global "
                     f"window (single partition); input exceeds {probe} rows — "
                     f"pass partition_col to rank per group")
+            hits = ck
     w = Window.orderBy(F.col(sim_col).desc(), F.col(tie_break).asc())
     return hits.withColumn("retrieval_idx", F.row_number().over(w) - 1)
 

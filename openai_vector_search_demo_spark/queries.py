@@ -845,10 +845,12 @@ WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.5
 """)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join —
-    never an all-pairs product)."""
+    never an all-pairs product).  ``max_shingle_df=None`` is EXPLICIT: this
+    is the exact-parity query; the operator's default is the corpus-safe
+    ``'auto'`` DF cap."""
     from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=None)
 
 
 _CAPPED_JACCARD_ORACLE = rf"""
@@ -3258,3 +3260,315 @@ def q7_q9_rerank_remote_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.round("similarity", 6).alias("Similarity"),
                    (F.col("retrieval_idx") + 1).alias("Page")))
     return out
+
+
+# ===========================================================================
+# Family-digest batteries — one driver-window slot verifies a whole family.
+#
+# The driver's correctness gate records only the FIRST 50 registrations
+# (CORRECTNESS_r*.json); with 90+ queries most families would otherwise
+# carry no per-round driver receipt.  A battery runs every member query and
+# reduces each to one row ``(query_name, n_rows, digest)`` where ``digest``
+# is the md5 of the member's canonicalized row multiset; the oracle wraps
+# each member's own DuckDB oracle in the IDENTICAL canonicalization.  A
+# single value diverging in any member row flips that member's digest, so
+# the battery is exactly as strict as running every member through the gate
+# individually — it just fits in one slot.
+#
+# Canonicalization (verified cross-engine, see tests/test_parity.py):
+# columns sorted by name; DOUBLE → CAST(DECIMAL(38,6)) → string (both
+# engines print scale-preserved '1.500000'; members already round floats
+# per FIXTURES.md so the cast is exact); everything else → plain string
+# cast (bigint/int/date identical; timestamp members only emit midnight
+# timestamps or epoch-us bigints — both render identically); NULL →
+# '<NULL>' sentinel (concat_ws would silently skip it); row hash =
+# md5('|'-joined parts); digest = md5 of the row hashes concatenated in
+# sorted order (order-insensitive, multiset-exact).
+# ===========================================================================
+
+_TPCH_BATTERY = [
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
+    "tpch_q6_revenue_forecast", "tpch_q7_volume_shipping",
+    "tpch_q11_important_stock", "tpch_q12_priority_shipping",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_revenue_ratio",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customer", "tpch_q20_excess_stock_suppliers",
+    "tpch_q22_global_sales_opportunity",
+]
+_ANALYTICS_BATTERY = [
+    "rollup_revenue_region_nation", "cube_orders_status_priority",
+    "grouping_sets_customer", "pivot_event_type_counts",
+    "unpivot_event_type_counts", "window_customer_order_rank",
+    "window_lead_lag_running", "semi_anti_customers", "setops_segments",
+    "corpus_distinct_stats", "join_top_customers", "events_gap_filled_hourly",
+    "json_extract_props", "nested_array_functions",
+    "datetime_function_surface", "hash_sample_consistent_join",
+]
+_RETRIEVAL_BATTERY = [
+    "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
+    "q2_knn_filtered", "ann_lsh_recall_at_10",
+]
+_EVENTS_WINDOWS_BATTERY = [
+    "events_tumbling_window", "events_sliding_window", "events_session_window",
+]
+_MULTIMODAL_BATTERY = [
+    "multimodal_image_features", "multimodal_audio_features",
+]
+
+_CANON_NULL = "<NULL>"
+
+
+def _canon_kind(spark_dtype: str) -> str:
+    """'d' = double-family (needs the decimal canon), 's' = everything else
+    (plain string cast renders identically across engines for the member
+    schemas — ints, strings, dates, midnight-only timestamps)."""
+    return "d" if spark_dtype in ("double", "float") else "s"
+
+
+def _digest_member(df: DataFrame, name: str) -> DataFrame:
+    parts = []
+    for c, typ in sorted(df.dtypes, key=lambda ct: ct[0]):
+        col = F.col(f"`{c}`")
+        e = (col.cast("decimal(38,6)").cast("string")
+             if _canon_kind(typ) == "d" else col.cast("string"))
+        parts.append(F.coalesce(e, F.lit(_CANON_NULL)))
+    h = F.md5(F.concat_ws("|", *parts))
+    return (df.select(h.alias("h"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.md5(F.concat_ws("", F.sort_array(F.collect_list("h"))))
+                 .alias("digest"))
+            .select(F.lit(name).alias("query_name"),
+                    F.col("n_rows"), F.col("digest")))
+
+
+def _battery(spark: SparkSession, sf_dir: str, members: list[str]) -> DataFrame:
+    out = None
+    for m in members:
+        d = _digest_member(SPARK_QUERIES[m](spark, sf_dir), m)
+        out = d if out is None else out.unionByName(d)
+    return out.orderBy("query_name")
+
+
+def _duck_canon(col: str, kind: str) -> str:
+    e = (f'CAST(CAST("{col}" AS DECIMAL(38,6)) AS VARCHAR)' if kind == "d"
+         else f'CAST("{col}" AS VARCHAR)')
+    return f"coalesce({e}, '{_CANON_NULL}')"
+
+
+# member -> [(column, canon kind)], sorted by column name.  Captured from the
+# member Spark schemas (the same rule ``_digest_member`` applies at runtime);
+# tests/test_parity.py::test_battery_specs_match_live_schemas pins that these
+# stay in sync with the live member output schemas.
+_BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
+    "tpch_q1_pricing_summary": [
+        ("avg_disc", "d"), ("avg_price", "d"), ("avg_qty", "d"),
+        ("count_order", "s"), ("l_linestatus", "s"), ("l_returnflag", "s"),
+        ("sum_base_price", "d"), ("sum_charge", "d"), ("sum_disc_price", "d"),
+        ("sum_qty", "d")],
+    "tpch_q3_shipping_priority": [
+        ("l_orderkey", "s"), ("o_orderdate", "s"), ("o_orderpriority", "s"),
+        ("revenue", "d")],
+    "tpch_q4_order_priority": [("o_orderpriority", "s"), ("order_count", "s")],
+    "tpch_q5_local_supplier_volume": [("n_name", "s"), ("revenue", "d")],
+    "tpch_q6_revenue_forecast": [("revenue", "d")],
+    "tpch_q7_volume_shipping": [
+        ("cust_nation", "s"), ("l_year", "s"), ("revenue", "d"),
+        ("supp_nation", "s")],
+    "tpch_q11_important_stock": [("l_partkey", "s"), ("value", "d")],
+    "tpch_q12_priority_shipping": [
+        ("high_line_count", "s"), ("low_line_count", "s"), ("ship_year", "s")],
+    "tpch_q13_customer_distribution": [("c_count", "s"), ("custdist", "s")],
+    "tpch_q14_promo_revenue_ratio": [("promo_revenue_pct", "d")],
+    "tpch_q15_top_supplier": [
+        ("s_name", "s"), ("s_suppkey", "s"), ("total_rev", "d")],
+    "tpch_q17_small_quantity_revenue": [("avg_yearly", "d")],
+    "tpch_q18_large_volume_customer": [
+        ("c_custkey", "s"), ("c_name", "s"), ("o_orderdate", "s"),
+        ("o_orderkey", "s"), ("o_totalprice", "d"), ("total_qty", "d")],
+    "tpch_q20_excess_stock_suppliers": [("s_acctbal", "d"), ("s_name", "s")],
+    "tpch_q22_global_sales_opportunity": [
+        ("cntrycode", "s"), ("numcust", "s"), ("totacctbal", "d")],
+    "rollup_revenue_region_nation": [
+        ("g_nation", "s"), ("g_region", "s"), ("n_name", "s"),
+        ("n_orders", "s"), ("r_name", "s"), ("revenue", "d")],
+    "cube_orders_status_priority": [
+        ("g_priority", "s"), ("g_status", "s"), ("n_orders", "s"),
+        ("o_orderpriority", "s"), ("o_orderstatus", "s"), ("revenue", "d")],
+    "grouping_sets_customer": [
+        ("avg_acctbal", "d"), ("c_mktsegment", "s"), ("c_nationkey", "s"),
+        ("g_nat", "s"), ("g_seg", "s"), ("n_customers", "s")],
+    "pivot_event_type_counts": [
+        ("click", "s"), ("error", "s"), ("purchase", "s"), ("signup", "s"),
+        ("user_bucket", "s"), ("view", "s")],
+    "unpivot_event_type_counts": [
+        ("event_type", "s"), ("n", "s"), ("user_bucket", "s")],
+    "window_customer_order_rank": [
+        ("o_custkey", "s"), ("o_orderkey", "s"), ("o_totalprice", "d"),
+        ("rnk", "s"), ("running_total", "d")],
+    "window_lead_lag_running": [
+        ("moving_avg3", "d"), ("next_price", "d"), ("o_custkey", "s"),
+        ("o_orderkey", "s"), ("prev_price", "d"), ("running_total", "d")],
+    "semi_anti_customers": [
+        ("c_custkey", "s"), ("c_name", "s"), ("status", "s")],
+    "setops_segments": [("c_custkey", "s")],
+    "corpus_distinct_stats": [
+        ("n_event_types", "s"), ("n_events", "s"), ("n_user_type_pairs", "s"),
+        ("n_users", "s")],
+    "join_top_customers": [
+        ("c_custkey", "s"), ("c_name", "s"), ("n_items", "s"),
+        ("n_name", "s"), ("revenue", "d")],
+    "events_gap_filled_hourly": [
+        ("hour_us", "s"), ("n_events", "s"), ("sum_value", "d"),
+        ("user_id", "s")],
+    "json_extract_props": [
+        ("event_type", "s"), ("max_k", "s"), ("n_events", "s"),
+        ("sum_k", "s")],
+    "nested_array_functions": [
+        ("discounted_total", "d"), ("max_price", "d"), ("min_price", "d"),
+        ("n_big", "s"), ("n_orders", "s"), ("o_custkey", "s")],
+    "datetime_function_surface": [
+        ("days_since_epoch_start", "s"), ("dow", "s"), ("m", "s"),
+        ("month_start_us", "s"), ("n", "s"), ("plus3m_us", "s"),
+        ("q", "s"), ("y", "s")],
+    "hash_sample_consistent_join": [
+        ("n_items", "s"), ("n_orders", "s"), ("total_price", "d")],
+    "bm25_top_docs": [("bm25", "d"), ("doc_id", "s")],
+    "hybrid_search_rrf": [("doc_id", "s"), ("rrf_score", "d")],
+    "quantized_knn_top10": [
+        ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "q2_knn_filtered": [("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "ann_lsh_recall_at_10": [
+        ("n_approx", "s"), ("n_exact", "s"), ("n_overlap", "s"),
+        ("recall_at_10", "d")],
+    "events_tumbling_window": [
+        ("avg_value", "d"), ("event_type", "s"), ("n_events", "s"),
+        ("sum_value", "d"), ("window_start_us", "s")],
+    "events_sliding_window": [
+        ("event_type", "s"), ("n_events", "s"), ("sum_value", "d"),
+        ("window_start_us", "s")],
+    "events_session_window": [
+        ("n_events", "s"), ("session_start_us", "s"), ("sum_value", "d"),
+        ("user_id", "s")],
+}
+
+
+def _duck_digest_sql(name: str) -> str:
+    parts = ", ".join(_duck_canon(c, k) for c, k in _BATTERY_SPECS[name])
+    return (f"SELECT '{name}' AS query_name, COUNT(*) AS n_rows,\n"
+            f"  md5(coalesce(string_agg(h, '' ORDER BY h), '')) AS digest\n"
+            f"FROM (SELECT md5(concat_ws('|', {parts})) AS h\n"
+            f"      FROM ({ORACLE_SQL[name]}\n) _member) _hashed")
+
+
+def _battery_oracle(members: list[str]) -> str:
+    subs = "\nUNION ALL\n".join(_duck_digest_sql(m) for m in members)
+    return f"SELECT * FROM (\n{subs}\n) _battery ORDER BY query_name"
+
+
+@query("tpch_battery", oracle=_battery_oracle(_TPCH_BATTERY))
+def tpch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 15 TPC-H query shapes (Q1/Q3/Q4/Q5/Q6/Q7/Q11–Q15/Q17/Q18/Q20/Q22)
+    driver-verified in one window slot: per-member row-multiset md5 digests,
+    computed identically here and in the wrapped DuckDB member oracles."""
+    return _battery(spark, sf_dir, _TPCH_BATTERY)
+
+
+@query("analytics_battery", oracle=_battery_oracle(_ANALYTICS_BATTERY))
+def analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard-analytics surface in one window slot: rollup / cube /
+    grouping sets, pivot + unpivot, ranking and lead/lag/frame windows,
+    semi/anti joins, set ops, exact distincts, the big broadcast join,
+    gap-fill, JSON extraction, higher-order array functions, the date/time
+    scalar surface, and consistent hash-sampling — 16 member digests."""
+    return _battery(spark, sf_dir, _ANALYTICS_BATTERY)
+
+
+@query("retrieval_battery", oracle=_battery_oracle(_RETRIEVAL_BATTERY))
+def retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text/vector retrieval surface in one window slot: BM25, hybrid
+    RRF fusion, int8-quantized KNN, metadata-filtered KNN, and measured
+    LSH recall@10 — 5 member digests."""
+    return _battery(spark, sf_dir, _RETRIEVAL_BATTERY)
+
+
+@query("events_windows_battery", oracle=_battery_oracle(_EVENTS_WINDOWS_BATTERY))
+def events_windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling, sliding and session event-time windows in one slot —
+    the batch forms of the streaming operators (the real Structured
+    Streaming run is ``streaming_tumbling_counts``)."""
+    return _battery(spark, sf_dir, _EVENTS_WINDOWS_BATTERY)
+
+
+@query("multimodal_battery")  # binary decode members → rows-only by nature
+def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both multimodal decode paths (synthetic-image featurize + REAL wav
+    PCM parsing) through the driver gate in one slot.  rows-only: the
+    members decode binary columns in Arrow ``mapInPandas`` — not
+    SQL-expressible — but the digest is still computed, so schema drift or
+    nondeterminism shows up as a changed row, not silently."""
+    return _battery(spark, sf_dir, _MULTIMODAL_BATTERY)
+
+
+# ===========================================================================
+# The proof window — the driver's correctness gate records the FIRST 50
+# registrations, so their order IS the per-round proof set.  Every operator
+# family from SURVEY.md §2 + the M6 extensions must have a green row inside
+# it; redundant variants (the five non-auto q2_knn_* forms, the subsumed
+# rows-only flagship_search, capped-jaccard, …) live below the window,
+# covered by pytest + the sf0.001 parity suite instead.
+# tests/test_parity.py pins: window == first 50 registrations, every window
+# entry oracled except the two by-nature rows-only ones, and every family
+# represented.
+# ===========================================================================
+
+PROOF_WINDOW: list[str] = [
+    # reference parity: pipeline scalars, keys, chunking (P1-P11, S9, C3)
+    "p1_cleanse_text", "p2_filter_non_empty", "p4_p9_path_parts",
+    "p5_keywords", "p6_highlight", "s9_record_key", "p3_md5_key",
+    "c3_chunk_words",
+    # Q2 KNN — the auto path at both width regimes (variants: pytest/parity)
+    "q2_knn_auto", "q2_knn_auto_wide1024",
+    # rerank (deterministic + production E3 slot), history
+    "q7_q9_rerank", "q7_q9_rerank_remote_slot", "q11_history_top1",
+    # flagship end-to-end (deterministic + production E1 slot)
+    "flagship_search_oracled", "flagship_search_remote_slot",
+    # document cracking (rows-only by nature: binary PDF/DOCX parsing)
+    "s1_s2_doc_crack",
+    # text analysis
+    "ta_token_stats", "ta_language_id", "ta_quality_score", "ta_redact_pii",
+    # ANN
+    "ann_lsh_knn", "ann_lsh_stored_knn", "ann_ivf_knn", "ann_lsh_near_dup",
+    # dedup + curation capstone
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding_cosine", "dedup_clusters",
+    "dedup_keep_best_per_cluster", "curation_pipeline",
+    # maintenance / validation
+    "upsert_latest_wins", "snapshot_diff_documents", "p11_validation_bounds",
+    # distributed-analytics singles
+    "events_value_percentiles", "asof_join_last_purchase",
+    "skew_salted_agg", "skew_salted_join", "similarity_join_topk",
+    "tfidf_top_terms", "range_join_price_bands", "cms_heavy_hitters",
+    # streaming (real Structured Streaming runs)
+    "streaming_tumbling_counts", "streaming_stream_static_join",
+    # family-digest batteries
+    "tpch_battery", "analytics_battery", "retrieval_battery",
+    "events_windows_battery", "multimodal_battery",
+]
+
+
+def _apply_proof_window() -> None:
+    missing = [n for n in PROOF_WINDOW if n not in SPARK_QUERIES]
+    if missing:
+        raise RuntimeError(f"PROOF_WINDOW names not registered: {missing}")
+    if len(PROOF_WINDOW) != len(set(PROOF_WINDOW)):
+        raise RuntimeError("PROOF_WINDOW contains duplicates")
+    ordered = {n: SPARK_QUERIES[n] for n in PROOF_WINDOW}
+    for n, fn in SPARK_QUERIES.items():
+        if n not in ordered:
+            ordered[n] = fn
+    SPARK_QUERIES.clear()
+    SPARK_QUERIES.update(ordered)
+
+
+_apply_proof_window()

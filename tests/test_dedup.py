@@ -287,3 +287,25 @@ def test_ngram_jaccard_auto_cap(spark):
     finally:
         cls.count = real_count
     assert calls == []                             # no sizing job with n_docs
+
+
+def test_ngram_jaccard_default_is_corpus_safe(spark):
+    """The BARE call must carry the hot-shingle DF cap (default 'auto'):
+    the optimized plan shows the DF-filter subtree, and `None` is an
+    explicit opt-in to exact quadratic-on-hot-shingles semantics."""
+    import inspect
+
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    sig = inspect.signature(ngram_jaccard_pairs)
+    assert sig.parameters["max_shingle_df"].default == "auto"
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(6)],
+        ["doc_id", "text"])
+    plan = ngram_jaccard_pairs(docs, n_docs=6)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "_df" in plan          # the DF-cap aggregation is in the plan
+    exact = ngram_jaccard_pairs(docs, max_shingle_df=None)._jdf \
+        .queryExecution().optimizedPlan().toString()
+    assert "_df" not in exact

@@ -61,3 +61,60 @@ def test_query_matches_oracle(spark, name, fn):
     assert sorted(scols) == sorted(ocols), f"{name}: column mismatch {scols} vs {ocols}"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     assert canon_rows(scols, srows) == canon_rows(ocols, orows), f"{name}: value mismatch"
+
+
+# ---------------------------------------------------------------------------
+# The proof window — the driver records the FIRST 50 registrations, so their
+# identity is release-critical: every operator family must keep a green row
+# inside it (VERDICT r3 item #1).
+
+
+def test_first_50_registrations_are_the_proof_window():
+    from openai_vector_search_demo_spark import queries as Q
+    names = list(entrymod.queries())
+    assert names[:50] == Q.PROOF_WINDOW
+    assert len(Q.PROOF_WINDOW) == len(set(Q.PROOF_WINDOW)) == 50
+
+
+def test_window_entries_oracled_except_by_nature_rows_only():
+    from openai_vector_search_demo_spark import queries as Q
+    oracled = entrymod.oracle_sql()
+    rows_only = [n for n in Q.PROOF_WINDOW if n not in oracled]
+    # binary cracking / binary decode — genuinely not SQL-expressible
+    assert rows_only == ["s1_s2_doc_crack", "multimodal_battery"]
+
+
+def test_battery_members_are_all_registered_and_oracled():
+    from openai_vector_search_demo_spark import queries as Q
+    oracled = entrymod.oracle_sql()
+    for fam in (Q._TPCH_BATTERY, Q._ANALYTICS_BATTERY, Q._RETRIEVAL_BATTERY,
+                Q._EVENTS_WINDOWS_BATTERY):
+        for m in fam:
+            assert m in Q.SPARK_QUERIES and m in oracled, m
+    for m in Q._MULTIMODAL_BATTERY:
+        assert m in Q.SPARK_QUERIES
+
+
+def test_battery_specs_match_live_schemas(spark):
+    """The DuckDB side of each battery canonicalizes from _BATTERY_SPECS;
+    the Spark side canonicalizes from the live member schema.  They must
+    describe the same columns with the same canon kinds or the digests
+    diverge structurally rather than by value."""
+    from openai_vector_search_demo_spark import queries as Q
+    for m, spec in Q._BATTERY_SPECS.items():
+        df = Q.SPARK_QUERIES[m](spark, SF)
+        live = sorted((c, Q._canon_kind(t)) for c, t in df.dtypes)
+        assert live == sorted(spec), m
+
+
+def test_battery_digest_is_value_sensitive(spark):
+    """One changed value in one member row must flip that member's digest —
+    the battery is as strict as running the member through the gate alone."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark import queries as Q
+    base = Q.SPARK_QUERIES["tpch_q1_pricing_summary"](spark, SF)
+    d1 = Q._digest_member(base, "m").first()
+    d2 = Q._digest_member(
+        base.withColumn("sum_qty", F.col("sum_qty") + 0.01), "m").first()
+    assert d1.digest != d2.digest and d1.n_rows == d2.n_rows

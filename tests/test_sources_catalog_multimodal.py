@@ -531,3 +531,51 @@ def test_schema_evolution_additive_merge(spark, tmp_path):
     # drop+add would fork the table into two half-NULL columns forever)
     append_evolved(v3, path, allow_missing=True)   # sparse producer opts in
     assert read_evolving(spark, path).count() == 4
+
+
+def test_index_exists_illegal_name_returns_false(spark):
+    """A name the metastore would refuse can never exist — the probe answers
+    False instead of raising (create/exists/drop stay consistent; r3 ADVICE)."""
+    from openai_vector_search_demo_spark import catalog
+    assert catalog.index_exists(spark, "my-hyphenated-alias") is False
+    assert catalog.index_exists(spark, "sneaky`; DROP TABLE x; --") is False
+    # the same illegal alias IS probeable through name encryption
+    assert catalog.index_exists(spark, "my-hyphenated-alias",
+                                encrypt_name=True) is False
+
+
+def test_table_location_accepts_qualified_names(spark, tmp_path):
+    """db.table names that spark.table/insertInto accept must resolve in
+    table_location too (each dot-part quoted separately; r3 ADVICE)."""
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark import catalog
+    spark.sql("CREATE DATABASE IF NOT EXISTS qualdb")
+    try:
+        spark.sql(f"CREATE TABLE IF NOT EXISTS qualdb.qt (i INT) USING parquet "
+                  f"LOCATION '{tmp_path}/qt'")
+        loc = catalog.table_location(spark, "qualdb.qt")
+        assert loc is not None and loc.endswith("/qt")
+        with _pytest.raises(ValueError):
+            catalog.table_location(spark, "qualdb.bad-part")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS qualdb.qt")
+        spark.sql("DROP DATABASE IF EXISTS qualdb")
+
+
+def test_retrieval_idx_unbounded_input_passes_guard_once(spark, tmp_path):
+    """An unbounded (parquet-scan) input under the cap must rank correctly —
+    and the guard's materialization is capped at probe+1 rows, so the
+    oversized path never persists the whole upstream (r3 ADVICE, medium)."""
+    from openai_vector_search_demo_spark.operators import rerank
+
+    p = str(tmp_path / "cands")
+    spark.range(0, 50).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("similarity")
+    ).write.parquet(p)
+    hits = spark.read.parquet(p)          # no static row bound
+    out = rerank.with_retrieval_idx(hits, sim_col="similarity", tie_break="id")
+    rows = out.orderBy("retrieval_idx").collect()
+    assert len(rows) == 50
+    assert rows[0].similarity == 6.0 and rows[0].retrieval_idx == 0
+    assert [r.retrieval_idx for r in rows] == list(range(50))
