@@ -253,3 +253,29 @@ def test_ann_metadata_params_skip_plan_build_jobs(spark, monkeypatch):
     lsh_near_dup_pairs(emb, id_col="vec_id", dim=dim, n_rows=n, cache=False)
     ivf_knn(emb, qvec, k=5, centroids=cents)
     ivf_assign(emb, centroids=cents)
+
+
+def test_stored_index_cache_key_tracks_content(tmp_path):
+    """ADVICE r4 #5 regression: the stored-LSH-index cache key must change
+    when the corpus data at the SAME path is regenerated — a path-only key
+    silently serves a stale index after a fixture rebuild."""
+    import os
+
+    from openai_vector_search_demo_spark.queries import _parquet_fingerprint
+
+    f = tmp_path / "embeddings.parquet"
+    f.write_bytes(b"\x00" * 64)
+    before = _parquet_fingerprint(str(f))
+    assert _parquet_fingerprint(str(f)) == before   # stable while unchanged
+    os.utime(f, ns=(10_000_000_000, 10_000_000_000))
+    assert _parquet_fingerprint(str(f)) != before   # mtime change seen
+    f.write_bytes(b"\x00" * 128)
+    assert _parquet_fingerprint(str(f)) != before   # size change seen
+
+    d = tmp_path / "embdir.parquet"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"a" * 16)
+    (d / "_SUCCESS").write_bytes(b"")
+    dir_before = _parquet_fingerprint(str(d))
+    (d / "part-1.parquet").write_bytes(b"b" * 16)
+    assert _parquet_fingerprint(str(d)) != dir_before  # new data file seen
