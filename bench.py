@@ -46,7 +46,11 @@ def main() -> None:
     # 0.5-1 s of GC/scheduler noise, enough to flip close comparisons
     # (e.g. the dim-1024 SQL-vs-BLAS crossover); min is the standard
     # noise-floor estimator for microbenchmarks
+    # Failure-isolated: one broken query must not zero out the round's whole
+    # perf signal (round 5 lost its entire bench to a single analysis error).
+    # Errors are reported per-query in "errors" and excluded from the total.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in headline:
         best = None
         for _ in range(2):
@@ -55,10 +59,16 @@ def main() -> None:
             # the query
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            registry[name](spark, sf_dir).collect()
+            try:
+                registry[name](spark, sf_dir).collect()
+            except Exception as exc:  # noqa: BLE001 — isolate, report, go on
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                best = None
+                break
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        if best is not None:
+            timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_total",
@@ -67,6 +77,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

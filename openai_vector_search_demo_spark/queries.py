@@ -47,33 +47,65 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read `events.parquet` whatever its physical `ts` encoding.
+
+    The fixture's encoding is not under this repo's control and has already
+    changed once (TIMESTAMP(NANOS) → timestamp[us]).  A plain read handles
+    every self-describing encoding; only the legacy NANOS case needs the
+    `nanosAsLong` escape hatch (Spark 4 refuses NANOS outright), so that
+    conf is applied solely on the retry path and never leaks.
+    """
+    path = f"{sf_dir}/events.parquet"
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "true")
+        try:
+            # consulted at analysis time only (schema resolution); the
+            # returned plan executes fine after the conf is restored
+            return spark.read.parquet(path)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+
+def _events_ts_us(df: DataFrame) -> F.Column:
+    """Epoch-microseconds expression for `ts`, branching on the dtype the
+    read actually produced — never on an assumed physical encoding.
+
+    Oracle contract: DuckDB's `epoch_us(ts)` treats a naive timestamp as
+    UTC, so the NTZ branch must too, independent of Spark's session
+    timezone (`unix_micros(cast(ntz as timestamp))` shifts by the session
+    offset; NTZ-to-NTZ `timestampdiff` is pure arithmetic and does not).
+    """
+    dt = dict(df.dtypes)["ts"]
+    if dt == "bigint":  # legacy nanos-as-long; integer div, not `/`
+        return F.expr("ts div 1000")
+    if dt == "timestamp_ntz":
+        return F.expr(
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)")
+    if dt == "timestamp":
+        return F.unix_micros(F.col("ts"))
+    raise TypeError(f"events.ts has unsupported dtype {dt!r}")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    default (PARQUET_TYPE_ILLEGAL).  Read it as epoch-nanos long
-    (`nanosAsLong`, runtime-settable) and derive:
+    """Events table with two derived columns, stable across fixture
+    re-encodings:
 
     - ``ts_us``  bigint epoch microseconds — the oracle-parity column
-      (DuckDB truncates parquet nanos to its micros TIMESTAMP, so
-      ``epoch_us(ts)`` on the DuckDB side matches ``ts div 1000`` here);
-    - ``ts``     a real timestamp (micros) for window/streaming operators.
+      (matches DuckDB `epoch_us(ts)` on the same parquet);
+    - ``ts``     a session-tz TIMESTAMP (micros) for window/streaming ops.
     """
-    key = "spark.sql.legacy.parquet.nanosAsLong"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
-        # the conf is consulted at analysis time only (schema resolution);
-        # execution of the returned plan no longer needs it — verified, so
-        # restoring here is safe and keeps session conf unleaked
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
-    # integer `div`, not `/`: double division rounds at ~1.7e18 ns magnitudes
-    ts_us = F.expr("ts div 1000")
+    raw = _read_events_raw(spark, sf_dir)
+    ts_us = _events_ts_us(raw)
     return (raw.withColumn("ts_us", ts_us)
-            .withColumn("ts", F.timestamp_micros(ts_us)))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us"))))
 
 
 def _sql_stoplist() -> str:
@@ -1303,12 +1335,16 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(key, "true")
     name = f"stream_tumbling_{next(_STREAM_SEQ)}"
     try:
-        raw_schema = ("event_id long, ts long, user_id long, "
-                      "event_type string, value double, props string")
-        stream = (spark.readStream.schema(raw_schema)
+        # Schema comes from a batch read of the SAME path — never hardcoded.
+        # A hardcoded "ts long" once misread a regenerated timestamp[us]
+        # fixture as raw micros treated as nanos: correct schema, no error,
+        # timestamps compressed 1000x, silently wrong windows.
+        raw_batch = _read_events_raw(spark, sf_dir)
+        ts_us = _events_ts_us(raw_batch)  # unbound exprs; reusable on stream
+        stream = (spark.readStream.schema(raw_batch.schema)
                   .format("parquet").option("pathGlobFilter", "events.parquet")
                   .load(sf_dir)
-                  .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+                  .withColumn("ts", F.timestamp_micros(ts_us)))
         q = (stream_tumbling_counts(stream, "1 hour", watermark="100 days")
              .writeStream.format("memory").queryName(name)
              .outputMode("complete").trigger(availableNow=True).start())
@@ -1963,9 +1999,9 @@ def streaming_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set(key, "true")
     name = f"stream_static_{next(_STREAM_SEQ)}"
     try:
-        raw_schema = ("event_id long, ts long, user_id long, "
-                      "event_type string, value double, props string")
-        stream = (spark.readStream.schema(raw_schema)
+        # schema from a batch read of the same path (see tumbling counts)
+        stream = (spark.readStream
+                  .schema(_read_events_raw(spark, sf_dir).schema)
                   .format("parquet").option("pathGlobFilter", "events.parquet")
                   .load(sf_dir))
         tiers = spark.createDataFrame(
