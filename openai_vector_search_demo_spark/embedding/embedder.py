@@ -23,6 +23,7 @@ Two implementations behind one interface:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 from collections.abc import Iterator
@@ -53,10 +54,35 @@ class HashNgramEmbedder(Embedder):
     Deterministic across processes/partitions — no RNG, no state.
     """
 
+    #: bound on the per-process token-feature memo (natural-language corpora
+    #: repeat tokens heavily; 2^20 entries ≈ tens of MB worst case)
+    _CACHE_MAX = 1 << 20
+
     def __init__(self, dim: int = 64):
         self.dim = dim
+        self._feat_cache: dict[str, tuple[int, float]] = {}
 
     _WS = re.compile(r"\s+", re.ASCII)
+
+    def __getstate__(self):
+        # the memo is per-process state — shipping it inside the pandas-UDF
+        # closure would bloat task serialization for zero benefit (workers
+        # rebuild it from their own traffic)
+        state = self.__dict__.copy()
+        state["_feat_cache"] = {}
+        return state
+
+    def _feat(self, tok: str) -> tuple[int, float]:
+        """(bucket, sign) of one token — md5 computed once per DISTINCT
+        token per process, not once per occurrence (the md5, not the
+        arithmetic, dominated embedding cost)."""
+        f = self._feat_cache.get(tok)
+        if f is None:
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+            f = (h % self.dim, 1.0 if (h >> 59) & 1 == 0 else -1.0)
+            if len(self._feat_cache) < self._CACHE_MAX:
+                self._feat_cache[tok] = f
+        return f
 
     def _vec(self, text: str | None) -> list[float] | None:
         if text is None:
@@ -64,12 +90,15 @@ class HashNgramEmbedder(Embedder):
         v = np.zeros(self.dim, dtype=np.float64)
         # ASCII \s split (not str.split()): Java/RE2 \s is ASCII-only, and the
         # flagship oracle tokenizes with regexp \s+ — Unicode whitespace like
-        # U+00A0 must stay inside tokens on both sides
-        for tok in (t for t in self._WS.split(text.lower()) if t):
-            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
-            bucket = h % self.dim
-            sign = 1.0 if (h >> 59) & 1 == 0 else -1.0
-            v[bucket] += sign
+        # U+00A0 must stay inside tokens on both sides.  Counting occurrences
+        # then adding sign·count is exact (integer-valued float64 sums).
+        counts: dict[str, int] = {}
+        for tok in self._WS.split(text.lower()):
+            if tok:
+                counts[tok] = counts.get(tok, 0) + 1
+        for tok, c in counts.items():
+            bucket, sign = self._feat(tok)
+            v[bucket] += sign * c
         n = float(np.sqrt((v * v).sum()))
         if n == 0:
             # no tokens, or sign-cancelled features: no meaningful direction.
@@ -77,8 +106,7 @@ class HashNgramEmbedder(Embedder):
             # vector would make cosine NaN, and NaN sorts *above* every
             # similarity in a descending Spark sort.
             return None
-        v /= n
-        return [float(np.float32(x)) for x in v]
+        return (v / n).astype(np.float32).astype(np.float64).tolist()
 
     def embed_batch(self, texts: pd.Series) -> pd.Series:
         return texts.map(self._vec)
@@ -164,16 +192,27 @@ def embed_udf(embedder: Embedder | None = None):
 
     Rows that fail embed to null — callers filter with
     ``col(...).isNotNull()``, mirroring E2's skip-with-log
-    (modules/utilities.py:207-208).
+    (modules/utilities.py:207-208).  The default-embedder UDF is built
+    once per process (memoized) — re-wrapping it on every pipeline
+    construction is pure driver overhead.
     """
-    emb = embedder or HashNgramEmbedder()
+    if embedder is None:
+        return _default_embed_udf()
+    return _make_embed_udf(embedder)
 
+
+def _make_embed_udf(emb: Embedder):
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
             yield emb.embed_batch(texts)
 
     return _embed
+
+
+@functools.lru_cache(maxsize=1)
+def _default_embed_udf():
+    return _make_embed_udf(HashNgramEmbedder())
 
 
 def embed_text(text: str, embedder: Embedder | None = None) -> list[float]:

@@ -13,6 +13,8 @@ language scores break ties by language code ascending.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd  # module-level: pandas_udf type hints resolve via globals
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -154,65 +156,77 @@ def quality_score(c: Column | str, lang: str = "en") -> Column:
     return (len_term + sw_term + shape_term + punct_term) / 4.0
 
 
-def with_quality_score(df, text_col: str = "text", lang: str = "en",
-                       out_col: str = "quality"):
-    """DataFrame form of ``quality_score`` that tokenizes once per row.
+def _lang_hits_rx(lowered: Column, lang: str) -> Column:
+    """``lang_hits`` as one codegen'd regexp pass over already-lowercased
+    text: count occurrences of any marker as a WHOLE whitespace token.
 
-    The scalar Column form re-evaluates the tokenizer inside every term
-    (Catalyst does not de-duplicate common subexpressions across HOFs);
-    sharing the token array through a real column is ~4× cheaper — the form
-    to use in pipelines.
+    ``(?<!\\S)…(?!\\S)`` anchors (not preceded/followed by non-whitespace)
+    make a match exactly a maximal ``\\S+`` run equal to a marker — the
+    same multiset the HOF form counts by filtering the token array — while
+    staying inside whole-stage codegen (Java regex is ASCII-``\\s``, same
+    as ``tokens()``'s split).  The interpreted-HOF form this replaces
+    scanned |tokens|·|markers| array cells per language per row; on the
+    sf0.1 corpus that was ~10× the cost of the entire rest of the
+    curation scoring pass.
     """
-    marks = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    d = df.withColumn("_toks", tokens(text_col))
-    n = F.size("_toks")
-    sw = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(marks, t)))
-    total = F.aggregate(F.col("_toks"), F.lit(0).cast("long"),
-                        lambda s, t: s + F.length(t))
+    alt = "|".join(LANG_MARKERS[lang])
+    return F.regexp_count(lowered, F.lit(rf"(?<!\S)(?:{alt})(?!\S)"))
+
+
+def _quality_terms(lowered: Column, text_col: str, lang: str):
+    """The four quality terms + token count, all from codegen'd regexp
+    passes over one shared lowercased column (no arrays, no HOFs):
+
+    - ``n``      = count of ``\\S+`` runs  ≡ size(tokens(text));
+    - ``sw``     = whole-token stopword hits (``_lang_hits_rx``);
+    - ``total``  = chars after stripping whitespace ≡ Σ length(token).
+    """
+    n = F.regexp_count(lowered, F.lit(r"\S+"))
+    sw = _lang_hits_rx(lowered, lang)
+    total = F.length(F.regexp_replace(lowered, r"\s+", ""))
     mwl = F.when(n > 0, total / n).otherwise(F.lit(0.0))
     len_term = F.least(n / F.lit(50.0), F.lit(1.0))
     sw_term = F.least(
         F.when(n > 0, sw / n).otherwise(F.lit(0.0)) / F.lit(0.4), F.lit(1.0))
     shape_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
-    return (d.withColumn(out_col,
-                         (len_term + sw_term + shape_term + punct_term) / 4.0)
-            .drop("_toks"))
+    return n, (len_term + sw_term + shape_term + punct_term) / 4.0
+
+
+def with_quality_score(df, text_col: str = "text", lang: str = "en",
+                       out_col: str = "quality"):
+    """DataFrame form of ``quality_score``, value-identical but computed
+    entirely with codegen'd regexp passes (see ``_quality_terms``) instead
+    of the scalar form's interpreted array HOFs — the form to use in
+    pipelines."""
+    d = df.withColumn("_low", F.lower(_col(text_col)))
+    _, quality = _quality_terms(F.col("_low"), text_col, lang)
+    return d.withColumn(out_col, quality).drop("_low")
 
 
 def with_text_scores(df, text_col: str = "text", lang: str = "en",
                      quality_col: str = "quality",
                      lang_col: str = "lang_detected",
                      tokens_col: str = "n_tokens"):
-    """Quality + language-ID + token count in ONE tokenization pass.
+    """Quality + language-ID + token count in one pass — the pipeline form
+    for corpus curation.
 
-    The pipeline form for corpus curation: ``_toks`` is materialized as a
-    real column (CollapseProject keeps a multi-referenced non-cheap alias
-    as its own projection level, so the split truly runs once per row), the
-    per-language hit counts land in one array column evaluated once, and
-    every score derives from those.  Calling the three scalar forms
-    separately re-tokenizes 7×; at corpus scale tokenization IS the cost.
+    Every score is a codegen'd regexp pass over one shared lowercased
+    column: no token arrays, no interpreted HOFs, no Python.  (History:
+    the r2 scalar forms re-tokenized 7×; the r4 shared-token-array form
+    fixed that but still burned ~10× the remaining pipeline cost in
+    interpreted ``filter(toks, array_contains(...))`` scans per language —
+    ``_lang_hits_rx`` counts the identical whole-token multiset JVM-side.)
     """
     codes = sorted(LANG_MARKERS)
-    marks = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    d = (df.withColumn("_toks", tokens(text_col))
-         .withColumn("_hits", F.array(*[_lang_hits_over(F.col("_toks"), c)
-                                        for c in codes])))
-    n = F.size("_toks")
-    sw = F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(marks, t)))
-    total = F.aggregate(F.col("_toks"), F.lit(0).cast("long"),
-                        lambda s, t: s + F.length(t))
-    mwl = F.when(n > 0, total / n).otherwise(F.lit(0.0))
-    len_term = F.least(n / F.lit(50.0), F.lit(1.0))
-    sw_term = F.least(
-        F.when(n > 0, sw / n).otherwise(F.lit(0.0)) / F.lit(0.4), F.lit(1.0))
-    shape_term = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    punct_term = F.lit(1.0) - F.least(punct_ratio(text_col) * 4.0, F.lit(1.0))
-    return (d.withColumn(quality_col,
-                         (len_term + sw_term + shape_term + punct_term) / 4.0)
-            .withColumn(lang_col, _language_id_over(F.col("_hits"), codes))
+    d = df.withColumn("_low", F.lower(_col(text_col)))
+    low = F.col("_low")
+    hits = F.array(*[_lang_hits_rx(low, c) for c in codes])
+    n, quality = _quality_terms(low, text_col, lang)
+    return (d.withColumn(quality_col, quality)
+            .withColumn(lang_col, _language_id_over(hits, codes))
             .withColumn(tokens_col, n)
-            .drop("_toks", "_hits"))
+            .drop("_low"))
 
 
 # ---------------------------------------------------------------------------
@@ -252,44 +266,56 @@ def shingle_hashes(c: Column | str, k: int = 3) -> Column:
         F.transform(shingles(c, k), lambda s: _hash60(s)))
 
 
+_SHINGLE_WS = None  # lazily-compiled in workers via _shingle_hash_list
+
+
+def _shingle_hash_list(text, k: int):
+    """Distinct md5-60bit hashes of the k-token shingles of ``text`` —
+    the plain-Python core shared by ``shingle_hashes_fast`` and the
+    merged shingle+signature UDF in ``operators.dedup``.
+
+    Tokenization parity with the SQL twin: ASCII ``\\s+`` split of the
+    lowercased text with empties dropped (Java regex ``\\s`` is ASCII;
+    Python ``str.split()`` would split Unicode whitespace too);
+    first-occurrence dedup ≡ ``array_distinct``.
+    """
+    import hashlib
+    import re
+
+    global _SHINGLE_WS
+    if _SHINGLE_WS is None:
+        _SHINGLE_WS = re.compile(r"\s+", re.ASCII)
+    if text is None:
+        return []
+    toks = [t for t in _SHINGLE_WS.split(text.lower()) if t]
+    if len(toks) < k:
+        return []
+    out: dict[int, None] = {}
+    seen: set = set()
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i:i + k])
+        if s in seen:
+            continue
+        seen.add(s)
+        out[int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)] = None
+    return list(out)
+
+
+@functools.lru_cache(maxsize=8)
 def shingle_hashes_fast(k: int = 3):
     """Arrow-batched twin of ``shingle_hashes`` — bit-identical output.
+    Memoized per ``k``: every call otherwise re-wraps and re-registers the
+    UDF (driver-side overhead on each query construction).
 
     The HOF chain (split → slice → join → md5 → conv) runs interpreted
     per element (higher-order functions don't codegen); hashlib over a
     Python token list computes the same md5-60-bit values ~10× faster.
-    Tokenization parity: ``str.split()`` ≡ split on ``\\s+`` with empties
-    dropped; first-occurrence dedup ≡ ``array_distinct``.
     """
-    import hashlib
-
     from pyspark.sql.types import ArrayType, LongType
-
-    import re
-
-    # ASCII \s only: Java regex and RE2 \s are ASCII, Python str.split()
-    # splits Unicode whitespace (U+00A0 etc.) — that difference would break
-    # bit-parity with the SQL twin and the DuckDB oracle
-    ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sh(texts: pd.Series) -> pd.Series:
-        def one(text: str | None) -> list[int]:
-            if text is None:
-                return []
-            toks = [t for t in ws.split(text.lower()) if t]
-            if len(toks) < k:
-                return []
-            out: dict[int, None] = {}
-            seen: set[str] = set()
-            for i in range(len(toks) - k + 1):
-                s = " ".join(toks[i:i + k])
-                if s in seen:
-                    continue
-                seen.add(s)
-                out[int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)] = None
-            return list(out)
-        return texts.map(one)
+        return texts.map(lambda t: _shingle_hash_list(t, k))
 
     return _sh
 

@@ -1477,7 +1477,10 @@ def _flagship_pipeline(spark: SparkSession, sf_dir: str,
         rerank_order,
     )
 
-    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    from openai_vector_search_demo_spark.plans.pipeline import spread_for_python
+
+    docs = spread_for_python(
+        t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     chunked = chunk_documents(docs, text_col="text", chunk_col="page_content")
     kept = (chunked.withColumn("_cleansed", cleanse_text("page_content"))
             .filter(non_empty(F.col("_cleansed"))))
@@ -2702,38 +2705,41 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is composed from those stages' own SQL fragments, so the
     end-to-end dataflow is value-checked, not just its pieces.
 
-    Shape at scale: three narrow per-doc scoring passes over one corpus
-    scan each, the dedup pair/cluster machinery (bucketed equi-joins +
-    log²-round components), and a broadcast anti-join of the (small) drop
-    list — no stage materializes the corpus to the driver."""
+    Shape at scale: ONE corpus scan total — the per-doc scores (codegen'd
+    regexp, see ``with_text_scores``) and the text length ride the same
+    persisted scan that shingles the text for MinHash
+    (``minhash_lsh_pairs_with_side``); everything downstream — band join,
+    Jaccard verify, components, the keep-best window, and a broadcast
+    anti-join of the (small) drop list — works off that buffer or the
+    (tiny) pair set.  No stage materializes the corpus to the driver."""
     from pyspark.sql import Window
     from openai_vector_search_demo_spark.functions import text_analysis as ta
     from openai_vector_search_demo_spark.operators.dedup import (
         duplicate_clusters,
-        minhash_lsh_pairs,
+        minhash_lsh_pairs_with_side,
     )
     docs = t(spark, sf_dir, "documents")
-    # one tokenization pass feeds quality, language-ID and token count —
-    # the three scalar forms would re-tokenize 7× (and r2's language_id
-    # when-chain was exponential in language count: the 6.9s bench entry
-    # was mostly interpreted-HOF re-evaluation, not dedup work)
-    scored = ta.with_text_scores(docs)
+    # scoring columns attach BEFORE the dedup call so the one fused scan
+    # evaluates them; with_text_scores keeps `text` for the shingle UDF
+    enriched = ta.with_text_scores(docs)
+    pairs, side = minhash_lsh_pairs_with_side(
+        enriched,
+        keep_cols=["quality", "lang_detected", "n_tokens",
+                   F.length("text").alias("text_len")],
+        k=3, num_hashes=16, bands=4, threshold=0.5)
 
-    pairs = minhash_lsh_pairs(docs.select("doc_id", "text"),
-                              k=3, num_hashes=16, bands=4, threshold=0.5)
     clusters = duplicate_clusters(pairs)
-    members = (clusters.join(docs.select("doc_id", F.length("text")
-                                         .alias("text_len")),
-                             clusters.id == F.col("doc_id")))
+    members = clusters.join(side.select("id", "text_len"), "id")
     w = Window.partitionBy("cluster_id").orderBy(F.col("text_len").desc(),
                                                  F.col("id").asc())
     dup_drop = (members.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") > 1).select("id"))
 
-    kept = (scored.filter((F.col("quality") >= 0.7)
-                          & (F.col("lang_detected") == "en"))
-            .join(dup_drop, scored.doc_id == dup_drop.id, "left_anti"))
-    return kept.select("doc_id", F.round("quality", 6).alias("quality"),
+    kept = (side.filter((F.col("quality") >= 0.7)
+                        & (F.col("lang_detected") == "en"))
+            .join(dup_drop, "id", "left_anti"))
+    return kept.select(F.col("id").alias("doc_id"),
+                       F.round("quality", 6).alias("quality"),
                        F.col("lang_detected").alias("lang"), "n_tokens")
 
 

@@ -47,9 +47,6 @@ def get_spark(app_name: str = "openai-vector-search-demo-spark",
         # driver-side literals (query vectors, tiny lookup frames) don't need
         # one partition per core
         .config("spark.sql.leafNodeDefaultParallelism", "4")
-        # driver fixtures store events.ts as parquet TIMESTAMP(NANOS); read as
-        # epoch-nanos long (queries.load_events re-derives a micros timestamp)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if master is not None:
         builder = builder.master(master)
