@@ -309,3 +309,89 @@ def test_ngram_jaccard_default_is_corpus_safe(spark):
     exact = ngram_jaccard_pairs(docs, max_shingle_df=None)._jdf \
         .queryExecution().optimizedPlan().toString()
     assert "_df" not in exact
+
+
+def test_merged_sig_udf_matches_explode_signatures(spark, corpus):
+    """The numpy merged shingle+signature UDF must be bit-identical to the
+    explode→groupBy form (same universal-hash constants, same mins) —
+    including dropping shingle-less docs (sig null)."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        _shingle_sig_udf,
+        minhash_signatures,
+    )
+    merged = (corpus.select("doc_id",
+                            _shingle_sig_udf(3, 16)(F.col("text")).alias("ss"))
+              .select("doc_id", F.col("ss.sig").alias("signature")))
+    got = {r.doc_id: r.signature for r in merged.collect()}
+    want = {r.id: r.signature for r in minhash_signatures(corpus).collect()}
+    assert {k for k, v in got.items() if v is not None} == set(want)
+    for k, v in want.items():
+        assert got[k] == v
+
+
+def test_pairs_with_side_rides_one_scan(spark, corpus):
+    """Side columns come back from the SAME persisted scan — same rows as
+    the input, with the requested extra columns evaluated."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_with_side,
+    )
+    pairs, side = minhash_lsh_pairs_with_side(
+        corpus, keep_cols=[F.length("text").alias("text_len")],
+        threshold=0.5)
+    side_rows = {r.id: r.text_len for r in side.collect()}
+    want = {r.doc_id: len(r.text) for r in corpus.collect()}
+    assert side_rows == want
+    plain = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(corpus,
+                                                         threshold=0.5).collect()}
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == plain
+
+
+def test_duplicate_clusters_probe_and_distributed_agree(spark):
+    """The one-job limit-probe driver path and the forced distributed path
+    (driver_threshold=0) must label identically — including when the pair
+    count sits exactly at the threshold boundary."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], ["id_a", "id_b"])
+    dist = {(r.id, r.cluster_id)
+            for r in duplicate_clusters(pairs, driver_threshold=0).collect()}
+    for thr in (5, 4):  # above and exactly-at the pair count... 5 pairs
+        via_probe = {(r.id, r.cluster_id)
+                     for r in duplicate_clusters(
+                         pairs, driver_threshold=thr).collect()}
+        assert via_probe == dist
+    # below threshold: probe overflows, falls back to distributed — same
+    under = {(r.id, r.cluster_id)
+             for r in duplicate_clusters(pairs, driver_threshold=2).collect()}
+    assert under == dist
+
+
+def test_regex_scores_equal_scalar_hof_forms(spark):
+    """The regexp_count-based pipeline forms must be value-identical to the
+    scalar HOF forms on adversarial inputs: unicode whitespace inside
+    tokens, punctuation-attached stopwords, marker-prefix/suffix tokens,
+    repeated markers, empty and whitespace-only strings, CJK."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    rows = [
+        ("the the the and is a an THE And",),   # repeated + case variants
+        ("them theory and. ,is (a) an|b",),     # prefix/suffix/punct-attached
+        ("no break the and plain the",),  # U+00A0 inside tokens
+        ("   ",), ("",), ("的 是 不 了 在 一句 的",),
+        ("der die das und der-die el la les y",),
+        ("word " * 60,),                         # length-term saturation
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    new = ta.with_text_scores(df)
+    old = df.select(
+        "text",
+        ta.quality_score("text").alias("q_old"),
+        ta.language_id("text").alias("l_old"),
+        ta.token_count("text").alias("n_old"))
+    j = new.join(old, "text")
+    for r in j.collect():
+        assert abs(r.quality - r.q_old) < 1e-12, r.text
+        assert r.lang_detected == r.l_old, r.text
+        assert r.n_tokens == r.n_old, r.text
