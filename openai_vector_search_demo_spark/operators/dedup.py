@@ -127,8 +127,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # persist: both join branches reuse this subtree — Catalyst does not share
     # common subplans across self-join branches, and the md5-HOF shingle
     # computation is the expensive part (measured 4× recompute = 4× cost)
-    sh = (df.select(F.col(id_col).alias("id"),
-                    shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    sh = (spread_for_python(df)
+          .select(F.col(id_col).alias("id"),
+                  shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
           .withColumn("set_size", F.size("hs")))
     if cache:
         sh = sh.persist()
@@ -201,8 +205,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     (map-side) combine keeps the shuffle at |docs|·num_hashes values.
     Empty docs (no shingles) drop out, as an empty set has no signature.
     """
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingle_hashes_fast(k)(F.col(text_col))).alias("h")))
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    ex = (spread_for_python(df)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(shingle_hashes_fast(k)(F.col(text_col))).alias("h")))
     return _signatures_from_exploded(ex, num_hashes)
 
 
@@ -313,11 +321,16 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
     # the shingle UDF twice; r4 shared it but derived signatures via an
     # explode→groupBy shuffle of every shingle hash; r6 folds that shuffle
     # into the scan.)
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+
     extras = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
-    sh = (df.select(F.col(id_col).alias("id"),
-                    _shingle_sig_udf(k, num_hashes)(F.col(text_col))
-                    .alias("_ss"),
-                    *extras)
+    sh = (spread_for_python(df)
+          .select(F.col(id_col).alias("id"),
+                  _shingle_sig_udf(k, num_hashes)(F.col(text_col))
+                  .alias("_ss"),
+                  *extras)
           .select("*", F.col("_ss.hs").alias("hs"),
                   F.col("_ss.sig").alias("signature"))
           .drop("_ss")
@@ -372,8 +385,12 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     reassemble.  Bit b of the 60-bit shingle hash contributes +1 if set.
     32 bits (of the 60 available) keeps the oracle SQL tractable.
     """
-    ex = (df.select(F.col(id_col).alias("id"),
-                    F.explode(shingle_hashes_fast(k)(F.col(text_col))).alias("h")))
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    ex = (spread_for_python(df)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(shingle_hashes_fast(k)(F.col(text_col))).alias("h")))
     bits = ex.select(
         "id",
         F.posexplode(F.array(*[
