@@ -42,10 +42,11 @@ def main() -> None:
     # one tiny warmup to pay JVM/codegen startup outside the timings
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    # min of 2 runs per query: single-shot timings on local[32] carry
-    # 0.5-1 s of GC/scheduler noise, enough to flip close comparisons
-    # (e.g. the dim-1024 SQL-vs-BLAS crossover); min is the standard
-    # noise-floor estimator for microbenchmarks
+    # min of 3 runs per query: single-shot timings on local[32] carry
+    # 0.5-1 s of GC/scheduler noise (occasional multi-second full-GC
+    # spikes), enough to flip close comparisons (e.g. the dim-1024
+    # SQL-vs-BLAS crossover); min is the standard noise-floor estimator
+    # for microbenchmarks
     # Failure-isolated: one broken query must not zero out the round's whole
     # perf signal (round 5 lost its entire bench to a single analysis error).
     # Errors are reported per-query in "errors" and excluded from the total.
@@ -53,7 +54,7 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in headline:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             # cold caches each run: several operators persist() reused
             # subtrees; without this the second run times the cache, not
             # the query
