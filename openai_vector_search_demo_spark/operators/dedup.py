@@ -371,6 +371,53 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
 
 
 # ---------------------------------------------------------------------------
+# Decontamination — corpus vs evaluation-set n-gram overlap
+# ---------------------------------------------------------------------------
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  bench_text_col: str | None = None,
+                  k: int = 3, min_hits: int = 1) -> DataFrame:
+    """Flag training docs that leak evaluation data: a corpus doc is
+    ``contaminated`` when ≥ ``min_hits`` of its DISTINCT k-token shingles
+    appear anywhere in the benchmark set (the standard n-gram-overlap
+    decontamination step every serious training pipeline runs before the
+    eval story is trustworthy).
+
+    Returns ``(id_col, bench_hits, contaminated)`` for every corpus row.
+
+    Scale shape: eval sets are small (10³–10⁵ docs) next to a 100 TB
+    corpus — their distinct shingle-hash set BROADCASTS, the corpus-side
+    shingles stream through one equi-join + per-doc hash-agg, and the
+    corpus is never shuffled on anything wider than its own id.  Shingle
+    hashing is the same md5-60bit machinery as the near-dup family, so the
+    whole check is oracle-mirrorable.
+    """
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+
+    bench_sh = (spread_for_python(benchmark)
+                .select(F.explode(shingle_hashes_fast(k)(
+                    F.col(bench_text_col or text_col))).alias("h"))
+                .distinct())
+    # shingle_hashes_fast emits per-doc DISTINCT hashes, so (id, h) is
+    # already unique — each leaked shingle counts once per doc
+    corpus_sh = (spread_for_python(corpus)
+                 .select(F.col(id_col).alias("id"),
+                         F.explode(shingle_hashes_fast(k)(
+                             F.col(text_col))).alias("h")))
+    hits = (corpus_sh.join(F.broadcast(bench_sh), "h")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("bench_hits")))
+    n_hits = F.coalesce(F.col("bench_hits"), F.lit(0))
+    return (corpus.select(F.col(id_col).alias("id"))
+            .join(hits, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    n_hits.alias("bench_hits"),
+                    (n_hits >= min_hits).alias("contaminated")))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

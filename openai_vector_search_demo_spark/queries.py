@@ -3597,6 +3597,83 @@ def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _battery(spark, sf_dir, _MULTIMODAL_BATTERY)
 
 
+@query("decontaminate_vs_benchmark", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+bench AS (SELECT DISTINCT h
+          FROM (SELECT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0)),
+corp AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n
+         FROM corp JOIN bench USING (h) GROUP BY doc_id)
+SELECT h2.doc_id,
+       COALESCE(hits.n, 0) AS bench_hits,
+       COALESCE(hits.n, 0) >= 1 AS contaminated
+FROM hs h2 LEFT JOIN hits ON hits.doc_id = h2.doc_id
+WHERE h2.doc_id % 97 <> 0
+""")
+def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus DECONTAMINATION: flag every corpus doc sharing ≥1
+    distinct 3-shingle with a benchmark split (here: doc_id % 97 == 0 as a
+    stand-in eval set).  The eval shingle set broadcasts; the corpus side
+    is one streamed equi-join + per-doc agg — the corpus never shuffles on
+    anything but its own id."""
+    from openai_vector_search_demo_spark.operators.dedup import decontaminate
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(corpus, bench, k=3, min_hits=1)
+    return out.select("doc_id", F.col("bench_hits").cast("long"),
+                      "contaminated")
+
+
+_PACK_ORACLE_CTE = rf"""
+tok AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
+g AS (SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS grp, n_tokens FROM tok),
+c AS (SELECT doc_id, grp, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+          AS start_offset
+      FROM g)
+"""
+
+
+@query("pack_sequences_512", oracle=rf"""
+WITH {_PACK_ORACLE_CTE}
+SELECT doc_id, grp, CAST(start_offset // 512 AS INTEGER) AS bin_in_grp,
+       CAST(start_offset AS BIGINT) AS start_offset, n_tokens
+FROM c
+""")
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING (concat-and-chunk): documents laid end-to-end per
+    deterministic group, cut every 512 tokens — the training-batch layout.
+    One window-sum per group; groups are the packing parallelism at scale."""
+    from openai_vector_search_demo_spark.operators.packing import pack_sequences
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")
+        .alias("n_tokens"))
+    return pack_sequences(docs, budget=512, num_groups=16)
+
+
+@query("pack_stats_512", oracle=rf"""
+WITH {_PACK_ORACLE_CTE}
+SELECT grp, CAST(start_offset // 512 AS INTEGER) AS bin_in_grp,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_starting
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""")
+def pack_stats_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-layout accounting: docs and tokens starting per bin (bins
+    fill to exactly the budget by construction; this audits the layout)."""
+    from openai_vector_search_demo_spark.operators.packing import (
+        pack_sequences,
+        pack_stats,
+    )
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")
+        .alias("n_tokens"))
+    return pack_stats(pack_sequences(docs, budget=512, num_groups=16), 512)
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator

@@ -395,3 +395,25 @@ def test_regex_scores_equal_scalar_hof_forms(spark):
         assert abs(r.quality - r.q_old) < 1e-12, r.text
         assert r.lang_detected == r.l_old, r.text
         assert r.n_tokens == r.n_old, r.text
+
+
+def test_decontaminate_flags_ngram_leaks(spark):
+    from openai_vector_search_demo_spark.operators.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "some training text with the secret eval answer is inside"),
+         (2, "completely unrelated content about shuffle partitions"),
+         (3, "short")],
+        ["doc_id", "text"])
+    out = {r.doc_id: (r.bench_hits, r.contaminated)
+           for r in decontaminate(corpus, bench, k=3).collect()}
+    assert out[1][1] is True and out[1][0] >= 1   # shares 3-grams
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)                   # < k tokens: no shingles
+    # min_hits raises the bar
+    strict = {r.doc_id: r.contaminated
+              for r in decontaminate(corpus, bench, k=3,
+                                     min_hits=100).collect()}
+    assert strict[1] is False
