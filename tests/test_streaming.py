@@ -206,3 +206,30 @@ def test_stream_ingest_assigns_lsh_buckets(spark, workdir):
     want = {r.id: r.bucket for r in
             lsh_assign(written.drop("bucket"), planes=planes).collect()}
     assert len(got) > 0 and got == want
+
+
+def test_stream_sees_fixture_timestamps_like_batch(spark):
+    """Encoding-drift guard (the r5 silent failure): a hardcoded stream
+    schema once misread a regenerated timestamp[us] events fixture as
+    nanos-as-long — timestamps compressed 1000×, windows silently wrong.
+    The streaming read of the REAL fixture must see the same min/max
+    event time as the adaptive batch loader, byte for byte."""
+    from openai_vector_search_demo_spark.queries import (
+        _events_ts_us,
+        _read_events_raw,
+        load_events,
+    )
+    batch = load_events(spark, SF)
+    want = batch.agg(F.min("ts_us"), F.max("ts_us")).first()
+
+    raw = _read_events_raw(spark, SF)
+    stream = (spark.readStream.schema(raw.schema)
+              .format("parquet").option("pathGlobFilter", "events.parquet")
+              .load(SF)
+              .withColumn("ts_us", _events_ts_us(raw)))
+    q = (stream.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+         .writeStream.format("memory").queryName("ts_guard")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT mn, mx FROM ts_guard").first()
+    assert (got.mn, got.mx) == (want[0], want[1])
