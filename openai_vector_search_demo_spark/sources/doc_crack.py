@@ -130,7 +130,8 @@ def crack_documents(raw: DataFrame,
     filtered by the UI widget — app/app.py:225).  Everything downstream
     (cleanse → chunk → embed → index) is the ordinary ingest pipeline.
 
-    A document that fails to parse (encrypted PDF, truncated zip, …) emits
+    A document that fails to parse (password-protected or AES-encrypted
+    PDF — RC4 owner-locked ones decrypt transparently — truncated zip, …) emits
     ONE ``(doc_path, NULL, NULL, error)`` row instead of raising or
     vanishing — the multimodal corrupt-row convention: at 100 TB a bad file
     is DATA to count and report (``filter(error.isNotNull())``), never a

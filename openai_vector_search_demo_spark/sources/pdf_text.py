@@ -23,8 +23,12 @@ Scope (deliberately bounded, loud on anything outside it):
   incrementing forms) → /Encoding (MacRoman/WinAnsi/Differences with an
   Adobe-Glyph-List subset) → Latin-1 fallback.  Composite (Type0) fonts
   decode 2-byte codes through their CMap codespace.
-- Encrypted PDFs raise ``PdfError`` (out of scope) rather than emitting
-  garbage.
+- Encryption: the RC4 standard security handler (V 1/2, R 2/3 — the
+  classic 40/128-bit scheme) with an EMPTY user password, which covers the
+  common "owner-locked" documents PyPDFLoader opens transparently.  AES
+  (V 4/5) needs a cipher this stdlib-only parser doesn't have and raises
+  ``PdfError``, as does any document that actually requires a password —
+  loud failure, never garbage.
 
 This is an original implementation against the public PDF 1.7 spec
 (ISO 32000-1); the reference contains no PDF-parsing code to port.
@@ -277,14 +281,98 @@ def _apply_filter(name: str, data: bytes, parms: dict) -> bytes:
 _OBJ_RE = re.compile(rb"(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
 
 
+# ---------------------------------------------------------------------------
+# Encryption — standard security handler, RC4 (PDF 1.7 §7.6.2-7.6.4)
+# ---------------------------------------------------------------------------
+
+_ENC_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A")
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (public algorithm; symmetric encrypt/decrypt)."""
+    S = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % klen]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+class _StandardDecryptor:
+    """File-key derivation + per-object RC4 for the standard security
+    handler with an empty user password (§7.6.3 Algorithms 1, 2, 4-6).
+
+    Only V 1/2 (RC4) at R 2/3 is supported: V 4/5 is AES, which needs a
+    block cipher the stdlib doesn't provide — those raise ``PdfError``
+    with an explicit reason, as does a non-empty user password.
+    """
+
+    def __init__(self, enc: dict, file_id: bytes):
+        import hashlib
+
+        filt = str(enc.get("Filter") or "")
+        v = int(enc.get("V") or 0)
+        r = int(enc.get("R") or 0)
+        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
+            raise PdfError(
+                f"unsupported encryption (Filter={filt!r} V={v} R={r}): "
+                "only the RC4 standard security handler is implemented")
+        o, u = enc.get("O"), enc.get("U")
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise PdfError("malformed /Encrypt dictionary (O/U not strings)")
+        p = int(enc.get("P", -1)) & 0xFFFFFFFF
+        nbytes = (int(enc.get("Length") or 40) // 8) if v == 2 else 5
+        if not 5 <= nbytes <= 16:
+            raise PdfError(f"illegal RC4 key length {nbytes * 8}")
+        # Algorithm 2: file key from the (empty, padded) user password
+        h = hashlib.md5(_ENC_PAD + o[:32]
+                        + p.to_bytes(4, "little") + file_id).digest()
+        if r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:nbytes]).digest()
+        self.key = h[:nbytes]
+        # Algorithms 4/5 + 6: does the empty user password open this file?
+        if r == 2:
+            ok = _rc4(self.key, _ENC_PAD) == u[:32]
+        else:
+            d = hashlib.md5(_ENC_PAD + file_id).digest()
+            d = _rc4(self.key, d)
+            for i in range(1, 20):
+                d = _rc4(bytes(b ^ i for b in self.key), d)
+            ok = d == u[:16]
+        if not ok:
+            raise PdfError("encrypted PDF requires a password "
+                           "(empty user password rejected)")
+
+    def obj_key(self, num: int, gen: int) -> bytes:
+        import hashlib
+        d = hashlib.md5(self.key + num.to_bytes(3, "little")
+                        + gen.to_bytes(2, "little")).digest()
+        return d[:min(len(self.key) + 5, 16)]
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        return _rc4(self.obj_key(num, gen), data)
+
+
 class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.objects: dict[int, object] = {}
+        self._gens: dict[int, int] = {}
         self._scan()
+        # decrypt BEFORE ObjStm expansion: members live inside encrypted
+        # container streams and are plaintext once those are decrypted
+        self._setup_decryption()
         self._expand_object_streams()
-        if self._find_trailer_encrypt():
-            raise PdfError("encrypted PDF — decryption is out of scope")
 
     # -- object recovery ---------------------------------------------------
     def _scan(self) -> None:
@@ -294,6 +382,7 @@ class PdfDocument:
         data = self.data
         for m in _OBJ_RE.finditer(data):
             num = int(m.group(1))
+            self._gens[num] = int(m.group(2))
             try:
                 val, end = _parse_object(data, m.end())
             except (PdfError, ValueError, IndexError):
@@ -349,15 +438,58 @@ class PdfDocument:
             except (PdfError, ValueError, KeyError, IndexError):
                 continue
 
-    def _find_trailer_encrypt(self) -> bool:
+    def _setup_decryption(self) -> None:
+        """Find /Encrypt (classic ``trailer`` dicts AND xref-stream dicts),
+        derive the file key, and decrypt every string and stream in place.
+        No-op for unencrypted files."""
+        enc_src: dict | None = None
         for m in re.finditer(rb"trailer", self.data):
             try:
                 d, _ = _parse_object(self.data, m.end())
             except (PdfError, ValueError, IndexError):
                 continue
             if isinstance(d, dict) and "Encrypt" in d:
-                return True
-        return False
+                enc_src = d
+                break
+        if enc_src is None:  # PDF 1.5+: trailer fields live on /Type/XRef
+            for v in self.objects.values():
+                if (isinstance(v, Stream) and v.dict.get("Type") == "XRef"
+                        and "Encrypt" in v.dict):
+                    enc_src = v.dict
+                    break
+        if enc_src is None:
+            return
+        enc_ref = enc_src["Encrypt"]
+        enc_num = enc_ref.num if isinstance(enc_ref, Ref) else None
+        enc = self.resolve(enc_ref)
+        if not isinstance(enc, dict):
+            raise PdfError("unresolvable /Encrypt dictionary")
+        ids = self.resolve(enc_src.get("ID")) or []
+        file_id = ids[0] if (isinstance(ids, list) and ids
+                             and isinstance(ids[0], bytes)) else b""
+        dec = _StandardDecryptor({k: self.resolve(v) for k, v in enc.items()},
+                                 file_id)
+
+        def dec_strings(v, num: int, gen: int):
+            if isinstance(v, bytes):
+                return dec.decrypt(num, gen, v)
+            if isinstance(v, list):
+                return [dec_strings(x, num, gen) for x in v]
+            if isinstance(v, dict):
+                return {k: dec_strings(x, num, gen) for k, x in v.items()}
+            return v
+
+        for num, val in self.objects.items():
+            if num == enc_num:
+                continue  # O/U in the encrypt dict are never encrypted
+            gen = self._gens.get(num, 0)
+            if isinstance(val, Stream):
+                if val.dict.get("Type") == "XRef":
+                    continue  # xref streams are never encrypted (§7.5.8.2)
+                val.dict = dec_strings(val.dict, num, gen)
+                val.raw = dec.decrypt(num, gen, val.raw)
+            else:
+                self.objects[num] = dec_strings(val, num, gen)
 
     # -- access ------------------------------------------------------------
     def resolve(self, v):

@@ -123,11 +123,122 @@ def test_escapes_and_hex_strings():
     assert extract_pdf_pages(pdf) == ["paren ( close ) oct A\nHex!"]
 
 
-def test_encrypted_pdf_raises():
+def test_encrypted_pdf_with_dangling_encrypt_raises():
     pdf = make_pdf([_page(b"(secret) Tj")]).replace(
         b"trailer << /Root 1 0 R >>",
         b"trailer << /Root 1 0 R /Encrypt 9 0 R >>")
-    with pytest.raises(PdfError, match="encrypted"):
+    with pytest.raises(PdfError, match="Encrypt"):
+        extract_pdf_pages(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Encryption — RC4 standard security handler (empty user password)
+# ---------------------------------------------------------------------------
+
+def _md5(b: bytes) -> bytes:
+    import hashlib
+    return hashlib.md5(b).digest()
+
+
+def _encrypt_pdf(pdf: bytes, owner_pw: bytes = b"hunter2",
+                 user_pw: bytes = b"", r: int = 3,
+                 length: int = 128,
+                 file_id: bytes = b"\x01" * 16) -> bytes:
+    """Independent test-side encryptor: PDF 1.7 §7.6.3 Algorithms 2-5
+    written from the spec (NOT reusing the parser's derivation), so a
+    derivation bug cannot cancel out across encrypt/decrypt."""
+    import re as _re
+
+    from openai_vector_search_demo_spark.sources.pdf_text import (
+        _ENC_PAD,
+        _rc4,
+    )
+    n = length // 8 if r == 3 else 5
+    pad = lambda pw: (pw + _ENC_PAD)[:32]  # noqa: E731
+    # Algorithm 3: /O from the owner password over the padded user password
+    h = _md5(pad(owner_pw))
+    if r == 3:
+        for _ in range(50):
+            h = _md5(h)
+    okey = h[:n]
+    o = _rc4(okey, pad(user_pw))
+    if r == 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in okey), o)
+    # Algorithm 2: file key (from the USER password)
+    p = (-1) & 0xFFFFFFFF
+    key = _md5(pad(user_pw) + o + p.to_bytes(4, "little") + file_id)
+    if r == 3:
+        for _ in range(50):
+            key = _md5(key[:n])
+    key = key[:n]
+    # Algorithms 4/5: /U
+    if r == 2:
+        u = _rc4(key, _ENC_PAD)
+    else:
+        u = _rc4(key, _md5(_ENC_PAD + file_id))
+        for i in range(1, 20):
+            u = _rc4(bytes(b ^ i for b in key), u)
+        u += b"\x00" * 16
+    # encrypt every stream payload with its per-object RC4 key (strings in
+    # this fixture live inside content streams, so streams cover them)
+    def enc_obj(m):
+        num = int(m.group(1))
+        body = m.group(2)
+        sm = _re.search(rb"stream\n(.*?)\nendstream", body, _re.S)
+        if sm:
+            ok = _md5(key + num.to_bytes(3, "little") + b"\x00\x00")
+            ok = ok[:min(n + 5, 16)]
+            body = (body[:sm.start(1)] + _rc4(ok, sm.group(1))
+                    + body[sm.end(1):])
+        return b"%d 0 obj\n%s\nendobj" % (num, body)
+
+    out = _re.sub(rb"(\d+) 0 obj\n(.*?)\nendobj", enc_obj, pdf, flags=_re.S)
+    v = 2 if r == 3 else 1
+    encnum = 90
+    enc_obj_bytes = (
+        b"%d 0 obj\n<< /Filter /Standard /V %d /R %d /Length %d "
+        b"/O <%s> /U <%s> /P -1 >>\nendobj\n"
+        % (encnum, v, r, length, o.hex().encode(), u.hex().encode()))
+    idhex = file_id.hex().encode()
+    out = out.replace(
+        b"trailer << /Root 1 0 R >>",
+        enc_obj_bytes
+        + b"trailer << /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>"
+        % (encnum, idhex, idhex))
+    return out
+
+
+def test_rc4_known_vectors():
+    from openai_vector_search_demo_spark.sources.pdf_text import _rc4
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    assert _rc4(b"Secret", b"Attack at dawn").hex() == \
+        "45a01f645fc35b383552544b9bf5"
+    assert _rc4(b"Key", _rc4(b"Key", b"roundtrip")) == b"roundtrip"
+
+
+@pytest.mark.parametrize("r,length", [(3, 128), (2, 40)])
+def test_encrypted_pdf_decrypts_with_empty_user_password(r, length):
+    plain = make_pdf([_page(b"(the secret text) Tj")])
+    enc = _encrypt_pdf(plain, r=r, length=length)
+    assert b"the secret text" not in enc      # really encrypted
+    assert extract_pdf_pages(enc) == extract_pdf_pages(plain)
+
+
+def test_encrypted_pdf_with_real_user_password_raises():
+    enc = _encrypt_pdf(make_pdf([_page(b"(locked) Tj")]), user_pw=b"pw")
+    with pytest.raises(PdfError, match="password"):
+        extract_pdf_pages(enc)
+
+
+def test_aes_encryption_raises_unsupported():
+    pdf = make_pdf([_page(b"(x) Tj")])
+    pdf = pdf.replace(
+        b"trailer << /Root 1 0 R >>",
+        b"90 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/O <00> /U <00> /P -1 >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 90 0 R >>")
+    with pytest.raises(PdfError, match="unsupported encryption"):
         extract_pdf_pages(pdf)
 
 
