@@ -50,3 +50,36 @@ def hash_sample_predicate(key: Column | str, fraction: float,
     k = F.col(key) if isinstance(key, str) else key
     h = _hash60(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
     return F.pmod(h, F.lit(buckets)) < int(fraction * buckets)
+
+
+def stratified_sample_predicate(strata: Column | str,
+                                key: Column | str,
+                                fractions: dict[str, float],
+                                default: float = 0.0,
+                                seed: int = 42,
+                                buckets: int = 1_000_000) -> Column:
+    """Per-stratum deterministic sampling — the DATA-MIXING primitive: keep
+    e.g. 100% of one source, 25% of another, ``default`` of the rest, with
+    the same hash-the-key determinism as ``hash_sample_predicate`` (rows
+    keep/drop identically across runs, partitionings, and engines).
+
+    A training mix is exactly this shape: per-domain target rates over one
+    corpus.  ``fractions`` is a small literal map (domains are few) —
+    inlined into the plan, broadcast by value, no join.  Cutoffs use
+    ``floor(frac·buckets)`` so the DuckDB oracle reproduces the row set
+    bit-for-bit (double→int casts round differently across engines; an
+    explicit floor doesn't).
+    """
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {s!r} must be in [0, 1]")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError("default fraction must be in [0, 1]")
+    from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+    s = F.col(strata) if isinstance(strata, str) else strata
+    k = F.col(key) if isinstance(key, str) else key
+    frac = F.lit(float(default))
+    for name, f in sorted(fractions.items()):
+        frac = F.when(s == name, F.lit(float(f))).otherwise(frac)
+    h = _hash60(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
+    return F.pmod(h, F.lit(buckets)) < F.floor(frac * buckets).cast("long")

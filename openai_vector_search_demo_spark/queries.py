@@ -3597,6 +3597,37 @@ def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _battery(spark, sf_dir, _MULTIMODAL_BATTERY)
 
 
+@query("stratified_mix_sample", oracle=f"""
+SELECT source, COUNT(*) AS n_docs,
+       SUM(len({_SQL_TOKS})) AS n_tokens
+FROM documents
+WHERE CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+           AS BIGINT) % 1000000
+      < CAST(FLOOR(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                               WHEN 'src2' THEN 0.25 ELSE 0.125 END
+                   * 1000000) AS BIGINT)
+GROUP BY source ORDER BY source
+""")
+def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MIXING: per-source sampling rates over one corpus (keep all of
+    src0, half of src1, a quarter of src2, 12.5% of the rest), hash-keyed
+    so the mix is deterministic across runs/engines; reports the resulting
+    doc/token budget per source.  The rate map inlines into the plan — no
+    join, no shuffle beyond the final small agg."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        stratified_sample_predicate,
+    )
+    docs = t(spark, sf_dir, "documents")
+    kept = docs.filter(stratified_sample_predicate(
+        "source", "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, default=0.125))
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+"))
+                       .cast("long")).alias("n_tokens"))
+            .orderBy("source"))
+
+
 @query("decontaminate_vs_benchmark", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 bench AS (SELECT DISTINCT h

@@ -171,3 +171,31 @@ def test_hash_sample_rejects_bad_fraction():
     )
     with pytest.raises(ValueError):
         hash_sample_predicate("id", 1.5)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        hash_sample_predicate,
+        stratified_sample_predicate,
+    )
+    import pytest
+    from pyspark.sql import functions as F
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("src"))
+    pred = stratified_sample_predicate(
+        "src", "id", {"s0": 1.0, "s1": 0.5, "s2": 0.0}, default=0.25)
+    kept = df.filter(pred).groupBy("src").count().collect()
+    by = {r.src: r["count"] for r in kept}
+    assert by["s0"] == 1000                  # fraction 1.0 keeps everything
+    assert "s2" not in by                    # fraction 0.0 keeps nothing
+    assert 400 <= by["s1"] <= 600            # ~half
+    assert 150 <= by["s3"] <= 350            # default ~quarter
+    # per-stratum rate 1.0/0.5 agree with the flat sampler on the same key
+    flat = df.filter(hash_sample_predicate("id", 0.5)) \
+             .filter(F.col("src") == "s1").count()
+    assert by["s1"] == flat
+    # deterministic across evaluations
+    assert df.filter(pred).count() == sum(by.values())
+    with pytest.raises(ValueError):
+        stratified_sample_predicate("src", "id", {"s0": 1.5})
