@@ -3255,6 +3255,359 @@ def tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataF
             .orderBy("cntrycode"))
 
 
+@query("tpch_q2_min_cost_supplier", oracle="""
+WITH offer AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(SUM(l_extendedprice) / SUM(l_quantity), 6) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+eligible AS (
+  SELECT o.l_partkey, o.unit_cost, s.s_acctbal, s.s_name, n.n_name
+  FROM offer o
+  JOIN supplier s ON s.s_suppkey = o.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  JOIN region r   ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'),
+best AS (SELECT l_partkey, MIN(unit_cost) AS min_cost
+         FROM eligible GROUP BY l_partkey)
+SELECT ROUND(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+       e.l_partkey AS p_partkey, e.unit_cost
+FROM eligible e
+JOIN best b ON b.l_partkey = e.l_partkey AND e.unit_cost = b.min_cost
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""")
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-MIN subquery (cheapest supplier per
+    part in a region) decorrelated into one groupBy + equi-join back.  The
+    fixture has no partsupp table, so the supplier/part "offer" relation is
+    derived from lineitem (unit_cost = sum(price)/sum(qty), rounded to 6 dp
+    BEFORE the min-equality so both engines compare identical values).
+    Scale: offer agg is one map-side-combinable shuffle on (part, supp);
+    supplier/nation/region and the filtered part list are broadcast."""
+    li = t(spark, sf_dir, "lineitem")
+    offer = (li.groupBy("l_partkey", "l_suppkey")
+             .agg(F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 6)
+                  .alias("unit_cost")))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = (t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    eligible = (offer
+                .join(F.broadcast(s), offer.l_suppkey == s.s_suppkey)
+                .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+                .select("l_partkey", "unit_cost", "s_acctbal",
+                        "s_name", "n_name"))
+    best = (eligible.groupBy(F.col("l_partkey").alias("b_partkey"))
+            .agg(F.min("unit_cost").alias("min_cost")))
+    p = (t(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "STANDARD")
+                 & F.col("p_size").between(10, 20))
+         .select("p_partkey"))
+    return (eligible
+            .join(best, (eligible.l_partkey == F.col("b_partkey"))
+                  & (eligible.unit_cost == F.col("min_cost")))
+            .join(F.broadcast(p), eligible.l_partkey == p.p_partkey)
+            .select(F.round("s_acctbal", 2).alias("s_acctbal"), "s_name",
+                    "n_name", F.col("l_partkey").alias("p_partkey"),
+                    "unit_cost")
+            .orderBy(F.col("s_acctbal").desc(), F.col("n_name").asc(),
+                     F.col("s_name").asc(), F.col("p_partkey").asc())
+            .limit(100))
+
+
+@query("tpch_q8_market_share", oracle="""
+WITH base AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND o.o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+SELECT o_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                      ELSE 0 END) / SUM(volume), 6) AS mkt_share
+FROM base GROUP BY o_year ORDER BY o_year
+""")
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — an 8-table star join where
+    nation joins TWICE (customer side scopes the market region, supplier
+    side labels the volume), then a conditional-fraction aggregate.
+    Scale: every dimension (part/supplier/customer/nation×2/region) is
+    broadcast; the only shuffle joins are fact-to-fact lineitem ⋈ orders."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (t(spark, sf_dir, "part")
+         .filter(F.col("p_type") == "ECONOMY").select("p_partkey"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1999-01-01").cast("timestamp_ntz")))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "AMERICA").select("r_regionkey"))
+    n2 = (t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("n2_nationkey"),
+                  F.col("n_name").alias("supp_nation")))
+    base = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+            .join(F.broadcast(r), n1.n_regionkey == F.col("r_regionkey"))
+            .join(F.broadcast(n2),
+                  F.col("s_nationkey") == F.col("n2_nationkey"))
+            .select(F.year("o_orderdate").cast("int").alias("o_year"),
+                    (F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("volume"),
+                    "supp_nation"))
+    return (base.groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("volume")).otherwise(0.0))
+                / F.sum("volume"), 6).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+@query("tpch_q9_product_type_profit", oracle="""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.55 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+""")
+def tpch_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier-nation × order-year for parts
+    matching a name substring.  The fixture has no partsupp, so
+    ps_supplycost is replaced by the deterministic stand-in
+    0.55 · p_retailprice · l_quantity — identical expression both engines.
+    Scale: the '%red%' part list and supplier/nation broadcast; lineitem ⋈
+    orders is the one shuffle join, then a low-cardinality (nation, year)
+    agg with map-side combine."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (t(spark, sf_dir, "part")
+         .filter(F.col("p_name").like("%red%"))
+         .select("p_partkey", "p_retailprice"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - 0.55 * F.col("p_retailprice") * F.col("l_quantity")), 2)
+                .alias("sum_profit"))
+            .orderBy(F.col("nation").asc(), F.col("o_year").desc()))
+
+
+@query("tpch_q10_returned_items", oracle="""
+SELECT c.c_custkey, c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       ROUND(c.c_acctbal, 2) AS c_acctbal, n.n_name
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+""")
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top returned-revenue customers in a quarter.
+    Scale: the quarter filter cuts orders ~25× before anything joins, so
+    the filtered orders side broadcasts into lineitem — no fact-to-fact
+    shuffle at all; customer and nation broadcast too.  Top-20 is
+    TakeOrderedAndProject (per-partition heap), not a global sort."""
+    o = (t(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate")
+                  >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                 & (F.col("o_orderdate")
+                    < F.lit("1997-04-01").cast("timestamp_ntz")))
+         .select("o_orderkey", "o_custkey"))
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue",
+                    F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+            .limit(20))
+
+
+@query("tpch_q16_supplier_count", oracle="""
+WITH offer AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT o.l_suppkey) AS supplier_cnt
+FROM offer o
+JOIN part p ON p.p_partkey = o.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+  AND o.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+""")
+def tpch_q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute with a
+    NOT IN exclusion subquery (→ LEFT ANTI join).  The partsupp "offer"
+    relation is DISTINCT (l_partkey, l_suppkey) from lineitem; the
+    complaints exclusion is stood in by negative-balance suppliers.
+    Scale: one distinct shuffle on the pair, anti join against a tiny
+    broadcast exclusion list, countDistinct over broadcast-part groups."""
+    li = t(spark, sf_dir, "lineitem")
+    offer = li.select("l_partkey", "l_suppkey").distinct()
+    bad = (t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0.0).select("s_suppkey"))
+    p = (t(spark, sf_dir, "part")
+         .filter((F.col("p_brand") != "Brand#1")
+                 & (F.col("p_type") != "PROMO")
+                 & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+         .select("p_partkey", "p_brand", "p_type", "p_size"))
+    return (offer
+            .join(F.broadcast(bad),
+                  offer.l_suppkey == bad.s_suppkey, "left_anti")
+            .join(F.broadcast(p), offer.l_partkey == p.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.col("supplier_cnt").desc(), F.col("p_brand").asc(),
+                     F.col("p_type").asc(), F.col("p_size").asc()))
+
+
+@query("tpch_q19_discounted_revenue", oracle="""
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a disjunction of three brand/size/quantity
+    conjunctions across the join (the classic OR-predicate-pushdown test;
+    p_container/l_shipinstruct are absent from the fixture, so the branch
+    predicates use size and quantity bands).  The part-only implication of
+    the disjunction (brand ∈ {1,2,3} ∧ size ≤ 15) is applied to the part
+    scan explicitly — the derived filter Catalyst cannot infer — so the
+    broadcast side carries 3 brands instead of all 25."""
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    p = (t(spark, sf_dir, "part")
+         .filter(brand.isin("Brand#1", "Brand#2", "Brand#3")
+                 & (size <= 15))
+         .select("p_partkey", "p_brand", "p_size"))
+    li = t(spark, sf_dir, "lineitem")
+    branches = (
+        ((brand == "Brand#1") & size.between(1, 5) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(1, 10) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(1, 15) & qty.between(20, 30)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .filter(branches)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query("tpch_q21_suppliers_kept_waiting", oracle="""
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT 100
+""")
+def tpch_q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the EXISTS + NOT-EXISTS pair — suppliers who were
+    the SOLE late supplier on a multi-supplier finished order.  The fixture
+    lacks commit/receipt dates, so "late" is l_shipdate > o_orderdate +
+    120 days.  Both subqueries carry a non-equi term (suppkey <>) on top of
+    the orderkey equi-join: Spark plans them as LEFT SEMI / LEFT ANTI with
+    the inequality as join residual — no row explosion, no driver loop.
+    Scale: the supplier-region filter is applied FIRST (broadcast semi),
+    so the semi/anti joins run on the eligible ~1/5 of late lines only."""
+    li = t(spark, sf_dir, "lineitem")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    late = (li.join(o, li.l_orderkey == o.o_orderkey)
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 120 DAY"))
+            .select("l_orderkey", "l_suppkey"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name",
+                                            "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = (t(spark, sf_dir, "region")
+         .filter(F.col("r_name") == "EUROPE").select("r_regionkey"))
+    eligible_s = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+                  .join(F.broadcast(r), n.n_regionkey == F.col("r_regionkey"))
+                  .select("s_suppkey", "s_name"))
+    l1 = (late.join(F.broadcast(eligible_s),
+                    late.l_suppkey == F.col("s_suppkey"))
+          .select(F.col("l_orderkey").alias("k"),
+                  F.col("l_suppkey").alias("sk"), "s_name"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("sk2"))
+    l3 = late.select(F.col("l_orderkey").alias("k3"),
+                     F.col("l_suppkey").alias("sk3"))
+    sole_late = (l1
+                 .join(l2, (F.col("k") == F.col("k2"))
+                       & (F.col("sk") != F.col("sk2")), "left_semi")
+                 .join(l3, (F.col("k") == F.col("k3"))
+                       & (F.col("sk") != F.col("sk3")), "left_anti"))
+    return (sole_late.groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+            .limit(100))
+
+
 @query("datetime_function_surface", oracle="""
 SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
        CAST(quarter(o_orderdate) AS INTEGER) AS q,
@@ -3374,14 +3727,17 @@ def q7_q9_rerank_remote_slot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 _TPCH_BATTERY = [
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority", "tpch_q5_local_supplier_volume",
-    "tpch_q6_revenue_forecast", "tpch_q7_volume_shipping",
+    "tpch_q1_pricing_summary", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume", "tpch_q6_revenue_forecast",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_type_profit", "tpch_q10_returned_items",
     "tpch_q11_important_stock", "tpch_q12_priority_shipping",
     "tpch_q13_customer_distribution", "tpch_q14_promo_revenue_ratio",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customer", "tpch_q20_excess_stock_suppliers",
-    "tpch_q22_global_sales_opportunity",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue", "tpch_q20_excess_stock_suppliers",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
 ]
 _ANALYTICS_BATTERY = [
     "rollup_revenue_region_nation", "cube_orders_status_priority",
@@ -3453,6 +3809,20 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("count_order", "s"), ("l_linestatus", "s"), ("l_returnflag", "s"),
         ("sum_base_price", "d"), ("sum_charge", "d"), ("sum_disc_price", "d"),
         ("sum_qty", "d")],
+    "tpch_q2_min_cost_supplier": [
+        ("n_name", "s"), ("p_partkey", "s"), ("s_acctbal", "d"),
+        ("s_name", "s"), ("unit_cost", "d")],
+    "tpch_q8_market_share": [("mkt_share", "d"), ("o_year", "s")],
+    "tpch_q9_product_type_profit": [
+        ("nation", "s"), ("o_year", "s"), ("sum_profit", "d")],
+    "tpch_q10_returned_items": [
+        ("c_acctbal", "d"), ("c_custkey", "s"), ("c_name", "s"),
+        ("n_name", "s"), ("revenue", "d")],
+    "tpch_q16_supplier_count": [
+        ("p_brand", "s"), ("p_size", "s"), ("p_type", "s"),
+        ("supplier_cnt", "s")],
+    "tpch_q19_discounted_revenue": [("revenue", "d")],
+    "tpch_q21_suppliers_kept_waiting": [("numwait", "s"), ("s_name", "s")],
     "tpch_q3_shipping_priority": [
         ("l_orderkey", "s"), ("o_orderdate", "s"), ("o_orderpriority", "s"),
         ("revenue", "d")],
@@ -3555,7 +3925,8 @@ def _battery_oracle(members: list[str]) -> str:
 
 @query("tpch_battery", oracle=_battery_oracle(_TPCH_BATTERY))
 def tpch_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All 15 TPC-H query shapes (Q1/Q3/Q4/Q5/Q6/Q7/Q11–Q15/Q17/Q18/Q20/Q22)
+    """All 22 TPC-H query shapes (Q1–Q22; Q2/Q9/Q16 adapted to the fixture's
+    partsupp-less schema, Q21 to its date columns — see member docstrings)
     driver-verified in one window slot: per-member row-multiset md5 digests,
     computed identically here and in the wrapped DuckDB member oracles."""
     return _battery(spark, sf_dir, _TPCH_BATTERY)
