@@ -229,6 +229,54 @@ def with_text_scores(df, text_col: str = "text", lang: str = "en",
             .drop("_low"))
 
 
+def repetition_signals(df, text_col: str = "text", id_col: str = "doc_id",
+                       min_words: int = 5):
+    """Within-document repetition fractions — the Gopher/MassiveText-style
+    quality gates that catch boilerplate and degenerate generations exact
+    dedup can't (no cross-document comparison involved):
+
+    - ``dup_word_frac``  : 1 − distinct words / words
+    - ``dup_2gram_frac`` : 1 − distinct word-2-grams / 2-grams
+    - ``top_2gram_frac`` : occurrences of the most frequent 2-gram / 2-grams
+
+    Docs under ``min_words`` whitespace tokens are dropped (the fractions
+    are degenerate there, and real pipelines gate tiny docs separately).
+
+    Scale: the 2-gram stats go through explode → count per (doc, gram) →
+    per-doc agg.  Both aggregations combine map-side, so the shuffle
+    carries ~one row per DISTINCT (doc, gram) — repetitive documents (the
+    ones this operator exists to flag) compress the most.  All keys are
+    doc-local, so there is no skew beyond document length itself, and no
+    driver-side work anywhere.
+    """
+    toks = tokens(text_col)
+    base = (df.select(_col(id_col).alias(id_col), toks.alias("_w"))
+            .filter(F.size("_w") >= min_words))
+    words = base.select(
+        id_col,
+        F.size("_w").alias("_nw"),
+        F.size(F.array_distinct("_w")).alias("_ndw"),
+        F.expr("transform(sequence(0, size(_w) - 2), "
+               "i -> concat_ws(' ', slice(_w, i + 1, 2)))").alias("_grams"))
+    per_gram = (words
+                .select(id_col, "_nw", "_ndw",
+                        F.explode("_grams").alias("_g"))
+                .groupBy(id_col, "_nw", "_ndw", "_g")
+                .agg(F.count(F.lit(1)).alias("_c")))
+    per_doc = (per_gram
+               .groupBy(id_col, "_nw", "_ndw")
+               .agg(F.sum("_c").alias("_ng"),
+                    F.count(F.lit(1)).alias("_ndg"),
+                    F.max("_c").alias("_top")))
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    return per_doc.select(
+        id_col,
+        F.col("_nw").alias("n_words"),
+        F.round(1 - dbl("_ndw") / dbl("_nw"), 6).alias("dup_word_frac"),
+        F.round(1 - dbl("_ndg") / dbl("_ng"), 6).alias("dup_2gram_frac"),
+        F.round(dbl("_top") / dbl("_ng"), 6).alias("top_2gram_frac"))
+
+
 # ---------------------------------------------------------------------------
 # Fingerprinting
 # ---------------------------------------------------------------------------

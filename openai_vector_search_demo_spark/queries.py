@@ -579,6 +579,33 @@ def ta_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ta.fingerprint64("text").alias("fingerprint")))
 
 
+@query("ta_repetition_signals", oracle=rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+g AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS ndw,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM tok WHERE len(w) >= 5),
+pg AS (SELECT doc_id, n_words, ndw, gram, COUNT(*) AS c
+       FROM g GROUP BY ALL),
+pd AS (SELECT doc_id, n_words, ndw, SUM(c) AS ng, COUNT(*) AS ndg,
+              MAX(c) AS top_c
+       FROM pg GROUP BY ALL)
+SELECT doc_id, n_words,
+       ROUND(1 - ndw / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+       ROUND(1 - ndg / CAST(ng AS DOUBLE), 6) AS dup_2gram_frac,
+       ROUND(top_c / CAST(ng AS DOUBLE), 6) AS top_2gram_frac
+FROM pd
+""")
+def ta_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition gates (duplicate-word /
+    duplicate-2-gram / top-2-gram fractions) — see
+    ``functions.text_analysis.repetition_signals`` for the scale notes."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        repetition_signals,
+    )
+    return repetition_signals(t(spark, sf_dir, "documents"))
+
+
 def _langid_oracle() -> str:
     from openai_vector_search_demo_spark.functions.text_analysis import LANG_MARKERS
     hits = {
@@ -3747,6 +3774,7 @@ _ANALYTICS_BATTERY = [
     "corpus_distinct_stats", "join_top_customers", "events_gap_filled_hourly",
     "json_extract_props", "nested_array_functions",
     "datetime_function_surface", "hash_sample_consistent_join",
+    "ta_repetition_signals",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -3823,6 +3851,9 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("supplier_cnt", "s")],
     "tpch_q19_discounted_revenue": [("revenue", "d")],
     "tpch_q21_suppliers_kept_waiting": [("numwait", "s"), ("s_name", "s")],
+    "ta_repetition_signals": [
+        ("doc_id", "s"), ("dup_2gram_frac", "d"), ("dup_word_frac", "d"),
+        ("n_words", "s"), ("top_2gram_frac", "d")],
     "tpch_q3_shipping_priority": [
         ("l_orderkey", "s"), ("o_orderdate", "s"), ("o_orderpriority", "s"),
         ("revenue", "d")],
@@ -3938,7 +3969,8 @@ def analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping sets, pivot + unpivot, ranking and lead/lag/frame windows,
     semi/anti joins, set ops, exact distincts, the big broadcast join,
     gap-fill, JSON extraction, higher-order array functions, the date/time
-    scalar surface, and consistent hash-sampling — 16 member digests."""
+    scalar surface, consistent hash-sampling, and within-document
+    repetition gates — 17 member digests."""
     return _battery(spark, sf_dir, _ANALYTICS_BATTERY)
 
 

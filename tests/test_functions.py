@@ -199,3 +199,33 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert df.filter(pred).count() == sum(by.values())
     with pytest.raises(ValueError):
         stratified_sample_predicate("src", "id", {"s0": 1.5})
+
+
+def test_repetition_signals_hand_computed(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        repetition_signals,
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a a"),            # 5 words, 1 distinct; 4×"a a"
+            (2, "the cat sat on mat"),   # all distinct words and 2-grams
+            (3, "go go go stop go go"),  # 6 words; grams: gg,gg,gs,sg,gg
+            (4, "too short"),            # < min_words → dropped
+        ],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(out) == {1, 2, 3}
+    r1 = out[1]
+    assert r1.n_words == 5
+    assert r1.dup_word_frac == 0.8          # 1 - 1/5
+    assert r1.dup_2gram_frac == 0.75        # 4 grams, 1 distinct
+    assert r1.top_2gram_frac == 1.0
+    r2 = out[2]
+    assert r2.dup_word_frac == 0.0
+    assert r2.dup_2gram_frac == 0.0
+    assert r2.top_2gram_frac == 0.25        # 4 grams, each once
+    r3 = out[3]
+    assert r3.n_words == 6
+    assert r3.dup_word_frac == round(1 - 2 / 6, 6)
+    assert r3.dup_2gram_frac == 0.4         # 5 grams, 3 distinct
+    assert r3.top_2gram_frac == 0.6         # "go go" ×3
