@@ -2549,6 +2549,31 @@ def window_lead_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("moving_avg3"))
 
 
+@query("window_distribution_ranks", oracle="""
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(cume_dist() OVER w, 6) AS cdist
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal ASC, c_custkey ASC)
+""")
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions — ntile / percent_rank / cume_dist —
+    over one window spec (single Window physical operator).  The ordering
+    key includes the unique c_custkey tiebreak so peer groups are
+    singletons and both engines agree exactly."""
+    from pyspark.sql import Window
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey", "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"))
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q4 (EXISTS) and Q17 (correlated scalar subquery) shapes
 # ---------------------------------------------------------------------------
@@ -3774,7 +3799,7 @@ _ANALYTICS_BATTERY = [
     "corpus_distinct_stats", "join_top_customers", "events_gap_filled_hourly",
     "json_extract_props", "nested_array_functions",
     "datetime_function_surface", "hash_sample_consistent_join",
-    "ta_repetition_signals",
+    "ta_repetition_signals", "window_distribution_ranks",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -3854,6 +3879,9 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "ta_repetition_signals": [
         ("doc_id", "s"), ("dup_2gram_frac", "d"), ("dup_word_frac", "d"),
         ("n_words", "s"), ("top_2gram_frac", "d")],
+    "window_distribution_ranks": [
+        ("c_custkey", "s"), ("c_mktsegment", "s"), ("cdist", "d"),
+        ("pct_rank", "d"), ("quartile", "s")],
     "tpch_q3_shipping_priority": [
         ("l_orderkey", "s"), ("o_orderdate", "s"), ("o_orderpriority", "s"),
         ("revenue", "d")],
@@ -3969,8 +3997,9 @@ def analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping sets, pivot + unpivot, ranking and lead/lag/frame windows,
     semi/anti joins, set ops, exact distincts, the big broadcast join,
     gap-fill, JSON extraction, higher-order array functions, the date/time
-    scalar surface, consistent hash-sampling, and within-document
-    repetition gates — 17 member digests."""
+    scalar surface, consistent hash-sampling, within-document repetition
+    gates, and distribution windows (ntile/percent_rank/cume_dist) —
+    18 member digests."""
     return _battery(spark, sf_dir, _ANALYTICS_BATTERY)
 
 
