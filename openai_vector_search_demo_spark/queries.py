@@ -2549,6 +2549,41 @@ def window_lead_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("moving_avg3"))
 
 
+@query("string_function_surface", oracle="""
+SELECT p_partkey,
+       levenshtein(p_name, p_brand) AS lev,
+       reverse(p_name) AS rev,
+       repeat(substr(p_name, 1, 3), 2) AS rep3x2,
+       lpad(p_brand, 10, '*') AS padded,
+       split_part(p_name, ' ', 1) AS first_word,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       instr(p_name, 'a') AS pos_a,
+       replace(p_name, ' ', '_') AS snake,
+       concat_ws('|', p_brand, p_type, CAST(p_size AS VARCHAR)) AS packed
+FROM part
+""")
+def string_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string scalar surface in one pass — edit distance, reverse /
+    repeat / pad, delimiter split, character translate, substring search,
+    replace, and null-skipping concat — all JVM codegen'd builtins (no
+    Python), value-pinned cross-engine against DuckDB's identically-named
+    functions."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("lev"),
+        F.reverse("p_name").alias("rev"),
+        F.repeat(F.substring("p_name", 1, 3), 2).alias("rep3x2"),
+        F.lpad("p_brand", 10, "*").alias("padded"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1))
+        .alias("first_word"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.instr("p_name", "a").alias("pos_a"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake"),
+        F.concat_ws("|", "p_brand", "p_type",
+                    F.col("p_size").cast("string")).alias("packed"))
+
+
 @query("window_distribution_ranks", oracle="""
 SELECT c_custkey, c_mktsegment,
        ntile(4) OVER w AS quartile,
@@ -3800,6 +3835,7 @@ _ANALYTICS_BATTERY = [
     "json_extract_props", "nested_array_functions",
     "datetime_function_surface", "hash_sample_consistent_join",
     "ta_repetition_signals", "window_distribution_ranks",
+    "string_function_surface",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -3882,6 +3918,10 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "window_distribution_ranks": [
         ("c_custkey", "s"), ("c_mktsegment", "s"), ("cdist", "d"),
         ("pct_rank", "d"), ("quartile", "s")],
+    "string_function_surface": [
+        ("first_word", "s"), ("lev", "s"), ("p_partkey", "s"),
+        ("packed", "s"), ("padded", "s"), ("pos_a", "s"), ("rep3x2", "s"),
+        ("rev", "s"), ("snake", "s"), ("vowels_up", "s")],
     "tpch_q3_shipping_priority": [
         ("l_orderkey", "s"), ("o_orderdate", "s"), ("o_orderpriority", "s"),
         ("revenue", "d")],
@@ -3997,9 +4037,9 @@ def analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping sets, pivot + unpivot, ranking and lead/lag/frame windows,
     semi/anti joins, set ops, exact distincts, the big broadcast join,
     gap-fill, JSON extraction, higher-order array functions, the date/time
-    scalar surface, consistent hash-sampling, within-document repetition
-    gates, and distribution windows (ntile/percent_rank/cume_dist) —
-    18 member digests."""
+    scalar surface, the string scalar surface, consistent hash-sampling,
+    within-document repetition gates, and distribution windows
+    (ntile/percent_rank/cume_dist) — 19 member digests."""
     return _battery(spark, sf_dir, _ANALYTICS_BATTERY)
 
 
