@@ -50,3 +50,46 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
         *other,
         F.posexplode(word_chunks(text_col, size)).alias(page_col, chunk_col),
     )
+
+
+def sliding_word_chunks(text: Column | str, size: int,
+                        stride: int) -> Column:
+    """array<string> of overlapping ``size``-word windows advancing by
+    ``stride`` words (stride < size ⇒ size − stride words of overlap) —
+    the RAG-ingestion variant of C3 (the reference chunker is the
+    stride == size special case, minus its trailing-empty-chunk quirk).
+
+    Windows start at 0, stride, 2·stride, … while the start is inside the
+    text, so the final window may be shorter than ``size``; whitespace
+    tokens (empties removed) rather than C3's raw single-space split,
+    since overlap chunking is an engine extension with no reference edge
+    semantics to preserve.  Pure codegen'd array functions — like C3 this
+    is a map-only stage, no shuffle, no Python.
+    """
+    if not 0 < stride <= size:
+        raise ValueError(f"need 0 < stride <= size, got {stride=} {size=}")
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n_wins = F.greatest(
+        F.lit(1),
+        F.ceil((F.size(words) - F.lit(size)) / F.lit(stride) + 1)
+        .cast("int"))
+    return F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.array_join(F.slice(words, i * stride + 1, size), " "),
+    )
+
+
+def chunk_documents_sliding(df: DataFrame, text_col: str = "text",
+                            size: int = CHUNK_WORDS, stride: int | None = None,
+                            page_col: str = "page_no",
+                            chunk_col: str = "chunk") -> DataFrame:
+    """Overlapping-window variant of ``chunk_documents`` (default stride =
+    size/2, i.e. 50 % overlap)."""
+    stride = size // 2 if stride is None else stride
+    other = [c for c in df.columns if c not in (page_col, chunk_col)]
+    return df.select(
+        *other,
+        F.posexplode(sliding_word_chunks(text_col, size, stride))
+        .alias(page_col, chunk_col),
+    )

@@ -298,6 +298,34 @@ def c3_chunk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("page_no").cast("int").alias("page_no"), "chunk"))
 
 
+@query("c3_chunk_words_sliding", oracle=r"""
+WITH w AS (SELECT doc_id,
+                  list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x != '') AS words
+           FROM documents),
+n AS (SELECT doc_id, words,
+             GREATEST(1, CAST(CEIL((len(words) - 300) / 150.0 + 1)
+                              AS INTEGER)) AS n_wins
+      FROM w)
+SELECT doc_id, CAST(i AS INTEGER) AS page_no,
+       array_to_string(list_slice(words, i*150 + 1, i*150 + 300), ' ')
+         AS chunk
+FROM n, UNNEST(range(0, n_wins)) AS u(i)
+""")
+def c3_chunk_words_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — 300-word windows advancing 150 words
+    (50 % overlap), the RAG-ingestion variant of C3; map-only, no
+    shuffle (``operators/chunking.py:sliding_word_chunks``)."""
+    from openai_vector_search_demo_spark.operators.chunking import (
+        chunk_documents_sliding,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (chunk_documents_sliding(docs, text_col="text",
+                                    size=300, stride=150)
+            .select("doc_id",
+                    F.col("page_no").cast("int").alias("page_no"), "chunk"))
+
+
 # ---------------------------------------------------------------------------
 # §2.5 query-side relational core
 # ---------------------------------------------------------------------------
@@ -3835,7 +3863,7 @@ _ANALYTICS_BATTERY = [
     "json_extract_props", "nested_array_functions",
     "datetime_function_surface", "hash_sample_consistent_join",
     "ta_repetition_signals", "window_distribution_ranks",
-    "string_function_surface",
+    "string_function_surface", "c3_chunk_words_sliding",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -3922,6 +3950,8 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("first_word", "s"), ("lev", "s"), ("p_partkey", "s"),
         ("packed", "s"), ("padded", "s"), ("pos_a", "s"), ("rep3x2", "s"),
         ("rev", "s"), ("snake", "s"), ("vowels_up", "s")],
+    "c3_chunk_words_sliding": [
+        ("chunk", "s"), ("doc_id", "s"), ("page_no", "s")],
     "tpch_q3_shipping_priority": [
         ("l_orderkey", "s"), ("o_orderdate", "s"), ("o_orderpriority", "s"),
         ("revenue", "d")],
@@ -4038,8 +4068,9 @@ def analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi/anti joins, set ops, exact distincts, the big broadcast join,
     gap-fill, JSON extraction, higher-order array functions, the date/time
     scalar surface, the string scalar surface, consistent hash-sampling,
-    within-document repetition gates, and distribution windows
-    (ntile/percent_rank/cume_dist) — 19 member digests."""
+    within-document repetition gates, distribution windows
+    (ntile/percent_rank/cume_dist), and sliding-window chunking —
+    20 member digests."""
     return _battery(spark, sf_dir, _ANALYTICS_BATTERY)
 
 

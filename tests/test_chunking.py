@@ -49,3 +49,35 @@ def test_double_space_preserves_empty_words(spark):
 def test_small_size_many_chunks(spark):
     text = " ".join([f"t{i}" for i in range(10)])
     assert run(spark, text, size=3) == ref_chunks(text, 3)
+
+
+def test_sliding_chunks_overlap_and_coverage(spark):
+    from openai_vector_search_demo_spark.operators.chunking import (
+        chunk_documents_sliding,
+        sliding_word_chunks,
+    )
+    import pytest
+    from pyspark.sql import functions as F
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame([(1, " ".join(words)), (2, ""), (3, "solo")],
+                               "doc_id long, text string")
+    out = chunk_documents_sliding(df, size=4, stride=2)
+    rows = {(r.doc_id, r.page_no): r.chunk for r in out.collect()}
+    # doc 1: starts 0,2,4,6 — last window full; every window size 4
+    assert rows[(1, 0)] == "w0 w1 w2 w3"
+    assert rows[(1, 1)] == "w2 w3 w4 w5"
+    assert rows[(1, 3)] == "w6 w7 w8 w9"
+    assert (1, 4) not in rows
+    # consecutive windows share exactly size - stride words
+    assert rows[(1, 0)].split()[2:] == rows[(1, 1)].split()[:2]
+    # concatenating every stride-th prefix reconstructs the doc (coverage)
+    recon = []
+    for i in range(4):
+        recon.extend(rows[(1, i)].split()[:2])
+    assert recon + rows[(1, 3)].split()[2:] == words
+    # degenerate docs: one (possibly empty / short) window, never zero rows
+    assert rows[(2, 0)] == ""
+    assert rows[(3, 0)] == "solo"
+    with pytest.raises(ValueError):
+        sliding_word_chunks(F.col("text"), size=4, stride=5)
