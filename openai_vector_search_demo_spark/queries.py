@@ -1416,14 +1416,55 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("s1_s2_doc_crack")  # binary cracking → not SQL-expressible → rows-only
+def _doc_crack_oracle() -> str:
+    """The cracker's expected output, pinned as literals.
+
+    The inputs are fully deterministic (two in-test documents built from
+    fixed bytes + the reference's own 15-page sample PDF), so the exact
+    (doc, page_no, length, md5) of every extracted page is known ahead of
+    time — the driver's gate hash-checks the binary extraction itself
+    instead of only counting rows.  The fake/docx rows are hand-derivable
+    (tests/test_sources_catalog_multimodal.py re-derives them with hashlib
+    from the input strings); the PDF rows pin the extractor's verified
+    output on the reference's fixed sample document.
+    """
+    rows = [
+        ("a.fake", 0, 16, "bd436e132f4ec7a4ca24add9fdabe932"),
+        ("a.fake", 1, 13, "b26de41e35dac5c578997223164ae491"),
+        ("b.docx", 0, 38, "238b31a5ef8e54cd432cf67a24e88841"),
+        ("c.pdf", 0, 465, "2a62b4c03ee14b5bcb634e4b4b527fc7"),
+        ("c.pdf", 1, 331, "2afabc73da31ef49a056ca08c8931c95"),
+        ("c.pdf", 2, 1252, "1ee1d93df60643214a50117f715b3fbd"),
+        ("c.pdf", 3, 812, "a7fa206a889c404fc877e67b1175459f"),
+        ("c.pdf", 4, 1343, "f0aa8330266e2e0415119206f464957d"),
+        ("c.pdf", 5, 786, "4442514b4348939894ea8b11fbd3f1bc"),
+        ("c.pdf", 6, 873, "bf30bc095ed98daed74c66c36a2605ad"),
+        ("c.pdf", 7, 967, "1ea4982abfd581d2f6748f0ce4e47c3d"),
+        ("c.pdf", 8, 963, "103de796e100ad676409c84c0e71b5c8"),
+        ("c.pdf", 9, 825, "7e376cfed3af24e2a3b270aa0b17eaa4"),
+        ("c.pdf", 10, 487, "5e5b85117c61932ae6c422c9d2760f76"),
+        ("c.pdf", 11, 732, "7fa7562e031c4e52f86435436f6238ed"),
+        ("c.pdf", 12, 1422, "f2281b4cf2be54f01e28f0b885715979"),
+        ("c.pdf", 13, 874, "2af7a5d0b52d9dae64fcfb332e2c8f32"),
+        ("c.pdf", 14, 631, "7daf7b026c3bd9c77c74483629402df9"),
+    ]
+    vals = ", ".join(f"('{d}', {p}, {n}, '{h}')" for d, p, n, h in rows)
+    return (f"SELECT doc, page_no, n_chars, text_md5 "
+            f"FROM (VALUES {vals}) AS t(doc, page_no, n_chars, text_md5) "
+            f"ORDER BY doc, page_no")
+
+
+@query("s1_s2_doc_crack", oracle=_doc_crack_oracle())
 def s1_s2_doc_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/S3 — binaryFile scan → extension dispatch → page extraction →
     the ordinary ingest pipeline.  Inputs are deterministic in-test documents
-    (a form-feed fake, a real stdlib-built DOCX, and — when present — the
-    reference's own 15-page sample PDF through the engine's dependency-free
-    extractor); output is the chunks shape minus the embedding column
-    (stable for the driver's schema check).
+    (a form-feed fake, a real stdlib-built DOCX, and the reference's own
+    15-page sample PDF through the engine's dependency-free extractor);
+    output is the per-page (basename, page_no, length, md5-of-text) —
+    path-free and byte-deterministic, so the driver value-checks the binary
+    extraction against the pinned VALUES oracle.  The record `id` column is
+    excluded by design: it keys on the absolute doc_path, which lives in a
+    per-run temp directory.
     """
     import shutil
     import tempfile
@@ -1446,8 +1487,11 @@ def s1_s2_doc_crack(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sample.exists():  # S1 on the reference's own input document
         shutil.copy(sample, d / "c.pdf")
     chunks = crack_and_ingest(read_raw(spark, str(d)))
-    return (chunks.select("id", "page_no", "page_content",
-                          F.element_at(F.split("doc_path", "/"), -1).alias("doc"))
+    return (chunks.select(
+                F.element_at(F.split("doc_path", "/"), -1).alias("doc"),
+                "page_no",
+                F.length("page_content").alias("n_chars"),
+                F.md5(F.col("page_content")).alias("text_md5"))
             .orderBy("doc", "page_no"))
 
 
@@ -4090,13 +4134,33 @@ def events_windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _battery(spark, sf_dir, _EVENTS_WINDOWS_BATTERY)
 
 
-@query("multimodal_battery")  # binary decode members → rows-only by nature
+# The multimodal members build their binary inputs from seeded generators
+# (np.RandomState(7)/(11) + deterministic stdlib encoders) and never read
+# sf_dir, so each member's full-output digest is a CONSTANT — pinned here as
+# literals so the driver value-checks the decode paths at every sf instead of
+# only counting rows.  tests/test_multimodal.py::test_battery_digests_pinned
+# recomputes both digests every run and fails loudly if an intentional change
+# forgets to re-pin.
+_MULTIMODAL_PINNED: list[tuple[str, int, str]] = [
+    ("multimodal_audio_features", 21, "d714729280c79700f6ce7afb975a4a1c"),
+    ("multimodal_image_features", 41, "e203c0002b7072ad2b69deb51ca2ad87"),
+]
+
+_MULTIMODAL_ORACLE = (
+    "SELECT query_name, CAST(n_rows AS BIGINT) AS n_rows, digest "
+    "FROM (VALUES "
+    + ", ".join(f"('{q}', {n}, '{d}')" for q, n, d in _MULTIMODAL_PINNED)
+    + ") AS t(query_name, n_rows, digest) ORDER BY query_name")
+
+
+@query("multimodal_battery", oracle=_MULTIMODAL_ORACLE)
 def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both multimodal decode paths (synthetic-image featurize + REAL wav
-    PCM parsing) through the driver gate in one slot.  rows-only: the
-    members decode binary columns in Arrow ``mapInPandas`` — not
-    SQL-expressible — but the digest is still computed, so schema drift or
-    nondeterminism shows up as a changed row, not silently."""
+    PCM parsing) through the driver gate in one slot.  The members decode
+    binary columns in Arrow ``mapInPandas`` — not SQL-*expressible* — but
+    their inputs are seeded constants, so the member digests ARE
+    SQL-*checkable*: the oracle pins the expected (query_name, n_rows,
+    digest) rows as literals (``_MULTIMODAL_PINNED``)."""
     return _battery(spark, sf_dir, _MULTIMODAL_BATTERY)
 
 

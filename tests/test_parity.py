@@ -76,12 +76,14 @@ def test_first_50_registrations_are_the_proof_window():
     assert len(Q.PROOF_WINDOW) == len(set(Q.PROOF_WINDOW)) == 50
 
 
-def test_window_entries_oracled_except_by_nature_rows_only():
+def test_window_entries_all_oracled():
+    # Since r7 even the two binary slots carry oracles: their inputs are
+    # deterministic constants, so the expected outputs are pinned as VALUES
+    # literals (not SQL-expressible, but SQL-checkable).
     from openai_vector_search_demo_spark import queries as Q
     oracled = entrymod.oracle_sql()
     rows_only = [n for n in Q.PROOF_WINDOW if n not in oracled]
-    # binary cracking / binary decode — genuinely not SQL-expressible
-    assert rows_only == ["s1_s2_doc_crack", "multimodal_battery"]
+    assert rows_only == []
 
 
 def test_battery_members_are_all_registered_and_oracled():

@@ -77,6 +77,42 @@ def test_crack_to_chunks_pipeline(spark, tmp_path):
     assert all(len(r.embedding) == 64 for r in rows)
 
 
+def test_doc_crack_oracle_pins_are_hand_derivable():
+    """The non-PDF rows of the s1_s2_doc_crack VALUES oracle re-derived from
+    the literal input strings with hashlib — the pins are facts about the
+    inputs, not echoes of the implementation.  (The c.pdf rows pin the
+    extractor's verified output on the reference's fixed sample document and
+    are regression-checked by the parity/driver gate instead.)"""
+    import hashlib
+
+    from openai_vector_search_demo_spark.queries import ORACLE_SQL
+    expected = {
+        # a.fake: one physical page per FAKE_PAGE_SEP segment (S1)
+        ("a.fake", 0): b"alpha beta gamma",
+        ("a.fake", 1): b"delta epsilon",
+        # b.docx: paragraphs joined by '\n', repaginated per 300 words (S2);
+        # page_content stores the ORIGINAL chunk text (pre-cleanse, like the
+        # reference's stored content) so the newline survives
+        ("b.docx", 0): b"one paragraph of text\nand a second one",
+    }
+    sql = ORACLE_SQL["s1_s2_doc_crack"]
+    for (doc, page), raw in expected.items():
+        pin = f"('{doc}', {page}, {len(raw)}, '{hashlib.md5(raw).hexdigest()}')"
+        assert pin in sql, pin
+
+
+def test_multimodal_battery_digests_pinned(spark):
+    """Recompute both member digests and compare to _MULTIMODAL_PINNED —
+    fails loudly (with the new values) if an intentional change to the
+    seeded inputs or the feature code forgets to re-pin the oracle."""
+    from openai_vector_search_demo_spark import queries as Q
+    live = [(r.query_name, r.n_rows, r.digest)
+            for r in Q._battery(spark, "/root/testdata/sf0.001",
+                                Q._MULTIMODAL_BATTERY).collect()]
+    assert live == Q._MULTIMODAL_PINNED, (
+        f"multimodal member digests changed — re-pin _MULTIMODAL_PINNED to: {live}")
+
+
 # ---------------------------------------------------------------------------
 # catalog lifecycle
 # ---------------------------------------------------------------------------
