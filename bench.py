@@ -51,9 +51,11 @@ def main() -> None:
     # perf signal (round 5 lost its entire bench to a single analysis error).
     # Errors are reported per-query in "errors" and excluded from the total.
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in headline:
-        best = None
+        runs: list[float] = []
         for _ in range(3):
             # cold caches each run: several operators persist() reused
             # subtrees; without this the second run times the cache, not
@@ -64,18 +66,25 @@ def main() -> None:
                 registry[name](spark, sf_dir).collect()
             except Exception as exc:  # noqa: BLE001 — isolate, report, go on
                 errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-                best = None
+                runs = []
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        if best is not None:
-            timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if runs:
+            runs.sort()
+            timings[name] = round(runs[0], 3)
+            # median + spread expose environment noise per query (VERDICT r6:
+            # a broad +0.1 s drift on untouched queries was indistinguishable
+            # from a plan regression with only the min recorded)
+            medians[name] = round(runs[len(runs) // 2], 3)
+            spreads[name] = round(runs[-1] - runs[0], 3)
 
     out = {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "queries_spread": spreads,
         "sf": sf,
     }
     if errors:
