@@ -39,11 +39,25 @@ def pack_sequences(df: DataFrame, budget: int,
 
     ``order_col`` (default: the id) must be a deterministic total order
     within each group — packing is only reproducible if the stream is.
+
+    Any id dtype works: numeric ids group by ``pmod(id, num_groups)``
+    directly; everything else (string doc keys, the common case in real
+    corpora) is md5-hashed to a 60-bit int first — same deterministic,
+    engine-portable arithmetic as ``functions.hashing`` (oracle mirror:
+    ``CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) % num_groups``).
     """
     if budget < 1:
         raise ValueError("budget must be >= 1")
     order = order_col or id_col
-    grp = F.pmod(F.col(id_col), F.lit(num_groups)).cast("int")
+    dt = dict(df.dtypes).get(id_col, "")
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        grp_key = F.col(id_col)
+    else:
+        from openai_vector_search_demo_spark.functions.text_analysis import (
+            _hash60,
+        )
+        grp_key = _hash60(F.col(id_col).cast("string"))
+    grp = F.pmod(grp_key, F.lit(num_groups)).cast("int")
     w = (Window.partitionBy("grp").orderBy(F.col(order).asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     d = df.withColumn("grp", grp)

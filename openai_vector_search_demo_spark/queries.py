@@ -4299,6 +4299,38 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=512, num_groups=16)
 
 
+@query("pack_sequences_512_string_id", oracle=rf"""
+WITH tok AS (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS doc_key,
+                    len({_SQL_TOKS}) AS n_tokens
+             FROM documents),
+g AS (SELECT doc_key,
+             CAST({_SQL_H60.format(expr='doc_key')} % 16 AS INTEGER) AS grp,
+             n_tokens
+      FROM tok),
+c AS (SELECT doc_key, grp, n_tokens,
+        SUM(n_tokens) OVER (PARTITION BY grp ORDER BY doc_key
+                            ROWS UNBOUNDED PRECEDING) - n_tokens
+          AS start_offset
+      FROM g)
+SELECT doc_key, grp, CAST(start_offset // 512 AS INTEGER) AS bin_in_grp,
+       CAST(start_offset AS BIGINT) AS start_offset, n_tokens
+FROM c
+""")
+def pack_sequences_512_string_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over STRING document keys — the real-corpus shape
+    (VERDICT r6 'what's wrong' #3: ``pmod(col(id))`` failed on non-numeric
+    ids).  The group key becomes the md5-60bit hash of the key, mirrored
+    exactly by the oracle; ordering inside a group is the key's binary
+    string order, identical in both engines."""
+    from openai_vector_search_demo_spark.operators.packing import pack_sequences
+    docs = t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+        .alias("doc_key"),
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long")
+        .alias("n_tokens"))
+    return pack_sequences(docs, budget=512, id_col="doc_key", num_groups=16)
+
+
 @query("pack_stats_512", oracle=rf"""
 WITH {_PACK_ORACLE_CTE}
 SELECT grp, CAST(start_offset // 512 AS INTEGER) AS bin_in_grp,

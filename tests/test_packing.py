@@ -31,6 +31,30 @@ def test_offsets_are_contiguous_per_group(docs):
             off += r.n_tokens
 
 
+def test_string_ids_pack_like_numeric(spark):
+    """String doc keys (the real-corpus shape) group via the md5-60bit hash
+    and keep every layout invariant: total assignment, contiguous offsets,
+    hashlib-reproducible group ids."""
+    import hashlib
+
+    rows = [(f"doc-{i}", 100 + (i * 37) % 400) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_key", "n_tokens"])
+    packed = pack_sequences(df, budget=512, id_col="doc_key",
+                            num_groups=4).collect()
+    assert len(packed) == 40
+    for r in packed:  # grp = md5-60bit(key) % 4, independently recomputed
+        expect = int(hashlib.md5(r.doc_key.encode()).hexdigest()[:15], 16) % 4
+        assert r.grp == expect, r
+    by_grp: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: (r.grp, r.start_offset)):
+        by_grp.setdefault(r.grp, []).append(r)
+    for grp, grows in by_grp.items():
+        off = 0
+        for r in grows:
+            assert r.start_offset == off, (grp, r)
+            off += r.n_tokens
+
+
 def test_deterministic_and_total(docs):
     a = sorted(map(tuple, pack_sequences(docs, 512, num_groups=4).collect()))
     b = sorted(map(tuple, pack_sequences(docs, 512, num_groups=4).collect()))
