@@ -1460,6 +1460,64 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("streaming_interval_join", oracle="""
+WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+SELECT c.user_id AS first_user, c.event_id AS first_id,
+       p.event_id AS second_id,
+       c.ts_us AS first_ts_us, p.ts_us AS second_ts_us
+FROM c JOIN p ON p.user_id = c.user_id
+             AND p.ts_us > c.ts_us
+             AND p.ts_us <= c.ts_us + 3600000000
+""")
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream interval join executed as a real Structured
+    Streaming job (two watermarked sides + event-time range — the state-
+    bounding requirements) and hash-checked against a DuckDB batch oracle
+    of the same join: every click paired with that user's purchases within
+    the next hour.  availableNow execution over fixed input is
+    deterministic, so streaming execution gets batch-grade correctness —
+    the mechanism ``streaming_tumbling_counts`` already proves for
+    aggregation, extended here to dual-stream state (VERDICT r6 #5)."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_event_followup_join,
+    )
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    name = f"stream_interval_{next(_STREAM_SEQ)}"
+    try:
+        # schema from a batch read of the same path (never hardcoded — see
+        # streaming_tumbling_counts for the silent-misread failure mode)
+        raw_batch = _read_events_raw(spark, sf_dir)
+        ts_us = _events_ts_us(raw_batch)
+        stream = (spark.readStream.schema(raw_batch.schema)
+                  .format("parquet").option("pathGlobFilter", "events.parquet")
+                  .load(sf_dir)
+                  .withColumn("ts", F.timestamp_micros(ts_us)))
+        q = (stream_event_followup_join(
+                stream.filter(F.col("event_type") == "click"),
+                stream.filter(F.col("event_type") == "purchase"),
+                within="1 hour", watermark="100 days")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = (spark.table(name)
+               .select("first_user", "first_id", "second_id",
+                       F.unix_micros("first_ts").alias("first_ts_us"),
+                       F.unix_micros("second_ts").alias("second_ts_us"))
+               .localCheckpoint(eager=True))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        spark.catalog.dropTempView(name)
+    return out
+
+
 def _doc_crack_oracle() -> str:
     """The cracker's expected output, pinned as literals.
 
@@ -3959,6 +4017,7 @@ _RETRIEVAL_BATTERY = [
 ]
 _EVENTS_WINDOWS_BATTERY = [
     "events_tumbling_window", "events_sliding_window", "events_session_window",
+    "streaming_interval_join",  # real dual-stream run, batch-oracled
 ]
 _MULTIMODAL_BATTERY = [
     "multimodal_image_features", "multimodal_audio_features",
@@ -4127,6 +4186,9 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "events_session_window": [
         ("n_events", "s"), ("session_start_us", "s"), ("sum_value", "d"),
         ("user_id", "s")],
+    "streaming_interval_join": [
+        ("first_id", "s"), ("first_ts_us", "s"), ("first_user", "s"),
+        ("second_id", "s"), ("second_ts_us", "s")],
 }
 
 
