@@ -31,7 +31,20 @@ from openai_vector_search_demo_spark.operators.chunking import chunk_documents
 from openai_vector_search_demo_spark.operators.knn import knn
 
 
-def spread_for_python(df: DataFrame, factor: int = 4) -> DataFrame:
+def _parse_size_bytes(value: str) -> int:
+    """Spark size-string → bytes: bare numbers plus the k/m/g/t suffix
+    family, case-insensitive, with or without a trailing 'b' ('134217728',
+    '128m', '128MB', '1g').  Mirrors Spark's JavaUtils.byteStringAsBytes
+    for the forms a user can legally put in maxPartitionBytes."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", value.lower())
+    if not m:
+        raise ValueError(f"unparseable size string: {value!r}")
+    return int(m.group(1)) * (1024 ** "\0kmgtp".index(m.group(2) or "\0"))
+
+
+def spread_for_python(df: DataFrame, factor: int = 4,
+                      num_partitions: int | None = None) -> DataFrame:
     """Ensure enough partitions to overlap Arrow-batched Python stages.
 
     A small corpus scans as ONE file split, so a downstream pandas-UDF
@@ -43,13 +56,25 @@ def spread_for_python(df: DataFrame, factor: int = 4) -> DataFrame:
     overhead; cores/4 measured fastest for the embed stage (0.97 s vs
     1.15 s at cores and 2.0 s unsplit, sf0.1).
 
+    CALLER CONTRACT: the automatic heuristic only acts on LOCAL files
+    (``file:`` / bare-path URIs).  Object-store inputs (s3://, abfs://,
+    hdfs://, …) are deliberately left alone — the driver can't stat them
+    cheaply, and under-splitting is the safe default (tenths of a second
+    on a small corpus) where a wrong repartition of a big one costs a
+    cluster-wide shuffle.  A SMALL remote corpus therefore still hits the
+    serial-Python-stage problem: pass ``num_partitions`` explicitly to
+    force the spread (it bypasses detection entirely and applies to any
+    scheme).
+
     Detection reads the plan's file list (driver-side listing, ~ms) and
     local file sizes — NOT ``df.rdd.getNumPartitions()``, which runs the
     whole physical planner a second time (~0.15 s per query build).  Any
-    doubt (non-local files, stat failure) means no repartition: under-
-    splitting a small corpus costs tenths of a second, shuffling a big
-    one costs a cluster.
+    doubt (stat failure, unparseable conf) means no repartition.
     """
+    if num_partitions is not None:
+        if num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")
+        return df.repartition(num_partitions)
     sess = df.sparkSession
     target = max(2, sess.sparkContext.defaultParallelism // factor)
     try:
@@ -58,8 +83,12 @@ def spread_for_python(df: DataFrame, factor: int = 4) -> DataFrame:
             return df
         import os
         from urllib.parse import unquote, urlparse
-        split_bytes = int(sess.conf.get("spark.sql.files.maxPartitionBytes",
-                                        str(128 * 1024 * 1024)).rstrip("b"))
+        try:
+            split_bytes = _parse_size_bytes(
+                sess.conf.get("spark.sql.files.maxPartitionBytes",
+                              str(128 * 1024 * 1024)))
+        except ValueError:
+            split_bytes = 128 * 1024 * 1024  # Spark's default
         total = 0
         for f in files:
             u = urlparse(f)

@@ -219,3 +219,49 @@ def test_tenant_partition_pruning_reaches_scan(spark, tmp_path):
     p = buf.getvalue()
     assert "PartitionFilters" in p and "t1" in p
     assert q.count() == 25
+
+
+def test_parse_size_bytes_suffix_family():
+    """maxPartitionBytes accepts Spark size strings — '128MB', '128m', '1g'
+    previously raised inside the heuristic's try and silently disabled
+    spreading (ADVICE r6)."""
+    from openai_vector_search_demo_spark.plans.pipeline import _parse_size_bytes
+    mib = 1024 * 1024
+    assert _parse_size_bytes("134217728") == 128 * mib
+    assert _parse_size_bytes("134217728b") == 128 * mib
+    assert _parse_size_bytes("128m") == 128 * mib
+    assert _parse_size_bytes("128MB") == 128 * mib
+    assert _parse_size_bytes("128M") == 128 * mib
+    assert _parse_size_bytes("1g") == 1024 * mib
+    assert _parse_size_bytes("2k") == 2048
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        _parse_size_bytes("fast")
+
+
+def test_spread_for_python_heuristic_and_override(spark, tmp_path):
+    from openai_vector_search_demo_spark.plans.pipeline import spread_for_python
+
+    # one small local file -> spread to cores/factor
+    small = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(small)
+    df = spark.read.parquet(small)
+    target = max(2, spark.sparkContext.defaultParallelism // 4)
+    assert spread_for_python(df).rdd.getNumPartitions() == target
+
+    # suffixed conf value must not disable the heuristic
+    prev = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "128MB")
+    try:
+        assert spread_for_python(df).rdd.getNumPartitions() == target
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+
+    # explicit override bypasses detection (the object-store escape hatch)
+    assert spread_for_python(df, num_partitions=7).rdd.getNumPartitions() == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        spread_for_python(df, num_partitions=0)
