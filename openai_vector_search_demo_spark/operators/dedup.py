@@ -326,6 +326,18 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
     )
 
     extras = [F.col(c) if isinstance(c, str) else c for c in keep_cols]
+    # keep_cols aliases share a select with the internal buffer columns; a
+    # collision would silently drop the caller's column from `side` or
+    # corrupt the band/verify selects — refuse loudly instead (ADVICE r6).
+    # Output names resolved via a driver-side analysis of the projection
+    # (no job), not string-parsing of Column reprs.
+    _RESERVED = {"id", "hs", "signature", "sz", "_ss"}
+    if extras:
+        bad = sorted(set(df.select(*extras).columns) & _RESERVED)
+        if bad:
+            raise ValueError(
+                f"keep_cols alias(es) {bad} collide with internal buffer "
+                f"columns; reserved names: {sorted(_RESERVED)}")
     sh = (spread_for_python(df)
           .select(F.col(id_col).alias("id"),
                   _shingle_sig_udf(k, num_hashes)(F.col(text_col))
@@ -677,15 +689,19 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     the plan does not grow with iterations (the standard Spark iterative-
     algorithm pattern).
 
-    **Small-graph fast path**: a near-dup edge set under
-    ``driver_threshold`` edges (~30 MB collected at 1M) is solved with
-    driver-side union-find in one collect — the distributed loop's 4–8
-    rounds are pure job-scheduling overhead at that size, which dominates
-    interactive/capstone latency.  The edge count is read off the already-
-    checkpointed edge list (no extra scan), the output is identical
-    (component-min labels), and graphs past the threshold take the
-    unbounded-scale path automatically.  ``driver_threshold=0`` forces the
-    distributed path (used by tests to pin both).
+    **Small-graph fast path**: a near-dup pair set of at most
+    ``driver_threshold`` RAW PAIRS (unsymmetrized — union-find is
+    direction-agnostic, so the effective edge budget is 2× the old
+    symmetrized-edge reading; ~30 MB collected at 1M) is solved with
+    driver-side union-find.  The size check is one bounded probe job —
+    ``limit(threshold + 1).collect()`` *before* any checkpoint — whose
+    result doubles as the union-find input when under threshold; the
+    distributed loop's 4–8 rounds are pure job-scheduling overhead at
+    that size, which dominates interactive/capstone latency.  The output
+    is identical (component-min labels); an over-threshold probe discards
+    its bounded result and the graph takes the unbounded-scale path
+    below.  ``driver_threshold=0`` forces the distributed path (used by
+    tests to pin both).
 
     Only ids appearing in ``pairs`` are emitted; singleton documents are by
     definition their own cluster and need no row.

@@ -347,6 +347,20 @@ def test_pairs_with_side_rides_one_scan(spark, corpus):
     assert {(r.id_a, r.id_b) for r in pairs.collect()} == plain
 
 
+def test_pairs_with_side_rejects_reserved_aliases(spark, corpus):
+    """keep_cols colliding with internal buffer columns must raise a clear
+    ValueError instead of silently dropping the caller's column (ADVICE r6)."""
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_pairs_with_side,
+    )
+    for bad in ("hs", "signature", "sz", "id"):
+        with _pytest.raises(ValueError, match="reserved"):
+            minhash_lsh_pairs_with_side(
+                corpus, keep_cols=[F.length("text").alias(bad)])
+
+
 def test_duplicate_clusters_probe_and_distributed_agree(spark):
     """The one-job limit-probe driver path and the forced distributed path
     (driver_threshold=0) must label identically — including when the pair
