@@ -302,7 +302,8 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
                                 text_col: str = "text", k: int = 3,
                                 num_hashes: int = 16, bands: int = 4,
                                 threshold: float = 0.5,
-                                cache: bool = True):
+                                cache: bool = True,
+                                spread: bool = True):
     """``minhash_lsh_pairs`` + a SIDE TABLE riding the same corpus scan.
 
     Returns ``(pairs, side)`` where ``side`` is
@@ -313,6 +314,15 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
     same corpus; computed separately that is two full text scans (the
     scan, not the math, dominates once scoring is codegen'd regexp) —
     fused here it is one.
+
+    ``spread=False`` skips the small-corpus repartition: pass it when the
+    caller already spread the input.  NOTE the repartition here lands ON
+    TOP of any projections already attached to ``df`` — Catalyst does not
+    sink a round-robin exchange below a projection, so expensive caller
+    expressions (scoring regexes) would run serially on the raw scan
+    split.  A caller attaching heavy columns should
+    ``spread_for_python(src)`` FIRST, then project, then pass
+    ``spread=False`` (measured 2.6× on the capstone's scoring stage).
     """
     rows = num_hashes // bands
     # ONE Python pass computes shingle hashes AND the minhash signature
@@ -338,7 +348,7 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
             raise ValueError(
                 f"keep_cols alias(es) {bad} collide with internal buffer "
                 f"columns; reserved names: {sorted(_RESERVED)}")
-    sh = (spread_for_python(df)
+    sh = ((spread_for_python(df) if spread else df)
           .select(F.col(id_col).alias("id"),
                   _shingle_sig_udf(k, num_hashes)(F.col(text_col))
                   .alias("_ss"),
@@ -362,11 +372,23 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
     band_entries = sig.select(
         "id",
         F.expr(f"posexplode(array({band_exprs}))").alias("band", "bucket"))
-    l = band_entries.select(F.col("id").alias("id_a"), "band", "bucket")
-    r = band_entries.select(F.col("id").alias("id_b"), "band", "bucket")
-    cand = (l.join(r, ["band", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    # In-bucket pair generation via ONE groupBy instead of a band-entries
+    # self-join: the join form shuffle-writes the entries twice (once per
+    # side) and needs a third shuffle to distinct; this is one exchange on
+    # (band, bucket) + a JVM-side combination explode + the (tiny) pair
+    # distinct.  Per-bucket state is the id list — the same cardinality a
+    # join bucket holds — and the quadratic in-bucket pair count is
+    # inherent to LSH banding in either formulation (a degenerate
+    # mega-bucket of identical docs blows up the pair set itself long
+    # before the collected id array matters).
+    buckets = (band_entries.groupBy("band", "bucket")
+               .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    cand = (buckets.select(F.explode(F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), "
+                "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
     a = sh.select(F.col("id").alias("id_a"), F.col("hs").alias("hs_a"),
                   F.col("sz").alias("sz_a"))

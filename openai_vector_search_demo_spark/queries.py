@@ -2979,15 +2979,19 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_clusters,
         minhash_lsh_pairs_with_side,
     )
+    from openai_vector_search_demo_spark.plans.pipeline import spread_for_python
     docs = t(spark, sf_dir, "documents")
     # scoring columns attach BEFORE the dedup call so the one fused scan
-    # evaluates them; with_text_scores keeps `text` for the shingle UDF
-    enriched = ta.with_text_scores(docs)
+    # evaluates them; with_text_scores keeps `text` for the shingle UDF.
+    # SPREAD FIRST: a round-robin exchange does not sink below projections,
+    # so scoring after the operator's own spread would run serially on the
+    # raw scan split (measured 1.26 s -> 0.47 s for the scoring stage)
+    enriched = ta.with_text_scores(spread_for_python(docs))
     pairs, side = minhash_lsh_pairs_with_side(
         enriched,
         keep_cols=["quality", "lang_detected", "n_tokens",
                    F.length("text").alias("text_len")],
-        k=3, num_hashes=16, bands=4, threshold=0.5)
+        k=3, num_hashes=16, bands=4, threshold=0.5, spread=False)
 
     clusters = duplicate_clusters(pairs)
     members = clusters.join(side.select("id", "text_len"), "id")
