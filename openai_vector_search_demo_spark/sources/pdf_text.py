@@ -23,11 +23,14 @@ Scope (deliberately bounded, loud on anything outside it):
   incrementing forms) → /Encoding (MacRoman/WinAnsi/Differences with an
   Adobe-Glyph-List subset) → Latin-1 fallback.  Composite (Type0) fonts
   decode 2-byte codes through their CMap codespace.
-- Encryption: the RC4 standard security handler (V 1/2, R 2/3 — the
-  classic 40/128-bit scheme) with an EMPTY user password, which covers the
-  common "owner-locked" documents PyPDFLoader opens transparently.  AES
-  (V 4/5) needs a cipher this stdlib-only parser doesn't have and raises
-  ``PdfError``, as does any document that actually requires a password —
+- Encryption: the FULL standard security handler with an EMPTY user (or
+  empty owner, V5) password — RC4 V 1/2 (R 2/3, the classic 40/128-bit
+  scheme), V 4 crypt filters (/CFM /V2 RC4 and /AESV2 AES-128-CBC,
+  incl. /EncryptMetadata false key salting), and V 5 /AESV3 AES-256
+  (R 5 simple-SHA-256 and R 6 iterated Algorithm-2.B derivations).  The
+  block cipher is this package's own FIPS-197 implementation
+  (``sources/aes.py``).  Documents that actually require a password, and
+  non-Standard handlers (public-key /Adobe.PubSec), raise ``PdfError`` —
   loud failure, never garbage.
 
 This is an original implementation against the public PDF 1.7 spec
@@ -307,13 +310,39 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-class _StandardDecryptor:
-    """File-key derivation + per-object RC4 for the standard security
-    handler with an empty user password (§7.6.3 Algorithms 1, 2, 4-6).
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R 6 iterated password hash):
+    SHA-256 seed, then rounds of AES-128-CBC over 64 repetitions of
+    (password ‖ K ‖ udata) with the digest algorithm chosen by the
+    ciphertext — at least 64 rounds, stopping when the last ciphertext
+    byte ≤ round − 32."""
+    import hashlib
 
-    Only V 1/2 (RC4) at R 2/3 is supported: V 4/5 is AES, which needs a
-    block cipher the stdlib doesn't provide — those raise ``PdfError``
-    with an explicit reason, as does a non-empty user password.
+    from .aes import cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+class _StandardDecryptor:
+    """File-key derivation + per-object decryption for the standard
+    security handler with an EMPTY password (PDF 1.7 §7.6.3 Algorithms
+    1-6; PDF 2.0 §7.6.4 Algorithms 2.A/2.B for V 5).
+
+    Supported: V 1/2 RC4 (R 2/3), V 4 crypt filters (/CFM /V2 RC4 and
+    /AESV2 AES-128-CBC, R 4), and V 5 /AESV3 AES-256-CBC (R 5/6 — both
+    the empty *user* password and, V5 only, the empty *owner* password
+    unlock).  Non-Standard handlers (e.g. public-key /Adobe.PubSec),
+    split /StmF≠/StrF filters, and documents needing a real password
+    raise ``PdfError`` with an explicit reason.
     """
 
     def __init__(self, enc: dict, file_id: bytes):
@@ -322,20 +351,58 @@ class _StandardDecryptor:
         filt = str(enc.get("Filter") or "")
         v = int(enc.get("V") or 0)
         r = int(enc.get("R") or 0)
-        if filt != "Standard" or v not in (1, 2) or r not in (2, 3):
-            raise PdfError(
-                f"unsupported encryption (Filter={filt!r} V={v} R={r}): "
-                "only the RC4 standard security handler is implemented")
         o, u = enc.get("O"), enc.get("U")
         if not isinstance(o, bytes) or not isinstance(u, bytes):
             raise PdfError("malformed /Encrypt dictionary (O/U not strings)")
-        p = int(enc.get("P", -1)) & 0xFFFFFFFF
-        nbytes = (int(enc.get("Length") or 40) // 8) if v == 2 else 5
+        if filt != "Standard":
+            raise PdfError(
+                f"unsupported encryption handler {filt!r}: only the "
+                "Standard security handler is implemented")
+
+        self.mode = "rc4"  # "rc4" | "aesv2" | "aesv3" | "identity"
+        encrypt_metadata = enc.get("EncryptMetadata", True) is not False
+
+        if v in (1, 2) and r in (2, 3):
+            nbytes = (int(enc.get("Length") or 40) // 8) if v == 2 else 5
+        elif v == 4 and r == 4:
+            # crypt filters: this decryptor applies ONE transform to every
+            # string and stream, so /StmF and /StrF must agree
+            cf = enc.get("CF") or {}
+            stmf, strf = (str(enc.get(k) or "Identity")
+                          for k in ("StmF", "StrF"))
+            if stmf != strf:
+                raise PdfError(
+                    f"unsupported split crypt filters StmF={stmf} StrF={strf}")
+            if stmf == "Identity":
+                self.mode = "identity"
+                self.key = b""
+                return
+            cfd = cf.get(stmf)
+            if not isinstance(cfd, dict):
+                raise PdfError(f"crypt filter {stmf!r} not in /CF")
+            cfm = str(cfd.get("CFM") or "")
+            if cfm == "AESV2":
+                self.mode = "aesv2"
+            elif cfm != "V2":
+                raise PdfError(f"unsupported crypt filter method {cfm!r}")
+            # /Length is bytes in CF dicts (5..16) but bits (40..128) in
+            # the top-level dict and in some writers' CF dicts — disambiguate
+            length = int(cfd.get("Length") or enc.get("Length") or 128)
+            nbytes = length // 8 if length >= 40 else length
+        elif v == 5 and r in (5, 6):
+            self._init_v5(enc, r, o, u)
+            return
+        else:
+            raise PdfError(
+                f"unsupported encryption (Filter={filt!r} V={v} R={r})")
+
         if not 5 <= nbytes <= 16:
-            raise PdfError(f"illegal RC4 key length {nbytes * 8}")
+            raise PdfError(f"illegal key length {nbytes * 8}")
+        p = int(enc.get("P", -1)) & 0xFFFFFFFF
         # Algorithm 2: file key from the (empty, padded) user password
-        h = hashlib.md5(_ENC_PAD + o[:32]
-                        + p.to_bytes(4, "little") + file_id).digest()
+        seed = (_ENC_PAD + o[:32] + p.to_bytes(4, "little") + file_id
+                + (b"" if encrypt_metadata else b"\xff\xff\xff\xff"))
+        h = hashlib.md5(seed).digest()
         if r >= 3:
             for _ in range(50):
                 h = hashlib.md5(h[:nbytes]).digest()
@@ -353,14 +420,55 @@ class _StandardDecryptor:
             raise PdfError("encrypted PDF requires a password "
                            "(empty user password rejected)")
 
+    def _init_v5(self, enc: dict, r: int, o: bytes, u: bytes) -> None:
+        """V 5 /AESV3: Algorithm 2.A — validate the empty password against
+        /U (user) or /O (owner), then unwrap the 256-bit file key from
+        /UE / /OE with unpadded AES-CBC (iv = 0)."""
+        import hashlib
+
+        from .aes import cbc_decrypt
+
+        self.mode = "aesv3"
+        ue, oe = enc.get("UE"), enc.get("OE")
+        if len(u) < 48 or not isinstance(ue, bytes):
+            raise PdfError("malformed V5 /Encrypt dictionary (U/UE)")
+        hsh = (_hash_2b if r == 6
+               else lambda pw, s, ud=b"": hashlib.sha256(pw + s + ud).digest())
+        if hsh(b"", u[32:40]) == u[:32]:                    # user password
+            ik = hsh(b"", u[40:48])
+            wrapped = ue
+        elif (len(o) >= 48 and isinstance(oe, bytes)
+              and hsh(b"", o[32:40], u[:48]) == o[:32]):    # owner password
+            ik = hsh(b"", o[40:48], u[:48])
+            wrapped = oe
+        else:
+            raise PdfError("encrypted PDF requires a password "
+                           "(empty user/owner password rejected)")
+        self.key = cbc_decrypt(ik, b"\x00" * 16, wrapped[:32])[:32]
+
     def obj_key(self, num: int, gen: int) -> bytes:
         import hashlib
+        salt = b"sAlT" if self.mode == "aesv2" else b""  # §7.6.2 step (b)
         d = hashlib.md5(self.key + num.to_bytes(3, "little")
-                        + gen.to_bytes(2, "little")).digest()
+                        + gen.to_bytes(2, "little") + salt).digest()
         return d[:min(len(self.key) + 5, 16)]
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        return _rc4(self.obj_key(num, gen), data)
+        if self.mode == "identity":
+            return data
+        if self.mode == "rc4":
+            return _rc4(self.obj_key(num, gen), data)
+        from .aes import cbc_decrypt
+        key = self.key if self.mode == "aesv3" else self.obj_key(num, gen)
+        if len(data) < 16:
+            return b""      # malformed: no room for the leading IV
+        body = data[16:]
+        body = body[:len(body) // 16 * 16]
+        if not body:
+            return b""
+        out = cbc_decrypt(key, data[:16], body)
+        pad = out[-1]       # PKCS#7-style padding (§7.6.2: 1..16 always)
+        return out[:-pad] if 1 <= pad <= 16 else out
 
 
 class PdfDocument:

@@ -231,15 +231,209 @@ def test_encrypted_pdf_with_real_user_password_raises():
         extract_pdf_pages(enc)
 
 
-def test_aes_encryption_raises_unsupported():
+def test_public_key_handler_raises_unsupported():
+    pdf = make_pdf([_page(b"(x) Tj")])
+    pdf = pdf.replace(
+        b"trailer << /Root 1 0 R >>",
+        b"90 0 obj\n<< /Filter /Adobe.PubSec /V 4 /R 4 /Length 128 "
+        b"/O <00> /U <00> /P -1 >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt 90 0 R >>")
+    with pytest.raises(PdfError, match="unsupported encryption handler"):
+        extract_pdf_pages(pdf)
+
+
+def test_unknown_crypt_filter_method_raises():
     pdf = make_pdf([_page(b"(x) Tj")])
     pdf = pdf.replace(
         b"trailer << /Root 1 0 R >>",
         b"90 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV1 >> >> /StmF /StdCF /StrF /StdCF "
         b"/O <00> /U <00> /P -1 >>\nendobj\n"
         b"trailer << /Root 1 0 R /Encrypt 90 0 R >>")
-    with pytest.raises(PdfError, match="unsupported encryption"):
+    with pytest.raises(PdfError, match="crypt filter method"):
         extract_pdf_pages(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Encryption — AES crypt filters (V4 /AESV2, V5 /AESV3), empty password.
+# The block cipher itself is validated against FIPS-197's published
+# known-answer vectors (Appendix C) — spec-independent ground truth —
+# and the PDF-side derivations below are written from the spec in the
+# tests, separately from the parser's implementations, so a derivation
+# bug cannot cancel out across encrypt/decrypt.
+# ---------------------------------------------------------------------------
+
+def test_aes_fips197_known_answer_vectors():
+    from openai_vector_search_demo_spark.sources.aes import (
+        aes_decrypt_block,
+        aes_encrypt_block,
+        key_expansion,
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    key_hex = "000102030405060708090a0b0c0d0e0f1011121314151617"\
+              "18191a1b1c1d1e1f"
+    for nk, exp in [(16, "69c4e0d86a7b0430d8cdb78070b4c55a"),
+                    (24, "dda97ca4864cdfe06eaf70a0ec0d7191"),
+                    (32, "8ea2b7ca516745bfeafc49904b496089")]:
+        rk = key_expansion(bytes.fromhex(key_hex)[:nk])
+        ct = aes_encrypt_block(rk, pt)
+        assert ct.hex() == exp
+        assert aes_decrypt_block(rk, ct) == pt
+
+
+def _sha256(b: bytes) -> bytes:
+    import hashlib
+    return hashlib.sha256(b).digest()
+
+
+def _aes_cbc_pad_encrypt(key: bytes, iv: bytes, pt: bytes) -> bytes:
+    """Test-side Algorithm-1 stream payload: IV ‖ CBC(PKCS#7-padded pt)."""
+    from openai_vector_search_demo_spark.sources.aes import cbc_encrypt
+    n = 16 - len(pt) % 16
+    return iv + cbc_encrypt(key, iv, pt + bytes([n]) * n)
+
+
+def _encrypt_streams(pdf: bytes, enc_payload) -> bytes:
+    """Rewrite every object's stream payload via ``enc_payload(num, raw)``."""
+    import re as _re
+
+    def enc_obj(m):
+        num, body = int(m.group(1)), m.group(2)
+        sm = _re.search(rb"stream\n(.*?)\nendstream", body, _re.S)
+        if sm:
+            body = (body[:sm.start(1)] + enc_payload(num, sm.group(1))
+                    + body[sm.end(1):])
+        return b"%d 0 obj\n%s\nendobj" % (num, body)
+
+    return _re.sub(rb"(\d+) 0 obj\n(.*?)\nendobj", enc_obj, pdf, flags=_re.S)
+
+
+def _encrypt_pdf_aesv2(pdf: bytes, owner_pw: bytes = b"hunter2",
+                       user_pw: bytes = b"",
+                       file_id: bytes = b"\x02" * 16) -> bytes:
+    """Independent V4 R4 /AESV2 encryptor (PDF 1.7 §7.6.2-7.6.4: the R3
+    key derivation + the AES 'sAlT' object-key extension)."""
+    from openai_vector_search_demo_spark.sources.pdf_text import (
+        _ENC_PAD,
+        _rc4,
+    )
+    pad = lambda pw: (pw + _ENC_PAD)[:32]  # noqa: E731
+    h = _md5(pad(owner_pw))
+    for _ in range(50):
+        h = _md5(h)
+    okey = h[:16]
+    o = _rc4(okey, pad(user_pw))
+    for i in range(1, 20):
+        o = _rc4(bytes(b ^ i for b in okey), o)
+    p = (-1) & 0xFFFFFFFF
+    key = _md5(pad(user_pw) + o + p.to_bytes(4, "little") + file_id)
+    for _ in range(50):
+        key = _md5(key[:16])
+    key = key[:16]
+    u = _rc4(key, _md5(_ENC_PAD + file_id))
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in key), u)
+    u += b"\x00" * 16
+
+    def enc_payload(num: int, raw: bytes) -> bytes:
+        ok = _md5(key + num.to_bytes(3, "little") + b"\x00\x00" + b"sAlT")[:16]
+        return _aes_cbc_pad_encrypt(ok, _md5(b"iv%d" % num)[:16], raw)
+
+    out = _encrypt_streams(pdf, enc_payload)
+    encnum, idhex = 90, file_id.hex().encode()
+    return out.replace(
+        b"trailer << /Root 1 0 R >>",
+        b"%d 0 obj\n<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        b"/StmF /StdCF /StrF /StdCF /O <%s> /U <%s> /P -1 >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt %d 0 R /ID [<%s> <%s>] >>"
+        % (encnum, o.hex().encode(), u.hex().encode(), encnum, idhex, idhex))
+
+
+def _hash_2b_test(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Test-side ISO 32000-2 Algorithm 2.B, written from the published
+    algorithm text (round count ≥ 64, stop when last byte ≤ round − 32)."""
+    import hashlib
+
+    from openai_vector_search_demo_spark.sources.aes import cbc_encrypt
+    k = hashlib.sha256(pw + salt + udata).digest()
+    rounds = 0
+    while rounds < 64 or e[-1] > rounds - 32:  # noqa: F821
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1)
+        digest = [hashlib.sha256, hashlib.sha384,
+                  hashlib.sha512][sum(e[:16]) % 3]
+        k = digest(e).digest()
+        rounds += 1
+    return k[:32]
+
+
+def _encrypt_pdf_v5(pdf: bytes, r: int = 6, owner_pw: bytes = b"hunter2",
+                    user_pw: bytes = b"") -> bytes:
+    """Independent V5 /AESV3 encryptor (ISO 32000-2 §7.6.4 Algorithms
+    8/9: U/UE from the user password, O/OE over U from the owner's)."""
+    from openai_vector_search_demo_spark.sources.aes import cbc_encrypt
+    hsh = _hash_2b_test if r == 6 else \
+        (lambda pw, s, ud=b"": _sha256(pw + s + ud))
+    file_key = _sha256(b"fixture-file-key-seed")          # any 32 bytes
+    uvs, uks = b"UVALSALT", b"UKEYSALT"
+    u = hsh(user_pw, uvs) + uvs + uks
+    ue = cbc_encrypt(hsh(user_pw, uks), b"\x00" * 16, file_key)
+    ovs, oks = b"OVALSALT", b"OKEYSALT"
+    o = hsh(owner_pw, ovs, u) + ovs + oks
+    oe = cbc_encrypt(hsh(owner_pw, oks, u), b"\x00" * 16, file_key)
+
+    def enc_payload(num: int, raw: bytes) -> bytes:
+        return _aes_cbc_pad_encrypt(file_key, _md5(b"iv%d" % num)[:16], raw)
+
+    out = _encrypt_streams(pdf, enc_payload)
+    encnum = 90
+    return out.replace(
+        b"trailer << /Root 1 0 R >>",
+        b"%d 0 obj\n<< /Filter /Standard /V 5 /R %d /Length 256 "
+        b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        b"/StmF /StdCF /StrF /StdCF "
+        b"/O <%s> /U <%s> /OE <%s> /UE <%s> /P -1 >>\nendobj\n"
+        b"trailer << /Root 1 0 R /Encrypt %d 0 R >>"
+        % (encnum, r, o.hex().encode(), u.hex().encode(),
+           oe.hex().encode(), ue.hex().encode(), encnum))
+
+
+def test_aesv2_pdf_decrypts_with_empty_user_password():
+    plain = make_pdf([_page(b"(aes secret text) Tj")])
+    enc = _encrypt_pdf_aesv2(plain)
+    assert b"aes secret text" not in enc
+    assert extract_pdf_pages(enc) == extract_pdf_pages(plain)
+
+
+def test_aesv2_pdf_with_real_user_password_raises():
+    enc = _encrypt_pdf_aesv2(make_pdf([_page(b"(locked) Tj")]), user_pw=b"pw")
+    with pytest.raises(PdfError, match="password"):
+        extract_pdf_pages(enc)
+
+
+@pytest.mark.parametrize("r", [5, 6])
+def test_aesv3_pdf_decrypts_with_empty_user_password(r):
+    plain = make_pdf([_page(b"(v5 secret text) Tj"),
+                      _page(b"(second page) Tj")])
+    enc = _encrypt_pdf_v5(plain, r=r)
+    assert b"v5 secret text" not in enc
+    assert extract_pdf_pages(enc) == extract_pdf_pages(plain)
+
+
+def test_aesv3_empty_owner_password_unlocks_user_locked_file():
+    """V5 files where the USER password is set but the owner password is
+    empty still open (Algorithm 2.A falls through to the owner check)."""
+    plain = make_pdf([_page(b"(owner route) Tj")])
+    enc = _encrypt_pdf_v5(plain, r=6, owner_pw=b"", user_pw=b"realpw")
+    assert extract_pdf_pages(enc) == extract_pdf_pages(plain)
+
+
+def test_aesv3_pdf_with_both_passwords_set_raises():
+    enc = _encrypt_pdf_v5(make_pdf([_page(b"(locked) Tj")]),
+                          r=6, owner_pw=b"opw", user_pw=b"upw")
+    with pytest.raises(PdfError, match="password"):
+        extract_pdf_pages(enc)
 
 
 def test_not_a_pdf_raises():
