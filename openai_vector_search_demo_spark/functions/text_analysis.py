@@ -395,3 +395,79 @@ def redact_pii(c: Column | str,
     out = F.regexp_replace(out, IPV4_RE, ip)
     out = F.regexp_replace(out, PHONE_RE, phone)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Training-data extraction: HTML boilerplate stripping (pure regexp_replace
+# — codegen, scan speed; the C4/CommonCrawl-style "get the prose out of the
+# markup" pass that precedes every other curation stage)
+# ---------------------------------------------------------------------------
+
+_HTML_DROP_RES = (
+    # script/style subtrees carry no prose — drop content and tags together.
+    # Written per-tag (no backreference) so RE2 engines (DuckDB) compile
+    # the identical pattern Java does.
+    r"(?is)<script\b[^>]*>.*?</script\s*>",
+    r"(?is)<style\b[^>]*>.*?</style\s*>",
+    r"(?s)<!--.*?-->",
+    r"(?s)<[^>]*>",
+)
+# the handful of entities that dominate real crawl text; anything rarer
+# survives verbatim (a lossy-but-deterministic choice both engines share)
+HTML_ENTITIES = (("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+                 ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def strip_html(c: Column | str) -> Column:
+    """Markup → prose: drop <script>/<style> subtrees, comments, and all
+    remaining tags; decode the common entities; collapse whitespace.
+
+    Pure ``regexp_replace``/``replace`` chain — whole-stage codegen, no
+    Python boundary — and every pattern is in the Java∩RE2 common subset
+    so a DuckDB oracle can apply the very same expressions.
+    """
+    out = _col(c)
+    for rx in _HTML_DROP_RES:
+        out = F.regexp_replace(out, rx, " ")
+    for ent, rep in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: corpus-trained unigram LM scoring (the CCNet-style
+# "LM perplexity" quality signal, degraded to the model that is exactly
+# SQL-expressible — so the oracle can retrain it and verify every score)
+# ---------------------------------------------------------------------------
+
+def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
+                      cache: bool = True):
+    """Per-document average token log-probability under a unigram LM
+    trained on the corpus itself (Laplace-smoothed:
+    ``ln((count+1)/(total+|V|))``) — the sortable fluency signal CCNet
+    computes with KenLM, reduced to the largest model whose training AND
+    scoring are both exact relational algebra.
+
+    Plan shape (the 100 TB story): ONE corpus scan tokenizes into
+    per-(doc, token) counts — a map-side-combinable groupBy that shrinks
+    the relation ~|doc|/|vocab|-fold before anything wide happens.  The
+    vocabulary aggregates from those counts (second tiny shuffle), its
+    totals reduce to one broadcast row, and scoring is a broadcast join
+    back onto the counts + one per-doc aggregate.  The corpus text is
+    never shuffled; only token counts move.  ``cache=True`` persists the
+    (doc, token, count) relation so training and scoring share the scan
+    (same session-lifetime contract as ``operators/dedup.py``).
+    """
+    dtc = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
+             .groupBy(id_col, "tk").agg(F.count("*").alias("ct")))
+    if cache:
+        dtc = dtc.persist()
+    vocab = dtc.groupBy("tk").agg(F.sum("ct").alias("c"))
+    stats = vocab.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    lp = F.log((F.col("c") + F.lit(1)) / (F.col("n") + F.col("v")))
+    return (dtc.join(F.broadcast(vocab), "tk")
+               .crossJoin(F.broadcast(stats))
+               .groupBy(id_col)
+               .agg(F.sum("ct").alias("n_tokens"),
+                    F.round(F.sum(F.col("ct") * lp) / F.sum("ct"), 6)
+                     .alias("avg_logprob")))

@@ -1,0 +1,76 @@
+"""Deterministic training-shard export — the last stage of a data
+pipeline: lay a curated corpus out as N pseudorandomly-ordered shards a
+trainer can stream.
+
+Why hash-ordering instead of ``orderBy(rand())``: a training shuffle must
+be *reproducible* (re-runs bit-identical, resumable mid-epoch) and must
+not cost a global sort.  Hashing the document key gives both — the order
+is fixed by the data, each shard is an independent hash bucket, and the
+layout is one hash repartition + per-partition sort (no range exchange,
+no sampling pass, no driver involvement).  At 100 TB the repartition is
+the only wide shuffle and each output task writes exactly one shard.
+
+The same md5-60bit hash the engine uses everywhere (``functions.
+text_analysis._hash60``) keys the layout, so a DuckDB oracle reproduces
+shard assignment AND order bit-for-bit (``queries._SQL_H60``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+
+__all__ = ["assign_shards", "write_shards", "shard_manifest"]
+
+
+def _shard_key(id_col: str, salt: str) -> Column:
+    return _hash60(F.concat_ws(":", F.lit(salt),
+                               F.col(id_col).cast("string")))
+
+
+def assign_shards(df: DataFrame, id_col: str, num_shards: int,
+                  salt: str = "0") -> DataFrame:
+    """Add ``sort_key`` (the 60-bit salted document hash — nonnegative, so
+    ``%`` and ``pmod`` agree cross-engine) and ``shard`` (= sort_key mod
+    ``num_shards``).  ``salt`` varies the permutation: one corpus, many
+    independent epoch orders."""
+    if num_shards < 1:
+        raise ValueError("num_shards must be >= 1")
+    key = _shard_key(id_col, salt)
+    return (df.withColumn("sort_key", key)
+              .withColumn("shard",
+                          F.pmod(F.col("sort_key"),
+                                 F.lit(num_shards)).cast("int")))
+
+
+def write_shards(df: DataFrame, path: str, id_col: str, num_shards: int,
+                 salt: str = "0") -> None:
+    """Materialize the sharded layout: ``path/shard=K/`` directories, rows
+    inside each shard in ``sort_key`` order.
+
+    ``repartition(num_shards, shard)`` routes every shard to exactly one
+    task, and ``sortWithinPartitions`` orders rows before the writer sees
+    them — so each shard is one sorted parquet file, not ``partitionBy``'s
+    usual task×key fan-out of small files."""
+    out = assign_shards(df, id_col, num_shards, salt)
+    (out.repartition(num_shards, "shard")
+        .sortWithinPartitions("shard", "sort_key")
+        .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def shard_manifest(df: DataFrame, id_col: str, num_shards: int,
+                   salt: str = "0",
+                   token_count: Column | None = None) -> DataFrame:
+    """The layout's accounting view — per shard: document count, token
+    count (if ``token_count`` given), and the key range.  One hash
+    aggregate over the assignment; the trainer reads this to size epochs
+    and the oracle value-checks the whole layout through it."""
+    a = assign_shards(df, id_col, num_shards, salt)
+    aggs = [F.count("*").alias("n_docs"),
+            F.min("sort_key").alias("min_key"),
+            F.max("sort_key").alias("max_key")]
+    if token_count is not None:
+        aggs.insert(1, F.sum(token_count).alias("n_tokens"))
+    return a.groupBy("shard").agg(*aggs)

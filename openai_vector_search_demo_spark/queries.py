@@ -2499,6 +2499,109 @@ def ta_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seeded.select("doc_id", redact_pii("text").alias("redacted"))
 
 
+@query("ta_strip_html", oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         '<html><head><style>body {color: red}</style>'
+         || '<script type="text/js">if (1 < 2 && 2 > 1) x();</script>'
+         || '</head><body><!-- hidden --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</h1><p class="b">' || text
+         || ' &amp; more&nbsp;&lt;tags&gt; &#39;quoted&#39;</p></body></html>'
+         AS html
+  FROM documents)
+SELECT doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+        '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+      '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+    '\s+', ' ', 'g')) AS prose
+FROM seeded
+""")
+def ta_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the C4-style markup→prose extraction
+    pass: script/style subtrees, comments and tags dropped, common
+    entities decoded, whitespace collapsed, all inside codegen
+    (``functions.text_analysis.strip_html``).  Documents are wrapped in a
+    deterministic HTML shell (incl. a ``1 < 2 &&`` script-body trap and
+    entity soup) so the stripping is observable; the oracle applies the
+    identical Java∩RE2 patterns."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        strip_html,
+    )
+    docs = t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>body {color: red}</style>'
+                  '<script type="text/js">if (1 < 2 && 2 > 1) x();</script>'
+                  '</head><body><!-- hidden --><h1>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('</h1><p class="b">'), F.col("text"),
+            F.lit(" &amp; more&nbsp;&lt;tags&gt; &#39;quoted&#39;"
+                  "</p></body></html>")).alias("html"))
+    return seeded.select("doc_id", strip_html("html").alias("prose"))
+
+
+@query("ta_unigram_lm_score", oracle=rf"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents),
+dtc AS (SELECT doc_id, tk, COUNT(*) AS ct FROM tok GROUP BY ALL),
+vocab AS (SELECT tk, SUM(ct) AS c FROM dtc GROUP BY tk),
+stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab)
+SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ct * ln((c + 1.0) / (n + v))) / SUM(ct), 6) AS avg_logprob
+FROM dtc JOIN vocab USING (tk), stats
+GROUP BY doc_id
+""")
+def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM fluency scoring — the CCNet 'perplexity
+    filter' signal reduced to the largest model whose training AND scoring
+    are exact relational algebra, so the oracle retrains it and verifies
+    every per-document score (``functions.text_analysis.
+    unigram_lm_scores`` has the one-scan/broadcast plan notes)."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        unigram_lm_scores,
+    )
+    return unigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
+@query("export_shards_manifest", oracle=rf"""
+WITH a AS (
+  SELECT doc_id,
+         {_SQL_H60.format(expr="'ep1:' || CAST(doc_id AS VARCHAR)")} AS sort_key,
+         len({_SQL_TOKS}) AS n_tok
+  FROM documents)
+SELECT CAST(sort_key % 8 AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       MIN(sort_key) AS min_key,
+       MAX(sort_key) AS max_key
+FROM a
+GROUP BY 1
+""")
+def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINING-SHARD EXPORT accounting: the corpus laid out as 8
+    deterministic hash-ordered shards (salt 'ep1' = epoch-1 permutation),
+    value-checked per shard — doc count, token count, key range.  The
+    layout itself (one hash repartition, one sorted file per shard — no
+    global sort) is ``operators.sharding.write_shards``; this manifest is
+    the same assignment aggregated, so the oracle pins shard routing AND
+    the order keys bit-for-bit."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        token_count,
+    )
+    from openai_vector_search_demo_spark.operators.sharding import (
+        shard_manifest,
+    )
+    docs = t(spark, sf_dir, "documents")
+    return shard_manifest(docs, "doc_id", 8, salt="ep1",
+                          token_count=token_count("text"))
+
+
 _BM25_TERMS = ["hash", "join", "spark"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 

@@ -1,0 +1,128 @@
+"""Deterministic training-shard export (operators/sharding.py) and the
+round-7 text-analysis additions (strip_html, unigram_lm_scores)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.operators.sharding import (
+    assign_shards,
+    shard_manifest,
+    write_shards,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, f"doc number {i} body " + "word " * (i % 5)) for i in range(100)],
+        "doc_id long, text string")
+
+
+def test_assign_shards_is_deterministic_and_complete(docs):
+    a = assign_shards(docs, "doc_id", 8).collect()
+    b = assign_shards(docs, "doc_id", 8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    shards = {r.shard for r in a}
+    assert shards <= set(range(8))
+    assert all(r.shard == r.sort_key % 8 for r in a)
+    assert len({r.doc_id for r in a}) == 100      # nothing lost or duped
+
+
+def test_salt_changes_the_permutation(docs):
+    a = {r.doc_id: r.sort_key for r in assign_shards(docs, "doc_id", 8,
+                                                     salt="ep1").collect()}
+    b = {r.doc_id: r.sort_key for r in assign_shards(docs, "doc_id", 8,
+                                                     salt="ep2").collect()}
+    assert a != b                                  # different epoch order
+    assert set(a) == set(b)                        # same documents
+
+
+def test_write_shards_layout_and_order(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, "doc_id", 4)
+    dirs = sorted(p.name for p in (tmp_path / "shards").iterdir()
+                  if p.name.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(4)]
+    # one data file per shard (repartition routed each shard to one task)
+    for d in dirs:
+        files = [p for p in (tmp_path / "shards" / d).glob("*.parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert {r.doc_id for r in back.collect()} == set(range(100))
+    # within-shard physical order is the hash order (read preserves file order)
+    for k in range(4):
+        keys = [r.sort_key for r in
+                spark.read.parquet(f"{path}/shard={k}").collect()]
+        assert keys == sorted(keys)
+
+
+def test_shard_manifest_accounts_for_everything(docs):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        token_count,
+    )
+    m = shard_manifest(docs, "doc_id", 4,
+                       token_count=token_count("text")).collect()
+    assert sum(r.n_docs for r in m) == 100
+    total_tok = docs.select(F.sum(token_count("text"))).first()[0]
+    assert sum(r.n_tokens for r in m) == total_tok
+    assert all(r.min_key <= r.max_key for r in m)
+
+
+def test_num_shards_validation(docs):
+    with pytest.raises(ValueError, match="num_shards"):
+        assign_shards(docs, "doc_id", 0)
+
+
+# ---------------------------------------------------------------------------
+# strip_html
+# ---------------------------------------------------------------------------
+
+def test_strip_html_drops_boilerplate_keeps_prose(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        strip_html,
+    )
+    html = ('<html><head><title>T</title><style>p {a: 1}</style>'
+            '<script>if (1 < 2 && x > 0) run();</script></head>'
+            '<body><!-- note --><h1>Head</h1><p>body &amp; soul'
+            '&nbsp;&lt;x&gt; &#39;q&#39;</p></body></html>')
+    df = spark.createDataFrame([(html,)], "h string")
+    out = df.select(strip_html("h").alias("p")).first().p
+    assert out == "T Head body & soul <x> 'q'"
+    # the script body ('1 < 2') must not survive as prose
+    assert "run" not in out and "1" not in out
+
+
+def test_strip_html_plain_text_passthrough(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        strip_html,
+    )
+    df = spark.createDataFrame([("just   plain\n text",)], "h string")
+    assert df.select(strip_html("h").alias("p")).first().p == "just plain text"
+
+
+# ---------------------------------------------------------------------------
+# unigram_lm_scores — hand-computed miniature corpus
+# ---------------------------------------------------------------------------
+
+def test_unigram_lm_scores_hand_computed(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        unigram_lm_scores,
+    )
+    # corpus: "a a b" and "b c" → counts a:2 b:2 c:1, N=5, |V|=3
+    df = spark.createDataFrame([(1, "a a b"), (2, "b c")],
+                               "doc_id long, text string")
+    out = {r.doc_id: r for r in unigram_lm_scores(df, cache=False).collect()}
+    lp = {tk: math.log((c + 1) / (5 + 3)) for tk, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round((lp["b"] + lp["c"]) / 2, 6)
+    assert out[1].n_tokens == 3 and out[2].n_tokens == 2
+    assert out[1].avg_logprob == pytest.approx(exp1, abs=1e-9)
+    assert out[2].avg_logprob == pytest.approx(exp2, abs=1e-9)
+    # higher-frequency tokens ⇒ less negative score
+    assert out[1].avg_logprob > out[2].avg_logprob
