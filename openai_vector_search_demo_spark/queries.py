@@ -2602,6 +2602,74 @@ def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           token_count=token_count("text"))
 
 
+_SEMDEDUP_NLIST = 16
+_SEMDEDUP_T = 0.4
+
+
+def _semdedup_oracle() -> str:
+    sq = ("list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+          "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+          "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')")
+
+    def cos(x: str, y: str) -> str:
+        return (f"list_aggregate(list_transform(range(1, len({x}.embedding) + 1), "
+                f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)), 'sum') "
+                f"/ (sqrt(list_aggregate(list_transform({x}.embedding, "
+                f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')) "
+                f"* sqrt(list_aggregate(list_transform({y}.embedding, "
+                f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')))")
+
+    return f"""
+WITH RECURSIVE
+cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+         WHERE vec_id BETWEEN 1 AND {_SEMDEDUP_NLIST}),
+d AS (SELECT e.vec_id, c.cid, {sq} AS dist
+      FROM embeddings e CROSS JOIN cent c),
+m AS (SELECT vec_id, MIN(dist) AS md FROM d GROUP BY vec_id),
+asg AS (SELECT d.vec_id AS id, MIN(d.cid) - 1 AS cell
+        FROM d JOIN m USING (vec_id) WHERE d.dist = m.md GROUP BY d.vec_id),
+mem AS (SELECT a.id, a.cell, e.embedding
+        FROM embeddings e JOIN asg a ON a.id = e.vec_id),
+pairs AS (SELECT x.id AS id_a, y.id AS id_b
+          FROM mem x JOIN mem y ON x.cell = y.cell AND x.id < y.id
+          WHERE {cos('x', 'y')} >= {_SEMDEDUP_T}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+cl AS (SELECT u AS id, LEAST(MIN(v), u) AS cluster_id FROM reach GROUP BY u),
+sc AS (SELECT e.id, e.cell, {cos('e', 'c')} AS sim
+       FROM mem e JOIN cent c ON c.cid = e.cell + 1),
+rk AS (SELECT cl.id, sc.cell, cl.cluster_id, sc.sim,
+         ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                            ORDER BY sc.sim ASC, cl.id ASC) AS rn
+       FROM cl JOIN sc USING (id))
+SELECT id, cell, cluster_id, ROUND(sim, 6) AS sim_centroid, rn = 1 AS keep
+FROM rk
+"""
+
+
+@query("semdedup_prune", oracle=_semdedup_oracle())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): semantic dedup with the quadratic
+    bounded by embedding CLUSTERS — centroid assignment (codegen literal
+    arithmetic over the same deterministic vec_id-1..16 stand-in centroids
+    as ``ann_ivf_knn``), within-cell cosine pairs, connected components,
+    and the paper's keep rule (lowest similarity to the cell centroid —
+    the outlier carries the most marginal information).  The oracle
+    recomputes assignment, pairing, transitive closure, and the keep
+    window — every retained/dropped decision is value-checked."""
+    from openai_vector_search_demo_spark.operators.semdedup import semdedup
+    emb = t(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter((F.col("vec_id") >= 1)
+                            & (F.col("vec_id") <= _SEMDEDUP_NLIST))
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    return semdedup(emb, centroids, threshold=_SEMDEDUP_T)
+
+
 _BM25_TERMS = ["hash", "join", "spark"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
