@@ -113,6 +113,9 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "ann_lsh_knn",
     "ann_lsh_stored_knn",   # stored-index read path: pruning gets a number
+    "ann_ivf_knn",
+    "ann_ivf_stored_knn",   # the IVF twin: cell-partition pruning measured
+    "semdedup_prune",       # cluster-prefiltered semantic dedup
     "q2_knn_auto_wide1024",  # auto path picks BLAS at production dims
     "events_session_window",
     "corpus_distinct_stats",

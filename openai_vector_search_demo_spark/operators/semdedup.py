@@ -5,22 +5,37 @@ deduplication", arXiv:2303.09540 — public).
 The 100 TB shape of embedding-space dedup: instead of all-pairs cosine
 (quadratic in the corpus) or LSH buckets (recall limited by random
 planes), cluster the embedding space and compare ONLY within clusters —
-the cluster size bounds every quadratic, and the assignment is one
-codegen pass over centroid literals (``operators.ann.ivf_cell``).  Within
-each near-duplicate group the kept representative is the member with the
-LOWEST cosine similarity to its cluster centroid (the paper's keep rule:
-prefer the outlier, it carries the most marginal information), ties to the
-smallest id.
+the cluster size bounds every quadratic.  Within each near-duplicate
+group the kept representative is the member with the LOWEST cosine
+similarity to its cluster centroid (the paper's keep rule: prefer the
+outlier, it carries the most marginal information), ties to the smallest
+id.
 
-Plan: centroid assignment (map-only) → within-cell self-join on the cell
-key (shuffle by cell; in-cell quadratic is the *deliberate* SemDeDup
-trade, bounded by cluster granularity) → connected components
-(``operators.dedup.duplicate_clusters`` large-star/small-star) → one
-window per cluster for the keep rule.  No driver collect beyond
-``duplicate_clusters``'s documented bounded probe.
+Plan (``method='blocked'``, the default): ONE Arrow ``mapInPandas`` pass
+assigns cells and computes each row's centroid similarity (numpy — the
+16-centroid × dim arithmetic would be interpreted HOF lambdas in
+expression form, ~20× slower measured at sf0.1), then a per-cell
+``applyInPandas`` BLAS gram matrix emits the over-threshold pairs — the
+CLUSTER IS THE BLAS BLOCK, so per-task memory is |cell|·dim·8 bytes and
+nothing quadratic ever shuffles.  Groups collapse via
+``operators.dedup.duplicate_clusters`` (large-star/small-star) and one
+window applies the keep rule.
+
+``method='sql'`` is the expression-only form (zip_with/aggregate cosine
+inside a cell self-join) — the DuckDB-mirrorable reference path, kept for
+parity pinning; same results, interpreted-lambda speed.
+
+Float caveat (same one ``dedup.embedding_near_dup``'s blocked method
+documents): BLAS sums in a different order than the oracle's sequential
+fold, so a cosine EXACTLY at ``threshold`` or two centroid distances
+equal to the last ulp could decide differently — measure-zero on real
+embeddings, and the fixture parity suite pins that it does not happen on
+the test corpora.
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -34,10 +49,9 @@ from openai_vector_search_demo_spark.operators.dedup import duplicate_clusters
 __all__ = ["semdedup"]
 
 
-def _centroid_sim(vec_col: str, centroids: list[list[float]]) -> F.Column:
+def _centroid_sim_sql(vec_col: str, centroids: list[list[float]]) -> F.Column:
     """Cosine of each row's vector to ITS OWN cell centroid — a when-chain
-    over the centroid literals (fine for the usual 2^4..2^10 clusters; at
-    extreme nlist switch to a broadcast-join against a centroid table)."""
+    over the centroid literals (expression form for the 'sql' method)."""
     expr = F.lit(None).cast("double")
     for cell, c in enumerate(centroids):
         lit_vec = F.array(*[F.lit(float(x)) for x in c])
@@ -46,32 +60,101 @@ def _centroid_sim(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return expr
 
 
+def _assigned_blocked(df: DataFrame, centroids: list[list[float]],
+                      id_col: str, vec_col: str) -> DataFrame:
+    """(id, v, cell, sim_centroid) in one Arrow pass."""
+    import numpy as np
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)          # k × d
+    cnorm = np.linalg.norm(cent, axis=1)
+    cnorm[cnorm == 0] = 1.0
+    csq = (cent * cent).sum(axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # ‖x−c‖² = ‖x‖² − 2x·c + ‖c‖² — BLAS, no n×k×d temporary
+            xc = mat @ cent.T
+            d2 = (mat * mat).sum(axis=1)[:, None] - 2.0 * xc + csq[None, :]
+            cell = d2.argmin(axis=1)                # ties → lowest index,
+            xn = np.linalg.norm(mat, axis=1)        # like ivf_cell
+            xn[xn == 0] = 1.0
+            sim = xc[np.arange(len(mat)), cell] / (xn * cnorm[cell])
+            yield pd.DataFrame({
+                "id": pdf[id_col].to_numpy(),
+                "v": pdf[vec_col],
+                "cell": cell.astype("int32"),
+                "sim_centroid": sim,
+            })
+
+    src = df.select(F.col(id_col), F.col(vec_col))
+    return src.mapInPandas(assign,
+                           schema=f"id long, v {dict(src.dtypes)[vec_col]}, "
+                                  "cell int, sim_centroid double")
+
+
+def _pairs_blocked(cells: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell over-threshold cosine pairs: per-cell BLAS gram matrix
+    (the cluster bounds the quadratic AND the task memory)."""
+    import numpy as np
+    import pandas as pd
+
+    def cell_pairs(key, pdf):
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("id")
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        li, ri = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[li], "id_b": ids[ri]})
+
+    return (cells.select("id", "v", "cell")
+            .groupBy("cell")
+            .applyInPandas(cell_pairs, schema="id_a long, id_b long"))
+
+
 def semdedup(df: DataFrame, centroids: list[list[float]],
              id_col: str = "vec_id", vec_col: str = "embedding",
-             threshold: float = 0.95) -> DataFrame:
+             threshold: float = 0.95,
+             method: str = "blocked") -> DataFrame:
     """Cluster-prefiltered semantic dedup.  Returns one row per member of
     every near-duplicate group: ``(id, cell, cluster_id, sim_centroid,
     keep)`` — ``keep`` marks the group's one retained representative.
     Documents in no group are implicitly kept and emit no row (same
     contract as ``duplicate_clusters``)."""
-    cells = (df.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).alias("v"))
-               .withColumn("cell", ivf_cell("v", centroids)))
+    if method not in ("blocked", "sql"):
+        raise ValueError(f"unknown method {method!r}")
 
-    a = cells.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
-                     "cell")
-    b = cells.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
-                     "cell")
-    pairs = (a.join(b, "cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cos", cosine_similarity("v_a", "v_b"))
-             .filter(F.col("cos") >= threshold)
-             .select("id_a", "id_b"))
+    if method == "blocked":
+        cells = _assigned_blocked(df, centroids, id_col, vec_col)
+        pairs = _pairs_blocked(cells, threshold)
+        info = cells.drop("v")
+    else:
+        base = (df.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("v"))
+                  .withColumn("cell", ivf_cell("v", centroids)))
+        a = base.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                        "cell")
+        b = base.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                        "cell")
+        pairs = (a.join(b, "cell")
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .withColumn("cos", cosine_similarity("v_a", "v_b"))
+                 .filter(F.col("cos") >= threshold)
+                 .select("id_a", "id_b"))
+        info = base.withColumn("sim_centroid",
+                               _centroid_sim_sql("v", centroids)).drop("v")
 
     clusters = duplicate_clusters(pairs)          # (id, cluster_id)
-
-    info = cells.withColumn("sim_centroid",
-                            _centroid_sim("v", centroids)).drop("v")
     members = clusters.join(info, "id")
     w = Window.partitionBy("cluster_id").orderBy(F.col("sim_centroid").asc(),
                                                  F.col("id").asc())

@@ -901,6 +901,56 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
 
+@query("ann_ivf_stored_knn", oracle=_ivf_knn_oracle())
+def ann_ivf_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index IVF read path — ``ann_lsh_stored_knn``'s twin for
+    the coarse-quantizer index: write-time ``ivf_assign`` persists the
+    corpus cell-partitioned (one file per cell), and the query reads ONLY
+    the ``nprobe`` probed cell directories, enumerated at partition
+    discovery under ``basePath`` (the local-FS form of metastore partition
+    pruning — SCALE.md §retrieval).  Identical centroids/probes/scoring to
+    ``ann_ivf_knn``, hence the identical oracle; the inline variant pays a
+    full scan + per-row 16-centroid assignment per query, this one touches
+    nprobe/nlist of the data and does no assignment arithmetic at read
+    time.  Index build cached per corpus content like the LSH store."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_assign,
+        ivf_probe_cells,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cent_rows = (emb.filter((F.col("vec_id") >= 1)
+                            & (F.col("vec_id") <= _IVF_NLIST))
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|{_parquet_fingerprint(emb_path)}".encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_ivf_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (ivf_assign(emb.filter(F.col("vec_id") != 0), centroids=centroids)
+         .repartition(F.col("cell"))
+         .write.mode("overwrite").partitionBy("cell").parquet(store))
+
+    probes = ivf_probe_cells(qvec, centroids, _IVF_NPROBE)
+    probe_paths = [p for p in (os.path.join(store, f"cell={c}")
+                               for c in probes) if os.path.isdir(p)]
+    if probe_paths:
+        stored = (spark.read.option("basePath", store).parquet(*probe_paths)
+                  .filter(F.col("cell").isin(probes)))
+    else:
+        stored = (spark.read.parquet(store)
+                  .filter(F.col("cell").isin(probes)).limit(0))
+    top = knn(stored, qvec, k=10, sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
 @query("ann_ivf_recall_at_10", oracle=f"""
 WITH exact_top AS ({_KNN_ORACLE}),
 approx_top AS ({_ivf_knn_oracle()})

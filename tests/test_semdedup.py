@@ -63,3 +63,16 @@ def test_semdedup_exactly_one_keep_per_cluster(corpus):
     for r in out:
         by_cluster.setdefault(r.cluster_id, []).append(r.keep)
     assert all(sum(ks) == 1 for ks in by_cluster.values())
+
+
+def test_blocked_equals_sql_method(corpus):
+    a = sorted(map(tuple, semdedup(corpus, CENTROIDS, threshold=0.9,
+                                   method="blocked").collect()))
+    b = sorted(map(tuple, semdedup(corpus, CENTROIDS, threshold=0.9,
+                                   method="sql").collect()))
+    assert a == b
+
+
+def test_unknown_method_raises(corpus):
+    with pytest.raises(ValueError, match="method"):
+        semdedup(corpus, CENTROIDS, method="driver")
