@@ -2652,6 +2652,58 @@ def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           token_count=token_count("text"))
 
 
+@query("dedup_exact_substrings", oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0),
+tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+g0 AS (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS gpos, toks FROM tok),
+grams AS (SELECT doc_id, gpos,
+            {_SQL_H60.format(
+                expr="array_to_string(list_slice(toks, gpos, gpos + 4), ' ')")}
+            AS gh
+          FROM g0),
+rep AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.gpos + r.range AS pos
+        FROM grams g JOIN rep USING (gh) CROSS JOIN range(0, 5) r),
+tokpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+           FROM tok),
+kept AS (SELECT t.doc_id, t.pos, t.toks[t.pos] AS tk
+         FROM tokpos t LEFT JOIN cov c
+           ON c.doc_id = t.doc_id AND c.pos = t.pos
+         WHERE c.pos IS NULL),
+clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS cleaned
+          FROM kept GROUP BY doc_id),
+remd AS (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id),
+base AS (SELECT doc_id, len(toks) AS n_tokens FROM tok)
+SELECT b.doc_id AS id, b.n_tokens,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(c.cleaned, '') AS cleaned
+FROM base b
+LEFT JOIN remd r USING (doc_id)
+LEFT JOIN clean c ON c.doc_id = b.doc_id
+""")
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup (arXiv:2107.06499) at 5-gram granularity:
+    every token covered by a 5-gram occurring ≥2 times anywhere in the
+    corpus is removed; overlapping repeated grams union into spans
+    (``operators.substrings.repeated_ngram_dedup`` documents the
+    suffix-array→relational reduction).  The fixture corpus is seeded
+    with every 3rd document duplicated under a shifted id, so those
+    documents must come back FULLY scrubbed (cleaned = '') — plus
+    whatever natural cross-document repetition exists; the oracle
+    recomputes gram counts, coverage union, and the cleaned rejoin."""
+    from openai_vector_search_demo_spark.operators.substrings import (
+        repeated_ngram_dedup,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0)
+            .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return repeated_ngram_dedup(corpus, n=5, min_df=2)
+
+
 _SEMDEDUP_NLIST = 16
 _SEMDEDUP_T = 0.4
 
