@@ -2652,6 +2652,44 @@ def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           token_count=token_count("text"))
 
 
+@query("events_funnel", oracle="""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts_us) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t GROUP BY e.user_id),
+c AS (SELECT (SELECT COUNT(*) FROM s1) AS c1,
+             (SELECT COUNT(*) FROM s2) AS c2,
+             (SELECT COUNT(*) FROM s3) AS c3)
+SELECT 1 AS step, 'view' AS event_type, c1 AS users,
+       ROUND(CASE WHEN c1 > 0 THEN c1 / CAST(c1 AS DOUBLE) ELSE 0.0 END, 6)
+         AS conversion FROM c
+UNION ALL
+SELECT 2, 'click', c2,
+       ROUND(CASE WHEN c1 > 0 THEN c2 / CAST(c1 AS DOUBLE) ELSE 0.0 END, 6)
+  FROM c
+UNION ALL
+SELECT 3, 'purchase', c3,
+       ROUND(CASE WHEN c1 > 0 THEN c3 / CAST(c1 AS DOUBLE) ELSE 0.0 END, 6)
+  FROM c
+""")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUNNEL analysis (view → click → purchase, strictly ordered per
+    user): the sequential-pattern operator every event-analytics engine
+    ships.  One shuffle — per-user greedy chain folded in a single
+    ``aggregate()`` HOF over the time-sorted event list
+    (``operators.funnel.funnel_counts``); the oracle is the textbook
+    nested ``MIN(ts) WHERE ts > previous`` chain, pinning that the fold
+    computes exactly those semantics."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+    )
+    ev = t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 @query("dedup_exact_substrings", oracle=rf"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents

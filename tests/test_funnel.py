@@ -1,0 +1,70 @@
+"""Funnel analysis (operators/funnel.py) — strict sequential ordering."""
+
+from __future__ import annotations
+
+import pytest
+
+from openai_vector_search_demo_spark.operators.funnel import funnel_counts
+
+STEPS = ["view", "click", "purchase"]
+
+
+def _run(spark, rows, steps=STEPS):
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    out = funnel_counts(df, steps).collect()
+    return {r.step: r for r in out}
+
+
+def test_order_matters_not_just_presence(spark):
+    # u1: correct order; u2: purchase BEFORE view+click (has all three
+    # types but never converts); u3: view then click only
+    rows = [
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        (2, "purchase", 5), (2, "view", 10), (2, "click", 20),
+        (3, "view", 10), (3, "click", 15),
+    ]
+    out = _run(spark, rows)
+    assert out[1].users == 3
+    assert out[2].users == 3
+    assert out[3].users == 1           # only u1
+    assert out[3].conversion == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_strictly_later_required(spark):
+    # click at the SAME timestamp as view does not advance the funnel
+    rows = [(1, "view", 10), (1, "click", 10), (1, "click", 11)]
+    out = _run(spark, rows, steps=["view", "click"])
+    assert out[2].users == 1           # via the ts=11 click
+    out2 = _run(spark, [(1, "view", 10), (1, "click", 10)],
+                steps=["view", "click"])
+    assert out2[2].users == 0
+
+
+def test_greedy_earliest_chain(spark):
+    # the EARLIEST view anchors the chain — a later view cannot resurrect
+    # a click that happened before it, but the click after the first view
+    # counts even if a 'better' view exists later
+    rows = [(1, "click", 5), (1, "view", 10), (1, "click", 20),
+            (1, "view", 15)]
+    out = _run(spark, rows, steps=["view", "click"])
+    assert out[2].users == 1           # view@10 then click@20
+
+
+def test_repeated_step_type_needs_two_events(spark):
+    out = _run(spark, [(1, "click", 10)], steps=["click", "click"])
+    assert out[1].users == 1 and out[2].users == 0
+    out2 = _run(spark, [(1, "click", 10), (1, "click", 11)],
+                steps=["click", "click"])
+    assert out2[2].users == 1
+
+
+def test_empty_steps_raise(spark):
+    df = spark.createDataFrame([(1, "view", 1)],
+                               "user_id long, event_type string, ts_us long")
+    with pytest.raises(ValueError, match="steps"):
+        funnel_counts(df, [])
+
+
+def test_zero_entrants_zero_conversion(spark):
+    out = _run(spark, [(1, "click", 10)])
+    assert out[1].users == 0 and out[1].conversion == 0.0
