@@ -2652,6 +2652,62 @@ def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           token_count=token_count("text"))
 
 
+_MMR_K, _MMR_FETCH, _MMR_LAM = 5, 20, 0.5
+
+
+def _mmr_oracle() -> str:
+    def cos(x: str, y: str) -> str:
+        return (f"list_aggregate(list_transform(range(1, len({x}.embedding) + 1), "
+                f"i -> CAST({x}.embedding[i] AS DOUBLE) * CAST({y}.embedding[i] AS DOUBLE)), 'sum') "
+                f"/ (sqrt(list_aggregate(list_transform({x}.embedding, "
+                f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')) "
+                f"* sqrt(list_aggregate(list_transform({y}.embedding, "
+                f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')))")
+
+    lam, mu = _MMR_LAM, 1.0 - _MMR_LAM
+    parts = [
+        f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding, {_SQL_COS_TO_Q} AS rel
+         FROM embeddings e, q WHERE e.vec_id <> 0
+         ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_FETCH}),
+sel1 AS (SELECT vec_id, embedding, rel FROM cand
+         ORDER BY rel DESC, vec_id ASC LIMIT 1),
+selall1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, _MMR_K + 1):
+        parts.append(f"""sc{r} AS (
+  SELECT c.vec_id, c.embedding, c.rel,
+         (SELECT MAX({cos('c', 's')}) FROM selall{r-1} s) AS ms
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{r-1})),
+sel{r} AS (SELECT vec_id, embedding, rel FROM sc{r}
+           ORDER BY {lam} * rel - {mu} * ms DESC, vec_id ASC LIMIT 1),
+selall{r} AS (SELECT * FROM selall{r-1} UNION ALL SELECT * FROM sel{r})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, vec_id, ROUND(rel, 6) AS rel FROM sel{r}"
+        for r in range(1, _MMR_K + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query("q2_knn_mmr", oracle=_mmr_oracle())
+def q2_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998): fetch the
+    top-20 candidate pool with the distributed KNN (the scale-bearing
+    stage), then greedily select 5 by
+    ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` as lazily-chained bounded
+    plan rounds (``operators.mmr.mmr_select`` — nothing collected).  The
+    oracle unrolls the same greedy selection as 5 chained CTEs with a
+    correlated MAX over the selected set — every pick and tie-break is
+    value-checked."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.mmr import mmr_select
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    cand = knn(emb.filter(F.col("vec_id") != 0), qvec, k=_MMR_FETCH,
+               sim_col="rel", tie_break="vec_id").persist()
+    out = mmr_select(cand, k=_MMR_K, lam=_MMR_LAM)
+    return out.select("rank", "vec_id", F.round("rel", 6).alias("rel"))
+
+
 @query("events_funnel", oracle="""
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
 s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
