@@ -912,7 +912,13 @@ def ann_ivf_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ann_ivf_knn``, hence the identical oracle; the inline variant pays a
     full scan + per-row 16-centroid assignment per query, this one touches
     nprobe/nlist of the data and does no assignment arithmetic at read
-    time.  Index build cached per corpus content like the LSH store."""
+    time.  Index build cached per corpus content like the LSH store.
+
+    Honest sf0.1 reading (BENCH r7): ~0.55 s stored vs ~0.50 s inline —
+    the fused Arrow/BLAS inline path is competitive HERE because at 5k
+    rows per-directory open overhead eats the 4× scan cut; the stored
+    path's advantage is structural (scan volume ∝ nprobe/nlist) and grows
+    with corpus size, which is why both stay benched side by side."""
     import hashlib
     import os
 
