@@ -119,6 +119,8 @@ HEADLINE = [
     "q2_knn_auto_wide1024",  # auto path picks BLAS at production dims
     "events_session_window",
     "corpus_distinct_stats",
+    "events_funnel",        # one-shuffle sequential-pattern fold
+    "ta_unigram_lm_score",  # corpus-trained LM scoring, counts-only shuffles
     "curation_pipeline",
 ]
 

@@ -1,0 +1,64 @@
+"""Single-scan table profiling — the data-engineering "what is in this
+table" operator: per column, row/null/distinct counts plus numeric
+min/max/mean.
+
+100 TB story: EVERY statistic for EVERY column computes in ONE scan and
+ONE aggregate (all the per-column aggregates live in a single ``agg`` —
+Spark evaluates them in the same partial-aggregation pass, map-side
+combined), then a constant-width unpivot of the 1-row result.  No
+per-column jobs, no sampling surprises; exact distincts are the oracle-
+checkable default, and callers profiling genuinely wide-cardinality
+columns at scale swap in ``approx_count_distinct`` (the same trade
+``corpus_approx_stats`` documents).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["profile_table"]
+
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double",
+            "decimal"}
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """``(column, n_rows, n_nulls, n_distinct, min_num, max_num, mean)``
+    — one output row per profiled column; the numeric stats are NULL for
+    non-numeric columns (values are cast to double so the output schema
+    is column-independent and engine-comparable — string min/max would
+    drag engine-specific float formatting into the contract)."""
+    names = cols if cols is not None else df.columns
+    missing = [c for c in names if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    dtypes = dict(df.dtypes)
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        base = dtypes[c].split("(")[0]
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if base in _NUMERIC:
+            num = F.col(c).cast("double")
+            aggs.append(F.min(num).alias(f"mn_{c}"))
+            aggs.append(F.max(num).alias(f"mx_{c}"))
+            aggs.append(F.avg(num).alias(f"av_{c}"))
+        else:
+            null = F.lit(None).cast("double")
+            aggs.append(F.min(null).alias(f"mn_{c}"))
+            aggs.append(F.max(null).alias(f"mx_{c}"))
+            aggs.append(F.min(null).alias(f"av_{c}"))
+    one = df.agg(*aggs)
+
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col("__n").alias("n_rows"),
+                     (F.col("__n") - F.col(f"nn_{c}")).alias("n_nulls"),
+                     F.col(f"nd_{c}").alias("n_distinct"),
+                     F.col(f"mn_{c}").alias("min_num"),
+                     F.col(f"mx_{c}").alias("max_num"),
+                     F.round(F.col(f"av_{c}"), 6).alias("mean"))
+            for c in names]
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))

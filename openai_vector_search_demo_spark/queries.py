@@ -2658,6 +2658,79 @@ def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           token_count=token_count("text"))
 
 
+def _profile_oracle(table: str, cols: list[tuple[str, bool]]) -> str:
+    sels = []
+    for c, numeric in cols:
+        if numeric:
+            mn, mx, av = (f"MIN(CAST({c} AS DOUBLE))",
+                          f"MAX(CAST({c} AS DOUBLE))",
+                          f"ROUND(AVG(CAST({c} AS DOUBLE)), 6)")
+        else:
+            mn = mx = av = "CAST(NULL AS DOUBLE)"
+        sels.append(f"""SELECT '{c}' AS column, COUNT(*) AS n_rows,
+  COUNT(*) - COUNT({c}) AS n_nulls, COUNT(DISTINCT {c}) AS n_distinct,
+  {mn} AS min_num, {mx} AS max_num, {av} AS mean FROM {table}""")
+    return "\nUNION ALL\n".join(sels)
+
+
+@query("profile_orders", oracle=_profile_oracle("orders", [
+    ("o_orderkey", True), ("o_custkey", True), ("o_orderstatus", False),
+    ("o_totalprice", True), ("o_orderdate", False),
+    ("o_orderpriority", False)]))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE PROFILING in one scan: per-column row/null/exact-distinct
+    counts + numeric min/max/mean for the whole orders table — every
+    statistic rides a single aggregate pass (``operators.profile.
+    profile_table``; the oracle recomputes each column's stats
+    independently, pinning that the fused one-pass form loses nothing)."""
+    from openai_vector_search_demo_spark.operators.profile import (
+        profile_table,
+    )
+    return profile_table(t(spark, sf_dir, "orders"))
+
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+@query("events_cohort_retention", oracle=f"""
+WITH e AS (SELECT user_id, epoch_us(ts) // {_WEEK_US} AS wk FROM events),
+first_wk AS (SELECT user_id, MIN(wk) AS cohort_wk FROM e GROUP BY user_id),
+activity AS (SELECT DISTINCT user_id, wk FROM e),
+cohort_size AS (SELECT cohort_wk, COUNT(*) AS size
+                FROM first_wk GROUP BY cohort_wk),
+r AS (SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+             COUNT(DISTINCT a.user_id) AS users
+      FROM activity a JOIN first_wk f USING (user_id)
+      GROUP BY 1, 2)
+SELECT r.cohort_wk, r.week_offset, r.users,
+       ROUND(r.users / CAST(s.size AS DOUBLE), 6) AS retention
+FROM r JOIN cohort_size s USING (cohort_wk)
+""")
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION — the funnel's longitudinal twin: users grouped by
+    the epoch-week of their first event (timezone-proof integer weeks,
+    like every other exported timestamp), counted per week-offset of later
+    activity, as a fraction of cohort size.  Plan: one groupBy(user) min,
+    one distinct on (user, week) — both map-side combinable — then a
+    user-keyed equi-join and one aggregate; offset-0 retention is 1.0 by
+    construction, pinning the join."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.select("user_id",
+                  F.expr(f"ts_us div {_WEEK_US}").alias("wk"))
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = e.distinct()
+    cohort_size = first_wk.groupBy("cohort_wk").agg(
+        F.count("*").alias("size"))
+    r = (activity.join(first_wk, "user_id")
+         .groupBy("cohort_wk",
+                  (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+         .agg(F.count_distinct("user_id").alias("users")))
+    return (r.join(cohort_size, "cohort_wk")
+            .select("cohort_wk", "week_offset", "users",
+                    F.round(F.col("users") / F.col("size"), 6)
+                    .alias("retention")))
+
+
 _MMR_K, _MMR_FETCH, _MMR_LAM = 5, 20, 0.5
 
 

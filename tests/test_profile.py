@@ -1,0 +1,65 @@
+"""Table profiling (operators/profile.py) + cohort-retention semantics."""
+
+from __future__ import annotations
+
+import pytest
+
+from openai_vector_search_demo_spark.operators.profile import profile_table
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 2.0), (2, "a", None), (3, None, 4.0), (3, "b", 4.0)],
+        "k long, s string, x double")
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["k"].n_rows == 4 and out["k"].n_nulls == 0
+    assert out["k"].n_distinct == 3
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+    assert out["x"].n_nulls == 1
+    assert out["x"].min_num == 2.0 and out["x"].max_num == 4.0
+    assert out["x"].mean == pytest.approx(10.0 / 3, abs=1e-6)
+    # non-numeric columns carry NULL numeric stats, same schema
+    assert out["s"].min_num is None and out["s"].mean is None
+
+
+def test_profile_subset_and_validation(spark):
+    df = spark.createDataFrame([(1, "a")], "k long, s string")
+    assert [r.column for r in profile_table(df, ["s"]).collect()] == ["s"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
+
+
+def test_cohort_retention_semantics(spark):
+    from openai_vector_search_demo_spark.queries import (
+        events_cohort_retention,
+    )
+    import openai_vector_search_demo_spark.queries as q
+
+    wk = q._WEEK_US
+    rows = [
+        # cohort week 0: users 1, 2.  u1 returns weeks 1 and 3; u2 never.
+        (1, 0), (1, wk + 5), (1, 3 * wk + 5),
+        (2, 10),
+        # cohort week 1: user 3, returns week 2 (offset 1)
+        (3, wk + 1), (3, 2 * wk + 1),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts) for u, ts in rows], "user_id long, ts_us long")
+
+    # drive the same dataflow as the registered query, on the toy frame
+    from pyspark.sql import functions as F
+    e = df.select("user_id", F.expr(f"ts_us div {wk}").alias("wk"))
+    first_wk = e.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = e.distinct()
+    size = first_wk.groupBy("cohort_wk").agg(F.count("*").alias("size"))
+    r = (activity.join(first_wk, "user_id")
+         .groupBy("cohort_wk",
+                  (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+         .agg(F.count_distinct("user_id").alias("users")))
+    out = {(x.cohort_wk, x.week_offset): x.users
+           for x in r.join(size, "cohort_wk").collect()}
+    assert out[(0, 0)] == 2          # both cohort-0 users active at offset 0
+    assert out[(0, 1)] == 1          # only u1 returned in week 1
+    assert out[(0, 3)] == 1
+    assert (0, 2) not in out         # gap week emits no row
+    assert out[(1, 0)] == 1 and out[(1, 1)] == 1
