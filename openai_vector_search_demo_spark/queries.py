@@ -2658,6 +2658,113 @@ def export_shards_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                           token_count=token_count("text"))
 
 
+def _data_prep_oracle() -> str:
+    """Compose the r7 DATA-PREP capstone oracle from the already-verified
+    stage shapes: exact-substring scrub → unigram-LM retrain+score on the
+    scrubbed text → shingle decontamination (scrubbed corpus vs raw eval
+    split) → gates → sequence packing."""
+    sh_hashes = ("list_distinct(list_transform("
+                 "CASE WHEN len(toks) >= 3 THEN list_distinct(list_transform("
+                 "range(1, len(toks) - 1), "
+                 "i -> array_to_string(list_slice(toks, i, i + 2), ' '))) "
+                 "ELSE [] END, s -> " + _SQL_H60.format(expr='s') + "))")
+    return rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+g0 AS (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS gpos, toks FROM tok),
+grams AS (SELECT doc_id, gpos,
+            {_SQL_H60.format(
+                expr="array_to_string(list_slice(toks, gpos, gpos + 4), ' ')")}
+            AS gh
+          FROM g0),
+rep AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT g.doc_id, g.gpos + r.range AS pos
+        FROM grams g JOIN rep USING (gh) CROSS JOIN range(0, 5) r),
+tokpos AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, toks
+           FROM tok),
+kept AS (SELECT t.doc_id, t.pos, t.toks[t.pos] AS tk
+         FROM tokpos t LEFT JOIN cov c
+           ON c.doc_id = t.doc_id AND c.pos = t.pos
+         WHERE c.pos IS NULL),
+clean AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY pos) AS text
+          FROM kept GROUP BY doc_id),
+scrubbed AS (SELECT doc_id, text FROM clean WHERE text <> ''),
+stok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM scrubbed),
+t2 AS (SELECT doc_id, unnest(toks) AS tk FROM stok),
+dtc AS (SELECT doc_id, tk, COUNT(*) AS ct FROM t2 GROUP BY ALL),
+vocab AS (SELECT tk, SUM(ct) AS c FROM dtc GROUP BY tk),
+stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+lm AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens,
+         ROUND(SUM(ct * ln((c + 1.0) / (n + v))) / SUM(ct), 6)
+           AS avg_logprob
+       FROM dtc JOIN vocab USING (tk), stats GROUP BY doc_id),
+bench AS (SELECT DISTINCT h
+          FROM (SELECT unnest({sh_hashes}) AS h FROM tok
+                WHERE doc_id % 97 = 0)),
+corp AS (SELECT doc_id, unnest({sh_hashes}) AS h FROM stok
+         WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n
+         FROM corp JOIN bench USING (h) GROUP BY doc_id),
+surv AS (SELECT l.doc_id, l.n_tokens, l.avg_logprob
+         FROM lm l LEFT JOIN hits ON hits.doc_id = l.doc_id
+         WHERE l.doc_id % 97 <> 0 AND COALESCE(hits.n, 0) = 0
+           AND l.n_tokens >= 20 AND l.avg_logprob >= -3.5),
+pc AS (SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS grp, n_tokens,
+         avg_logprob,
+         SUM(n_tokens) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_offset
+       FROM surv)
+SELECT doc_id, grp, CAST(start_offset // 512 AS INTEGER) AS bin_in_grp,
+       CAST(start_offset AS BIGINT) AS start_offset, n_tokens, avg_logprob
+FROM pc
+"""
+
+
+@query("data_prep_pipeline", oracle=_data_prep_oracle())
+def data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-7 DATA-PREP CAPSTONE — the new curation operators
+    composed end-to-end in ONE oracled query: exact-substring scrub
+    (corpus-repeated 5-grams removed, fully-scrubbed docs dropped) →
+    unigram LM RETRAINED on the scrubbed text and every doc scored →
+    shingle decontamination of the scrubbed corpus against the raw eval
+    split (doc_id % 97) → fluency/length gates (avg_logprob ≥ −3.5,
+    ≥ 20 tokens) → sequence packing of the survivors into 512-token
+    bins.  Each stage is the operator its standalone query verifies; the
+    oracle chains those stages' own SQL shapes, so the dataflow — scrub
+    feeding the LM's training corpus, gates over the retrained scores,
+    packing over the post-gate token counts — is value-checked end to
+    end, not just piecewise."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        unigram_lm_scores,
+    )
+    from openai_vector_search_demo_spark.operators.dedup import decontaminate
+    from openai_vector_search_demo_spark.operators.packing import (
+        pack_sequences,
+    )
+    from openai_vector_search_demo_spark.operators.substrings import (
+        repeated_ngram_dedup,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    scrub = repeated_ngram_dedup(docs, n=5, min_df=2)
+    scrubbed = (scrub.filter(F.col("cleaned") != "")
+                .select(F.col("id").alias("doc_id"),
+                        F.col("cleaned").alias("text"))
+                .persist())
+    lm = unigram_lm_scores(scrubbed)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corp = scrubbed.filter(F.col("doc_id") % 97 != 0)
+    cont = decontaminate(corp, bench, k=3, min_hits=1)
+    surv = (lm.join(cont.filter(~F.col("contaminated")).select("doc_id"),
+                    "doc_id")
+            .filter((F.col("n_tokens") >= 20)
+                    & (F.col("avg_logprob") >= -3.5)))
+    packed = pack_sequences(surv.select("doc_id", "n_tokens"),
+                            budget=512, num_groups=16)
+    return (packed.join(surv.select("doc_id", "avg_logprob"), "doc_id")
+            .select("doc_id", "grp", "bin_in_grp", "start_offset",
+                    "n_tokens", "avg_logprob"))
+
+
 def _profile_oracle(table: str, cols: list[tuple[str, bool]]) -> str:
     sels = []
     for c, numeric in cols:
