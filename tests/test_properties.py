@@ -120,3 +120,65 @@ def test_chunker_reconstruction_and_trailing_chunk(spark, n_words):
     assert len(rows) == expected_chunks
     if n_words > 0 and n_words % 300 == 0:
         assert rows[-1].chunk == ""  # the reference's off-by-one, preserved
+
+
+# ---------------------------------------------------------------------------
+# r7 operator invariants
+# ---------------------------------------------------------------------------
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 40)),
+                min_size=1, max_size=25))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_dedup_token_accounting(spark, docs):
+    """kept tokens + removed tokens == n_tokens, and cleaned is always a
+    subsequence of the original token stream."""
+    from openai_vector_search_demo_spark.operators.substrings import (
+        repeated_ngram_dedup,
+    )
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff", "gg"]
+    rows = [(i, " ".join(vocab[(w + j) % 7] for j in range(n)))
+            for i, (w, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = repeated_ngram_dedup(df, n=3, min_df=2).collect()
+    orig = dict(rows)
+    assert len(out) == len(rows)
+    for r in out:
+        toks = orig[r.id].split()
+        assert r.n_tokens == len(toks)
+        kept = r.cleaned.split() if r.cleaned else []
+        assert len(kept) + r.n_removed == r.n_tokens
+        it = iter(toks)                       # subsequence check
+        assert all(any(t == o for o in it) for t in kept)
+
+
+@given(st.lists(st.tuples(st.integers(1, 5), st.sampled_from(
+    ["view", "click", "purchase"]), st.integers(0, 100)),
+    min_size=1, max_size=40))
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_counts_monotonically_nonincreasing(spark, events):
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+    )
+    df = spark.createDataFrame(events,
+                               "user_id long, event_type string, ts_us long")
+    out = sorted(funnel_counts(df, ["view", "click", "purchase"]).collect(),
+                 key=lambda r: r.step)
+    users = [r.users for r in out]
+    assert users == sorted(users, reverse=True)
+    assert all(0 <= r.conversion <= 1 for r in out)
+
+
+@given(st.integers(2, 12), st.integers(1, 60))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_shard_assignment_partitions_the_corpus(spark, nshards, ndocs):
+    from openai_vector_search_demo_spark.operators.sharding import (
+        assign_shards,
+    )
+    df = spark.createDataFrame([(i,) for i in range(ndocs)], "doc_id long")
+    rows = assign_shards(df, "doc_id", nshards).collect()
+    assert len(rows) == ndocs
+    assert all(0 <= r.shard < nshards for r in rows)
+    assert all(r.shard == r.sort_key % nshards for r in rows)
