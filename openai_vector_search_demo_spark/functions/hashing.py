@@ -83,3 +83,46 @@ def stratified_sample_predicate(strata: Column | str,
         frac = F.when(s == name, F.lit(float(f))).otherwise(frac)
     h = _hash60(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
     return F.pmod(h, F.lit(buckets)) < F.floor(frac * buckets).cast("long")
+
+
+def resample_with_weights(df, strata: str, key: str,
+                          weights: dict[str, float],
+                          default: float = 1.0, seed: int = 42,
+                          buckets: int = 1_000_000,
+                          copy_col: str = "copy"):
+    """Deterministic sampling WITH replacement — the UPSAMPLING half of
+    data mixing (``stratified_sample_predicate`` is the keep/drop half):
+    a stratum with weight w contributes ⌊w⌋ full copies of every row plus
+    one more iff the salted key-hash lands under frac(w) of the bucket
+    space.  E[rows] = w·n per stratum, exactly the GPT-3/LLaMA-style
+    domain sampling weights, and the SAME key always resolves the same
+    way — re-runs, repartitionings, and the DuckDB oracle all emit the
+    identical multiset.
+
+    Integer copy counts and cutoffs are computed driver-side per stratum
+    (no float arithmetic in the plan), inlined as a when-chain — no join,
+    no shuffle; the explode is the only row-count change.  ``copy_col``
+    (1-based) disambiguates the copies downstream (e.g. as part of a
+    packing or shard key).
+    """
+    for name, w in list(weights.items()) + [("default", default)]:
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0")
+    from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+    s = F.col(strata)
+
+    def chain(value_of):
+        expr = F.lit(value_of(default))
+        for name, w in sorted(weights.items()):
+            expr = F.when(s == name, F.lit(value_of(w))).otherwise(expr)
+        return expr
+
+    base = chain(lambda w: int(w))
+    cut = chain(lambda w: int(round((w - int(w)) * buckets)))
+    h = F.pmod(_hash60(F.concat_ws(":", F.lit(str(seed)),
+                                   F.col(key).cast("string"))),
+               F.lit(buckets))
+    n = (base + (h < cut).cast("int")).alias("_n_copies")
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)) \
+              .otherwise(F.array().cast("array<int>"))
+    return df.withColumn(copy_col, F.explode(copies))

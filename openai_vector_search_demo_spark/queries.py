@@ -4861,6 +4861,49 @@ def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("resample_mix_weights", oracle=rf"""
+WITH w AS (
+  SELECT doc_id, source, text,
+    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1
+                WHEN 'src2' THEN 0 ELSE 1 END
+    + CASE WHEN CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                     1, 15)) AS BIGINT) % 1000000
+                < CASE source WHEN 'src0' THEN 500000 WHEN 'src1' THEN 0
+                              WHEN 'src2' THEN 250000 ELSE 500000 END
+           THEN 1 ELSE 0 END AS copies
+  FROM documents),
+ex AS (SELECT doc_id, source, text,
+              unnest(range(1, copies + 1)) AS copy
+       FROM w)
+SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+FROM ex GROUP BY source ORDER BY source
+""")
+def resample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MIXING, the UPSAMPLING half: GPT-3/LLaMA-style per-domain
+    sampling WEIGHTS (src0 ×2.5, src1 ×1, src2 ×0.25, rest ×1.5) as
+    deterministic sampling with replacement — weight w emits ⌊w⌋ copies
+    of every row plus a hash-decided fractional copy
+    (``functions.hashing.resample_with_weights``).  Copy counts and
+    cutoffs inline as integers (no float arithmetic in the plan), the
+    explode is the only row-count change, and the oracle reproduces the
+    multiset bit-for-bit; reported per source: resampled rows, distinct
+    docs, effective token budget."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        resample_with_weights,
+    )
+    docs = t(spark, sf_dir, "documents")
+    out = resample_with_weights(
+        docs, "source", "doc_id",
+        {"src0": 2.5, "src1": 1.0, "src2": 0.25}, default=1.5)
+    return (out.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count_distinct("doc_id").alias("n_docs"),
+                 F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+"))
+                       .cast("long")).alias("n_tokens"))
+            .orderBy("source"))
+
+
 @query("decontaminate_vs_benchmark", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 bench AS (SELECT DISTINCT h

@@ -126,3 +126,51 @@ def test_unigram_lm_scores_hand_computed(spark):
     assert out[2].avg_logprob == pytest.approx(exp2, abs=1e-9)
     # higher-frequency tokens ⇒ less negative score
     assert out[1].avg_logprob > out[2].avg_logprob
+
+
+# ---------------------------------------------------------------------------
+# resample_with_weights (the upsampling half of data mixing)
+# ---------------------------------------------------------------------------
+
+def test_resample_integer_weights_exact(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        resample_with_weights,
+    )
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)],
+        "doc_id long, src string")
+    out = resample_with_weights(df, "src", "doc_id",
+                                {"a": 3.0, "b": 1.0}).collect()
+    a = [r for r in out if r.src == "a"]
+    b = [r for r in out if r.src == "b"]
+    assert len(a) == 150 and len(b) == 50       # integer weights are exact
+    assert {r.copy for r in a} == {1, 2, 3}
+    assert all(r.copy == 1 for r in b)
+
+
+def test_resample_zero_weight_drops_and_fraction_approximates(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        resample_with_weights,
+    )
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(2000)],
+        "doc_id long, src string")
+    out = resample_with_weights(df, "src", "doc_id",
+                                {"drop": 0.0, "keep": 1.5}).collect()
+    assert not [r for r in out if r.src == "drop"]
+    kept = [r for r in out if r.src == "keep"]
+    assert 1400 <= len(kept) <= 1600             # E = 1500, hash-binomial
+    # deterministic: same call, same multiset
+    out2 = resample_with_weights(df, "src", "doc_id",
+                                 {"drop": 0.0, "keep": 1.5}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_resample_negative_weight_raises(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        resample_with_weights,
+    )
+    df = spark.createDataFrame([(1, "a")], "doc_id long, src string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="weight"):
+        resample_with_weights(df, "src", "doc_id", {"a": -0.5})
