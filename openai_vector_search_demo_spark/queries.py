@@ -4861,6 +4861,44 @@ def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("mask_spans_t5", oracle=rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tokpos AS (SELECT doc_id, len(toks) AS n_tokens,
+                  unnest(range(1, len(toks) + 1)) AS pos, toks
+           FROM tok),
+tp AS (SELECT doc_id, n_tokens, pos, toks[pos] AS tok FROM tokpos),
+starts AS (SELECT doc_id, pos, n_tokens FROM tp
+           WHERE CAST(('0x' || substr(md5('13:' || CAST(doc_id AS VARCHAR)
+                                      || ':' || CAST(pos AS VARCHAR)), 1, 15))
+                      AS BIGINT) % 1000000 < 50000),
+cov AS (SELECT DISTINCT doc_id, pos FROM (
+          SELECT doc_id,
+                 unnest(range(pos, least(pos + 2, n_tokens) + 1)) AS pos
+          FROM starts)),
+m AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok,
+             c.pos IS NOT NULL AS msk
+      FROM tp t LEFT JOIN cov c
+        ON c.doc_id = t.doc_id AND c.pos = t.pos)
+SELECT doc_id AS id, MAX(n_tokens) AS n_tokens,
+       CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       string_agg(CASE WHEN msk THEN '<mask>' ELSE tok END, ' '
+                  ORDER BY pos) AS masked_text,
+       COALESCE(string_agg(CASE WHEN msk THEN tok END, ' ' ORDER BY pos),
+                '') AS targets
+FROM m GROUP BY doc_id
+""")
+def mask_spans_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN CORRUPTION materialized (T5/BERT-style): 5% of (doc, pos)
+    hashes start a 3-token masked span; output is the (masked_text,
+    targets) training pair per document.  Every mask derives from the
+    salted position hash — no ``rand()``, so the same corpus + seed masks
+    identically on any engine and the oracle value-checks every mask
+    decision (``operators.masking.mask_spans``)."""
+    from openai_vector_search_demo_spark.operators.masking import mask_spans
+    return mask_spans(t(spark, sf_dir, "documents"),
+                      span_len=3, start_rate=0.05, seed=13)
+
+
 @query("resample_mix_weights", oracle=rf"""
 WITH w AS (
   SELECT doc_id, source, text,
