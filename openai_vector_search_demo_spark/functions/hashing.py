@@ -126,3 +126,38 @@ def resample_with_weights(df, strata: str, key: str,
     copies = F.when(n >= 1, F.sequence(F.lit(1), n)) \
               .otherwise(F.array().cast("array<int>"))
     return df.withColumn(copy_col, F.explode(copies))
+
+
+def dataset_split(df, key: str, fractions: dict[str, float],
+                  seed: int = 42, buckets: int = 1_000_000,
+                  split_col: str = "split"):
+    """Deterministic train/val/test assignment: the salted key-hash lands
+    in one of the cumulative ``fractions`` ranges (insertion order), and
+    the SAME key lands in the same split everywhere — re-runs, engines,
+    repartitionings, and (because the hash is keyed, not positional)
+    additions to the corpus never reshuffle existing assignments, the
+    property random ``randomSplit`` cannot give.  Fractions must sum to
+    1 (±1e-9); cutoffs are integer bucket boundaries so engines agree at
+    the edges."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("fractions must be >= 0")
+    from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+    h = F.pmod(_hash60(F.concat_ws(":", F.lit(str(seed)),
+                                   F.col(key).cast("string"))),
+               F.lit(buckets))
+    names = list(fractions)
+    cum, bounds = 0.0, []
+    for name in names:
+        cum += fractions[name]
+        bounds.append(int(round(cum * buckets)))
+    bounds[-1] = buckets                      # close the last range exactly
+    if len(names) == 1:
+        return df.withColumn(split_col, F.lit(names[0]))
+    # ordered when-chain: the FIRST satisfied `h < bound` wins
+    expr = F.when(h < bounds[0], F.lit(names[0]))
+    for name, hi in zip(names[1:-1], bounds[1:-1]):
+        expr = expr.when(h < hi, F.lit(name))
+    return df.withColumn(split_col, expr.otherwise(F.lit(names[-1])))

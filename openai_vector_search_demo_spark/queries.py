@@ -4861,6 +4861,40 @@ def stratified_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("dataset_split_documents", oracle=rf"""
+WITH h AS (
+  SELECT doc_id, text,
+         CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000000 AS b
+  FROM documents)
+SELECT CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM h GROUP BY 1 ORDER BY 1
+""")
+def dataset_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TRAIN/VAL/TEST split (90/5/5) by salted key-hash
+    ranges (``functions.hashing.dataset_split``): the same doc lands in
+    the same split on every engine and every re-run, and — because the
+    assignment is keyed, not positional — growing the corpus never
+    reshuffles existing assignments, which ``randomSplit`` cannot
+    guarantee.  Reported per split: docs, tokens, id range."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        dataset_split,
+    )
+    docs = dataset_split(t(spark, sf_dir, "documents"), "doc_id",
+                         {"train": 0.9, "val": 0.05, "test": 0.05})
+    return (docs.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.regexp_count(F.col("text"), F.lit(r"\S+"))
+                       .cast("long")).alias("n_tokens"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("split"))
+
+
 @query("mask_spans_t5", oracle=rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 tokpos AS (SELECT doc_id, len(toks) AS n_tokens,

@@ -174,3 +174,38 @@ def test_resample_negative_weight_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="weight"):
         resample_with_weights(df, "src", "doc_id", {"a": -0.5})
+
+
+# ---------------------------------------------------------------------------
+# dataset_split (deterministic train/val/test)
+# ---------------------------------------------------------------------------
+
+def test_dataset_split_stable_under_corpus_growth(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        dataset_split,
+    )
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    fr = {"train": 0.9, "val": 0.05, "test": 0.05}
+    a = {r.doc_id: r.split for r in dataset_split(small, "doc_id",
+                                                  fr).collect()}
+    b = {r.doc_id: r.split for r in dataset_split(big, "doc_id",
+                                                  fr).collect()}
+    # keyed assignment: growing the corpus never moves existing docs
+    assert all(b[k] == v for k, v in a.items())
+    assert set(b.values()) == {"train", "val", "test"}
+
+
+def test_dataset_split_partitions_everything_and_validates(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        dataset_split,
+    )
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    out = dataset_split(df, "doc_id", {"train": 0.8, "test": 0.2}).collect()
+    assert len(out) == 1000
+    n_train = sum(1 for r in out if r.split == "train")
+    assert 750 <= n_train <= 850                  # E = 800
+    with pytest.raises(ValueError, match="sum to 1"):
+        dataset_split(df, "doc_id", {"a": 0.5, "b": 0.4})
+    single = dataset_split(df, "doc_id", {"all": 1.0}).collect()
+    assert all(r.split == "all" for r in single)
