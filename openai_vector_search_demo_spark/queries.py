@@ -3033,6 +3033,76 @@ FROM rk
 """
 
 
+def _semdedup_recall_oracle() -> str:
+    sq = ("list_aggregate(list_transform(range(1, len(e.embedding) + 1), "
+          "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) "
+          "* (CAST(e.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))), 'sum')")
+    cos = ("list_aggregate(list_transform(range(1, len(a.embedding) + 1), "
+           "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') "
+           "/ (sqrt(list_aggregate(list_transform(a.embedding, "
+           "t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')) "
+           "* sqrt(list_aggregate(list_transform(b.embedding, "
+           "t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')))")
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding FROM embeddings
+              WHERE vec_id BETWEEN 1 AND {_SEMDEDUP_NLIST}),
+d AS (SELECT e.vec_id, c.cid, {sq} AS dist
+      FROM embeddings e CROSS JOIN cent c),
+m AS (SELECT vec_id, MIN(dist) AS md FROM d GROUP BY vec_id),
+asg AS (SELECT d.vec_id AS id, MIN(d.cid) - 1 AS cell
+        FROM d JOIN m USING (vec_id) WHERE d.dist = m.md GROUP BY d.vec_id),
+exact AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id AND {cos} >= {_SEMDEDUP_T}),
+caught AS (SELECT e.id_a FROM exact e
+           JOIN asg x ON x.id = e.id_a JOIN asg y ON y.id = e.id_b
+           WHERE x.cell = y.cell)
+SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+       (SELECT COUNT(*) FROM caught) AS n_caught,
+       ROUND((SELECT COUNT(*) FROM caught)
+             / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE), 3) AS recall
+"""
+
+
+@query("semdedup_cell_recall", oracle=_semdedup_recall_oracle())
+def semdedup_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of SemDeDup's cluster prefilter against exact all-pairs
+    cosine, AS A QUERY — the ``ann_lsh_recall_at_10`` treatment for the
+    third approximate structure: a true near-dup pair is CAUGHT iff both
+    members land in the same cell, so this measures exactly the pairs the
+    cluster bound can ever see.  Re-measured by the driver/parity gates
+    every round.  Honest reading: 0.153 at (nlist=16, t=0.4) on the
+    fixture — the synthetic embeddings are near-uniform, the worst case
+    for a clustering prefilter (SemDeDup presumes clusterable semantic
+    space; its paper corpora have it, random fixtures do not).  Lowering
+    nlist raises recall at quadratic cost — nlist=1 IS exact all-pairs —
+    which is exactly the knob this number exists to steer."""
+    from openai_vector_search_demo_spark.operators.ann import ivf_cell
+    from openai_vector_search_demo_spark.operators.dedup import (
+        embedding_near_dup,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    cent_rows = (emb.filter((F.col("vec_id") >= 1)
+                            & (F.col("vec_id") <= _SEMDEDUP_NLIST))
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    centroids = [[float(x) for x in r.embedding] for r in cent_rows]
+    exact = embedding_near_dup(emb, threshold=_SEMDEDUP_T) \
+        .select("id_a", "id_b").persist()
+    cells = emb.select(F.col("vec_id").alias("id"),
+                       ivf_cell("embedding", centroids).alias("cell"))
+    caught = (exact
+              .join(cells.withColumnRenamed("id", "id_a")
+                    .withColumnRenamed("cell", "cell_a"), "id_a")
+              .join(cells.withColumnRenamed("id", "id_b")
+                    .withColumnRenamed("cell", "cell_b"), "id_b")
+              .filter(F.col("cell_a") == F.col("cell_b")))
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(caught.agg(F.count(F.lit(1)).alias("n_caught")))
+            .withColumn("recall",
+                        F.round(F.col("n_caught")
+                                / F.col("n_exact").cast("double"), 3)))
+
+
 @query("semdedup_prune", oracle=_semdedup_oracle())
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): semantic dedup with the quadratic
