@@ -1516,6 +1516,41 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query("streaming_dedup", oracle=f"""
+SELECT DISTINCT {_SQL_FINGERPRINT} AS fingerprint FROM documents
+""")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup executed as a real Structured Streaming job
+    (file source → in-stream duplication of every 3rd document → stateful
+    ``dropDuplicates`` on the text fingerprint → memory sink,
+    availableNow), value-checked against the batch DISTINCT-fingerprint
+    set: every injected duplicate must collapse and nothing else may.
+    The output projects the fingerprint alone because WHICH copy survives
+    a collapse is encounter-order-dependent — the fingerprint is the
+    deterministic identity of the collapsed group."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_dedup_documents,
+    )
+    name = f"stream_dedup_{next(_STREAM_SEQ)}"
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    dup = (stream.withColumn(
+               "_copy", F.explode(F.when(F.col("doc_id") % 3 == 0,
+                                         F.array(F.lit(1), F.lit(2)))
+                                  .otherwise(F.array(F.lit(1)))))
+           .drop("_copy"))
+    try:
+        q = (stream_dedup_documents(dup).select("fingerprint")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+    return out
+
+
 @query("streaming_interval_join", oracle="""
 WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
            FROM events WHERE event_type = 'click'),
