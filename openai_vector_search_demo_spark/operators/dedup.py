@@ -162,6 +162,67 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
 
 
+def ngram_jaccard_cross(new: DataFrame, existing: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 3, threshold: float = 0.5,
+                        max_shingle_df: int | str | None = "auto",
+                        n_docs: int | None = None,
+                        cache: bool = True) -> DataFrame:
+    """INCREMENTAL dedup — the production shape: near-dup pairs BETWEEN a
+    new batch and the existing corpus (``(new_id, existing_id,
+    jaccard)``), never new×new or existing×existing.  This is how a
+    recurring ingest actually runs: the corpus is already deduped, only
+    arrivals need checking, and the join volume is |new batch| × matches
+    instead of the full self-join.
+
+    Same shingle-hash equi-join + exact-Jaccard verify as
+    ``ngram_jaccard_pairs``; ``max_shingle_df`` counts document frequency
+    ACROSS BOTH SIDES (a boilerplate shingle is hot regardless of which
+    corpus it lives in) and ``'auto'`` sizes the cap from the combined
+    document count (pass ``n_docs`` to keep plan construction job-free).
+    """
+    if max_shingle_df == "auto":
+        max_shingle_df = adaptive_shingle_df(
+            n_docs if n_docs is not None else new.count() + existing.count())
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        sh = (spread_for_python(df)
+              .select(F.col(id_col).alias(f"id_{tag}"),
+                      shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
+              .withColumn(f"sz_{tag}", F.size("hs")))
+        return sh.select(f"id_{tag}", f"sz_{tag}",
+                         F.explode("hs").alias("h"))
+
+    ex_n, ex_e = side(new, "n"), side(existing, "e")
+    if cache:
+        ex_n, ex_e = ex_n.persist(), ex_e.persist()
+    if max_shingle_df is not None:
+        df_counts = (ex_n.select("h").unionAll(ex_e.select("h"))
+                     .groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                     .filter(F.col("_df") <= max_shingle_df).select("h"))
+        fn = ex_n.select("id_n", "h").join(df_counts, "h")
+        fe = ex_e.select("id_e", "h").join(df_counts, "h")
+        ex_n = fn.join(fn.groupBy("id_n").agg(
+            F.count(F.lit(1)).alias("sz_n")), "id_n")
+        ex_e = fe.join(fe.groupBy("id_e").agg(
+            F.count(F.lit(1)).alias("sz_e")), "id_e")
+        if cache:
+            ex_n, ex_e = ex_n.persist(), ex_e.persist()
+    common = (ex_n.join(ex_e, "h")
+              .groupBy("id_n", "id_e", "sz_n", "sz_e")
+              .agg(F.count(F.lit(1)).alias("common")))
+    jac = common.withColumn(
+        "jaccard",
+        F.col("common") / (F.col("sz_n") + F.col("sz_e") - F.col("common")))
+    return (jac.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_n").alias("new_id"),
+                    F.col("id_e").alias("existing_id"),
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -5081,6 +5081,36 @@ def resample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+@query("dedup_cross_corpus", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+e AS (SELECT doc_id AS id_e, len(hs) AS sz_e, unnest(hs) AS h FROM hs),
+n AS (SELECT doc_id + 1000000 AS id_n, len(hs) AS sz_n, unnest(hs) AS h
+      FROM hs WHERE doc_id % 4 = 0),
+c AS (SELECT id_n, id_e, sz_n, sz_e, COUNT(*) AS common
+      FROM n JOIN e USING (h) GROUP BY ALL)
+SELECT id_n AS new_id, id_e AS existing_id,
+       ROUND(common / CAST(sz_n + sz_e - common AS DOUBLE), 6) AS jaccard
+FROM c
+WHERE common / CAST(sz_n + sz_e - common AS DOUBLE) >= 0.5
+""")
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — the production re-crawl shape: a new batch
+    (every 4th document re-arriving verbatim under a shifted id) checked
+    against the EXISTING corpus only, never batch×batch or corpus×corpus
+    (``operators.dedup.ngram_jaccard_cross``).  Every re-arrival must
+    surface with jaccard 1.0 against its original, plus whatever natural
+    cross-matches exist; ``max_shingle_df=None`` is the exact-parity
+    setting, the operator's default cap is corpus-safe ``'auto'``."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_jaccard_cross,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 4 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return ngram_jaccard_cross(new, docs, k=3, threshold=0.5,
+                               max_shingle_df=None)
+
+
 @query("decontaminate_vs_benchmark", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 bench AS (SELECT DISTINCT h

@@ -431,3 +431,48 @@ def test_decontaminate_flags_ngram_leaks(spark):
               for r in decontaminate(corpus, bench, k=3,
                                      min_hits=100).collect()}
     assert strict[1] is False
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_cross — incremental (new batch vs existing corpus) dedup
+# ---------------------------------------------------------------------------
+
+def test_cross_corpus_finds_rearrivals_never_batch_pairs(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_jaccard_cross,
+    )
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different text about spark engines here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(101, "the quick brown fox jumps over the lazy dog"),   # re-arrival
+         (102, "the quick brown fox jumps over the lazy dog"),   # dup IN batch
+         (103, "nothing in common with anything at all whatsoever")],
+        "doc_id long, text string")
+    out = ngram_jaccard_cross(new, existing, threshold=0.5,
+                              max_shingle_df=None, cache=False).collect()
+    pairs = {(r.new_id, r.existing_id): r.jaccard for r in out}
+    assert pairs[(101, 1)] == 1.0
+    assert pairs[(102, 1)] == 1.0
+    # batch-internal duplicates (101, 102) are NOT this operator's job
+    assert all(e in (1, 2) for _, e in pairs)
+    assert not any(n == 103 for n, _ in pairs)
+
+
+def test_cross_corpus_auto_cap_is_corpus_safe(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_jaccard_cross,
+    )
+    # identical boilerplate everywhere: with the combined-DF auto cap the
+    # query still runs (bounded join) and exact re-arrivals still surface
+    # because the floor (50) far exceeds this corpus's DF
+    existing = spark.createDataFrame(
+        [(i, f"shared header text block number {i} common footer line")
+         for i in range(30)], "doc_id long, text string")
+    new = existing.limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 1000)
+    out = ngram_jaccard_cross(new, existing, threshold=0.9,
+                              cache=False).collect()
+    assert {(r.new_id - 1000, r.existing_id) for r in out} >= \
+        {(i, i) for i in range(5)}
