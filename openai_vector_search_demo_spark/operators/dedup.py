@@ -358,6 +358,74 @@ def _shingle_sig_udf(k: int, num_hashes: int):
     return _f
 
 
+def _band_bucket_sql(rows: int, bands: int) -> str:
+    """SQL fragment: one md5-60bit bucket expression per band over the
+    ``signature`` column (comma-joined band rows — the bucket key both
+    the self-join and cross-corpus forms share)."""
+    return ", ".join(
+        "cast(conv(substring(md5(concat_ws(',', "
+        + ", ".join(f"cast(signature[{b * rows + r}] as string)"
+                    for r in range(rows))
+        + ")), 1, 15), 16, 10) as long)"
+        for b in range(bands))
+
+
+def minhash_lsh_cross(new: DataFrame, existing: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 3, num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5,
+                      cache: bool = True) -> DataFrame:
+    """The 100 TB form of ``ngram_jaccard_cross``: banded MinHash-LSH
+    candidates BETWEEN a new batch and the existing corpus, verified by
+    exact shingle-set Jaccard.  The band join replaces the shingle-hash
+    equi-join, so candidate volume is bounded by signature collisions
+    (tunable via bands/rows) instead of shared-shingle counts — no
+    hot-shingle cap needed, same no-false-positives contract.
+
+    At scale the existing side's band entries are a WRITE-TIME artifact
+    (persist ``(band, bucket, id)`` partitioned by band — the
+    ``lsh_assign`` pattern); each incremental batch then computes only
+    its own signatures and probes the stored buckets.
+    """
+    rows = num_hashes // bands
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        sh = (spread_for_python(df)
+              .select(F.col(id_col).alias(f"id_{tag}"),
+                      _shingle_sig_udf(k, num_hashes)(F.col(text_col))
+                      .alias("_ss"))
+              .select(f"id_{tag}", F.col("_ss.hs").alias(f"hs_{tag}"),
+                      F.col("_ss.sig").alias("signature")))
+        return sh.persist() if cache else sh
+
+    shn, she = prep(new, "n"), prep(existing, "e")
+    band_exprs = _band_bucket_sql(rows, bands)
+
+    def entries(sh: DataFrame, tag: str) -> DataFrame:
+        return (sh.filter(F.col("signature").isNotNull())
+                .select(f"id_{tag}",
+                        F.expr(f"posexplode(array({band_exprs}))")
+                        .alias("band", "bucket")))
+
+    cand = (entries(shn, "n").join(entries(she, "e"), ["band", "bucket"])
+            .select("id_n", "id_e").distinct())
+    ver = (cand.join(shn.select("id_n", "hs_n"), "id_n")
+           .join(she.select("id_e", "hs_e"), "id_e")
+           .withColumn("common",
+                       F.size(F.array_intersect("hs_n", "hs_e")))
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.size("hs_n") + F.size("hs_e")
+                          - F.col("common"))))
+    return (ver.filter(F.col("jaccard") >= threshold)
+            .select(F.col("id_n").alias("new_id"),
+                    F.col("id_e").alias("existing_id"),
+                    F.round("jaccard", 6).alias("jaccard")))
+
+
 def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", k: int = 3,
@@ -424,12 +492,7 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
     sig = sh.filter(F.col("signature").isNotNull()).select("id", "signature")
     # single-expr band array (see _signatures_from_exploded on why):
     # band b's bucket = md5-60bit of the comma-joined band rows
-    band_exprs = ", ".join(
-        "cast(conv(substring(md5(concat_ws(',', "
-        + ", ".join(f"cast(signature[{b * rows + r}] as string)"
-                    for r in range(rows))
-        + ")), 1, 15), 16, 10) as long)"
-        for b in range(bands))
+    band_exprs = _band_bucket_sql(rows, bands)
     band_entries = sig.select(
         "id",
         F.expr(f"posexplode(array({band_exprs}))").alias("band", "bucket"))

@@ -5111,6 +5111,48 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_shingle_df=None)
 
 
+@query("dedup_cross_corpus_minhash", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+mh AS (SELECT ex.doc_id, p.i,
+         MIN((p.a * (ex.h % 2147483647) + p.b) % 2147483647) AS m
+       FROM ex, {_sql_minhash_perms(16)}
+       GROUP BY ex.doc_id, p.i),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+band AS (SELECT doc_id, b.b,
+           {_SQL_H60.format(expr="array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')")} AS bucket
+         FROM sig, UNNEST(range(4)) AS b(b)),
+cand AS (SELECT DISTINCT n.doc_id + 1000000 AS new_id,
+                e.doc_id AS existing_id
+         FROM band n JOIN band e ON n.b = e.b AND n.bucket = e.bucket
+         WHERE n.doc_id % 4 = 0),
+ver AS (SELECT c.new_id, c.existing_id,
+          len(list_intersect(hn.hs, he.hs)) AS common,
+          len(hn.hs) AS sz_n, len(he.hs) AS sz_e
+        FROM cand c JOIN hs hn ON hn.doc_id = c.new_id - 1000000
+                    JOIN hs he ON he.doc_id = c.existing_id)
+SELECT new_id, existing_id,
+       ROUND(common * 1.0 / (sz_n + sz_e - common), 6) AS jaccard
+FROM ver WHERE common * 1.0 / (sz_n + sz_e - common) >= 0.5
+""")
+def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of ``dedup_cross_corpus``: incremental near-dup
+    detection via banded MinHash-LSH between the re-arriving batch and the
+    existing corpus (band-bucket join instead of the shared-shingle join —
+    no hot-shingle cap needed), exact-Jaccard verified.  Same seeded
+    inputs as the exact form, so the two results are directly comparable:
+    LSH must still surface every verbatim re-arrival (identical docs
+    collide on EVERY band) and may drop only sub-threshold band misses."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_cross,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 4 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return minhash_lsh_cross(new, docs, k=3, num_hashes=16, bands=4,
+                             threshold=0.5)
+
+
 @query("decontaminate_vs_benchmark", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 bench AS (SELECT DISTINCT h

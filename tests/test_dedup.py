@@ -476,3 +476,27 @@ def test_cross_corpus_auto_cap_is_corpus_safe(spark):
                               cache=False).collect()
     assert {(r.new_id - 1000, r.existing_id) for r in out} >= \
         {(i, i) for i in range(5)}
+
+
+def test_minhash_cross_agrees_with_exact_cross_on_verbatim_rearrivals(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_cross,
+        ngram_jaccard_cross,
+    )
+    existing = spark.createDataFrame(
+        [(i, f"unique words {i} " + " ".join(f"tok{i}x{j}" for j in range(12)))
+         for i in range(20)], "doc_id long, text string")
+    new = existing.filter("doc_id % 2 = 0").withColumn(
+        "doc_id", F.col("doc_id") + 500)
+    lsh = {(r.new_id, r.existing_id): r.jaccard
+           for r in minhash_lsh_cross(new, existing, threshold=0.5,
+                                      cache=False).collect()}
+    exact = {(r.new_id, r.existing_id): r.jaccard
+             for r in ngram_jaccard_cross(new, existing, threshold=0.5,
+                                          max_shingle_df=None,
+                                          cache=False).collect()}
+    # verbatim re-arrivals collide on EVERY band: LSH finds all of them
+    assert {(i + 500, i) for i in range(0, 20, 2)} <= set(lsh)
+    # no false positives, and verified jaccards agree with the exact form
+    assert set(lsh) <= set(exact)
+    assert all(lsh[p] == exact[p] for p in lsh)
