@@ -62,3 +62,32 @@ def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
             for c in names]
     return (one.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.*"))
+
+
+def robust_outliers(df: DataFrame, value_col: str, group_cols: list[str],
+                    k: float = 3.0) -> DataFrame:
+    """Robust per-group outlier accounting: a value is an outlier when
+    ``|x − median| > k · 1.4826 · MAD`` (the modified z-score — median
+    and MAD shrug off the very outliers that poison mean/stddev gates,
+    which is why data-quality monitors use this form).
+
+    Two grouped exact medians (Spark's interpolated ``median`` ≡ DuckDB
+    ``quantile_cont(0.5)``, the parity `events_value_percentiles`
+    already pins) + one broadcast-sized join of per-group stats back
+    onto the rows; at 100 TB swap the exact medians for
+    ``approx_percentile`` — same plan shape, sketch-mergeable.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.median(value_col).alias("_med"))
+    dev = (df.join(med, group_cols)
+           .withColumn("_ad", F.abs(F.col(value_col) - F.col("_med"))))
+    mad = dev.groupBy(*group_cols).agg(
+        F.median("_ad").alias("_mad"), F.first("_med").alias("_med"))
+    flagged = (dev.drop("_med").join(mad, group_cols)
+               .withColumn("_out",
+                           F.col("_ad") > k * 1.4826 * F.col("_mad")))
+    return (flagged.groupBy(*group_cols)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("_out").cast("long")).alias("n_outliers"),
+                 F.round(F.first("_med"), 6).alias("median"),
+                 F.round(F.first("_mad"), 6).alias("mad")))

@@ -2831,6 +2831,43 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("events_robust_outliers", oracle="""
+WITH e AS (SELECT event_type,
+                  CASE WHEN event_id % 50 = 0 THEN value * 20
+                       ELSE value END AS v
+           FROM events),
+med AS (SELECT event_type, quantile_cont(v, 0.5) AS m
+        FROM e GROUP BY event_type),
+dev AS (SELECT e.event_type, abs(v - m) AS ad
+        FROM e JOIN med USING (event_type)),
+mad AS (SELECT d.event_type, quantile_cont(d.ad, 0.5) AS mad,
+               any_value(med.m) AS m
+        FROM dev d JOIN med USING (event_type) GROUP BY d.event_type)
+SELECT m2.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.ad > 3 * 1.4826 * m2.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(m2.m, 6) AS median, ROUND(m2.mad, 6) AS mad
+FROM dev d JOIN mad m2 USING (event_type)
+GROUP BY m2.event_type, m2.m, m2.mad
+""")
+def events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA-QUALITY MONITORING: robust per-type outlier counts via the
+    modified z-score (|x − median| > 3·1.4826·MAD) — median/MAD shrug
+    off the very outliers that poison mean/stddev gates
+    (``operators.profile.robust_outliers``).  A heavy tail is seeded
+    deterministically (every 50th event's value ×20) so the detector has
+    something to catch; the oracle recomputes both medians and every
+    flag."""
+    from openai_vector_search_demo_spark.operators.profile import (
+        robust_outliers,
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 50 == 0, F.col("value") * 20)
+        .otherwise(F.col("value")).alias("v"))
+    return robust_outliers(ev, "v", ["event_type"])
+
+
 _WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 

@@ -63,3 +63,29 @@ def test_cohort_retention_semantics(spark):
     assert out[(0, 3)] == 1
     assert (0, 2) not in out         # gap week emits no row
     assert out[(1, 0)] == 1 and out[(1, 1)] == 1
+
+
+def test_robust_outliers_flags_the_planted_point(spark):
+    from openai_vector_search_demo_spark.operators.profile import (
+        robust_outliers,
+    )
+    rows = [("a", float(v)) for v in range(1, 20)] + [("a", 1000.0)]
+    rows += [("b", 5.0)] * 10                      # MAD 0: nothing flaggable
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r.g: r for r in robust_outliers(df, "v", ["g"]).collect()}
+    assert out["a"].n == 20 and out["a"].n_outliers == 1
+    assert out["a"].median == 10.5
+    # constant group: MAD 0 -> threshold 0, no value exceeds it strictly
+    assert out["b"].n_outliers == 0 and out["b"].mad == 0.0
+
+
+def test_robust_outliers_immune_to_the_outlier_itself(spark):
+    from openai_vector_search_demo_spark.operators.profile import (
+        robust_outliers,
+    )
+    # mean/std z-score would be dragged by the 1e6 point; median/MAD is not
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 1e6]]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = robust_outliers(df, "v", ["g"]).first()
+    assert r.n_outliers == 1
+    assert r.median == 12.5
