@@ -265,3 +265,47 @@ def test_spread_for_python_heuristic_and_override(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         spread_for_python(df, num_partitions=0)
+
+
+# ---------------------------------------------------------------------------
+# r7 operators: shuffle-count pins
+# ---------------------------------------------------------------------------
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_is_one_hash_shuffle(spark):
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+    )
+    df = spark.createDataFrame([(1, "view", 10), (1, "click", 20)],
+                               "user_id long, event_type string, ts_us long")
+    p = _physical(funnel_counts(df, ["view", "click", "purchase"]))
+    # the whole N-step funnel: ONE hash shuffle (per-user fold) + the
+    # single-partition final count — never a join chain, never a sort
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p
+    assert "Join" not in p
+
+
+def test_shard_manifest_is_one_hash_shuffle_no_sort(spark):
+    from openai_vector_search_demo_spark.operators.sharding import (
+        shard_manifest,
+    )
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    p = _physical(shard_manifest(docs, "doc_id", 4))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in p   # hash order ≠ global sort
+
+
+def test_profile_table_is_one_scan(spark):
+    from openai_vector_search_demo_spark.operators.profile import (
+        profile_table,
+    )
+    df = spark.createDataFrame([(1, "a", 2.0)], "k long, s string, x double")
+    p = _physical(profile_table(df))
+    # every column's stats from ONE pass over ONE scan: the multi-distinct
+    # plans as a single Expand, not per-column jobs/scans
+    assert p.count("Scan ExistingRDD") == 1
+    assert p.count("Expand") == 1
