@@ -93,3 +93,27 @@ def chunk_documents_sliding(df: DataFrame, text_col: str = "text",
         F.posexplode(sliding_word_chunks(text_col, size, stride))
         .alias(page_col, chunk_col),
     )
+
+
+def sentence_chunks(text: Column | str,
+                    sentences_per_chunk: int = 3) -> Column:
+    """Sentence-grouped chunking — the semantic-boundary RAG variant of
+    C3: sentences never split mid-thought, chunks are ``k`` consecutive
+    sentences.  A "sentence" is a maximal run of non-terminator
+    characters plus its trailing ``.!?`` run (``[^.!?]+[.!?]*`` — the
+    Java∩RE2 common subset, so the oracle applies the identical
+    pattern); inter-sentence whitespace rides the next sentence's head,
+    which makes the sentence list a LOSSLESS partition of the text
+    (chunks rejoin with '' and trim).  Pure codegen array functions —
+    map-only, no shuffle, no Python."""
+    if sentences_per_chunk < 1:
+        raise ValueError("sentences_per_chunk must be >= 1")
+    c = F.col(text) if isinstance(text, str) else text
+    sents = F.regexp_extract_all(c, F.lit(r"[^.!?]+[.!?]*"), 0)
+    k = sentences_per_chunk
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(sents) / F.lit(k)).cast("int"))
+    return F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.trim(F.array_join(F.slice(sents, i * k + 1, k), "")),
+    )

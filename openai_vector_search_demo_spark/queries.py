@@ -2831,6 +2831,51 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("c3_chunk_sentences", oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         replace(replace(replace(text,
+           ' table ', ' table. '), ' query ', ' query! '),
+           ' fast ', ' fast? ') AS text
+  FROM documents),
+s AS (SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS sents
+      FROM seeded),
+c AS (SELECT doc_id,
+             unnest(range(0, greatest(1, CAST(ceil(len(sents) / 3.0) AS INT))))
+               AS chunk_no,
+             sents
+      FROM s)
+SELECT doc_id, CAST(chunk_no AS INTEGER) AS chunk_no,
+       trim(array_to_string(list_slice(sents, chunk_no * 3 + 1,
+                                       chunk_no * 3 + 3), '')) AS chunk
+FROM c
+""")
+def c3_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grouped chunking (3 sentences per chunk) — the
+    semantic-boundary RAG variant completing the chunking family
+    (fixed-word C3, sliding windows, now sentence groups).  The sentence
+    split is a lossless partition of the text (terminator runs attach to
+    their sentence, inter-sentence whitespace to the next), so chunks
+    rejoin into the original text — value-checked chunk by chunk
+    (``operators.chunking.sentence_chunks``)."""
+    from openai_vector_search_demo_spark.operators.chunking import (
+        sentence_chunks,
+    )
+    docs = t(spark, sf_dir, "documents")
+    # the synthetic fixture has no punctuation — seed terminators with
+    # deterministic literal word replaces (identical on both sides) so
+    # every doc gets a real multi-sentence structure
+    seeded = docs.select(
+        "doc_id",
+        F.replace(F.replace(F.replace(F.col("text"),
+                  F.lit(" table "), F.lit(" table. ")),
+                  F.lit(" query "), F.lit(" query! ")),
+                  F.lit(" fast "), F.lit(" fast? ")).alias("text"))
+    return seeded.select(
+        "doc_id",
+        F.posexplode(sentence_chunks("text", 3)).alias("chunk_no", "chunk"))
+
+
 @query("events_robust_outliers", oracle="""
 WITH e AS (SELECT event_type,
                   CASE WHEN event_id % 50 = 0 THEN value * 20

@@ -81,3 +81,44 @@ def test_sliding_chunks_overlap_and_coverage(spark):
     assert rows[(3, 0)] == "solo"
     with pytest.raises(ValueError):
         sliding_word_chunks(F.col("text"), size=4, stride=5)
+
+
+# ---------------------------------------------------------------------------
+# sentence_chunks (r7): semantic-boundary chunking
+# ---------------------------------------------------------------------------
+
+def test_sentence_chunks_groups_and_never_splits_sentences(spark):
+    from openai_vector_search_demo_spark.operators.chunking import (
+        sentence_chunks,
+    )
+    text = "One two. Three four! Five six? Seven eight. Nine."
+    df = spark.createDataFrame([(text,)], "text string")
+    chunks = df.select(sentence_chunks("text", 2).alias("c")).first().c
+    assert chunks == ["One two. Three four!", "Five six? Seven eight.",
+                      "Nine."]
+    # k=1: one chunk per sentence
+    singles = df.select(sentence_chunks("text", 1).alias("c")).first().c
+    assert len(singles) == 5 and singles[0] == "One two."
+
+
+def test_sentence_chunks_no_terminators_is_one_chunk(spark):
+    from openai_vector_search_demo_spark.operators.chunking import (
+        sentence_chunks,
+    )
+    df = spark.createDataFrame([("no punctuation at all here",)],
+                               "text string")
+    c = df.select(sentence_chunks("text", 3).alias("c")).first().c
+    assert c == ["no punctuation at all here"]
+
+
+def test_sentence_chunks_ellipsis_and_validation(spark):
+    import pytest as _pytest
+    from openai_vector_search_demo_spark.operators.chunking import (
+        sentence_chunks,
+    )
+    df = spark.createDataFrame([("Wait... really?! Yes.",)], "text string")
+    c = df.select(sentence_chunks("text", 1).alias("c")).first().c
+    # terminator RUNS stay attached: '...' and '?!' don't create empties
+    assert c == ["Wait...", "really?!", "Yes."]
+    with _pytest.raises(ValueError, match="sentences_per_chunk"):
+        df.select(sentence_chunks("text", 0))
