@@ -2831,6 +2831,53 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("label_embedding_profile", oracle=r"""
+WITH idx AS (SELECT label,
+                    unnest(range(1, len(embedding) + 1)) AS i,
+                    embedding
+             FROM embeddings),
+m AS (SELECT label, i, AVG(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM idx GROUP BY label, i),
+v AS (SELECT label, list(m ORDER BY i) AS v FROM m GROUP BY label),
+p AS (SELECT a.label AS label_a, b.label AS label_b,
+        list_aggregate(list_transform(range(1, len(a.v) + 1),
+                       i -> a.v[i] * b.v[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(a.v, t -> t * t), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, t -> t * t), 'sum')))
+          AS cos
+      FROM v a JOIN v b ON a.label < b.label)
+SELECT label_a, label_b, ROUND(cos, 6) AS cosine FROM p
+""")
+def label_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARTOGRAPHY: per-domain centroid embeddings and the
+    pairwise similarity matrix between domains — how drift/overlap
+    between data sources is monitored at corpus level.  The centroid is
+    an element-wise grouped mean (one explode + one map-side-combinable
+    groupBy(label, dim) — the corpus never moves as whole vectors, only
+    (dim, partial-sum) cells), regrouped into vectors ordered by
+    dimension; the |domains|² similarity matrix is tiny by construction.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    idx = emb.select("label",
+                     F.posexplode("embedding").alias("i", "x"))
+    means = (idx.groupBy("label", "i")
+             .agg(F.avg(F.col("x").cast("double")).alias("m")))
+    vecs = means.groupBy("label").agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"]).alias("v"))
+    a = vecs.select(F.col("label").alias("label_a"),
+                    F.col("v").alias("v_a"))
+    b = vecs.select(F.col("label").alias("label_b"),
+                    F.col("v").alias("v_b"))
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    return (a.join(b, F.col("label_a") < F.col("label_b"))
+            .select("label_a", "label_b",
+                    F.round(cosine_similarity("v_a", "v_b"), 6)
+                    .alias("cosine")))
+
+
 @query("c3_chunk_sentences", oracle=r"""
 WITH seeded AS (
   SELECT doc_id,

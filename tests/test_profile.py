@@ -89,3 +89,22 @@ def test_robust_outliers_immune_to_the_outlier_itself(spark):
     r = robust_outliers(df, "v", ["g"]).first()
     assert r.n_outliers == 1
     assert r.median == 12.5
+
+
+def test_label_embedding_profile_hand_computed(spark):
+    from openai_vector_search_demo_spark.queries import (
+        label_embedding_profile,
+    )
+    import tempfile, os, math
+    # two labels: a-mean = [1, 0], b-mean = [1, 1] -> cos = 1/sqrt(2)
+    rows = [(1, 0, [2.0, 0.0]), (2, 0, [0.0, 0.0]),
+            (3, 1, [1.0, 1.0])]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label int, embedding array<double>")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = label_embedding_profile(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.label_a, r.label_b) == (0, 1)
+    assert r.cosine == round(1 / math.sqrt(2), 6)
