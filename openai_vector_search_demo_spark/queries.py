@@ -2831,6 +2831,56 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+_BPE_MERGES = 5
+
+
+def _bpe_oracle() -> str:
+    """Unrolled BPE training: each round is a pair-count CTE, a 1-row
+    argmax CTE, and a fold-apply CTE (list_reduce over singleton-list
+    elements so the accumulator can be a list)."""
+    parts = [rf"""w AS (SELECT word, COUNT(*) AS c
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word),
+s0 AS (SELECT string_split(word, '') AS s, c FROM w)"""]
+    for n in range(1, _BPE_MERGES + 1):
+        parts.append(f"""p{n} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(SUM(c) AS BIGINT) AS cnt
+  FROM (SELECT s, c, unnest(range(1, len(s))) AS i FROM s{n - 1})
+  GROUP BY l, r),
+m{n} AS (SELECT l, r, cnt FROM p{n}
+         ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+s{n} AS (
+  SELECT list_reduce(list_transform(x.s, e -> [e]),
+           (acc, el) -> CASE
+             WHEN acc[-1] = m.l AND el[1] = m.r
+             THEN list_concat(list_slice(acc, 1, len(acc) - 1),
+                              [m.l || m.r])
+             ELSE list_concat(acc, el) END) AS s, x.c
+  FROM s{n - 1} x, m{n} m)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT {n} AS round, l AS "left", r AS "right", '
+        f"l || r AS merged, cnt FROM m{n}"
+        for n in range(1, _BPE_MERGES + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TOKENIZER TRAINING as relational algebra (arXiv:1508.07909):
+    the first 5 merges learned from the corpus — per-round
+    frequency-weighted pair counting (one map-side-combinable groupBy
+    over the word-frequency vocabulary) and left-to-right fold-apply,
+    ties lexicographic so training is deterministic on any engine.  The
+    oracle RETRAINS all 5 rounds (unrolled CTEs with list_reduce folds)
+    and value-checks every learned merge and its winning count
+    (``operators.bpe.train_bpe_merges``)."""
+    from openai_vector_search_demo_spark.operators.bpe import (
+        train_bpe_merges,
+    )
+    return train_bpe_merges(t(spark, sf_dir, "documents"),
+                            num_merges=_BPE_MERGES)
+
+
 @query("label_embedding_profile", oracle=r"""
 WITH idx AS (SELECT label,
                     unnest(range(1, len(embedding) + 1)) AS i,
