@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from openai_vector_search_demo_spark.functions.text_analysis import tokens
 
-__all__ = ["train_bpe_merges"]
+__all__ = ["train_bpe_merges", "bpe_segment_stats"]
 
 
 def _apply_merge(left: str, right: str) -> F.Column:
@@ -88,3 +88,33 @@ def train_bpe_merges(df: DataFrame, text_col: str = "text",
     return spark.createDataFrame(
         out_rows, "round int, left string, right string, "
                   "merged string, cnt long")
+
+
+def bpe_segment_stats(df: DataFrame, text_col: str = "text",
+                      num_merges: int = 5) -> DataFrame:
+    """Train ``num_merges`` merges, then SEGMENT the corpus with them and
+    account for the effect: ``(n_words, chars_total, symbols_after,
+    compression)`` — one row.  ``compression`` = symbols after merging /
+    starting characters (weighted by word frequency): the number a
+    tokenizer's vocabulary buy-down is judged by.  Segmentation is the
+    same fold as training's apply step, run once per learned merge in
+    training order — exactly how a trained BPE vocabulary tokenizes new
+    text."""
+    merges = [(r.left, r.right)
+              for r in train_bpe_merges(df, text_col, num_merges)
+                       .orderBy("round").collect()]
+    vocab = (df.select(F.explode(tokens(text_col)).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    cur = vocab.select(
+        F.filter(F.split("word", ""), lambda x: x != "").alias("s"), "c")
+    chars = cur.select(
+        F.sum(F.size("s") * F.col("c")).alias("chars_total"),
+        F.sum("c").alias("n_words"))
+    for left, right in merges:
+        cur = cur.select(_apply_merge(left, right).alias("s"), "c")
+    after = cur.select(F.sum(F.size("s") * F.col("c")).alias("symbols_after"))
+    return (chars.crossJoin(after)
+            .select("n_words", "chars_total", "symbols_after",
+                    F.round(F.col("symbols_after")
+                            / F.col("chars_total").cast("double"), 6)
+                    .alias("compression")))

@@ -2864,6 +2864,35 @@ s{n} AS (
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def _bpe_segment_oracle() -> str:
+    body = _bpe_oracle()
+    head = body[:body.rindex("SELECT 1 AS round")]
+    return head + f"""
+SELECT b.n_words, b.chars_total, a.symbols_after,
+       ROUND(a.symbols_after / CAST(b.chars_total AS DOUBLE), 6)
+         AS compression
+FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_words,
+             CAST(SUM(len(s) * c) AS BIGINT) AS chars_total FROM s0) b,
+     (SELECT CAST(SUM(len(s) * c) AS BIGINT) AS symbols_after
+      FROM s{_BPE_MERGES}) a
+"""
+
+
+@query("bpe_segment_corpus", oracle=_bpe_segment_oracle())
+def bpe_segment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: segment the corpus with the 5
+    learned merges and account for the effect — words, starting
+    characters, symbols after merging, and the compression ratio the
+    vocabulary buys.  The oracle re-runs the full train+segment chain,
+    so the consumer half of BPE is value-checked too
+    (``operators.bpe.bpe_segment_stats``)."""
+    from openai_vector_search_demo_spark.operators.bpe import (
+        bpe_segment_stats,
+    )
+    return bpe_segment_stats(t(spark, sf_dir, "documents"),
+                             num_merges=_BPE_MERGES)
+
+
 @query("bpe_train_merges", oracle=_bpe_oracle())
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE TOKENIZER TRAINING as relational algebra (arXiv:1508.07909):

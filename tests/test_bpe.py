@@ -51,3 +51,15 @@ def test_validation(spark):
     df = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="num_merges"):
         train_bpe_merges(df, num_merges=0)
+
+
+def test_segment_stats_hand_computed(spark):
+    from openai_vector_search_demo_spark.operators.bpe import (
+        bpe_segment_stats,
+    )
+    # "aaaa aaaa": 2 words, 8 chars; merges (a,a) then (aa,aa):
+    # each word segments to [aaaa] -> 2 symbols total
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    r = bpe_segment_stats(df, num_merges=2).first()
+    assert (r.n_words, r.chars_total, r.symbols_after) == (2, 8, 2)
+    assert r.compression == 0.25
