@@ -2831,6 +2831,38 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("embedding_dim_stats", oracle=r"""
+WITH idx AS (SELECT unnest(range(1, len(embedding) + 1)) AS i, embedding
+             FROM embeddings),
+x AS (SELECT i, CAST(embedding[i] AS DOUBLE) AS v FROM idx)
+SELECT CAST(i AS INTEGER) AS dim, COUNT(*) AS n,
+       ROUND(AVG(v), 6) AS mean,
+       ROUND(AVG(v * v) - AVG(v) * AVG(v), 6) AS variance,
+       ROUND(MIN(v), 6) AS min_v, ROUND(MAX(v), 6) AS max_v
+FROM x GROUP BY i
+""")
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING QA: per-dimension mean/variance/range across the corpus
+    — the screen for dead dimensions (variance ≈ 0 wastes index space)
+    and rogue ones (huge range dominates unnormalized distance).  One
+    positional explode + one map-side-combinable groupBy(dim): the
+    corpus shuffles (dim, partial-moment) cells, never vectors.
+    Variance is the population moment E[x²]−E[x]² computed identically
+    on both sides (engine var_pop/stddev differ in Bessel/summation
+    conventions; explicit moments do not)."""
+    emb = t(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("i0", "v0")) \
+           .select((F.col("i0") + 1).alias("dim"),
+                   F.col("v0").cast("double").alias("v"))
+    return (x.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("v"), 6).alias("mean"),
+                 F.round(F.avg(F.col("v") * F.col("v"))
+                         - F.avg("v") * F.avg("v"), 6).alias("variance"),
+                 F.round(F.min("v"), 6).alias("min_v"),
+                 F.round(F.max("v"), 6).alias("max_v")))
+
+
 _BPE_MERGES = 5
 
 

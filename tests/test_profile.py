@@ -108,3 +108,18 @@ def test_label_embedding_profile_hand_computed(spark):
     r = out[0]
     assert (r.label_a, r.label_b) == (0, 1)
     assert r.cosine == round(1 / math.sqrt(2), 6)
+
+
+def test_embedding_dim_stats_flags_dead_and_rogue_dims(spark):
+    from openai_vector_search_demo_spark.queries import embedding_dim_stats
+    import tempfile, os
+    rows = [(i, 0, [1.0, float(i), 100.0 * i]) for i in range(10)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, label int, embedding array<double>")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        out = {r.dim: r for r in embedding_dim_stats(spark, d).collect()}
+    assert out[1].variance == 0.0                  # dead dimension
+    assert out[1].mean == 1.0
+    assert out[2].mean == 4.5 and out[2].variance == 8.25
+    assert out[3].max_v == 900.0                   # rogue range visible
