@@ -926,3 +926,65 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                          F.col("v").alias("cluster_id"))
     return (members.union(roots)
             .groupBy("id").agg(F.min("cluster_id").alias("cluster_id")))
+
+
+def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", k: int = 3,
+                            threshold: float = 0.8,
+                            max_shingle_df: int | str | None = "auto",
+                            n_docs: int | None = None,
+                            cache: bool = True) -> DataFrame:
+    """Asymmetric near-dup detection by shingle CONTAINMENT:
+    ``C(A ⊂ B) = |A ∩ B| / |A|`` — the measure that catches a document
+    EMBEDDED in a larger one (a quoted article, a chapter inside the
+    book, boilerplate wrapping real content), which symmetric Jaccard
+    structurally misses: for |A| ≪ |B|, J ≤ |A|/|B| stays far below any
+    useful threshold no matter how completely A is contained.
+
+    Output: one row per ordered relation — ``(inner_id, outer_id,
+    containment, jaccard)`` with ``containment = |inner ∩ outer| /
+    |inner| ≥ threshold`` (both directions emitted when both qualify,
+    e.g. exact duplicates).  Same shingle-hash equi-join plan and
+    hot-shingle cap as ``ngram_jaccard_pairs`` — one extra projection,
+    zero extra shuffles.
+    """
+    if max_shingle_df == "auto":
+        max_shingle_df = adaptive_shingle_df(
+            n_docs if n_docs is not None else df.count())
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    sh = (spread_for_python(df)
+          .select(F.col(id_col).alias("id"),
+                  shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
+          .withColumn("set_size", F.size("hs")))
+    if cache:
+        sh = sh.persist()
+    ex = sh.select("id", "set_size", F.explode("hs").alias("h"))
+    if max_shingle_df is not None:
+        keep = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df).select("h"))
+        filtered = ex.select("id", "h").join(keep, "h")
+        sizes = filtered.groupBy("id").agg(
+            F.count(F.lit(1)).alias("set_size"))
+        ex = filtered.join(sizes, "id").select("id", "set_size", "h")
+        if cache:
+            ex = ex.persist()
+    a = ex.select(F.col("id").alias("id_a"),
+                  F.col("set_size").alias("sz_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"),
+                  F.col("set_size").alias("sz_b"), "h")
+    common = (a.join(b, "h")
+              .filter(F.col("id_a") != F.col("id_b"))
+              .groupBy("id_a", "id_b", "sz_a", "sz_b")
+              .agg(F.count(F.lit(1)).alias("common")))
+    out = (common
+           .withColumn("containment", F.col("common") / F.col("sz_a"))
+           .withColumn("jaccard",
+                       F.col("common")
+                       / (F.col("sz_a") + F.col("sz_b") - F.col("common"))))
+    return (out.filter(F.col("containment") >= threshold)
+            .select(F.col("id_a").alias("inner_id"),
+                    F.col("id_b").alias("outer_id"),
+                    F.round("containment", 6).alias("containment"),
+                    F.round("jaccard", 6).alias("jaccard")))

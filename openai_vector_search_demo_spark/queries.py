@@ -5351,6 +5351,64 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                                max_shingle_df=None)
 
 
+@query("dedup_containment", oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(toks0, 1,
+             CAST(floor(len(toks0) * 0.4) AS INT)), ' ')
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks0 FROM documents)
+  WHERE doc_id % 5 = 0),
+ctok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+csh AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+               ELSE [] END AS shs
+        FROM ctok),
+chs AS (SELECT doc_id,
+          list_distinct(list_transform(shs,
+            s -> {_SQL_H60.format(expr='s')})) AS hs
+        FROM csh),
+ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM chs),
+c AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY ALL)
+SELECT inner_id, outer_id,
+       ROUND(common * 1.0 / sz_a, 6) AS containment,
+       ROUND(common * 1.0 / (sz_a + sz_b - common), 6) AS jaccard
+FROM c WHERE common * 1.0 / sz_a >= 0.8
+""")
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT
+    ``|inner ∩ outer| / |inner|`` catches a document EMBEDDED in a larger
+    one — the case symmetric Jaccard structurally misses (a 40% snippet
+    of its source has J ≈ 0.4, under every Jaccard threshold, while its
+    containment is ~1).  The corpus is seeded with exactly that: every
+    5th document truncated to its first 40% of words under a shifted id
+    — each snippet must surface with containment ≈ 1 against its source;
+    the emitted Jaccard column shows on-row why the symmetric measure
+    would have missed it (``operators.dedup.ngram_containment_pairs``).
+    """
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    snippets = (docs.filter(F.col("doc_id") % 5 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.array_join(
+                            F.slice(toks, F.lit(1),
+                                    F.floor(F.size(toks) * 0.4)
+                                    .cast("int")), " ").alias("text")))
+    corpus = docs.unionByName(snippets)
+    return ngram_containment_pairs(corpus, k=3, threshold=0.8,
+                                   max_shingle_df=None)
+
+
 @query("dedup_cross_corpus_minhash", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),

@@ -500,3 +500,38 @@ def test_minhash_cross_agrees_with_exact_cross_on_verbatim_rearrivals(spark):
     # no false positives, and verified jaccards agree with the exact form
     assert set(lsh) <= set(exact)
     assert all(lsh[p] == exact[p] for p in lsh)
+
+
+def test_containment_catches_embedded_snippet_jaccard_misses(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    snippet = "alpha beta gamma delta epsilon zeta"       # 30% prefix
+    df = spark.createDataFrame([(1, big), (2, snippet)],
+                               "doc_id long, text string")
+    cont = ngram_containment_pairs(df, threshold=0.8, max_shingle_df=None,
+                                   cache=False).collect()
+    got = {(r.inner_id, r.outer_id): (r.containment, r.jaccard)
+           for r in cont}
+    assert got[(2, 1)][0] == 1.0                          # fully contained
+    assert got[(2, 1)][1] < 0.5                           # jaccard misses
+    assert (1, 2) not in got                              # asymmetric
+    jac = ngram_jaccard_pairs(df, threshold=0.5, max_shingle_df=None,
+                              cache=False).collect()
+    assert jac == []          # the symmetric operator finds nothing here
+
+
+def test_containment_exact_duplicates_emit_both_directions(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    df = spark.createDataFrame([(1, "one two three four five"),
+                                (2, "one two three four five")],
+                               "doc_id long, text string")
+    out = {(r.inner_id, r.outer_id) for r in
+           ngram_containment_pairs(df, threshold=0.8, max_shingle_df=None,
+                                   cache=False).collect()}
+    assert out == {(1, 2), (2, 1)}
