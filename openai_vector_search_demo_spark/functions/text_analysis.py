@@ -471,3 +471,43 @@ def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
                .agg(F.sum("ct").alias("n_tokens"),
                     F.round(F.sum(F.col("ct") * lp) / F.sum("ct"), 6)
                      .alias("avg_logprob")))
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer design: vocabulary coverage curve (what share of running text a
+# top-V vocabulary covers — the OOV-rate side of the vocab-size decision)
+# ---------------------------------------------------------------------------
+
+def vocab_coverage(df, sizes: list[int], text_col: str = "text"):
+    """For each candidate vocabulary size V: the share of corpus token
+    OCCURRENCES covered by the top-V most frequent types (ties broken by
+    token string, so the curve is deterministic cross-engine) and the
+    complementary OOV rate.  Output: ``(vocab_size, n_types,
+    covered_tokens, total_tokens, oov_rate)``, one row per V.
+
+    Plan: the corpus collapses to type counts in one map-side-combinable
+    groupBy — everything after runs on the VOCABULARY relation (≪ corpus
+    by definition), so the single rank window over it is bounded by type
+    count, not corpus size."""
+    if not sizes or any(v < 1 for v in sizes):
+        raise ValueError("sizes must be non-empty positive ints")
+    from pyspark.sql import Window
+    counts = (df.select(F.explode(tokens(text_col)).alias("tk"))
+              .groupBy("tk").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.orderBy(F.col("c").desc(), F.col("tk").asc())
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    total = counts.agg(F.sum("c").alias("total_tokens"),
+                       F.count(F.lit(1)).alias("total_types"))
+    out = None
+    for v in sorted(sizes):
+        top = (ranked.filter(F.col("rk") <= v)
+               .agg(F.lit(v).alias("vocab_size"),
+                    F.count(F.lit(1)).alias("n_types"),
+                    F.sum("c").alias("covered_tokens")))
+        out = top if out is None else out.unionByName(top)
+    return (out.crossJoin(total.select("total_tokens"))
+            .select("vocab_size", "n_types", "covered_tokens",
+                    "total_tokens",
+                    F.round(F.lit(1.0) - F.col("covered_tokens")
+                            / F.col("total_tokens").cast("double"), 6)
+                    .alias("oov_rate")))

@@ -2831,6 +2831,42 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+def _vocab_coverage_oracle(sizes: list[int]) -> str:
+    sels = []
+    for v in sorted(sizes):
+        sels.append(f"""SELECT {v} AS vocab_size,
+  COUNT(*) AS n_types, CAST(SUM(c) AS BIGINT) AS covered_tokens,
+  (SELECT CAST(SUM(c) AS BIGINT) FROM counts) AS total_tokens,
+  ROUND(1.0 - SUM(c) / (SELECT CAST(SUM(c) AS DOUBLE) FROM counts), 6)
+    AS oov_rate
+FROM ranked WHERE rk <= {v}""")
+    return (rf"""WITH tok AS (SELECT unnest({_SQL_TOKS}) AS tk
+             FROM documents),
+counts AS (SELECT tk, COUNT(*) AS c FROM tok GROUP BY tk),
+ranked AS (SELECT tk, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, tk ASC) AS rk
+           FROM counts)
+""" + "\nUNION ALL\n".join(sels))
+
+
+_VOCAB_SIZES = [10, 50, 200]
+
+
+@query("vocab_coverage_curve", oracle=_vocab_coverage_oracle(_VOCAB_SIZES))
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER DESIGN: the vocabulary coverage curve — what share of
+    running text the top-V most frequent types cover, and the
+    complementary OOV rate, at several candidate V (ties broken by the
+    token string so the curve is deterministic cross-engine).  The
+    corpus collapses to type counts in one map-side-combinable groupBy;
+    the rank window runs over the VOCABULARY relation only
+    (``functions.text_analysis.vocab_coverage``)."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        vocab_coverage,
+    )
+    return vocab_coverage(t(spark, sf_dir, "documents"), _VOCAB_SIZES)
+
+
 @query("embedding_dim_stats", oracle=r"""
 WITH idx AS (SELECT unnest(range(1, len(embedding) + 1)) AS i, embedding
              FROM embeddings),

@@ -229,3 +229,21 @@ def test_repetition_signals_hand_computed(spark):
     assert r3.dup_word_frac == round(1 - 2 / 6, 6)
     assert r3.dup_2gram_frac == 0.4         # 5 grams, 3 distinct
     assert r3.top_2gram_frac == 0.6         # "go go" ×3
+
+
+def test_vocab_coverage_curve_hand_computed(spark):
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        vocab_coverage,
+    )
+    # counts: a:4 b:2 c:1 d:1 -> total 8; top-1 covers 4/8, top-2 6/8
+    df = spark.createDataFrame([("a a a a b b c d",)], "text string")
+    out = {r.vocab_size: r for r in vocab_coverage(df, [1, 2, 10]).collect()}
+    assert out[1].covered_tokens == 4 and out[1].oov_rate == 0.5
+    assert out[2].covered_tokens == 6 and out[2].oov_rate == 0.25
+    assert out[10].n_types == 4 and out[10].oov_rate == 0.0
+    # tie-break: c before d at equal counts
+    out2 = {r.vocab_size: r for r in vocab_coverage(df, [3]).collect()}
+    assert out2[3].covered_tokens == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="sizes"):
+        vocab_coverage(df, [])
