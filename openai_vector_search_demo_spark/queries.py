@@ -3070,6 +3070,33 @@ def c3_chunk_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(sentence_chunks("text", 3)).alias("chunk_no", "chunk"))
 
 
+@query("events_rolling_hour", oracle="""
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events)
+SELECT event_id, user_id, ts_us,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(SUM(value) OVER w, 6) AS sum_1h
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def events_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frames — the rolling-aggregate shape ROWS
+    frames cannot express (the frame is 'everything in the trailing hour',
+    however many rows that is): per event, the user's event count and
+    value sum over the preceding 3600s including the current row, keyed
+    on epoch-microseconds so the frame bound is plain integer arithmetic
+    in both engines.  One hash partition per user + one sort — the same
+    single-Window-operator contract as the ROWS-frame battery."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select("event_id", "user_id", "ts_us",
+                     F.count(F.lit(1)).over(w).alias("n_1h"),
+                     F.round(F.sum("value").over(w), 6).alias("sum_1h"))
+
+
 @query("events_robust_outliers", oracle="""
 WITH e AS (SELECT event_type,
                   CASE WHEN event_id % 50 = 0 THEN value * 20
