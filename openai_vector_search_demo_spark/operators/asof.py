@@ -30,13 +30,22 @@ from pyspark.sql import functions as F
 def as_of_join(left: DataFrame, right: DataFrame,
                key: str, ts: str,
                payload: list[str],
-               right_tie_break: str | None = None) -> DataFrame:
+               right_tie_break: str | None = None,
+               tolerance: int | float | None = None) -> DataFrame:
     """Left as-of join: ``left`` rows + ``payload`` columns of the latest
     ``right`` row with ``right.ts <= left.ts`` per ``key`` (nulls when no
     right row precedes).
 
     ``right_tie_break``: column choosing among right rows sharing (key, ts)
     — the max wins; required for determinism if duplicates are possible.
+
+    ``tolerance``: maximum staleness in ``ts`` units (pandas
+    ``merge_asof`` semantics) — a preceding right row OLDER than
+    ``left.ts − tolerance`` does not match and the payload comes back
+    NULL.  Feature lookups almost always want this ("the last price,
+    but only if it is fresh"); implemented as a post-window null-out of
+    the carried struct, so the plan shape (one keyed window) is
+    unchanged.
 
     Right rows with a NULL ``ts`` are dropped before the union — ASOF
     semantics never match an undated row (NULLs otherwise sort first in the
@@ -73,10 +82,16 @@ def as_of_join(left: DataFrame, right: DataFrame,
     # column is legitimately NULL must still supersede older rows (a
     # per-column last(ignorenulls) would skip it)
     marker = F.when(F.col("_side") == 0,
-                    F.struct(*[F.col(c) for c in payload]))
+                    F.struct(F.col(ts).alias("_rts"),
+                             *[F.col(c) for c in payload]))
     carried = unioned.select(
         *left.columns, "_side",
         F.last(marker, ignorenulls=True).over(w).alias("_asof"))
+    asof = F.col("_asof")
+    if tolerance is not None:
+        asof = F.when(F.col(ts) - F.col("_asof._rts") <= F.lit(tolerance),
+                      F.col("_asof"))
     return (carried.filter(F.col("_side") == 1)
+            .withColumn("_asof", asof)
             .select(*left.columns,
                     *[F.col(f"_asof.{c}").alias(c) for c in payload]))

@@ -1267,6 +1267,47 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99")))
 
 
+@query("asof_join_tolerance", oracle="""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             event_id AS p_event_id, value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+rd AS (SELECT * FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+                                      ORDER BY p_event_id DESC) AS rn
+         FROM r) WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts_us,
+       CASE WHEN l.ts_us - rd.ts_us <= 1800000000
+            THEN rd.p_event_id END AS p_event_id,
+       CASE WHEN l.ts_us - rd.ts_us <= 1800000000
+            THEN ROUND(rd.p_value, 6) END AS p_value
+FROM l ASOF LEFT JOIN rd
+  ON l.user_id = rd.user_id AND rd.ts_us <= l.ts_us
+""")
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof`` semantics): each
+    click enriched with the user's most recent purchase ONLY if it is at
+    most 30 minutes old — stale matches come back NULL, the freshness
+    contract every feature lookup actually wants.  Same one-keyed-window
+    plan as the untoleranced form; the oracle is DuckDB's native ASOF
+    JOIN with the staleness condition applied to the matched row."""
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    ev = t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_us"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts_us",
+                         F.col("event_id").alias("p_event_id"),
+                         F.col("value").alias("p_value")))
+    out = as_of_join(clicks, purchases, key="user_id", ts="ts_us",
+                     payload=["p_event_id", "p_value"],
+                     right_tie_break="p_event_id",
+                     tolerance=1_800_000_000)
+    return out.select("event_id", "user_id", "ts_us", "p_event_id",
+                      F.round("p_value", 6).alias("p_value"))
+
+
 @query("asof_join_last_purchase", oracle="""
 WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
            FROM events WHERE event_type = 'click'),

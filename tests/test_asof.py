@@ -67,3 +67,31 @@ def test_asof_null_payload_still_supersedes(spark):
     # the newer right row wins even though its payload is NULL — struct
     # carrier semantics, not per-column last(ignorenulls)
     assert out.rval is None
+
+
+def test_tolerance_nulls_stale_matches(spark):
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame([(1, 100), (1, 500), (2, 100)],
+                                 "k long, ts long")
+    right = spark.createDataFrame([(1, 90, "fresh"), (2, 10, "stale")],
+                                  "k long, ts long, p string")
+    out = {(r.k, r.ts): r.p
+           for r in as_of_join(left, right, key="k", ts="ts",
+                               payload=["p"], tolerance=50).collect()}
+    assert out[(1, 100)] == "fresh"     # 10 units old, within 50
+    assert out[(1, 500)] is None        # 410 units old, nulled
+    assert out[(2, 100)] is None        # 90 units old, nulled
+    # same data without tolerance: everything preceding matches
+    out2 = {(r.k, r.ts): r.p
+            for r in as_of_join(left, right, key="k", ts="ts",
+                                payload=["p"]).collect()}
+    assert out2[(1, 500)] == "fresh" and out2[(2, 100)] == "stale"
+
+
+def test_tolerance_boundary_is_inclusive(spark):
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    left = spark.createDataFrame([(1, 100)], "k long, ts long")
+    right = spark.createDataFrame([(1, 50, "edge")], "k long, ts long, p string")
+    r = as_of_join(left, right, key="k", ts="ts", payload=["p"],
+                   tolerance=50).first()
+    assert r.p == "edge"                # ts diff == tolerance matches
