@@ -988,3 +988,44 @@ def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.col("id_b").alias("outer_id"),
                     F.round("containment", 6).alias("containment"),
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def drop_contained(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3,
+                   threshold: float = 0.9,
+                   max_shingle_df: int | str | None = "auto",
+                   n_docs: int | None = None,
+                   cache: bool = True) -> DataFrame:
+    """The containment END GAME: the drop list — every document that is
+    ≥ ``threshold`` contained in a STRICTLY LARGER document (by shingle
+    count; equal sizes fall back to dropping the larger id, so exact
+    duplicates keep exactly one copy and A⊂B⊂C chains resolve without
+    cycles).  Returns ``(id, dropped_by, containment)`` — ``dropped_by``
+    the containing document with the highest containment (ties to the
+    smallest id), ready to anti-join against the corpus.
+
+    Same plan as ``ngram_containment_pairs`` + one per-victim window.
+    """
+    pairs = ngram_containment_pairs(df, id_col, text_col, k, threshold,
+                                    max_shingle_df, n_docs, cache)
+    # the pair relation does not expose set sizes; the size relation is a
+    # second shingle pass over the corpus (vocabulary-narrow output) —
+    # joined only against the (small) pair victims
+    sizes = (df.select(F.col(id_col).alias("id"),
+                       shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
+             .select("id", F.size("hs").alias("sz")))
+    cand = (pairs
+            .join(sizes.withColumnRenamed("id", "inner_id")
+                  .withColumnRenamed("sz", "sz_in"), "inner_id")
+            .join(sizes.withColumnRenamed("id", "outer_id")
+                  .withColumnRenamed("sz", "sz_out"), "outer_id")
+            .filter((F.col("sz_in") < F.col("sz_out"))
+                    | ((F.col("sz_in") == F.col("sz_out"))
+                       & (F.col("inner_id") > F.col("outer_id")))))
+    w = Window.partitionBy("inner_id").orderBy(
+        F.col("containment").desc(), F.col("outer_id").asc())
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("inner_id").alias("id"),
+                    F.col("outer_id").alias("dropped_by"),
+                    "containment"))

@@ -5513,6 +5513,69 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    max_shingle_df=None)
 
 
+@query("dedup_drop_contained", oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(list_slice(toks0, 1,
+             CAST(floor(len(toks0) * 0.4) AS INT)), ' ')
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks0 FROM documents)
+  WHERE doc_id % 5 = 0),
+ctok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+csh AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+               ELSE [] END AS shs
+        FROM ctok),
+chs AS (SELECT doc_id,
+          list_distinct(list_transform(shs,
+            s -> {_SQL_H60.format(expr='s')})) AS hs
+        FROM csh),
+ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM chs),
+c AS (SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+             a.sz AS sz_in, b.sz AS sz_out, COUNT(*) AS common
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY ALL),
+vict AS (SELECT inner_id, outer_id,
+                ROUND(common * 1.0 / sz_in, 6) AS containment
+         FROM c
+         WHERE common * 1.0 / sz_in >= 0.9
+           AND (sz_in < sz_out
+                OR (sz_in = sz_out AND inner_id > outer_id))),
+rk AS (SELECT inner_id, outer_id, containment,
+         ROW_NUMBER() OVER (PARTITION BY inner_id
+                            ORDER BY containment DESC, outer_id ASC) AS rn
+       FROM vict)
+SELECT inner_id AS id, outer_id AS dropped_by, containment
+FROM rk WHERE rn = 1
+""")
+def dedup_drop_contained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment END GAME — the drop list: every document ≥90%
+    contained in a STRICTLY LARGER one (equal sizes fall back to
+    dropping the larger id, so exact duplicates keep one copy and
+    A⊂B⊂C chains resolve without cycles), each with its best containing
+    document.  Same seeded corpus as ``dedup_containment``: all 100
+    truncated snippets must land on the drop list pointing at their
+    sources; anti-join this against the corpus to apply
+    (``operators.dedup.drop_contained``)."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        drop_contained,
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    snippets = (docs.filter(F.col("doc_id") % 5 == 0)
+                .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                        F.array_join(
+                            F.slice(toks, F.lit(1),
+                                    F.floor(F.size(toks) * 0.4)
+                                    .cast("int")), " ").alias("text")))
+    corpus = docs.unionByName(snippets)
+    return drop_contained(corpus, k=3, threshold=0.9, max_shingle_df=None)
+
+
 @query("dedup_cross_corpus_minhash", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),

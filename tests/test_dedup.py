@@ -535,3 +535,29 @@ def test_containment_exact_duplicates_emit_both_directions(spark):
            ngram_containment_pairs(df, threshold=0.8, max_shingle_df=None,
                                    cache=False).collect()}
     assert out == {(1, 2), (2, 1)}
+
+
+def test_drop_contained_chain_and_exact_dups(spark):
+    from openai_vector_search_demo_spark.operators.dedup import (
+        drop_contained,
+    )
+    a = "one two three four five"
+    b = a + " six seven eight nine ten"
+    c = b + " eleven twelve thirteen fourteen fifteen"
+    rows = [(1, a), (2, b), (3, c), (10, "totally separate text here now"),
+            (11, "totally separate text here now")]       # exact dup pair
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: r for r in drop_contained(df, threshold=0.9,
+                                           max_shingle_df=None,
+                                           cache=False).collect()}
+    # chain: 1 and 2 dropped (best container wins), 3 survives
+    assert set(out) == {1, 2, 11}
+    assert out[2].dropped_by == 3
+    assert out[1].dropped_by in (2, 3) and out[1].containment == 1.0
+    # exact duplicates: equal sizes -> the LARGER id is dropped
+    assert out[11].dropped_by == 10
+    # survivors by anti-join
+    kept = {r.doc_id for r in df.join(
+        spark.createDataFrame([(k,) for k in out], "id long"),
+        df.doc_id == F.col("id"), "left_anti").collect()}
+    assert kept == {3, 10}
