@@ -2872,6 +2872,57 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_matrix_oracle() -> str:
+    sels = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            sels.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
+  ROUND((COUNT(*) * SUM({a} * {b}) - SUM({a}) * SUM({b}))
+        / sqrt((COUNT(*) * SUM({a} * {a}) - SUM({a}) * SUM({a}))
+             * (COUNT(*) * SUM({b} * {b}) - SUM({b}) * SUM({b}))), 6)
+    AS pearson_r
+FROM lineitem""")
+    return "\nUNION ALL\n".join(sels)
+
+
+@query("lineitem_correlation_matrix", oracle=_corr_matrix_oracle())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PASS correlation matrix over the fact table's numeric columns:
+    all pairwise Pearson r from a single aggregate (every Sx/Sxx/Sxy
+    moment rides one partial-aggregation scan — never a per-pair job,
+    never two passes for mean-then-deviation).  Explicit raw moments
+    rather than engine ``corr`` so both sides compute the identical
+    arithmetic (corr implementations differ in centering/Bessel
+    details); the usual screen for redundant or derived columns before
+    feature selection."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(F.sum(F.col(a)).alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).alias(f"ss_{a}"))
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    one = li.agg(*aggs)
+    rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            num = (F.col("n") * F.col(f"sp_{a}_{b}")
+                   - F.col(f"s_{a}") * F.col(f"s_{b}"))
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{a}")
+                 - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (F.col("n") * F.col(f"ss_{b}")
+                   - F.col(f"s_{b}") * F.col(f"s_{b}")))
+            rows.append(F.struct(F.lit(a).alias("col_a"),
+                                 F.lit(b).alias("col_b"),
+                                 F.round(num / den, 6).alias("pearson_r")))
+    return (one.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))
+
+
 def _vocab_coverage_oracle(sizes: list[int]) -> str:
     sels = []
     for v in sorted(sizes):

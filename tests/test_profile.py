@@ -123,3 +123,25 @@ def test_embedding_dim_stats_flags_dead_and_rogue_dims(spark):
     assert out[1].mean == 1.0
     assert out[2].mean == 4.5 and out[2].variance == 8.25
     assert out[3].max_v == 900.0                   # rogue range visible
+
+
+def test_correlation_matrix_hand_computed(spark):
+    from openai_vector_search_demo_spark.queries import (
+        lineitem_correlation_matrix,
+    )
+    import tempfile, os
+    # qty and price perfectly correlated; discount anti-correlated w/ qty
+    rows = [(i, 1, 1, 1, float(q), 2.0 * q, 10.0 - q, 1.0, "N", "O", None)
+            for i, q in enumerate([1, 2, 3, 4, 5])]
+    df = spark.createDataFrame(rows, """l_orderkey long, l_partkey long,
+        l_suppkey long, l_linenumber int, l_quantity double,
+        l_extendedprice double, l_discount double, l_tax double,
+        l_returnflag string, l_linestatus string, l_shipdate timestamp""")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "lineitem.parquet"))
+        out = {(r.col_a, r.col_b): r.pearson_r
+               for r in lineitem_correlation_matrix(spark, d).collect()}
+    assert out[("l_quantity", "l_extendedprice")] == 1.0
+    assert out[("l_quantity", "l_discount")] == -1.0
+    # constant column: zero variance -> r is NULL (0/0), not a crash
+    assert out[("l_quantity", "l_tax")] is None
