@@ -2879,11 +2879,12 @@ def _corr_matrix_oracle() -> str:
     sels = []
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
+            den = (f"sqrt((COUNT(*) * SUM({a} * {a}) - SUM({a}) * SUM({a}))"
+                   f" * (COUNT(*) * SUM({b} * {b}) - SUM({b}) * SUM({b})))")
             sels.append(f"""SELECT '{a}' AS col_a, '{b}' AS col_b,
-  ROUND((COUNT(*) * SUM({a} * {b}) - SUM({a}) * SUM({b}))
-        / sqrt((COUNT(*) * SUM({a} * {a}) - SUM({a}) * SUM({a}))
-             * (COUNT(*) * SUM({b} * {b}) - SUM({b}) * SUM({b}))), 6)
-    AS pearson_r
+  CASE WHEN {den} = 0 THEN NULL
+       ELSE ROUND((COUNT(*) * SUM({a} * {b}) - SUM({a}) * SUM({b}))
+                  / {den}, 6) END AS pearson_r
 FROM lineitem""")
     return "\nUNION ALL\n".join(sels)
 
@@ -2916,9 +2917,12 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - F.col(f"s_{a}") * F.col(f"s_{a}"))
                 * (F.col("n") * F.col(f"ss_{b}")
                    - F.col(f"s_{b}") * F.col(f"s_{b}")))
-            rows.append(F.struct(F.lit(a).alias("col_a"),
-                                 F.lit(b).alias("col_b"),
-                                 F.round(num / den, 6).alias("pearson_r")))
+            rows.append(F.struct(
+                F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                # zero variance ⇒ r undefined: NULL, never a 0/0 throw
+                # (Spark 4 ANSI mode raises on division by zero)
+                F.when(den != 0,
+                       F.round(num / den, 6)).alias("pearson_r")))
     return (one.select(F.explode(F.array(*rows)).alias("r"))
             .select("r.*"))
 
