@@ -91,3 +91,33 @@ def robust_outliers(df: DataFrame, value_col: str, group_cols: list[str],
                  F.sum(F.col("_out").cast("long")).alias("n_outliers"),
                  F.round(F.first("_med"), 6).alias("median"),
                  F.round(F.first("_mad"), 6).alias("mad")))
+
+
+def numeric_histogram(df: DataFrame, value_col: str,
+                      bins: int = 10) -> DataFrame:
+    """Equal-width histogram of a numeric column:
+    ``(bin, lo, hi, n)`` over ``bins`` buckets spanning [min, max] —
+    the last bucket is closed so the max lands inside it.
+
+    One pass for the bounds (1-row aggregate, broadcast by crossJoin —
+    the range enters the plan as a literal-like scalar, not a shuffle
+    key) and one map-side-combinable groupBy for the counts.  Empty
+    buckets emit no row (dense output is a ``sequence`` join away);
+    a constant column collapses to one bucket holding everything.
+    """
+    if bins < 1:
+        raise ValueError("bins must be >= 1")
+    bounds = df.agg(F.min(value_col).alias("_lo"),
+                    F.max(value_col).alias("_hi"))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(bins)
+    b = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col(value_col) - F.col("_lo")) / width)
+                .cast("int"), F.lit(bins - 1)))
+    return (df.crossJoin(bounds)
+            .withColumn("bin", b)
+            .groupBy("bin")
+            .agg(F.round(F.min(F.col("_lo")
+                               + F.col("bin") * width), 6).alias("lo"),
+                 F.round(F.min(F.col("_lo")
+                               + (F.col("bin") + 1) * width), 6).alias("hi"),
+                 F.count(F.lit(1)).alias("n")))

@@ -2872,6 +2872,35 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("histogram_order_totals", oracle="""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+           FROM orders),
+h AS (SELECT CASE WHEN b.hi = b.lo THEN 0
+             ELSE LEAST(CAST(floor((o_totalprice - b.lo)
+                                   / ((b.hi - b.lo) / 12)) AS INT), 11)
+             END AS bin,
+             b.lo, b.hi
+      FROM orders, b)
+SELECT bin,
+       ROUND(MIN(lo + bin * ((hi - lo) / 12)), 6) AS lo,
+       ROUND(MIN(lo + (bin + 1) * ((hi - lo) / 12)), 6) AS hi,
+       COUNT(*) AS n
+FROM h GROUP BY bin
+""")
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width HISTOGRAM of order totals (12 buckets) — the
+    distribution view every profiling pass wants next to min/max/mean.
+    One 1-row bounds aggregate broadcast into the scan + one map-side-
+    combinable groupBy; bucket edges recomputed identically on both
+    sides so the bin arithmetic itself is value-checked
+    (``operators.profile.numeric_histogram``)."""
+    from openai_vector_search_demo_spark.operators.profile import (
+        numeric_histogram,
+    )
+    return numeric_histogram(t(spark, sf_dir, "orders"),
+                             "o_totalprice", bins=12)
+
+
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 

@@ -145,3 +145,24 @@ def test_correlation_matrix_hand_computed(spark):
     assert out[("l_quantity", "l_discount")] == -1.0
     # constant column: zero variance -> r is NULL (0/0), not a crash
     assert out[("l_quantity", "l_tax")] is None
+
+
+def test_numeric_histogram_edges_and_max_inclusion(spark):
+    from openai_vector_search_demo_spark.operators.profile import (
+        numeric_histogram,
+    )
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)],
+                               "x double")
+    out = {r.bin: r for r in numeric_histogram(df, "x", bins=10).collect()}
+    assert len(out) == 10
+    assert out[0].lo == 0.0 and out[0].hi == 10.0 and out[0].n == 10
+    # the max (100) lands in the LAST bucket, not an 11th
+    assert out[9].n == 11
+    assert sum(r.n for r in out.values()) == 101
+    # constant column: one bucket holding everything
+    const = numeric_histogram(
+        spark.createDataFrame([(5.0,)] * 7, "x double"), "x", 4).collect()
+    assert len(const) == 1 and const[0].n == 7
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="bins"):
+        numeric_histogram(df, "x", 0)
