@@ -2872,6 +2872,35 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("fuzzy_match_part_names", oracle=r"""
+WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+blocks AS (
+  SELECT name, unnest(list_distinct([
+    'F:' || list_filter(regexp_split_to_array(name, '\s+'),
+                        x -> x != '')[1],
+    'L:' || list_filter(regexp_split_to_array(name, '\s+'),
+                        x -> x != '')[-1]])) AS blk
+  FROM n),
+cand AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+         FROM blocks a JOIN blocks b
+           ON a.blk = b.blk AND a.name < b.name)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS distance
+FROM cand WHERE levenshtein(name_a, name_b) <= 2
+""")
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY MATCHING / entity resolution: distinct part names within 2
+    edits of each other, found by end-token blocking (first + last
+    token blocks, exact levenshtein verify — no false positives; the
+    recall contract is in ``operators.fuzzy``).  The fixture has real
+    typo-shaped pairs ('cold bolt' ↔ 'old bolt', 'new ring' ↔
+    'red ring') so the blocking and the verify both carry weight."""
+    from openai_vector_search_demo_spark.operators.fuzzy import (
+        fuzzy_match_pairs,
+    )
+    return fuzzy_match_pairs(t(spark, sf_dir, "part"), "p_name",
+                             threshold=2)
+
+
 @query("histogram_order_totals", oracle="""
 WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
            FROM orders),

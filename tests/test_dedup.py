@@ -561,3 +561,36 @@ def test_drop_contained_chain_and_exact_dups(spark):
         spark.createDataFrame([(k,) for k in out], "id long"),
         df.doc_id == F.col("id"), "left_anti").collect()}
     assert kept == {3, 10}
+
+
+def test_fuzzy_match_blocking_and_verify(spark):
+    from openai_vector_search_demo_spark.operators.fuzzy import (
+        fuzzy_match_pairs,
+    )
+    rows = [(1, "acme corp"), (2, "acme corp"),       # exact dup: d=0
+            (3, "acme c0rp"), (4, "akme corp"),
+            (5, "totally other name"),
+            (6, "acme inc")]                          # d=4 from acme corp
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.name_a, r.name_b): r.distance
+           for r in fuzzy_match_pairs(df, "name", threshold=2).collect()}
+    assert out[("acme c0rp", "acme corp")] == 1
+    assert out[("acme corp", "akme corp")] == 1
+    # ("acme c0rp", "akme corp") has BOTH end tokens edited -> the
+    # documented recall gap: absent despite d=2
+    assert ("acme c0rp", "akme corp") not in out
+    assert not any("acme inc" in p or "totally other name" in p
+                   for p in out)
+    # distinct collapses exact duplicates before pairing: no d=0 self-pair
+    assert all(d >= 1 for d in out.values())
+
+
+def test_fuzzy_match_recall_gap_is_the_documented_one(spark):
+    from openai_vector_search_demo_spark.operators.fuzzy import (
+        fuzzy_match_pairs,
+    )
+    # both end tokens edited (1+1): escapes both blocks — the documented
+    # threshold=2 recall gap
+    df = spark.createDataFrame([(1, "cold bolt"), (2, "old belt")],
+                               "id long, name string")
+    assert fuzzy_match_pairs(df, "name", threshold=2).collect() == []
