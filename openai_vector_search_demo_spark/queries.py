@@ -2872,6 +2872,68 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("tfidf_cosine_pairs", oracle=rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+w AS (SELECT tf.doc_id, tf.token,
+             tf.tf * (ln((n.n + 1.0) / (dfq.dfc + 1.0)) + 1.0) AS w
+      FROM tf JOIN dfq USING (token) CROSS JOIN n),
+nrm AS (SELECT doc_id, sqrt(SUM(w * w)) AS nn FROM w GROUP BY doc_id),
+dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                SUM(a.w * b.w) AS dot
+         FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+cos AS (SELECT d.id_a, d.id_b, d.dot / (na.nn * nb.nn) AS c
+        FROM dots d JOIN nrm na ON na.doc_id = d.id_a
+                    JOIN nrm nb ON nb.doc_id = d.id_b)
+SELECT id_a, id_b, ROUND(c, 6) AS cosine FROM cos WHERE c >= 0.8
+""")
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARSE lexical similarity join — tf-idf cosine between documents,
+    completing the similarity family (dense embedding cosine, Jaccard,
+    MinHash, SimHash; this is the weighted-token form IR systems use
+    when no embeddings exist).  The 'vectors' never materialize: docs
+    pair through a TOKEN equi-join (zero shared tokens ⇒ never compared,
+    the sparse analogue of the shingle join), dot products are one
+    groupBy-sum over matched terms, norms ride a per-doc aggregate.
+    Same smoothed idf as ``tfidf_top_terms``; hot-token skew takes the
+    same df-cap mitigation as hot shingles (exact here — the parity
+    form)."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    w = (tf.join(F.broadcast(dfq), "token")
+         .withColumn("w", F.col("tf")
+                     * (F.log((F.lit(n_docs) + 1.0)
+                              / (F.col("dfc") + 1.0)) + 1.0)))
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nn"))
+    a = w.select(F.col("doc_id").alias("id_a"), "token",
+                 F.col("w").alias("w_a"))
+    b = w.select(F.col("doc_id").alias("id_b"), "token",
+                 F.col("w").alias("w_b"))
+    dots = (a.join(b, "token")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("w_a") * F.col("w_b")).alias("dot")))
+    cos = (dots
+           .join(nrm.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("nn", "n_a"), "id_a")
+           .join(nrm.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("nn", "n_b"), "id_b")
+           .withColumn("c", F.col("dot") / (F.col("n_a") * F.col("n_b"))))
+    return (cos.filter(F.col("c") >= 0.8)
+            .select("id_a", "id_b", F.round("c", 6).alias("cosine")))
+
+
 @query("fuzzy_match_part_names", oracle=r"""
 WITH n AS (SELECT DISTINCT p_name AS name FROM part),
 blocks AS (

@@ -594,3 +594,22 @@ def test_fuzzy_match_recall_gap_is_the_documented_one(spark):
     df = spark.createDataFrame([(1, "cold bolt"), (2, "old belt")],
                                "id long, name string")
     assert fuzzy_match_pairs(df, "name", threshold=2).collect() == []
+
+
+def test_tfidf_cosine_pairs_semantics(spark):
+    from openai_vector_search_demo_spark.queries import tfidf_cosine_pairs
+    import tempfile, os
+    rows = [(1, "apple banana cherry"),
+            (2, "apple banana cherry"),          # identical -> cos 1
+            (3, "apple banana grape"),           # shares 2 of 3 terms
+            (4, "xylo zulu quux")]               # disjoint -> never paired
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {(r.id_a, r.id_b): r.cosine
+               for r in tfidf_cosine_pairs(spark, d).collect()}
+    assert out[(1, 2)] == 1.0
+    assert not any(4 in p for p in out)          # zero shared tokens
+    # (1,3) share apple+banana but idf downweights; whatever the value,
+    # symmetry with (2,3) must hold exactly
+    assert out.get((1, 3)) == out.get((2, 3))
