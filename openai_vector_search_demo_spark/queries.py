@@ -2872,6 +2872,57 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("market_basket_pairs", oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+freq AS (SELECT l_partkey, COUNT(*) AS n_ord FROM items GROUP BY 1),
+co AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+              COUNT(*) AS together
+       FROM items a JOIN items b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2)
+SELECT co.part_a, co.part_b, co.together,
+       ROUND(co.together * n.n_orders
+             / CAST(fa.n_ord * fb.n_ord AS DOUBLE), 6) AS lift
+FROM co
+JOIN freq fa ON fa.l_partkey = co.part_a
+JOIN freq fb ON fb.l_partkey = co.part_b
+CROSS JOIN n
+ORDER BY co.together DESC, co.part_a ASC, co.part_b ASC
+LIMIT 20
+""")
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET-BASKET affinity: the top-20 part pairs bought together,
+    with lift = P(a,b) / (P(a)·P(b)) — the classic co-occurrence screen.
+    The self-join runs ON THE ORDER KEY, so the quadratic is bounded by
+    basket size (single-digit items per order — the same
+    bounded-group-quadratic contract as SemDeDup's cells), the item
+    frequencies broadcast, and the top-k is a ``TakeOrderedAndProject``
+    heap, never a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().count()
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    co = (a.join(b, "l_orderkey")
+          .filter(F.col("part_a") < F.col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).alias("together")))
+    out = (co.join(F.broadcast(freq.withColumnRenamed("l_partkey", "part_a")
+                               .withColumnRenamed("n_ord", "n_a")), "part_a")
+           .join(F.broadcast(freq.withColumnRenamed("l_partkey", "part_b")
+                             .withColumnRenamed("n_ord", "n_b")), "part_b")
+           .withColumn("lift",
+                       F.round(F.col("together") * F.lit(n_orders)
+                               / (F.col("n_a") * F.col("n_b"))
+                               .cast("double"), 6)))
+    return (out.select("part_a", "part_b", "together", "lift")
+            .orderBy(F.col("together").desc(), F.col("part_a").asc(),
+                     F.col("part_b").asc())
+            .limit(20))
+
+
 @query("tfidf_cosine_pairs", oracle=rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
