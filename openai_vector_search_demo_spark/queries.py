@@ -2872,6 +2872,55 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("rfm_segmentation", oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate)) AS recency_us,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT custkey, recency_us, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_us DESC, custkey ASC) AS r,
+         NTILE(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f,
+         NTILE(5) OVER (ORDER BY monetary DESC, custkey ASC) AS m
+  FROM base)
+SELECT custkey, recency_us, frequency, monetary, r, f, m,
+       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS rfm
+FROM scored
+""")
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — the classic customer-value screen: per
+    customer, recency (last order date), frequency (order count),
+    monetary (total spend), each quintiled by NTILE(5) with 1 = best
+    (the custkey tiebreak makes quintile boundaries deterministic
+    cross-engine — ``window_distribution_ranks`` pins the NTILE split
+    convention itself).  The base aggregate is one map-side-combinable
+    groupBy; the three quintile windows run over the CUSTOMER relation
+    (≪ fact table), not the orders scan."""
+    from pyspark.sql import Window
+    o = t(spark, sf_dir, "orders")
+    base = (o.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.max(F.expr(
+                "timestampdiff(MICROSECOND, "
+                "timestamp_ntz'1970-01-01 00:00:00', "
+                "cast(o_orderdate as timestamp_ntz))"))
+                 .alias("recency_us"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    wr = Window.orderBy(F.col("recency_us").desc(), F.col("custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc())
+    scored = (base.withColumn("r", F.ntile(5).over(wr))
+              .withColumn("f", F.ntile(5).over(wf))
+              .withColumn("m", F.ntile(5).over(wm)))
+    return scored.select(
+        "custkey", "recency_us", "frequency", "monetary", "r", "f", "m",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")).alias("rfm"))
+
+
 @query("market_basket_pairs", oracle="""
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
