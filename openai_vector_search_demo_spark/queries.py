@@ -2872,6 +2872,42 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("events_transition_matrix", oracle="""
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+seq AS (SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id) AS to_type
+        FROM e),
+t AS (SELECT from_type, to_type, COUNT(*) AS n FROM seq
+      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type, t.n,
+       ROUND(t.n / CAST(tot.row_n AS DOUBLE), 6) AS prob
+FROM t JOIN tot USING (from_type)
+""")
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEHAVIORAL TRANSITION MATRIX: first-order Markov transitions
+    between event types per user (what follows what, with row-normalized
+    probabilities) — the sequence-analytics companion to the funnel
+    (which asks about one fixed path; this surveys all of them).  One
+    per-user lead() window + one pair count, ties broken by event_id so
+    the sequence — and therefore every transition — is deterministic."""
+    from pyspark.sql import Window
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(F.col("event_type").alias("from_type"),
+                    F.lead("event_type").over(w).alias("to_type"))
+    tmat = (seq.filter(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n")))
+    tot = tmat.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (tmat.join(tot, "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n") / F.col("row_n").cast("double"), 6)
+                    .alias("prob")))
+
+
 @query("rfm_segmentation", oracle="""
 WITH base AS (
   SELECT o_custkey AS custkey,
