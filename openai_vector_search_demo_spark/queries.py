@@ -2872,6 +2872,60 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(t(spark, sf_dir, "orders"))
 
 
+@query("pareto_abc_customers", oracle="""
+WITH rev AS (SELECT o_custkey AS custkey,
+                    ROUND(SUM(o_totalprice), 2) AS revenue
+             FROM orders GROUP BY o_custkey),
+c AS (SELECT custkey, revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, custkey ASC
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(revenue) OVER () AS total
+      FROM rev),
+cls AS (SELECT custkey, revenue,
+               ROUND(cum / total, 6) AS cum_share,
+               CASE WHEN cum / total <= 0.5 THEN 'A'
+                    WHEN cum / total <= 0.8 THEN 'B'
+                    ELSE 'C' END AS klass
+        FROM c)
+SELECT klass, COUNT(*) AS n_customers,
+       ROUND(SUM(revenue), 2) AS revenue,
+       ROUND(MIN(cum_share), 6) AS min_cum_share,
+       ROUND(MAX(cum_share), 6) AS max_cum_share
+FROM cls GROUP BY klass
+""")
+def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARETO / ABC ANALYSIS: customers classified by cumulative revenue
+    share (A = the head covering the first 50%, B = to 80%, C = the
+    tail) — the concentration screen behind every 'top customers drive
+    the business' decision.  One revenue aggregate (map-side
+    combinable), one running-sum window with a custkey tiebreak so the
+    cut points are deterministic, and a per-class rollup.  The window
+    runs over the CUSTOMER relation, not the order scan; its single
+    global sort is bounded by customer count (the standard caveat —
+    at extreme cardinality switch to quantile cuts, same output
+    contract)."""
+    from pyspark.sql import Window
+    o = t(spark, sf_dir, "orders")
+    rev = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    wc = (Window.orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy()
+    c = rev.withColumn("cum", F.sum("revenue").over(wc)) \
+           .withColumn("total", F.sum("revenue").over(wt))
+    cls = c.select(
+        "custkey", "revenue",
+        F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
+        F.when(F.col("cum") / F.col("total") <= 0.5, "A")
+         .when(F.col("cum") / F.col("total") <= 0.8, "B")
+         .otherwise("C").alias("klass"))
+    return (cls.groupBy("klass")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.round(F.sum("revenue"), 2).alias("revenue"),
+                 F.round(F.min("cum_share"), 6).alias("min_cum_share"),
+                 F.round(F.max("cum_share"), 6).alias("max_cum_share")))
+
+
 @query("events_transition_matrix", oracle="""
 WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
            FROM events),
