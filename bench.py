@@ -90,6 +90,21 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver archives only the LAST 2000 chars of stdout; the full line
+    # above (3 per-query dicts) overflowed that window in round 7, clipping
+    # the min dict the judge compares round-over-round (VERDICT r7 wrong #3).
+    # Emit a compact contract-conformant line LAST — min-of-3 per query plus
+    # the headline total — sized to always fit the tail window whole.
+    compact = {
+        "metric": "headline_total",
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        compact["errors"] = errors
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 # Ordered headline list — extended as operators land.  Names must exist in
@@ -115,6 +130,7 @@ HEADLINE = [
     "ann_lsh_stored_knn",   # stored-index read path: pruning gets a number
     "ann_ivf_knn",
     "ann_ivf_stored_knn",   # the IVF twin: cell-partition pruning measured
+    "ann_ivf_trained_knn",  # trained spherical quantizer — the credible ANN
     "semdedup_prune",       # cluster-prefiltered semantic dedup
     "q2_knn_auto_wide1024",  # auto path picks BLAS at production dims
     "events_session_window",
