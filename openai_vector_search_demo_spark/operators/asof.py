@@ -51,13 +51,32 @@ def as_of_join(left: DataFrame, right: DataFrame,
     semantics never match an undated row (NULLs otherwise sort first in the
     window and would be carried as a bogus "earliest" payload).  Payload
     names colliding with left columns raise instead of silently producing
-    duplicate output columns.
+    duplicate output columns; ``'_rts'`` is reserved (the carried struct
+    stores the matched right timestamp under it for the tolerance check).
+    ``tolerance`` requires a NUMERIC ``ts`` column — on a timestamp-typed
+    ``ts`` the subtraction yields an INTERVAL and the comparison against a
+    numeric tolerance fails; callers with timestamps pass epoch
+    micros/seconds (e.g. the ``ts_us`` convention) — enforced with a loud
+    TypeError rather than an analysis-time surprise.
     """
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(
             f"payload column(s) {sorted(clash)} already exist in left; "
             f"rename before joining")
+    if "_rts" in payload:
+        raise ValueError(
+            "payload column '_rts' collides with the reserved matched-"
+            "timestamp field of the carried struct; rename it")
+    if tolerance is not None:
+        ts_type = dict(left.dtypes).get(ts) or ""
+        if not (ts_type in ("bigint", "int", "smallint", "tinyint",
+                            "double", "float", "long")
+                or ts_type.startswith("decimal")):
+            raise TypeError(
+                f"tolerance requires a numeric ts column; {ts!r} is "
+                f"{ts_type!r} — pass epoch micros (ts_us) instead of a "
+                f"timestamp")
     r = right.select(key, ts, *payload).filter(F.col(ts).isNotNull())
     if right_tie_break:
         w_dedup = Window.partitionBy(key, ts).orderBy(

@@ -103,9 +103,14 @@ def sentence_chunks(text: Column | str,
     characters plus its trailing ``.!?`` run (``[^.!?]+[.!?]*`` — the
     Java∩RE2 common subset, so the oracle applies the identical
     pattern); inter-sentence whitespace rides the next sentence's head,
-    which makes the sentence list a LOSSLESS partition of the text
-    (chunks rejoin with '' and trim).  Pure codegen array functions —
-    map-only, no shuffle, no Python."""
+    which makes the sentence list a lossless partition of the text
+    (chunks rejoin with '' and trim) — with one documented exception: a
+    LEADING terminator run (text starting with ``.``, ``!`` or ``?``)
+    matches no sentence, so those characters are dropped; they carry no
+    sentence content, and keeping the pattern in the Java∩RE2 common
+    subset (no alternation-order guarantees needed) is worth the edge
+    case.  Pure codegen array functions — map-only, no shuffle, no
+    Python."""
     if sentences_per_chunk < 1:
         raise ValueError("sentences_per_chunk must be >= 1")
     c = F.col(text) if isinstance(text, str) else text

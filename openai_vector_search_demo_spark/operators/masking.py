@@ -45,7 +45,13 @@ def mask_spans(df: DataFrame, text_col: str = "text",
     token with ``sentinel``; ``targets`` is the masked tokens in
     position order — exactly the (input, label) pair a span-corruption
     objective trains on.  E[n_masked] ≈ start_rate·span_len·n_tokens at
-    low rates (overlap makes it sub-linear as rate grows)."""
+    low rates (overlap makes it sub-linear as rate grows).
+
+    Zero-token documents (empty/whitespace text) still emit a row —
+    ``(id, 0, 0, '', '')`` — via the left join back onto the token base;
+    posexplode alone would silently drop them from the output and a
+    downstream join against the corpus would misread that as "document
+    missing", not "document empty"."""
     if span_len < 1:
         raise ValueError("span_len must be >= 1")
     if not 0.0 <= start_rate <= 1.0:
@@ -88,5 +94,10 @@ def mask_spans(df: DataFrame, text_col: str = "text",
                     F.array_sort(F.collect_list(F.struct("pos", "m", "tok"))),
                     lambda x: x["m"]),
                 lambda x: x["tok"]), " ").alias("targets"))
-    return rebuilt.select(F.col("id"), "n_tokens", "n_masked",
-                          "masked_text", "targets")
+    base = toks.select("id", F.col("n_tokens").alias("base_n_tokens"))
+    return (base.join(rebuilt, "id", "left")
+            .select(F.col("id"),
+                    F.col("base_n_tokens").alias("n_tokens"),
+                    F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
+                    F.coalesce("masked_text", F.lit("")).alias("masked_text"),
+                    F.coalesce("targets", F.lit("")).alias("targets")))

@@ -50,10 +50,17 @@ def write_shards(df: DataFrame, path: str, id_col: str, num_shards: int,
     """Materialize the sharded layout: ``path/shard=K/`` directories, rows
     inside each shard in ``sort_key`` order.
 
-    ``repartition(num_shards, shard)`` routes every shard to exactly one
-    task, and ``sortWithinPartitions`` orders rows before the writer sees
-    them — so each shard is one sorted parquet file, not ``partitionBy``'s
-    usual task×key fan-out of small files."""
+    ``repartition(num_shards, shard)`` hash-partitions on the shard value,
+    so each shard lands WHOLE in some task (two shards may share a task
+    and some tasks may be empty — hash collisions don't break the layout,
+    they only skew task sizes), and ``sortWithinPartitions("shard",
+    "sort_key")`` orders rows before the writer sees them — so each shard
+    directory still gets exactly one sorted parquet file per writing task
+    that holds it, not ``partitionBy``'s usual task×key fan-out of small
+    files.  If a strict one-task-per-shard layout is ever required (e.g.
+    fixed file counts for a reader contract), route by partition id with
+    ``repartitionByRange(num_shards, "shard")`` instead and accept the
+    range-exchange cost."""
     out = assign_shards(df, id_col, num_shards, salt)
     (out.repartition(num_shards, "shard")
         .sortWithinPartitions("shard", "sort_key")

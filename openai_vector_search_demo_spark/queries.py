@@ -5973,14 +5973,20 @@ cov AS (SELECT DISTINCT doc_id, pos FROM (
 m AS (SELECT t.doc_id, t.n_tokens, t.pos, t.tok,
              c.pos IS NOT NULL AS msk
       FROM tp t LEFT JOIN cov c
-        ON c.doc_id = t.doc_id AND c.pos = t.pos)
-SELECT doc_id AS id, MAX(n_tokens) AS n_tokens,
-       CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
-       string_agg(CASE WHEN msk THEN '<mask>' ELSE tok END, ' '
-                  ORDER BY pos) AS masked_text,
-       COALESCE(string_agg(CASE WHEN msk THEN tok END, ' ' ORDER BY pos),
-                '') AS targets
-FROM m GROUP BY doc_id
+        ON c.doc_id = t.doc_id AND c.pos = t.pos),
+agg AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_masked,
+               string_agg(CASE WHEN msk THEN '<mask>' ELSE tok END, ' '
+                          ORDER BY pos) AS masked_text,
+               COALESCE(string_agg(CASE WHEN msk THEN tok END, ' '
+                                   ORDER BY pos), '') AS targets
+        FROM m GROUP BY doc_id)
+SELECT tok.doc_id AS id, len(tok.toks) AS n_tokens,
+       COALESCE(a.n_masked, 0) AS n_masked,
+       COALESCE(a.masked_text, '') AS masked_text,
+       COALESCE(a.targets, '') AS targets
+FROM tok LEFT JOIN agg a USING (doc_id)
 """)
 def mask_spans_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPAN CORRUPTION materialized (T5/BERT-style): 5% of (doc, pos)

@@ -66,3 +66,17 @@ def test_validation(docs):
         mask_spans(docs, span_len=0)
     with pytest.raises(ValueError, match="start_rate"):
         mask_spans(docs, start_rate=1.5)
+
+
+def test_empty_document_emits_zero_row(spark):
+    """Zero-token docs must not vanish (ADVICE r7): the contract row is
+    (id, 0, 0, '', '')."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    out = {r.id: r for r in mask_spans(df, start_rate=0.5).collect()}
+    assert set(out) == {1, 2, 3}
+    for i in (2, 3):
+        r = out[i]
+        assert (r.n_tokens, r.n_masked, r.masked_text, r.targets) == \
+            (0, 0, "", "")

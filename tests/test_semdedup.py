@@ -76,3 +76,36 @@ def test_blocked_equals_sql_method(corpus):
 def test_unknown_method_raises(corpus):
     with pytest.raises(ValueError, match="method"):
         semdedup(corpus, CENTROIDS, method="driver")
+
+
+def test_skewed_cell_salt_split_is_exact(spark):
+    """A deliberately skewed cell (every vector lands in centroid 0's cell)
+    forced through max_cell_rows=3 must salt-split into shard-pair tasks
+    yet emit the IDENTICAL groups/keeps as the unsalted single-gram plan
+    (VERDICT r7 wrong #2: the split must be exact, not a recall trade)."""
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(1, 13)]
+    rows.append((99, [0.0, 0.0, 0.0, 1.0]))  # isolated, other cell
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unsalted = sorted(map(tuple, semdedup(
+        df, CENTROIDS, threshold=0.99, max_cell_rows=10_000).collect()))
+    salted = sorted(map(tuple, semdedup(
+        df, CENTROIDS, threshold=0.99, max_cell_rows=3).collect()))
+    assert salted == unsalted
+    assert len(unsalted) >= 2  # the skewed cell really produced groups
+
+
+def test_salt_split_pairs_have_no_duplicates(spark):
+    """Every unordered row pair must meet in exactly ONE shard-pair task —
+    duplicate edges would double-count in duplicate_clusters' union-find
+    input (harmless there, but the contract is exactness)."""
+    from openai_vector_search_demo_spark.operators.semdedup import (
+        _assigned_blocked,
+        _pairs_blocked,
+    )
+    rows = [(i, [1.0, 0.0005 * i, 0.0, 0.0]) for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells = _assigned_blocked(df, CENTROIDS, "vec_id", "embedding")
+    pairs = _pairs_blocked(cells, threshold=0.99, max_cell_rows=4).collect()
+    seen = [(r.id_a, r.id_b) for r in pairs]
+    assert len(seen) == len(set(seen))
+    assert all(a < b for a, b in seen)
