@@ -3133,9 +3133,9 @@ def pareto_abc_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable), one running-sum window with a custkey tiebreak so the
     cut points are deterministic, and a per-class rollup.  The window
     runs over the CUSTOMER relation, not the order scan; its single
-    global sort is bounded by customer count (the standard caveat —
-    at extreme cardinality switch to quantile cuts, same output
-    contract)."""
+    global sort is bounded by customer count — at extreme cardinality
+    use ``pareto_abc_quantile``, the binned form with no global
+    customer sort (oracled below)."""
     from pyspark.sql import Window
     o = t(spark, sf_dir, "orders")
     rev = (o.groupBy(F.col("o_custkey").alias("custkey"))
@@ -3220,7 +3220,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine — ``window_distribution_ranks`` pins the NTILE split
     convention itself).  The base aggregate is one map-side-combinable
     groupBy; the three quintile windows run over the CUSTOMER relation
-    (≪ fact table), not the orders scan."""
+    (≪ fact table), not the orders scan — each still a single-partition
+    global sort, so at extreme cardinality use ``rfm_quantile``, the
+    percentile-cut form with no window at all (oracled below)."""
     from pyspark.sql import Window
     o = t(spark, sf_dir, "orders")
     base = (o.groupBy(F.col("o_custkey").alias("custkey"))
@@ -3237,6 +3239,171 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (base.withColumn("r", F.ntile(5).over(wr))
               .withColumn("f", F.ntile(5).over(wf))
               .withColumn("m", F.ntile(5).over(wm)))
+    return scored.select(
+        "custkey", "recency_us", "frequency", "monetary", "r", "f", "m",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
+                 F.col("m").cast("string")).alias("rfm"))
+
+
+_PARETO_BINS = 256
+
+
+@query("pareto_abc_quantile", oracle=f"""
+WITH rev AS (SELECT o_custkey AS custkey,
+                    ROUND(SUM(o_totalprice), 2) AS revenue
+             FROM orders GROUP BY o_custkey),
+b AS (SELECT MIN(revenue) AS lo, MAX(revenue) AS hi,
+             SUM(revenue) AS total FROM rev),
+binned AS (SELECT r.custkey, r.revenue,
+                  CASE WHEN b.hi = b.lo THEN 0
+                  ELSE LEAST(CAST(floor((r.revenue - b.lo)
+                                / ((b.hi - b.lo) / {_PARETO_BINS})) AS INT),
+                             {_PARETO_BINS - 1}) END AS bin
+           FROM rev r, b),
+binagg AS (SELECT bin, COUNT(*) AS n_cust, SUM(revenue) AS bin_rev
+           FROM binned GROUP BY bin),
+cum AS (SELECT bin, n_cust, bin_rev,
+               SUM(bin_rev) OVER (ORDER BY bin DESC
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev
+        FROM binagg),
+cls AS (SELECT bin, n_cust, bin_rev,
+               cum_rev / b.total AS cum_share,
+               CASE WHEN cum_rev / b.total <= 0.5 THEN 'A'
+                    WHEN cum_rev / b.total <= 0.8 THEN 'B'
+                    ELSE 'C' END AS klass
+        FROM cum, b)
+SELECT klass, CAST(SUM(n_cust) AS BIGINT) AS n_customers,
+       ROUND(SUM(bin_rev), 2) AS revenue,
+       ROUND(MAX(cum_share), 6) AS cum_share
+FROM cls GROUP BY klass
+""")
+def pareto_abc_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE Pareto/ABC form (VERDICT r7 missing #2) — the
+    recommended path at extreme customer cardinality, replacing
+    ``pareto_abc_customers``'s single-partition ``Window.orderBy`` over
+    the whole customer relation.  Revenue is bucketed into 256
+    fixed-width bins (the ``histogram_order_totals`` parity pattern),
+    the running revenue share is a window over the ≤256-row bin
+    relation — a two-stage map-side-combinable aggregate plus a
+    constant-size sort, nothing global over customers — and every
+    customer inherits its bin's class.  The contract trade vs the exact
+    form: class boundaries land on bin edges, so a boundary bin's
+    customers classify together (deterministic, engine-exact — this
+    oracle applies the identical binning) instead of splitting mid-bin;
+    at 256 bins the boundary sliver is ≤ 1/256 of the revenue range."""
+    from pyspark.sql import Window
+    o = t(spark, sf_dir, "orders")
+    rev = (o.groupBy(F.col("o_custkey").alias("custkey"))
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    bounds = rev.agg(F.min("revenue").alias("lo"),
+                     F.max("revenue").alias("hi"),
+                     F.sum("revenue").alias("total"))
+    binned = (rev.crossJoin(F.broadcast(bounds))
+              .withColumn("bin", F.when(F.col("hi") == F.col("lo"), 0)
+                          .otherwise(F.least(
+                              F.floor((F.col("revenue") - F.col("lo"))
+                                      / ((F.col("hi") - F.col("lo"))
+                                         / _PARETO_BINS)).cast("int"),
+                              F.lit(_PARETO_BINS - 1)))))
+    binagg = (binned.groupBy("bin", "total")
+              .agg(F.count(F.lit(1)).alias("n_cust"),
+                   F.sum("revenue").alias("bin_rev")))
+    wc = (Window.orderBy(F.col("bin").desc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cls = (binagg.withColumn("cum_rev", F.sum("bin_rev").over(wc))
+           .withColumn("cum_share", F.col("cum_rev") / F.col("total"))
+           .withColumn("klass",
+                       F.when(F.col("cum_share") <= 0.5, "A")
+                        .when(F.col("cum_share") <= 0.8, "B")
+                        .otherwise("C")))
+    return (cls.groupBy("klass")
+            .agg(F.sum("n_cust").alias("n_customers"),
+                 F.round(F.sum("bin_rev"), 2).alias("revenue"),
+                 F.round(F.max("cum_share"), 6).alias("cum_share")))
+
+
+@query("rfm_quantile", oracle="""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate)) AS recency_us,
+         COUNT(*) AS frequency,
+         ROUND(SUM(o_totalprice), 2) AS monetary
+  FROM orders GROUP BY o_custkey),
+cuts AS (
+  SELECT ROUND(quantile_cont(recency_us, 0.2), 6) AS r20,
+         ROUND(quantile_cont(recency_us, 0.4), 6) AS r40,
+         ROUND(quantile_cont(recency_us, 0.6), 6) AS r60,
+         ROUND(quantile_cont(recency_us, 0.8), 6) AS r80,
+         ROUND(quantile_cont(frequency, 0.2), 6) AS f20,
+         ROUND(quantile_cont(frequency, 0.4), 6) AS f40,
+         ROUND(quantile_cont(frequency, 0.6), 6) AS f60,
+         ROUND(quantile_cont(frequency, 0.8), 6) AS f80,
+         ROUND(quantile_cont(monetary, 0.2), 6) AS m20,
+         ROUND(quantile_cont(monetary, 0.4), 6) AS m40,
+         ROUND(quantile_cont(monetary, 0.6), 6) AS m60,
+         ROUND(quantile_cont(monetary, 0.8), 6) AS m80
+  FROM base)
+SELECT custkey, recency_us, frequency, monetary,
+       CASE WHEN recency_us >= r80 THEN 1 WHEN recency_us >= r60 THEN 2
+            WHEN recency_us >= r40 THEN 3 WHEN recency_us >= r20 THEN 4
+            ELSE 5 END AS r,
+       CASE WHEN frequency >= f80 THEN 1 WHEN frequency >= f60 THEN 2
+            WHEN frequency >= f40 THEN 3 WHEN frequency >= f20 THEN 4
+            ELSE 5 END AS f,
+       CASE WHEN monetary >= m80 THEN 1 WHEN monetary >= m60 THEN 2
+            WHEN monetary >= m40 THEN 3 WHEN monetary >= m20 THEN 4
+            ELSE 5 END AS m,
+       CAST(CASE WHEN recency_us >= r80 THEN 1 WHEN recency_us >= r60 THEN 2
+            WHEN recency_us >= r40 THEN 3 WHEN recency_us >= r20 THEN 4
+            ELSE 5 END AS VARCHAR)
+       || CAST(CASE WHEN frequency >= f80 THEN 1 WHEN frequency >= f60 THEN 2
+            WHEN frequency >= f40 THEN 3 WHEN frequency >= f20 THEN 4
+            ELSE 5 END AS VARCHAR)
+       || CAST(CASE WHEN monetary >= m80 THEN 1 WHEN monetary >= m60 THEN 2
+            WHEN monetary >= m40 THEN 3 WHEN monetary >= m20 THEN 4
+            ELSE 5 END AS VARCHAR) AS rfm
+FROM base, cuts
+""")
+def rfm_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-SAFE RFM form (VERDICT r7 missing #2): quintile scores
+    from PERCENTILE CUTS instead of ``rfm_segmentation``'s three global
+    NTILE windows (each a single-partition sort over every customer).
+    One map-side-combinable base aggregate, ONE scalar aggregate
+    computing all twelve 20/40/60/80 cuts (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, the ``events_value_percentiles`` parity; cuts
+    rounded to 6 dp on both engines so the comparison constants are
+    bit-identical), then a broadcast of that 1-row relation and pure
+    codegen CASE scoring — no global sort anywhere, and the sketch-based
+    ``approx_percentile`` drop-in makes it one-pass at 100 TB.  Contract
+    trade vs NTILE: ties score identically (same value ⇒ same quintile)
+    instead of splitting across tiles, so tile populations are unequal
+    under heavy ties — usually the preferable semantics."""
+    o = t(spark, sf_dir, "orders")
+    base = (o.groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.max(F.expr(
+                "timestampdiff(MICROSECOND, "
+                "timestamp_ntz'1970-01-01 00:00:00', "
+                "cast(o_orderdate as timestamp_ntz))"))
+                 .alias("recency_us"),
+                 F.count(F.lit(1)).alias("frequency"),
+                 F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    cuts = base.agg(*[
+        F.round(F.expr(f"percentile({col}, {q})"), 6).alias(f"{a}{int(q*100)}")
+        for col, a in (("recency_us", "r"), ("frequency", "f"),
+                       ("monetary", "m"))
+        for q in (0.2, 0.4, 0.6, 0.8)])
+
+    def score(col: str, a: str) -> F.Column:
+        return (F.when(F.col(col) >= F.col(f"{a}80"), 1)
+                 .when(F.col(col) >= F.col(f"{a}60"), 2)
+                 .when(F.col(col) >= F.col(f"{a}40"), 3)
+                 .when(F.col(col) >= F.col(f"{a}20"), 4)
+                 .otherwise(5))
+
+    scored = (base.crossJoin(F.broadcast(cuts))
+              .withColumn("r", score("recency_us", "r"))
+              .withColumn("f", score("frequency", "f"))
+              .withColumn("m", score("monetary", "m")))
     return scored.select(
         "custkey", "recency_us", "frequency", "monetary", "r", "f", "m",
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"),
@@ -5625,6 +5792,7 @@ _ANALYTICS_BATTERY = [
     "datetime_function_surface", "hash_sample_consistent_join",
     "ta_repetition_signals", "window_distribution_ranks",
     "string_function_surface", "c3_chunk_words_sliding",
+    "pareto_abc_quantile", "rfm_quantile",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -5784,6 +5952,12 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("n_items", "s"), ("n_orders", "s"), ("total_price", "d")],
     "ann_ivf_trained_knn": [
         ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "pareto_abc_quantile": [
+        ("cum_share", "d"), ("klass", "s"), ("n_customers", "s"),
+        ("revenue", "d")],
+    "rfm_quantile": [
+        ("custkey", "s"), ("f", "s"), ("frequency", "s"), ("m", "s"),
+        ("monetary", "d"), ("r", "s"), ("recency_us", "s"), ("rfm", "s")],
     "bm25_top_docs": [("bm25", "d"), ("doc_id", "s")],
     "hybrid_search_rrf": [("doc_id", "s"), ("rrf_score", "d")],
     "quantized_knn_top10": [
