@@ -131,6 +131,7 @@ HEADLINE = [
     "ann_ivf_knn",
     "ann_ivf_stored_knn",   # the IVF twin: cell-partition pruning measured
     "ann_ivf_trained_knn",  # trained spherical quantizer — the credible ANN
+    "ann_ivf_trained_stored_knn",  # its partition-pruned stored read path
     "semdedup_prune",       # cluster-prefiltered semantic dedup
     "q2_knn_auto_wide1024",  # auto path picks BLAS at production dims
     "events_session_window",

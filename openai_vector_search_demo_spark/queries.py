@@ -1075,6 +1075,57 @@ def ann_ivf_trained_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
 
+@query("ann_ivf_trained_stored_knn", oracle=_ivf_trained_knn_oracle())
+def ann_ivf_trained_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED read path of the TRAINED index — the full production
+    story in one slot: write-time ``ivf_assign(metric='dot')`` with the
+    pretrained spherical centroids persists the corpus cell-partitioned;
+    the query enumerates its ``nprobe`` probed cell directories at
+    partition discovery under ``basePath`` (the local-FS form of
+    metastore partition pruning) and does NO assignment arithmetic at
+    read time — scan volume ∝ nprobe/nlist = 3/8 of the corpus.
+    Identical centroids/probes/scoring to ``ann_ivf_trained_knn``, hence
+    the identical oracle.  Index build cached per corpus content like the
+    other stores."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_assign,
+        ivf_probe_cells_dot,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|{_parquet_fingerprint(emb_path)}".encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_ivft_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        (ivf_assign(emb.filter(F.col("vec_id") != 0),
+                    centroids=IVF_TRAINED_CENTROIDS, metric="dot")
+         .repartition(F.col("cell"))
+         .write.mode("overwrite").partitionBy("cell").parquet(store))
+
+    probes = ivf_probe_cells_dot(qvec, IVF_TRAINED_CENTROIDS,
+                                 _IVF_TRAINED_NPROBE)
+    probe_paths = [p for p in (os.path.join(store, f"cell={c}")
+                               for c in probes) if os.path.isdir(p)]
+    if probe_paths:
+        stored = (spark.read.option("basePath", store).parquet(*probe_paths)
+                  .filter(F.col("cell").isin(probes)))
+    else:
+        stored = (spark.read.parquet(store)
+                  .filter(F.col("cell").isin(probes)).limit(0))
+    top = knn(stored, qvec, k=10, sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
+
+
 def _ivf_trained_recall_oracle() -> str:
     cos_eq = """
     list_aggregate(list_transform(range(1, len(e.embedding) + 1),
@@ -5797,7 +5848,7 @@ _ANALYTICS_BATTERY = [
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
     "q2_knn_filtered", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10",
-    "ann_ivf_trained_knn",
+    "ann_ivf_trained_knn", "ann_ivf_trained_stored_knn",
 ]
 _EVENTS_WINDOWS_BATTERY = [
     "events_tumbling_window", "events_sliding_window", "events_session_window",
@@ -5951,6 +6002,8 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "hash_sample_consistent_join": [
         ("n_items", "s"), ("n_orders", "s"), ("total_price", "d")],
     "ann_ivf_trained_knn": [
+        ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "ann_ivf_trained_stored_knn": [
         ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
     "pareto_abc_quantile": [
         ("cum_share", "d"), ("klass", "s"), ("n_customers", "s"),

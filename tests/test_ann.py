@@ -309,3 +309,101 @@ def test_stored_index_cache_key_tracks_content(tmp_path):
     dir_before = _parquet_fingerprint(str(d))
     (d / "part-1.parquet").write_bytes(b"b" * 16)
     assert _parquet_fingerprint(str(d)) != dir_before  # new data file seen
+
+
+def test_spherical_trainer_unit_norm_and_deterministic():
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        train_centroids_spherical,
+    )
+
+    x = np.random.RandomState(7).randn(200, 16)
+    a = train_centroids_spherical(x, 8, seed=42)
+    assert a == train_centroids_spherical(x, 8, seed=42)
+    for row in a:
+        assert abs(sum(v * v for v in row) - 1.0) < 1e-4  # unit (6dp rounded)
+
+
+def test_ivf_dot_metric_sql_equals_numpy(emb, qvec):
+    """metric='dot': the expression path and the Arrow/BLAS path are the
+    same operator — identical rows, any method."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_knn,
+        train_centroids_spherical,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0)
+    x = np.array([r.embedding for r in base.select("embedding").collect()])
+    cents = train_centroids_spherical(x, 8, seed=42)
+    rows_sql = [tuple(r) for r in
+                ivf_knn(base, qvec, k=10, centroids=cents, nprobe=3,
+                        metric="dot", method="sql",
+                        sim_col="sim", tie_break="vec_id")
+                .select("vec_id", F.round("sim", 9)).collect()]
+    rows_np = [tuple(r) for r in
+               ivf_knn(base, qvec, k=10, centroids=cents, nprobe=3,
+                       metric="dot", method="numpy",
+                       sim_col="sim", tie_break="vec_id")
+               .select("vec_id", F.round("sim", 9)).collect()]
+    assert rows_sql == rows_np
+
+
+def test_ivf_dot_full_probe_equals_exact(emb, qvec):
+    """nprobe == nlist with the spherical quantizer degrades to exact."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_knn,
+        train_centroids_spherical,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0)
+    x = np.array([r.embedding for r in base.select("embedding").collect()])
+    cents = train_centroids_spherical(x, 8, seed=42)
+    got = [r.vec_id for r in
+           ivf_knn(base, qvec, k=10, centroids=cents, nprobe=8,
+                   metric="dot", sim_col="sim", tie_break="vec_id")
+           .select("vec_id").collect()]
+    assert got == exact_ids(emb, qvec)
+
+
+def test_ivf_numpy_path_drops_null_embeddings(spark, qvec):
+    """ADVICE r7: NULL embeddings must be dropped by the numpy path like
+    the sql path — not crash np.array on ragged input — so method='auto'
+    never changes behavior."""
+    from openai_vector_search_demo_spark.operators.ann import ivf_knn
+
+    rows = [(1, [1.0] * 64), (2, None), (3, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0] + [0.0] * 63, [0.0, 1.0] + [0.0] * 62]
+    for method in ("sql", "numpy"):
+        got = sorted(r.vec_id for r in
+                     ivf_knn(df, list(qvec), k=10, centroids=cents, nprobe=2,
+                             metric="l2", method=method,
+                             sim_col="sim").select("vec_id").collect())
+        assert got == [1, 3], method
+
+
+def test_pretrained_module_matches_trainer_config():
+    """ann_pretrained.py must be regenerable: same trainer + recorded
+    config + gate corpus ⇒ same centroids (guards hand-edits and stale
+    regeneration after a fixture change)."""
+    import duckdb
+    import numpy as np
+
+    from openai_vector_search_demo_spark import ann_pretrained as P
+    from openai_vector_search_demo_spark.operators.ann import (
+        train_centroids_spherical,
+    )
+
+    rows = duckdb.connect().execute(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE vec_id <> 0 ORDER BY vec_id").fetchall()
+    vecs = np.array([r[0] for r in rows], dtype=np.float64)
+    got = train_centroids_spherical(vecs, P.IVF_TRAINED_NLIST,
+                                    seed=P.IVF_TRAINED_SEED,
+                                    iters=P.IVF_TRAINED_ITERS)
+    assert got == P.IVF_TRAINED_CENTROIDS

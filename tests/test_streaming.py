@@ -233,3 +233,72 @@ def test_stream_sees_fixture_timestamps_like_batch(spark):
     q.awaitTermination(120)
     got = spark.sql("SELECT mn, mx FROM ts_guard").first()
     assert (got.mn, got.mx) == (want[0], want[1])
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has_protobuf(), reason=(
+    "transformWithStateInPandas needs the protobuf package (the stateful-"
+    "processor API client); absent in this container, standard on Spark 4 "
+    "deployments"))
+def test_tws_running_stats_matches_batch(spark, workdir):
+    """The transformWithStateInPandas twin must reproduce the legacy
+    applyInPandasWithState operator's batch equivalence: last emitted row
+    per user == the batch aggregate."""
+    from openai_vector_search_demo_spark.queries import load_events
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_user_running_stats_tws,
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        events = load_events(spark, SF).select("user_id", "value", "ts")
+        src = str(workdir / "tws_in")
+        events.write.parquet(src)
+        stream = (spark.readStream.schema(events.schema)
+                  .format("parquet").load(src))
+        q = (stream_user_running_stats_tws(stream)
+             .writeStream.format("memory").queryName("tws_equiv_test")
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r.user_id: (r.n_events, round(r.sum_value, 6))
+               for r in spark.sql("SELECT * FROM tws_equiv_test").collect()}
+        want = {r.user_id: (r.n, round(r.s, 6))
+                for r in events.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("value").alias("s")).collect()}
+        assert got == want
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_operator_constructs_unstreamed(spark):
+    """Plan-construction smoke that runs WITHOUT protobuf: the operator
+    must analyze (schema resolved, processor accepted) even where the
+    streaming runtime's python worker can't start."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_user_running_stats_tws,
+    )
+    events = spark.createDataFrame(
+        [], "user_id long, value double, ts timestamp")
+    src = events._jdf  # noqa: F841 — force schema materialization
+    stream = (spark.readStream.format("rate").load()
+              .selectExpr("value AS user_id",
+                          "CAST(value AS DOUBLE) AS value",
+                          "timestamp AS ts"))
+    out = stream_user_running_stats_tws(stream)
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "sum_value", "closed"]
