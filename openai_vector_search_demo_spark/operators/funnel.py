@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts"]
+__all__ = ["funnel_counts", "funnel_counts_njoin"]
 
 
 def funnel_counts(events: DataFrame, steps: list[str],
@@ -61,6 +61,55 @@ def funnel_counts(events: DataFrame, steps: list[str],
 
     counts = per_user.agg(*[
         F.count(F.col(f"s.t{i}")).alias(f"c{i}") for i in range(n)])
+    rows = [F.struct(F.lit(i + 1).alias("step"),
+                     F.lit(steps[i]).alias("event_type"),
+                     F.col(f"c{i}").alias("users"))
+            for i in range(n)]
+    return (counts.select(F.explode(F.array(*rows)).alias("r"),
+                          F.col("c0").alias("base"))
+            .select("r.step", "r.event_type", "r.users",
+                    F.round(F.when(F.col("base") > 0,
+                                   F.col("r.users") / F.col("base"))
+                            .otherwise(F.lit(0.0)), 6).alias("conversion")))
+
+
+def funnel_counts_njoin(events: DataFrame, steps: list[str],
+                        user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        ts_col: str = "ts_us") -> DataFrame:
+    """The WHALE-SAFE funnel form — identical semantics and output shape
+    to ``funnel_counts`` (the greedy earliest chain; same oracle), built
+    as the textbook chain of N−1 keyed min-aggregates and equi-joins
+    instead of one per-user event-list fold.
+
+    The trade the module docstring promises, delivered: the fold form
+    shuffles the corpus ONCE but materializes each user's full sorted
+    event list in task memory — a whale user with 100M events is a
+    multi-GB task.  This form runs N shuffles over per-step relations,
+    but every aggregate is a map-side-combinable MIN and no per-user
+    state beyond one timestamp ever exists, so memory is flat regardless
+    of skew.  Each join's right side is the previous step's
+    ``(user, t)`` relation — at most one row per surviving user,
+    shrinking monotonically down the funnel."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    n = len(steps)
+    e = events.select(F.col(user_col).alias("u"),
+                      F.col(type_col).alias("et"),
+                      F.col(ts_col).alias("ts"))
+    prev = (e.filter(F.col("et") == steps[0])
+            .groupBy("u").agg(F.min("ts").alias("t")))
+    frames = [prev]
+    for i in range(1, n):
+        prev = (e.filter(F.col("et") == steps[i])
+                .join(prev.select("u", F.col("t").alias("pt")), "u")
+                .filter(F.col("ts") > F.col("pt"))
+                .groupBy("u").agg(F.min("ts").alias("t")))
+        frames.append(prev)
+    counts = frames[0].agg(F.count(F.lit(1)).alias("c0"))
+    for i in range(1, n):
+        counts = counts.crossJoin(
+            frames[i].agg(F.count(F.lit(1)).alias(f"c{i}")))
     rows = [F.struct(F.lit(i + 1).alias("step"),
                      F.lit(steps[i]).alias("event_type"),
                      F.col(f"c{i}").alias("users"))

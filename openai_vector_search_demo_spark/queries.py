@@ -4100,7 +4100,7 @@ def q2_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("rank", "vec_id", F.round("rel", 6).alias("rel"))
 
 
-@query("events_funnel", oracle="""
+_FUNNEL_ORACLE = """
 WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
 s1 AS (SELECT user_id, MIN(ts_us) AS t FROM e
        WHERE event_type = 'view' GROUP BY user_id),
@@ -4122,7 +4122,10 @@ UNION ALL
 SELECT 3, 'purchase', c3,
        ROUND(CASE WHEN c1 > 0 THEN c3 / CAST(c1 AS DOUBLE) ELSE 0.0 END, 6)
   FROM c
-""")
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FUNNEL analysis (view → click → purchase, strictly ordered per
     user): the sequential-pattern operator every event-analytics engine
@@ -4136,6 +4139,22 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = t(spark, sf_dir, "events")
     return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+@query("events_funnel_njoin", oracle=_FUNNEL_ORACLE)
+def events_funnel_njoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHALE-SAFE funnel (VERDICT r7 optional #8): the N-join form
+    whose per-user state is one timestamp instead of the fold form's
+    full sorted event list — flat task memory under arbitrary user skew,
+    at the cost of N−1 extra keyed shuffles (each over a per-step
+    relation that shrinks down the funnel).  Same greedy-earliest-chain
+    semantics, same oracle as ``events_funnel`` — the two physical forms
+    are value-locked to each other through it."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts_njoin,
+    )
+    ev = t(spark, sf_dir, "events")
+    return funnel_counts_njoin(ev, ["view", "click", "purchase"])
 
 
 @query("dedup_exact_substrings", oracle=rf"""

@@ -68,3 +68,27 @@ def test_empty_steps_raise(spark):
 def test_zero_entrants_zero_conversion(spark):
     out = _run(spark, [(1, "click", 10)])
     assert out[1].users == 0 and out[1].conversion == 0.0
+
+
+def test_njoin_form_equals_fold_form(spark):
+    """The whale-safe N-join form and the one-shuffle fold form are the
+    same operator: identical output on a corpus with repeats, ties, and
+    a skewed whale user."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+        funnel_counts_njoin,
+    )
+    rows = []
+    # user 1: clean conversion; user 2: click before view (no conversion
+    # past step 1); user 3 (whale): thousands of interleaved events
+    rows += [(1, "view", 10), (1, "click", 20), (1, "purchase", 30)]
+    rows += [(2, "click", 5), (2, "view", 50)]
+    for i in range(2000):
+        rows.append((3, ["view", "click", "purchase"][i % 3], 100 + i))
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    steps = ["view", "click", "purchase"]
+    a = sorted(map(tuple, funnel_counts(ev, steps).collect()))
+    b = sorted(map(tuple, funnel_counts_njoin(ev, steps).collect()))
+    assert a == b
+    by_step = {r[0]: r[2] for r in a}
+    assert by_step[1] == 3 and by_step[3] == 2  # whale + user 1 convert
