@@ -309,3 +309,56 @@ def test_profile_table_is_one_scan(spark):
     # plans as a single Expand, not per-column jobs/scans
     assert p.count("Scan ExistingRDD") == 1
     assert p.count("Expand") == 1
+
+
+# ---------------------------------------------------------------------------
+# r8 operators: scale-shape pins
+# ---------------------------------------------------------------------------
+
+def test_rfm_quantile_has_no_window(spark):
+    """The percentile-cut RFM must plan with NO Window operator at all —
+    the whole point vs rfm_segmentation's three global NTILE sorts —
+    and the 1-row cuts relation must broadcast."""
+    from openai_vector_search_demo_spark.queries import SPARK_QUERIES
+    p = _physical(SPARK_QUERIES["rfm_quantile"](spark, SF))
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_pareto_quantile_window_runs_over_bins_not_customers(spark):
+    """The binned ABC form may keep its one running-sum window, but its
+    input must be the post-aggregation bin relation (a hash aggregate
+    feeds the sort), never a range-partitioned sort of the customer
+    relation itself."""
+    from openai_vector_search_demo_spark.queries import SPARK_QUERIES
+    p = _physical(SPARK_QUERIES["pareto_abc_quantile"](spark, SF))
+    assert "Window" in p
+    # the global sort under the window is single-partition over the bins:
+    # no rangepartitioning exchange anywhere in the plan
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_funnel_njoin_keeps_no_event_lists(spark):
+    """The whale-safe funnel must not materialize per-user event arrays:
+    no collect_list/sort_array in the plan, only MIN aggregates + joins."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts_njoin,
+    )
+    df = spark.createDataFrame([(1, "view", 10), (1, "click", 20)],
+                               "user_id long, event_type string, ts_us long")
+    p = _physical(funnel_counts_njoin(df, ["view", "click", "purchase"]))
+    assert "collect_list" not in p
+    assert "min(" in p
+
+
+def test_tfidf_capped_prunes_vocabulary_before_pairing(spark):
+    """The DF cap must land as a filter on the token-DF aggregate BEFORE
+    the pair join (the bound exists at plan time, not post-hoc)."""
+    from openai_vector_search_demo_spark.operators.tfidf import (
+        tfidf_cosine_pairs,
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string")
+    p = _physical(tfidf_cosine_pairs(docs, max_token_df=5, n_docs=2))
+    # the HAVING-style cap plans as a Filter over the count aggregate
+    assert "(dfc" in p and "<= 5" in p
