@@ -59,11 +59,18 @@ def _dot_lit(vec_col: Column | str, plane: Sequence[float]) -> Column:
 
 
 def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id: bit b set iff dot(vec, plane_b) >= 0."""
+    """Sign-bit bucket id: bit b set iff dot(vec, plane_b) >= 0.
+
+    NULL vectors get a NULL bucket (each sign term leaves NULL
+    unmatched instead of defaulting to 0), so downstream probe filters
+    drop them — the same contract as ``ivf_cell``; a plain
+    ``otherwise(0)`` would silently file every NULL embedding under
+    bucket 0."""
     out = F.lit(0).cast("long")
     for b, plane in enumerate(planes):
-        out = out + F.when(_dot_lit(vec_col, plane) >= 0,
-                           F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        d = _dot_lit(vec_col, plane)
+        out = out + (F.when(d >= 0, F.lit(1 << b).cast("long"))
+                     .when(d < 0, F.lit(0).cast("long")))
     return out
 
 
@@ -87,27 +94,91 @@ def query_buckets(qvec: Sequence[float], planes: list[list[float]],
     return sorted(out)
 
 
+LSH_AUTO_NUMPY_MIN_OPS = 512
+"""``method='auto'`` crossover for the inline LSH search, the
+``IVF_AUTO_NUMPY_MIN_OPS`` twin: per-row bucket assignment costs
+nbits·dim multiply-adds as interpreted HOF lambdas — once that product
+reaches a few hundred the fused Arrow/BLAS pass wins (measured at sf0.1,
+nbits=8 × dim 64: 1.07 s expression vs ~0.45 s numpy)."""
+
+
 def lsh_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             vec_col: str = "embedding", planes: list[list[float]] | None = None,
             nbits: int = 16, seed: int = 42, probe_hamming: int = 1,
-            sim_col: str = "similarity", tie_break: str | None = None) -> DataFrame:
+            sim_col: str = "similarity", tie_break: str | None = None,
+            method: str = "auto") -> DataFrame:
     """Approximate KNN: prune to probed buckets, then exact cosine top-k.
 
     At scale the bucket is precomputed at write time (``lsh_assign``) and
     this becomes a partition-pruned scan + small exact top-k; computed
     inline here so the operator also works on raw tables.
+
+    ``method``: ``'sql'`` assigns buckets with expression arithmetic
+    (DuckDB-mirrorable), ``'numpy'`` fuses sign-bit assignment + probe
+    filter + query cosine into one Arrow/BLAS pass, ``'auto'`` picks by
+    ``nbits·dim`` (``LSH_AUTO_NUMPY_MIN_OPS``).  Identical results — a
+    physical choice only (a sign flip would need a hyperplane dot within
+    float rounding of exactly 0; the oracled slot pins it never happens
+    on the fixtures).
     """
     dim = len(list(qvec))
     planes = planes or hyperplanes(dim, nbits, seed)
     probes = query_buckets(qvec, planes, probe_hamming)
-    cand = df.withColumn("_bucket", lsh_bucket(vec_col, planes)) \
-             .filter(F.col("_bucket").isin(probes))
-    scored = cand.withColumn(sim_col, cosine_similarity(F.col(vec_col),
-                                                        vector_lit(qvec)))
+    if method == "auto":
+        method = ("numpy" if len(planes) * dim >= LSH_AUTO_NUMPY_MIN_OPS
+                  else "sql")
+    if method == "numpy":
+        scored = _lsh_score_numpy(df, qvec, planes, set(probes),
+                                  vec_col, sim_col)
+    else:
+        cand = df.withColumn("_bucket", lsh_bucket(vec_col, planes)) \
+                 .filter(F.col("_bucket").isin(probes))
+        scored = cand.withColumn(
+            sim_col, cosine_similarity(F.col(vec_col), vector_lit(qvec))) \
+            .drop("_bucket")
     order = [F.col(sim_col).desc()]
     if tie_break:
         order.append(F.col(tie_break).asc())
-    return scored.orderBy(*order).limit(k).drop("_bucket")
+    return scored.orderBy(*order).limit(k)
+
+
+def _lsh_score_numpy(df: DataFrame, qvec: Sequence[float],
+                     planes: list[list[float]], probes: set[int],
+                     vec_col: str, sim_col: str) -> DataFrame:
+    """One Arrow pass: BLAS sign-bit bucket, probe filter, query cosine —
+    rows outside the probed buckets never cross back into the JVM (the
+    ``_ivf_score_numpy`` twin)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(sim_col, DoubleType())])
+    pl = np.asarray(planes, dtype=np.float64)          # nbits × dim
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+    q = np.asarray(list(qvec), dtype=np.float64)
+    qn = np.linalg.norm(q)
+    probe_arr = np.asarray(sorted(probes), dtype=np.int64)
+
+    def score(batches):
+        for pdf in batches:
+            # NULL embeddings: drop, mirroring the sql path (lsh_bucket
+            # yields NULL there and the probe isin filter removes the row)
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ pl.T) >= 0.0
+            bucket = bits @ weights
+            mask = np.isin(bucket, probe_arr)
+            if not mask.any():
+                continue
+            kept = pdf.loc[mask].copy()
+            sub = mat[mask]
+            norms = np.linalg.norm(sub, axis=1)
+            norms[norms == 0] = 1.0
+            kept[sim_col] = (sub @ q) / (norms * qn)
+            yield kept
+
+    return df.mapInPandas(score, out_schema)
 
 
 def lsh_assign(df: DataFrame, vec_col: str = "embedding",

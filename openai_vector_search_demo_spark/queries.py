@@ -719,9 +719,13 @@ def _sql_dot_lit(vec_expr: str, lit_vec) -> str:
 
 
 def _sql_lsh_bucket(vec_expr: str, planes) -> str:
+    # NULL-vector dots yield NULL terms (no ELSE), so the bucket is NULL
+    # and probe filters drop the row — mirrors operators.ann.lsh_bucket
     terms = [
         f"(CASE WHEN {_sql_dot_lit(vec_expr, p)} >= 0 "
-        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        f"THEN CAST({1 << b} AS BIGINT) "
+        f"WHEN {_sql_dot_lit(vec_expr, p)} < 0 "
+        f"THEN CAST(0 AS BIGINT) END)"
         for b, p in enumerate(planes)
     ]
     return "(" + "\n   + ".join(terms) + ")"

@@ -407,3 +407,38 @@ def test_pretrained_module_matches_trainer_config():
                                     seed=P.IVF_TRAINED_SEED,
                                     iters=P.IVF_TRAINED_ITERS)
     assert got == P.IVF_TRAINED_CENTROIDS
+
+
+def test_lsh_knn_sql_equals_numpy(emb, qvec):
+    """method='sql' and method='numpy' are the same operator — identical
+    rows; 'auto' is a physical choice only (the ivf_knn contract)."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        lsh_knn,
+    )
+    base = emb.filter(F.col("vec_id") != 0)
+    planes = hyperplanes(len(qvec), nbits=8, seed=42)
+    rows = {}
+    for method in ("sql", "numpy"):
+        rows[method] = [tuple(r) for r in
+                        lsh_knn(base, qvec, k=10, planes=planes,
+                                probe_hamming=1, sim_col="sim",
+                                tie_break="vec_id", method=method)
+                        .select("vec_id", F.round("sim", 9)).collect()]
+    assert rows["sql"] == rows["numpy"]
+
+
+def test_lsh_numpy_path_drops_null_embeddings(spark, qvec):
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        lsh_knn,
+    )
+    rows = [(1, [1.0] * 64), (2, None), (3, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = hyperplanes(64, nbits=2, seed=42)
+    for method in ("sql", "numpy"):
+        got = sorted(r.vec_id for r in
+                     lsh_knn(df, list(qvec), k=10, planes=planes,
+                             probe_hamming=2, sim_col="sim", method=method)
+                     .select("vec_id").collect())
+        assert got == [1, 3], method
