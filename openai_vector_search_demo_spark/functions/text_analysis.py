@@ -473,6 +473,63 @@ def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
                      .alias("avg_logprob")))
 
 
+def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
+                     lam: float = 0.7, cache: bool = True):
+    """Per-document average token log-probability under an INTERPOLATED
+    BIGRAM LM trained on the corpus — one model order closer to CCNet's
+    KenLM than ``unigram_lm_scores``, still exact relational algebra on
+    both engines:
+
+        P(wᵢ | wᵢ₋₁) = λ · c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·)  +  (1−λ) · P₁(wᵢ)
+
+    with ``P₁`` the Laplace-smoothed unigram (``(c+1)/(N+|V|)``, the
+    unigram operator's exact model) and document-initial tokens scored
+    by ``P₁`` alone (no cross-document context — each doc is its own
+    sequence).  Output: ``(id, n_tokens, avg_logprob)``, same contract
+    as the unigram form; repetitive/boilerplate text scores HIGH under
+    a bigram LM (its transitions are predictable), fluent-but-novel
+    text sits mid-range, and token salad scores low — the standard
+    fluency × redundancy screen.
+
+    Plan shape: one scan tokenizes and lags per document (the only
+    per-doc window — bounded by document length, exactly the
+    ``session_window`` contract), collapsing immediately to per-(doc,
+    prev, cur) counts.  Bigram and prev-marginal tables aggregate from
+    those counts (map-side combinable, counts-only shuffles); scoring
+    is equi-joins on token keys back onto the counts + one per-doc
+    aggregate.  Corpus text is never shuffled; only token counts move.
+    """
+    from pyspark.sql import Window
+
+    tokpos = df.select(F.col(id_col),
+                       F.posexplode(tokens(text_col)).alias("pos", "tk"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    seq = tokpos.withColumn("prev", F.lag("tk").over(w))
+    dbc = (seq.groupBy(id_col, "prev", "tk")
+           .agg(F.count(F.lit(1)).alias("ct")))
+    if cache:
+        dbc = dbc.persist()
+    vocab = dbc.groupBy("tk").agg(F.sum("ct").alias("c"))
+    stats = vocab.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    big = (dbc.filter(F.col("prev").isNotNull())
+           .groupBy("prev", "tk").agg(F.sum("ct").alias("bc")))
+    ptot = big.groupBy("prev").agg(F.sum("bc").alias("pc"))
+    uni_p = (F.col("c") + F.lit(1)) / (F.col("n") + F.col("v"))
+    lp = F.when(
+        F.col("prev").isNull(), F.log(uni_p)
+    ).otherwise(F.log(F.lit(lam) * F.coalesce(F.col("bc") / F.col("pc"),
+                                              F.lit(0.0))
+                      + F.lit(1.0 - lam) * uni_p))
+    return (dbc.join(F.broadcast(vocab), "tk")
+            .crossJoin(F.broadcast(stats))
+            .join(big, ["prev", "tk"], "left")
+            .join(ptot, ["prev"], "left")
+            .groupBy(id_col)
+            .agg(F.sum("ct").alias("n_tokens"),
+                 F.round(F.sum(F.col("ct") * lp) / F.sum("ct"), 6)
+                 .alias("avg_logprob")))
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer design: vocabulary coverage curve (what share of running text a
 # top-V vocabulary covers — the OOV-rate side of the vocab-size decision)

@@ -2988,6 +2988,52 @@ def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(t(spark, sf_dir, "documents"))
 
 
+@query("ta_bigram_lm_score", oracle=rf"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tk,
+                    generate_subscripts({_SQL_TOKS}, 1) AS pos
+             FROM documents),
+seq AS (SELECT doc_id, tk,
+               LAG(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok),
+dbc AS (SELECT doc_id, prev, tk, COUNT(*) AS ct FROM seq GROUP BY ALL),
+vocab AS (SELECT tk, SUM(ct) AS c FROM dbc GROUP BY tk),
+stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+big AS (SELECT prev, tk, SUM(ct) AS bc FROM dbc
+        WHERE prev IS NOT NULL GROUP BY prev, tk),
+ptot AS (SELECT prev, SUM(bc) AS pc FROM big GROUP BY prev),
+scored AS (
+  SELECT d.doc_id, d.ct,
+         CASE WHEN d.prev IS NULL
+              THEN ln((vo.c + 1.0) / (st.n + st.v))
+              ELSE ln(0.7 * COALESCE(b.bc / CAST(p.pc AS DOUBLE), 0.0)
+                      + (1.0 - 0.7) * ((vo.c + 1.0) / (st.n + st.v)))
+         END AS lp
+  FROM dbc d
+  JOIN vocab vo USING (tk)
+  CROSS JOIN stats st
+  LEFT JOIN big b ON b.prev = d.prev AND b.tk = d.tk
+  LEFT JOIN ptot p ON p.prev = d.prev)
+SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens,
+       ROUND(SUM(ct * lp) / SUM(ct), 6) AS avg_logprob
+FROM scored GROUP BY doc_id
+""")
+def ta_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained INTERPOLATED BIGRAM-LM fluency scoring — one model
+    order up from ``ta_unigram_lm_score``, a step closer to CCNet's
+    KenLM while training AND scoring stay exact relational algebra: the
+    oracle retrains the bigram table, the prev-marginals, and the
+    backoff unigram, then verifies every per-document score.  λ = 0.7
+    bigram weight, doc-initial tokens score under the unigram alone
+    (each document is its own sequence).  Plan notes in
+    ``functions.text_analysis.bigram_lm_scores`` — the only per-doc
+    window is the lag (bounded by document length); everything that
+    shuffles afterwards is token counts."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        bigram_lm_scores,
+    )
+    return bigram_lm_scores(t(spark, sf_dir, "documents"))
+
+
 @query("export_shards_manifest", oracle=rf"""
 WITH a AS (
   SELECT doc_id,
@@ -4446,6 +4492,143 @@ def ann_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
+def _lsh_mean_recall_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+    cos_eq = """
+    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
+                                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+"""
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding,
+                       {_sql_lsh_bucket("embedding", planes)} AS bucket
+                FROM embeddings WHERE vec_id >= {_IVF_TRAINED_NQ}),
+queries AS (SELECT vec_id AS qid, embedding AS qv,
+                   {_sql_lsh_bucket("embedding", planes)} AS qb
+            FROM embeddings WHERE vec_id < {_IVF_TRAINED_NQ}),
+-- Hamming-1 probe set: the query bucket plus each single-bit flip
+probes AS (SELECT qid, qb AS bucket FROM queries
+           UNION ALL
+           SELECT qid, CAST(xor(qb, CAST(b AS BIGINT)) AS BIGINT)
+           FROM queries, (SELECT unnest([{", ".join(str(1 << i) for i in range(8))}]) AS b)),
+sims AS (SELECT q.qid, e.vec_id, e.bucket, {cos_eq} AS sim
+         FROM corpus e CROSS JOIN queries q),
+exact AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id ASC) AS rn
+            FROM sims) WHERE rn <= 10),
+approx AS (SELECT qid, vec_id FROM (
+             SELECT s.qid, s.vec_id,
+                    ROW_NUMBER() OVER (PARTITION BY s.qid
+                                       ORDER BY s.sim DESC, s.vec_id ASC) AS rn
+             FROM sims s JOIN probes p
+               ON p.qid = s.qid AND p.bucket = s.bucket)
+           WHERE rn <= 10),
+per AS (SELECT e.qid,
+               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+                 AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        GROUP BY e.qid)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(recall), 3) AS mean_recall_at_10,
+       ROUND(MIN(recall), 3) AS min_recall,
+       ROUND(MAX(recall), 3) AS max_recall
+FROM per
+"""
+
+
+@query("ann_lsh_mean_recall_at_10", oracle=_lsh_mean_recall_oracle())
+def ann_lsh_mean_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH twin of ``ann_ivf_trained_recall_at_10``: mean recall@10
+    over the same 20 held-out queries (single-query recall@10 wobbles
+    ±0.2 by quantization), at the oracled configuration (nbits=8 random
+    hyperplanes, Hamming-1 probing = 9 of 256 buckets probed).  Same
+    one-Arrow-pass plan: bucket + all-query sims in one corpus scan,
+    probes as a broadcast literal relation, rank windows for both
+    top-10s.  Measured: see QUERIES.md — LSH probes a far smaller corpus
+    fraction than the IVF config, so its mean recall is lower; the two
+    slots together give the recall-per-scan tradeoff of both index
+    families on identical queries: LSH probes 9/256 buckets ≈ 3.5% of
+    the corpus for mean recall ≈ 0.07–0.12 across the fixtures — right
+    at the uniform-data bound (recall ≈ scan fraction, SCALE.md) — while
+    the trained IVF at 37% scan reaches 0.86; on this data geometry
+    recall is bought with scan, and the measurement keeps that
+    honest."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        hyperplanes,
+        query_buckets,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
+    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
+                    dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    pl = np.asarray(planes, dtype=np.float64)
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+
+    probes_rows = [(int(q), int(b)) for i, q in enumerate(qids)
+                   for b in query_buckets(qmat[i], planes, probe_hamming=1)]
+    probes_df = spark.createDataFrame(probes_rows, "qid bigint, bucket bigint")
+
+    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ) \
+                .select("vec_id", "embedding")
+
+    def sims_and_buckets(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bucket = ((mat @ pl.T) >= 0.0) @ weights
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sim = (mat @ qmat.T) / np.outer(norms, qnorms)
+            n = len(pdf)
+            nq = len(qids)
+            yield pd.DataFrame({
+                "qid": np.tile(qids, n),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                "sim": sim.ravel(),
+                "bucket": np.repeat(bucket, nq),
+            })
+
+    sims = corpus.mapInPandas(
+        sims_and_buckets, "qid bigint, vec_id bigint, sim double, bucket bigint")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id").asc())
+    exact = (sims.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+    approx = (sims.join(F.broadcast(probes_df), ["qid", "bucket"])
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 10)
+              .select("qid", F.col("vec_id").alias("a_vec_id")))
+    ov = exact.join(approx,
+                    (exact.qid == approx.qid)
+                    & (exact.vec_id == approx.a_vec_id), "left") \
+              .select(exact.qid, exact.vec_id, approx.a_vec_id)
+    per = ov.groupBy("qid").agg(
+        (F.sum(F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0))
+         / 10.0).alias("recall"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
+        F.round(F.min("recall"), 3).alias("min_recall"),
+        F.round(F.max("recall"), 3).alias("max_recall"))
+
+
 _RRF_K = 60
 _RRF_N = 100  # fused list depth: RRF operates on retrieved top-N lists
 
@@ -5872,6 +6055,7 @@ _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
     "q2_knn_filtered", "ann_lsh_recall_at_10", "ann_ivf_recall_at_10",
     "ann_ivf_trained_knn", "ann_ivf_trained_stored_knn",
+    "ann_lsh_mean_recall_at_10",
 ]
 _EVENTS_WINDOWS_BATTERY = [
     "events_tumbling_window", "events_sliding_window", "events_session_window",
@@ -6028,6 +6212,9 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
     "ann_ivf_trained_stored_knn": [
         ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "ann_lsh_mean_recall_at_10": [
+        ("max_recall", "d"), ("mean_recall_at_10", "d"),
+        ("min_recall", "d"), ("n_queries", "s")],
     "pareto_abc_quantile": [
         ("cum_share", "d"), ("klass", "s"), ("n_customers", "s"),
         ("revenue", "d")],

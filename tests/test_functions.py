@@ -247,3 +247,41 @@ def test_vocab_coverage_curve_hand_computed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="sizes"):
         vocab_coverage(df, [])
+
+
+def test_bigram_lm_rewards_predictable_transitions(spark):
+    """The bigram LM must separate what the unigram CANNOT: two docs with
+    identical token multisets but different orderings.  Doc A repeats the
+    same bigram transition; doc B scrambles it; under the unigram both
+    score identically, under the bigram A > B."""
+    import math
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+    # same multiset {x:4, y:4} per doc; A alternates (xy xy xy xy),
+    # B blocks (xx xx yy yy) — different transition profiles
+    df = spark.createDataFrame(
+        [(1, "x y x y x y x y"), (2, "x x x x y y y y")],
+        "doc_id long, text string")
+    uni = {r.doc_id: r.avg_logprob
+           for r in unigram_lm_scores(df, cache=False).collect()}
+    assert math.isclose(uni[1], uni[2], abs_tol=1e-9)
+    big = {r.doc_id: r.avg_logprob
+           for r in bigram_lm_scores(df, cache=False).collect()}
+    assert big[1] > big[2]  # x→y dominates corpus transitions; A rides it
+
+
+def test_bigram_lm_single_token_and_empty_docs(spark):
+    """One-token docs score by the unigram alone; empty docs emit no row
+    (no tokens — the unigram operator's contract too)."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        bigram_lm_scores,
+    )
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_lm_scores(df, cache=False).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].n_tokens == 1
+    assert out[3].n_tokens == 2
