@@ -104,7 +104,8 @@ skewed cell would be a 320 GB task (VERDICT r7 wrong #2)."""
 
 
 def _pairs_blocked(cells: DataFrame, threshold: float,
-                   max_cell_rows: int = DEFAULT_MAX_CELL_ROWS) -> DataFrame:
+                   max_cell_rows: int = DEFAULT_MAX_CELL_ROWS,
+                   sizes: DataFrame | None = None) -> DataFrame:
     """Within-cell over-threshold cosine pairs: per-cell BLAS gram matrix
     (the cluster bounds the quadratic AND the task memory).
 
@@ -154,9 +155,18 @@ def _pairs_blocked(cells: DataFrame, threshold: float,
         return pd.DataFrame({"id_a": np.minimum(ia, ib),
                              "id_b": np.maximum(ia, ib)})
 
-    w = Window.partitionBy("cell")
-    salted = (cells.select("id", "v", "cell")
-              .withColumn("_s", F.ceil(F.count(F.lit(1)).over(w)
+    # cell sizes → shard count S: from the caller's tiny (cell, _n)
+    # aggregate when provided (broadcast join — no extra shuffle of the
+    # corpus-sized relation), else a per-cell count window (standalone
+    # fallback; costs one shuffle on the cell key)
+    base = cells.select("id", "v", "cell")
+    if sizes is not None:
+        base = base.join(F.broadcast(sizes), "cell")
+    else:
+        w = Window.partitionBy("cell")
+        base = base.withColumn("_n", F.count(F.lit(1)).over(w))
+    salted = (base
+              .withColumn("_s", F.ceil(F.col("_n")
                                        / F.lit(max_cell_rows)).cast("int"))
               .withColumn("salt",
                           F.pmod(F.xxhash64("id"), F.col("_s")).cast("int"))
@@ -175,7 +185,8 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
              id_col: str = "vec_id", vec_col: str = "embedding",
              threshold: float = 0.95,
              method: str = "blocked",
-             max_cell_rows: int = DEFAULT_MAX_CELL_ROWS) -> DataFrame:
+             max_cell_rows: int = DEFAULT_MAX_CELL_ROWS,
+             cache: bool = True) -> DataFrame:
     """Cluster-prefiltered semantic dedup.  Returns one row per member of
     every near-duplicate group: ``(id, cell, cluster_id, sim_centroid,
     keep)`` — ``keep`` marks the group's one retained representative.
@@ -184,13 +195,23 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
 
     ``max_cell_rows`` (blocked method): per-task gram-block bound — skewed
     cells above it are salt-split into shard-pair tasks (exact, see
-    ``_pairs_blocked``) instead of materializing a |cell|² matrix."""
+    ``_pairs_blocked``) instead of materializing a |cell|² matrix.
+
+    ``cache=True`` persists the one-Arrow-pass assignment relation: it is
+    consumed three times (cell-size sizing, pair generation, the member
+    info join) and uncached each consumer repeats the corpus scan + BLAS
+    assignment.  Same session-lifetime cache convention as
+    ``operators.dedup`` — pass ``cache=False`` in long-lived sessions and
+    evict with ``spark.catalog.clearCache()``."""
     if method not in ("blocked", "sql"):
         raise ValueError(f"unknown method {method!r}")
 
     if method == "blocked":
         cells = _assigned_blocked(df, centroids, id_col, vec_col)
-        pairs = _pairs_blocked(cells, threshold, max_cell_rows)
+        if cache:
+            cells = cells.persist()
+        sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
+        pairs = _pairs_blocked(cells, threshold, max_cell_rows, sizes=sizes)
         info = cells.drop("v")
     else:
         base = (df.select(F.col(id_col).alias("id"),
