@@ -138,6 +138,7 @@ HEADLINE = [
     "corpus_distinct_stats",
     "events_funnel",        # one-shuffle sequential-pattern fold
     "ta_unigram_lm_score",  # corpus-trained LM scoring, counts-only shuffles
+    "ta_bigram_lm_score",   # interpolated bigram LM — one order up
     "curation_pipeline",
 ]
 

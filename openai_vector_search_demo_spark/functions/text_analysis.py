@@ -491,20 +491,34 @@ def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     text sits mid-range, and token salad scores low — the standard
     fluency × redundancy screen.
 
-    Plan shape: one scan tokenizes and lags per document (the only
-    per-doc window — bounded by document length, exactly the
-    ``session_window`` contract), collapsing immediately to per-(doc,
-    prev, cur) counts.  Bigram and prev-marginal tables aggregate from
-    those counts (map-side combinable, counts-only shuffles); scoring
-    is equi-joins on token keys back onto the counts + one per-doc
-    aggregate.  Corpus text is never shuffled; only token counts move.
+    Plan shape: bigrams derive MAP-SIDE from the per-row token array
+    (an indexed ``transform`` pairs each token with its predecessor —
+    no per-doc window, no shuffle of the token relation; a lag window
+    would shuffle the whole tokenized corpus on doc_id), collapsing
+    immediately to per-(doc, prev, cur) counts.  Bigram and
+    prev-marginal tables aggregate from those counts (map-side
+    combinable, counts-only shuffles); scoring is equi-joins on token
+    keys back onto the counts + one per-doc aggregate.  Corpus text is
+    never shuffled; only token counts move.
     """
-    from pyspark.sql import Window
-
-    tokpos = df.select(F.col(id_col),
-                       F.posexplode(tokens(text_col)).alias("pos", "tk"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    seq = tokpos.withColumn("prev", F.lag("tk").over(w))
+    base = df.select(F.col(id_col), tokens(text_col).alias("tks"))
+    n = F.size("tks")
+    pair_t = "array<struct<prev:string,tk:string>>"
+    empty = F.array().cast(pair_t)
+    # (NULL, first token) ++ zip of the array against itself shifted by
+    # one — slice/arrays_zip/concat/explode are all codegen, ONE scan,
+    # ONE tokenization (an indexed-transform lambda and a two-branch
+    # union both measured materially slower here: interpreted HOF in the
+    # first case, a second tokenizing scan in the second)
+    head = F.when(n >= 1, F.array(F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.element_at("tks", 1).alias("tk")))).otherwise(empty)
+    rest = F.when(n >= 2, F.arrays_zip(
+        F.slice("tks", 1, n - 1),
+        F.slice("tks", 2, n - 1)).cast(pair_t)).otherwise(empty)
+    seq = (base.select(F.col(id_col),
+                       F.explode(F.concat(head, rest)).alias("pc"))
+           .select(id_col, "pc.prev", "pc.tk"))
     dbc = (seq.groupBy(id_col, "prev", "tk")
            .agg(F.count(F.lit(1)).alias("ct")))
     if cache:
