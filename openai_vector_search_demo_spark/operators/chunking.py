@@ -122,3 +122,71 @@ def sentence_chunks(text: Column | str,
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.trim(F.array_join(F.slice(sents, i * k + 1, k), "")),
     )
+
+
+def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 4,
+               divisor: int = 16) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING — variable-size chunks whose boundaries
+    depend on local content, not position (the rsync/LBFS/FastCDC idea
+    at token granularity): a boundary falls AFTER token *i* iff the
+    60-bit hash of the ``k``-token window ending at *i* is ≡ 0 mod
+    ``divisor``.  Insert or delete a sentence and every boundary outside
+    the edited window stays put — so chunk fingerprints survive shifts
+    that break fixed-width chunking (C3's word offsets all move), which
+    is what makes CDC the storage/dedup-friendly chunking: near-dup
+    documents share most chunk fingerprints verbatim.
+
+    Expected chunk length ≈ ``divisor`` tokens (geometric); no min/max
+    clamp — a production variant would add FastCDC's normalized cut
+    bounds, a contract noted rather than hidden.  Deterministic: the
+    boundary hash is the salted md5-60bit used corpus-wide, so the same
+    text chunks identically on any engine (the DuckDB oracle re-derives
+    every boundary).
+
+    Output: one row per chunk — ``(id, chunk_no, n_tokens, chunk_text,
+    fingerprint)``; ``chunk_no`` is 0-based in token order,
+    ``fingerprint`` the 60-bit hash of the chunk text.  Zero-token
+    documents emit no row (the tokenless contract shared with the LM
+    scorers).
+
+    Plan: tokenize → posexplode (map-only) → ONE per-doc window
+    (running boundary count = chunk id; bounded by document length, the
+    ``session_window`` contract) → per-(doc, chunk) rebuild aggregate.
+    Shuffles only on the doc id.
+    """
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    if k < 1 or divisor < 1:
+        raise ValueError("k and divisor must be >= 1")
+    tokpos = (df.select(F.col(id_col).alias("id"),
+                        F.posexplode(tokens(text_col)).alias("pos0", "tk"))
+              .select("id", (F.col("pos0") + 1).alias("pos"), "tk"))
+    w = Window.partitionBy("id").orderBy("pos")
+    # k-token window ending at pos: collect via lag chain is k-1 extra
+    # window exprs; a rolling string of the last k tokens does it in one
+    ctx = F.concat_ws(
+        " ", F.collect_list("tk").over(
+            w.rowsBetween(-(k - 1), Window.currentRow)))
+    is_boundary = (F.col("pos") >= k) & \
+        (F.pmod(_hash60(ctx), F.lit(divisor)) == 0)
+    marked = tokpos.withColumn(
+        "chunk_no",
+        F.sum(F.when(is_boundary, 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)).cast("long"))
+    marked = marked.withColumn("chunk_no",
+                               F.coalesce("chunk_no", F.lit(0)))
+    rebuilt = (marked.groupBy("id", "chunk_no")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tk"))),
+                            lambda x: x["tk"]), " ").alias("chunk_text")))
+    return rebuilt.select(
+        "id", "chunk_no", "n_tokens", "chunk_text",
+        _hash60(F.col("chunk_text")).alias("fingerprint"))

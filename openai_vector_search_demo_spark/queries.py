@@ -3034,6 +3034,68 @@ def ta_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(t(spark, sf_dir, "documents"))
 
 
+@query("cdc_chunk_dedup", oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, 'shifted copy marker ' || text
+  FROM documents WHERE doc_id % 7 = 0),
+tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM corpus),
+tp AS (SELECT doc_id, unnest(toks) AS tk,
+              generate_subscripts(toks, 1) AS pos
+       FROM tok),
+ctx AS (SELECT doc_id, pos, tk,
+               string_agg(tk, ' ') OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS win
+        FROM tp),
+b AS (SELECT doc_id, pos, tk,
+             CASE WHEN pos >= 4
+                  AND {_SQL_H60.format(expr="win")} % 16 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM ctx),
+cid AS (SELECT doc_id, pos, tk,
+               COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS chunk_no
+        FROM b),
+chunks AS (SELECT doc_id, chunk_no, COUNT(*) AS n_tokens,
+                  string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+           FROM cid GROUP BY doc_id, chunk_no),
+fp AS (SELECT doc_id, n_tokens,
+              {_SQL_H60.format(expr="chunk_text")} AS fingerprint
+       FROM chunks)
+SELECT fingerprint,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_chunks
+FROM fp WHERE n_tokens >= 5
+GROUP BY fingerprint HAVING COUNT(DISTINCT doc_id) >= 2
+""")
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED-CHUNKING dedup (``operators.chunking.cdc_chunks``
+    — the rsync/FastCDC boundary idea at token granularity): chunk
+    fingerprints shared across distinct documents, on a corpus where
+    every 7th document also appears with an inserted prefix.  Fixed
+    shingle offsets all move under that insertion; CDC boundaries
+    re-synchronize within ~k tokens, so the planted copies surface
+    through their surviving chunk fingerprints — the property this slot
+    value-checks end-to-end (every boundary decision re-derived by the
+    oracle).  ``n_tokens >= 5`` drops trivially-short chunks whose
+    collisions are content-free."""
+    from openai_vector_search_demo_spark.operators.chunking import cdc_chunks
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.concat(F.lit("shifted copy marker "),
+                                F.col("text")).alias("text")))
+    corpus = docs.unionByName(shifted)
+    chunks = cdc_chunks(corpus, k=4, divisor=16)
+    return (chunks.filter(F.col("n_tokens") >= 5)
+            .groupBy("fingerprint")
+            .agg(F.countDistinct("id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_chunks"))
+            .filter(F.col("n_docs") >= 2))
+
+
 @query("export_shards_manifest", oracle=rf"""
 WITH a AS (
   SELECT doc_id,

@@ -122,3 +122,56 @@ def test_sentence_chunks_ellipsis_and_validation(spark):
     assert c == ["Wait...", "really?!", "Yes."]
     with _pytest.raises(ValueError, match="sentences_per_chunk"):
         df.select(sentence_chunks("text", 0))
+
+
+def test_cdc_boundaries_survive_prefix_insertion(spark):
+    """The CDC property itself: insert a prefix and all chunk
+    fingerprints outside the first ~k tokens survive; fixed-width
+    chunking (C3) shares none."""
+    from openai_vector_search_demo_spark.operators.chunking import cdc_chunks
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep dark woods tonight while owls watch")
+    df = spark.createDataFrame(
+        [(1, base), (2, "freshly inserted preamble " + base)],
+        "doc_id long, text string")
+    out = cdc_chunks(df, k=3, divisor=4).collect()
+    f1 = {r.fingerprint for r in out if r.id == 1}
+    f2 = {r.fingerprint for r in out if r.id == 2}
+    assert len(f1 & f2) >= len(f1) - 2  # only the head chunk may differ
+
+
+def test_cdc_chunks_rejoin_to_token_stream(spark):
+    """Chunks partition the token stream: concatenating chunk_text in
+    chunk_no order rebuilds the tokenized document; n_tokens sums to the
+    document token count; empty docs emit nothing."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.chunking import cdc_chunks
+    from pyspark.sql import functions as F
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, ""), (3, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks(df, k=2, divisor=3).collect()
+    assert {r.id for r in out} == {1, 3}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    toks = {r.doc_id: r.tks for r in
+            df.select("doc_id", tokens("text").alias("tks")).collect()}
+    for doc, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_no)
+        rebuilt = " ".join(c.chunk_text for c in chunks).split()
+        assert rebuilt == toks[doc]
+        assert sum(c.n_tokens for c in chunks) == len(toks[doc])
+
+
+def test_cdc_validation(spark):
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark.operators.chunking import cdc_chunks
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        cdc_chunks(df, k=0)
+    with _pytest.raises(ValueError):
+        cdc_chunks(df, divisor=0)
