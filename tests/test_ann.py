@@ -399,10 +399,17 @@ def test_pretrained_module_matches_trainer_config():
         train_centroids_spherical,
     )
 
+    import hashlib
+
     rows = duckdb.connect().execute(
         "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
         "WHERE vec_id <> 0 ORDER BY vec_id").fetchall()
     vecs = np.array([r[0] for r in rows], dtype=np.float64)
+    fp = hashlib.md5(vecs.round(6).tobytes()).hexdigest()[:12]
+    assert fp == P.IVF_TRAINED_CORPUS_MD5, (
+        f"gate corpus changed ({fp} != recorded {P.IVF_TRAINED_CORPUS_MD5}) "
+        "— the pinned index is stale; rerun "
+        "scripts/train_ivf_centroids.py to regenerate ann_pretrained.py")
     got = train_centroids_spherical(vecs, P.IVF_TRAINED_NLIST,
                                     seed=P.IVF_TRAINED_SEED,
                                     iters=P.IVF_TRAINED_ITERS)
