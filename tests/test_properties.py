@@ -182,3 +182,79 @@ def test_shard_assignment_partitions_the_corpus(spark, nshards, ndocs):
     assert len(rows) == ndocs
     assert all(0 <= r.shard < nshards for r in rows)
     assert all(r.shard == r.sort_key % nshards for r in rows)
+
+
+@given(st.lists(st.tuples(st.integers(1, 5), st.sampled_from(
+    ["view", "click", "purchase"]), st.integers(0, 100)),
+    min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_funnel_njoin_equals_fold_for_any_event_set(spark, events):
+    """The two physical funnel forms are ONE operator: identical output
+    on arbitrary event sets (ties, repeats, absent steps)."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+        funnel_counts_njoin,
+    )
+    df = spark.createDataFrame(events,
+                               "user_id long, event_type string, ts_us long")
+    steps = ["view", "click", "purchase"]
+    a = sorted(map(tuple, funnel_counts(df, steps).collect()))
+    b = sorted(map(tuple, funnel_counts_njoin(df, steps).collect()))
+    assert a == b
+
+
+@given(st.lists(texts, min_size=1, max_size=12),
+       st.integers(1, 4), st.integers(1, 8))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cdc_chunks_partition_token_stream(spark, batch, k, divisor):
+    """For ANY text/k/divisor: chunks rejoin to the exact token stream,
+    token counts add up, chunk numbers are dense from 0."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.chunking import cdc_chunks
+    import pyspark.sql.functions as F
+    df = spark.createDataFrame(list(enumerate(batch)),
+                               "doc_id long, text string")
+    toks = {r.doc_id: r.tks for r in
+            df.select("doc_id", tokens("text").alias("tks")).collect()}
+    out = cdc_chunks(df, k=k, divisor=divisor).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for doc, tk in toks.items():
+        if not tk:
+            assert doc not in by_doc
+            continue
+        chunks = sorted(by_doc[doc], key=lambda r: r.chunk_no)
+        assert [c.chunk_no for c in chunks] == list(range(len(chunks)))
+        rebuilt = [w for c in chunks for w in c.chunk_text.split(" ")]
+        assert rebuilt == tk
+        assert sum(c.n_tokens for c in chunks) == len(tk)
+
+
+@given(st.lists(st.lists(st.floats(-1.0, 1.0, allow_nan=False,
+                                   width=32), min_size=4, max_size=4),
+                min_size=2, max_size=24),
+       st.integers(1, 4))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_semdedup_salt_split_exact_for_any_vectors(spark, vecs, max_rows):
+    """Salt-splitting is EXACT for any vector set and any shard bound:
+    pair sets are identical to the unsalted single-gram plan."""
+    from openai_vector_search_demo_spark.operators.semdedup import (
+        _assigned_blocked,
+        _pairs_blocked,
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    df = spark.createDataFrame(list(enumerate(vecs)),
+                               "vec_id long, embedding array<double>")
+    cells = _assigned_blocked(df, cents, "vec_id", "embedding")
+    ref = sorted((r.id_a, r.id_b) for r in
+                 _pairs_blocked(cells, 0.9, max_cell_rows=10_000).collect())
+    got = sorted((r.id_a, r.id_b) for r in
+                 _pairs_blocked(cells, 0.9, max_cell_rows=max_rows).collect())
+    assert got == ref
