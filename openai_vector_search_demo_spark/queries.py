@@ -6111,7 +6111,8 @@ _ANALYTICS_BATTERY = [
     "datetime_function_surface", "hash_sample_consistent_join",
     "ta_repetition_signals", "window_distribution_ranks",
     "string_function_surface", "c3_chunk_words_sliding",
-    "pareto_abc_quantile", "rfm_quantile",
+    "pareto_abc_quantile", "rfm_quantile", "ta_bigram_lm_score",
+    "cdc_chunk_dedup",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -6280,6 +6281,10 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "pareto_abc_quantile": [
         ("cum_share", "d"), ("klass", "s"), ("n_customers", "s"),
         ("revenue", "d")],
+    "ta_bigram_lm_score": [
+        ("avg_logprob", "d"), ("doc_id", "s"), ("n_tokens", "s")],
+    "cdc_chunk_dedup": [
+        ("fingerprint", "s"), ("n_chunks", "s"), ("n_docs", "s")],
     "rfm_quantile": [
         ("custkey", "s"), ("f", "s"), ("frequency", "s"), ("m", "s"),
         ("monetary", "d"), ("r", "s"), ("recency_us", "s"), ("rfm", "s")],
