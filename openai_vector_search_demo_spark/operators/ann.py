@@ -155,7 +155,10 @@ def _lsh_score_numpy(df: DataFrame, qvec: Sequence[float],
     pl = np.asarray(planes, dtype=np.float64)          # nbits × dim
     weights = (1 << np.arange(len(planes))).astype(np.int64)
     q = np.asarray(list(qvec), dtype=np.float64)
-    qn = np.linalg.norm(q)
+    # zero-query guard: the sql path's cosine_similarity returns 0.0 for
+    # zero vectors; an unguarded 0/0 here would NaN-rank rows FIRST and
+    # break the 'identical results, physical choice only' contract
+    qn = np.linalg.norm(q) or 1.0
     probe_arr = np.asarray(sorted(probes), dtype=np.int64)
 
     def score(batches):
@@ -478,7 +481,7 @@ def _ivf_score_numpy(df: DataFrame, qvec: Sequence[float],
     cent = np.asarray(centroids, dtype=np.float64)
     csq = (cent * cent).sum(axis=1)
     q = np.asarray(list(qvec), dtype=np.float64)
-    qn = np.linalg.norm(q)
+    qn = np.linalg.norm(q) or 1.0  # zero-query guard, same as the LSH twin
     probe_arr = np.asarray(sorted(probes), dtype=np.int64)
 
     def score(batches):

@@ -94,10 +94,14 @@ def mask_spans(df: DataFrame, text_col: str = "text",
                     F.array_sort(F.collect_list(F.struct("pos", "m", "tok"))),
                     lambda x: x["m"]),
                 lambda x: x["tok"]), " ").alias("targets"))
-    base = toks.select("id", F.col("n_tokens").alias("base_n_tokens"))
+    # id-only base: the left join restores zero-token docs WITHOUT a
+    # second tokenizing scan (carrying n_tokens through `toks` would
+    # re-run the regex tokenizer over the whole corpus — r8 review #4);
+    # empty docs take n_tokens = 0 by the same coalesce as the rest
+    base = df.select(F.col(id_col).alias("id"))
     return (base.join(rebuilt, "id", "left")
             .select(F.col("id"),
-                    F.col("base_n_tokens").alias("n_tokens"),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     F.coalesce("n_masked", F.lit(0)).alias("n_masked"),
                     F.coalesce("masked_text", F.lit("")).alias("masked_text"),
                     F.coalesce("targets", F.lit("")).alias("targets")))

@@ -403,7 +403,7 @@ def test_pretrained_module_matches_trainer_config():
 
     rows = duckdb.connect().execute(
         "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
-        "WHERE vec_id <> 0 ORDER BY vec_id").fetchall()
+        "WHERE vec_id >= 20 ORDER BY vec_id").fetchall()
     vecs = np.array([r[0] for r in rows], dtype=np.float64)
     fp = hashlib.md5(vecs.round(6).tobytes()).hexdigest()[:12]
     assert fp == P.IVF_TRAINED_CORPUS_MD5, (
