@@ -1138,35 +1138,29 @@ def ann_ivf_trained_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
 
-def _ivf_trained_recall_oracle() -> str:
-    cos_eq = """
+_MEAN_RECALL_COS = """
     list_aggregate(list_transform(range(1, len(e.embedding) + 1),
                                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
     / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
      * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
 """
+
+
+def _mean_recall_oracle(extra_ctes: str) -> str:
+    """Shared mean-recall@10 oracle scaffold (r8 review #5: one copy, two
+    index families).  ``extra_ctes`` must define, on top of the provided
+    ``corpus(vec_id, embedding)`` / ``queries(qid, qv)`` CTEs:
+    ``assigned(vec_id, part)`` — each corpus row's index partition — and
+    ``probes(qid, part)`` — the partitions each query scans.  Everything
+    downstream (all-pairs sims, exact and probed rank windows, per-query
+    overlap, the 1-row summary) is index-agnostic."""
     return f"""
-WITH cent AS ({_sql_trained_cent()}),
-corpus AS (SELECT vec_id, embedding FROM embeddings
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings
            WHERE vec_id >= {_IVF_TRAINED_NQ}),
 queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
             WHERE vec_id < {_IVF_TRAINED_NQ}),
-cd AS (SELECT e.vec_id, c.cid, {_SQL_DOT_CENT} AS dot
-       FROM corpus e CROSS JOIN cent c),
-cm AS (SELECT vec_id, MAX(dot) AS mx FROM cd GROUP BY vec_id),
-cellof AS (SELECT cd.vec_id, MIN(cd.cid) AS cell
-           FROM cd JOIN cm USING (vec_id) WHERE cd.dot = cm.mx
-           GROUP BY cd.vec_id),
-qd AS (SELECT q.qid, c.cid,
-              list_aggregate(list_transform(range(1, {_ANN_DIM + 1}),
-                  i -> CAST(q.qv[i] AS DOUBLE) * c.c[i]), 'sum') AS dot
-       FROM queries q CROSS JOIN cent c),
-probes AS (SELECT qid, cid FROM (
-             SELECT qid, cid,
-                    ROW_NUMBER() OVER (PARTITION BY qid
-                                       ORDER BY dot DESC, cid ASC) AS rn
-             FROM qd) WHERE rn <= {_IVF_TRAINED_NPROBE}),
-sims AS (SELECT q.qid, e.vec_id, {cos_eq} AS sim
+{extra_ctes},
+sims AS (SELECT q.qid, e.vec_id, {_MEAN_RECALL_COS} AS sim
          FROM corpus e CROSS JOIN queries q),
 exact AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id,
@@ -1178,8 +1172,8 @@ approx AS (SELECT qid, vec_id FROM (
                     ROW_NUMBER() OVER (PARTITION BY s.qid
                                        ORDER BY s.sim DESC, s.vec_id ASC) AS rn
              FROM sims s
-             JOIN cellof co ON co.vec_id = s.vec_id
-             JOIN probes p ON p.qid = s.qid AND p.cid = co.cell)
+             JOIN assigned a2 ON a2.vec_id = s.vec_id
+             JOIN probes p ON p.qid = s.qid AND p.part = a2.part)
            WHERE rn <= 10),
 per AS (SELECT e.qid,
                SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
@@ -1193,6 +1187,96 @@ SELECT COUNT(*) AS n_queries,
        ROUND(MAX(recall), 3) AS max_recall
 FROM per
 """
+
+
+def _ivf_trained_recall_oracle() -> str:
+    return _mean_recall_oracle(f"""cent AS ({_sql_trained_cent()}),
+cd AS (SELECT e.vec_id, c.cid, {_SQL_DOT_CENT} AS dot
+       FROM corpus e CROSS JOIN cent c),
+cm AS (SELECT vec_id, MAX(dot) AS mx FROM cd GROUP BY vec_id),
+assigned AS (SELECT cd.vec_id, MIN(cd.cid) AS part
+             FROM cd JOIN cm USING (vec_id) WHERE cd.dot = cm.mx
+             GROUP BY cd.vec_id),
+qd AS (SELECT q.qid, c.cid,
+              list_aggregate(list_transform(range(1, {_ANN_DIM + 1}),
+                  i -> CAST(q.qv[i] AS DOUBLE) * c.c[i]), 'sum') AS dot
+       FROM queries q CROSS JOIN cent c),
+probes AS (SELECT qid, cid AS part FROM (
+             SELECT qid, cid,
+                    ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY dot DESC, cid ASC) AS rn
+             FROM qd) WHERE rn <= {_IVF_TRAINED_NPROBE})""")
+
+
+def _mean_recall_harness(spark, emb, part_of, probes_of):
+    """Shared Spark mean-recall@10 harness (the oracle scaffold's twin —
+    r8 review #5): ``part_of(mat)`` maps an (n×d) float64 matrix to each
+    row's int64 index partition (one BLAS call); ``probes_of(qvec)``
+    lists the partitions a query scans.  One Arrow pass over the corpus
+    emits (qid, vec_id, sim, part) for all 20 held-out queries at once;
+    exact and probed top-10 are rank windows over that one relation;
+    probes are a broadcast literal relation.  Nothing is collected but
+    the 20 query vectors."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
+                    dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+
+    probes_rows = [(int(q), int(c)) for i, q in enumerate(qids)
+                   for c in probes_of(qmat[i])]
+    probes_df = spark.createDataFrame(probes_rows, "qid bigint, part bigint")
+
+    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ) \
+                .select("vec_id", "embedding")
+
+    def sims_and_parts(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            part = np.asarray(part_of(mat), dtype=np.int64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sim = (mat @ qmat.T) / np.outer(norms, qnorms)
+            n = len(pdf)
+            nq = len(qids)
+            yield pd.DataFrame({
+                "qid": np.tile(qids, n),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                "sim": sim.ravel(),
+                "part": np.repeat(part, nq),
+            })
+
+    sims = corpus.mapInPandas(
+        sims_and_parts, "qid bigint, vec_id bigint, sim double, part bigint")
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                          F.col("vec_id").asc())
+    exact = (sims.withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+    approx = (sims.join(F.broadcast(probes_df), ["qid", "part"])
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= 10)
+              .select("qid", F.col("vec_id").alias("a_vec_id")))
+    ov = exact.join(approx,
+                    (exact.qid == approx.qid)
+                    & (exact.vec_id == approx.a_vec_id), "left") \
+              .select(exact.qid, exact.vec_id, approx.a_vec_id)
+    per = ov.groupBy("qid").agg(
+        (F.sum(F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0))
+         / 10.0).alias("recall"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
+        F.round(F.min("recall"), 3).alias("min_recall"),
+        F.round(F.max("recall"), 3).alias("max_recall"))
 
 
 @query("ann_ivf_trained_recall_at_10", oracle=_ivf_trained_recall_oracle())
@@ -1220,15 +1304,9 @@ def ann_ivf_trained_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     near its scan fraction — the trained quantizer's lift above that
     bound (0.845 vs 0.38) is real, and clustered production corpora (the
     reference's use case) sit far further above it.  The full
-    nprobe→recall curve is in SCALE.md.
-
-    Plan shape: one Arrow/BLAS pass over the corpus emits (qid, vec_id,
-    sim, cell) for all 20 queries at once; exact and probed top-10 are
-    rank windows over that one relation; probes are a broadcast 20×24
-    literal relation.  Nothing is collected but the 20 query vectors."""
+    nprobe→recall curve is in SCALE.md; plan shape in
+    ``_mean_recall_harness``."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
 
     from openai_vector_search_demo_spark.ann_pretrained import (
         IVF_TRAINED_CENTROIDS,
@@ -1238,65 +1316,12 @@ def ann_ivf_trained_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = t(spark, sf_dir, "embeddings")
-    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
-             .select("vec_id", "embedding").orderBy("vec_id").collect())
-    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
-    qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
-                    dtype=np.float64)
-    qnorms = np.linalg.norm(qmat, axis=1)
-    qnorms[qnorms == 0] = 1.0
     cent = np.asarray(IVF_TRAINED_CENTROIDS, dtype=np.float64)
-
-    probes_rows = [(int(q), int(c)) for i, q in enumerate(qids)
-                   for c in ivf_probe_cells_dot(qmat[i],
-                                                IVF_TRAINED_CENTROIDS,
-                                                _IVF_TRAINED_NPROBE)]
-    probes_df = spark.createDataFrame(probes_rows, "qid bigint, cell int")
-
-    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ) \
-                .select("vec_id", "embedding")
-
-    def sims_and_cells(batches):
-        for pdf in batches:
-            pdf = pdf[pdf["embedding"].notna()]
-            if len(pdf) == 0:
-                continue
-            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            cell = (mat @ cent.T).argmax(axis=1)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            sim = (mat @ qmat.T) / np.outer(norms, qnorms)
-            n = len(pdf)
-            nq = len(qids)
-            yield pd.DataFrame({
-                "qid": np.tile(qids, n),
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
-                "sim": sim.ravel(),
-                "cell": np.repeat(cell, nq).astype(np.int32),
-            })
-
-    sims = corpus.mapInPandas(
-        sims_and_cells, "qid bigint, vec_id bigint, sim double, cell int")
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
-                                          F.col("vec_id").asc())
-    exact = (sims.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= 10).select("qid", "vec_id"))
-    approx = (sims.join(F.broadcast(probes_df), ["qid", "cell"])
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= 10)
-              .select("qid", F.col("vec_id").alias("a_vec_id")))
-    ov = exact.join(approx,
-                    (exact.qid == approx.qid)
-                    & (exact.vec_id == approx.a_vec_id), "left") \
-              .select(exact.qid, exact.vec_id, approx.a_vec_id)
-    per = ov.groupBy("qid").agg(
-        (F.sum(F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0))
-         / 10.0).alias("recall"))
-    return per.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
-        F.round(F.min("recall"), 3).alias("min_recall"),
-        F.round(F.max("recall"), 3).alias("max_recall"))
+    return _mean_recall_harness(
+        spark, emb,
+        part_of=lambda mat: (mat @ cent.T).argmax(axis=1),
+        probes_of=lambda q: ivf_probe_cells_dot(
+            q, IVF_TRAINED_CENTROIDS, _IVF_TRAINED_NPROBE))
 
 
 def _lsh_near_dup_oracle() -> str:
@@ -4568,72 +4593,32 @@ def ann_lsh_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_mean_recall_oracle() -> str:
     from openai_vector_search_demo_spark.operators.ann import hyperplanes
     planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
-    cos_eq = """
-    list_aggregate(list_transform(range(1, len(e.embedding) + 1),
-                                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum')
-    / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
-     * sqrt(list_aggregate(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
-"""
-    return f"""
-WITH corpus AS (SELECT vec_id, embedding,
-                       {_sql_lsh_bucket("embedding", planes)} AS bucket
-                FROM embeddings WHERE vec_id >= {_IVF_TRAINED_NQ}),
-queries AS (SELECT vec_id AS qid, embedding AS qv,
-                   {_sql_lsh_bucket("embedding", planes)} AS qb
-            FROM embeddings WHERE vec_id < {_IVF_TRAINED_NQ}),
+    bits = ", ".join(str(1 << i) for i in range(8))
+    return _mean_recall_oracle(f"""assigned AS (
+  SELECT vec_id, {_sql_lsh_bucket("embedding", planes)} AS part
+  FROM corpus),
+qb AS (SELECT qid, {_sql_lsh_bucket("qv", planes)} AS b FROM queries),
 -- Hamming-1 probe set: the query bucket plus each single-bit flip
-probes AS (SELECT qid, qb AS bucket FROM queries
+probes AS (SELECT qid, b AS part FROM qb
            UNION ALL
-           SELECT qid, CAST(xor(qb, CAST(b AS BIGINT)) AS BIGINT)
-           FROM queries, (SELECT unnest([{", ".join(str(1 << i) for i in range(8))}]) AS b)),
-sims AS (SELECT q.qid, e.vec_id, e.bucket, {cos_eq} AS sim
-         FROM corpus e CROSS JOIN queries q),
-exact AS (SELECT qid, vec_id FROM (
-            SELECT qid, vec_id,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                                      ORDER BY sim DESC, vec_id ASC) AS rn
-            FROM sims) WHERE rn <= 10),
-approx AS (SELECT qid, vec_id FROM (
-             SELECT s.qid, s.vec_id,
-                    ROW_NUMBER() OVER (PARTITION BY s.qid
-                                       ORDER BY s.sim DESC, s.vec_id ASC) AS rn
-             FROM sims s JOIN probes p
-               ON p.qid = s.qid AND p.bucket = s.bucket)
-           WHERE rn <= 10),
-per AS (SELECT e.qid,
-               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
-                 AS recall
-        FROM exact e
-        LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
-        GROUP BY e.qid)
-SELECT COUNT(*) AS n_queries,
-       ROUND(AVG(recall), 3) AS mean_recall_at_10,
-       ROUND(MIN(recall), 3) AS min_recall,
-       ROUND(MAX(recall), 3) AS max_recall
-FROM per
-"""
+           SELECT qid, CAST(xor(b, CAST(f AS BIGINT)) AS BIGINT)
+           FROM qb, (SELECT unnest([{bits}]) AS f))""")
 
 
 @query("ann_lsh_mean_recall_at_10", oracle=_lsh_mean_recall_oracle())
 def ann_lsh_mean_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The LSH twin of ``ann_ivf_trained_recall_at_10``: mean recall@10
-    over the same 20 held-out queries (single-query recall@10 wobbles
-    ±0.2 by quantization), at the oracled configuration (nbits=8 random
-    hyperplanes, Hamming-1 probing = 9 of 256 buckets probed).  Same
-    one-Arrow-pass plan: bucket + all-query sims in one corpus scan,
-    probes as a broadcast literal relation, rank windows for both
-    top-10s.  Measured: see QUERIES.md — LSH probes a far smaller corpus
-    fraction than the IVF config, so its mean recall is lower; the two
-    slots together give the recall-per-scan tradeoff of both index
-    families on identical queries: LSH probes 9/256 buckets ≈ 3.5% of
-    the corpus for mean recall ≈ 0.07–0.12 across the fixtures — right
-    at the uniform-data bound (recall ≈ scan fraction, SCALE.md) — while
-    the trained IVF at 37% scan reaches 0.86; on this data geometry
-    recall is bought with scan, and the measurement keeps that
-    honest."""
+    """The LSH twin of ``ann_ivf_trained_recall_at_10`` on the SAME 20
+    held-out queries and the same shared harness/oracle scaffold
+    (``_mean_recall_harness`` / ``_mean_recall_oracle`` — r8 review #5
+    folded the two copies into one), at the oracled configuration
+    (nbits=8 random hyperplanes, Hamming-1 probing = 9 of 256 buckets
+    probed).  Measured: 9/256 buckets ≈ 3.5% of the corpus scans for
+    mean recall ≈ 0.07–0.12 across the fixtures — right at the
+    uniform-data bound (recall ≈ scan fraction, SCALE.md) — while the
+    trained IVF at 38% scan reaches 0.845; on this data geometry recall
+    is bought with scan, and measuring both families on identical
+    queries keeps that honest."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import Window
 
     from openai_vector_search_demo_spark.operators.ann import (
         hyperplanes,
@@ -4642,64 +4627,12 @@ def ann_lsh_mean_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     planes = hyperplanes(_ANN_DIM, nbits=8, seed=42)
-    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
-             .select("vec_id", "embedding").orderBy("vec_id").collect())
-    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
-    qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
-                    dtype=np.float64)
-    qnorms = np.linalg.norm(qmat, axis=1)
-    qnorms[qnorms == 0] = 1.0
     pl = np.asarray(planes, dtype=np.float64)
     weights = (1 << np.arange(len(planes))).astype(np.int64)
-
-    probes_rows = [(int(q), int(b)) for i, q in enumerate(qids)
-                   for b in query_buckets(qmat[i], planes, probe_hamming=1)]
-    probes_df = spark.createDataFrame(probes_rows, "qid bigint, bucket bigint")
-
-    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ) \
-                .select("vec_id", "embedding")
-
-    def sims_and_buckets(batches):
-        for pdf in batches:
-            pdf = pdf[pdf["embedding"].notna()]
-            if len(pdf) == 0:
-                continue
-            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            bucket = ((mat @ pl.T) >= 0.0) @ weights
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            sim = (mat @ qmat.T) / np.outer(norms, qnorms)
-            n = len(pdf)
-            nq = len(qids)
-            yield pd.DataFrame({
-                "qid": np.tile(qids, n),
-                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
-                "sim": sim.ravel(),
-                "bucket": np.repeat(bucket, nq),
-            })
-
-    sims = corpus.mapInPandas(
-        sims_and_buckets, "qid bigint, vec_id bigint, sim double, bucket bigint")
-    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
-                                          F.col("vec_id").asc())
-    exact = (sims.withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= 10).select("qid", "vec_id"))
-    approx = (sims.join(F.broadcast(probes_df), ["qid", "bucket"])
-              .withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") <= 10)
-              .select("qid", F.col("vec_id").alias("a_vec_id")))
-    ov = exact.join(approx,
-                    (exact.qid == approx.qid)
-                    & (exact.vec_id == approx.a_vec_id), "left") \
-              .select(exact.qid, exact.vec_id, approx.a_vec_id)
-    per = ov.groupBy("qid").agg(
-        (F.sum(F.when(F.col("a_vec_id").isNotNull(), 1).otherwise(0))
-         / 10.0).alias("recall"))
-    return per.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
-        F.round(F.min("recall"), 3).alias("min_recall"),
-        F.round(F.max("recall"), 3).alias("max_recall"))
+    return _mean_recall_harness(
+        spark, emb,
+        part_of=lambda mat: ((mat @ pl.T) >= 0.0) @ weights,
+        probes_of=lambda q: query_buckets(q, planes, probe_hamming=1))
 
 
 _RRF_K = 60
