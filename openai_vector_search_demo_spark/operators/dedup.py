@@ -535,14 +535,18 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str | None = None,
-                  k: int = 3, min_hits: int = 1) -> DataFrame:
+                  k: int = 3, min_hits: int = 1,
+                  with_fraction: bool = False) -> DataFrame:
     """Flag training docs that leak evaluation data: a corpus doc is
     ``contaminated`` when ≥ ``min_hits`` of its DISTINCT k-token shingles
     appear anywhere in the benchmark set (the standard n-gram-overlap
     decontamination step every serious training pipeline runs before the
     eval story is trustworthy).
 
-    Returns ``(id_col, bench_hits, contaminated)`` for every corpus row.
+    Returns ``(id_col, bench_hits, contaminated)`` for every corpus row;
+    ``with_fraction=True`` appends ``(n_shingles, overlap_frac)`` — the
+    graded how-much-leaked signal decontamination reports usually need
+    next to the binary gate.
 
     Scale shape: eval sets are small (10³–10⁵ docs) next to a 100 TB
     corpus — their distinct shingle-hash set BROADCASTS, the corpus-side
@@ -568,11 +572,27 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     hits = (corpus_sh.join(F.broadcast(bench_sh), "h")
             .groupBy("id").agg(F.count(F.lit(1)).alias("bench_hits")))
     n_hits = F.coalesce(F.col("bench_hits"), F.lit(0))
-    return (corpus.select(F.col(id_col).alias("id"))
-            .join(hits, "id", "left")
-            .select(F.col("id").alias(id_col),
-                    n_hits.alias("bench_hits"),
-                    (n_hits >= min_hits).alias("contaminated")))
+    out = (corpus.select(F.col(id_col).alias("id"))
+           .join(hits, "id", "left")
+           .select(F.col("id").alias(id_col),
+                   n_hits.alias("bench_hits"),
+                   (n_hits >= min_hits).alias("contaminated")))
+    if not with_fraction:
+        return out
+    # overlap fraction: leaked distinct shingles / the doc's distinct
+    # shingles — the graded signal (how MUCH of the doc is benchmark
+    # text) next to the binary gate; one extra count over the same
+    # exploded relation, zero-shingle docs (< k tokens) read 0.0
+    totals = corpus_sh.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"))
+    n_sh = F.coalesce(F.col("n_shingles"), F.lit(0))
+    return (out.join(totals.withColumnRenamed("id", id_col), id_col, "left")
+            .select(id_col, "bench_hits", "contaminated",
+                    n_sh.alias("n_shingles"),
+                    F.round(F.when(n_sh > 0,
+                                   F.col("bench_hits") / n_sh)
+                            .otherwise(F.lit(0.0)), 6)
+                    .alias("overlap_frac")))
 
 
 # ---------------------------------------------------------------------------

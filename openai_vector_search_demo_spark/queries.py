@@ -6712,6 +6712,44 @@ def decontaminate_vs_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "contaminated")
 
 
+@query("decontaminate_overlap_fraction", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+bench AS (SELECT DISTINCT h
+          FROM (SELECT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0)),
+corp AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0),
+hits AS (SELECT doc_id, COUNT(*) AS n
+         FROM corp JOIN bench USING (h) GROUP BY doc_id),
+totals AS (SELECT doc_id, COUNT(*) AS n_sh FROM corp GROUP BY doc_id)
+SELECT h2.doc_id,
+       COALESCE(hits.n, 0) AS bench_hits,
+       COALESCE(hits.n, 0) >= 1 AS contaminated,
+       COALESCE(totals.n_sh, 0) AS n_shingles,
+       ROUND(CASE WHEN COALESCE(totals.n_sh, 0) > 0
+                  THEN COALESCE(hits.n, 0) / CAST(totals.n_sh AS DOUBLE)
+                  ELSE 0.0 END, 6) AS overlap_frac
+FROM hs h2
+LEFT JOIN hits ON hits.doc_id = h2.doc_id
+LEFT JOIN totals ON totals.doc_id = h2.doc_id
+WHERE h2.doc_id % 97 <> 0
+""")
+def decontaminate_overlap_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADED decontamination (``decontaminate(with_fraction=True)``):
+    alongside the binary gate, the fraction of each doc's distinct
+    3-shingles that leak from the benchmark split — the number a
+    contamination REPORT ranks by (a doc that is 90% eval text and one
+    that shares a single idiom both flag ``contaminated``; only the
+    fraction separates them).  Same broadcast-join plan as the flag form
+    plus one count over the already-exploded corpus shingles."""
+    from openai_vector_search_demo_spark.operators.dedup import decontaminate
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    out = decontaminate(corpus, bench, k=3, min_hits=1, with_fraction=True)
+    return out.select("doc_id", F.col("bench_hits").cast("long"),
+                      "contaminated", F.col("n_shingles").cast("long"),
+                      "overlap_frac")
+
+
 _PACK_ORACLE_CTE = rf"""
 tok AS (SELECT doc_id, len({_SQL_TOKS}) AS n_tokens FROM documents),
 g AS (SELECT doc_id, CAST(doc_id % 16 AS INTEGER) AS grp, n_tokens FROM tok),
