@@ -39,6 +39,15 @@ from openai_vector_search_demo_spark.functions.vectors import (
 )
 
 
+def _check_choice(param: str, value: str, allowed: tuple[str, ...]) -> None:
+    """Raise on unknown enum-like arguments instead of silently falling
+    back — metric='cosine' must not quietly run Euclidean assignment and
+    degrade recall (the semdedup convention, applied family-wide)."""
+    if value not in allowed:
+        raise ValueError(
+            f"{param}={value!r}: expected one of {list(allowed)}")
+
+
 # ---------------------------------------------------------------------------
 # LSH — random hyperplanes
 # ---------------------------------------------------------------------------
@@ -121,6 +130,7 @@ def lsh_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
     float rounding of exactly 0; the oracled slot pins it never happens
     on the fixtures).
     """
+    _check_choice("method", method, ("auto", "sql", "numpy"))
     dim = len(list(qvec))
     planes = planes or hyperplanes(dim, nbits, seed)
     probes = query_buckets(qvec, planes, probe_hamming)
@@ -313,9 +323,11 @@ def train_centroids_spherical(vectors: np.ndarray, nlist: int,
     assignment column stays pure multiply-add arithmetic.
 
     Euclidean k-means (``train_centroids``) mixes direction with magnitude
-    and measurably under-recalls on cosine workloads (sf0.01 fixtures:
-    0.4-0.5 recall@10 at 29% scan vs 0.725 spherical at 26% — QUERIES.md
-    `ann_ivf_trained_recall_at_10`).  Deterministic like the Euclidean
+    and measurably under-recalls on cosine workloads: at the final
+    leakage-free nprobe=24/nlist=64 configuration the spherical quantizer
+    reaches mean recall@10 = 0.845 at ~38% scan where Euclidean sits
+    ~0.25 lower at the same scan fraction (QUERIES.md
+    `ann_ivf_trained_recall_at_10`; full nprobe→recall curve in SCALE.md).  Deterministic like the Euclidean
     trainer: seeded-permutation init, fixed iteration count, empty cells
     keep their previous centroid; rounded to 6 dp for SQL literal
     round-trip."""
@@ -432,6 +444,8 @@ def ivf_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
     by ``nlist·dim`` (``IVF_AUTO_NUMPY_MIN_OPS``).  Identical results —
     a physical choice only, like ``knn(method=...)``.
     """
+    _check_choice("method", method, ("auto", "sql", "numpy"))
+    _check_choice("metric", metric, ("l2", "dot"))
     if centroids is None:
         vecs = df.select(vec_col)
         if train_fraction is None:
@@ -525,6 +539,7 @@ def ivf_assign(df: DataFrame, vec_col: str = "embedding",
     ``nprobe/nlist`` of the corpus from the file listing down.
     ``centroids=None`` trains on a bounded sample exactly like ivf_knn;
     pass ``n_rows`` (the write path knows it) to skip the sizing count."""
+    _check_choice("metric", metric, ("l2", "dot"))
     if centroids is None:
         vecs = df.select(vec_col)
         n = n_rows if n_rows is not None else vecs.count()

@@ -140,9 +140,9 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     Expected chunk length ≈ ``divisor`` tokens (geometric); no min/max
     clamp — a production variant would add FastCDC's normalized cut
     bounds, a contract noted rather than hidden.  Deterministic: the
-    boundary hash is the salted md5-60bit used corpus-wide, so the same
-    text chunks identically on any engine (the DuckDB oracle re-derives
-    every boundary).
+    boundary hash is the unsalted md5-60bit of the raw k-token window
+    (``_hash60``), so the same text chunks identically on any engine
+    (the DuckDB oracle re-derives every boundary).
 
     Output: one row per chunk — ``(id, chunk_no, n_tokens, chunk_text,
     fingerprint)``; ``chunk_no`` is 0-based in token order,

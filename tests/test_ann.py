@@ -449,3 +449,24 @@ def test_lsh_numpy_path_drops_null_embeddings(spark, qvec):
                              probe_hamming=2, sim_col="sim", method=method)
                      .select("vec_id").collect())
         assert got == [1, 3], method
+
+
+def test_unknown_method_and_metric_raise(spark, qvec):
+    """Typos like metric='cosine' must raise, not silently run Euclidean
+    assignment and quietly degrade recall (the semdedup convention)."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_assign,
+        ivf_knn,
+        lsh_knn,
+    )
+    df = spark.createDataFrame([(1, [1.0] * 4)],
+                               "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    with pytest.raises(ValueError, match="method"):
+        lsh_knn(df, q, method="numyp")
+    with pytest.raises(ValueError, match="metric"):
+        ivf_knn(df, q, metric="cosine")
+    with pytest.raises(ValueError, match="method"):
+        ivf_knn(df, q, method="blas")
+    with pytest.raises(ValueError, match="metric"):
+        ivf_assign(df, metric="euclidean")
