@@ -1,8 +1,39 @@
 from __future__ import annotations
 
+import os
+import sys
+
 import pytest
 
-from openai_vector_search_demo_spark.session import get_spark
+# --- protobuf shim (test scaffolding; see vendor/pbshim/google/__init__.py)
+# transformWithStateInPandas needs google.protobuf in BOTH the driver and
+# Spark's python worker processes.  If the real package is absent but the
+# cloud-sdk's vendored pure-python runtime exists, expose the repo shim on
+# sys.path (driver) and PYTHONPATH (inherited by workers).  Must happen
+# before the SparkSession is created so workers see the env var.
+_PBSHIM = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "vendor", "pbshim")
+
+
+def _enable_pbshim_if_needed() -> None:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return  # real protobuf present — shim stays inert
+    except ImportError:
+        pass
+    if not os.path.isdir("/usr/lib/google-cloud-sdk/lib/third_party"):
+        return  # no backing runtime either; protobuf-gated tests skip
+    if _PBSHIM not in sys.path:
+        sys.path.insert(0, _PBSHIM)
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if _PBSHIM not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(
+            [_PBSHIM] + [p for p in parts if p])
+
+
+_enable_pbshim_if_needed()
+
+from openai_vector_search_demo_spark.session import get_spark  # noqa: E402
 
 SF0001 = "/root/testdata/sf0.001"
 SF001 = "/root/testdata/sf0.01"

@@ -245,8 +245,10 @@ def _has_protobuf() -> bool:
 
 @pytest.mark.skipif(not _has_protobuf(), reason=(
     "transformWithStateInPandas needs the protobuf package (the stateful-"
-    "processor API client); absent in this container, standard on Spark 4 "
-    "deployments"))
+    "processor API client); standard on Spark 4 deployments.  In this "
+    "container conftest.py activates vendor/pbshim (the cloud-sdk vendored "
+    "pure-python runtime under its canonical name), so this only skips "
+    "where neither a real protobuf nor that runtime exists"))
 def test_tws_running_stats_matches_batch(spark, workdir):
     """The transformWithStateInPandas twin must reproduce the legacy
     applyInPandasWithState operator's batch equivalence: last emitted row
