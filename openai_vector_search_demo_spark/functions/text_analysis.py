@@ -16,9 +16,10 @@ from __future__ import annotations
 import functools
 
 import pandas as pd  # module-level: pandas_udf type hints resolve via globals
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
+from openai_vector_search_demo_spark.caching import scoped_persist
 
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
@@ -441,7 +442,7 @@ def strip_html(c: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
-                      cache: bool = True):
+                      cache: bool = True, reuse_pairs: bool = False):
     """Per-document average token log-probability under a unigram LM
     trained on the corpus itself (Laplace-smoothed:
     ``ln((count+1)/(total+|V|))``) — the sortable fluency signal CCNet
@@ -456,12 +457,27 @@ def unigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     back onto the counts + one per-doc aggregate.  The corpus text is
     never shuffled; only token counts move.  ``cache=True`` persists the
     (doc, token, count) relation so training and scoring share the scan
-    (same session-lifetime contract as ``operators/dedup.py``).
+    (session-lifetime by default, releasable via ``caching.cache_scope``).
+
+    ``reuse_pairs=True`` derives the token counts as a marginal of
+    ``doc_pair_counts`` (every token appears exactly once as ``tk`` in
+    the pair relation — doc-initial under a NULL prev) instead of
+    tokenizing again: in a session where ``bigram_lm_scores`` already
+    ran, Spark's plan-matching cache serves the persisted pair scan to
+    both scorers, so the corpus is tokenized once for the pair.
+    Identical results either way; standalone the direct form is cheaper
+    (smaller explode), so it stays the default.
     """
-    dtc = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tk"))
-             .groupBy(id_col, "tk").agg(F.count("*").alias("ct")))
-    if cache:
-        dtc = dtc.persist()
+    if reuse_pairs:
+        dtc = (doc_pair_counts(df, text_col, id_col, cache=cache)
+               .groupBy(id_col, "tk").agg(F.sum("ct").alias("ct")))
+    else:
+        dtc = (df.select(F.col(id_col),
+                         F.explode(tokens(text_col)).alias("tk"))
+                 .groupBy(id_col, "tk").agg(F.count("*").alias("ct")))
+        if cache:
+            dtc = scoped_persist(dtc)
+            dtc.count()  # populate before the broadcast fan-out races it
     vocab = dtc.groupBy("tk").agg(F.sum("ct").alias("c"))
     stats = vocab.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
     lp = F.log((F.col("c") + F.lit(1)) / (F.col("n") + F.col("v")))
@@ -491,25 +507,70 @@ def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     text sits mid-range, and token salad scores low — the standard
     fluency × redundancy screen.
 
-    Plan shape: bigrams derive MAP-SIDE from the per-row token array
-    (an indexed ``transform`` pairs each token with its predecessor —
-    no per-doc window, no shuffle of the token relation; a lag window
-    would shuffle the whole tokenized corpus on doc_id), collapsing
-    immediately to per-(doc, prev, cur) counts.  Bigram and
-    prev-marginal tables aggregate from those counts (map-side
-    combinable, counts-only shuffles); scoring is equi-joins on token
-    keys back onto the counts + one per-doc aggregate.  Corpus text is
-    never shuffled; only token counts move.
+    Plan shape (reworked r9 — was two sort-merge joins of the scored
+    stream): bigrams derive MAP-SIDE from the per-row token array via
+    ``doc_pair_counts`` (no per-doc window, no shuffle of the token
+    relation), collapsing immediately to per-(doc, prev, cur) counts.
+    The corpus bigram count ``bc`` is then ONE window sum over
+    (prev, cur) on those counts — the single co-location shuffle the
+    model inherently needs, since the bigram table is the one relation
+    too big to broadcast at corpus scale — while the vocabulary and the
+    prev-marginals (both ≤ |V| rows, same scale as the already-broadcast
+    unigram table) aggregate map-side-combinably and come back as
+    broadcast joins.  Corpus text is never shuffled; only token counts
+    move, and the wide scored stream is shuffled once (the window)
+    instead of twice (the former big/ptot equi-joins).
+    """
+    dbc = doc_pair_counts(df, text_col, id_col, cache=cache)
+    if cache:
+        # Populate the cache with ONE job before the plan fans out:
+        # the broadcast subqueries (vocab/stats/ptot) execute eagerly and
+        # concurrently with the main stage, and concurrent readers of an
+        # unpopulated cache each recompute the subtree (measured: min
+        # 1.96 -> 1.81 s and first-run 8.7 -> 2.1 s at sf0.1).
+        dbc.count()
+    vocab = dbc.groupBy("tk").agg(F.sum("ct").alias("c"))
+    stats = vocab.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
+    ptot = (dbc.filter(F.col("prev").isNotNull())
+            .groupBy("prev").agg(F.sum("ct").alias("pc")))
+    uni_p = (F.col("c") + F.lit(1)) / (F.col("n") + F.col("v"))
+    lp = F.when(
+        F.col("prev").isNull(), F.log(uni_p)
+    ).otherwise(F.log(F.lit(lam) * F.coalesce(F.col("bc") / F.col("pc"),
+                                              F.lit(0.0))
+                      + F.lit(1.0 - lam) * uni_p))
+    w_bt = Window.partitionBy("prev", "tk")
+    return (dbc.withColumn("bc", F.sum("ct").over(w_bt))
+            .join(F.broadcast(vocab), "tk")
+            .crossJoin(F.broadcast(stats))
+            .join(F.broadcast(ptot), ["prev"], "left")
+            .groupBy(id_col)
+            .agg(F.sum("ct").alias("n_tokens"),
+                 F.round(F.sum(F.col("ct") * lp) / F.sum("ct"), 6)
+                 .alias("avg_logprob")))
+
+
+def doc_pair_counts(df, text_col: str = "text", id_col: str = "doc_id",
+                    cache: bool = True):
+    """Per-(doc, prev, cur) bigram-pair counts — the shared training
+    relation of the LM family: ``bigram_lm_scores`` trains and scores
+    from it, and ``unigram_lm_scores(reuse_pairs=True)`` derives its
+    token counts as the prev-marginal, so one persisted tokenizing scan
+    (matched by Spark's plan-based cache across calls in a session)
+    feeds both scorers.
+
+    Each document contributes one (NULL, first-token) row — doc-initial
+    tokens carry no cross-document context — plus the zip of its token
+    array against itself shifted by one: slice/arrays_zip/concat/explode
+    are all codegen, ONE scan, ONE tokenization (an indexed-transform
+    lambda and a two-branch union both measured materially slower:
+    interpreted HOF in the first case, a second tokenizing scan in the
+    second).  Zero-token documents emit no rows.
     """
     base = df.select(F.col(id_col), tokens(text_col).alias("tks"))
     n = F.size("tks")
     pair_t = "array<struct<prev:string,tk:string>>"
     empty = F.array().cast(pair_t)
-    # (NULL, first token) ++ zip of the array against itself shifted by
-    # one — slice/arrays_zip/concat/explode are all codegen, ONE scan,
-    # ONE tokenization (an indexed-transform lambda and a two-branch
-    # union both measured materially slower here: interpreted HOF in the
-    # first case, a second tokenizing scan in the second)
     head = F.when(n >= 1, F.array(F.struct(
         F.lit(None).cast("string").alias("prev"),
         F.element_at("tks", 1).alias("tk")))).otherwise(empty)
@@ -522,26 +583,8 @@ def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
     dbc = (seq.groupBy(id_col, "prev", "tk")
            .agg(F.count(F.lit(1)).alias("ct")))
     if cache:
-        dbc = dbc.persist()
-    vocab = dbc.groupBy("tk").agg(F.sum("ct").alias("c"))
-    stats = vocab.agg(F.sum("c").alias("n"), F.count("*").alias("v"))
-    big = (dbc.filter(F.col("prev").isNotNull())
-           .groupBy("prev", "tk").agg(F.sum("ct").alias("bc")))
-    ptot = big.groupBy("prev").agg(F.sum("bc").alias("pc"))
-    uni_p = (F.col("c") + F.lit(1)) / (F.col("n") + F.col("v"))
-    lp = F.when(
-        F.col("prev").isNull(), F.log(uni_p)
-    ).otherwise(F.log(F.lit(lam) * F.coalesce(F.col("bc") / F.col("pc"),
-                                              F.lit(0.0))
-                      + F.lit(1.0 - lam) * uni_p))
-    return (dbc.join(F.broadcast(vocab), "tk")
-            .crossJoin(F.broadcast(stats))
-            .join(big, ["prev", "tk"], "left")
-            .join(ptot, ["prev"], "left")
-            .groupBy(id_col)
-            .agg(F.sum("ct").alias("n_tokens"),
-                 F.round(F.sum(F.col("ct") * lp) / F.sum("ct"), 6)
-                 .alias("avg_logprob")))
+        dbc = scoped_persist(dbc)
+    return dbc
 
 
 # ---------------------------------------------------------------------------

@@ -33,6 +33,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openai_vector_search_demo_spark.caching import scoped_persist
 from openai_vector_search_demo_spark.functions.vectors import (
     cosine_similarity,
     vector_lit,
@@ -280,7 +281,7 @@ def lsh_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
         with_b = (with_b.withColumn("_rn", F.row_number().over(w))
                   .filter(F.col("_rn") <= max_bucket_rows).drop("_rn"))
     if cache:
-        with_b = with_b.persist()
+        with_b = scoped_persist(with_b)
     a = with_b.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "b")
     b = with_b.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "b")
     cand = a.join(b, "b").filter(F.col("id_a") < F.col("id_b"))

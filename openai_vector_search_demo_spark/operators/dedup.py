@@ -21,9 +21,11 @@ so every step is bit-reproducible in DuckDB for the correctness gate.
 
 Cache lifecycle: the pair operators persist() their reused shingle/signature
 subtrees (Catalyst recomputes common subplans across self-join branches —
-measured 4× cost uncached).  Those caches live until the session ends;
-long-lived sessions running dedup repeatedly should pass ``cache=False`` or
-evict with ``spark.catalog.clearCache()`` between batches.
+measured 4× cost uncached).  All of them go through
+``caching.scoped_persist``: by default the caches live until the session
+ends, but a long-lived session running dedup repeatedly can wrap each batch
+in ``caching.cache_scope()`` to release that batch's caches on exit (or
+pass ``cache=False`` / evict with ``spark.catalog.clearCache()``).
 """
 
 from __future__ import annotations
@@ -34,6 +36,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from openai_vector_search_demo_spark.caching import scoped_persist
 from openai_vector_search_demo_spark.functions.text_analysis import (
     _hash60,
     fingerprint64,
@@ -135,7 +138,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
           .withColumn("set_size", F.size("hs")))
     if cache:
-        sh = sh.persist()
+        sh = scoped_persist(sh)
     ex = sh.select("id", "set_size", F.explode("hs").alias("h"))
     if max_shingle_df is not None:
         # document frequency per shingle (shingle sets are distinct per doc,
@@ -148,7 +151,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("set_size"))
         ex = filtered.join(sizes, "id").select("id", "set_size", "h")
         if cache:
-            ex = ex.persist()
+            ex = scoped_persist(ex)
     a = ex.select(F.col("id").alias("id_a"), F.col("set_size").alias("sz_a"), "h")
     b = ex.select(F.col("id").alias("id_b"), F.col("set_size").alias("sz_b"), "h")
     common = (a.join(b, "h")
@@ -198,7 +201,7 @@ def ngram_jaccard_cross(new: DataFrame, existing: DataFrame,
 
     ex_n, ex_e = side(new, "n"), side(existing, "e")
     if cache:
-        ex_n, ex_e = ex_n.persist(), ex_e.persist()
+        ex_n, ex_e = scoped_persist(ex_n), scoped_persist(ex_e)
     if max_shingle_df is not None:
         df_counts = (ex_n.select("h").unionAll(ex_e.select("h"))
                      .groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
@@ -210,7 +213,7 @@ def ngram_jaccard_cross(new: DataFrame, existing: DataFrame,
         ex_e = fe.join(fe.groupBy("id_e").agg(
             F.count(F.lit(1)).alias("sz_e")), "id_e")
         if cache:
-            ex_n, ex_e = ex_n.persist(), ex_e.persist()
+            ex_n, ex_e = scoped_persist(ex_n), scoped_persist(ex_e)
     common = (ex_n.join(ex_e, "h")
               .groupBy("id_n", "id_e", "sz_n", "sz_e")
               .agg(F.count(F.lit(1)).alias("common")))
@@ -399,7 +402,7 @@ def minhash_lsh_cross(new: DataFrame, existing: DataFrame,
                       .alias("_ss"))
               .select(f"id_{tag}", F.col("_ss.hs").alias(f"hs_{tag}"),
                       F.col("_ss.sig").alias("signature")))
-        return sh.persist() if cache else sh
+        return scoped_persist(sh) if cache else sh
 
     shn, she = prep(new, "n"), prep(existing, "e")
     band_exprs = _band_bucket_sql(rows, bands)
@@ -487,7 +490,7 @@ def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
           .drop("_ss")
           .withColumn("sz", F.size("hs")))
     if cache:
-        sh = sh.persist()
+        sh = scoped_persist(sh)
     side = sh.drop("hs", "signature", "sz")
     sig = sh.filter(F.col("signature").isNotNull()).select("id", "signature")
     # single-expr band array (see _signatures_from_exploded on why):
@@ -655,7 +658,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     mask = (1 << width) - 1
     sig = simhash(df, id_col, text_col, k)
     if cache:
-        sig = sig.persist()  # reused by both join sides
+        sig = scoped_persist(sig)  # reused by both join sides
     bandcols = F.posexplode(F.array(*[
         F.shiftright(F.col("simhash"), b * width).bitwiseAND(mask)
         for b in range(bands)])).alias("band", "val")
@@ -979,7 +982,7 @@ def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
                   shingle_hashes_fast(k)(F.col(text_col)).alias("hs"))
           .withColumn("set_size", F.size("hs")))
     if cache:
-        sh = sh.persist()
+        sh = scoped_persist(sh)
     ex = sh.select("id", "set_size", F.explode("hs").alias("h"))
     if max_shingle_df is not None:
         keep = (ex.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
@@ -989,7 +992,7 @@ def ngram_containment_pairs(df: DataFrame, id_col: str = "doc_id",
             F.count(F.lit(1)).alias("set_size"))
         ex = filtered.join(sizes, "id").select("id", "set_size", "h")
         if cache:
-            ex = ex.persist()
+            ex = scoped_persist(ex)
     a = ex.select(F.col("id").alias("id_a"),
                   F.col("set_size").alias("sz_a"), "h")
     b = ex.select(F.col("id").alias("id_b"),

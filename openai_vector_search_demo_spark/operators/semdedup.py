@@ -40,6 +40,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from openai_vector_search_demo_spark.caching import scoped_persist
 from openai_vector_search_demo_spark.functions.vectors import (
     cosine_similarity,
 )
@@ -209,7 +210,7 @@ def semdedup(df: DataFrame, centroids: list[list[float]],
     if method == "blocked":
         cells = _assigned_blocked(df, centroids, id_col, vec_col)
         if cache:
-            cells = cells.persist()
+            cells = scoped_persist(cells)
         sizes = cells.groupBy("cell").agg(F.count(F.lit(1)).alias("_n"))
         pairs = _pairs_blocked(cells, threshold, max_cell_rows, sizes=sizes)
         info = cells.drop("v")

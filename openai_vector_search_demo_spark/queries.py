@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openai_vector_search_demo_spark.caching import scoped_persist
 from openai_vector_search_demo_spark.config import (
     HIGHLIGHT_PREFIX,
     HIGHLIGHT_SUFFIX,
@@ -3364,8 +3365,8 @@ def data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrub = repeated_ngram_dedup(docs, n=5, min_df=2)
     scrubbed = (scrub.filter(F.col("cleaned") != "")
                 .select(F.col("id").alias("doc_id"),
-                        F.col("cleaned").alias("text"))
-                .persist())
+                        F.col("cleaned").alias("text")))
+    scrubbed = scoped_persist(scrubbed)
     lm = unigram_lm_scores(scrubbed)
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corp = scrubbed.filter(F.col("doc_id") % 97 != 0)
@@ -4351,8 +4352,9 @@ def q2_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openai_vector_search_demo_spark.operators.mmr import mmr_select
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    cand = knn(emb.filter(F.col("vec_id") != 0), qvec, k=_MMR_FETCH,
-               sim_col="rel", tie_break="vec_id").persist()
+    cand = scoped_persist(
+        knn(emb.filter(F.col("vec_id") != 0), qvec, k=_MMR_FETCH,
+            sim_col="rel", tie_break="vec_id"))
     out = mmr_select(cand, k=_MMR_K, lam=_MMR_LAM)
     return out.select("rank", "vec_id", F.round("rel", 6).alias("rel"))
 
@@ -4568,8 +4570,8 @@ def semdedup_cell_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                             & (F.col("vec_id") <= _SEMDEDUP_NLIST))
                  .select("vec_id", "embedding").orderBy("vec_id").collect())
     centroids = [[float(x) for x in r.embedding] for r in cent_rows]
-    exact = embedding_near_dup(emb, threshold=_SEMDEDUP_T) \
-        .select("id_a", "id_b").persist()
+    exact = scoped_persist(embedding_near_dup(emb, threshold=_SEMDEDUP_T)
+                           .select("id_a", "id_b"))
     cells = emb.select(F.col("vec_id").alias("id"),
                        ivf_cell("embedding", centroids).alias("cell"))
     caught = (exact
@@ -4636,8 +4638,8 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded stream is pruned to query terms BEFORE the shuffle."""
     from openai_vector_search_demo_spark.functions.text_analysis import tokens
     docs = t(spark, sf_dir, "documents")
-    toks = (docs.select("doc_id", tokens("text").alias("toks"))
-            .withColumn("dl", F.size("toks")).persist())
+    toks = scoped_persist(docs.select("doc_id", tokens("text").alias("toks"))
+                          .withColumn("dl", F.size("toks")))
     n_docs, avgdl = toks.agg(F.count(F.lit(1)), F.avg("dl")).first()
     ex = toks.select("doc_id", "dl", F.explode("toks").alias("token"))
     tf = (ex.filter(F.col("token").isin(_BM25_TERMS))

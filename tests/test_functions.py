@@ -285,3 +285,62 @@ def test_bigram_lm_single_token_and_empty_docs(spark):
     assert set(out) == {1, 3}
     assert out[1].n_tokens == 1
     assert out[3].n_tokens == 2
+
+
+def test_unigram_reuse_pairs_equivalent(spark):
+    """unigram_lm_scores(reuse_pairs=True) derives token counts as the
+    prev-marginal of doc_pair_counts — scores must be identical to the
+    direct tokenization, so the shared-scan path is a physical choice."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    rows = [(1, "the cat sat on the mat"), (2, "the dog sat"),
+            (3, ""), (4, "one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    direct = {r.doc_id: (r.n_tokens, r.avg_logprob)
+              for r in unigram_lm_scores(df, cache=False).collect()}
+    via_pairs = {r.doc_id: (r.n_tokens, r.avg_logprob)
+                 for r in unigram_lm_scores(df, cache=False,
+                                            reuse_pairs=True).collect()}
+    assert direct == via_pairs
+
+
+def test_cache_scope_releases_persists(spark):
+    """Persists taken inside cache_scope() are released on exit; outside
+    a scope the session-lifetime behavior is unchanged."""
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+
+    df1 = spark.range(10)
+    with cache_scope():
+        inner = scoped_persist(spark.range(20))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # released on scope exit
+
+    outer = scoped_persist(df1)
+    outer.count()
+    try:
+        assert outer.storageLevel.useMemory  # no scope: session-lifetime
+    finally:
+        outer.unpersist()
+
+
+def test_cache_scope_nesting_releases_own_only(spark):
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+
+    with cache_scope():
+        a = scoped_persist(spark.range(5))
+        a.count()
+        with cache_scope():
+            b = scoped_persist(spark.range(6))
+            b.count()
+        assert not b.storageLevel.useMemory  # inner scope released b
+        assert a.storageLevel.useMemory      # outer scope still holds a
+    assert not a.storageLevel.useMemory
