@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_counts", "funnel_counts_njoin"]
+__all__ = ["funnel_counts", "funnel_counts_auto", "funnel_counts_njoin"]
 
 
 def funnel_counts(events: DataFrame, steps: list[str],
@@ -120,3 +120,56 @@ def funnel_counts_njoin(events: DataFrame, steps: list[str],
                     F.round(F.when(F.col("base") > 0,
                                    F.col("r.users") / F.col("base"))
                             .otherwise(F.lit(0.0)), 6).alias("conversion")))
+
+
+FUNNEL_AUTO_WHALE_EVENTS = 1_000_000
+"""``method='auto'`` crossover: estimated max per-user relevant-event
+count above which the whale-safe N-join form is chosen.  The fold form
+materializes each user's sorted (ts, event_type) list in task memory
+(~32 B/event → ~32 MB at 1M events, the point where one user's state
+stops being a rounding error against a few-hundred-MB task budget and
+GC pressure starts compounding), while the njoin form's cost is a flat
+~2× at bench scale (0.5 vs 0.9 s at sf0.1 — BENCH events_funnel vs
+events_funnel_njoin) regardless of skew.  Below the threshold the fold
+form's single shuffle wins; above it, flat memory beats one shuffle."""
+
+FUNNEL_AUTO_PROBE_FRACTION = 0.01
+"""Row-sample fraction for the whale probe.  A binomial sample of a
+true per-user count N concentrates at N·f ± √(N·f), so at the 1M-event
+threshold the probe sees 10,000 ± 100 rows — whale detection is
+reliable exactly where it matters, and the probe's groupBy runs over
+1% of the relevant events (a tiny shuffle, the same spirit as knn's
+measured ``method='auto'`` crossover probe)."""
+
+
+def funnel_counts_auto(events: DataFrame, steps: list[str],
+                       user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts_us",
+                       method: str = "auto",
+                       probe_fraction: float = FUNNEL_AUTO_PROBE_FRACTION,
+                       whale_events: int = FUNNEL_AUTO_WHALE_EVENTS,
+                       seed: int = 42) -> DataFrame:
+    """Funnel with physical-form routing — ``funnel_counts`` (one-shuffle
+    fold) vs ``funnel_counts_njoin`` (whale-safe N-join) was a caller
+    decision; ``method='auto'`` makes it a measured one, mirroring
+    ``knn(method='auto')``: a seeded 1% row-sample of the RELEVANT events
+    (non-step types are filtered before sampling — they never enter
+    either form's per-user state) estimates the max per-user event count
+    as ``sample_max / fraction``; at or above ``whale_events`` the njoin
+    form runs, else the fold.  Both forms implement the same greedy
+    earliest chain, so routing is invisible to results — the oracle is
+    shared verbatim."""
+    if method not in ("auto", "fold", "njoin"):
+        raise ValueError(
+            f"method={method!r}: expected one of ['auto', 'fold', 'njoin']")
+    if method == "auto":
+        rel = events.filter(F.col(type_col).isin(list(steps)))
+        probe = (rel.sample(fraction=probe_fraction, seed=seed)
+                 .groupBy(user_col).agg(F.count(F.lit(1)).alias("n"))
+                 .agg(F.max("n").alias("mx")).first())
+        est_max = (probe["mx"] or 0) / probe_fraction
+        method = "njoin" if est_max >= whale_events else "fold"
+    fn = funnel_counts_njoin if method == "njoin" else funnel_counts
+    return fn(events, steps, user_col=user_col, type_col=type_col,
+              ts_col=ts_col)

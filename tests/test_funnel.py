@@ -92,3 +92,64 @@ def test_njoin_form_equals_fold_form(spark):
     assert a == b
     by_step = {r[0]: r[2] for r in a}
     assert by_step[1] == 3 and by_step[3] == 2  # whale + user 1 convert
+
+
+def test_auto_routes_and_matches_both_forms(spark):
+    """method='auto' must return the same values as both physical forms,
+    and the probe must pick 'fold' on ordinary data and flip to 'njoin'
+    when the estimated max per-user count crosses the whale threshold."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+        funnel_counts_auto,
+        funnel_counts_njoin,
+    )
+    rows = [(1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+            (2, "click", 5), (2, "view", 50)]
+    for i in range(400):
+        rows.append((3, ["view", "click", "purchase"][i % 3], 100 + i))
+    ev = spark.createDataFrame(rows,
+                               "user_id long, event_type string, ts_us long")
+    steps = ["view", "click", "purchase"]
+    want = sorted(map(tuple, funnel_counts(ev, steps).collect()))
+    assert sorted(map(tuple,
+                      funnel_counts_auto(ev, steps).collect())) == want
+    # force each branch explicitly — both value-locked to the fold
+    for method in ("fold", "njoin"):
+        got = sorted(map(tuple, funnel_counts_auto(
+            ev, steps, method=method).collect()))
+        assert got == want, method
+    # whale flip: with the threshold lowered to the fixture's scale the
+    # probe must route to njoin — and values must not change
+    got = sorted(map(tuple, funnel_counts_auto(
+        ev, steps, probe_fraction=0.5, whale_events=100).collect()))
+    assert got == want
+    with pytest.raises(ValueError, match="method"):
+        funnel_counts_auto(ev, steps, method="flod")
+
+
+def test_auto_probe_detects_synthetic_whale(spark):
+    """The sampled estimator must see a genuine whale: one user holding
+    ~200k relevant events against a 1k-user background, threshold 100k."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts_auto,
+        funnel_counts_njoin,
+    )
+    whale = spark.range(200_000).select(
+        F.lit(9_999_999).alias("user_id"),
+        F.element_at(F.array(F.lit("view"), F.lit("click"),
+                             F.lit("purchase")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("event_type"),
+        F.col("id").alias("ts_us"))
+    crowd = spark.range(1_000).select(
+        F.col("id").alias("user_id"), F.lit("view").alias("event_type"),
+        F.lit(1).cast("long").alias("ts_us"))
+    ev = whale.unionByName(crowd)
+    steps = ["view", "click", "purchase"]
+    want = sorted(map(tuple, funnel_counts_njoin(ev, steps).collect()))
+    got = sorted(map(tuple, funnel_counts_auto(
+        ev, steps, whale_events=100_000).collect()))
+    assert got == want
+    by_step = {r[0]: r[2] for r in got}
+    assert by_step[1] == 1_001 and by_step[3] == 1  # whale converts alone
