@@ -517,3 +517,21 @@ def test_clustered_recall_high_at_low_scan(spark):
     assert row.mean_recall_at_10 >= 0.9
     assert row.min_recall >= 0.9
     assert row.scan_frac <= 0.15
+
+
+def test_lsh_clustered_beats_uniform_floor(spark):
+    """On clustered data even the untrained LSH index must sit far above
+    the uniform recall-equals-scan floor: same nbits=8/Hamming-1 config
+    that reads ~0.1 recall at 3.5% scan on the near-uniform driver
+    fixture reaches >= 0.5 at <= 10% scan here."""
+    from openai_vector_search_demo_spark.queries import (
+        ann_lsh_clustered_recall_at_10,
+    )
+
+    row = ann_lsh_clustered_recall_at_10(spark, "unused").collect()[0]
+    assert row.n_queries == 20
+    assert row.mean_recall_at_10 >= 0.5
+    assert row.scan_frac <= 0.10
+    # still well below the metric-trained IVF on the same fixture — the
+    # "train on the served corpus" guidance stays visible in the numbers
+    assert row.mean_recall_at_10 < 0.9

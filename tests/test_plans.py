@@ -362,3 +362,19 @@ def test_tfidf_capped_prunes_vocabulary_before_pairing(spark):
     p = _physical(tfidf_cosine_pairs(docs, max_token_df=5, n_docs=2))
     # the HAVING-style cap plans as a Filter over the count aggregate
     assert "(dfc" in p and "<= 5" in p
+
+
+def test_bigram_lm_scored_stream_never_sortmergejoins(spark):
+    """The r9 bigram rework's contract: the wide per-(doc,prev,cur)
+    scored stream is co-located ONCE (the bc window over (prev, tk));
+    every join in the plan must be broadcast — a SortMergeJoin would
+    mean a marginal table regressed to a shuffle join of the stream."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        bigram_lm_scores,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b b a")], "doc_id long, text string")
+    p = _physical(bigram_lm_scores(docs, cache=False))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert p.count("Window") == 1
