@@ -60,10 +60,14 @@ def main() -> None:
         print(f"{table}: {n} rows")
 
     scale("customer", "* REPLACE (c_custkey + k * 10000000 AS c_custkey)")
+    scale("supplier", "* REPLACE (s_suppkey + k * 1000000 AS s_suppkey)")
+    scale("part", "* REPLACE (p_partkey + k * 10000000 AS p_partkey)")
     scale("orders", "* REPLACE (o_orderkey + k * 1000000000 AS o_orderkey, "
                     "o_custkey + k * 10000000 AS o_custkey)")
     scale("lineitem",
-          "* REPLACE (l_orderkey + k * 1000000000 AS l_orderkey)")
+          "* REPLACE (l_orderkey + k * 1000000000 AS l_orderkey, "
+          "l_suppkey + k * 1000000 AS l_suppkey, "
+          "l_partkey + k * 10000000 AS l_partkey)")
     scale("events", "* REPLACE (user_id + k * 10000000 AS user_id)")
     scale("documents", """
         * REPLACE (doc_id + k * 1000000 AS doc_id,
