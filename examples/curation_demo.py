@@ -42,6 +42,10 @@ from openai_vector_search_demo_spark.operators.sharding import (  # noqa: E402
 from openai_vector_search_demo_spark.operators.substrings import (  # noqa: E402
     repeated_ngram_dedup,
 )
+from openai_vector_search_demo_spark.caching import (  # noqa: E402
+    cache_scope,
+    scoped_persist,
+)
 from openai_vector_search_demo_spark.session import get_spark  # noqa: E402
 
 
@@ -49,7 +53,17 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark("curation-demo")
     spark.sparkContext.setLogLevel("ERROR")
+    # One batch, one cache scope: every persist the operators take below
+    # (the scrub buffer, the LM counts, decontamination shingles) is
+    # released when the block exits — the per-batch storage contract a
+    # long-lived curation service would use (caching.cache_scope).
+    with cache_scope():
+        rc = _run(spark, sf_dir)
+    spark.stop()
+    return rc
 
+
+def _run(spark, sf_dir: str) -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .select("doc_id", "text")
     n0 = docs.count()
@@ -57,9 +71,10 @@ def main() -> int:
 
     scrub = repeated_ngram_dedup(docs, n=5, min_df=2)
     removed = scrub.agg(F.sum("n_removed"), F.sum("n_tokens")).first()
-    scrubbed = (scrub.filter(F.col("cleaned") != "")
-                .select(F.col("id").alias("doc_id"),
-                        F.col("cleaned").alias("text")).persist())
+    scrubbed = scoped_persist(
+        scrub.filter(F.col("cleaned") != "")
+             .select(F.col("id").alias("doc_id"),
+                     F.col("cleaned").alias("text")))
     n1 = scrubbed.count()
     print(f"1. substring scrub: removed {removed[0]}/{removed[1]} tokens; "
           f"{n0 - n1} docs fully scrubbed, {n1} remain")
@@ -98,7 +113,6 @@ def main() -> int:
     print("6. shard manifest (4 shards, epoch-1 permutation):")
     for r in manifest.orderBy("shard").collect():
         print(f"   shard {r.shard}: {r.n_docs} docs, {r.n_tokens} tokens")
-    spark.stop()
     return 0
 
 
