@@ -1,0 +1,177 @@
+"""Late-interaction (multi-vector / ColBERT-style MaxSim) retrieval.
+
+Single-vector retrieval (Q2's cosine KNN over one embedding per chunk —
+the reference's model, modules/utilities.py) collapses a document to one
+point before the query arrives; late interaction keeps one vector PER
+TOKEN POSITION and scores
+
+    score(q, d) = Σ_i  max_j  cos(q_i, d_j)
+
+— each query token finds its best-matching document token (Khattab &
+Zaharia, ColBERT, SIGIR 2020).  The standard engines serve this from a
+dense per-token vector store; the Spark-first realization here keeps the
+whole computation RELATIONAL by exploiting that the engine's
+deterministic embedder (``embedding/embedder.HashNgramEmbedder``:
+md5-60bit feature hashing, the flagship pipeline's oracle-checkable E1
+slot) produces SPARSE vectors — a (2·window+1)-token context window
+embeds to at most 2·window+1 non-zero buckets.  So:
+
+- a "token vector" is a handful of ``(bucket, weight)`` rows, derived
+  with codegen expressions (tokenize → posexplode → ±window explode →
+  two map-side-combinable aggregates);
+- ``cos(q_i, d_j)`` is an equi-join on ``bucket`` (unit vectors: the dot
+  IS the cosine) — and since the query side is ~tens of rows it
+  BROADCASTS, so the corpus never shuffles to compute all pairwise dots;
+- ``max_j`` / ``Σ_i`` are ordinary aggregates keyed by (doc, position),
+  map-side combinable;
+- top-k is the ``TakeOrderedAndProject`` contract shared with Q2.
+
+Every step is bit-reproducible in DuckDB SQL (md5-60bit hashing on both
+sides — `queries.late_interaction_topk` carries the mirrored oracle), so
+this approximate-free operator is value-checked end to end, unlike
+typical ANN-backed ColBERT servings.
+
+The zero-overlap subtlety, handled exactly: ``max_j`` ranges over ALL
+document positions, and a (q_i, d_j) pair with disjoint buckets has
+cos = 0 — but the bucket join only materializes OVERLAPPING pairs.  A
+query position whose best overlapping cosine is negative must still
+score 0 if the document has at least one position with no overlap (the
+true max is then 0, from any disjoint pair).  The operator counts, per
+(doc, query-position), how many distinct doc positions were joined and
+floors the max at 0 unless the pairs cover every doc position.
+
+Scale shape: doc features are ≤ (2w+1)·max_tokens rows per document
+(linear, map-derived); the only wide relation ever shuffled is the
+per-(doc, dpos, qpos) dot table, bounded by |doc features| × |query
+positions| — and since the query side is broadcast the join itself is
+shuffle-free; the aggregates shuffle on (doc, position) keys.  No dense
+math, no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.text_analysis import (
+    _hash60,
+    tokens,
+)
+
+__all__ = ["token_window_features", "late_interaction_topk",
+           "query_window_features"]
+
+
+def token_window_features(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", max_tokens: int = 64,
+                          window: int = 1, dim: int = 64) -> DataFrame:
+    """Sparse per-position context vectors: ``(id, pos, bucket, w)``.
+
+    Position ``pos`` (0-based, first ``max_tokens`` tokens — the ColBERT
+    doc-truncation convention) embeds the token multiset in
+    ``[pos-window, pos+window]`` (clamped to the document): each token
+    hashes to ``bucket = h60 % dim`` with ``sign = ±1`` from bit 59
+    (exactly ``HashNgramEmbedder``'s feature map), signs accumulate per
+    bucket, and the vector L2-normalizes.  Sign-cancelled buckets drop;
+    fully-cancelled positions vanish (they contribute cosine 0 to every
+    query token, which the scorer's zero-floor already encodes).
+
+    Derivation is pure codegen + two map-side-combinable aggregates:
+    posexplode over the truncated token array, a ±window explode of each
+    token's target positions, ``SUM(sign)`` per (id, pos, bucket), and a
+    norm aggregate joined back — the corpus text itself never shuffles,
+    only (id, pos, bucket, sign) feature rows do."""
+    toks = (df.select(F.col(id_col).alias("id"),
+                      F.slice(tokens(text_col), 1, max_tokens).alias("tks"))
+            .select("id", F.size("tks").alias("n"),
+                    F.posexplode("tks").alias("tpos", "tk")))
+    h = _hash60(F.col("tk"))
+    sgn = F.when(F.shiftright(h, 59).bitwiseAND(F.lit(1)) == 0, F.lit(1.0)) \
+           .otherwise(F.lit(-1.0))
+    feat = toks.select("id", "n", "tpos",
+                       (h % dim).cast("int").alias("bucket"),
+                       sgn.alias("sign"))
+    # token at tpos contributes to every position in [tpos-w, tpos+w]∩[0,n)
+    offsets = F.sequence(F.lit(-window), F.lit(window))
+    spread = (feat.select(
+        "id", "bucket", "sign",
+        F.explode(offsets).alias("off"), "tpos", "n")
+        .withColumn("pos", F.col("tpos") + F.col("off"))
+        .filter((F.col("pos") >= 0) & (F.col("pos") < F.col("n")))
+        .drop("off", "tpos", "n"))
+    s = (spread.groupBy("id", "pos", "bucket")
+         .agg(F.sum("sign").alias("s"))
+         .filter(F.col("s") != 0))
+    norm = s.groupBy("id", "pos").agg(
+        F.sqrt(F.sum(F.col("s") * F.col("s"))).alias("nrm"))
+    return (s.join(norm, ["id", "pos"])
+            .select("id", "pos", "bucket",
+                    (F.col("s") / F.col("nrm")).alias("w")))
+
+
+def query_window_features(query: str, max_tokens: int = 64,
+                          window: int = 1,
+                          dim: int = 64) -> list[tuple[int, int, float]]:
+    """Driver-side twin of ``token_window_features`` for the (tiny) query:
+    ``[(qpos, bucket, w)]`` — same md5-60bit feature map, same windowing,
+    computed with hashlib so the query plan starts from literals."""
+    tks = [t for t in query.lower().split() if t][:max_tokens]
+    n = len(tks)
+    feats: dict[tuple[int, int], float] = {}
+    for tpos, tk in enumerate(tks):
+        h = int(hashlib.md5(tk.encode("utf-8")).hexdigest()[:15], 16)
+        b, sgn = h % dim, (1.0 if (h >> 59) & 1 == 0 else -1.0)
+        for pos in range(max(0, tpos - window), min(n, tpos + window + 1)):
+            feats[(pos, b)] = feats.get((pos, b), 0.0) + sgn
+    by_pos: dict[int, float] = {}
+    for (pos, _b), sv in feats.items():
+        by_pos[pos] = by_pos.get(pos, 0.0) + sv * sv
+    out = []
+    for (pos, b), sv in sorted(feats.items()):
+        if sv != 0 and by_pos[pos] > 0:
+            out.append((pos, b, sv / by_pos[pos] ** 0.5))
+    return out
+
+
+def late_interaction_topk(df: DataFrame, query: str, k: int = 10,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_tokens: int = 64, window: int = 1,
+                          dim: int = 64,
+                          score_col: str = "maxsim_score") -> DataFrame:
+    """MaxSim top-k: ``(id_col, score_col)`` for the ``k`` best documents,
+    descending score, ties broken by ascending id (the Q2 sort contract).
+
+    Documents whose features share no bucket with any query position
+    score 0 and cannot enter the top-k (they are absent from the joined
+    relation) — the same pruning-by-construction that makes the bucket
+    join linear in corpus features rather than all-pairs."""
+    qfeats = query_window_features(query, max_tokens, window, dim)
+    spark = df.sparkSession
+    if not qfeats:
+        return (df.select(F.col(id_col), F.lit(0.0).alias(score_col))
+                .limit(0))
+    qdf = spark.createDataFrame(qfeats, "qpos int, bucket int, wq double")
+    dfeat = token_window_features(df, text_col, id_col,
+                                  max_tokens, window, dim)
+    # doc positions per id — the zero-floor needs to know whether the
+    # overlapping pairs covered EVERY doc position (see module docstring)
+    dpos = dfeat.groupBy("id").agg(
+        F.countDistinct("pos").alias("n_dpos"))
+    dots = (dfeat.join(F.broadcast(qdf), "bucket")
+            .groupBy("id", "pos", "qpos")
+            .agg(F.sum(F.col("w") * F.col("wq")).alias("cos")))
+    best = (dots.groupBy("id", "qpos")
+            .agg(F.max("cos").alias("mx"),
+                 F.countDistinct("pos").alias("n_hit")))
+    adj = (best.join(dpos, "id")
+           .select("id", "qpos",
+                   F.when(F.col("n_hit") < F.col("n_dpos"),
+                          F.greatest(F.col("mx"), F.lit(0.0)))
+                   .otherwise(F.col("mx")).alias("msim")))
+    scores = adj.groupBy("id").agg(
+        F.round(F.sum("msim"), 6).alias(score_col))
+    return (scores.select(F.col("id").alias(id_col), score_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+            .limit(k))

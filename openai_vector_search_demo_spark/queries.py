@@ -1804,6 +1804,79 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("max_value", 6).alias("max_value"))
 
 
+_LATE_Q = "hash join on a small table"
+_LATE_MT, _LATE_W, _LATE_DIM, _LATE_K = 64, 1, 64, 10
+
+
+def _late_interaction_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        query_window_features,
+    )
+    qrows = ",\n".join(
+        f"({p}, {b}, {w!r})"
+        for p, b, w in query_window_features(_LATE_Q, _LATE_MT, _LATE_W,
+                                             _LATE_DIM))
+    offs = ", ".join(str(o) for o in range(-_LATE_W, _LATE_W + 1))
+    return f"""
+WITH tk0 AS (SELECT doc_id, list_slice({_SQL_TOKS}, 1, {_LATE_MT}) AS tks
+             FROM documents),
+tok AS (SELECT doc_id, len(tks) AS n, unnest(tks) AS tk,
+               generate_subscripts(tks, 1) - 1 AS tpos
+        FROM tk0),
+feat AS (SELECT doc_id, n, tpos,
+                CAST(h % {_LATE_DIM} AS INT) AS bucket,
+                CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         FROM (SELECT *, {_SQL_H60.format(expr="tk")} AS h FROM tok)),
+spread AS (SELECT doc_id, bucket, sign, tpos + off AS pos
+           FROM feat, (SELECT unnest([{offs}]) AS off)
+           WHERE tpos + off >= 0 AND tpos + off < n),
+s AS (SELECT doc_id, pos, bucket, SUM(sign) AS sv FROM spread
+      GROUP BY ALL HAVING SUM(sign) <> 0),
+nrm AS (SELECT doc_id, pos, sqrt(SUM(sv * sv)) AS nrm FROM s GROUP BY ALL),
+dfeat AS (SELECT s.doc_id, s.pos, s.bucket, s.sv / n.nrm AS w
+          FROM s JOIN nrm n USING (doc_id, pos)),
+q(qpos, bucket, wq) AS (VALUES {qrows}),
+dpos AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_dpos FROM dfeat
+         GROUP BY doc_id),
+dots AS (SELECT d.doc_id, d.pos, q.qpos, SUM(d.w * q.wq) AS cos
+         FROM dfeat d JOIN q USING (bucket) GROUP BY ALL),
+best AS (SELECT doc_id, qpos, MAX(cos) AS mx,
+                COUNT(DISTINCT pos) AS n_hit
+         FROM dots GROUP BY ALL),
+adj AS (SELECT b.doc_id, b.qpos,
+               CASE WHEN b.n_hit < p.n_dpos THEN greatest(b.mx, 0.0)
+                    ELSE b.mx END AS msim
+        FROM best b JOIN dpos p USING (doc_id))
+SELECT doc_id, ROUND(SUM(msim), 6) AS maxsim_score
+FROM adj GROUP BY doc_id
+ORDER BY maxsim_score DESC, doc_id ASC LIMIT {_LATE_K}
+"""
+
+
+@query("late_interaction_topk", oracle=_late_interaction_oracle())
+def late_interaction_topk_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) top-k — multi-vector
+    retrieval where each query token finds its best-matching document
+    token position (Khattab & Zaharia, SIGIR 2020), realized as pure
+    relational algebra over the deterministic hash embedder's SPARSE
+    per-position context vectors: bucket equi-join against a broadcast
+    query-feature table (the corpus never shuffles for the dots),
+    map-side-combinable max/sum aggregates, TakeOrderedAndProject top-k.
+    Candidate-set semantics like any inverted index: zero-overlap
+    documents tie at score 0 and are not retrieved.  The oracle
+    re-derives every feature, dot, and max from the same md5-60bit
+    literals — an exact value check of a retrieval model usually served
+    only approximately.  Plan/derivation notes in
+    ``operators/late_interaction.py``."""
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+    return late_interaction_topk(
+        t(spark, sf_dir, "documents"), _LATE_Q, k=_LATE_K,
+        max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
+
+
 @query("similarity_join_topk", oracle="""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
 r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),

@@ -1,0 +1,136 @@
+"""Late-interaction (MaxSim) retrieval — semantics vs a dense brute-force
+reference, edge cases, and the scale-shape plan pins."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DIM, W, MT = 64, 1, 64
+
+
+def _dense_positions(text: str):
+    """Dense twin of token_window_features: one normalized context vector
+    per position, built with plain numpy from the same md5 feature map."""
+    tks = [t for t in text.lower().split() if t][:MT]
+    n = len(tks)
+    vecs = []
+    for pos in range(n):
+        v = np.zeros(DIM)
+        for tpos in range(max(0, pos - W), min(n, pos + W + 1)):
+            h = int(hashlib.md5(tks[tpos].encode()).hexdigest()[:15], 16)
+            v[h % DIM] += 1.0 if (h >> 59) & 1 == 0 else -1.0
+        nm = np.linalg.norm(v)
+        if nm > 0:
+            vecs.append(v / nm)
+    return vecs
+
+
+def _brute(docs, query, k=10):
+    """Dense MaxSim with the operator's candidate-set semantics: only
+    documents sharing at least one bucket with the query are retrieved."""
+    qv = _dense_positions(query)
+    out = []
+    for did, text in docs:
+        dv = _dense_positions(text)
+        if not dv or not qv:
+            continue
+        D = np.array(dv)
+        qbuckets = {b for q in qv for b in np.nonzero(q)[0]}
+        dbuckets = {b for d in dv for b in np.nonzero(d)[0]}
+        if not (qbuckets & dbuckets):
+            continue
+        s = sum(float((D @ q).max()) for q in qv)
+        out.append((did, round(s, 6)))
+    out.sort(key=lambda x: (-x[1], x[0]))
+    return out[:k]
+
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "dogs chase cats around the garden"),
+    (3, "completely unrelated words xylophone quark"),
+    (4, "the cat sat"),
+    (5, ""),
+    (6, "cat cat cat cat"),
+]
+
+
+def test_matches_dense_brute_force(spark):
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for query in ("cat on a mat", "garden", "the"):
+        got = [(r.doc_id, r.maxsim_score)
+               for r in late_interaction_topk(df, query, k=10).collect()]
+        assert got == _brute(DOCS, query), query
+
+
+def test_repetition_does_not_outrank_coverage(spark):
+    """MaxSim's defining property vs bag-of-words cosine: each query
+    token takes its best match ONCE — a doc repeating one query token
+    cannot outrank a doc covering more query tokens."""
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = [r.doc_id for r in
+           late_interaction_topk(df, "cat on a mat", k=3).collect()]
+    assert got[0] == 1          # full coverage wins...
+    assert 6 in got and got.index(6) > 0  # ...over the cat-cat-cat doc
+
+
+def test_empty_query_and_empty_docs(spark):
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    assert late_interaction_topk(df, "   ", k=5).collect() == []
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert late_interaction_topk(empty, "cat", k=5).collect() == []
+
+
+def test_truncation_at_max_tokens(spark):
+    """Tokens past max_tokens must not influence the score (the ColBERT
+    doc-truncation contract)."""
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    base = "word " * 64
+    rows = [(1, base.strip()), (2, (base + "cat").strip())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.maxsim_score
+           for r in late_interaction_topk(df, "cat", k=5).collect()}
+    # 'cat' is doc 2's 65th token — truncated away, so neither doc may
+    # score a cat match; both score identically (or not at all)
+    assert got.get(1) == got.get(2)
+
+
+def test_plan_broadcasts_query_and_takeordered(spark):
+    """Scale pins: the dots join must broadcast the (tiny) query-feature
+    side — the corpus never shuffles for the pairwise dots — and top-k
+    must compile to TakeOrderedAndProject, never a global sort."""
+    import contextlib
+    import io
+
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    q = late_interaction_topk(df, "cat on a mat", k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [maxsim_score" not in p
