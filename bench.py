@@ -139,6 +139,7 @@ HEADLINE = [
     "events_funnel",        # one-shuffle sequential-pattern fold
     "ta_unigram_lm_score",  # corpus-trained LM scoring, counts-only shuffles
     "ta_bigram_lm_score",   # interpolated bigram LM — one order up
+    "late_interaction_topk",  # ColBERT MaxSim, single-exchange plan (r9)
     "curation_pipeline",
 ]
 
