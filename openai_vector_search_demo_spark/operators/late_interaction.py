@@ -61,7 +61,8 @@ from openai_vector_search_demo_spark.functions.text_analysis import (
 )
 
 __all__ = ["token_window_features", "late_interaction_topk",
-           "query_window_features"]
+           "query_window_features", "write_token_window_index",
+           "late_interaction_stored_topk"]
 
 
 def token_window_features(df: DataFrame, text_col: str = "text",
@@ -180,6 +181,14 @@ def late_interaction_topk(df: DataFrame, query: str, k: int = 10,
     # overlapping pairs covered EVERY doc position (see module docstring)
     dpos = dfeat.groupBy("id").agg(
         F.countDistinct("pos").alias("n_dpos"))
+    return _maxsim_topk(dfeat, qdf, dpos, id_col, score_col, k)
+
+
+def _maxsim_topk(dfeat: DataFrame, qdf: DataFrame, dpos: DataFrame,
+                 id_col: str, score_col: str, k: int) -> DataFrame:
+    """Shared MaxSim scoring tail over a feature relation
+    ``(id, pos, bucket, w)`` — used by both the inline operator and the
+    stored-index read path, so the two are value-locked by construction."""
     dots = (dfeat.join(F.broadcast(qdf), "bucket")
             .groupBy("id", "pos", "qpos")
             .agg(F.sum(F.col("w") * F.col("wq")).alias("cos")))
@@ -196,3 +205,67 @@ def late_interaction_topk(df: DataFrame, query: str, k: int = 10,
     return (scores.select(F.col("id").alias(id_col), score_col)
             .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
             .limit(k))
+
+
+def write_token_window_index(df: DataFrame, path: str,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             max_tokens: int = 64, window: int = 1,
+                             dim: int = 64) -> None:
+    """Write-time multi-vector index — the ``lsh_assign`` pattern for
+    late interaction: the sparse feature relation persisted
+    BUCKET-PARTITIONED (one directory per bucket; the ``repartition``
+    puts each bucket in exactly one task/file), plus the per-doc
+    position-count metadata at ``path + "_meta"``.
+
+    The metadata exists because the zero-floor ranges over ALL of a
+    document's positions, including those whose buckets a given query
+    never probes — a partition-pruned read alone cannot reconstruct it.
+    One tiny row per document (the same scale as any doc-store side
+    table), joined on id at query time."""
+    feats = token_window_features(df, text_col, id_col,
+                                  max_tokens, window, dim)
+    (feats.repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+    # derive the metadata from the store itself (build-time full read:
+    # the index build is the one place a full scan is expected)
+    stored = df.sparkSession.read.parquet(path)
+    (stored.groupBy("id").agg(F.countDistinct("pos").alias("n_dpos"))
+     .write.mode("overwrite").parquet(path + "_meta"))
+
+
+def late_interaction_stored_topk(spark, store: str, query: str, k: int = 10,
+                                 id_col: str = "doc_id",
+                                 max_tokens: int = 64, window: int = 1,
+                                 dim: int = 64,
+                                 score_col: str = "maxsim_score"
+                                 ) -> DataFrame:
+    """MaxSim top-k over a ``write_token_window_index`` store: the scan
+    reads ONLY the query's probe buckets — |query buckets| of ``dim``
+    partition directories, enumerated driver-side and handed to the
+    reader under ``basePath`` exactly like ``ann_lsh_stored_knn`` (the
+    local-FS equivalent of metastore partition pruning; the residual
+    ``isin`` guards stray files and keeps the PartitionFilters pin).
+    Identical scores to the inline operator: dots can only arise on
+    shared buckets, so unprobed buckets contribute nothing by
+    construction, and the zero-floor's full position counts come from
+    the side metadata, not the pruned scan."""
+    import os
+
+    qfeats = query_window_features(query, max_tokens, window, dim)
+    if not qfeats:
+        return (spark.read.parquet(store + "_meta")
+                .select(F.col("id").alias(id_col),
+                        F.lit(0.0).alias(score_col)).limit(0))
+    qdf = spark.createDataFrame(qfeats, "qpos int, bucket int, wq double")
+    probes = sorted({b for _, b, _ in qfeats})
+    probe_paths = [p for p in (os.path.join(store, f"bucket={b}")
+                               for b in probes) if os.path.isdir(p)]
+    if probe_paths:
+        dfeat = (spark.read.option("basePath", store).parquet(*probe_paths)
+                 .filter(F.col("bucket").isin(probes))
+                 .repartition(F.col("id")))
+    else:
+        dfeat = (spark.read.parquet(store)
+                 .filter(F.col("bucket").isin(probes)).limit(0))
+    dpos = spark.read.parquet(store + "_meta")
+    return _maxsim_topk(dfeat, qdf, dpos, id_col, score_col, k)

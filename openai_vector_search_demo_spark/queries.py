@@ -1877,6 +1877,41 @@ def late_interaction_topk_query(spark: SparkSession,
         max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
 
 
+@query("late_interaction_stored_topk", oracle=_late_interaction_oracle())
+def late_interaction_stored_topk_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The STORED multi-vector read path: ``write_token_window_index``
+    persists the sparse feature relation bucket-partitioned (+ per-doc
+    position counts as side metadata), and the query reads ONLY its
+    probe-bucket directories — the ``ann_lsh_stored_knn`` pattern
+    applied to late interaction, touching |query buckets|/dim of the
+    index.  Same oracle as the inline slot: dots can only arise on
+    shared buckets, so pruning is invisible to values.  Store cached
+    per corpus CONTENT like the ANN stores (path + data-file
+    fingerprint)."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_stored_topk,
+        write_token_window_index,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|li|{_parquet_fingerprint(docs_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_li_store_" + key)
+    if not (os.path.exists(os.path.join(store, "_SUCCESS"))
+            and os.path.exists(os.path.join(store + "_meta", "_SUCCESS"))):
+        write_token_window_index(
+            t(spark, sf_dir, "documents"),
+            store, max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
+    return late_interaction_stored_topk(
+        spark, store, _LATE_Q, k=_LATE_K,
+        max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
+
+
 @query("similarity_join_topk", oracle="""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
 r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),

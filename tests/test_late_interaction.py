@@ -134,3 +134,47 @@ def test_plan_broadcasts_query_and_takeordered(spark):
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
     assert "Sort [maxsim_score" not in p
+
+
+def test_stored_index_matches_inline_and_prunes(spark, tmp_path):
+    """The stored multi-vector read path end-to-end: write the bucket-
+    partitioned index + metadata, verify (a) the probed read prunes at
+    the file listing and (b) scores equal the inline operator exactly
+    (the two share the scoring tail, but the pruned scan + side
+    metadata must reconstruct the same inputs)."""
+    import contextlib
+    import io
+
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_stored_topk,
+        late_interaction_topk,
+        write_token_window_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    store = str(tmp_path / "li_index")
+    write_token_window_index(df, store)
+    for query in ("cat on a mat", "garden", "xylophone quark"):
+        want = [(r.doc_id, r.maxsim_score) for r in
+                late_interaction_topk(df, query, k=10,
+                                      cache=False).collect()]
+        got_df = late_interaction_stored_topk(spark, store, query, k=10)
+        got = [(r.doc_id, r.maxsim_score) for r in got_df.collect()]
+        assert got == want, query
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        late_interaction_stored_topk(spark, store,
+                                     "cat on a mat").explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+
+
+def test_stored_index_empty_probe_and_empty_query(spark, tmp_path):
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_stored_topk,
+        write_token_window_index,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    store = str(tmp_path / "li_index2")
+    write_token_window_index(df, store)
+    assert late_interaction_stored_topk(spark, store, "  ").collect() == []
