@@ -7138,30 +7138,35 @@ def pack_stats_512(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver receipt.  Every operator family keeps at least one
 # representative inside the window.
 # Out: p2_filter_non_empty, p4_p9_path_parts, p6_highlight (pipeline
-#   scalars — p1/p5/p3/s9/c3 remain), q2_knn_auto (wide1024 remains),
+#   scalars — p1/p5/p3/c3 remain), q2_knn_auto (wide1024 remains),
 #   q7_q9_rerank_remote_slot / flagship_search_remote_slot (their
 #   deterministic twins remain), ta_redact_pii, ann_lsh_stored_knn,
-#   dedup_simhash, snapshot_diff_documents (upsert_latest_wins remains).
+#   dedup_simhash, snapshot_diff_documents (upsert_latest_wins remains);
+#   second pass for the four new r9 slots: s9_record_key (p3_md5_key
+#   remains for keys), q11_history_top1, ta_token_stats,
+#   skew_salted_agg (skew_salted_join remains).
 PROOF_WINDOW: list[str] = [
-    # reference parity: pipeline scalars, keys, chunking (P1-P11, S9, C3)
-    "p1_cleanse_text", "p5_keywords", "s9_record_key", "p3_md5_key",
+    # reference parity: pipeline scalars, keys, chunking (P1-P11, C3)
+    "p1_cleanse_text", "p5_keywords", "p3_md5_key",
     "c3_chunk_words",
     # Q2 KNN — the auto path at production width (variants: pytest/parity)
     "q2_knn_auto_wide1024",
-    # rerank, history
-    "q7_q9_rerank", "q11_history_top1",
+    # rerank
+    "q7_q9_rerank",
     # flagship end-to-end
     "flagship_search_oracled",
     # document cracking (binary PDF/DOCX parsing; VALUES-pinned oracle)
     "s1_s2_doc_crack",
     # text analysis (+ the r8 bigram LM, first driver receipt r9)
-    "ta_token_stats", "ta_language_id", "ta_quality_score",
+    "ta_language_id", "ta_quality_score",
     "ta_bigram_lm_score",
     # ANN — incl. the r8 trained-IVF/LSH measurement slots and the r9
-    # clustered-corpus receipt, none previously inside the window
+    # clustered-corpus receipts, none previously inside the window
     "ann_lsh_knn", "ann_ivf_trained_recall_at_10", "ann_lsh_near_dup",
     "ann_ivf_trained_knn", "ann_lsh_mean_recall_at_10",
-    "ann_ivf_clustered_recall_at_10",
+    "ann_ivf_clustered_recall_at_10", "ann_lsh_clustered_recall_at_10",
+    # late interaction (new r9 family): inline + stored-index read path
+    "late_interaction_topk", "late_interaction_stored_topk",
     # dedup + curation capstone (+ r8 CDC and graded decontamination)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "dedup_clusters",
@@ -7169,12 +7174,12 @@ PROOF_WINDOW: list[str] = [
     "cdc_chunk_dedup", "decontaminate_overlap_fraction",
     # maintenance / validation
     "upsert_latest_wins", "p11_validation_bounds",
-    # distributed-analytics singles (+ the r8 scale-safe forms)
+    # distributed-analytics singles (+ the r8/r9 scale-safe forms)
     "events_value_percentiles", "asof_join_last_purchase",
-    "skew_salted_agg", "skew_salted_join", "similarity_join_topk",
+    "skew_salted_join", "similarity_join_topk",
     "tfidf_top_terms", "range_join_price_bands", "cms_heavy_hitters",
     "tfidf_cosine_pairs_capped", "pareto_abc_quantile", "rfm_quantile",
-    "events_funnel_njoin",
+    "events_funnel_njoin", "events_funnel_auto",
     # streaming (real Structured Streaming runs)
     "streaming_tumbling_counts", "streaming_stream_static_join",
     # family-digest batteries
