@@ -344,3 +344,34 @@ def test_cache_scope_nesting_releases_own_only(spark):
         assert not b.storageLevel.useMemory  # inner scope released b
         assert a.storageLevel.useMemory      # outer scope still holds a
     assert not a.storageLevel.useMemory
+
+
+def test_unigram_reuse_pairs_hits_bigram_cache(spark):
+    """The sharing claim, receipted: after bigram_lm_scores materializes
+    its persisted pair counts, unigram_lm_scores(reuse_pairs=True) must
+    plan an InMemoryTableScan over that same relation (Spark's
+    plan-matching cache) instead of re-tokenizing the corpus."""
+    import contextlib
+    import io
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    rows = [(1, "the cat sat on the mat"), (2, "the dog sat")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    try:
+        bigram_lm_scores(df).collect()          # populates the pair cache
+        uni = unigram_lm_scores(df, reuse_pairs=True)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            uni.explain("formatted")
+        assert "InMemoryTableScan" in buf.getvalue()
+        direct = {r.doc_id: (r.n_tokens, r.avg_logprob)
+                  for r in unigram_lm_scores(df, cache=False).collect()}
+        shared = {r.doc_id: (r.n_tokens, r.avg_logprob)
+                  for r in uni.collect()}
+        assert direct == shared
+    finally:
+        spark.catalog.clearCache()
