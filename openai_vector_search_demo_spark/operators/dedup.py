@@ -385,38 +385,55 @@ def minhash_lsh_cross(new: DataFrame, existing: DataFrame,
     (tunable via bands/rows) instead of shared-shingle counts — no
     hot-shingle cap needed, same no-false-positives contract.
 
-    At scale the existing side's band entries are a WRITE-TIME artifact
-    (persist ``(band, bucket, id)`` partitioned by band — the
-    ``lsh_assign`` pattern); each incremental batch then computes only
-    its own signatures and probes the stored buckets.
+    At scale the existing side's band entries are a WRITE-TIME artifact:
+    ``write_band_index`` / ``minhash_lsh_cross_stored`` below implement
+    exactly that, sharing this function's prep/entry/verify stages so
+    the inline and stored forms are value-locked by construction.
     """
+    shn = _shingle_side(new, id_col, text_col, k, num_hashes, "n", cache)
+    she = _shingle_side(existing, id_col, text_col, k, num_hashes, "e",
+                        cache)
     rows = num_hashes // bands
+    return _cross_verify(
+        _band_entries(shn, "n", rows, bands),
+        _band_entries(she, "e", rows, bands),
+        shn.select("id_n", "hs_n"), she.select("id_e", "hs_e"), threshold)
+
+
+def _shingle_side(df: DataFrame, id_col: str, text_col: str, k: int,
+                  num_hashes: int, tag: str, cache: bool) -> DataFrame:
+    """One side's ``(id_<tag>, hs_<tag>, signature)`` — the Arrow-fused
+    shingle + MinHash pass shared by the cross operators."""
     from openai_vector_search_demo_spark.plans.pipeline import (
         spread_for_python,
     )
+    sh = (spread_for_python(df)
+          .select(F.col(id_col).alias(f"id_{tag}"),
+                  _shingle_sig_udf(k, num_hashes)(F.col(text_col))
+                  .alias("_ss"))
+          .select(f"id_{tag}", F.col("_ss.hs").alias(f"hs_{tag}"),
+                  F.col("_ss.sig").alias("signature")))
+    return scoped_persist(sh) if cache else sh
 
-    def prep(df: DataFrame, tag: str) -> DataFrame:
-        sh = (spread_for_python(df)
-              .select(F.col(id_col).alias(f"id_{tag}"),
-                      _shingle_sig_udf(k, num_hashes)(F.col(text_col))
-                      .alias("_ss"))
-              .select(f"id_{tag}", F.col("_ss.hs").alias(f"hs_{tag}"),
-                      F.col("_ss.sig").alias("signature")))
-        return scoped_persist(sh) if cache else sh
 
-    shn, she = prep(new, "n"), prep(existing, "e")
+def _band_entries(sh: DataFrame, tag: str, rows: int,
+                  bands: int) -> DataFrame:
     band_exprs = _band_bucket_sql(rows, bands)
+    return (sh.filter(F.col("signature").isNotNull())
+            .select(f"id_{tag}",
+                    F.expr(f"posexplode(array({band_exprs}))")
+                    .alias("band", "bucket")))
 
-    def entries(sh: DataFrame, tag: str) -> DataFrame:
-        return (sh.filter(F.col("signature").isNotNull())
-                .select(f"id_{tag}",
-                        F.expr(f"posexplode(array({band_exprs}))")
-                        .alias("band", "bucket")))
 
-    cand = (entries(shn, "n").join(entries(she, "e"), ["band", "bucket"])
+def _cross_verify(entries_n: DataFrame, entries_e: DataFrame,
+                  hs_n: DataFrame, hs_e: DataFrame,
+                  threshold: float) -> DataFrame:
+    """Band-candidate join + exact shingle-Jaccard verification — the
+    no-false-positives tail shared by the inline and stored cross forms."""
+    cand = (entries_n.join(entries_e, ["band", "bucket"])
             .select("id_n", "id_e").distinct())
-    ver = (cand.join(shn.select("id_n", "hs_n"), "id_n")
-           .join(she.select("id_e", "hs_e"), "id_e")
+    ver = (cand.join(hs_n, "id_n")
+           .join(hs_e, "id_e")
            .withColumn("common",
                        F.size(F.array_intersect("hs_n", "hs_e")))
            .withColumn("jaccard",
@@ -427,6 +444,53 @@ def minhash_lsh_cross(new: DataFrame, existing: DataFrame,
             .select(F.col("id_n").alias("new_id"),
                     F.col("id_e").alias("existing_id"),
                     F.round("jaccard", 6).alias("jaccard")))
+
+
+def write_band_index(existing: DataFrame, path: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 3, num_hashes: int = 16, bands: int = 4,
+                     mode: str = "overwrite") -> None:
+    """The write-time band index ``minhash_lsh_cross`` promises: the
+    existing corpus's ``(band, bucket, id)`` entries persisted
+    band-partitioned at ``path`` and its exact shingle-hash sets at
+    ``path + "_sigs"`` (the verify stage's input — stored separately so
+    the hs arrays are not duplicated once per band).
+
+    ``mode='append'`` adds a freshly ingested batch's entries/sigs to
+    the index — the continuous-ingestion loop: dedup the batch against
+    the store, keep the survivors, append THEM, repeat.  Each batch
+    computes only its own shingles; the accumulated corpus is never
+    re-shingled."""
+    rows = num_hashes // bands
+    sh = _shingle_side(existing, id_col, text_col, k, num_hashes, "e",
+                       cache=False)
+    sh = sh.persist()
+    (_band_entries(sh, "e", rows, bands)
+     .repartition(F.col("band"))
+     .write.mode(mode).partitionBy("band").parquet(path))
+    sh.select("id_e", "hs_e").write.mode(mode).parquet(path + "_sigs")
+    sh.unpersist()
+
+
+def minhash_lsh_cross_stored(spark, new: DataFrame, store: str,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             k: int = 3, num_hashes: int = 16,
+                             bands: int = 4, threshold: float = 0.5,
+                             cache: bool = True) -> DataFrame:
+    """``minhash_lsh_cross`` against a ``write_band_index`` store: the
+    new batch computes only ITS OWN shingles/signatures and joins the
+    stored band entries — the existing corpus's Arrow shingle pass, the
+    expensive stage, is never re-run per batch.  Same candidate join and
+    exact-Jaccard verify (shared helpers), so stored ≡ inline on
+    values; the band partitioning co-locates the join's biggest key."""
+    shn = _shingle_side(new, id_col, text_col, k, num_hashes, "n", cache)
+    rows = num_hashes // bands
+    entries_e = spark.read.parquet(store)
+    hs_e = spark.read.parquet(store + "_sigs")
+    return _cross_verify(
+        _band_entries(shn, "n", rows, bands), entries_e,
+        shn.select("id_n", "hs_n"), hs_e, threshold)
 
 
 def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,

@@ -6972,6 +6972,43 @@ def dedup_cross_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                              threshold=0.5)
 
 
+@query("dedup_cross_corpus_stored",
+       oracle=ORACLE_SQL["dedup_cross_corpus_minhash"])
+def dedup_cross_corpus_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-index form of ``dedup_cross_corpus_minhash`` — the
+    continuous-ingestion pattern its docstring promised, implemented:
+    ``write_band_index`` persists the existing corpus's band entries
+    (band-partitioned) and shingle-hash sets ONCE at write time;
+    ``minhash_lsh_cross_stored`` then shingles only the re-arriving
+    batch and joins the stored entries, so the accumulated corpus is
+    never re-shingled per batch (``mode='append'`` grows the index with
+    each batch's survivors).  Shares the inline operator's prep/verify
+    helpers, hence the identical oracle — pruning recomputation is
+    invisible to values.  Store cached per corpus content like the ANN
+    stores."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_cross_stored,
+        write_band_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|band|{_parquet_fingerprint(docs_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_band_store_" + key)
+    if not (os.path.exists(os.path.join(store, "_SUCCESS"))
+            and os.path.exists(os.path.join(store + "_sigs", "_SUCCESS"))):
+        write_band_index(docs, store, k=3, num_hashes=16, bands=4)
+    new = (docs.filter(F.col("doc_id") % 4 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    return minhash_lsh_cross_stored(spark, new, store, k=3,
+                                    num_hashes=16, bands=4, threshold=0.5)
+
+
 @query("decontaminate_vs_benchmark", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 bench AS (SELECT DISTINCT h
