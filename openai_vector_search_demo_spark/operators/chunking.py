@@ -138,8 +138,8 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     documents share most chunk fingerprints verbatim.
 
     Expected chunk length ≈ ``divisor`` tokens (geometric); no min/max
-    clamp — a production variant would add FastCDC's normalized cut
-    bounds, a contract noted rather than hidden.  Deterministic: the
+    clamp — ``cdc_chunks_normalized`` below adds FastCDC's normalized
+    cut bounds for workloads that need them.  Deterministic: the
     boundary hash is the unsalted md5-60bit of the raw k-token window
     (``_hash60``), so the same text chunks identically on any engine
     (the DuckDB oracle re-derives every boundary).
@@ -190,3 +190,84 @@ def cdc_chunks(df: DataFrame, id_col: str = "doc_id",
     return rebuilt.select(
         "id", "chunk_no", "n_tokens", "chunk_text",
         _hash60(F.col("chunk_text")).alias("fingerprint"))
+
+
+def cdc_chunks_normalized(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 4,
+                          divisor: int = 16, min_tokens: int = 8,
+                          max_tokens: int = 32) -> DataFrame:
+    """``cdc_chunks`` with FastCDC's NORMALIZED CUT BOUNDS — the
+    production contract the plain form's docstring used to defer: a
+    boundary falls after token *i* iff the chunk has at least
+    ``min_tokens`` tokens AND the content condition holds (same k-window
+    md5-60bit ≡ 0 mod ``divisor``), and is FORCED once the chunk reaches
+    ``max_tokens`` — so chunk sizes live in [min, max] (the final chunk
+    of a document may be shorter) instead of the clampless geometric
+    tail, while boundaries remain content-defined and shift-resistant
+    between the bounds.
+
+    Size bounds make the placement SEQUENTIAL per document (whether a
+    position cuts depends on where the previous cut landed — the known
+    price of min/max CDC; there is no exact parallel-prefix form), so
+    the per-document work is one ``aggregate`` fold over the time-sorted
+    token array: the same bounded-by-document-length task contract as
+    ``funnel_counts`` and ``session_window``.  Whale documents should be
+    pre-split (C3) before CDC, as with every per-doc fold here.  The
+    content flags themselves still come from ONE per-doc window pass,
+    and only (id, pos, tk, flag) rows ever shuffle.
+
+    Output contract identical to ``cdc_chunks``: one row per chunk,
+    ``(id, chunk_no, n_tokens, chunk_text, fingerprint)``, zero-token
+    documents emit nothing.  The DuckDB oracle replays the fold as a
+    recursive CTE — every boundary value-checked."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60,
+        tokens,
+    )
+    from pyspark.sql import Window
+
+    if k < 1 or divisor < 1:
+        raise ValueError("k and divisor must be >= 1")
+    if min_tokens < 1 or max_tokens < min_tokens:
+        raise ValueError("need 1 <= min_tokens <= max_tokens")
+    tokpos = (df.select(F.col(id_col).alias("id"),
+                        F.posexplode(tokens(text_col)).alias("pos0", "tk"))
+              .select("id", (F.col("pos0") + 1).alias("pos"), "tk"))
+    w = Window.partitionBy("id").orderBy("pos")
+    ctx = F.concat_ws(
+        " ", F.collect_list("tk").over(
+            w.rowsBetween(-(k - 1), Window.currentRow)))
+    flagged = tokpos.withColumn(
+        "hb", (F.col("pos") >= k)
+        & (F.pmod(_hash60(ctx), F.lit(divisor)) == 0))
+
+    ents = F.array_sort(F.collect_list(F.struct("pos", "tk", "hb")))
+    empty_cur = F.array().cast("array<string>")
+    empty_done = F.array().cast("array<array<string>>")
+    init = F.struct(empty_cur.alias("cur"), empty_done.alias("done"),
+                    F.lit(0).alias("d"))
+
+    def step(acc, e):
+        cur2 = F.concat(acc["cur"], F.array(e["tk"]))
+        d2 = acc["d"] + 1
+        cut = ((d2 >= min_tokens) & e["hb"]) | (d2 >= max_tokens)
+        return F.struct(
+            F.when(cut, empty_cur).otherwise(cur2).alias("cur"),
+            F.when(cut, F.concat(acc["done"], F.array(cur2)))
+             .otherwise(acc["done"]).alias("done"),
+            F.when(cut, F.lit(0)).otherwise(d2).alias("d"))
+
+    def finish(acc):
+        return F.when(F.size(acc["cur"]) > 0,
+                      F.concat(acc["done"], F.array(acc["cur"]))) \
+                .otherwise(acc["done"])
+
+    per_doc = (flagged.groupBy("id")
+               .agg(F.aggregate(ents, init, step, finish).alias("chunks")))
+    out = (per_doc.select(
+        "id", F.posexplode("chunks").alias("chunk_no", "toks"))
+        .select("id", F.col("chunk_no").cast("long").alias("chunk_no"),
+                F.size("toks").alias("n_tokens"),
+                F.array_join("toks", " ").alias("chunk_text")))
+    return out.select("id", "chunk_no", "n_tokens", "chunk_text",
+                      _hash60(F.col("chunk_text")).alias("fingerprint"))

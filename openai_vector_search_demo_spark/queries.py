@@ -3288,6 +3288,66 @@ def ta_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(t(spark, sf_dir, "documents"))
 
 
+_CDCN_K, _CDCN_DIV, _CDCN_MIN, _CDCN_MAX = 4, 16, 8, 32
+
+
+@query("cdc_chunks_normalized", oracle=rf"""
+WITH RECURSIVE
+tok0 AS (SELECT doc_id, {_SQL_TOKS} AS tks FROM documents),
+tok AS (SELECT doc_id, unnest(tks) AS tk,
+               generate_subscripts(tks, 1) AS pos, tks
+        FROM tok0),
+hb AS (SELECT doc_id, pos, tk,
+              pos >= {_CDCN_K} AND
+              ({_SQL_H60.format(expr=f"array_to_string(list_slice(tks, greatest(1, pos - {_CDCN_K} + 1), pos), ' ')")}) % {_CDCN_DIV} = 0 AS ok
+       FROM tok),
+rec AS (
+  SELECT doc_id, pos, tk,
+         CASE WHEN (1 >= {_CDCN_MIN} AND ok) OR 1 >= {_CDCN_MAX}
+              THEN 1 ELSE 0 END AS cut,
+         CASE WHEN (1 >= {_CDCN_MIN} AND ok) OR 1 >= {_CDCN_MAX}
+              THEN 0 ELSE 1 END AS d
+  FROM hb WHERE pos = 1
+  UNION ALL
+  SELECT h.doc_id, h.pos, h.tk,
+         CASE WHEN (r.d + 1 >= {_CDCN_MIN} AND h.ok)
+                   OR r.d + 1 >= {_CDCN_MAX} THEN 1 ELSE 0 END,
+         CASE WHEN (r.d + 1 >= {_CDCN_MIN} AND h.ok)
+                   OR r.d + 1 >= {_CDCN_MAX} THEN 0 ELSE r.d + 1 END
+  FROM rec r JOIN hb h ON h.doc_id = r.doc_id AND h.pos = r.pos + 1
+),
+assigned AS (
+  SELECT doc_id, pos, tk,
+         COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS chunk_no
+  FROM rec),
+chunks AS (
+  SELECT doc_id AS id, CAST(chunk_no AS BIGINT) AS chunk_no,
+         COUNT(*) AS n_tokens,
+         string_agg(tk, ' ' ORDER BY pos) AS chunk_text
+  FROM assigned GROUP BY doc_id, chunk_no)
+SELECT id, chunk_no, CAST(n_tokens AS INT) AS n_tokens, chunk_text,
+       {_SQL_H60.format(expr="chunk_text")} AS fingerprint
+FROM chunks
+""")
+def cdc_chunks_normalized_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """FastCDC normalized-cut chunking (min 8 / max 32 tokens around the
+    divisor-16 content condition) — the size-bounded production form of
+    ``cdc_chunk_dedup``'s clampless CDC.  Size bounds make boundary
+    placement sequential per document, so the Spark side is a per-doc
+    ``aggregate`` fold (the funnel/session-window task contract) and the
+    DuckDB oracle replays the identical fold as a RECURSIVE CTE — every
+    cut position, chunk text, and fingerprint value-checked."""
+    from openai_vector_search_demo_spark.operators.chunking import (
+        cdc_chunks_normalized,
+    )
+    return cdc_chunks_normalized(
+        t(spark, sf_dir, "documents"), k=_CDCN_K, divisor=_CDCN_DIV,
+        min_tokens=_CDCN_MIN, max_tokens=_CDCN_MAX)
+
+
 @query("cdc_chunk_dedup", oracle=rf"""
 WITH corpus AS (
   SELECT doc_id, text FROM documents
