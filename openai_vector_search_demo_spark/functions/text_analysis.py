@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from openai_vector_search_demo_spark.caching import scoped_persist
 
+
 def _col(c: Column | str) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
