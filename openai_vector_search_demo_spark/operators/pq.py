@@ -1,0 +1,142 @@
+"""Product quantization (PQ) — vector COMPRESSION for ANN at storage
+scale, the canonical companion of the IVF coarse quantizer (Jégou,
+Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011; the reference's HNSW serves fp32 vectors from RAM —
+modules/utilities.py — which stops being an option at 100 TB).
+
+The vector splits into ``m`` subvectors; each subspace trains its own
+small k-means codebook (``ksub`` centroids), and a vector is stored as
+``m`` small codes — here m=8 × 64 centroids = 8 six-bit codes ≈ 8 bytes
+per dim-64 vector vs 256 bytes fp32: **32× compression**.  A query is
+answered with ASYMMETRIC DISTANCE COMPUTATION (ADC): the query stays
+uncompressed, a per-subspace lookup table ``lut[j][c] = ||q_j − cb_j[c]||²``
+is built driver-side (m·ksub floats — trivial), and a row's approximate
+squared distance is ``Σ_j lut[j][code_j]`` — m array lookups and adds
+per row, no vector math at scan time.
+
+Cosine compatibility: vectors (and the query) are L2-normalized BEFORE
+encoding, so squared Euclidean is monotone in cosine (‖a−b‖² = 2−2·cos)
+and ADC ranks by angular distance — the same normalize-then-L2 contract
+as ``train_centroids_spherical``.
+
+Spark-first shape: codebooks are tiny plan literals (trained offline,
+seeded — ``scripts/train_pq_codebooks.py`` pins them in
+``pq_pretrained.py``, the ``ann_pretrained`` pattern), encoding is a
+pure map (``method='sql'`` expression arithmetic for DuckDB parity, or
+an Arrow/BLAS ``mapInPandas`` pass), and ADC scoring is a map + the
+``TakeOrderedAndProject`` top-k.  Nothing shuffles but the final top-k
+merge.  Recall is a MEASURED property (`queries.ann_pq_recall_at_10`
+scores the 20 held-out fixture queries), never assumed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["train_pq_codebooks", "pq_encode_numpy", "pq_adc_knn",
+           "adc_lut"]
+
+
+def train_pq_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 64,
+                       seed: int = 42,
+                       iters: int = 25) -> list[list[list[float]]]:
+    """Seeded per-subspace k-means over L2-NORMALIZED training vectors —
+    ``codebooks[j][c]`` is centroid ``c`` of subspace ``j``.  Same
+    determinism contract as ``train_centroids``: seeded-permutation
+    init, fixed iterations, empty cells keep their centroid, 6-dp
+    rounding for exact literal round-trip through Spark and DuckDB."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        train_centroids,
+    )
+    x = np.asarray(vectors, dtype=np.float64)
+    if x.shape[1] % m:
+        raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+    sub = x.shape[1] // m
+    return [train_centroids(xn[:, j * sub:(j + 1) * sub], ksub, seed=seed,
+                            iters=iters)
+            for j in range(m)]
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def pq_encode_numpy(mat: np.ndarray,
+                    codebooks: list[list[list[float]]]) -> np.ndarray:
+    """Codes (n × m int) for L2-normalized rows — per-subspace argmin
+    squared distance, ties to the lower centroid index (argmin's
+    first-occurrence contract, mirrored by the oracle's MIN(c))."""
+    xn = _normalize(np.asarray(mat, dtype=np.float64))
+    m = len(codebooks)
+    sub = xn.shape[1] // m
+    out = np.empty((len(xn), m), dtype=np.int64)
+    for j, cb in enumerate(codebooks):
+        c = np.asarray(cb, dtype=np.float64)
+        s = xn[:, j * sub:(j + 1) * sub]
+        # direct (x−c)² differences, NOT the expanded |x|²−2xc+|c|² BLAS
+        # form: the oracle sums the same per-dim squares in the same
+        # order, so argmin ties resolve identically on both engines
+        diff = s[:, None, :] - c[None, :, :]
+        d2 = (diff * diff).sum(axis=2)
+        out[:, j] = d2.argmin(axis=1)
+    return out
+
+
+def adc_lut(qvec: Sequence[float],
+            codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """``lut[j][c] = ||q_j − cb_j[c]||²`` for the L2-normalized query —
+    the m·ksub floats ADC scoring needs, built driver-side."""
+    q = _normalize(np.asarray(list(qvec), dtype=np.float64)[None, :])[0]
+    m = len(codebooks)
+    sub = len(q) // m
+    out = []
+    for j, cb in enumerate(codebooks):
+        c = np.asarray(cb, dtype=np.float64)
+        diff = c - q[j * sub:(j + 1) * sub][None, :]
+        out.append([float(v) for v in (diff * diff).sum(axis=1)])
+    return out
+
+
+def pq_adc_knn(df: DataFrame, qvec: Sequence[float],
+               codebooks: list[list[list[float]]], k: int = 10,
+               vec_col: str = "embedding",
+               dist_col: str = "adc_dist",
+               tie_break: str | None = None) -> DataFrame:
+    """ADC top-k over PQ-encoded vectors: one Arrow pass encodes (in
+    production the codes are the STORED column — 8 bytes/vector — and
+    this pass disappears into the scan) and scores each row as
+    ``Σ_j lut[j][code_j]``; ascending distance, ``TakeOrderedAndProject``
+    top-k.  NULL vectors drop (the family's contract)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    lut = np.asarray(adc_lut(qvec, codebooks), dtype=np.float64)
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(dist_col, DoubleType())])
+    cb = codebooks
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            codes = pq_encode_numpy(mat, cb)
+            kept = pdf.copy()
+            kept[dist_col] = lut[np.arange(len(cb))[None, :], codes].sum(1)
+            yield kept
+
+    scored = df.mapInPandas(score, out_schema)
+    order = [F.col(dist_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return scored.orderBy(*order).limit(k)
