@@ -7490,18 +7490,22 @@ PROOF_WINDOW: list[str] = [
     # text analysis (+ the r8 bigram LM, first driver receipt r9)
     "ta_language_id", "ta_quality_score",
     "ta_bigram_lm_score",
-    # ANN — incl. the r8 trained-IVF/LSH measurement slots and the r9
-    # clustered-corpus receipts, none previously inside the window
+    # ANN — incl. the r8 trained-IVF/LSH measurement slots, the r9
+    # clustered-corpus receipts, and the r9 PQ compression slots
+    # (third rotation pass: ann_ivf_trained_knn out — it is a
+    # retrieval_battery member, so the in-window battery digest already
+    # value-pins it; likewise cdc_chunk_dedup via analytics_battery)
     "ann_lsh_knn", "ann_ivf_trained_recall_at_10", "ann_lsh_near_dup",
-    "ann_ivf_trained_knn", "ann_lsh_mean_recall_at_10",
+    "ann_lsh_mean_recall_at_10",
     "ann_ivf_clustered_recall_at_10", "ann_lsh_clustered_recall_at_10",
+    "ann_pq_knn", "ann_pq_recall_at_10",
     # late interaction (new r9 family): inline + stored-index read path
     "late_interaction_topk", "late_interaction_stored_topk",
     # dedup + curation capstone (+ r8 CDC and graded decontamination)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_embedding_cosine", "dedup_clusters",
     "dedup_keep_best_per_cluster", "curation_pipeline",
-    "cdc_chunk_dedup", "decontaminate_overlap_fraction",
+    "decontaminate_overlap_fraction",
     # maintenance / validation
     "upsert_latest_wins", "p11_validation_bounds",
     # distributed-analytics singles (+ the r8/r9 scale-safe forms)
