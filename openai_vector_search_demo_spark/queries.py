@@ -1447,6 +1447,71 @@ def ann_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("adc_dist", 6).alias("adc_dist"))
 
 
+def _ivfpq_knn_oracle() -> str:
+    sub = _sql_pq_sub()
+    ld = _SQL_PQ_SUBDIST.format(sub=sub, vec="qn.qe", j="cb.j")
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cent AS ({_sql_trained_cent()}),
+d AS (SELECT e.vec_id, c.cid, {_SQL_DOT_CENT} AS dot
+      FROM embeddings e CROSS JOIN cent c WHERE e.vec_id <> 0),
+m AS (SELECT vec_id, MAX(dot) AS mx FROM d GROUP BY vec_id),
+a AS (SELECT d.vec_id, MIN(d.cid) AS cell
+      FROM d JOIN m USING (vec_id) WHERE d.dot = m.mx GROUP BY d.vec_id),
+qd AS (SELECT c.cid, {_SQL_DOT_CENT_Q} AS dot FROM cent c, q),
+probes AS (SELECT cid FROM qd ORDER BY dot DESC, cid ASC
+           LIMIT {_IVF_TRAINED_NPROBE}),
+cb AS ({_sql_pq_cb()}),
+en0 AS ({_SQL_NORMED.format(where="WHERE vec_id <> 0")}),
+en AS (SELECT en0.* FROM en0
+       JOIN a ON a.vec_id = en0.vec_id
+       WHERE a.cell IN (SELECT cid FROM probes)),
+qn AS (SELECT e AS qe FROM ({_SQL_NORMED.format(where="WHERE vec_id = 0")})),
+{_pq_encode_ctes("en")},
+ld AS (SELECT cb.j, cb.c, {ld} AS d FROM cb, qn),
+adc AS (SELECT code.vec_id, SUM(ld.d) AS dist
+        FROM code JOIN ld ON ld.j = code.j AND ld.c = code.c
+        GROUP BY code.vec_id)
+SELECT en.vec_id, en.label, ROUND(x.dist, 6) AS adc_dist
+FROM adc x JOIN en ON en.vec_id = x.vec_id
+ORDER BY x.dist ASC, en.vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_ivfpq_knn", oracle=_ivfpq_knn_oracle())
+def ann_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-ADC — the composed billion-scale serving stack (Jégou et al.
+    TPAMI 2011, the FAISS ``IVFx,PQy`` layout): the TRAINED spherical
+    coarse quantizer prunes the scan to nprobe/nlist of the corpus
+    (partition pruning when the cell is a stored column), and the rows
+    that survive are scored by PQ ASYMMETRIC DISTANCE over 12-byte
+    codes — so a query touches ~38% of the row COUNT and ~1.8% of the
+    fp32 BYTES (0.38 × 12/256).  Pure composition of the two pinned,
+    independently-oracled index artifacts (``ann_pretrained`` +
+    ``pq_pretrained``); the oracle composes their SQL the same way."""
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_cell_dot,
+        ivf_probe_cells_dot,
+    )
+    from openai_vector_search_demo_spark.operators.pq import pq_adc_knn
+    from openai_vector_search_demo_spark.pq_pretrained import PQ_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    probes = ivf_probe_cells_dot(qvec, IVF_TRAINED_CENTROIDS,
+                                 _IVF_TRAINED_NPROBE)
+    cand = (emb.filter(F.col("vec_id") != 0)
+            .withColumn("_cell",
+                        ivf_cell_dot("embedding", IVF_TRAINED_CENTROIDS))
+            .filter(F.col("_cell").isin(probes)).drop("_cell"))
+    top = pq_adc_knn(cand, qvec, PQ_CODEBOOKS, k=10, tie_break="vec_id")
+    return top.select("vec_id", "label",
+                      F.round("adc_dist", 6).alias("adc_dist"))
+
+
 def _pq_recall_oracle() -> str:
     sub = _sql_pq_sub()
     ld = _SQL_PQ_SUBDIST.format(sub=sub, vec="q.qe", j="cb.j")
