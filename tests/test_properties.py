@@ -258,3 +258,60 @@ def test_semdedup_salt_split_exact_for_any_vectors(spark, vecs, max_rows):
     got = sorted((r.id_a, r.id_b) for r in
                  _pairs_blocked(cells, 0.9, max_cell_rows=max_rows).collect())
     assert got == ref
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(texts, min_size=1, max_size=8),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=2, max_value=10))
+def test_cdc_normalized_invariants_hold_for_any_text(spark, docs, mn, span):
+    """For arbitrary text and (min, max) bounds: chunks partition the
+    token stream losslessly, every non-final chunk's size is in
+    [min, max], and chunk numbering is dense from 0."""
+    from openai_vector_search_demo_spark.operators.chunking import (
+        cdc_chunks_normalized,
+    )
+
+    mx = mn + span
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cdc_chunks_normalized(df, min_tokens=mn, max_tokens=mx).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, t in rows:
+        toks = [w for w in t.lower().split() if w]
+        rs = sorted(by_doc.get(i, []), key=lambda r: r.chunk_no)
+        if not toks:
+            assert rs == []
+            continue
+        assert [r.chunk_no for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert mn <= r.n_tokens <= mx
+        assert 1 <= rs[-1].n_tokens <= mx
+        assert " ".join(r.chunk_text for r in rs) == " ".join(toks)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(min_value=1, max_value=5),
+                          st.sampled_from(["view", "click", "purchase",
+                                           "other"]),
+                          st.integers(min_value=0, max_value=50)),
+                min_size=0, max_size=40))
+def test_funnel_auto_equals_fold_for_any_events(spark, events):
+    """funnel_counts_auto must equal funnel_counts on arbitrary event
+    streams regardless of which branch the probe picks."""
+    from openai_vector_search_demo_spark.operators.funnel import (
+        funnel_counts,
+        funnel_counts_auto,
+    )
+
+    schema = "user_id long, event_type string, ts_us long"
+    df = spark.createDataFrame(events, schema) if events \
+        else spark.createDataFrame([], schema)
+    steps = ["view", "click", "purchase"]
+    want = sorted(map(tuple, funnel_counts(df, steps).collect()))
+    got = sorted(map(tuple, funnel_counts_auto(df, steps).collect()))
+    assert got == want
