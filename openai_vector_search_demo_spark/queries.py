@@ -1512,14 +1512,16 @@ def ann_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("adc_dist", 6).alias("adc_dist"))
 
 
-def _pq_recall_oracle() -> str:
+def _pq_recall_oracle(cb_sql: str | None = None,
+                      source: str = "embeddings") -> str:
     sub = _sql_pq_sub()
     ld = _SQL_PQ_SUBDIST.format(sub=sub, vec="q.qe", j="cb.j")
+    normed = _SQL_NORMED.replace("FROM embeddings", f"FROM {source}")
     return f"""
-WITH cb AS ({_sql_pq_cb()}),
-en AS ({_SQL_NORMED.format(where=f"WHERE vec_id >= {_IVF_TRAINED_NQ}")}),
+WITH cb AS ({cb_sql or _sql_pq_cb()}),
+en AS ({normed.format(where=f"WHERE vec_id >= {_IVF_TRAINED_NQ}")}),
 qs AS (SELECT vec_id AS qid, e AS qe
-       FROM ({_SQL_NORMED.format(where=f"WHERE vec_id < {_IVF_TRAINED_NQ}")})),
+       FROM ({normed.format(where=f"WHERE vec_id < {_IVF_TRAINED_NQ}")})),
 {_pq_encode_ctes("en")},
 ld AS (SELECT q.qid, cb.j, cb.c, {ld} AS d FROM cb CROSS JOIN qs q),
 adc AS (SELECT ld.qid, code.vec_id, SUM(ld.d) AS dist
@@ -1554,25 +1556,11 @@ FROM per
 """
 
 
-@query("ann_pq_recall_at_10", oracle=_pq_recall_oracle())
-def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall of PQ-ADC ranking vs exact cosine over the 20 held-out
-    queries — the compression family's honest-number slot, the
-    ``ann_ivf_trained_recall_at_10`` convention: **mean recall@10 =
-    0.58 at 12 bytes/vector (21× compression)** on the near-uniform
-    sf0.01 fixture (m=16 × 64 centroids; the slot's own
-    ``bytes_per_vector`` column receipts the compression).
-
-    The measured compression↔recall curve (SCALE.md) runs 0.41 @ 43×
-    → 0.90 @ 8× on this fixture, and — the instructive inversion —
-    CLUSTERED data scores LOWER at equal bytes (0.205 @ 43×): corpus
-    clustering helps partition indexes (IVF probes fewer cells) but
-    hurts compression quantizers, whose job is resolving distances
-    between near-identical neighbors.  Both effects are measured on the
-    same 20-query harness, which is what makes the pair of numbers an
-    engineering guide (spend bytes on code length for clustered
-    corpora; spend scan on probes for uniform ones) rather than a
-    benchmark brag."""
+def _pq_recall_frame(spark, emb, codebooks) -> DataFrame:
+    """Shared PQ-recall harness: exact-cosine vs ADC top-10 overlap over
+    the 20 held-out queries, one Arrow pass computing both scores — the
+    ``_mean_recall_harness`` convention for the compression family,
+    reused by the uniform and clustered slots."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -1581,19 +1569,15 @@ def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc_lut,
         pq_encode_numpy,
     )
-    from openai_vector_search_demo_spark.pq_pretrained import (
-        PQ_CODEBOOKS,
-        PQ_M,
-    )
 
-    emb = t(spark, sf_dir, "embeddings")
+    m = len(codebooks)
     qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
              .select("vec_id", "embedding").orderBy("vec_id").collect())
     qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
     qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
                     dtype=np.float64)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    luts = np.array([adc_lut(q, PQ_CODEBOOKS) for q in qmat])  # nq×m×ksub
+    luts = np.array([adc_lut(q, codebooks) for q in qmat])  # nq×m×ksub
 
     corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ) \
                 .select("vec_id", "embedding")
@@ -1610,9 +1594,9 @@ def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             pdf, mat, norms = pdf.loc[keep], mat[keep], norms[keep]
             cn = mat / norms[:, None]
-            codes = pq_encode_numpy(mat, PQ_CODEBOOKS)       # n×m
+            codes = pq_encode_numpy(mat, codebooks)          # n×m
             sim = cn @ qn.T                                  # n×nq
-            jj = np.arange(PQ_M)[None, :]
+            jj = np.arange(m)[None, :]
             adc = np.stack([luts[qi][jj, codes].sum(axis=1)
                             for qi in range(len(qids))], axis=1)  # n×nq
             n, nq = len(pdf), len(qids)
@@ -1649,9 +1633,72 @@ def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12).alias("bytes_per_vector"))
 
 
+@query("ann_pq_recall_at_10", oracle=_pq_recall_oracle())
+def ann_pq_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of PQ-ADC ranking vs exact cosine over the 20 held-out
+    queries — the compression family's honest-number slot, the
+    ``ann_ivf_trained_recall_at_10`` convention: **mean recall@10 =
+    0.58 at 12 bytes/vector (21× compression)** on the near-uniform
+    sf0.01 fixture (m=16 × 64 centroids; the slot's own
+    ``bytes_per_vector`` column receipts the compression).
+
+    The measured compression↔recall curve (SCALE.md) runs 0.41 @ 43×
+    → 0.90 @ 8× on this fixture, and — the instructive inversion —
+    CLUSTERED data scores LOWER at equal bytes (0.205 @ 43×): corpus
+    clustering helps partition indexes (IVF probes fewer cells) but
+    hurts compression quantizers, whose job is resolving distances
+    between near-identical neighbors.  Both effects are measured on the
+    same 20-query harness, which is what makes the pair of numbers an
+    engineering guide (spend bytes on code length for clustered
+    corpora; spend scan on probes for uniform ones) rather than a
+    benchmark brag."""
+    from openai_vector_search_demo_spark.pq_pretrained import PQ_CODEBOOKS
+
+    return _pq_recall_frame(spark, t(spark, sf_dir, "embeddings"),
+                            PQ_CODEBOOKS)
+
+
 _CLUSTERED_PARQUET = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "fixtures_data", "clustered_embeddings.parquet")
+
+
+def _sql_clustered_pq_cb() -> str:
+    from openai_vector_search_demo_spark.ann_clustered import (
+        CLUSTERED_PQ_CODEBOOKS,
+    )
+    rows = ",\n".join(
+        f"({j}, {c}, {_sql_vec_lit(v)})"
+        for j, cb in enumerate(CLUSTERED_PQ_CODEBOOKS)
+        for c, v in enumerate(cb))
+    return f"SELECT * FROM (VALUES {rows}) AS t(j, c, v)"
+
+
+@query("ann_pq_clustered_recall_at_10",
+       oracle=_pq_recall_oracle(
+           cb_sql=_sql_clustered_pq_cb(),
+           source=f"read_parquet('{_CLUSTERED_PARQUET}')"))
+def ann_pq_clustered_recall_at_10(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The clustered leg of the PQ compression↔recall contrast, pinned
+    as a driver-checkable receipt instead of an offline table entry:
+    codebooks trained on the clustered fixture's own corpus (same m=16
+    × 64 / 12-byte config as ``pq_pretrained``, generated alongside the
+    IVF centroids by ``scripts/gen_clustered_fixture.py``), scored on
+    the same 20 held-out queries by the shared ``_pq_recall_frame``.
+
+    Measured: **mean recall@10 = 0.42 at 12 bytes/vector** vs the
+    near-uniform fixture's 0.58 at identical bytes — the inversion
+    against the partition-index slots (clustering LIFTS trained-IVF to
+    1.0 at 14% scan but COSTS the compression quantizer 0.16 recall):
+    tight clusters put the ranking signal below the quantization noise
+    floor.  Full curve and the engineering guide in SCALE.md."""
+    from openai_vector_search_demo_spark.ann_clustered import (
+        CLUSTERED_PQ_CODEBOOKS,
+    )
+
+    emb = spark.read.parquet(_CLUSTERED_PARQUET)
+    return _pq_recall_frame(spark, emb, CLUSTERED_PQ_CODEBOOKS)
 
 
 def _sql_clustered_cent() -> str:

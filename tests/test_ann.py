@@ -501,6 +501,14 @@ def test_clustered_module_matches_generator_config():
                                     seed=C.CLUSTERED_SEED,
                                     iters=C.CLUSTERED_ITERS)
     assert got == C.CLUSTERED_CENTROIDS
+    from openai_vector_search_demo_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+    got_pq = train_pq_codebooks(vecs, m=C.CLUSTERED_PQ_M,
+                                ksub=C.CLUSTERED_PQ_KSUB,
+                                seed=C.CLUSTERED_SEED,
+                                iters=C.CLUSTERED_ITERS)
+    assert got_pq == C.CLUSTERED_PQ_CODEBOOKS
 
 
 def test_clustered_recall_high_at_low_scan(spark):
