@@ -273,6 +273,8 @@ def test_cdc_normalized_invariants_hold_for_any_text(spark, docs, mn, span):
         cdc_chunks_normalized,
     )
 
+    import re
+
     mx = mn + span
     rows = [(i, t) for i, t in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -281,7 +283,12 @@ def test_cdc_normalized_invariants_hold_for_any_text(spark, docs, mn, span):
     for r in out:
         by_doc.setdefault(r.id, []).append(r)
     for i, t in rows:
-        toks = [w for w in t.lower().split() if w]
+        # engine tokenization is Java/RE2 ASCII \s+ — U+00A0 and other
+        # Unicode spaces stay INSIDE tokens (the parity trap this file's
+        # texts strategy exists to catch); Python str.split() would split
+        # them and desynchronize the reference
+        toks = [w for w in re.split(r"\s+", t.lower(), flags=re.ASCII)
+                if w]
         rs = sorted(by_doc.get(i, []), key=lambda r: r.chunk_no)
         if not toks:
             assert rs == []
