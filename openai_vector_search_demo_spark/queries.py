@@ -7600,17 +7600,22 @@ PROOF_WINDOW: list[str] = [
     # document cracking (binary PDF/DOCX parsing; VALUES-pinned oracle)
     "s1_s2_doc_crack",
     # text analysis (+ the r8 bigram LM, first driver receipt r9)
-    "ta_language_id", "ta_quality_score",
+    "ta_quality_score",
     "ta_bigram_lm_score",
     # ANN — incl. the r8 trained-IVF/LSH measurement slots, the r9
     # clustered-corpus receipts, and the r9 PQ compression slots
     # (third rotation pass: ann_ivf_trained_knn out — it is a
     # retrieval_battery member, so the in-window battery digest already
     # value-pins it; likewise cdc_chunk_dedup via analytics_battery)
-    "ann_lsh_knn", "ann_ivf_trained_recall_at_10", "ann_lsh_near_dup",
+    # (fourth pass: ann_lsh_near_dup out — embedding/minhash near-dup
+    # stay richly represented by the dedup family in-window — and
+    # ta_language_id out (ta_quality_score remains); in come the
+    # IVF-ADC composition capstone and the clustered-PQ receipt)
+    "ann_lsh_knn", "ann_ivf_trained_recall_at_10",
     "ann_lsh_mean_recall_at_10",
     "ann_ivf_clustered_recall_at_10", "ann_lsh_clustered_recall_at_10",
-    "ann_pq_knn", "ann_pq_recall_at_10",
+    "ann_pq_knn", "ann_pq_recall_at_10", "ann_pq_clustered_recall_at_10",
+    "ann_ivfpq_knn",
     # late interaction (new r9 family): inline + stored-index read path
     "late_interaction_topk", "late_interaction_stored_topk",
     # dedup + curation capstone (+ r8 CDC and graded decontamination)
