@@ -6,8 +6,9 @@ modules/utilities.py — which stops being an option at 100 TB).
 
 The vector splits into ``m`` subvectors; each subspace trains its own
 small k-means codebook (``ksub`` centroids), and a vector is stored as
-``m`` small codes — here m=8 × 64 centroids = 8 six-bit codes ≈ 8 bytes
-per dim-64 vector vs 256 bytes fp32: **32× compression**.  A query is
+``m`` small codes — the pinned config is m=16 × 64 centroids = 16
+six-bit codes = 12 bytes per dim-64 vector vs 256 bytes fp32: **21×
+compression** (the full bytes↔recall curve is in SCALE.md).  A query is
 answered with ASYMMETRIC DISTANCE COMPUTATION (ADC): the query stays
 uncompressed, a per-subspace lookup table ``lut[j][c] = ||q_j − cb_j[c]||²``
 is built driver-side (m·ksub floats — trivial), and a row's approximate
@@ -22,10 +23,11 @@ as ``train_centroids_spherical``.
 Spark-first shape: codebooks are tiny plan literals (trained offline,
 seeded — ``scripts/train_pq_codebooks.py`` pins them in
 ``pq_pretrained.py``, the ``ann_pretrained`` pattern), encoding is a
-pure map (``method='sql'`` expression arithmetic for DuckDB parity, or
-an Arrow/BLAS ``mapInPandas`` pass), and ADC scoring is a map + the
-``TakeOrderedAndProject`` top-k.  Nothing shuffles but the final top-k
-merge.  Recall is a MEASURED property (`queries.ann_pq_recall_at_10`
+pure Arrow map (the DuckDB oracle re-derives it with expression
+arithmetic from the same literals), and ADC scoring is a map + the
+``TakeOrderedAndProject`` top-k — over the stored-codes table the
+scoring is even whole-stage-codegen with no Python at all
+(``pq_adc_stored_knn``).  Nothing shuffles but the final top-k merge.  Recall is a MEASURED property (`queries.ann_pq_recall_at_10`
 scores the 20 held-out fixture queries), never assumed.
 """
 
@@ -38,7 +40,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["train_pq_codebooks", "pq_encode_numpy", "pq_adc_knn",
-           "adc_lut"]
+           "adc_lut", "pq_encode_df", "write_pq_codes",
+           "pq_adc_stored_knn"]
 
 
 def train_pq_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 64,
@@ -112,8 +115,8 @@ def pq_adc_knn(df: DataFrame, qvec: Sequence[float],
                dist_col: str = "adc_dist",
                tie_break: str | None = None) -> DataFrame:
     """ADC top-k over PQ-encoded vectors: one Arrow pass encodes (in
-    production the codes are the STORED column — 8 bytes/vector — and
-    this pass disappears into the scan) and scores each row as
+    production the codes are the STORED column — ``write_pq_codes`` /
+    ``pq_adc_stored_knn`` below — and this pass disappears entirely) and scores each row as
     ``Σ_j lut[j][code_j]``; ascending distance, ``TakeOrderedAndProject``
     top-k.  NULL vectors drop (the family's contract)."""
     import pandas as pd
@@ -140,3 +143,79 @@ def pq_adc_knn(df: DataFrame, qvec: Sequence[float],
     if tie_break:
         order.append(F.col(tie_break).asc())
     return scored.orderBy(*order).limit(k)
+
+
+def pq_encode_df(df: DataFrame, codebooks: list[list[list[float]]],
+                 vec_col: str = "embedding",
+                 code_col: str = "codes") -> DataFrame:
+    """Write-time PQ encoding: the input columns plus an ``array<int>``
+    code column (one Arrow pass; NULL vectors get NULL codes so the
+    write keeps row parity with the source)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(code_col,
+                                           ArrayType(IntegerType()))])
+    cb = codebooks
+
+    def enc(batches):
+        for pdf in batches:
+            out = pdf.copy()
+            mask = pdf[vec_col].notna()
+            codes = pd.Series([None] * len(pdf), index=pdf.index,
+                              dtype=object)
+            if mask.any():
+                import numpy as np
+                mat = np.array(pdf.loc[mask, vec_col].tolist(),
+                               dtype=np.float64)
+                cc = pq_encode_numpy(mat, cb)
+                codes.loc[mask] = [[int(x) for x in row] for row in cc]
+            out[code_col] = codes
+            yield out
+
+    return df.mapInPandas(enc, out_schema)
+
+
+def write_pq_codes(df: DataFrame, path: str,
+                   codebooks: list[list[list[float]]],
+                   vec_col: str = "embedding",
+                   keep_cols: list[str] | None = None) -> None:
+    """Persist the PQ-CODES table — the 100 TB serving artifact: id/meta
+    columns plus ``codes`` (m small ints ≈ 12 bytes), the fp32 vectors
+    dropped.  ``pq_adc_stored_knn`` queries this table with pure codegen
+    arithmetic; the vectors never leave cold storage."""
+    cols = keep_cols or [c for c in df.columns if c != vec_col]
+    (pq_encode_df(df, codebooks, vec_col)
+     .filter(F.col("codes").isNotNull())
+     .select(*cols, "codes")
+     .write.mode("overwrite").parquet(path))
+
+
+def pq_adc_stored_knn(spark, store: str, qvec: Sequence[float],
+                      codebooks: list[list[list[float]]], k: int = 10,
+                      dist_col: str = "adc_dist",
+                      tie_break: str | None = None) -> DataFrame:
+    """ADC top-k over a ``write_pq_codes`` store — the query path the
+    compression exists for: the scan reads ONLY the code column (12
+    bytes/row), the LUT inlines as a plan literal (m·ksub doubles), and
+    the distance is a whole-stage-codegen ``aggregate`` over the code
+    array: **no Python, no Arrow, no vector math at query time** — the
+    plan pin asserts no MapInPandas/ArrowEval node exists.  Identical
+    values to ``pq_adc_knn`` (same codes, same LUT; the encode happened
+    at write time)."""
+    lut = adc_lut(qvec, codebooks)
+    lut_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row])
+                        for row in lut])
+    m = len(codebooks)
+    df = spark.read.parquet(store)
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(lut_lit, j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1))
+    scored = df.withColumn(dist_col, dist)
+    order = [F.col(dist_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return scored.orderBy(*order).limit(k).drop("codes")

@@ -1512,6 +1512,41 @@ def ann_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("adc_dist", 6).alias("adc_dist"))
 
 
+@query("ann_pq_stored_knn", oracle=_pq_knn_oracle())
+def ann_pq_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED-CODES read path — what the compression is FOR: the
+    query scans a table holding only 12-byte code arrays (the fp32
+    vectors never leave cold storage), the query's ADC lookup table
+    inlines as a plan literal, and the distance is a whole-stage-codegen
+    ``aggregate`` over the code array — NO Python, NO Arrow, no vector
+    math at query time (plan-pinned: no MapInPandas node).  Identical
+    oracle to ``ann_pq_knn``: encoding moved to write time, values
+    unchanged.  Store cached per corpus content like the other index
+    stores."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.pq import (
+        pq_adc_stored_knn,
+        write_pq_codes,
+    )
+    from openai_vector_search_demo_spark.pq_pretrained import PQ_CODEBOOKS
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|pq|{_parquet_fingerprint(emb_path)}".encode())         .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_pq_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_pq_codes(emb.filter(F.col("vec_id") != 0), store,
+                       PQ_CODEBOOKS)
+    top = pq_adc_stored_knn(spark, store, qvec, PQ_CODEBOOKS, k=10,
+                            tie_break="vec_id")
+    return top.select("vec_id", "label",
+                      F.round("adc_dist", 6).alias("adc_dist"))
+
+
 def _pq_recall_oracle(cb_sql: str | None = None,
                       source: str = "embeddings") -> str:
     sub = _sql_pq_sub()

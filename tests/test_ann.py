@@ -633,3 +633,54 @@ def test_pq_exact_on_centroid_vectors():
     qn = q / np.linalg.norm(q)
     true = float(((qn - recon) ** 2).sum())
     assert abs(adc - true) < 1e-9
+
+
+def test_pq_stored_codes_equals_inline_and_is_codegen(spark, tmp_path):
+    """The stored-codes path must equal inline ADC exactly, and its plan
+    must contain NO Python node (the query runs whole-stage-codegen
+    over 12-byte code arrays) while keeping TakeOrderedAndProject."""
+    import contextlib
+    import io
+
+    from openai_vector_search_demo_spark.operators.pq import (
+        pq_adc_knn,
+        pq_adc_stored_knn,
+        write_pq_codes,
+    )
+    from openai_vector_search_demo_spark.pq_pretrained import PQ_CODEBOOKS
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    store = str(tmp_path / "pq_codes")
+    write_pq_codes(base, store, PQ_CODEBOOKS)
+
+    want = [(r.vec_id, round(r.adc_dist, 6)) for r in
+            pq_adc_knn(base, qvec, PQ_CODEBOOKS, k=20,
+                       tie_break="vec_id").collect()]
+    got_df = pq_adc_stored_knn(spark, store, qvec, PQ_CODEBOOKS, k=20,
+                               tie_break="vec_id")
+    got = [(r.vec_id, round(r.adc_dist, 6)) for r in got_df.collect()]
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    p = buf.getvalue()
+    assert "MapInPandas" not in p and "ArrowEval" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_pq_encode_df_keeps_null_row_parity(spark):
+    from openai_vector_search_demo_spark.operators.pq import pq_encode_df
+    from openai_vector_search_demo_spark.pq_pretrained import (
+        PQ_CODEBOOKS,
+        PQ_M,
+    )
+
+    rows = [(1, [1.0] * 64), (2, None), (3, [0.5] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.codes for r in
+           pq_encode_df(df, PQ_CODEBOOKS).collect()}
+    assert out[2] is None
+    assert len(out[1]) == PQ_M and len(out[3]) == PQ_M
