@@ -35,10 +35,13 @@ The zero-overlap subtlety, handled exactly: ``max_j`` ranges over ALL
 document positions, and a (q_i, d_j) pair with disjoint buckets has
 cos = 0 — but the bucket join only materializes OVERLAPPING pairs.  A
 query position whose best overlapping cosine is negative must still
-score 0 if the document has at least one position with no overlap (the
-true max is then 0, from any disjoint pair).  The operator counts, per
-(doc, query-position), how many distinct doc positions were joined and
-floors the max at 0 unless the pairs cover every doc position.
+score 0 if the document has at least one position that did not join
+(the true max is then 0, from any disjoint OR fully-sign-cancelled
+pair — a cancelled position is the zero vector, cosine 0 with
+everything).  The operator counts the document's positions
+PRE-cancellation (``min(n_tokens, max_tokens)`` — one cheap codegen
+expression over the source text, no feature scan) and floors the max
+at 0 unless the joined pairs cover every one of them.
 
 Scale shape: doc features are ≤ (2w+1)·max_tokens rows per document
 (linear, map-derived); the only wide relation ever shuffled is the
@@ -51,6 +54,7 @@ math, no UDFs, no driver-side loops.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,8 +80,10 @@ def token_window_features(df: DataFrame, text_col: str = "text",
     hashes to ``bucket = h60 % dim`` with ``sign = ±1`` from bit 59
     (exactly ``HashNgramEmbedder``'s feature map), signs accumulate per
     bucket, and the vector L2-normalizes.  Sign-cancelled buckets drop;
-    fully-cancelled positions vanish (they contribute cosine 0 to every
-    query token, which the scorer's zero-floor already encodes).
+    fully-cancelled positions vanish from the feature relation (they
+    contribute cosine 0 to every query token, which the scorer's
+    zero-floor encodes — its position count is taken pre-cancellation
+    from the source text, so a vanished position still triggers it).
 
     Derivation is pure codegen + two map-side-combinable aggregates:
     posexplode over the truncated token array, a ±window explode of each
@@ -128,8 +134,13 @@ def query_window_features(query: str, max_tokens: int = 64,
                           dim: int = 64) -> list[tuple[int, int, float]]:
     """Driver-side twin of ``token_window_features`` for the (tiny) query:
     ``[(qpos, bucket, w)]`` — same md5-60bit feature map, same windowing,
-    computed with hashlib so the query plan starts from literals."""
-    tks = [t for t in query.lower().split() if t][:max_tokens]
+    computed with hashlib so the query plan starts from literals.
+    Tokenizes with the engine ``tokens()`` contract (ASCII ``\\s+``, the
+    same set Java regex ``\\s`` matches) — NOT ``str.split()``, whose
+    Unicode-whitespace splitting would tokenize a query containing
+    U+00A0 etc. differently from identical document text."""
+    tks = [t for t in re.split(r"\s+", query.lower(), flags=re.ASCII)
+           if t][:max_tokens]
     n = len(tks)
     feats: dict[tuple[int, int], float] = {}
     for tpos, tk in enumerate(tks):
@@ -177,11 +188,23 @@ def late_interaction_topk(df: DataFrame, query: str, k: int = 10,
                                   max_tokens, window, dim)
     if cache:
         dfeat = scoped_persist(dfeat)
-    # doc positions per id — the zero-floor needs to know whether the
-    # overlapping pairs covered EVERY doc position (see module docstring)
-    dpos = dfeat.groupBy("id").agg(
-        F.countDistinct("pos").alias("n_dpos"))
+    # doc positions per id, counted PRE-cancellation from the source text
+    # (min(n_tokens, max_tokens)) — the zero-floor must fire when ANY
+    # position failed to join, including fully-sign-cancelled positions
+    # that vanished from the feature relation (see module docstring)
+    dpos = _position_counts(df, text_col, id_col, max_tokens)
     return _maxsim_topk(dfeat, qdf, dpos, id_col, score_col, k)
+
+
+def _position_counts(df: DataFrame, text_col: str, id_col: str,
+                     max_tokens: int) -> DataFrame:
+    """``(id, n_dpos)`` with ``n_dpos = min(n_tokens, max_tokens)`` — the
+    document's position count before any sign cancellation, one codegen
+    expression over the source text."""
+    return (df.select(F.col(id_col).alias("id"),
+                      F.least(F.size(tokens(text_col)),
+                              F.lit(max_tokens)).alias("n_dpos"))
+            .filter(F.col("n_dpos") > 0))
 
 
 def _maxsim_topk(dfeat: DataFrame, qdf: DataFrame, dpos: DataFrame,
@@ -218,18 +241,16 @@ def write_token_window_index(df: DataFrame, path: str,
     position-count metadata at ``path + "_meta"``.
 
     The metadata exists because the zero-floor ranges over ALL of a
-    document's positions, including those whose buckets a given query
-    never probes — a partition-pruned read alone cannot reconstruct it.
+    document's positions — pre-cancellation, including those whose
+    buckets a given query never probes and those that sign-cancelled
+    entirely — so a partition-pruned read alone cannot reconstruct it.
     One tiny row per document (the same scale as any doc-store side
     table), joined on id at query time."""
     feats = token_window_features(df, text_col, id_col,
                                   max_tokens, window, dim)
     (feats.repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
-    # derive the metadata from the store itself (build-time full read:
-    # the index build is the one place a full scan is expected)
-    stored = df.sparkSession.read.parquet(path)
-    (stored.groupBy("id").agg(F.countDistinct("pos").alias("n_dpos"))
+    (_position_counts(df, text_col, id_col, max_tokens)
      .write.mode("overwrite").parquet(path + "_meta"))
 
 

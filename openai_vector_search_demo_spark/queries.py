@@ -2216,8 +2216,7 @@ nrm AS (SELECT doc_id, pos, sqrt(SUM(sv * sv)) AS nrm FROM s GROUP BY ALL),
 dfeat AS (SELECT s.doc_id, s.pos, s.bucket, s.sv / n.nrm AS w
           FROM s JOIN nrm n USING (doc_id, pos)),
 q(qpos, bucket, wq) AS (VALUES {qrows}),
-dpos AS (SELECT doc_id, COUNT(DISTINCT pos) AS n_dpos FROM dfeat
-         GROUP BY doc_id),
+dpos AS (SELECT doc_id, len(tks) AS n_dpos FROM tk0 WHERE len(tks) > 0),
 dots AS (SELECT d.doc_id, d.pos, q.qpos, SUM(d.w * q.wq) AS cos
          FROM dfeat d JOIN q USING (bucket) GROUP BY ALL),
 best AS (SELECT doc_id, qpos, MAX(cos) AS mx,
@@ -2279,7 +2278,7 @@ def late_interaction_stored_topk_query(spark: SparkSession,
 
     docs_path = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|li|{_parquet_fingerprint(docs_path)}".encode()) \
+        f"{sf_dir}|li2|{_parquet_fingerprint(docs_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_li_store_" + key)
     if not (os.path.exists(os.path.join(store, "_SUCCESS"))

@@ -14,7 +14,10 @@ DIM, W, MT = 64, 1, 64
 
 def _dense_positions(text: str):
     """Dense twin of token_window_features: one normalized context vector
-    per position, built with plain numpy from the same md5 feature map."""
+    per position, built with plain numpy from the same md5 feature map.
+    Fully-sign-cancelled positions stay as ZERO vectors — true dense
+    MaxSim semantics: they contribute cosine 0 to every query token, so
+    the per-query-token max can never go below 0 while one exists."""
     tks = [t for t in text.lower().split() if t][:MT]
     n = len(tks)
     vecs = []
@@ -24,8 +27,7 @@ def _dense_positions(text: str):
             h = int(hashlib.md5(tks[tpos].encode()).hexdigest()[:15], 16)
             v[h % DIM] += 1.0 if (h >> 59) & 1 == 0 else -1.0
         nm = np.linalg.norm(v)
-        if nm > 0:
-            vecs.append(v / nm)
+        vecs.append(v / nm if nm > 0 else v)
     return vecs
 
 
@@ -84,6 +86,48 @@ def test_repetition_does_not_outrank_coverage(spark):
            late_interaction_topk(df, "cat on a mat", k=3).collect()]
     assert got[0] == 1          # full coverage wins...
     assert 6 in got and got.index(6) > 0  # ...over the cat-cat-cat doc
+
+
+def test_cancelled_position_floors_at_zero(spark):
+    """A fully-sign-cancelled document position is the zero vector and
+    must floor the per-query-token max at 0 (it is counted in n_dpos
+    pre-cancellation).  'mat' and 'elk' hash to the same bucket with
+    opposite signs, so doc positions covering exactly {mat, elk} cancel;
+    'cow' shares moon's bucket with opposite sign, making every joined
+    cosine negative — the floor is the only thing keeping the score at
+    0 instead of -0.707107."""
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+
+    docs = [(1, "moon mat elk")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r.doc_id, r.maxsim_score)
+           for r in late_interaction_topk(df, "cow", k=5).collect()]
+    assert got == [(1, 0.0)]
+    assert got == _brute(docs, "cow")
+
+
+def test_query_tokenizer_matches_engine_ascii_contract(spark):
+    """The query tokenizer must follow the engine tokens() contract
+    (ASCII \\s+): U+00A0 is NOT a separator, so 'cat\\u00a0mat' is ONE
+    token on both sides and query/document tokenizations agree."""
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+        query_window_features,
+    )
+
+    weird = "cat mat"
+    # one fused token -> exactly one query position
+    assert {pos for pos, _, _ in query_window_features(weird)} == {0}
+    df = spark.createDataFrame([(1, weird), (2, "cat mat")],
+                               "doc_id long, text string")
+    got = [(r.doc_id, r.maxsim_score)
+           for r in late_interaction_topk(df, weird, k=5).collect()]
+    # doc 1 tokenizes identically to the query (one token) -> exact
+    # self-match score 1.0; doc 2 ('cat', 'mat') shares no bucket with
+    # the single fused token unless md5 collides -> absent or lower
+    assert got[0] == (1, 1.0)
 
 
 def test_empty_query_and_empty_docs(spark):
