@@ -22,35 +22,45 @@ holds at most one batch's caches at a time.  Scopes nest; each block
 releases only its own persists.  Release after the action is the right
 order: unpersisting before the final collect/write would recompute the
 shared subtree once per downstream branch.
+
+The scope stack is a ``contextvars.ContextVar`` — per-thread (and
+per-async-task), so a multithreaded driver running concurrent Spark
+actions cannot leak one thread's persists into another thread's scope
+and have them unpersisted mid-action on that scope's exit.
 """
 
 from __future__ import annotations
 
 from contextlib import contextmanager
+from contextvars import ContextVar
 
 from pyspark.sql import DataFrame
 
-_SCOPES: list[list[DataFrame]] = []
+_SCOPES: ContextVar[tuple[list[DataFrame], ...]] = ContextVar(
+    "spark_graft_cache_scopes", default=())
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()``, registered with the innermost ``cache_scope()``
-    if one is active (else session-lifetime, the historical behavior)."""
+    of THIS thread/task if one is active (else session-lifetime, the
+    historical behavior)."""
     out = df.persist()
-    if _SCOPES:
-        _SCOPES[-1].append(out)
+    scopes = _SCOPES.get()
+    if scopes:
+        scopes[-1].append(out)
     return out
 
 
 @contextmanager
 def cache_scope():
-    """Release every ``scoped_persist`` taken inside the block on exit."""
+    """Release every ``scoped_persist`` taken inside the block (on the
+    same thread/task) on exit."""
     frames: list[DataFrame] = []
-    _SCOPES.append(frames)
+    token = _SCOPES.set(_SCOPES.get() + (frames,))
     try:
         yield
     finally:
-        _SCOPES.pop()
+        _SCOPES.reset(token)
         for df in frames:
             try:
                 df.unpersist()

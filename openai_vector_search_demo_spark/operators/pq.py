@@ -73,6 +73,13 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _nonzero_mask(mat: np.ndarray) -> np.ndarray:
+    """Rows with positive L2 norm — the family's cosine contract (every
+    PQ oracle filters ``WHERE nrm > 0``): a zero vector has no direction,
+    so it is dropped alongside NULLs rather than encoded as if unit."""
+    return np.linalg.norm(mat, axis=1) > 0
+
+
 def pq_encode_numpy(mat: np.ndarray,
                     codebooks: list[list[list[float]]]) -> np.ndarray:
     """Codes (n × m int) for L2-normalized rows — per-subspace argmin
@@ -118,7 +125,8 @@ def pq_adc_knn(df: DataFrame, qvec: Sequence[float],
     production the codes are the STORED column — ``write_pq_codes`` /
     ``pq_adc_stored_knn`` below — and this pass disappears entirely) and scores each row as
     ``Σ_j lut[j][code_j]``; ascending distance, ``TakeOrderedAndProject``
-    top-k.  NULL vectors drop (the family's contract)."""
+    top-k.  NULL and zero-norm vectors drop (the family's contract —
+    the oracles' ``WHERE nrm > 0``)."""
     import pandas as pd
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -133,6 +141,10 @@ def pq_adc_knn(df: DataFrame, qvec: Sequence[float],
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nz = _nonzero_mask(mat)
+            if not nz.any():
+                continue
+            pdf, mat = pdf[nz], mat[nz]
             codes = pq_encode_numpy(mat, cb)
             kept = pdf.copy()
             kept[dist_col] = lut[np.arange(len(cb))[None, :], codes].sum(1)
@@ -149,8 +161,10 @@ def pq_encode_df(df: DataFrame, codebooks: list[list[list[float]]],
                  vec_col: str = "embedding",
                  code_col: str = "codes") -> DataFrame:
     """Write-time PQ encoding: the input columns plus an ``array<int>``
-    code column (one Arrow pass; NULL vectors get NULL codes so the
-    write keeps row parity with the source)."""
+    code column (one Arrow pass; NULL and zero-norm vectors get NULL
+    codes — the latter have no direction under the cosine contract — so
+    the write keeps row parity with the source and downstream filters
+    on ``codes IS NOT NULL`` drop both)."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
 
@@ -169,8 +183,11 @@ def pq_encode_df(df: DataFrame, codebooks: list[list[list[float]]],
                 import numpy as np
                 mat = np.array(pdf.loc[mask, vec_col].tolist(),
                                dtype=np.float64)
-                cc = pq_encode_numpy(mat, cb)
-                codes.loc[mask] = [[int(x) for x in row] for row in cc]
+                nz = _nonzero_mask(mat)
+                if nz.any():
+                    cc = pq_encode_numpy(mat[nz], cb)
+                    codes.loc[mask[mask].index[nz]] = \
+                        [[int(x) for x in row] for row in cc]
             out[code_col] = codes
             yield out
 

@@ -602,6 +602,35 @@ def test_pq_adc_matches_dense_reference(spark):
         assert got[i] == round(float(want[i]), 6)
 
 
+def test_pq_drops_zero_norm_vectors(spark):
+    """NULL and zero-norm vectors both drop from the ADC scan and get
+    NULL codes at encode time — the oracles' WHERE nrm > 0 contract (a
+    zero vector has no direction under cosine; encoding it as if unit
+    would rank it by the codebooks' arbitrary geometry)."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.pq import (
+        pq_adc_knn,
+        pq_encode_df,
+    )
+    from openai_vector_search_demo_spark.pq_pretrained import PQ_CODEBOOKS
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(64)]) for i in range(5)]
+    rows.append((90, [0.0] * 64))   # zero-norm must drop
+    rows.append((99, None))         # NULL must drop
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [float(x) for x in rng.randn(64)]
+    got = {r.vec_id for r in
+           pq_adc_knn(df, q, PQ_CODEBOOKS, k=10,
+                      tie_break="vec_id").collect()}
+    assert got == {0, 1, 2, 3, 4}
+    codes = {r.vec_id: r.codes for r in pq_encode_df(df, PQ_CODEBOOKS)
+             .select("vec_id", "codes").collect()}
+    assert codes[90] is None and codes[99] is None
+    assert all(codes[i] is not None for i in range(5))
+
+
 def test_pq_exact_on_centroid_vectors():
     """A vector assembled FROM codebook centroids encodes losslessly:
     ADC distance == true squared distance to the normalized query."""

@@ -346,6 +346,38 @@ def test_cache_scope_nesting_releases_own_only(spark):
     assert not a.storageLevel.useMemory
 
 
+def test_cache_scope_is_thread_local(spark):
+    """A persist taken on another thread must NOT register into this
+    thread's active scope (and so must survive the scope's exit) — the
+    concurrent-Spark-actions contract: one thread's cache_scope() exit
+    cannot unpersist a relation another thread is mid-action on."""
+    import threading
+
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+
+    other: list = []
+
+    def worker():
+        df = scoped_persist(spark.range(30))
+        df.count()
+        other.append(df)
+
+    with cache_scope():
+        mine = scoped_persist(spark.range(40))
+        mine.count()
+        th = threading.Thread(target=worker)
+        th.start()
+        th.join()
+    assert not mine.storageLevel.useMemory      # scope released its own
+    try:
+        assert other[0].storageLevel.useMemory  # foreign persist survives
+    finally:
+        other[0].unpersist()
+
+
 def test_unigram_reuse_pairs_hits_bigram_cache(spark):
     """The sharing claim, receipted: after bigram_lm_scores materializes
     its persisted pair counts, unigram_lm_scores(reuse_pairs=True) must
