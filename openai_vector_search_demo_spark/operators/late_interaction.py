@@ -258,19 +258,20 @@ def late_interaction_stored_topk(spark, store: str, query: str, k: int = 10,
                                  id_col: str = "doc_id",
                                  max_tokens: int = 64, window: int = 1,
                                  dim: int = 64,
-                                 score_col: str = "maxsim_score"
-                                 ) -> DataFrame:
+                                 score_col: str = "maxsim_score",
+                                 table: str | None = None) -> DataFrame:
     """MaxSim top-k over a ``write_token_window_index`` store: the scan
     reads ONLY the query's probe buckets — |query buckets| of ``dim``
-    partition directories, enumerated driver-side and handed to the
-    reader under ``basePath`` exactly like ``ann_lsh_stored_knn`` (the
-    local-FS equivalent of metastore partition pruning; the residual
-    ``isin`` guards stray files and keeps the PartitionFilters pin).
+    partitions, via ``stores.read_probed_partitions`` (catalog-backed
+    partition pruning when the index is registered as ``table``; the
+    driver-side basePath enumeration otherwise — see ``stores``).
     Identical scores to the inline operator: dots can only arise on
     shared buckets, so unprobed buckets contribute nothing by
     construction, and the zero-floor's full position counts come from
     the side metadata, not the pruned scan."""
-    import os
+    from openai_vector_search_demo_spark.stores import (
+        read_probed_partitions,
+    )
 
     qfeats = query_window_features(query, max_tokens, window, dim)
     if not qfeats:
@@ -279,14 +280,8 @@ def late_interaction_stored_topk(spark, store: str, query: str, k: int = 10,
                         F.lit(0.0).alias(score_col)).limit(0))
     qdf = spark.createDataFrame(qfeats, "qpos int, bucket int, wq double")
     probes = sorted({b for _, b, _ in qfeats})
-    probe_paths = [p for p in (os.path.join(store, f"bucket={b}")
-                               for b in probes) if os.path.isdir(p)]
-    if probe_paths:
-        dfeat = (spark.read.option("basePath", store).parquet(*probe_paths)
-                 .filter(F.col("bucket").isin(probes))
-                 .repartition(F.col("id")))
-    else:
-        dfeat = (spark.read.parquet(store)
-                 .filter(F.col("bucket").isin(probes)).limit(0))
+    dfeat = (read_probed_partitions(spark, store, "bucket", probes,
+                                    table=table)
+             .repartition(F.col("id")))
     dpos = spark.read.parquet(store + "_meta")
     return _maxsim_topk(dfeat, qdf, dpos, id_col, score_col, k)

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openai_vector_search_demo_spark.caching import scoped_persist
+from openai_vector_search_demo_spark.stores import read_probed_partitions
 from openai_vector_search_demo_spark.config import (
     HIGHLIGHT_PREFIX,
     HIGHLIGHT_SUFFIX,
@@ -805,17 +806,19 @@ def ann_lsh_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inline variant pays a full scan + per-row bucket computation; this
     one touches |probed buckets| / 2^nbits of the data.
 
-    Pruning happens at PARTITION DISCOVERY, not after a full listing: the
-    probed bucket paths are enumerated directly (driver-side stat of
-    |probes| directories) and handed to the reader under ``basePath``, so
-    Spark never lists the other 2^nbits - |probes| directories.  That is
-    the local-FS equivalent of metastore partition pruning — on a real
-    deployment the index is a catalog table and the probe set becomes a
-    catalog partition predicate (SCALE.md §retrieval); listing the whole
-    store to discard 96% of it (the r4 shape) wastes exactly the metadata
-    work the index exists to avoid.  The residual ``isin`` filter keeps the
-    PartitionFilters pin (`tests/test_ann.py`) and guards against stray
-    files under ``basePath``.
+    Pruning happens at PARTITION DISCOVERY, not after a full listing
+    (``stores.read_probed_partitions``): the probed bucket paths are
+    enumerated directly (driver-side stat of |probes| directories) and
+    handed to the reader under ``basePath``, so Spark never lists the
+    other 2^nbits - |probes| directories.  The same helper serves the
+    metastore pattern — register the store as a partitioned catalog
+    table (``stores.register_partitioned_store``) and the probe set
+    becomes a catalog partition predicate, pruned from catalog metadata
+    (tests/test_stores.py pins plan + value equality of the two modes);
+    listing the whole store to discard 96% of it (the r4 shape) wastes
+    exactly the metadata work the index exists to avoid.  The residual
+    ``isin`` filter keeps the PartitionFilters pin (`tests/test_ann.py`)
+    and guards against stray files under ``basePath``.
 
     The index build is cached per corpus CONTENT (path + data-file
     size/mtime fingerprint — a regenerated corpus at the same path gets a
@@ -846,14 +849,7 @@ def ann_lsh_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").partitionBy("bucket").parquet(store))
 
     probes = query_buckets(qvec, planes, probe_hamming=1)
-    probe_paths = [p for p in (os.path.join(store, f"bucket={b}")
-                               for b in probes) if os.path.isdir(p)]
-    if probe_paths:
-        stored = (spark.read.option("basePath", store).parquet(*probe_paths)
-                  .filter(F.col("bucket").isin(probes)))
-    else:  # every probed bucket empty — no candidates, empty result
-        stored = (spark.read.parquet(store)
-                  .filter(F.col("bucket").isin(probes)).limit(0))
+    stored = read_probed_partitions(spark, store, "bucket", probes)
     top = knn(stored, qvec, k=10, sim_col="sim", tie_break="vec_id")
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
@@ -951,14 +947,7 @@ def ann_ivf_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").partitionBy("cell").parquet(store))
 
     probes = ivf_probe_cells(qvec, centroids, _IVF_NPROBE)
-    probe_paths = [p for p in (os.path.join(store, f"cell={c}")
-                               for c in probes) if os.path.isdir(p)]
-    if probe_paths:
-        stored = (spark.read.option("basePath", store).parquet(*probe_paths)
-                  .filter(F.col("cell").isin(probes)))
-    else:
-        stored = (spark.read.parquet(store)
-                  .filter(F.col("cell").isin(probes)).limit(0))
+    stored = read_probed_partitions(spark, store, "cell", probes)
     top = knn(stored, qvec, k=10, sim_col="sim", tie_break="vec_id")
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 
@@ -1128,14 +1117,7 @@ def ann_ivf_trained_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes = ivf_probe_cells_dot(qvec, IVF_TRAINED_CENTROIDS,
                                  _IVF_TRAINED_NPROBE)
-    probe_paths = [p for p in (os.path.join(store, f"cell={c}")
-                               for c in probes) if os.path.isdir(p)]
-    if probe_paths:
-        stored = (spark.read.option("basePath", store).parquet(*probe_paths)
-                  .filter(F.col("cell").isin(probes)))
-    else:
-        stored = (spark.read.parquet(store)
-                  .filter(F.col("cell").isin(probes)).limit(0))
+    stored = read_probed_partitions(spark, store, "cell", probes)
     top = knn(stored, qvec, k=10, sim_col="sim", tie_break="vec_id")
     return top.select("vec_id", "label", F.round("sim", 6).alias("similarity"))
 

@@ -1,0 +1,73 @@
+"""Partition-stored index access — the one funnel for every stored ANN /
+multi-vector read path (LSH buckets, IVF cells, PQ-coded IVF, the
+late-interaction token index).
+
+All those indexes share one physical layout: a parquet table partitioned
+by the probe column (``bucket=…`` / ``cell=…`` directories, one file per
+partition from the write-time ``repartition``), and one query shape:
+read ONLY the probed partitions.  What differs between the sandbox and a
+production deployment is WHERE the partition metadata lives:
+
+- **Metastore pattern** (production): the store is registered as an
+  external partitioned catalog table; the probe set becomes a partition
+  predicate and Catalyst consults the CATALOG's partition list
+  (``PartitionFilters``) — no filesystem listing beyond the matched
+  directories, and probes with no partition prune to nothing at plan
+  time.  ``register_partitioned_store`` + ``read_probed_partitions(...,
+  table=...)`` below.
+- **Local-FS fallback** (the sandbox default, and any
+  catalog-less deployment): the |probes| candidate directories are
+  enumerated with a driver-side stat and handed to the reader under
+  ``basePath``, so Spark never lists the non-probed directories.
+
+Both forms keep the residual ``isin`` filter: it pins
+``PartitionFilters`` in the plan (tests assert it) and guards against
+stray files under ``basePath``.  Reference behavior note: the reference
+serves its index from Redis (modules/utilities.py — RediSearch
+KNN); partition-pruned parquet + catalog metadata is the Spark-first
+equivalent of that server-side index lookup.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_probed_partitions", "register_partitioned_store"]
+
+
+def read_probed_partitions(spark: SparkSession, store: str, part_col: str,
+                           probes, table: str | None = None) -> DataFrame:
+    """DataFrame over ONLY the probed partitions of a partition-stored
+    index (see module docstring for the two metadata modes).
+
+    ``probes`` is any iterable of partition values; duplicates collapse.
+    With every probed partition absent the result is the store's schema
+    with zero rows (the no-candidates contract every stored read path
+    shares)."""
+    probes = sorted(set(probes))
+    if table is not None:
+        # metastore pattern: the catalog prunes partitions at plan time
+        return spark.table(table).filter(F.col(part_col).isin(probes))
+    paths = [p for p in (os.path.join(store, f"{part_col}={v}")
+                         for v in probes) if os.path.isdir(p)]
+    if not paths:
+        return (spark.read.parquet(store)
+                .filter(F.col(part_col).isin(probes)).limit(0))
+    return (spark.read.option("basePath", store).parquet(*paths)
+            .filter(F.col(part_col).isin(probes)))
+
+
+def register_partitioned_store(spark: SparkSession, table: str,
+                               store: str) -> None:
+    """Register a partition-stored index as an EXTERNAL catalog table and
+    recover its partitions from the directory layout — the metastore
+    pattern's one-time setup step (per index build, not per query).
+    Idempotent: re-registration drops the table entry first; the data
+    files are never touched (external location)."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{store}'")
+    # populate the catalog's partition list from the directories (MSCK)
+    spark.catalog.recoverPartitions(table)
