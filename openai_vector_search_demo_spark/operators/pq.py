@@ -41,28 +41,34 @@ from pyspark.sql import functions as F
 
 __all__ = ["train_pq_codebooks", "pq_encode_numpy", "pq_adc_knn",
            "adc_lut", "pq_encode_df", "write_pq_codes",
-           "pq_adc_stored_knn"]
+           "pq_adc_stored_knn", "residual_assign_encode_numpy",
+           "residual_adc_luts", "ivfpq_residual_knn"]
 
 
 def train_pq_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 64,
-                       seed: int = 42,
-                       iters: int = 25) -> list[list[list[float]]]:
+                       seed: int = 42, iters: int = 25,
+                       normalize: bool = True) -> list[list[list[float]]]:
     """Seeded per-subspace k-means over L2-NORMALIZED training vectors —
     ``codebooks[j][c]`` is centroid ``c`` of subspace ``j``.  Same
     determinism contract as ``train_centroids``: seeded-permutation
     init, fixed iterations, empty cells keep their centroid, 6-dp
-    rounding for exact literal round-trip through Spark and DuckDB."""
+    rounding for exact literal round-trip through Spark and DuckDB.
+
+    ``normalize=False`` trains on the vectors AS GIVEN — the residual
+    (IVFADC) path, whose inputs ``x_norm − centroid`` are deliberately
+    NOT unit vectors (their length is the quantization signal)."""
     from openai_vector_search_demo_spark.operators.ann import (
         train_centroids,
     )
     x = np.asarray(vectors, dtype=np.float64)
     if x.shape[1] % m:
         raise ValueError(f"dim {x.shape[1]} not divisible by m={m}")
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    xn = x / norms
+    if normalize:
+        norms = np.linalg.norm(x, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        x = x / norms
     sub = x.shape[1] // m
-    return [train_centroids(xn[:, j * sub:(j + 1) * sub], ksub, seed=seed,
+    return [train_centroids(x[:, j * sub:(j + 1) * sub], ksub, seed=seed,
                             iters=iters)
             for j in range(m)]
 
@@ -81,11 +87,14 @@ def _nonzero_mask(mat: np.ndarray) -> np.ndarray:
 
 
 def pq_encode_numpy(mat: np.ndarray,
-                    codebooks: list[list[list[float]]]) -> np.ndarray:
+                    codebooks: list[list[list[float]]],
+                    normalize: bool = True) -> np.ndarray:
     """Codes (n × m int) for L2-normalized rows — per-subspace argmin
     squared distance, ties to the lower centroid index (argmin's
-    first-occurrence contract, mirrored by the oracle's MIN(c))."""
-    xn = _normalize(np.asarray(mat, dtype=np.float64))
+    first-occurrence contract, mirrored by the oracle's MIN(c)).
+    ``normalize=False`` encodes the rows as given (residual vectors)."""
+    x = np.asarray(mat, dtype=np.float64)
+    xn = _normalize(x) if normalize else x
     m = len(codebooks)
     sub = xn.shape[1] // m
     out = np.empty((len(xn), m), dtype=np.int64)
@@ -207,6 +216,113 @@ def write_pq_codes(df: DataFrame, path: str,
      .filter(F.col("codes").isNotNull())
      .select(*cols, "codes")
      .write.mode("overwrite").parquet(path))
+
+
+def residual_assign_encode_numpy(mat: np.ndarray,
+                                 centroids: list[list[float]],
+                                 codebooks: list[list[list[float]]]
+                                 ) -> tuple[np.ndarray, np.ndarray]:
+    """RESIDUAL encoding — the IVFADC variant of Jégou et al. (TPAMI
+    2011, §IV): each L2-normalized vector is assigned to its coarse
+    cell (argmax dot, ties to the lower cid — the spherical-quantizer
+    contract of ``ann.ivf_cell_dot``) and the PQ codes quantize the
+    RESIDUAL ``x_norm − centroid[cell]`` rather than the raw vector.
+    Residuals concentrate near the origin with most between-cluster
+    structure already removed, so the same 12-byte budget resolves
+    WITHIN-cluster geometry — exactly what raw-vector PQ loses on
+    clustered corpora (the measured 0.42-recall inversion).
+
+    Returns ``(cells (n,), codes (n, m))`` for rows of positive norm;
+    callers drop NULL/zero-norm rows first (the family contract)."""
+    xn = _normalize(np.asarray(mat, dtype=np.float64))
+    cent = np.asarray(centroids, dtype=np.float64)
+    cells = (xn @ cent.T).argmax(axis=1)        # first-occurrence = low cid
+    res = xn - cent[cells]
+    return cells, pq_encode_numpy(res, codebooks, normalize=False)
+
+
+def residual_adc_luts(qvec: Sequence[float],
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      cells: Sequence[int]) -> dict[int, list[list[float]]]:
+    """Per-cell ADC lookup tables for the residual code space:
+    ``lut[cell][j][c] = ||(q_norm − centroid[cell])_j − cb_j[c]||²`` —
+    ADC against residual codes needs the query expressed in each probed
+    cell's residual frame (|probes| · m · ksub floats, driver-side)."""
+    q = _normalize(np.asarray(list(qvec), dtype=np.float64)[None, :])[0]
+    cent = np.asarray(centroids, dtype=np.float64)
+    m = len(codebooks)
+    sub = len(q) // m
+    out: dict[int, list[list[float]]] = {}
+    for cell in cells:
+        qr = q - cent[cell]
+        luts = []
+        for j, cb in enumerate(codebooks):
+            c = np.asarray(cb, dtype=np.float64)
+            diff = c - qr[j * sub:(j + 1) * sub][None, :]
+            luts.append([float(v) for v in (diff * diff).sum(axis=1)])
+        out[int(cell)] = luts
+    return out
+
+
+def ivfpq_residual_knn(df: DataFrame, qvec: Sequence[float],
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       nprobe: int, k: int = 10,
+                       vec_col: str = "embedding",
+                       dist_col: str = "adc_dist",
+                       tie_break: str | None = None) -> DataFrame:
+    """IVFADC top-k — coarse pruning × RESIDUAL code compression, the
+    full FAISS ``IVFx,PQy`` layout: probe the ``nprobe`` best cells,
+    score only their members by ADC over residual codes with the
+    query's per-cell LUTs.  One Arrow pass assigns + encodes + scores
+    (in production cells and codes are STORED columns and the pass
+    degenerates to the LUT lookups); ascending distance,
+    ``TakeOrderedAndProject`` top-k; NULL and zero-norm vectors drop."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_probe_cells_dot,
+    )
+
+    probes = ivf_probe_cells_dot(qvec, centroids, nprobe)
+    luts = residual_adc_luts(qvec, centroids, codebooks, probes)
+    lut_arr = {c: np.asarray(v, dtype=np.float64) for c, v in luts.items()}
+    probe_set = set(probes)
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField(dist_col, DoubleType())])
+    cb, cent = codebooks, centroids
+    m = len(codebooks)
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nz = _nonzero_mask(mat)
+            if not nz.any():
+                continue
+            pdf, mat = pdf[nz], mat[nz]
+            cells, codes = residual_assign_encode_numpy(mat, cent, cb)
+            keep = np.isin(cells, list(probe_set))
+            if not keep.any():
+                continue
+            pdf, cells, codes = pdf[keep], cells[keep], codes[keep]
+            dist = np.empty(len(pdf), dtype=np.float64)
+            jj = np.arange(m)
+            for i, (cell, code) in enumerate(zip(cells, codes)):
+                dist[i] = lut_arr[int(cell)][jj, code].sum()
+            kept = pdf.copy()
+            kept[dist_col] = dist
+            yield kept
+
+    scored = df.mapInPandas(score, out_schema)
+    order = [F.col(dist_col).asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return scored.orderBy(*order).limit(k)
 
 
 def pq_adc_stored_knn(spark, store: str, qvec: Sequence[float],

@@ -713,3 +713,123 @@ def test_pq_encode_df_keeps_null_row_parity(spark):
            pq_encode_df(df, PQ_CODEBOOKS).collect()}
     assert out[2] is None
     assert len(out[1]) == PQ_M and len(out[3]) == PQ_M
+
+
+def test_pq_residual_pretrained_matches_trainer_config():
+    """pq_residual_pretrained.py must be regenerable: same trainer +
+    recorded config + gate corpus + pinned coarse centroids => same
+    residual codebooks (guards hand-edits and stale regeneration)."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from openai_vector_search_demo_spark import pq_residual_pretrained as R
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        train_pq_codebooks,
+    )
+
+    rows = duckdb.connect().execute(
+        "SELECT embedding FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE vec_id >= 20 ORDER BY vec_id").fetchall()
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    fp = hashlib.md5(x.round(6).tobytes()).hexdigest()[:12]
+    assert fp == R.PQR_CORPUS_MD5, (
+        "gate corpus changed - rerun scripts/train_pq_residual_codebooks.py")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    keep = norms[:, 0] > 0
+    xn = x[keep] / norms[keep]
+    cent = np.asarray(IVF_TRAINED_CENTROIDS, dtype=np.float64)
+    res = xn - cent[(xn @ cent.T).argmax(axis=1)]
+    got = train_pq_codebooks(res, m=R.PQR_M, ksub=R.PQR_KSUB,
+                             seed=R.PQR_SEED, iters=R.PQR_ITERS,
+                             normalize=False)
+    assert got == R.PQR_CODEBOOKS
+
+
+def test_residual_encode_matches_dense_reference():
+    """residual_assign_encode_numpy must equal the hand-derived chain:
+    normalize -> argmax-dot cell (ties low) -> subtract centroid ->
+    per-subspace argmin against the residual codebooks."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        pq_encode_numpy,
+        residual_assign_encode_numpy,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    rng = np.random.RandomState(11)
+    mat = rng.randn(40, 64)
+    cells, codes = residual_assign_encode_numpy(mat, IVF_TRAINED_CENTROIDS,
+                                                PQR_CODEBOOKS)
+    xn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cent = np.asarray(IVF_TRAINED_CENTROIDS, dtype=np.float64)
+    want_cells = (xn @ cent.T).argmax(axis=1)
+    assert (cells == want_cells).all()
+    want_codes = pq_encode_numpy(xn - cent[want_cells], PQR_CODEBOOKS,
+                                 normalize=False)
+    assert (codes == want_codes).all()
+
+
+def test_residual_adc_is_exact_on_reconstructable_vectors():
+    """A vector assembled as centroid + codebook residuals encodes
+    losslessly: residual ADC distance == true squared distance from the
+    query to the (normalized-input) reconstruction."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        residual_adc_luts,
+        residual_assign_encode_numpy,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+        PQR_M,
+    )
+
+    rng = np.random.RandomState(13)
+    q = rng.randn(64)
+    qn = q / np.linalg.norm(q)
+    cent = np.asarray(IVF_TRAINED_CENTROIDS, dtype=np.float64)
+    # take a real-ish vector, encode it, reconstruct, re-encode: the
+    # reconstruction maps to SOME (cell, codes) pair whose ADC distance
+    # must equal the true distance to its own re-reconstruction
+    v = rng.randn(64)
+    cells, codes = residual_assign_encode_numpy(v[None, :], cent,
+                                                PQR_CODEBOOKS)
+    luts = residual_adc_luts(q, cent, PQR_CODEBOOKS, [int(cells[0])])
+    lut = np.asarray(luts[int(cells[0])])
+    adc = lut[np.arange(PQR_M), codes[0]].sum()
+    recon_res = np.concatenate(
+        [np.asarray(PQR_CODEBOOKS[j][codes[0][j]]) for j in range(PQR_M)])
+    recon = cent[cells[0]] + recon_res
+    true = float(((qn - recon) ** 2).sum())
+    assert abs(adc - true) < 1e-9
+
+
+def test_residual_repairs_clustered_compression_recall(spark):
+    """The headline claim of the r10 residual work, asserted from the
+    live slots: at the SAME 12-byte budget, residual codes must score
+    materially higher recall than raw-vector codes on the clustered
+    fixture (the r9-measured inversion), and the slot rows must carry
+    the measured values."""
+    from openai_vector_search_demo_spark.queries import SPARK_QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    raw = SPARK_QUERIES["ann_pq_clustered_recall_at_10"](spark, sf).first()
+    res = SPARK_QUERIES["ann_pq_residual_clustered_recall_at_10"](
+        spark, sf).first()
+    assert res.bytes_per_vector == raw.bytes_per_vector == 12
+    assert res.mean_recall_at_10 >= raw.mean_recall_at_10 + 0.10
+    assert res.mean_recall_at_10 >= 0.55
