@@ -90,7 +90,8 @@ def test_battery_members_are_all_registered_and_oracled():
     from openai_vector_search_demo_spark import queries as Q
     oracled = entrymod.oracle_sql()
     for fam in (Q._TPCH_BATTERY, Q._ANALYTICS_BATTERY, Q._RETRIEVAL_BATTERY,
-                Q._EVENTS_WINDOWS_BATTERY):
+                Q._EVENTS_WINDOWS_BATTERY, Q._CURATION_BATTERY,
+                Q._DEDUP_BATTERY, Q._PROFILE_EVENTS_BATTERY):
         for m in fam:
             assert m in Q.SPARK_QUERIES and m in oracled, m
     for m in Q._MULTIMODAL_BATTERY:
