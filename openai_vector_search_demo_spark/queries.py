@@ -7099,7 +7099,7 @@ _ANALYTICS_BATTERY = [
     "pareto_abc_quantile", "rfm_quantile", "ta_bigram_lm_score",
     "cdc_chunk_dedup",
     # r10 receipt-gap additions: never driver-receipted before
-    "ta_strip_html", "ta_unigram_lm_score",
+    "ta_strip_html", "ta_unigram_lm_score", "fuzzy_match_part_names",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -7423,6 +7423,8 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "ta_strip_html": [("doc_id", "s"), ("prose", "s")],
     "ta_unigram_lm_score": [
         ("avg_logprob", "d"), ("doc_id", "s"), ("n_tokens", "s")],
+    "fuzzy_match_part_names": [
+        ("distance", "s"), ("name_a", "s"), ("name_b", "s")],
 }
 
 
