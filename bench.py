@@ -140,6 +140,8 @@ HEADLINE = [
     "ta_unigram_lm_score",  # corpus-trained LM scoring, counts-only shuffles
     "ta_bigram_lm_score",   # interpolated bigram LM — one order up
     "late_interaction_topk",  # ColBERT MaxSim, single-exchange plan (r9)
+    "ann_ivfpq_residual_knn",  # IVFADC proper: pruning x residual ADC (r10)
+    "ann_pq_refine_stored_knn",  # codegen ADC shortlist + exact refine (r10)
     "curation_pipeline",
 ]
 

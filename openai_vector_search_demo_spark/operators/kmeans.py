@@ -1,0 +1,113 @@
+"""Distributed spherical k-means (Lloyd's algorithm) — the TRAINER the
+ANN family's pinned artifacts come from, as a DataFrame-native iterative
+job instead of a driver-side numpy pass.
+
+The pinned-index modules (``ann_pretrained``, ``ann_clustered``,
+``pq_pretrained``) are built offline by ``operators.ann.train_centroids``
+on a capped sample (``IVF_TRAIN_CAP`` — right for index BUILD, where a
+100k sample estimates centroids fine).  This module is the other
+regime: clustering as a QUERY over the full corpus — corpus
+organization, SemDeDup-style cell assignment, topic bucketing — where
+the data cannot be sampled down and the iteration itself must be
+distributed.
+
+Spark-first shape (the same loop structure MLlib's KMeans runs):
+
+- **Assignment is codegen**: current centroids inline as plan literals
+  and each row's cell is ``argmax dot(e, c)`` (``ann.ivf_cell_dot`` —
+  the spherical-quantizer contract, ties to the low cid).  No shuffle.
+- **Update is one partial aggregation** per iteration:
+  ``groupBy(cell).agg(count, avg(e[0]), …, avg(e[dim-1]))`` — map-side
+  combine reduces every partition to ≤ k rows of dim+1 doubles, so the
+  shuffle moves k·(dim+1) numbers per partition regardless of corpus
+  size.  The k-row result is collected (bounded: k·dim doubles), the
+  means are re-normalized to the unit sphere, and the next iteration's
+  literals are born.
+- **Determinism contract** (what makes the whole loop oracle-checkable
+  in DuckDB, iteration by iteration): seeded DATA-DERIVED init (the
+  first k corpus rows by id — the ``ann_ivf_knn`` convention), a FIXED
+  iteration count, empty cells keep their centroid, and every centroid
+  is rounded to 6 dp **inside the engine** (``F.round`` = HALF_UP =
+  away-from-zero = DuckDB ``ROUND``) before it becomes a literal — so
+  both engines feed bit-identical centroids into every assignment step,
+  and cross-engine float drift cannot compound across iterations.
+
+At 100 TB: ``iters`` full scans (each pruned to the id/vector columns),
+``iters`` k-row shuffles, zero unbounded driver state.  Reference
+parity note: the reference has no trainer at all (HNSW index build is
+Redis-internal, modules/utilities.py); this is engine surface the
+Spark-first design adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_lloyd_spherical", "kmeans_assign"]
+
+
+def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    from openai_vector_search_demo_spark.functions.vectors import (
+        l2_normalize,
+    )
+    return (df.select(id_col, l2_normalize(vec_col, "double").alias("e"))
+            .filter(F.col("e").isNotNull()))
+
+
+def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id", k: int = 8,
+                           iters: int = 3,
+                           init_ids: list[int] | None = None,
+                           ) -> tuple[list[list[float]], list[int]]:
+    """Run ``iters`` Lloyd rounds over the full frame; returns
+    ``(centroids, counts)`` — k unit-norm 6-dp centroid vectors and the
+    member count of each cell in the FINAL assignment (the one that
+    produced the returned centroids).  ``init_ids`` defaults to the k
+    smallest ids (deterministic, data-derived — no RNG to disagree
+    about across engines)."""
+    en = _normalized(df, vec_col, id_col)
+    if init_ids is None:
+        init_ids = [r[0] for r in
+                    en.select(id_col).orderBy(id_col).limit(k).collect()]
+    if len(init_ids) != k:
+        raise ValueError(f"need {k} init ids, got {len(init_ids)}")
+    init = {r[0]: r[1] for r in
+            en.filter(F.col(id_col).isin(init_ids))
+              .select(id_col,
+                      F.transform("e", lambda x: F.round(x, 6)).alias("c"))
+              .collect()}
+    cent = [[float(v) for v in init[i]] for i in sorted(init_ids)]
+    dim = len(cent[0])
+    counts = [0] * k
+
+    from openai_vector_search_demo_spark.operators.ann import ivf_cell_dot
+
+    for _ in range(iters):
+        a = en.withColumn("_cell", ivf_cell_dot("e", cent))
+        agg = a.groupBy("_cell").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[F.avg(F.col("e")[j]).alias(f"a{j}") for j in range(dim)])
+        nrm = F.sqrt(sum(F.col(f"a{j}") * F.col(f"a{j}")
+                         for j in range(dim)))
+        rows = agg.select(
+            "_cell", "n",
+            *[F.round(F.col(f"a{j}") / nrm, 6).alias(f"c{j}")
+              for j in range(dim)]).collect()
+        counts = [0] * k
+        for r in rows:
+            cell = int(r["_cell"])
+            counts[cell] = int(r["n"])
+            cent[cell] = [float(r[f"c{j}"]) for j in range(dim)]
+    return cent, counts
+
+
+def kmeans_assign(df: DataFrame, centroids: list[list[float]],
+                  vec_col: str = "embedding",
+                  cell_col: str = "cell") -> DataFrame:
+    """Attach each row's cell under trained centroids — pure codegen
+    (``ivf_cell_dot`` over literal centroids), the serving half: feed
+    it ``write_*_index``-style into a cell-partitioned store and every
+    downstream read prunes by cell (the IVF stored-path pattern)."""
+    from openai_vector_search_demo_spark.operators.ann import ivf_cell_dot
+    return df.withColumn(cell_col, ivf_cell_dot(vec_col, centroids))

@@ -42,7 +42,9 @@ from pyspark.sql import functions as F
 __all__ = ["train_pq_codebooks", "pq_encode_numpy", "pq_adc_knn",
            "adc_lut", "pq_encode_df", "write_pq_codes",
            "pq_adc_stored_knn", "residual_assign_encode_numpy",
-           "residual_adc_luts", "ivfpq_residual_knn"]
+           "residual_adc_luts", "ivfpq_residual_knn",
+           "exact_refine_topk", "ivfpq_refine_knn",
+           "pq_refine_stored_knn"]
 
 
 def train_pq_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 64,
@@ -323,6 +325,79 @@ def ivfpq_residual_knn(df: DataFrame, qvec: Sequence[float],
     if tie_break:
         order.append(F.col(tie_break).asc())
     return scored.orderBy(*order).limit(k)
+
+
+def exact_refine_topk(cand: DataFrame, qvec: Sequence[float], k: int = 10,
+                      vec_col: str = "embedding",
+                      sim_col: str = "similarity",
+                      tie_break: str | None = None) -> DataFrame:
+    """EXACT-COSINE RERANK of an ADC candidate shortlist — the FAISS
+    ``IndexRefine`` stage (Jégou et al., TPAMI 2011 §V.A "re-ranking"):
+    ADC ranks cheaply but approximately; re-scoring the top ``R``
+    candidates with true cosine recovers most of the recall the 12-byte
+    codes lose, at the cost of touching R fp32 vectors per query
+    instead of zero.  The candidate frame is tiny (R = k·refine_factor
+    rows), so the exact cosine here is the codegen HOF form — the same
+    ``functions.vectors.cosine_similarity`` expression the Q2 oracle
+    family pins — never a new scoring convention."""
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+        vector_lit,
+    )
+    scored = cand.withColumn(
+        sim_col, cosine_similarity(F.col(vec_col), vector_lit(list(qvec))))
+    order = [F.col(sim_col).desc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc())
+    return scored.orderBy(*order).limit(k)
+
+
+def ivfpq_refine_knn(df: DataFrame, qvec: Sequence[float],
+                     centroids: list[list[float]],
+                     codebooks: list[list[list[float]]],
+                     nprobe: int, k: int = 10, refine_factor: int = 5,
+                     vec_col: str = "embedding",
+                     sim_col: str = "similarity",
+                     tie_break: str | None = None) -> DataFrame:
+    """IVFADC + REFINE — the full three-stage serving stack (FAISS's
+    ``IVFx,PQy`` wrapped in ``IndexRefine``): coarse pruning cuts the
+    scan to nprobe/nlist, residual-ADC over 12-byte codes ranks the
+    survivors, and the top ``k·refine_factor`` shortlist is re-scored
+    with exact cosine.  Per query the fp32 vectors touched drop from
+    |corpus| (brute force) to R — the refine read is a point lookup
+    against cold storage, so compression economics survive while
+    recall climbs back toward the coarse quantizer's ceiling (measured:
+    ``ann_pq_refine*_recall_at_10``)."""
+    cand = ivfpq_residual_knn(df, qvec, centroids, codebooks, nprobe,
+                              k=k * refine_factor, vec_col=vec_col,
+                              tie_break=tie_break)
+    return exact_refine_topk(cand, qvec, k=k, vec_col=vec_col,
+                             sim_col=sim_col,
+                             tie_break=tie_break).drop("adc_dist")
+
+
+def pq_refine_stored_knn(spark, store: str, source: DataFrame,
+                         qvec: Sequence[float],
+                         codebooks: list[list[list[float]]],
+                         k: int = 10, refine_factor: int = 5,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         sim_col: str = "similarity") -> DataFrame:
+    """The STORED refine path — what a 100 TB deployment actually runs:
+    the shortlist comes from the codes table in pure codegen
+    (``pq_adc_stored_knn``, 12 bytes/row, no Python), and ONLY the R
+    shortlisted ids fetch their fp32 vectors from ``source`` for the
+    exact rerank.  The fetch is a BROADCAST join of the R-row shortlist
+    against the vector table — the small side is the candidates, so at
+    scale it is a semi-join pushdown / point-lookup pattern, never a
+    shuffle of the corpus."""
+    cand = pq_adc_stored_knn(spark, store, qvec, codebooks,
+                             k=k * refine_factor, tie_break=id_col)
+    fetched = (source.select(id_col, vec_col)
+               .join(F.broadcast(cand), id_col))
+    return exact_refine_topk(fetched, qvec, k=k, vec_col=vec_col,
+                             sim_col=sim_col,
+                             tie_break=id_col).drop("adc_dist", vec_col)
 
 
 def pq_adc_stored_knn(spark, store: str, qvec: Sequence[float],
