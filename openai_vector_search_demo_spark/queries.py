@@ -4912,6 +4912,75 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+def _pagerank_oracle(iters: int = 3) -> str:
+    ctes = [
+        "items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """e0 AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM items a JOIN items b USING (l_orderkey)
+      WHERE a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outw AS (SELECT src, SUM(w) AS tw FROM e0 GROUP BY src)",
+        """e AS (SELECT e0.src, e0.dst, e0.w / outw.tw AS p
+      FROM e0 JOIN outw USING (src))""",
+        "r0 AS (SELECT node, ROUND(1.0 / nn.n, 9) AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""r{i} AS (SELECT nd.node,
+             ROUND((1 - 0.85) / nn.n
+                   + 0.85 * COALESCE(s.s, 0.0), 9) AS pr
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (SELECT e.dst AS node, SUM(r{p}.pr * e.p) AS s
+                 FROM e JOIN r{p} ON r{p}.node = e.src
+                 GROUP BY e.dst) s ON s.node = nd.node)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node AS l_partkey, pr
+FROM r{iters} ORDER BY pr DESC, node ASC LIMIT 20
+"""
+
+
+@query("part_authority_pagerank", oracle=_pagerank_oracle())
+def part_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK-AUTHORITY ranking — weighted PageRank (damping 0.85, 3
+    fixed power rounds) over the co-purchase graph derived from
+    ``lineitem`` (the ``market_basket_pairs`` bounded self-join, both
+    directions, weight = co-occurrence count): the top-20 most central
+    parts.  In a web-corpus curation pipeline the same operator ranks
+    HOSTS over the hyperlink graph — the crawl-prioritization /
+    source-quality-weighting signal of the CommonCrawl lineage; the
+    co-purchase graph is the fixture's deterministic stand-in.  Each
+    iteration is one shuffle join + one dst-keyed aggregation with
+    ranks rounded IN-ENGINE (the kmeans determinism contract), which
+    is what lets the oracle replay all three rounds as unrolled CTEs.
+    Scale: per-iteration state is one row per node; the edge relation
+    is the only large operand and shuffles on its join key."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (a.join(b, "l_orderkey")
+             .filter(F.col("src") != F.col("dst"))
+             .groupBy("src", "dst")
+             .agg(F.count(F.lit(1)).alias("w")))
+    with cache_scope():
+        ranks = pagerank(edges, iters=3)
+        top = (ranks.orderBy(F.col("pr").desc(), F.col("node").asc())
+               .limit(20)
+               .select(F.col("node").alias("l_partkey"), "pr"))
+        rows = top.collect()
+    return spark.createDataFrame(rows, top.schema)
+
+
 @query("tfidf_cosine_pairs", oracle=rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
@@ -7431,6 +7500,7 @@ _PROFILE_EVENTS_BATTERY = [
     "label_embedding_profile", "events_cohort_retention",
     "events_transition_matrix", "events_robust_outliers",
     "events_rolling_hour", "vocab_coverage_curve", "market_basket_pairs",
+    "part_authority_pagerank",  # r10: weighted-PageRank link authority
     # (corpus_approx_stats is the family's one rows-only member — HLL
     # sketches are not SQL-re-derivable — and stays outside)
 ]
@@ -7706,6 +7776,8 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("total_tokens", "s"), ("vocab_size", "s")],
     "market_basket_pairs": [
         ("lift", "d"), ("part_a", "s"), ("part_b", "s"), ("together", "s")],
+    "part_authority_pagerank": [
+        ("l_partkey", "s"), ("pr", "d")],
     "ann_ivf_stored_knn": [
         ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
     "ann_pq_stored_knn": [

@@ -1,0 +1,59 @@
+"""PageRank invariants: mass conservation on sink-free graphs,
+determinism, centrality ordering, the documented dangling caveat."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    # hub 0 <-> spokes 1..4, bidirectional unit weights
+    edges = [(0, i, 1) for i in range(1, 5)] + \
+            [(i, 0, 1) for i in range(1, 5)]
+    return spark.createDataFrame(edges, "src int, dst int, w int")
+
+
+def test_mass_conserved_and_deterministic(star):
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    r1 = {r.node: r.pr for r in pagerank(star, iters=3).collect()}
+    r2 = {r.node: r.pr for r in pagerank(star, iters=3).collect()}
+    assert r1 == r2
+    # bidirectional graph has no sinks: total mass stays 1 (up to 9-dp
+    # per-node rounding, 5 nodes)
+    assert abs(sum(r1.values()) - 1.0) < 5e-8
+
+
+def test_hub_outranks_spokes(star):
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    r = {r.node: r.pr for r in pagerank(star, iters=3).collect()}
+    assert all(r[0] > r[i] for i in range(1, 5))
+    # spokes are symmetric
+    assert len({r[i] for i in range(1, 5)}) == 1
+
+
+def test_weights_steer_rank(spark):
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    # 0 -> 1 heavy, 0 -> 2 light; back-edges keep the graph sink-free
+    edges = [(0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    r = {r.node: r.pr for r in pagerank(df, iters=3).collect()}
+    assert r[1] > r[2]
+
+
+def test_dangling_mass_leaks_as_documented(spark):
+    """The operator does NOT redistribute dangling mass (docstring
+    contract): on a graph with a sink, total mass < 1."""
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    edges = [(0, 1, 1), (1, 2, 1)]  # 2 is a sink
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    r = {r.node: r.pr for r in pagerank(df, iters=3).collect()}
+    assert sum(r.values()) < 1.0 - 1e-3
+
+
+def test_empty_edges_raise(spark):
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    df = spark.createDataFrame([], "src int, dst int, w int")
+    with pytest.raises(ValueError):
+        pagerank(df)
