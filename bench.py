@@ -142,6 +142,7 @@ HEADLINE = [
     "late_interaction_topk",  # ColBERT MaxSim, single-exchange plan (r9)
     "ann_ivfpq_residual_knn",  # IVFADC proper: pruning x residual ADC (r10)
     "ann_pq_refine_stored_knn",  # codegen ADC shortlist + exact refine (r10)
+    "ann_ivfpq_stored_refine_knn",  # flagship: pruned stored IVFADC + refine
     "curation_pipeline",
 ]
 

@@ -44,7 +44,8 @@ __all__ = ["train_pq_codebooks", "pq_encode_numpy", "pq_adc_knn",
            "pq_adc_stored_knn", "residual_assign_encode_numpy",
            "residual_adc_luts", "ivfpq_residual_knn",
            "exact_refine_topk", "ivfpq_refine_knn",
-           "pq_refine_stored_knn"]
+           "pq_refine_stored_knn", "write_ivfpq_index",
+           "ivfpq_stored_knn"]
 
 
 def train_pq_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 64,
@@ -398,6 +399,122 @@ def pq_refine_stored_knn(spark, store: str, source: DataFrame,
     return exact_refine_topk(fetched, qvec, k=k, vec_col=vec_col,
                              sim_col=sim_col,
                              tie_break=id_col).drop("adc_dist", vec_col)
+
+
+def write_ivfpq_index(df: DataFrame, path: str,
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      vec_col: str = "embedding",
+                      keep_cols: list[str] | None = None) -> None:
+    """Persist the FULL IVFADC serving artifact — the billion-scale
+    layout the inline ``ivfpq_residual_knn`` simulates: one Arrow pass
+    assigns each vector its coarse cell and residual-encodes it, and
+    the table lands CELL-PARTITIONED (one directory per cell, one file
+    per cell from the ``repartition``) holding only id/meta columns
+    plus the 12-byte ``codes`` — fp32 vectors never enter the index.
+    Queries read nprobe/nlist of the DIRECTORIES at ~1.8% of the fp32
+    bytes, with zero assignment or encoding arithmetic at read time.
+    NULL and zero-norm vectors drop (the family contract)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    cols = keep_cols or [c for c in df.columns if c != vec_col]
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in cols]
+        + [StructField("cell", IntegerType()),
+           StructField("codes", ArrayType(IntegerType()))])
+    cb, cent = codebooks, centroids
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            nz = _nonzero_mask(mat)
+            if not nz.any():
+                continue
+            pdf, mat = pdf[nz], mat[nz]
+            cells, codes = residual_assign_encode_numpy(mat, cent, cb)
+            out = pdf[cols].copy()
+            out["cell"] = cells.astype("int32")
+            out["codes"] = [[int(x) for x in row] for row in codes]
+            yield out
+
+    (df.mapInPandas(enc, out_schema)
+     .repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivfpq_stored_knn(spark, store: str, qvec: Sequence[float],
+                     centroids: list[list[float]],
+                     codebooks: list[list[list[float]]],
+                     nprobe: int, k: int = 10,
+                     refine_source: DataFrame | None = None,
+                     refine_factor: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     dist_col: str = "adc_dist",
+                     sim_col: str = "similarity",
+                     table: str | None = None) -> DataFrame:
+    """Query the stored IVFADC index — every scale lever of the family
+    composed into ONE read plan:
+
+    1. **Partition pruning**: only the ``nprobe`` probed cell
+       directories are read (``stores.read_probed_partitions`` —
+       catalog-backed when ``table`` is given, local-FS ``basePath``
+       otherwise).
+    2. **Codegen ADC**: the per-cell residual LUTs arrive as a
+       BROADCAST |probes|-row relation joined on the partition column,
+       and the distance is a whole-stage-codegen ``aggregate`` over
+       the 12-byte code array — no Python, no Arrow, no vector math.
+    3. **Optional exact refine**: with ``refine_source`` (the fp32
+       vector table), the top ``k·refine_factor`` ids broadcast-join
+       back for the true-cosine rerank — ``IndexRefine`` economics:
+       R point lookups against cold storage per query.
+
+    Values are identical to the inline ``ivfpq_residual_knn`` /
+    ``ivfpq_refine_knn`` (encode moved to write time, same LUTs)."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_probe_cells_dot,
+    )
+    from openai_vector_search_demo_spark.stores import (
+        read_probed_partitions,
+    )
+
+    probes = ivf_probe_cells_dot(qvec, centroids, nprobe)
+    luts = residual_adc_luts(qvec, centroids, codebooks, probes)
+    m = len(codebooks)
+    cand = read_probed_partitions(spark, store, "cell", probes,
+                                  table=table)
+    lut_df = spark.createDataFrame(
+        [(int(c), [[float(v) for v in row] for row in luts[c]])
+         for c in probes],
+        "cell int, _lut array<array<double>>")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at(F.col("_lut"), j + 1),
+            F.element_at(F.col("codes"), j + 1) + 1))
+    scored = (cand.join(F.broadcast(lut_df), "cell")
+              .withColumn(dist_col, dist)
+              .drop("codes", "_lut", "cell"))
+    shortlist = (scored.orderBy(F.col(dist_col).asc(),
+                                F.col(id_col).asc())
+                 .limit(k * refine_factor if refine_source is not None
+                        else k))
+    if refine_source is None:
+        return shortlist
+    fetched = (refine_source.select(id_col, vec_col)
+               .join(F.broadcast(shortlist), id_col))
+    return exact_refine_topk(fetched, qvec, k=k, vec_col=vec_col,
+                             sim_col=sim_col,
+                             tie_break=id_col).drop(dist_col, vec_col)
 
 
 def pq_adc_stored_knn(spark, store: str, qvec: Sequence[float],

@@ -2255,6 +2255,101 @@ def ann_pq_refine_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("similarity", 6).alias("similarity"))
 
 
+def _ensure_ivfpq_store(emb, sf_dir: str) -> str:
+    """Build (once per corpus content) the cell-partitioned residual-
+    codes store — the full IVFADC serving artifact."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        write_ivfpq_index,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|ivfpq|{_parquet_fingerprint(emb_path)}".encode())         .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_ivfpq_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_ivfpq_index(emb.filter(F.col("vec_id") != 0), store,
+                          IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+    return store
+
+
+@query("ann_ivfpq_stored_knn", oracle=_ivfpq_residual_knn_oracle())
+def ann_ivfpq_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED IVFADC read path — partition pruning × codegen
+    residual ADC in one plan: the query reads ONLY the nprobe probed
+    ``cell=`` directories of the write-time index (assignment and
+    encoding both happened at write; the fp32 vectors aren't even IN
+    the store), joins the 12-byte code arrays against a BROADCAST
+    |probes|-row per-cell LUT relation, and sums lookups in whole-stage
+    codegen — no Python, no Arrow, no vector arithmetic at query time.
+    Scan economics: nprobe/nlist of the directories at ~1.8% of the
+    fp32 bytes ≈ **0.7% of a brute-force scan's bytes**.  Identical
+    oracle to the inline ``ann_ivfpq_residual_knn`` — the encode moved
+    to write time, the values did not change."""
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_stored_knn,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    store = _ensure_ivfpq_store(emb, sf_dir)
+    top = ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                           PQR_CODEBOOKS, nprobe=_IVF_TRAINED_NPROBE,
+                           k=10)
+    return top.select("vec_id", "label",
+                      F.round("adc_dist", 6).alias("adc_dist"))
+
+
+@query("ann_ivfpq_stored_refine_knn", oracle=_ivfpq_refine_knn_oracle())
+def ann_ivfpq_stored_refine_knn(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """THE flagship serving plan — every scale lever of the ANN family
+    composed end-to-end, stored: partition-pruned scan of the IVFADC
+    index (nprobe/nlist of the directories), whole-stage-codegen
+    residual ADC over 12-byte codes (broadcast per-cell LUTs), and the
+    exact-cosine REFINE of the top R = 50 via a broadcast point-fetch
+    from the fp32 table.  Per query at corpus scale: ~38% of rows at
+    12 bytes each for the shortlist + 50 fp32 point-reads — serving
+    exact-grade results (~0.97 measured recall@10, see
+    ``ann_pq_refine*_recall_at_10``) without ever scanning or
+    shuffling the fp32 corpus.  Identical oracle to the inline
+    ``ann_ivfpq_refine_knn``."""
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_stored_knn,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    store = _ensure_ivfpq_store(emb, sf_dir)
+    top = ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                           PQR_CODEBOOKS, nprobe=_IVF_TRAINED_NPROBE,
+                           k=10,
+                           refine_source=emb.filter(F.col("vec_id") != 0),
+                           refine_factor=_PQ_REFINE_R // 10)
+    return top.select("vec_id", "label",
+                      F.round("similarity", 6).alias("similarity"))
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     """UNROLLED Lloyd iterations as CTE chains — the oracle re-derives
     every assignment, every per-cell mean, every re-normalization and
@@ -8479,9 +8574,8 @@ def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   tfidf_top_terms (tfidf_cosine_pairs_capped remains).
 PROOF_WINDOW: list[str] = [
     # reference parity: pipeline scalars, keys, chunking (P1-P11, C3).
-    # p1_cleanse_text rotated out r10 (receipted r1-r9, pytest-pinned)
-    # for the new distributed-kmeans slot below.
-    "p3_md5_key",
+    # p1_cleanse_text and p3_md5_key rotated out r10 (receipted r1-r9,
+    # pytest-pinned) for the kmeans and stored-IVFADC slots.
     "c3_chunk_words",
     # distributed Lloyd k-means — the trainer as an oracled query (r10)
     "kmeans_cluster_profile",
@@ -8511,6 +8605,8 @@ PROOF_WINDOW: list[str] = [
     "ann_pq_residual_clustered_recall_at_10", "ann_ivfpq_residual_knn",
     "ann_ivfpq_refine_knn", "ann_pq_refine_stored_knn",
     "ann_pq_refine_recall_at_10", "ann_pq_refine_clustered_recall_at_10",
+    # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10)
+    "ann_ivfpq_stored_refine_knn",
     # late interaction (new r9 family): inline + stored-index read path
     "late_interaction_topk", "late_interaction_stored_topk",
     # dedup + curation capstone (+ r8 CDC and graded decontamination)

@@ -915,3 +915,61 @@ def test_refine_stored_matches_inline_and_broadcasts(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         got_df.explain("formatted")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_ivfpq_stored_composes_pruning_codegen_refine(spark, tmp_path):
+    """The stored IVFADC plan must show all three levers: partition
+    pruning (PartitionFilters on cell), NO Python node in the ADC
+    shortlist (broadcast LUT join + codegen aggregate), and values
+    equal to the inline serving paths."""
+    import contextlib
+    import io
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_refine_knn,
+        ivfpq_residual_knn,
+        ivfpq_stored_knn,
+        write_ivfpq_index,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    store = str(tmp_path / "ivfpq")
+    write_ivfpq_index(base, store, IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+
+    nprobe = 24
+    got_df = ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                              PQR_CODEBOOKS, nprobe=nprobe, k=10)
+    got = [(r.vec_id, round(r.adc_dist, 6)) for r in got_df.collect()]
+    want = [(r.vec_id, round(r.adc_dist, 6)) for r in
+            ivfpq_residual_knn(base, qvec, IVF_TRAINED_CENTROIDS,
+                               PQR_CODEBOOKS, nprobe=nprobe, k=10,
+                               tie_break="vec_id").collect()]
+    assert got == want
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got_df.explain("formatted")
+    p = buf.getvalue()
+    assert "MapInPandas" not in p and "ArrowEval" not in p
+    assert "BroadcastHashJoin" in p
+    assert "PartitionFilters" in p and "cell" in p
+
+    got_r = [(r.vec_id, round(r.similarity, 6)) for r in
+             ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                              PQR_CODEBOOKS, nprobe=nprobe, k=10,
+                              refine_source=base,
+                              refine_factor=5).collect()]
+    want_r = [(r.vec_id, round(r.similarity, 6)) for r in
+              ivfpq_refine_knn(base, qvec, IVF_TRAINED_CENTROIDS,
+                               PQR_CODEBOOKS, nprobe=nprobe, k=10,
+                               refine_factor=5,
+                               tie_break="vec_id").collect()]
+    assert got_r == want_r
