@@ -55,17 +55,37 @@ def _normalized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
             .filter(F.col("e").isNotNull()))
 
 
+KMEANS_AUTO_NUMPY_MIN_OPS = 512
+"""``method='auto'`` crossover: assignment cost per row is k·dim
+multiply-adds; as interpreted higher-order-function lambdas that is
+~20× slower than one Arrow-batched BLAS pass once k·dim reaches a few
+hundred — the same constant the IVF inline search measured
+(``ann.IVF_AUTO_NUMPY_MIN_OPS``).  Measured here: the SQL form's sf1
+scaling ratio was the suite's steepest (4.19× for 10× data, SCALE.md)
+precisely because of this per-row term."""
+
+
 def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
                            id_col: str = "vec_id", k: int = 8,
                            iters: int = 3,
                            init_ids: list[int] | None = None,
+                           method: str = "sql",
                            ) -> tuple[list[list[float]], list[int]]:
     """Run ``iters`` Lloyd rounds over the full frame; returns
     ``(centroids, counts)`` — k unit-norm 6-dp centroid vectors and the
     member count of each cell in the FINAL assignment (the one that
     produced the returned centroids).  ``init_ids`` defaults to the k
     smallest ids (deterministic, data-derived — no RNG to disagree
-    about across engines)."""
+    about across engines).
+
+    ``method``: ``'sql'`` (default — pure codegen/HOF expressions, the
+    oracle-exact form the registered slot runs), ``'numpy'`` (one Arrow
+    pass per iteration: BLAS argmax assignment + per-cell partial sums,
+    the large-``k·dim`` fast path), or ``'auto'`` (numpy at/above the
+    measured ``KMEANS_AUTO_NUMPY_MIN_OPS`` crossover).  Both paths
+    round centroids to 6 dp in-engine each round, so they agree except
+    on exact rounding-boundary means (the q2 sql/numpy contract;
+    pinned by ``test_kmeans_numpy_path_matches_sql``)."""
     en = _normalized(df, vec_col, id_col)
     if init_ids is None:
         init_ids = [r[0] for r in
@@ -79,27 +99,96 @@ def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
               .collect()}
     cent = [[float(v) for v in init[i]] for i in sorted(init_ids)]
     dim = len(cent[0])
+    if method == "auto":
+        method = "numpy" if k * dim >= KMEANS_AUTO_NUMPY_MIN_OPS else "sql"
+    if method not in ("sql", "numpy"):
+        raise ValueError(f"unknown method {method!r}")
     counts = [0] * k
 
+    from openai_vector_search_demo_spark.caching import scoped_persist
     from openai_vector_search_demo_spark.operators.ann import ivf_cell_dot
 
-    for _ in range(iters):
-        a = en.withColumn("_cell", ivf_cell_dot("e", cent))
-        agg = a.groupBy("_cell").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[F.avg(F.col("e")[j]).alias(f"a{j}") for j in range(dim)])
-        nrm = F.sqrt(sum(F.col(f"a{j}") * F.col(f"a{j}")
-                         for j in range(dim)))
-        rows = agg.select(
-            "_cell", "n",
-            *[F.round(F.col(f"a{j}") / nrm, 6).alias(f"c{j}")
-              for j in range(dim)]).collect()
-        counts = [0] * k
-        for r in rows:
-            cell = int(r["_cell"])
-            counts[cell] = int(r["n"])
-            cent[cell] = [float(r[f"c{j}"]) for j in range(dim)]
+    # materialize the normalized relation ONCE for the SQL path:
+    # without the persist barrier Catalyst inlines the (interpreted-HOF)
+    # l2_normalize expression into every one of the dim avg() terms and
+    # all k assignment dots — a dim+k-fold recompute per row per
+    # iteration that dominated the measured sf1 profile
+    src = scoped_persist(en) if method == "sql" else df
+    try:
+        for _ in range(iters):
+            if method == "sql":
+                a = src.withColumn("_cell", ivf_cell_dot("e", cent))
+                agg = a.groupBy("_cell").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    *[F.avg(F.col("e")[j]).alias(f"a{j}")
+                      for j in range(dim)])
+            else:
+                agg = _numpy_partials(src, cent, vec_col) \
+                    .groupBy("_cell").agg(
+                        F.sum("n").alias("n"),
+                        *[(F.sum(F.col("s")[j]) / F.sum("n"))
+                          .alias(f"a{j}") for j in range(dim)])
+            # two-stage: name the norm once instead of inlining its
+            # dim-term sum into every one of the dim round() columns
+            # (a dim² expression tree whose codegen compile time was
+            # visible in the per-iteration profile)
+            nrm = F.sqrt(sum(F.col(f"a{j}") * F.col(f"a{j}")
+                             for j in range(dim)))
+            rows = (agg.withColumn("_nrm", nrm)
+                    .select("_cell", "n",
+                            *[F.round(F.col(f"a{j}") / F.col("_nrm"), 6)
+                              .alias(f"c{j}") for j in range(dim)])
+                    .collect())
+            counts = [0] * k
+            for r in rows:
+                cell = int(r["_cell"])
+                counts[cell] = int(r["n"])
+                cent[cell] = [float(r[f"c{j}"]) for j in range(dim)]
+    finally:
+        if method == "sql":
+            src.unpersist()
     return cent, counts
+
+
+def _numpy_partials(df: DataFrame, cent: list[list[float]],
+                    vec_col: str) -> DataFrame:
+    """One Arrow pass over the RAW vectors: BLAS normalize, BLAS argmax
+    assignment (ties to the low cid — numpy's first-occurrence, the
+    ``ivf_cell_dot`` contract), and per-cell per-batch partial sums —
+    ≤ k rows of dim+1 numbers leave each batch, so the shuffle is
+    k-bounded exactly like the SQL form's map-side combine.  NULL and
+    zero-norm rows drop (the ``_normalized`` contract).  The numpy
+    normalize differs from the SQL form only in summation association
+    (pairwise vs sequential) — sub-ulp drift the per-round 6-dp
+    centroid rounding clips before it can feed back."""
+    import numpy as np
+    import pandas as pd
+
+    cent_arr = np.asarray(cent, dtype=np.float64)
+
+    def part(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            keep = norms > 0
+            if not keep.any():
+                continue
+            mat = mat[keep] / norms[keep][:, None]
+            cells = (mat @ cent_arr.T).argmax(axis=1)
+            out_cells, out_n, out_s = [], [], []
+            for c in np.unique(cells):
+                sel = mat[cells == c]
+                out_cells.append(int(c))
+                out_n.append(len(sel))
+                out_s.append([float(v) for v in sel.sum(axis=0)])
+            yield pd.DataFrame({"_cell": out_cells, "n": out_n,
+                                "s": out_s})
+
+    return (df.select(vec_col)
+            .mapInPandas(part, "_cell int, n bigint, s array<double>"))
 
 
 def kmeans_assign(df: DataFrame, centroids: list[list[float]],

@@ -69,6 +69,18 @@ def main() -> None:
           "l_suppkey + k * 1000000 AS l_suppkey, "
           "l_partkey + k * 10000000 AS l_partkey)")
     scale("events", "* REPLACE (user_id + k * 10000000 AS user_id)")
+    # embeddings: copy k shifts vec_id by k·10^6 and perturbs ~6% of the
+    # dimensions by a copy-dependent epsilon — enough that copies are
+    # not exact vector duplicates (which would make every KNN result a
+    # degenerate 10-way tie), while keeping the corpus geometry (and so
+    # the per-query work profile) that sf0.1 measures.
+    scale("embeddings", """
+        * REPLACE (vec_id + k * 1000000 AS vec_id,
+                   CASE WHEN k = 0 THEN embedding ELSE
+                     list_transform(embedding,
+                       (x, i) -> CASE WHEN (i + k) % 17 = 0
+                                 THEN CAST(x + 0.001 * k AS FLOAT)
+                                 ELSE x END) END AS embedding)""")
     scale("documents", """
         * REPLACE (doc_id + k * 1000000 AS doc_id,
                    CASE WHEN k = 0 THEN text ELSE array_to_string(

@@ -89,3 +89,28 @@ def test_kmeans_empty_cell_keeps_centroid(spark):
     assert len(cent) == 3 and sum(counts) == 5
     for c in cent:
         assert abs(1.0 - math.sqrt(sum(x * x for x in c))) < 1e-4
+
+
+def test_kmeans_numpy_path_matches_sql(corpus):
+    """The Arrow/BLAS fast path must reproduce the SQL path exactly at
+    the 6-dp in-engine rounding (the q2 sql/numpy contract) — same
+    centroids, same counts, across all iterations' feedback."""
+    from openai_vector_search_demo_spark.operators.kmeans import (
+        kmeans_lloyd_spherical,
+    )
+    cs, ns = kmeans_lloyd_spherical(corpus, k=8, iters=3, method="sql")
+    cn, nn = kmeans_lloyd_spherical(corpus, k=8, iters=3, method="numpy")
+    assert ns == nn
+    assert cs == cn
+
+
+def test_kmeans_auto_routes_by_ops(corpus):
+    from openai_vector_search_demo_spark.operators.kmeans import (
+        KMEANS_AUTO_NUMPY_MIN_OPS,
+        kmeans_lloyd_spherical,
+    )
+    # k=8 x dim 64 = 512 >= crossover: auto == numpy == sql values
+    assert KMEANS_AUTO_NUMPY_MIN_OPS == 512
+    ca, na = kmeans_lloyd_spherical(corpus, k=8, iters=2, method="auto")
+    cn, nn = kmeans_lloyd_spherical(corpus, k=8, iters=2, method="numpy")
+    assert (ca, na) == (cn, nn)

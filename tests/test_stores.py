@@ -133,3 +133,42 @@ def test_late_interaction_stored_over_catalog_table(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_idx")
+
+
+def test_ivfpq_stored_over_catalog_table(spark, tmp_path):
+    """The IVFADC stored read path in metastore mode: a registered
+    catalog table must serve the same top-k as the local-FS basePath
+    mode, with the catalog pruning partitions at plan time."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_stored_knn,
+        write_ivfpq_index,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+    from openai_vector_search_demo_spark.stores import (
+        register_partitioned_store,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    store = str(tmp_path / "ivfpq_cat")
+    write_ivfpq_index(base, store, IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+    register_partitioned_store(spark, "ivfpq_cat_test", store)
+    try:
+        fs = [(r.vec_id, round(r.adc_dist, 6)) for r in
+              ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                               PQR_CODEBOOKS, nprobe=24, k=10).collect()]
+        cat = [(r.vec_id, round(r.adc_dist, 6)) for r in
+               ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                                PQR_CODEBOOKS, nprobe=24, k=10,
+                                table="ivfpq_cat_test").collect()]
+        assert cat == fs and len(fs) == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivfpq_cat_test")
