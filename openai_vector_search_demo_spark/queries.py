@@ -2423,6 +2423,204 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "cid int, n_members bigint, centroid array<double>")
 
 
+def _logreg_ctes() -> str:
+    """Shared CTE chain for the logistic-regression oracles: exact-
+    rational features over the salted 80/20 hash split, then
+    ``TRAIN_ITERS`` unrolled full-batch GD iterations with the 6-dp
+    in-engine weight rounding (the ``_kmeans_oracle`` determinism
+    contract — see ``operators/classifier.py`` for why every step is
+    bit-aligned across engines)."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        LANG_MARKERS,
+    )
+    from openai_vector_search_demo_spark.operators.classifier import (
+        N_FEATURES,
+        SPLIT_SEED,
+        TRAIN_ITERS,
+        TRAIN_LR,
+    )
+    from openai_vector_search_demo_spark.operators.classifier import (
+        TEACHER_CUT,
+    )
+    codes = sorted(LANG_MARKERS)
+    d = N_FEATURES
+    sw_cols = ",\n         ".join(
+        "len(list_filter(toks, x -> list_contains(["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[c])
+        + f"], x))) AS sw_{c}"
+        for c in codes)
+    f_cols = ["1.0 AS f0"]
+    for j, c in enumerate(codes, start=1):
+        f_cols.append(f"(CASE WHEN n > 0 THEN CAST(sw_{c} AS DOUBLE) / n"
+                      f" ELSE 0.0 END) * 10.0 AS f{j}")
+    f_cols.append(f"CASE WHEN n > 0 THEN (CAST(total AS DOUBLE) / n) / 10.0"
+                  f" ELSE 0.0 END AS f{len(codes) + 1}")
+    f_cols.append(f"CAST(LEAST(n, 100) AS DOUBLE) / 100.0"
+                  f" AS f{len(codes) + 2}")
+    # the distillation teacher: the engine's own quality_score heuristic
+    # (functions.text_analysis._quality_terms), re-derived term by term
+    # with the identical association — exact-rational, so the >= cut is
+    # bit-deterministic across engines
+    swr = "CASE WHEN n > 0 THEN CAST(sw_en AS DOUBLE) / n ELSE 0.0 END"
+    mwl = "CASE WHEN n > 0 THEN CAST(total AS DOUBLE) / n ELSE 0.0 END"
+    pr = "CASE WHEN nc > 0 THEN CAST(punct AS DOUBLE) / nc ELSE 0.0 END"
+    teacher = (f"(LEAST(CAST(n AS DOUBLE) / 50.0, 1.0)"
+               f" + LEAST(({swr}) / 0.4, 1.0)"
+               f" + (CASE WHEN ({mwl}) >= 3.0 AND ({mwl}) <= 10.0"
+               f"    THEN 1.0 ELSE 0.0 END)"
+               f" + (1.0 - LEAST(({pr}) * 4.0, 1.0))) / 4.0")
+    split = (f"CAST(('0x' || substr(md5('{SPLIT_SEED}:' ||"
+             f" CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000")
+    nonws = r"length(regexp_replace(lower(text), '\s+', '', 'g'))"
+    punct = (r"length(text) - length(regexp_replace(text,"
+             r" '[!-/:-@\[-`{-~]', '', 'g'))")
+    sep = ",\n         "
+    f_cols_sql = sep.join(f_cols)
+    ctes = [f"""tok AS (
+  SELECT doc_id, {split} AS h,
+         {_SQL_TOKS} AS toks,
+         {nonws} AS total,
+         {punct} AS punct,
+         length(text) AS nc
+  FROM documents)""",
+            f"""allfeat AS (
+  SELECT doc_id, h,
+         CASE WHEN {teacher} >= {TEACHER_CUT} THEN 1.0 ELSE 0.0 END AS y,
+         {f_cols_sql}
+  FROM (SELECT doc_id, h, total, punct, nc, len(toks) AS n,
+         {sw_cols}
+        FROM tok))""",
+            "feat AS (SELECT * FROM allfeat WHERE h < 800000)",
+            "w0 AS (SELECT "
+            + ", ".join(f"0.0 AS w{j}" for j in range(d)) + ")"]
+    zsql = " + ".join(f"w.w{j} * f.f{j}" for j in range(d))
+    for i in range(1, TRAIN_ITERS + 1):
+        upd = ",\n         ".join(
+            f"ROUND(ANY_VALUE(pw{j}) - {TRAIN_LR} * "
+            f"(SUM((sig - y) * f{j}) / COUNT(*)), 6) AS w{j}"
+            for j in range(d))
+        pw = ", ".join(f"w.w{j} AS pw{j}" for j in range(d))
+        ctes.append(f"""w{i} AS (
+  SELECT {upd}
+  FROM (SELECT f.*, {pw},
+               1.0 / (1.0 + exp(-({zsql}))) AS sig
+        FROM feat f CROSS JOIN w{i - 1} w))""")
+    return ",\n".join(ctes), f"w{TRAIN_ITERS}", zsql
+
+
+def _logreg_train_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.classifier import (
+        FEATURE_NAMES,
+        N_FEATURES,
+    )
+    ctes, wf, _ = _logreg_ctes()
+    names = ", ".join(f"'{n}'" for n in FEATURE_NAMES)
+    ws = ", ".join(f"w{j}" for j in range(N_FEATURES))
+    return f"""
+WITH {ctes}
+SELECT unnest(range(0, {N_FEATURES})) AS j,
+       unnest([{names}]) AS feature,
+       unnest([{ws}]) AS weight
+FROM {wf}
+ORDER BY j
+"""
+
+
+def _logreg_auc_oracle() -> str:
+    ctes, wf, zsql = _logreg_ctes()
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT ROUND(1.0 / (1.0 + exp(-({zsql}))), 6) AS s, f.y
+  FROM (SELECT * FROM allfeat WHERE h >= 800000) f CROSS JOIN {wf} w),
+per AS (SELECT s, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg
+        FROM scored GROUP BY s),
+cum AS (SELECT s, pos, neg,
+               COALESCE(SUM(neg) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS neg_below
+        FROM per)
+SELECT CAST(SUM(pos) + SUM(neg) AS BIGINT) AS n_test,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(neg) AS BIGINT) AS n_neg,
+       ROUND(CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0
+             THEN SUM(pos * (neg_below + 0.5 * neg))
+                  / (SUM(pos) * SUM(neg))
+             ELSE 0.5 END, 6) AS auc
+FROM cum
+"""
+
+
+@query("quality_classifier_train", oracle=_logreg_train_oracle())
+def quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED linear quality classifier — full-batch logistic-
+    regression GD as an iterative query (the fastText/CCNet curation
+    pattern: distill a teacher signal — here the engine's own nonlinear
+    ``quality_score`` heuristic, thresholded at the corpus median —
+    into a linear scorer cheap enough for every document at 100 TB).
+    Trains on the salted 80% hash split over exact-rational text
+    features (per-language whole-token stopword ratios, mean word
+    length, saturating token count — all codegen regexp passes); every
+    iteration is ONE map-side-combined aggregation producing the d new
+    weights, each rounded 6-dp IN-ENGINE before becoming the next
+    round's plan literal — the ``kmeans_cluster_profile`` determinism
+    contract that lets the DuckDB oracle replay training as unrolled
+    CTEs.  Scale: iters column-pruned scans, iters d-number shuffles,
+    d driver doubles; no Python in any plan."""
+    from openai_vector_search_demo_spark.caching import scoped_persist
+    from openai_vector_search_demo_spark.operators.classifier import (
+        FEATURE_NAMES,
+        logreg_features,
+        logreg_train_gd,
+        with_split,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    feat = scoped_persist(
+        logreg_features(with_split(docs).filter(F.col("split") == "train"))
+        .select("y", *[f"f{j}" for j in range(len(FEATURE_NAMES))]))
+    try:
+        w = logreg_train_gd(feat)
+    finally:
+        feat.unpersist()
+    rows = [(j, FEATURE_NAMES[j], w[j]) for j in range(len(w))]
+    return spark.createDataFrame(
+        rows, "j bigint, feature string, weight double").orderBy("j")
+
+
+@query("quality_classifier_auc", oracle=_logreg_auc_oracle())
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out evaluation of ``quality_classifier_train``: score the
+    20% test split with the trained weights (pure-codegen sigmoid
+    projection) and compute rank-sum AUC = P(score⁺ > score⁻) +
+    ½·P(=) from per-distinct-score counts.  The cumulative window runs
+    over DISTINCT 6-dp scores — ≤ 10⁶+1 rows whatever the corpus size,
+    so the unpartitioned window is scale-safe by construction — and
+    every AUC term is an integer or exact binary half, making the
+    result bit-identical across engines.  One row:
+    (n_test, n_pos, n_neg, auc)."""
+    from openai_vector_search_demo_spark.caching import scoped_persist
+    from openai_vector_search_demo_spark.operators.classifier import (
+        FEATURE_NAMES,
+        auc_frame,
+        logreg_features,
+        logreg_prob,
+        logreg_train_gd,
+        with_split,
+    )
+
+    docs = logreg_features(with_split(t(spark, sf_dir, "documents"))) \
+        .select("split", "y", *[f"f{j}" for j in range(len(FEATURE_NAMES))])
+    train = scoped_persist(docs.filter(F.col("split") == "train"))
+    try:
+        w = logreg_train_gd(train)
+    finally:
+        train.unpersist()
+    scored = docs.filter(F.col("split") == "test") \
+        .withColumn("prob", logreg_prob(w))
+    return auc_frame(scored, "prob", "y")
+
+
 def _ivf_clustered_recall_oracle() -> str:
     from openai_vector_search_demo_spark.ann_clustered import (
         CLUSTERED_NPROBE,
@@ -7582,6 +7780,9 @@ _CURATION_BATTERY = [
     "dataset_split_documents", "resample_mix_weights",
     "stratified_mix_sample", "export_shards_manifest",
     "data_prep_pipeline", "decontaminate_vs_benchmark",
+    # r10: the trained quality classifier (distilled heuristic) + its
+    # held-out AUC — receipted from birth via the battery
+    "quality_classifier_train", "quality_classifier_auc",
 ]
 _DEDUP_BATTERY = [
     "dedup_containment", "dedup_drop_contained", "dedup_exact_substrings",
@@ -7883,6 +8084,10 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("avg_logprob", "d"), ("doc_id", "s"), ("n_tokens", "s")],
     "fuzzy_match_part_names": [
         ("distance", "s"), ("name_a", "s"), ("name_b", "s")],
+    "quality_classifier_train": [
+        ("feature", "s"), ("j", "s"), ("weight", "d")],
+    "quality_classifier_auc": [
+        ("auc", "d"), ("n_neg", "s"), ("n_pos", "s"), ("n_test", "s")],
 }
 
 
