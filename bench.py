@@ -143,6 +143,7 @@ HEADLINE = [
     "ann_ivfpq_residual_knn",  # IVFADC proper: pruning x residual ADC (r10)
     "ann_pq_refine_stored_knn",  # codegen ADC shortlist + exact refine (r10)
     "ann_ivfpq_stored_refine_knn",  # flagship: pruned stored IVFADC + refine
+    "kmeans_cluster_profile",  # distributed Lloyd trainer, auto/BLAS (r10)
     "curation_pipeline",
 ]
 

@@ -60,9 +60,12 @@ KMEANS_AUTO_NUMPY_MIN_OPS = 512
 multiply-adds; as interpreted higher-order-function lambdas that is
 ~20× slower than one Arrow-batched BLAS pass once k·dim reaches a few
 hundred — the same constant the IVF inline search measured
-(``ann.IVF_AUTO_NUMPY_MIN_OPS``).  Measured here: the SQL form's sf1
-scaling ratio was the suite's steepest (4.19× for 10× data, SCALE.md)
-precisely because of this per-row term."""
+(``ann.IVF_AUTO_NUMPY_MIN_OPS``).  Measured at k·dim = 512 (SCALE.md
+r10, same session): sql 8.0 s at sf0.1 / 27.3 s at sf1 vs numpy
+0.71 / 0.74 s — the numpy path is scale-flat here because its
+per-iteration cost is one Arrow scan plus bounded collects, while the
+sql form pays the interpreted per-row term plus ~1.6 s/iteration of
+Catalyst re-analysis of the dim-wide update expressions."""
 
 
 def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
@@ -86,23 +89,37 @@ def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
     round centroids to 6 dp in-engine each round, so they agree except
     on exact rounding-boundary means (the q2 sql/numpy contract;
     pinned by ``test_kmeans_numpy_path_matches_sql``)."""
+    if method not in ("sql", "numpy", "auto"):
+        raise ValueError(f"unknown method {method!r}")
     en = _normalized(df, vec_col, id_col)
-    if init_ids is None:
-        init_ids = [r[0] for r in
-                    en.select(id_col).orderBy(id_col).limit(k).collect()]
-    if len(init_ids) != k:
-        raise ValueError(f"need {k} init ids, got {len(init_ids)}")
-    init = {r[0]: r[1] for r in
-            en.filter(F.col(id_col).isin(init_ids))
-              .select(id_col,
-                      F.transform("e", lambda x: F.round(x, 6)).alias("c"))
-              .collect()}
-    cent = [[float(v) for v in init[i]] for i in sorted(init_ids)]
+    cent = None
+    if method != "sql":
+        # the engine init evaluates the interpreted-HOF normalize over
+        # EVERY row twice (the id scan cannot prune past the e-notnull
+        # filter) — 8 of the 27 measured seconds at sf1.  The fast
+        # paths derive init from a codegen TakeOrdered of k+slack raw
+        # rows, with the normalize/round arithmetic replayed driver-
+        # side in the engine's exact association (sequential fold,
+        # ``_round6``) — value-pinned against the engine init by
+        # test_kmeans_numpy_path_matches_sql.
+        cent = _driver_init(df, vec_col, id_col, k, init_ids)
+    if cent is None:
+        if init_ids is None:
+            init_ids = [r[0] for r in
+                        en.select(id_col).orderBy(id_col).limit(k)
+                          .collect()]
+        if len(init_ids) != k:
+            raise ValueError(f"need {k} init ids, got {len(init_ids)}")
+        init = {r[0]: r[1] for r in
+                en.filter(F.col(id_col).isin(init_ids))
+                  .select(id_col,
+                          F.transform("e", lambda x: F.round(x, 6))
+                          .alias("c"))
+                  .collect()}
+        cent = [[float(v) for v in init[i]] for i in sorted(init_ids)]
     dim = len(cent[0])
     if method == "auto":
         method = "numpy" if k * dim >= KMEANS_AUTO_NUMPY_MIN_OPS else "sql"
-    if method not in ("sql", "numpy"):
-        raise ValueError(f"unknown method {method!r}")
     counts = [0] * k
 
     from openai_vector_search_demo_spark.caching import scoped_persist
@@ -123,11 +140,38 @@ def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
                     *[F.avg(F.col("e")[j]).alias(f"a{j}")
                       for j in range(dim)])
             else:
-                agg = _numpy_partials(src, cent, vec_col) \
-                    .groupBy("_cell").agg(
-                        F.sum("n").alias("n"),
-                        *[(F.sum(F.col("s")[j]) / F.sum("n"))
-                          .alias(f"a{j}") for j in range(dim)])
+                # collect the ≤ partitions·k per-batch partials (tiny:
+                # dim+1 numbers each — the map-side-combine bound) and
+                # combine DRIVER-SIDE.  Running the dim-wide mean/
+                # normalize/round as engine expressions cost ~1.6 s of
+                # Catalyst re-ANALYSIS per iteration (the ~130-node
+                # plan is re-planned each round because the centroid
+                # literals change; analysis is not cached the way
+                # codegen is — measured in the sf1 profile, it was 5×
+                # the cost of the actual Arrow pass).  The driver
+                # combine is O(partitions·k·dim) floats and mirrors
+                # the engine arithmetic exactly: sequential left-assoc
+                # sums, then shortest-repr HALF_UP 6-dp rounding
+                # (``_round6``) — the ``F.round`` double contract.
+                per: dict[int, tuple[int, list[float]]] = {}
+                for r in _numpy_partials(src, cent, vec_col).collect():
+                    c = int(r["_cell"])
+                    if c in per:
+                        n0, s0 = per[c]
+                        per[c] = (n0 + int(r["n"]),
+                                  [a + b for a, b in zip(s0, r["s"])])
+                    else:
+                        per[c] = (int(r["n"]), [float(v) for v in r["s"]])
+                counts = [0] * k
+                for c, (nc, s) in per.items():
+                    counts[c] = nc
+                    a = [v / nc for v in s]
+                    nr = 0.0
+                    for v in a:
+                        nr += v * v
+                    nr = nr ** 0.5
+                    cent[c] = [_round6(v / nr) for v in a]
+                continue
             # two-stage: name the norm once instead of inlining its
             # dim-term sum into every one of the dim round() columns
             # (a dim² expression tree whose codegen compile time was
@@ -150,17 +194,72 @@ def kmeans_lloyd_spherical(df: DataFrame, vec_col: str = "embedding",
     return cent, counts
 
 
+def _driver_init(df: DataFrame, vec_col: str, id_col: str, k: int,
+                 init_ids: list[int] | None,
+                 slack: int = 64) -> list[list[float]] | None:
+    """Initial centroids without evaluating the engine-side normalize
+    over the corpus: collect k+``slack`` raw candidate rows (codegen
+    ``TakeOrderedAndProject`` on the id, NULL vectors filtered at the
+    scan) and replay normalize→round driver-side in the engine's exact
+    arithmetic (sequential sum-of-squares fold = ``l2_norm``'s
+    association; ``_round6`` = ``F.round``'s double contract).  Returns
+    None when the slack window is exhausted by zero-norm rows (the
+    caller falls back to the engine init); raises like the engine path
+    when explicit ``init_ids`` are missing or degenerate."""
+    if init_ids is None:
+        cand = (df.select(id_col, vec_col)
+                .filter(F.col(vec_col).isNotNull())
+                .orderBy(id_col).limit(k + slack).collect())
+    else:
+        if len(init_ids) != k:
+            raise ValueError(f"need {k} init ids, got {len(init_ids)}")
+        cand = sorted(df.select(id_col, vec_col)
+                      .filter(F.col(vec_col).isNotNull()
+                              & F.col(id_col).isin(init_ids)).collect(),
+                      key=lambda r: r[id_col])
+    out: list[list[float]] = []
+    for r in cand:
+        v = [float(x) for x in r[vec_col]]
+        nr = 0.0
+        for x in v:
+            nr += x * x
+        if nr == 0.0:
+            continue
+        nr = nr ** 0.5
+        out.append([_round6(x / nr) for x in v])
+        if len(out) == k:
+            return out
+    if init_ids is not None:
+        raise KeyError(
+            f"init_ids contain missing or zero-norm rows: got "
+            f"{len(out)} valid of {k}")
+    return None
+
+
+def _round6(x: float) -> float:
+    """``F.round(col, 6)`` for doubles, driver-side: HALF_UP on the
+    shortest decimal representation — the ``BigDecimal.valueOf(double)``
+    contract Spark's Round expression applies.  Python ``repr`` produces
+    the same shortest round-trip decimal, and ``decimal.ROUND_HALF_UP``
+    is Java's HALF_UP (ties away from zero)."""
+    from decimal import ROUND_HALF_UP, Decimal
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                           rounding=ROUND_HALF_UP))
+
+
 def _numpy_partials(df: DataFrame, cent: list[list[float]],
                     vec_col: str) -> DataFrame:
     """One Arrow pass over the RAW vectors: BLAS normalize, BLAS argmax
     assignment (ties to the low cid — numpy's first-occurrence, the
     ``ivf_cell_dot`` contract), and per-cell per-batch partial sums —
-    ≤ k rows of dim+1 numbers leave each batch, so the shuffle is
-    k-bounded exactly like the SQL form's map-side combine.  NULL and
-    zero-norm rows drop (the ``_normalized`` contract).  The numpy
-    normalize differs from the SQL form only in summation association
-    (pairwise vs sequential) — sub-ulp drift the per-round 6-dp
-    centroid rounding clips before it can feed back."""
+    ≤ k rows of dim+1 numbers leave each batch, so the driver-side
+    combine in ``kmeans_lloyd_spherical`` collects at most
+    partitions·k tiny rows (the map-side-combine bound; at extreme
+    partition counts, ``coalesce`` the input or use ``method='sql'``).
+    NULL and zero-norm rows drop (the ``_normalized`` contract).  The
+    numpy normalize differs from the SQL form only in summation
+    association (pairwise vs sequential) — sub-ulp drift the per-round
+    6-dp centroid rounding clips before it can feed back."""
     import numpy as np
     import pandas as pd
 

@@ -2410,14 +2410,20 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample trainer (``operators.ann.train_centroids``): this is
     clustering as a QUERY — corpus organization, SemDeDup cells, topic
     bucketing — where the corpus cannot be sampled down.  Scale: iters
-    column-pruned scans, iters k-row shuffles, k·dim driver doubles."""
+    column-pruned scans, iters k-row shuffles, k·dim driver doubles.
+
+    Runs ``method='auto'``, which at k·dim = 512 routes to the
+    Arrow/BLAS assignment pass (scale-flat: 0.74 s at sf1 vs the
+    engine-expression form's 27 s, SCALE.md r10) — value-pinned
+    bit-equal to the engine form by ``test_kmeans_numpy_path_matches_
+    sql``, so the oracle still replays the engine arithmetic."""
     from openai_vector_search_demo_spark.operators.kmeans import (
         kmeans_lloyd_spherical,
     )
 
     emb = t(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
-    cent, counts = kmeans_lloyd_spherical(emb, k=8, iters=3)
+    cent, counts = kmeans_lloyd_spherical(emb, k=8, iters=3, method="auto")
     rows = [(i, counts[i], cent[i]) for i in range(8)]
     return spark.createDataFrame(
         rows, "cid int, n_members bigint, centroid array<double>")
