@@ -61,8 +61,8 @@ multiply-adds; as interpreted higher-order-function lambdas that is
 ~20× slower than one Arrow-batched BLAS pass once k·dim reaches a few
 hundred — the same constant the IVF inline search measured
 (``ann.IVF_AUTO_NUMPY_MIN_OPS``).  Measured at k·dim = 512 (SCALE.md
-r10, same session): sql 8.0 s at sf0.1 / 27.3 s at sf1 vs numpy
-0.71 / 0.74 s — the numpy path is scale-flat here because its
+r10, same session): sql 7.08 s at sf0.1 / 22.93 s at sf1 vs numpy
+0.82 / 0.76 s — the numpy path is scale-flat here because its
 per-iteration cost is one Arrow scan plus bounded collects, while the
 sql form pays the interpreted per-row term plus ~1.6 s/iteration of
 Catalyst re-analysis of the dim-wide update expressions."""
