@@ -7759,6 +7759,7 @@ _ANALYTICS_BATTERY = [
     "cdc_chunk_dedup",
     # r10 receipt-gap additions: never driver-receipted before
     "ta_strip_html", "ta_unigram_lm_score", "fuzzy_match_part_names",
+    "asof_join_tolerance", "c3_chunk_sentences",
 ]
 _RETRIEVAL_BATTERY = [
     "bm25_top_docs", "hybrid_search_rrf", "quantized_knn_top10",
@@ -7768,6 +7769,7 @@ _RETRIEVAL_BATTERY = [
     # r10 receipt-gap additions (judge r9 #1): the stored-index read
     # paths and MMR re-ranking had no independent driver receipt
     "ann_ivf_stored_knn", "ann_pq_stored_knn", "q2_knn_mmr",
+    "ann_ivfpq_stored_knn",  # r10: stored IVFADC, pre-refine form
 ]
 _EVENTS_WINDOWS_BATTERY = [
     "events_tumbling_window", "events_sliding_window", "events_session_window",
@@ -7775,6 +7777,8 @@ _EVENTS_WINDOWS_BATTERY = [
     "streaming_dedup",          # real streaming run, batch-oracled (r10 —
                                 # the one Structured Streaming operator
                                 # never driver-receipted before)
+    "events_funnel",            # the one-shuffle fold form (njoin + auto
+                                # routing receipted as window singles)
 ]
 # r10 receipt-gap batteries (judge r9 #1): the curation, dedup and
 # profile/events-analytics families were value-checked only by the
@@ -8094,6 +8098,16 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("feature", "s"), ("j", "s"), ("weight", "d")],
     "quality_classifier_auc": [
         ("auc", "d"), ("n_neg", "s"), ("n_pos", "s"), ("n_test", "s")],
+    "ann_ivfpq_stored_knn": [
+        ("adc_dist", "d"), ("label", "s"), ("vec_id", "s")],
+    "asof_join_tolerance": [
+        ("event_id", "s"), ("p_event_id", "s"), ("p_value", "d"),
+        ("ts_us", "s"), ("user_id", "s")],
+    "c3_chunk_sentences": [
+        ("chunk", "s"), ("chunk_no", "s"), ("doc_id", "s")],
+    "events_funnel": [
+        ("conversion", "d"), ("event_type", "s"), ("step", "s"),
+        ("users", "s")],
 }
 
 
@@ -8127,16 +8141,20 @@ def analytics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap-fill, JSON extraction, higher-order array functions, the date/time
     scalar surface, the string scalar surface, consistent hash-sampling,
     within-document repetition gates, distribution windows
-    (ntile/percent_rank/cume_dist), and sliding-window chunking —
-    20 member digests."""
+    (ntile/percent_rank/cume_dist), sliding-window and sentence-grouped
+    chunking, blocked fuzzy matching, the LM scorers, HTML stripping,
+    and as-of tolerance joins — one digest per member (see
+    ``_ANALYTICS_BATTERY``)."""
     return _battery(spark, sf_dir, _ANALYTICS_BATTERY)
 
 
 @query("retrieval_battery", oracle=_battery_oracle(_RETRIEVAL_BATTERY))
 def retrieval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The text/vector retrieval surface in one window slot: BM25, hybrid
-    RRF fusion, int8-quantized KNN, metadata-filtered KNN, and measured
-    LSH recall@10 — 5 member digests."""
+    RRF fusion, int8-quantized KNN, metadata-filtered KNN, measured
+    LSH/IVF recall@10, the trained-IVF inline + stored read paths, the
+    LSH/PQ/IVFADC stored read paths, and MMR re-ranking — one digest
+    per member (see ``_RETRIEVAL_BATTERY``)."""
     return _battery(spark, sf_dir, _RETRIEVAL_BATTERY)
 
 
@@ -8688,8 +8706,9 @@ def curation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin stats), T5-style span masking, BPE merge training and corpus
     segmentation, deterministic train/val/test splitting, source
     resampling and stratified mixing, shard-manifest export, graded
-    benchmark decontamination, and the end-to-end data-prep capstone —
-    12 member digests, each as strict as an individual gate row."""
+    benchmark decontamination, the trained quality classifier + its
+    held-out AUC, and the end-to-end data-prep capstone — one digest
+    per member, each as strict as an individual gate row."""
     return _battery(spark, sf_dir, _CURATION_BATTERY)
 
 
