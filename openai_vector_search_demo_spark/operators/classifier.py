@@ -5,9 +5,10 @@ scoring path and a rank-sum (Mann-Whitney) AUC evaluator.
 This is the "quality classifier" stage of a large-scale training-data
 curation pipeline (the fastText/CCNet pattern: distill a teacher signal —
 here the corpus' language labels — into a linear scorer cheap enough to
-run over every document).  The reference corpus pipeline
-(`app.py`/`preprocessing.py` in MaheshSQL/openai-vector-search-demo)
-stops at heuristic filtering; this operator family is the trained
+run over every document).  The reference's ingest pipeline
+(`app/app.py:225`, `modules/utilities.py:132-141` in
+MaheshSQL/openai-vector-search-demo) stops at rule-based cleansing with
+no learned quality signal; this operator family is the trained
 counterpart the 100 TB curation story needs.
 
 Design mirrors ``operators.kmeans`` (the engine's other iterative

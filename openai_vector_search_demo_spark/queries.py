@@ -2392,8 +2392,9 @@ def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
-SELECT cid, n AS n_members, c AS centroid
-FROM c{iters} ORDER BY cid
+SELECT cid, n AS n_members, CAST(t.j AS INT) AS j, c[t.j] AS value
+FROM c{iters}, (SELECT UNNEST(range(1, {dim} + 1)) AS j) t
+ORDER BY cid, t.j
 """
 
 
@@ -2424,9 +2425,14 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings") \
         .filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
     cent, counts = kmeans_lloyd_spherical(emb, k=8, iters=3, method="auto")
-    rows = [(i, counts[i], cent[i]) for i in range(8)]
+    # Driver-gate shape contract: the gate's pandas canonicalizer only
+    # handles ATOMIC cells (CORRECTNESS_r10: array<double> centroid →
+    # "unhashable type: 'list'"), so the centroid is exploded to one
+    # (cid, j, value) row per component instead of an array column.
+    rows = [(i, counts[i], j + 1, cent[i][j])
+            for i in range(8) for j in range(len(cent[i]))]
     return spark.createDataFrame(
-        rows, "cid int, n_members bigint, centroid array<double>")
+        rows, "cid int, n_members bigint, j int, value double")
 
 
 def _logreg_ctes() -> str:

@@ -31,9 +31,29 @@ def canon(v):
         if math.isnan(v):
             return "nan"
         return f"{v:.9g}"
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
+    if isinstance(v, (list, tuple, dict, set)):
+        # Driver-gate parity: the real gate's pandas canonicalizer crashes
+        # on non-atomic cells (CORRECTNESS_r10 kmeans_cluster_profile:
+        # "unhashable type: 'list'").  Tuple-izing here was the false-green
+        # hole that let an array-typed slot ship in r10 — raise instead.
+        raise TypeError(
+            f"non-atomic cell ({type(v).__name__}): the driver gate rejects "
+            "list/map/struct outputs — emit scalar columns")
     return v
+
+
+_ATOMIC_BANNED = ("ArrayType", "MapType", "StructType", "NullType")
+
+
+def assert_atomic_schema(name, sdf):
+    """Gate-shape contract: every registered query must emit ONLY atomic
+    column types — the driver's pandas canonicalizer (sort_values →
+    factorize) cannot hash list/map/struct cells (r10 escape)."""
+    for f in sdf.schema.fields:
+        tname = type(f.dataType).__name__
+        assert tname not in _ATOMIC_BANNED, (
+            f"{name}: column '{f.name}' is {f.dataType.simpleString()} — "
+            "driver gate requires atomic types (explode or digest it)")
 
 
 def canon_rows(cols, rows):
@@ -48,6 +68,7 @@ ALL = list(entrymod.queries().items())
 @pytest.mark.parametrize("name,fn", ALL, ids=[n for n, _ in ALL])
 def test_query_matches_oracle(spark, name, fn):
     sdf = fn(spark, SF)
+    assert_atomic_schema(name, sdf)
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
     if name not in ORACLES:
@@ -121,3 +142,32 @@ def test_battery_digest_is_value_sensitive(spark):
     d2 = Q._digest_member(
         base.withColumn("sum_qty", F.col("sum_qty") + 0.01), "m").first()
     assert d1.digest != d2.digest and d1.n_rows == d2.n_rows
+
+
+# ---------------------------------------------------------------------------
+# Gate-shape contract (VERDICT r10 #2): the r10 kmeans escape must be
+# impossible to re-ship.  The pre-fix slot emitted `centroid array<double>`;
+# both layers of the local gate replica must reject that shape.
+
+
+def test_gate_shape_rejects_array_columns(spark):
+    """A frame shaped like the pre-fix r10 kmeans_cluster_profile output
+    fails the schema contract AND the canonicalizer — the two checks that
+    were silent when the r10 slot shipped."""
+    df = spark.createDataFrame(
+        [(0, 3, [0.1, 0.2]), (1, 5, [0.3, 0.4])],
+        "cid int, n_members bigint, centroid array<double>")
+    with pytest.raises(AssertionError, match="atomic"):
+        assert_atomic_schema("prefix_kmeans_shape", df)
+    with pytest.raises(TypeError, match="non-atomic"):
+        canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_gate_shape_every_registered_query_is_atomic_typed():
+    """Every SPARK_QUERIES entry goes through assert_atomic_schema inside
+    test_query_matches_oracle (it builds each frame anyway, so the schema
+    contract costs nothing extra).  This pin guards the wiring: the
+    assertion call must stay in the per-query gate replica."""
+    import inspect
+    src = inspect.getsource(test_query_matches_oracle)
+    assert "assert_atomic_schema(name, sdf)" in src
