@@ -14,12 +14,23 @@ edge relation works.
 Spark-first shape (the second instance of the engine's deterministic
 iterative-algorithm pattern, after ``operators.kmeans``):
 
-- Transition probabilities ``p = w / Σ_out w`` are computed ONCE and
-  persisted (``scoped_persist`` — releasable under ``cache_scope``).
-- Each iteration is one shuffle join (ranks ⋈ edges on src) + one
-  aggregation keyed by dst + a left join back to the node set so
-  sink-less nodes keep their teleport mass.  Nothing driver-side but
-  the node COUNT (one scalar).
+- The (possibly expensive) edge relation is normalized and persisted
+  ONCE (``scoped_persist`` — releasable under ``cache_scope``); node
+  set, out-weight totals, and transition probabilities all read the
+  cached relation instead of re-deriving it (pre-r11 the registered
+  query's self-join edge derivation appeared 3× in the uncached plan;
+  the paired A/B at sf1 puts the persist-once form ~18% ahead, SCALE.md
+  r11).  Two levers were MEASURED AND DECLINED (scripts/
+  ab_pagerank_persist.py protocol): explicitly repartitioning edges and
+  nodes on the join key (loses at sf0.1, a wash at sf1 — the iteration
+  join's own exchange already co-locates, so the extra shuffle never
+  pays), and broadcasting the rank vector into the edge join (wins ~10%
+  at sf0.1 but loses 1.6× at sf1, where serialized per-iteration
+  broadcast jobs beat pipelined shuffle stages only below ~1M edges).
+- Each iteration is one join (ranks ⋈ edges on src) + one aggregation
+  keyed by dst + a left join back to the node set so nodes without
+  in-edges keep their teleport mass.  Nothing driver-side but the node
+  COUNT (one scalar).
 - **Determinism contract** (same discipline as kmeans): fixed ``iters``,
   no RNG, and ranks are rounded to ``round_dp`` IN-ENGINE each
   iteration (``F.round`` = HALF_UP = DuckDB ``ROUND``), so cross-engine
@@ -27,13 +38,23 @@ iterative-algorithm pattern, after ``operators.kmeans``):
   compounding — what makes an unrolled-CTE DuckDB oracle replay the
   whole loop bit-for-bit.
 
-At 100 TB: the edge relation shuffles once per iteration on ``src``
-(pre-partitioning edges AND ranks by the join key makes the join
-exchange-free after the first round); per-iteration state is one row
-per node.  Dangling mass: the registered co-occurrence graph is
-bidirectional so every node has out-edges; for general graphs callers
-should add the standard dangling-redistribution term before trusting
-absolute mass (documented, not silently assumed).
+Dangling (sink) nodes: ``dangling='none'`` (default) reproduces the
+classic "leaky" formulation — correct when every node has out-edges
+(the registered co-purchase graph is bidirectional, so nothing leaks).
+``dangling='redistribute'`` adds the standard dangling-mass term
+``Σ_{sink} pr / n`` to every node each round, conserving ``Σ pr = 1``
+on general directed graphs; the per-round dangling sum is itself
+rounded in-engine (a 1-row broadcast, NOT a driver collect) so the
+oracle replays it.
+
+At 100 TB: the edge relation shuffles once at persist time and the
+per-iteration join is exchange-free on the edge side; per-iteration
+state is one row per node.  Lineage: each round appends 2-3 joins to
+the ``ranks`` plan — fine at ``iters=3``; for ``iters=20+`` pass
+``checkpoint_every=N`` to ``localCheckpoint`` the rank vector every N
+rounds and keep analysis/optimization time constant (the checkpointed
+vector is one row per node — tiny — but blocks live until session end,
+so long-lived drivers should run under their own lifecycle policy).
 """
 
 from __future__ import annotations
@@ -46,36 +67,68 @@ __all__ = ["pagerank"]
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: str = "w", iters: int = 3, damping: float = 0.85,
-             round_dp: int = 9) -> DataFrame:
+             round_dp: int = 9, dangling: str = "none",
+             checkpoint_every: int | None = None) -> DataFrame:
     """Rank nodes of a weighted directed edge relation; returns
-    ``(node, pr)`` with ``Σ pr ≈ 1`` over nodes reachable as endpoints.
-    Fixed ``iters`` power rounds from the uniform vector."""
+    ``(node, pr)``.  Fixed ``iters`` power rounds from the uniform
+    vector.  ``dangling='redistribute'`` conserves total mass on graphs
+    with sinks; the default ``'none'`` keeps the historical leaky
+    semantics (exact on sink-free graphs)."""
     from openai_vector_search_demo_spark.caching import scoped_persist
 
+    if dangling not in ("none", "redistribute"):
+        raise ValueError(f"pagerank: unknown dangling mode {dangling!r}")
+    ein = scoped_persist(
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
+                     F.col(weight).alias("_w")))
     nodes = scoped_persist(
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node"))).distinct())
+        ein.select(F.col("_src").alias("node"))
+        .union(ein.select(F.col("_dst").alias("node"))).distinct())
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge relation")
-    outw = edges.groupBy(src).agg(F.sum(weight).alias("_tw"))
+    outw = ein.groupBy("_src").agg(F.sum("_w").alias("_tw"))
     e = scoped_persist(
-        edges.join(outw, src)
-        .select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
-                (F.col(weight) / F.col("_tw")).alias("_p")))
+        ein.join(outw, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_tw")).alias("_p")))
+    dang = None
+    if dangling == "redistribute":
+        dang = scoped_persist(
+            nodes.join(ein.select(F.col("_src").alias("node")).distinct(),
+                       "node", "left_anti"))
     tele = (1.0 - damping) / n
     ranks = nodes.select("node",
                          F.round(F.lit(1.0) / F.lit(n), round_dp)
                          .alias("pr"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (e.join(ranks, e["_src"] == ranks["node"])
                    .groupBy("_dst")
                    .agg(F.sum(F.col("pr") * F.col("_p")).alias("_s"))
                    .withColumnRenamed("_dst", "node"))
-        ranks = (nodes.join(contrib, "node", "left")
-                 .select("node",
-                         F.round(F.lit(tele)
-                                 + F.lit(damping)
-                                 * F.coalesce(F.col("_s"), F.lit(0.0)),
-                                 round_dp).alias("pr")))
+        if dang is None:
+            new_pr = F.round(
+                F.lit(tele)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                round_dp)
+            ranks = (nodes.join(contrib, "node", "left")
+                     .select("node", new_pr.alias("pr")))
+        else:
+            # Dangling mass as a 1-row broadcast so the loop stays fully
+            # in-plan; rounded in-engine (determinism contract) before it
+            # feeds the next round's literals-free arithmetic.
+            dm = (ranks.join(dang, "node", "semi")
+                  .agg(F.round(F.coalesce(F.sum("pr"), F.lit(0.0)),
+                               round_dp).alias("_dm")))
+            new_pr = F.round(
+                F.lit(tele)
+                + F.lit(damping)
+                * (F.coalesce(F.col("_s"), F.lit(0.0))
+                   + F.col("_dm") / F.lit(n)),
+                round_dp)
+            ranks = (nodes.join(contrib, "node", "left")
+                     .crossJoin(F.broadcast(dm))
+                     .select("node", new_pr.alias("pr")))
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and (i + 1) < iters:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -5225,7 +5225,10 @@ def _pagerank_oracle(iters: int = 3) -> str:
       FROM items a JOIN items b USING (l_orderkey)
       WHERE a.l_partkey <> b.l_partkey
       GROUP BY 1, 2)""",
-        "nodes AS (SELECT DISTINCT src AS node FROM e0)",
+        # UNION of both endpoints — mirrors the operator's node set, so
+        # the parity contract holds even on graphs with dst-only sinks
+        # (identical on this bidirectional graph; ADVICE r10).
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "outw AS (SELECT src, SUM(w) AS tw FROM e0 GROUP BY src)",
         """e AS (SELECT e0.src, e0.dst, e0.w / outw.tw AS p
@@ -5282,6 +5285,76 @@ def part_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         top = (ranks.orderBy(F.col("pr").desc(), F.col("node").asc())
                .limit(20)
                .select(F.col("node").alias("l_partkey"), "pr"))
+        rows = top.collect()
+    return spark.createDataFrame(rows, top.schema)
+
+
+def _pagerank_dangling_oracle(iters: int = 3) -> str:
+    """Unrolled power rounds WITH the dangling-mass term: each round adds
+    a 1-row CTE ``d{i}`` = Σ pr over sink nodes, rounded at 9 dp (the
+    in-engine rounding the operator applies to its broadcast dangling
+    sum), redistributed as ``dm / n`` to every node."""
+    ctes = [
+        """e0 AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2)""",
+        "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "outw AS (SELECT src, SUM(w) AS tw FROM e0 GROUP BY src)",
+        """e AS (SELECT e0.src, e0.dst, e0.w / outw.tw AS p
+      FROM e0 JOIN outw USING (src))""",
+        """dang AS (SELECT node FROM nodes
+      WHERE node NOT IN (SELECT src FROM e0))""",
+        "r0 AS (SELECT node, ROUND(1.0 / nn.n, 9) AS pr FROM nodes, nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(f"""d{i} AS (SELECT ROUND(COALESCE(SUM(pr), 0.0), 9) AS dm
+      FROM r{p} JOIN dang USING (node))""")
+        ctes.append(f"""r{i} AS (SELECT nd.node,
+             ROUND((1 - 0.85) / nn.n
+                   + 0.85 * (COALESCE(s.s, 0.0) + d{i}.dm / nn.n), 9) AS pr
+      FROM nodes nd CROSS JOIN nn CROSS JOIN d{i}
+      LEFT JOIN (SELECT e.dst AS node, SUM(r{p}.pr * e.p) AS s
+                 FROM e JOIN r{p} ON r{p}.node = e.src
+                 GROUP BY e.dst) s ON s.node = nd.node)""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT node, pr
+FROM r{iters} ORDER BY pr DESC, node ASC LIMIT 20
+"""
+
+
+@query("supplier_part_pagerank_dangling", oracle=_pagerank_dangling_oracle())
+def supplier_part_pagerank_dangling(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """PageRank with DANGLING-MASS REDISTRIBUTION on a graph that
+    actually has sinks: the bipartite supplier→part supply graph from
+    ``lineitem`` (every part node is a sink, every supplier a source),
+    weight = supply-line count.  ``dangling='redistribute'`` adds the
+    standard ``Σ_sink pr / n`` term each round — ``Σ pr = 1`` holds
+    (``test_dangling_redistribute_conserves_mass``), where the default
+    leaky mode would lose ~85% of the mass per round on this graph.
+    The per-round dangling sum is a 1-row in-engine aggregate (rounded
+    9 dp, broadcast — not a driver collect), so the DuckDB oracle
+    replays all three rounds with a ``d{{i}}`` CTE per iteration.
+    Scale: same posture as ``part_authority_pagerank`` plus one k=1-row
+    aggregate per round."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.pagerank import (
+        pagerank,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = (li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    with cache_scope():
+        ranks = pagerank(edges, iters=3, dangling="redistribute")
+        top = (ranks.orderBy(F.col("pr").desc(), F.col("node").asc())
+               .limit(20))
         rows = top.collect()
     return spark.createDataFrame(rows, top.schema)
 

@@ -57,3 +57,57 @@ def test_empty_edges_raise(spark):
     df = spark.createDataFrame([], "src int, dst int, w int")
     with pytest.raises(ValueError):
         pagerank(df)
+
+def test_dangling_redistribute_conserves_mass(spark):
+    """dangling='redistribute' adds the standard Σ_sink pr / n term each
+    round: total mass stays 1 on a graph WITH sinks (up to 9-dp per-node
+    rounding)."""
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    edges = [(0, 1, 1), (1, 2, 1)]  # 2 is a sink
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+    r = {r.node: r.pr for r in
+         pagerank(df, iters=3, dangling="redistribute").collect()}
+    assert abs(sum(r.values()) - 1.0) < 3e-8
+    # chain: the sink accumulates, the source holds only teleport+share
+    assert r[2] > r[1] > r[0]
+
+
+def test_dangling_redistribute_noop_on_sink_free_graph(star):
+    """On a sink-free graph the dangling sum is 0 every round, so both
+    modes agree bit-for-bit."""
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    a = {r.node: r.pr for r in pagerank(star, iters=3).collect()}
+    b = {r.node: r.pr for r in
+         pagerank(star, iters=3, dangling="redistribute").collect()}
+    assert a == b
+
+
+def test_dangling_mode_validated(spark):
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    df = spark.createDataFrame([(0, 1, 1)], "src int, dst int, w int")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(df, dangling="bogus")
+
+
+def test_checkpoint_every_pins_plan_depth(spark):
+    """Without checkpointing the rank lineage grows ~linearly in iters;
+    with checkpoint_every the optimized plan stays iteration-bounded, so
+    iters=20+ doesn't re-analyze a 20-join chain (VERDICT r10 #7)."""
+    from openai_vector_search_demo_spark.operators.pagerank import pagerank
+    edges = [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1)]
+    df = spark.createDataFrame(edges, "src int, dst int, w int")
+
+    def plan_joins(r):
+        return r._jdf.queryExecution().optimizedPlan().toString().count("Join")
+
+    deep = plan_joins(pagerank(df, iters=6))
+    shallow = plan_joins(pagerank(df, iters=6, checkpoint_every=2))
+    one_round = plan_joins(pagerank(df, iters=1))
+    # checkpointed plan is as shallow as a plan with <= 2 live rounds
+    assert shallow <= plan_joins(pagerank(df, iters=2))
+    assert deep > max(one_round, 2 * shallow)  # uncheckpointed: ~linear
+    # values unchanged by checkpointing (eager localCheckpoint is exact)
+    a = {r.node: r.pr for r in pagerank(df, iters=6).collect()}
+    b = {r.node: r.pr
+         for r in pagerank(df, iters=6, checkpoint_every=2).collect()}
+    assert a == b
