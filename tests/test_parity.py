@@ -100,11 +100,16 @@ def test_first_50_registrations_are_the_proof_window():
 def test_window_entries_all_oracled():
     # Since r7 even the two binary slots carry oracles: their inputs are
     # deterministic constants, so the expected outputs are pinned as VALUES
-    # literals (not SQL-expressible, but SQL-checkable).
+    # literals (not SQL-expressible, but SQL-checkable).  r11: the two
+    # rows-only-BY-NATURE slots (embed-UDF flagship, HLL sketches) rotate
+    # through once for their ledger receipt — explicitly allowlisted, each
+    # with an oracled twin (see PROOF_WINDOW_ROWS_ONLY).
     from openai_vector_search_demo_spark import queries as Q
     oracled = entrymod.oracle_sql()
     rows_only = [n for n in Q.PROOF_WINDOW if n not in oracled]
-    assert rows_only == []
+    assert sorted(rows_only) == sorted(Q.PROOF_WINDOW_ROWS_ONLY)
+    for twin in ("flagship_search_oracled", "corpus_distinct_stats"):
+        assert twin in oracled
 
 
 def test_battery_members_are_all_registered_and_oracled():
