@@ -1870,9 +1870,12 @@ def _pq_residual_recall_frame(spark, emb, centroids, codebooks,
                     dtype=np.float64)
     qn = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
     all_cells = list(range(nlist))
-    luts = np.array([[residual_adc_luts(q, centroids, codebooks,
-                                        all_cells)[c] for c in all_cells]
-                     for q in qmat])                     # nq×nlist×m×ksub
+    # ONE lut-dict build per query, indexed per cell (ADVICE r10: the
+    # dict-in-a-loop form made driver init O(nq·nlist²·m·ksub)).
+    luts = np.array([
+        [qluts[c] for c in all_cells]
+        for qluts in (residual_adc_luts(q, centroids, codebooks, all_cells)
+                      for q in qmat)])                   # nq×nlist×m×ksub
 
     corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ) \
                 .select("vec_id", "embedding")
@@ -4794,7 +4797,12 @@ def data_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     eagerly ``localCheckpoint``-ed inside the scope — lineage truncated
     while the caches are still warm — so the deferred collect never
     recomputes through the released relations; only the (small) result
-    occupies storage afterwards."""
+    occupies storage afterwards.  CALLER CONTRACT (ADVICE r10): the
+    returned frame's checkpoint blocks live until session end —
+    long-lived drivers invoking this slot repeatedly should
+    ``df.unpersist()`` each result after consuming it (the per-round
+    gate/bench sessions are one-shot, so their accumulation is one
+    small result frame per run)."""
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.functions.text_analysis import (
         unigram_lm_scores,
@@ -6788,7 +6796,10 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     eagerly ``localCheckpoint``-ed inside the scope: the shared scan
     buffer and pair-set persists release when the slot returns, the
     deferred collect reads the truncated lineage, and the driver gate
-    exercises the release path every round."""
+    exercises the release path every round.  CALLER CONTRACT (ADVICE
+    r10): the returned frame's checkpoint blocks live until session
+    end — long-lived drivers invoking this slot repeatedly should
+    ``df.unpersist()`` each result after consuming it."""
     from pyspark.sql import Window
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.functions import text_analysis as ta
