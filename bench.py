@@ -144,6 +144,7 @@ HEADLINE = [
     "ann_pq_refine_stored_knn",  # codegen ADC shortlist + exact refine (r10)
     "ann_ivfpq_stored_refine_knn",  # flagship: pruned stored IVFADC + refine
     "kmeans_cluster_profile",  # distributed Lloyd trainer, auto/BLAS (r10)
+    "supplier_part_pagerank_dangling",  # sink-graph PR w/ mass term (r11)
     "curation_pipeline",
 ]
 
