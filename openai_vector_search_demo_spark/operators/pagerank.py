@@ -43,9 +43,11 @@ classic "leaky" formulation — correct when every node has out-edges
 (the registered co-purchase graph is bidirectional, so nothing leaks).
 ``dangling='redistribute'`` adds the standard dangling-mass term
 ``Σ_{sink} pr / n`` to every node each round, conserving ``Σ pr = 1``
-on general directed graphs; the per-round dangling sum is itself
-rounded in-engine (a 1-row broadcast, NOT a driver collect) so the
-oracle replays it.
+on general directed graphs; the per-round dangling sum is rounded
+in-engine, then collected as ONE driver scalar per round that re-enters
+the plan as a literal (the kmeans bounded-collect pattern — an in-plan
+broadcast total would embed the rank chain twice per round, 2^iters
+logical-plan growth), so the oracle replays it exactly.
 
 At 100 TB: the edge relation shuffles once at persist time and the
 per-iteration join is exchange-free on the edge side; per-iteration
@@ -113,20 +115,25 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             ranks = (nodes.join(contrib, "node", "left")
                      .select("node", new_pr.alias("pr")))
         else:
-            # Dangling mass as a 1-row broadcast so the loop stays fully
-            # in-plan; rounded in-engine (determinism contract) before it
-            # feeds the next round's literals-free arithmetic.
+            # Dangling mass: the per-round sink-rank sum is rounded
+            # IN-ENGINE (determinism contract) and collected as ONE
+            # driver scalar that re-enters the plan as a literal.  An
+            # in-plan `crossJoin(broadcast(dm))` was rejected: contrib
+            # and dm would EACH embed the previous rank chain, doubling
+            # the logical plan every round (2^iters growth).  To avoid
+            # recomputing the chain for the scalar, ranks is persisted
+            # for the round (one row per node — bounded).
+            ranks = scoped_persist(ranks)
             dm = (ranks.join(dang, "node", "semi")
                   .agg(F.round(F.coalesce(F.sum("pr"), F.lit(0.0)),
-                               round_dp).alias("_dm")))
+                               round_dp)).first()[0])
             new_pr = F.round(
                 F.lit(tele)
                 + F.lit(damping)
                 * (F.coalesce(F.col("_s"), F.lit(0.0))
-                   + F.col("_dm") / F.lit(n)),
+                   + F.lit(float(dm)) / F.lit(n)),
                 round_dp)
             ranks = (nodes.join(contrib, "node", "left")
-                     .crossJoin(F.broadcast(dm))
                      .select("node", new_pr.alias("pr")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and (i + 1) < iters:

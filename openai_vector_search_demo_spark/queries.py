@@ -5300,8 +5300,9 @@ def part_authority_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pagerank_dangling_oracle(iters: int = 3) -> str:
     """Unrolled power rounds WITH the dangling-mass term: each round adds
     a 1-row CTE ``d{i}`` = Σ pr over sink nodes, rounded at 9 dp (the
-    in-engine rounding the operator applies to its broadcast dangling
-    sum), redistributed as ``dm / n`` to every node."""
+    in-engine rounding the operator applies to its dangling sum before
+    collecting it as a plan literal), redistributed as ``dm / n`` to
+    every node."""
     ctes = [
         """e0 AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
@@ -5344,9 +5345,11 @@ def supplier_part_pagerank_dangling(spark: SparkSession,
     standard ``Σ_sink pr / n`` term each round — ``Σ pr = 1`` holds
     (``test_dangling_redistribute_conserves_mass``), where the default
     leaky mode would lose ~85% of the mass per round on this graph.
-    The per-round dangling sum is a 1-row in-engine aggregate (rounded
-    9 dp, broadcast — not a driver collect), so the DuckDB oracle
-    replays all three rounds with a ``d{{i}}`` CTE per iteration.
+    The per-round dangling sum is rounded 9 dp in-engine and collected
+    as one driver scalar per round (the kmeans bounded-collect pattern;
+    an in-plan broadcast total would double the rank lineage per round),
+    so the DuckDB oracle replays all three rounds with a ``d{{i}}`` CTE
+    per iteration.
     Scale: same posture as ``part_authority_pagerank`` plus one k=1-row
     aggregate per round."""
     from openai_vector_search_demo_spark.caching import cache_scope
@@ -5365,6 +5368,78 @@ def supplier_part_pagerank_dangling(spark: SparkSession,
                .limit(20))
         rows = top.collect()
     return spark.createDataFrame(rows, top.schema)
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """Unrolled HITS rounds: per iteration one authority-pull CTE pair
+    (raw sums, then L1 normalization rounded 9 dp — the operator's
+    in-engine rounding) and one hub-pull pair."""
+    ctes = [
+        """e AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2)""",
+        "hn AS (SELECT COUNT(DISTINCT src) AS n FROM e)",
+        """h0 AS (SELECT DISTINCT src AS node FROM e),
+h0n AS (SELECT node, ROUND(1.0 / hn.n, 9) AS hub FROM h0, hn)""",
+    ]
+    prev = "h0n"
+    for i in range(1, iters + 1):
+        ctes.append(f"""a{i}r AS (SELECT e.dst AS node, SUM(h.hub * e.w) AS raw
+      FROM e JOIN {prev} h ON h.node = e.src GROUP BY e.dst)""")
+        ctes.append(f"""a{i} AS (SELECT node,
+      ROUND(raw / (SELECT SUM(raw) FROM a{i}r), 9) AS auth FROM a{i}r)""")
+        ctes.append(f"""h{i}r AS (SELECT e.src AS node, SUM(a.auth * e.w) AS raw
+      FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src)""")
+        ctes.append(f"""h{i} AS (SELECT node,
+      ROUND(raw / (SELECT SUM(raw) FROM h{i}r), 9) AS hub FROM h{i}r)""")
+        prev = f"h{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT * FROM (
+  (SELECT 'hub' AS side, node, hub AS score
+   FROM h{iters} ORDER BY hub DESC, node ASC LIMIT 10)
+  UNION ALL
+  (SELECT 'auth' AS side, node, auth AS score
+   FROM a{iters} ORDER BY auth DESC, node ASC LIMIT 10))
+"""
+
+
+@query("supplier_part_hits", oracle=_hits_oracle())
+def supplier_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg) over the bipartite
+    supplier→part supply graph — the mutual-reinforcement
+    source-quality signal next to PageRank's global centrality (in a
+    web-curation pipeline: seed-list expansion, mirror/aggregator
+    detection).  Three fixed rounds of authority-pull / hub-pull, each
+    L1-normalized by an in-engine-summed total collected as one driver
+    scalar per pull and rounded 9 dp (the iterative-family determinism
+    contract; in-plan broadcast totals double the lineage per pull), so
+    the DuckDB oracle replays every round as unrolled CTE quads.  Emits the top-10
+    of each side as (side, node, score) scalar rows.  Scale: two
+    edge-keyed shuffle joins per round; per-round state is one row per
+    node per side (``operators/hits.py`` docstring)."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.hits import hits
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = (li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+        .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+    with cache_scope():
+        h, a = hits(edges, iters=3)
+        top_h = (h.orderBy(F.col("hub").desc(), F.col("node").asc())
+                 .limit(10)
+                 .select(F.lit("hub").alias("side"), "node",
+                         F.col("hub").alias("score")))
+        top_a = (a.orderBy(F.col("auth").desc(), F.col("node").asc())
+                 .limit(10)
+                 .select(F.lit("auth").alias("side"), "node",
+                         F.col("auth").alias("score")))
+        out = top_h.unionAll(top_a)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query("tfidf_cosine_pairs", oracle=rf"""
@@ -8899,7 +8974,9 @@ def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # receipted; minhash/jaccard + dedup_battery remain), range_join_
 # price_bands + cms_heavy_hitters + skew_salted_join (7x; analytics/
 # tpch batteries remain), similarity_join_topk (10x; retrieval_battery
-# remains).  All six stay parity-pinned in tests/test_parity.py.
+# remains), events_funnel_njoin (r9-r10; events_funnel_auto stays for
+# the family) -> in comes supplier_part_hits, receipted from birth.
+# All seven stay parity-pinned in tests/test_parity.py.
 PROOF_WINDOW: list[str] = [
     # reference parity: pipeline scalars, keys, chunking (P1-P11, C3).
     # p1_cleanse_text and p3_md5_key rotated out r10 (receipted r1-r9,
@@ -8945,7 +9022,7 @@ PROOF_WINDOW: list[str] = [
     "upsert_latest_wins", "p11_validation_bounds",
     # distributed-analytics singles (+ the r8/r9 scale-safe forms)
     "tfidf_cosine_pairs_capped", "pareto_abc_quantile", "rfm_quantile",
-    "events_funnel_njoin", "events_funnel_auto",
+    "events_funnel_auto",
     # r11 receipt-ledger zeroing (judge #3): the five never-receipted
     # queries rotate through once — the three oracled variant twins
     # (kept for contrast with their scale-safe forms) and the two
@@ -8955,7 +9032,7 @@ PROOF_WINDOW: list[str] = [
     # slot, receipted from birth.
     "pareto_abc_customers", "rfm_segmentation", "tfidf_cosine_pairs",
     "flagship_search", "corpus_approx_stats",
-    "supplier_part_pagerank_dangling",
+    "supplier_part_pagerank_dangling", "supplier_part_hits",
     # streaming (real Structured Streaming runs)
     "streaming_tumbling_counts", "streaming_stream_static_join",
     # family-digest batteries (r10: + curation/dedup/profile-events —
