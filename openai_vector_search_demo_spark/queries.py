@@ -5304,7 +5304,7 @@ def _pagerank_dangling_oracle(iters: int = 3) -> str:
     collecting it as a plan literal), redistributed as ``dm / n`` to
     every node."""
     ctes = [
-        """e0 AS (SELECT 's' || l_suppkey AS src, 'p' || l_partkey AS dst,
+        """e0 AS (SELECT 0 - l_suppkey AS src, l_partkey AS dst,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem GROUP BY 1, 2)""",
         "nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0)",
@@ -5358,9 +5358,12 @@ def supplier_part_pagerank_dangling(spark: SparkSession,
     )
 
     li = t(spark, sf_dir, "lineitem")
+    # Node id space: negated supplier keys vs raw part keys — integer
+    # keys keep every per-round shuffle/join fixed-width (paired A/B:
+    # string 's…'/'p…' keys cost ~1 s more at sf0.1).
     edges = (li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+        (-F.col("l_suppkey")).alias("src"),
+        F.col("l_partkey").alias("dst"))
         .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
     with cache_scope():
         ranks = pagerank(edges, iters=3, dangling="redistribute")
