@@ -5445,6 +5445,233 @@ def supplier_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+# DSIR data selection (Xie et al. NeurIPS 2023, public method): hashed
+# unigram+bigram features, smoothed target/pool log-ratios, Gumbel-top-k.
+# Shared oracle prefix — the feature/λ/weight CTE chain both slots replay.
+_DSIR_B = 4096
+_DSIR_SQL_W = rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM documents),
+uni AS (SELECT doc_id, unnest(tk) AS g FROM tok),
+big AS (SELECT t.doc_id, t.tk[i.i] || ' ' || t.tk[i.i + 1] AS g
+        FROM tok t, UNNEST(generate_series(1, len(t.tk) - 1)) AS i(i)
+        WHERE len(t.tk) >= 2),
+allg AS (SELECT * FROM uni UNION ALL SELECT * FROM big),
+feat AS (SELECT doc_id,
+                CAST(('0x' || substr(md5('dsir:' || g), 1, 15)) AS BIGINT)
+                  % {_DSIR_B} AS bucket,
+                COUNT(*) AS cnt
+         FROM allg GROUP BY 1, 2),
+tfeat AS (SELECT f.bucket, SUM(f.cnt) AS t
+          FROM feat f JOIN documents d USING (doc_id)
+          WHERE d.lang = 'en' GROUP BY 1),
+qfeat AS (SELECT bucket, SUM(cnt) AS q FROM feat GROUP BY 1),
+tot AS (SELECT (SELECT COALESCE(SUM(t), 0) FROM tfeat) AS tt,
+               (SELECT COALESCE(SUM(q), 0) FROM qfeat) AS qt),
+lam AS (SELECT COALESCE(tf.bucket, qf.bucket) AS bucket,
+               ROUND(ln((COALESCE(tf.t, 0) + 1.0) / (tot.tt + 1.0 * {_DSIR_B}))
+                   - ln((COALESCE(qf.q, 0) + 1.0) / (tot.qt + 1.0 * {_DSIR_B})),
+                     9) AS lam
+        FROM tfeat tf FULL OUTER JOIN qfeat qf ON tf.bucket = qf.bucket
+        CROSS JOIN tot),
+w AS (SELECT f.doc_id, ROUND(SUM(f.cnt * l.lam), 6) AS weight
+      FROM feat f JOIN lam l USING (bucket) GROUP BY 1)
+"""
+
+
+@query("dsir_importance_weights", oracle=_DSIR_SQL_W + """
+SELECT w.doc_id, d.lang, w.weight
+FROM w JOIN documents d USING (doc_id)
+ORDER BY w.weight DESC, w.doc_id ASC LIMIT 20
+""")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, stage 1 — importance weights over hashed
+    n-gram features (Xie et al., NeurIPS 2023; public method).  Target
+    corpus = the English documents, pool = the whole corpus; w(d) =
+    Σ_b c_db·(ln p̂_target(b) − ln p̂_pool(b)) over 4096 md5-hashed
+    unigram+bigram buckets, λ rounded 9 dp and w 6 dp in-engine so the
+    DuckDB oracle replays the ln math bit-for-bit.  Emits the top-20
+    most-target-like pool docs (the behavioral check: they skew 'en').
+    Scale: two linear passes over the pool, both map-side-combined on
+    (doc,bucket); the λ table is B=4096 rows and broadcast — see
+    ``operators/dsir.py``."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.dsir import (
+        dsir_importance_weights as _w)
+
+    docs = t(spark, sf_dir, "documents")
+    with cache_scope():
+        w = _w(docs, docs.where(F.col("lang") == "en"), buckets=_DSIR_B,
+               target_within_pool=True)
+        out = (w.join(docs.select("doc_id", "lang"), "doc_id")
+               .select("doc_id", "lang", "weight")
+               .orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+               .limit(20))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("dsir_resample_topk", oracle=_DSIR_SQL_W + """
+SELECT doc_id, weight,
+       ROUND(weight + (-ln(-ln(
+         (CAST(CAST(('0x' || substr(md5('gumbel:42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 9007199254740992 AS DOUBLE) + 0.5) / 9007199254740992.0))),
+             6) AS key
+FROM w
+ORDER BY key DESC, doc_id ASC LIMIT 50
+""")
+def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection, stage 2 — Gumbel-top-k resampling: draw 50
+    pool docs without replacement ∝ exp(w) by perturbing each log-weight
+    with g = −ln(−ln(u)), u = (h60('gumbel:42:'‖id)%2^53 + 0.5)/2^53 —
+    hash-derived and EXACT in doubles (power-of-two division), so the
+    selected set is identical across runs, partitionings, and engines
+    (no ``rand()``).  One TakeOrderedAndProject over the scored pool;
+    key rounded 6 dp in-engine.  See ``operators/dsir.py``."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.dsir import dsir_resample
+
+    docs = t(spark, sf_dir, "documents")
+    with cache_scope():
+        out = dsir_resample(docs, docs.where(F.col("lang") == "en"),
+                            k=50, buckets=_DSIR_B,
+                            target_within_pool=True)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+_NEARDUP_TRIANGLE_ORACLE = rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hs),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+         COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+e AS (SELECT id_a AS u, id_b AS v FROM common
+      WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.4),
+deg AS (SELECT node, COUNT(*) AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN d1.degree < d2.degree
+                    OR (d1.degree = d2.degree AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS lo,
+             CASE WHEN d1.degree < d2.degree
+                    OR (d1.degree = d2.degree AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS hi
+      FROM e JOIN deg d1 ON d1.node = e.u JOIN deg d2 ON d2.node = e.v),
+tri AS (SELECT w1.lo AS apex, w1.hi AS x, w2.hi AS y
+        FROM o w1 JOIN o w2 ON w1.lo = w2.lo AND w1.hi < w2.hi
+        JOIN e ON e.u = w1.hi AND e.v = w2.hi),
+corners AS (SELECT apex AS node FROM tri
+            UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri),
+pn AS (SELECT node, COUNT(*) AS triangles FROM corners GROUP BY 1)
+SELECT d.node, d.degree, COALESCE(pn.triangles, 0) AS triangles,
+       CASE WHEN d.degree >= 2
+            THEN ROUND(2.0 * COALESCE(pn.triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN pn USING (node)
+ORDER BY triangles DESC, lcc DESC, node ASC LIMIT 20
+"""
+
+
+@query("neardup_triangle_counts", oracle=_NEARDUP_TRIANGLE_ORACLE)
+def neardup_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATE-FAMILY DETECTION — per-node triangle count + local
+    clustering coefficient over the NEAR-DUP GRAPH (3-gram Jaccard
+    >= 0.4 pairs, the ``dedup_ngram_jaccard`` relation at a looser
+    threshold): a document whose neighborhood is triangle-dense sits
+    inside a mutually-similar template family (boilerplate/mirror
+    cluster), where a merely pairwise-similar doc does not — the
+    graph-density curation signal next to PageRank/HITS link authority
+    (Becchetti et al. KDD 2008 use the same statistic for web spam).
+    Distributed node-iterator with degree orientation (Suri &
+    Vassilvitskii WWW 2011): every wedge enumerated once from its
+    lowest-(degree,id) apex — the bound that survives hub skew — then
+    closed with one hash join; all codegen, no collects.  The pair
+    relation reuses the engine's shingle bucket join — never all-pairs
+    (the co-purchase graph variant was measured and REJECTED for the
+    registry: avg degree ~90 makes the wedge relation ~40M rows at
+    sf0.1 — 18.7 s of inherent enumeration; the dup graph is the
+    curation-relevant and scale-sane instance).  Top-20 by
+    (triangles, lcc), lcc rounded 6 dp.  See
+    ``operators/triangles.py``."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    from openai_vector_search_demo_spark.operators.triangles import (
+        triangle_counts, undirected_edges)
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    with cache_scope():
+        pairs = (ngram_jaccard_pairs(docs, k=3, threshold=0.4,
+                                     max_shingle_df=None)
+                 .select(F.col("id_a").alias("a"),
+                         F.col("id_b").alias("b")))
+        res = triangle_counts(undirected_edges(pairs))
+        out = (res.select("node", "degree", "triangles",
+                          F.round("lcc", 6).alias("lcc"))
+               .orderBy(F.col("triangles").desc(), F.col("lcc").desc(),
+                        F.col("node").asc())
+               .limit(20))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _zorder_oracle(bits: int = 16) -> str:
+    """Mirror of ``operators.layout.zvalue_expr``: the same
+    shift/and/or interleave, generated per bit position."""
+    n = 2
+    mask = (1 << bits) - 1
+    # Every term FULLY parenthesized: DuckDB follows the PostgreSQL rule
+    # that | and << share one precedence level left-to-right, so a bare
+    # `a << 1 | b << 3` evaluates ((a<<1)|b)<<3 and overflows.
+    z = " | ".join(
+        f"(((s{i} >> {j}) & 1) << {j * n + i})"
+        for j in range(bits) for i in range(n))
+    return f"""
+WITH pk AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+mm AS (SELECT MIN(p) AS pmn, MAX(p) AS pmx,
+              MIN(s) AS smn, MAX(s) AS smx FROM pk),
+sc AS (SELECT p, s,
+         CASE WHEN pmx = pmn THEN 0
+              ELSE CAST(floor((p - pmn) * {mask} / (pmx - pmn)) AS BIGINT)
+         END AS s0,
+         CASE WHEN smx = smn THEN 0
+              ELSE CAST(floor((s - smn) * {mask} / (smx - smn)) AS BIGINT)
+         END AS s1
+       FROM pk CROSS JOIN mm),
+z AS (SELECT p AS l_partkey, s AS l_suppkey, {z} AS zkey FROM sc)
+SELECT l_partkey, l_suppkey, zkey FROM z
+ORDER BY zkey ASC, l_partkey ASC, l_suppkey ASC LIMIT 20
+"""
+
+
+@query("zorder_curve_sample", oracle=_zorder_oracle())
+def zorder_curve_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT KEY — the Morton interleave of (l_partkey,
+    l_suppkey) over the distinct pair set: the multi-dimensional
+    clustering key ``operators.layout.zorder_write`` range-partitions
+    on, so parquet footer stats prune scans filtered on EITHER key
+    (the Delta/Iceberg ``ZORDER BY`` layout lever, done as a pure
+    codegen bit expression — no UDF).  Min/max scaling enters the plan
+    as 4 driver-collected literals; the double divide+floor is exactly
+    the integer quotient for operands < 2^53, so the DuckDB oracle
+    replays the curve bit-for-bit.  Emits the 20 lowest curve
+    positions.  The pruning payoff is measured in
+    ``tests/test_layout.py``; see ``operators/layout.py``."""
+    from openai_vector_search_demo_spark.operators.layout import with_zvalue
+
+    li = t(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    z = with_zvalue(pairs, ["l_partkey", "l_suppkey"], bits=16, out="zkey")
+    return (z.orderBy(F.col("zkey").asc(), F.col("l_partkey").asc(),
+                      F.col("l_suppkey").asc())
+            .limit(20))
+
+
 @query("tfidf_cosine_pairs", oracle=rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
