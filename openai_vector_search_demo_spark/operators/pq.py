@@ -401,21 +401,13 @@ def pq_refine_stored_knn(spark, store: str, source: DataFrame,
                              tie_break=id_col).drop("adc_dist", vec_col)
 
 
-def write_ivfpq_index(df: DataFrame, path: str,
+def _residual_encoded(df: DataFrame,
                       centroids: list[list[float]],
                       codebooks: list[list[list[float]]],
-                      vec_col: str = "embedding",
-                      keep_cols: list[str] | None = None) -> None:
-    """Persist the FULL IVFADC serving artifact — the billion-scale
-    layout the inline ``ivfpq_residual_knn`` simulates: one Arrow pass
-    assigns each vector its coarse cell and residual-encodes it, and
-    the table lands CELL-PARTITIONED (one directory per cell, one file
-    per cell from the ``repartition``) holding only id/meta columns
-    plus the 12-byte ``codes`` — fp32 vectors never enter the index.
-    Queries read nprobe/nlist of the DIRECTORIES at ~1.8% of the fp32
-    bytes, with zero assignment or encoding arithmetic at read time.
-    NULL and zero-norm vectors drop (the family contract)."""
-    import pandas as pd
+                      vec_col: str, cols: list[str]) -> DataFrame:
+    """One Arrow pass: assign each vector its coarse cell and
+    residual-encode it — ``(cols..., cell, codes)``.  NULL and
+    zero-norm vectors drop (the family contract)."""
     from pyspark.sql.types import (
         ArrayType,
         IntegerType,
@@ -423,7 +415,6 @@ def write_ivfpq_index(df: DataFrame, path: str,
         StructType,
     )
 
-    cols = keep_cols or [c for c in df.columns if c != vec_col]
     out_schema = StructType(
         [f for f in df.schema.fields if f.name in cols]
         + [StructField("cell", IntegerType()),
@@ -446,9 +437,130 @@ def write_ivfpq_index(df: DataFrame, path: str,
             out["codes"] = [[int(x) for x in row] for row in codes]
             yield out
 
-    (df.mapInPandas(enc, out_schema)
+    return df.mapInPandas(enc, out_schema)
+
+
+_UPSERT_MARKER = "_UPSERT"
+
+
+def write_ivfpq_index(df: DataFrame, path: str,
+                      centroids: list[list[float]],
+                      codebooks: list[list[list[float]]],
+                      vec_col: str = "embedding",
+                      keep_cols: list[str] | None = None) -> None:
+    """Persist the FULL IVFADC serving artifact — the billion-scale
+    layout the inline ``ivfpq_residual_knn`` simulates: one Arrow pass
+    assigns each vector its coarse cell and residual-encodes it, and
+    the table lands CELL-PARTITIONED (one directory per cell, one file
+    per cell from the ``repartition``) holding only id/meta columns
+    plus the 12-byte ``codes`` — fp32 vectors never enter the index.
+    Queries read nprobe/nlist of the DIRECTORIES at ~1.8% of the fp32
+    bytes, with zero assignment or encoding arithmetic at read time.
+    NULL and zero-norm vectors drop (the family contract).
+
+    Rows carry ``(batch=0, tombstone=false)`` maintenance columns so
+    ``upsert_ivfpq_index`` can later append without a rebuild; a
+    freshly-written store has no ``_UPSERT`` marker, and the read path
+    skips the latest-wins resolve entirely (zero serving cost until
+    the first upsert)."""
+    cols = keep_cols or [c for c in df.columns if c != vec_col]
+    (_residual_encoded(df, centroids, codebooks, vec_col, cols)
+     .withColumn("batch", F.lit(0))
+     .withColumn("tombstone", F.lit(False))
      .repartition(F.col("cell"))
      .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def upsert_ivfpq_index(spark, df: DataFrame, path: str,
+                       centroids: list[list[float]],
+                       codebooks: list[list[list[float]]],
+                       vec_col: str = "embedding",
+                       keep_cols: list[str] | None = None,
+                       id_col: str = "vec_id",
+                       delete: bool = False) -> int:
+    """INCREMENTAL index maintenance — merge a batch of new/changed
+    vectors (or, with ``delete=True``, a batch of ids to remove) into
+    an existing ``write_ivfpq_index`` store WITHOUT rebuilding it: the
+    Delta/Iceberg merge-on-read pattern applied to the ANN serving
+    artifact.  Returns the batch number written.
+
+    Correctness under partition pruning is the subtle part: an updated
+    embedding may land in a DIFFERENT coarse cell than its previous
+    version, and a pruned query that probes only the old cell would
+    serve the stale row.  The upsert therefore emits a **cell-local
+    tombstone into every cell currently holding the id** (one row per
+    historical (id, cell), batch-stamped), so whichever cell a query
+    probes, the stale version loses the per-(id, cell) latest-wins
+    resolve.  Within one batch a data row beats its own tombstone
+    (ties order ``tombstone ASC``), so same-cell replacement needs no
+    special case.
+
+    Cost: one Arrow encode pass over the BATCH, one semi-join of the
+    store against the batch's ids (bounded by batch size × historical
+    cells), one appending write.  The fp32 corpus is never touched.
+    At 100 TB this is the difference between a nightly full rebuild
+    and a streaming-rate maintenance job; ``compact_ivfpq_index`` is
+    the periodic compaction that folds batches back to a marker-free
+    store."""
+    import os
+
+    existing = spark.read.option("basePath", path).parquet(path)
+    cols = keep_cols or [c for c in df.columns
+                         if c not in (vec_col,)]
+    prev_max = existing.agg(
+        F.max(F.coalesce(F.col("batch"), F.lit(0)))).first()[0]
+    batch = int(prev_max or 0) + 1
+
+    ids = df.select(id_col).distinct()
+    # one tombstone per (id, cell) pair currently in the store
+    tombs = (existing.join(ids, id_col)
+             .dropDuplicates([id_col, "cell"])
+             .select(*cols, "cell", "codes")
+             .withColumn("batch", F.lit(batch))
+             .withColumn("tombstone", F.lit(True)))
+    out = tombs
+    if not delete:
+        fresh = (_residual_encoded(df, centroids, codebooks, vec_col,
+                                   cols)
+                 .withColumn("batch", F.lit(batch))
+                 .withColumn("tombstone", F.lit(False)))
+        out = tombs.unionByName(fresh)
+    (out.repartition(F.col("cell"))
+     .write.mode("append").partitionBy("cell").parquet(path))
+    with open(os.path.join(path, _UPSERT_MARKER), "w") as fh:
+        fh.write(str(batch))
+    return batch
+
+
+def resolve_ivfpq_versions(cand: DataFrame,
+                           id_col: str = "vec_id") -> DataFrame:
+    """Per-(id, cell) latest-wins over an upserted store's rows: newest
+    batch wins, a data row beats its own batch's tombstone, surviving
+    tombstones drop.  Applied to the PROBED subset only — the window
+    shuffles candidate rows, never the store."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy(id_col, "cell")
+         .orderBy(F.col("batch").desc(), F.col("tombstone").asc()))
+    return (cand.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (~F.col("tombstone")))
+            .drop("_rn", "batch", "tombstone"))
+
+
+def compact_ivfpq_index(spark, path: str, dest: str,
+                        id_col: str = "vec_id") -> None:
+    """Fold an upserted store back to a single-version layout at
+    ``dest``: resolve latest-wins across ALL cells, reset ``batch`` to
+    0, drop tombstones — the periodic maintenance job that returns the
+    read path to its marker-free zero-cost form.  Writes to a NEW
+    location (compacting in place would read and overwrite the same
+    files); the caller swaps paths."""
+    allrows = spark.read.option("basePath", path).parquet(path)
+    resolved = (resolve_ivfpq_versions(allrows, id_col)
+                .withColumn("batch", F.lit(0))
+                .withColumn("tombstone", F.lit(False)))
+    (resolved.repartition(F.col("cell"))
+     .write.mode("overwrite").partitionBy("cell").parquet(dest))
 
 
 def ivfpq_stored_knn(spark, store: str, qvec: Sequence[float],
@@ -487,11 +599,21 @@ def ivfpq_stored_knn(spark, store: str, qvec: Sequence[float],
         read_probed_partitions,
     )
 
+    import os
+
     probes = ivf_probe_cells_dot(qvec, centroids, nprobe)
     luts = residual_adc_luts(qvec, centroids, codebooks, probes)
     m = len(codebooks)
     cand = read_probed_partitions(spark, store, "cell", probes,
                                   table=table)
+    # Upserted store (marker present): resolve per-(id, cell)
+    # latest-wins over the probed rows before scoring — stale versions
+    # and tombstoned ids drop here.  Marker-free stores skip this
+    # entirely (no window, no shuffle — the fresh-store fast path).
+    if os.path.exists(os.path.join(store, _UPSERT_MARKER)):
+        cand = resolve_ivfpq_versions(cand, id_col)
+    elif "batch" in cand.columns:
+        cand = cand.drop("batch", "tombstone")
     lut_df = spark.createDataFrame(
         [(int(c), [[float(v) for v in row] for row in luts[c]])
          for c in probes],

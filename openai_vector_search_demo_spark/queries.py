@@ -2353,6 +2353,80 @@ def ann_ivfpq_stored_refine_knn(spark: SparkSession,
                       F.round("similarity", 6).alias("similarity"))
 
 
+def _ensure_ivfpq_upsert_store(spark, emb, sf_dir: str) -> str:
+    """Build (once per corpus content) an IVFADC store the INCREMENTAL
+    way: half the corpus at write time, the other half merged in by
+    ``upsert_ivfpq_index``, plus a re-upsert of 50 already-present ids
+    (same-cell replacement) — the serving state must equal a full
+    rebuild's, which is what the slot's oracle asserts."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        upsert_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|ivfpq_upsert|{_parquet_fingerprint(emb_path)}".encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_ivfpq_upsert_" + key)
+    done = os.path.join(store, "_UPSERT_DONE")
+    if not os.path.exists(done):
+        base = emb.filter(F.col("vec_id") != 0)
+        write_ivfpq_index(base.filter(F.col("vec_id") % 2 == 1), store,
+                          IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+        upsert_ivfpq_index(spark, base.filter(F.col("vec_id") % 2 == 0),
+                           store, IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+        upsert_ivfpq_index(
+            spark, base.filter((F.col("vec_id") % 2 == 1)
+                               & (F.col("vec_id") <= 100)),
+            store, IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return store
+
+
+@query("ann_ivfpq_upsert_knn", oracle=_ivfpq_residual_knn_oracle())
+def ann_ivfpq_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL INDEX MAINTENANCE, proven by values — the stored
+    IVFADC index assembled by merge-on-read upserts (half the corpus
+    written, half upserted batch-wise, 50 ids re-upserted in place)
+    must serve EXACTLY what a full rebuild serves: the oracle is the
+    same inline residual-ADC SQL as ``ann_ivfpq_stored_knn``'s, so a
+    stale version, a lost row, or a mis-resolved tombstone shows up as
+    a value mismatch, not a vibe.  Read path: partition pruning x one
+    per-(id, cell) latest-wins window over the PROBED rows only
+    (marker-gated — a never-upserted store skips it entirely) x
+    codegen ADC.  At 100 TB: index refresh at batch rate with no fp32
+    scan and no rebuild; ``compact_ivfpq_index`` folds batches back to
+    the zero-cost layout (``operators/pq.py``)."""
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_stored_knn,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    store = _ensure_ivfpq_upsert_store(spark, emb, sf_dir)
+    top = ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                           PQR_CODEBOOKS, nprobe=_IVF_TRAINED_NPROBE,
+                           k=10)
+    return top.select("vec_id", "label",
+                      F.round("adc_dist", 6).alias("adc_dist"))
+
+
 def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
     """UNROLLED Lloyd iterations as CTE chains — the oracle re-derives
     every assignment, every per-cell mean, every re-normalization and
@@ -9220,10 +9294,11 @@ PROOF_WINDOW: list[str] = [
     "q7_q9_rerank",
     # flagship end-to-end
     "flagship_search_oracled",
-    # document cracking (binary PDF/DOCX parsing; VALUES-pinned oracle)
-    "s1_s2_doc_crack",
-    # text analysis (+ the r8 bigram LM, first driver receipt r9)
-    "ta_quality_score",
+    # document cracking rotated out r11 (receipted r1-r10; VALUES-pinned
+    # oracle + the pdf/docx parser pytest suite).
+    # text analysis (+ the r8 bigram LM, first driver receipt r9).
+    # ta_quality_score rotated out r11 (receipted r1-r10, pytest-pinned,
+    # quality features re-exercised by the classifier slots' battery).
     "ta_bigram_lm_score",
     # ANN — the r9 clustered-corpus receipts, the r9 PQ compression
     # slots, the r10 residual-IVFADC family, and the r10 REFINE stage
@@ -9240,16 +9315,21 @@ PROOF_WINDOW: list[str] = [
     "ann_pq_residual_clustered_recall_at_10", "ann_ivfpq_residual_knn",
     "ann_ivfpq_refine_knn", "ann_pq_refine_stored_knn",
     "ann_pq_refine_recall_at_10", "ann_pq_refine_clustered_recall_at_10",
-    # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10)
-    "ann_ivfpq_stored_refine_knn",
+    # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10),
+    # plus the r11 merge-on-read upsert equivalence slot (receipted from
+    # birth — its oracle is the full-rebuild values).
+    "ann_ivfpq_stored_refine_knn", "ann_ivfpq_upsert_knn",
     # late interaction (new r9 family): inline + stored-index read path
     "late_interaction_topk", "late_interaction_stored_topk",
-    # dedup + curation capstone (+ r8 CDC and graded decontamination)
-    "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    # dedup + curation capstone (+ r8 CDC and graded decontamination).
+    # dedup_ngram_jaccard rotated out r11 (receipted r1-r10; its shingle
+    # pair relation stays live in-window inside neardup_triangle_counts'
+    # oracle at threshold 0.4).
+    "dedup_minhash_lsh",
     "curation_pipeline",
     "decontaminate_overlap_fraction",
-    # maintenance / validation
-    "upsert_latest_wins", "p11_validation_bounds",
+    # maintenance / validation: upsert_latest_wins + p11_validation_bounds
+    # rotated out r11 (receipted r1-r10, pytest-pinned).
     # distributed-analytics singles (+ the r8/r9 scale-safe forms)
     "tfidf_cosine_pairs_capped", "pareto_abc_quantile", "rfm_quantile",
     "events_funnel_auto",
@@ -9263,6 +9343,10 @@ PROOF_WINDOW: list[str] = [
     "pareto_abc_customers", "rfm_segmentation", "tfidf_cosine_pairs",
     "flagship_search", "corpus_approx_stats",
     "supplier_part_pagerank_dangling", "supplier_part_hits",
+    # r11 data-pipeline families, receipted from birth: DSIR selection,
+    # dup-graph triangle density, Z-order layout key.
+    "dsir_importance_weights", "dsir_resample_topk",
+    "neardup_triangle_counts", "zorder_curve_sample",
     # streaming (real Structured Streaming runs)
     "streaming_tumbling_counts", "streaming_stream_static_join",
     # family-digest batteries (r10: + curation/dedup/profile-events —
