@@ -74,6 +74,60 @@ def stream_ingest_documents(stream: DataFrame, output_dir: str,
             .trigger(availableNow=True))
 
 
+def read_embedding_stream(spark: SparkSession, input_dir: str,
+                          max_files_per_trigger: int | None = None
+                          ) -> DataFrame:
+    """File-source stream of embedding parquet drops.  The schema comes
+    from a BATCH read of the same directory — the fixture contract
+    (`.claude` verify recipe / `fixtures.check_fixture_schemas`): a
+    hardcoded schema misreads silently when the driver's physical
+    encoding drifts."""
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def stream_upsert_ivfpq_index(stream: DataFrame, store: str,
+                              checkpoint_dir: str,
+                              centroids: list[list[float]],
+                              codebooks: list[list[list[float]]],
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id"):
+    """STREAMING ANN-INDEX MAINTENANCE — each micro-batch of arriving
+    vectors merges into the stored IVFADC index via
+    ``pq.upsert_ivfpq_index`` (batch-stamped append + cell-local
+    tombstones), so similarity queries serve fresh vectors at
+    micro-batch latency with no rebuild job.  The streaming layer is
+    wiring only: the maintenance semantics (and the merge-on-read
+    correctness argument under partition pruning) live entirely in the
+    batch operator — the engine's streaming design rule.
+
+    Convergence under at-least-once delivery: a re-delivered batch
+    re-upserts identical rows, and per-(id, cell) latest-wins makes
+    that a no-op for serving — the same argument as
+    ``stream_ingest_documents``.  Periodic ``compact_ivfpq_index``
+    bounds accumulated versions.  The store must exist
+    (``write_ivfpq_index``, possibly over an empty frame) before the
+    stream starts."""
+    from openai_vector_search_demo_spark.operators.pq import (
+        upsert_ivfpq_index,
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_ivfpq_index(batch_df.sparkSession, batch_df, store,
+                           centroids, codebooks, vec_col=vec_col,
+                           id_col=id_col)
+
+    return (stream.writeStream
+            .foreachBatch(upsert_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
 def stream_tumbling_counts(events_stream: DataFrame, width: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts: late events beyond the watermark

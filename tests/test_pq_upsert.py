@@ -119,3 +119,43 @@ def test_compaction_resolves_and_clears_marker(spark, tmp_path, parts):
     assert rows.groupBy("vec_id").count().agg(
         F.max("count")).first()[0] == 1
     assert rows.filter(F.col("tombstone")).count() == 0
+
+
+def test_stream_upsert_converges_to_full_rebuild(spark, tmp_path, parts):
+    """Streaming index maintenance: two parquet drops flow through
+    foreachBatch upserts; the store must serve the full-rebuild values,
+    and a checkpointed re-run must be a no-op (exactly-once batches)."""
+    from openai_vector_search_demo_spark.operators.pq import (
+        write_ivfpq_index)
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        read_embedding_stream, stream_upsert_ivfpq_index)
+    base, qvec, cent, cb = parts
+    full = str(tmp_path / "s_full")
+    store = str(tmp_path / "s_inc")
+    src = str(tmp_path / "s_src")
+    ck = str(tmp_path / "s_ck")
+    write_ivfpq_index(base, full, cent, cb)
+    # seed store: first half at write time
+    write_ivfpq_index(base.filter(F.col("vec_id") % 2 == 1), store,
+                      cent, cb)
+    # two drops: second half, then a re-delivery-style overlap
+    (base.filter(F.col("vec_id") % 2 == 0)
+     .write.mode("append").parquet(src))
+    stream_upsert_ivfpq_index(
+        read_embedding_stream(spark, src), store, ck, cent, cb) \
+        .start().awaitTermination(120)
+    (base.filter(F.col("vec_id") <= 50)
+     .write.mode("append").parquet(src))
+    stream_upsert_ivfpq_index(
+        read_embedding_stream(spark, src), store, ck, cent, cb) \
+        .start().awaitTermination(120)
+    want = _knn(spark, full, qvec, cent, cb)
+    assert _knn(spark, store, qvec, cent, cb) == want
+    # same checkpoint, no new files: no batch appended
+    from openai_vector_search_demo_spark.operators.pq import _UPSERT_MARKER
+    marker_before = open(os.path.join(store, _UPSERT_MARKER)).read()
+    stream_upsert_ivfpq_index(
+        read_embedding_stream(spark, src), store, ck, cent, cb) \
+        .start().awaitTermination(120)
+    assert open(os.path.join(store, _UPSERT_MARKER)).read() == marker_before
+    assert _knn(spark, store, qvec, cent, cb) == want
