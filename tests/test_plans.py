@@ -403,3 +403,77 @@ def test_capstone_slots_release_scoped_caches(spark, slot):
         f"{slot} leaked {after - before - 1} persisted intermediates")
     assert len(df.collect()) > 0  # deferred collect works post-release
     df.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# r11 operators: python-free / broadcast / pruning pins
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_plan_is_codegen_with_broadcast_lambda(spark):
+    from openai_vector_search_demo_spark.operators.dsir import (
+        dsir_importance_weights,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    w = dsir_importance_weights(docs, docs.limit(50), buckets=256)
+    p = _physical(w)
+    # hashed-n-gram featurization + λ scoring stay JVM-side end-to-end
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    # the B-row log-ratio table joins broadcast, never shuffling the pool
+    assert "BroadcastHashJoin" in p
+
+
+def test_triangle_plan_no_cartesian_no_python(spark):
+    from openai_vector_search_demo_spark.operators.triangles import (
+        triangle_counts,
+        undirected_edges,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long")
+    res = triangle_counts(undirected_edges(pairs))
+    p = _physical(res)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_zorder_slot_takeordered_no_python(spark):
+    p = plan_of(spark, "zorder_curve_sample")
+    # the Morton key is a pure bitwise projection: top-k via heap, no
+    # global sort, no Python anywhere
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_upserted_store_read_is_pruned_and_python_free(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_stored_knn,
+        upsert_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from openai_vector_search_demo_spark.pq_residual_pretrained import (
+        PQR_CODEBOOKS,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    store = str(tmp_path / "up")
+    write_ivfpq_index(base.filter(F.col("vec_id") % 2 == 1), store,
+                      IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+    upsert_ivfpq_index(spark, base.filter(F.col("vec_id") % 2 == 0),
+                       store, IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+    top = ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                           PQR_CODEBOOKS, nprobe=8, k=10)
+    p = _physical(top)
+    # merge-on-read resolve is a window over PROBED rows — still no
+    # Python, and the scan itself stays partition-pruned
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "Window" in p
+    assert "PartitionFilters" in p or "cell IN" in p
