@@ -146,6 +146,8 @@ HEADLINE = [
     "kmeans_cluster_profile",  # distributed Lloyd trainer, auto/BLAS (r10)
     "supplier_part_pagerank_dangling",  # sink-graph PR w/ mass term (r11)
     "ann_ivfpq_upsert_knn",  # merge-on-read upserted index serving (r11)
+    "ann_hamming_refine_knn",  # 8-byte binary tier: XOR/POPCNT + refine (r11)
+    "corpus_snapshot_drift",  # PSI/JSD snapshot gate, scan-bound (r11)
     "dsir_resample_topk",   # DSIR selection: hashed n-grams + Gumbel (r11)
     "neardup_triangle_counts",  # triangle density over the dup graph (r11)
     "zorder_curve_sample",  # Morton layout key, pure codegen (r11)

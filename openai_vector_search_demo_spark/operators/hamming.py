@@ -1,0 +1,161 @@
+"""Binary-signature ANN: sign-bit quantization + Hamming ranking + refine.
+
+The cheapest serving tier in the engine's compression ladder, below PQ
+(``operators/pq.py``): each vector stores ONE 62-bit signature (8 bytes —
+32× smaller than the dim-64 fp32 embedding; PQ stores 12 bytes + needs
+trained codebooks and per-query LUTs).  The signature is the sign pattern
+of projections onto fixed seeded hyperplanes — the SAME bit construction
+as the LSH bucket (``operators/ann.py::lsh_bucket``), reused verbatim, but
+used as a *ranking* code, not a *pruning* key: candidates are ranked by
+Hamming distance ``bit_count(sig XOR qsig)`` (∝ the angle estimate
+``θ ≈ π·ham/nbits``, Charikar STOC 2002 / Goemans-Williamson), the top-R
+shortlist is then re-scored with exact cosine over the fp32 vectors (the
+``IndexRefine`` pattern the PQ family already uses, ``pq.py``), and the
+final top-k comes from that refine.
+
+Scale posture (100 TB): at index-build time the signature is a stored
+8-byte column (``hamming_assign``); the query-time scan then reads
+8 bytes/row and does one XOR+POPCNT per row — pure whole-stage codegen,
+no Python, no LUT broadcast, no training step — followed by R point-reads
+of fp32 vectors for the refine.  Ranking never shuffles the corpus: the
+shortlist is a ``TakeOrderedAndProject`` (R rows to the driver-side limit,
+same as every KNN in the engine).  Compared to IVFADC this trades ~1.5×
+more scan bytes (8 vs ~1 visible byte after pruning) for zero training,
+zero cell skew, and exact-distance-free maintenance — the standard
+"binary first, PQ when trained" deployment ladder.
+
+Determinism contract (the ANN-family rule, ``ann.py`` module docstring):
+hyperplanes derive from the fixed seed and are inlined as plan literals,
+so signature, Hamming ranking, tie-breaks, and refine are all
+bit-reproducible in DuckDB for the correctness gate.  ``method='numpy'``
+fuses sign-bits + Hamming + cosine into one Arrow/BLAS pass — identical
+results unless a hyperplane dot sits within float rounding of exactly 0
+(the oracled slot pins that never happens on the fixtures).
+
+Reference: the HNSW index at modules/utilities.py:272-278 in
+MaheshSQL/openai-vector-search-demo is the role model (approximate
+vector serving); binary quantization is its shared-nothing, Spark-native
+substitute at the smallest byte budget.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.vectors import (
+    cosine_similarity,
+    vector_lit,
+)
+from openai_vector_search_demo_spark.operators.ann import (
+    _check_choice,
+    hyperplanes,
+    lsh_bucket,
+)
+
+HAMMING_NBITS = 62
+"""Default signature width: 62 sign bits pack into ONE BIGINT with every
+``1 << b`` term a positive in-range literal on both engines (bit 63 would
+need an unrepresentable signed literal; bit 62 alone would flip the sign —
+harmless for XOR but hostile to every human reading the stored column)."""
+
+HAMMING_AUTO_NUMPY_MIN_OPS = 512
+"""``method='auto'`` crossover, the ``LSH_AUTO_NUMPY_MIN_OPS`` twin: the
+SQL path costs nbits·dim interpreted HOF multiply-adds per row to build
+the signature (62·64 ≈ 4k — far past the few-hundred crossover), so auto
+routes to the fused Arrow/BLAS pass everywhere except toy widths."""
+
+
+def signature_of(qvec: Sequence[float],
+                 planes: list[list[float]]) -> int:
+    """Driver-side signature of one vector (the query's plan literal)."""
+    q = np.asarray(list(qvec), dtype=np.float64)
+    sig = 0
+    for b, plane in enumerate(planes):
+        if float(q @ np.asarray(plane, dtype=np.float64)) >= 0.0:
+            sig |= 1 << b
+    return sig
+
+
+def hamming_assign(df: DataFrame, vec_col: str = "embedding",
+                   planes: list[list[float]] | None = None,
+                   nbits: int = HAMMING_NBITS, seed: int = 42,
+                   sig_col: str = "sig",
+                   dim: int | None = None) -> DataFrame:
+    """Write-time signature column (8 bytes/row) — persist this and the
+    query-time scan reads signatures only; fp32 vectors are touched just
+    for the R refine point-reads.  Same plane-or-dim contract as
+    ``ann.lsh_assign``: pass one of them and plan construction is
+    job-free."""
+    if planes is None:
+        if dim is None:
+            row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            dim = int(row["d"])
+        planes = hyperplanes(dim, nbits, seed)
+    return df.withColumn(sig_col, lsh_bucket(vec_col, planes))
+
+
+def hamming_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
+                shortlist: int = 100, vec_col: str = "embedding",
+                planes: list[list[float]] | None = None,
+                nbits: int = HAMMING_NBITS, seed: int = 42,
+                sim_col: str = "similarity", tie_break: str = "vec_id",
+                method: str = "auto") -> DataFrame:
+    """Top-k by 62-bit Hamming shortlist (size R=``shortlist``, ties by
+    ``tie_break`` asc) + exact cosine refine.  NULL vectors drop (the
+    LSH convention).  The exact cosine is computed ONLY on the R
+    shortlist rows (post-``TakeOrderedAndProject``) — the corpus-wide
+    per-row work is the signature + one XOR/POPCNT, nothing else, in
+    both physical paths."""
+    _check_choice("method", method, ("auto", "sql", "numpy"))
+    dim = len(list(qvec))
+    planes = planes or hyperplanes(dim, nbits, seed)
+    qsig = signature_of(qvec, planes)
+    if method == "auto":
+        method = ("numpy" if len(planes) * dim >= HAMMING_AUTO_NUMPY_MIN_OPS
+                  else "sql")
+    if method == "numpy":
+        scored = _hamming_score_numpy(df, qvec, planes, qsig, vec_col)
+    else:
+        scored = (df.filter(F.col(vec_col).isNotNull())
+                  .withColumn("_ham", F.bit_count(
+                      lsh_bucket(vec_col, planes).bitwiseXOR(F.lit(qsig)))))
+    short = (scored.orderBy(F.col("_ham").asc(), F.col(tie_break).asc())
+             .limit(shortlist))
+    refined = short.withColumn(
+        sim_col, cosine_similarity(F.col(vec_col), vector_lit(qvec)))
+    return (refined.orderBy(F.col(sim_col).desc(), F.col(tie_break).asc())
+            .limit(k).drop("_ham"))
+
+
+def _hamming_score_numpy(df: DataFrame, qvec: Sequence[float],
+                         planes: list[list[float]], qsig: int,
+                         vec_col: str) -> DataFrame:
+    """One Arrow pass: BLAS sign bits → Hamming (count of sign mismatches
+    vs the query's bit vector — identical to bit_count(sig XOR qsig) by
+    construction).  Cosine is NOT computed here: the refine happens on
+    the R-row shortlist only (``hamming_knn``).  The ``_lsh_score_numpy``
+    twin."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("_ham", LongType())])
+    pl = np.asarray(planes, dtype=np.float64)           # nbits × dim
+    qbits = np.array([(qsig >> b) & 1 for b in range(len(planes))],
+                     dtype=bool)
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ pl.T) >= 0.0                  # n × nbits
+            out = pdf.copy()
+            out["_ham"] = (bits != qbits).sum(axis=1).astype(np.int64)
+            yield out
+
+    return df.mapInPandas(score, out_schema)

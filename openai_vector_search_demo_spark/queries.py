@@ -5746,6 +5746,323 @@ def zorder_curve_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+# ---------------------------------------------------------------------------
+# Binary-signature ANN: sign bits → Hamming ranking → exact refine
+# (operators/hamming.py — the 8-byte serving tier below PQ's 12 bytes)
+# ---------------------------------------------------------------------------
+
+_HAMMING_NBITS = 62      # one BIGINT signature; see hamming.HAMMING_NBITS
+_HAMMING_SHORTLIST = 100
+
+
+def _sql_planes_lit(planes) -> str:
+    """The 62×64 plane matrix as ONE list-of-lists literal."""
+    return ("[" + ", ".join(
+        "[" + ", ".join(repr(float(x)) for x in p) + "]" for p in planes)
+        + "]")
+
+
+def _sql_sig_ctes(planes, source: str, id_col: str,
+                  prefix: str = "") -> str:
+    """Relational signature computation: explode (id, dim-index, value),
+    join the plane matrix on the dim index, one grouped SUM per (id,
+    plane) for the dots, one grouped SUM for the packed sign bits.  Same
+    math as ``_sql_lsh_bucket`` but ~10× faster in DuckDB at 62 planes
+    (hash joins + grouped sums instead of 124 interpreted HOF lambdas —
+    measured 21 s → ~2 s at sf0.01).  Emits CTEs ``{prefix}ex/dots/sigs``
+    with ``sigs({id_col}, sig)``.  Non-associativity note: the grouped
+    SUM adds the 64 products in engine order, not HOF order — a sign
+    difference vs the Spark side needs a plane dot within float rounding
+    of exactly 0, the same pinned-never-happens contract every ANN
+    oracle in this file carries."""
+    nbits, dim = len(planes), len(planes[0])
+    return f"""
+{prefix}ex AS (SELECT {id_col}, ii.i AS i,
+              CAST(vec[ii.i] AS DOUBLE) AS x
+       FROM {source}, UNNEST(generate_series(1, {dim})) AS ii(i)),
+{prefix}pl AS (SELECT bb.b AS b, ii.i AS i,
+              CAST({_sql_planes_lit(planes)}[bb.b + 1][ii.i] AS DOUBLE) AS w
+       FROM UNNEST(generate_series(0, {nbits - 1})) AS bb(b),
+            UNNEST(generate_series(1, {dim})) AS ii(i)),
+{prefix}dots AS (SELECT e.{id_col}, p.b, SUM(e.x * p.w) AS d
+       FROM {prefix}ex e JOIN {prefix}pl p USING (i) GROUP BY 1, 2),
+{prefix}sigs AS (SELECT {id_col},
+              SUM(CASE WHEN d >= 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE 0 END) AS sig
+       FROM {prefix}dots GROUP BY 1)"""
+
+
+def _hamming_knn_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id <> 0 AND embedding IS NOT NULL),
+{_sql_sig_ctes(planes, "(SELECT vec_id, embedding AS vec FROM corpus)",
+               "vec_id")},
+{_sql_sig_ctes(planes, "(SELECT 0 AS qid, qv AS vec FROM q)", "qid",
+               prefix="q")},
+short AS (
+  SELECT c.vec_id, c.label, c.embedding,
+         bit_count(xor(s.sig, qs.sig)) AS ham
+  FROM corpus c JOIN sigs s USING (vec_id) CROSS JOIN qsigs qs
+  ORDER BY ham ASC, c.vec_id ASC LIMIT {_HAMMING_SHORTLIST}),
+r AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim FROM short e, q)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM r ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_hamming_refine_knn", oracle=_hamming_knn_oracle())
+def ann_hamming_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SIGNATURE KNN — the smallest-byte serving tier in the ANN
+    ladder: one 62-bit sign signature per vector (8 B — 32× under the
+    dim-64 fp32 row; PQ stores 12 B and needs trained codebooks), ranked
+    by ``bit_count(sig XOR qsig)`` (pure codegen: the corpus-wide work
+    is one XOR+POPCNT per row once signatures are stored), top-100
+    shortlist re-scored by exact cosine (the PQ family's refine stage,
+    reused pattern).  Seeded planes are inlined as plan literals on both
+    sides, so shortlist AND refine replay bit-for-bit in DuckDB.  Recall
+    is measured, never assumed: ``ann_hamming_recall_at_10``.  See
+    ``operators/hamming.py`` for the 100 TB posture."""
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    from openai_vector_search_demo_spark.operators.hamming import hamming_knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == _ANN_DIM
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    top = hamming_knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                      shortlist=_HAMMING_SHORTLIST, planes=planes,
+                      sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
+def _hamming_recall_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= {_IVF_TRAINED_NQ}
+                  AND embedding IS NOT NULL),
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < {_IVF_TRAINED_NQ}),
+{_sql_sig_ctes(planes, "(SELECT vec_id, embedding AS vec FROM corpus)",
+               "vec_id")},
+{_sql_sig_ctes(planes, "(SELECT qid, qv AS vec FROM queries)", "qid",
+               prefix="q")},
+sims AS (SELECT q.qid, e.vec_id, {_MEAN_RECALL_COS} AS sim
+         FROM corpus e CROSS JOIN queries q),
+ham AS (SELECT qs.qid, s.vec_id, bit_count(xor(s.sig, qs.sig)) AS ham
+        FROM sigs s CROSS JOIN qsigs qs),
+exact AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id ASC) AS rn
+            FROM sims) WHERE rn <= 10),
+short AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY ham ASC, vec_id ASC) AS rn
+            FROM ham) WHERE rn <= {_HAMMING_SHORTLIST}),
+sig10 AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY ham ASC, vec_id ASC) AS rn
+            FROM ham) WHERE rn <= 10),
+ref10 AS (SELECT qid, vec_id FROM (
+            SELECT s.qid, s.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY s.qid
+                                      ORDER BY s.sim DESC, s.vec_id ASC)
+                     AS rn
+            FROM sims s JOIN short USING (qid, vec_id)) WHERE rn <= 10),
+per AS (SELECT e.qid,
+               SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+                 AS recall_ref,
+               SUM(CASE WHEN g.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+                 AS recall_sig
+        FROM exact e
+        LEFT JOIN ref10 r ON r.qid = e.qid AND r.vec_id = e.vec_id
+        LEFT JOIN sig10 g ON g.qid = e.qid AND g.vec_id = e.vec_id
+        GROUP BY e.qid)
+SELECT COUNT(*) AS n_queries,
+       ROUND(AVG(recall_ref), 3) AS mean_recall_at_10,
+       ROUND(AVG(recall_sig), 3) AS mean_recall_sig_only
+FROM per
+"""
+
+
+@query("ann_hamming_recall_at_10", oracle=_hamming_recall_oracle())
+def ann_hamming_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the binary-signature tier vs exact brute force on the
+    SAME 20 held-out queries every other recall slot uses (vec_id 0..19;
+    single-query recall@10 wobbles ±0.2 — the r7 lesson).  Two numbers
+    from one relation: ``mean_recall_sig_only`` ranks by raw Hamming
+    top-10 (what 8 bytes alone buy), ``mean_recall_at_10`` adds the
+    top-100 exact-cosine refine (what 8 B + 100 fp32 point-reads buy) —
+    the same contrast the PQ family receipts at 12 B.  One Arrow pass
+    emits (qid, vec_id, sim, ham) for all 20 queries; exact/sig/refined
+    top-10 are rank windows over that single relation (the
+    ``_mean_recall_harness`` shape, specialized because Hamming RANKS
+    rather than prunes — there is no probes relation)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    pl = np.asarray(planes, dtype=np.float64)
+
+    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
+                    dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    qbits = ((qmat @ pl.T) >= 0.0).astype(np.int64)      # nq × nbits
+    nbits = pl.shape[0]
+
+    corpus = (emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
+              .select("vec_id", "embedding"))
+
+    def sims_and_ham(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = ((mat @ pl.T) >= 0.0).astype(np.int64)
+            # Hamming via two BLAS calls: agreements on 1-bits + on
+            # 0-bits; mismatches = nbits − agreements
+            agree = bits @ qbits.T + (1 - bits) @ (1 - qbits).T
+            ham = (nbits - agree).astype(np.int64)       # n × nq
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sim = (mat @ qmat.T) / np.outer(norms, qnorms)
+            n, nq = len(pdf), len(qids)
+            yield pd.DataFrame({
+                "qid": np.tile(qids, n),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                "sim": sim.ravel(),
+                "ham": ham.ravel(),
+            })
+
+    sims = corpus.mapInPandas(
+        sims_and_ham, "qid bigint, vec_id bigint, sim double, ham bigint")
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+
+    with cache_scope():
+        sims = scoped_persist(sims)  # 4 rank branches read one Arrow pass
+        w_sim = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                                  F.col("vec_id").asc())
+        w_ham = Window.partitionBy("qid").orderBy(F.col("ham").asc(),
+                                                  F.col("vec_id").asc())
+        exact = (sims.withColumn("rn", F.row_number().over(w_sim))
+                 .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+        sig10 = (sims.withColumn("rn", F.row_number().over(w_ham))
+                 .filter(F.col("rn") <= 10).select("qid", "vec_id")
+                 .withColumn("in_sig", F.lit(1)))
+        short = (sims.withColumn("rn", F.row_number().over(w_ham))
+                 .filter(F.col("rn") <= _HAMMING_SHORTLIST)
+                 .select("qid", "vec_id", "sim"))
+        ref10 = (short.withColumn("rn", F.row_number().over(w_sim))
+                 .filter(F.col("rn") <= 10).select("qid", "vec_id")
+                 .withColumn("in_ref", F.lit(1)))
+        ov = (exact.join(ref10, ["qid", "vec_id"], "left")
+              .join(sig10, ["qid", "vec_id"], "left"))
+        per = ov.groupBy("qid").agg(
+            (F.sum(F.coalesce(F.col("in_ref"), F.lit(0))) / 10.0)
+            .alias("recall_ref"),
+            (F.sum(F.coalesce(F.col("in_sig"), F.lit(0))) / 10.0)
+            .alias("recall_sig"))
+        out = per.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("recall_ref"), 3).alias("mean_recall_at_10"),
+            F.round(F.avg("recall_sig"), 3).alias("mean_recall_sig_only"))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot drift monitoring (PSI / JSD) — operators/drift.py
+# ---------------------------------------------------------------------------
+
+def _drift_oracle() -> str:
+    return f"""
+WITH ql AS ({ORACLE_SQL['ta_quality_score']}),
+feat AS (SELECT d.doc_id,
+                CAST(d.doc_id % 2 AS INT) AS snap,
+                d.lang AS b_lang,
+                CAST(LEAST(floor(q.quality * 10), 9) AS VARCHAR)
+                  AS b_quality,
+                CAST(LEAST(floor(len({_SQL_TOKS}) / 50.0), 20) AS VARCHAR)
+                  AS b_words,
+                CAST(LEAST(floor(length(d.text) / 500.0), 20) AS VARCHAR)
+                  AS b_chars
+         FROM documents d JOIN ql q USING (doc_id)),
+fb AS (SELECT snap, 'chars_bucket' AS feature, b_chars AS bucket FROM feat
+       UNION ALL SELECT snap, 'lang', b_lang FROM feat
+       UNION ALL SELECT snap, 'quality_decile', b_quality FROM feat
+       UNION ALL SELECT snap, 'words_bucket', b_words FROM feat),
+counts AS (SELECT feature, bucket,
+                  SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS ca,
+                  SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS cb
+           FROM fb GROUP BY 1, 2),
+tot AS (SELECT feature, SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS k
+        FROM counts GROUP BY 1),
+p AS (SELECT c.feature, t.k,
+             (c.ca + 0.5) / (t.na + 0.5 * t.k) AS pa,
+             (c.cb + 0.5) / (t.nb + 0.5 * t.k) AS pb
+      FROM counts c JOIN tot t USING (feature)),
+terms AS (SELECT feature, k,
+                 ROUND((pa - pb) * ln(pa / pb), 9) AS psi_t,
+                 ROUND(0.5 * pa * ln(pa / ((pa + pb) / 2))
+                     + 0.5 * pb * ln(pb / ((pa + pb) / 2)), 9) AS jsd_t
+          FROM p)
+SELECT feature, MAX(k) AS n_buckets,
+       ROUND(SUM(psi_t), 6) AS psi,
+       ROUND(SUM(jsd_t), 6) AS jsd
+FROM terms GROUP BY feature ORDER BY feature
+"""
+
+
+@query("corpus_snapshot_drift", oracle=_drift_oracle())
+def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DRIFT GATE — per-feature Population Stability Index +
+    Jensen-Shannon divergence between two corpus snapshots (here the
+    deterministic doc_id-parity split — a self-test that SHOULD read
+    "stable", PSI ≈ 0 at the 0.1 alert line; a real pipeline passes the
+    previous and the candidate snapshot).  Features: language mix,
+    quality-score decile, word-count and char-length buckets — all
+    deterministic bucketizers, so the DuckDB oracle replays the ln math
+    bit-for-bit (terms 9 dp in-engine, sums 6 dp — the iterative-family
+    rounding contract).  One corpus scan → a KB-sized contingency table;
+    cost is scan-bound at any scale (``operators/drift.py``)."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    from openai_vector_search_demo_spark.operators.drift import drift_report
+
+    docs = t(spark, sf_dir, "documents")
+    scored = ta.with_quality_score(docs)
+    feats = {
+        "lang": F.col("lang"),
+        "quality_decile": F.least(
+            F.floor(F.round(F.col("quality"), 6) * 10), F.lit(9)),
+        "words_bucket": F.least(
+            F.floor(ta.token_count("text") / F.lit(50.0)), F.lit(20)),
+        "chars_bucket": F.least(
+            F.floor(F.length("text") / F.lit(500.0)), F.lit(20)),
+    }
+    return drift_report(scored, F.col("doc_id") % 2, feats)
+
+
 @query("tfidf_cosine_pairs", oracle=rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
@@ -9307,10 +9624,16 @@ PROOF_WINDOW: list[str] = [
     # Rotated out this round (multiply-receipted r8+r9, pytest-pinned;
     # ann_lsh_mean_recall_at_10 stays receipted via retrieval_battery):
     # ann_lsh_knn, ann_ivf_trained_recall_at_10, ann_lsh_mean_recall_at_10,
-    # ann_pq_knn
-    "ann_ivf_clustered_recall_at_10", "ann_lsh_clustered_recall_at_10",
-    "ann_pq_recall_at_10", "ann_pq_clustered_recall_at_10",
+    # ann_pq_knn.  Rotated out r11 for the binary-signature tier + drift
+    # gate (receipted r9+r10, pytest/fixture-pinned):
+    # ann_ivf_clustered_recall_at_10, ann_lsh_clustered_recall_at_10,
+    # ann_pq_recall_at_10
+    "ann_pq_clustered_recall_at_10",
     "ann_ivfpq_knn",
+    # binary-signature tier (new r11, receipted from birth): 8-byte
+    # Hamming serving + its measured recall contrast (sig-only 0.175 →
+    # refined 0.635 on the 20 held-out queries)
+    "ann_hamming_refine_knn", "ann_hamming_recall_at_10",
     "ann_pq_residual_recall_at_10",
     "ann_pq_residual_clustered_recall_at_10", "ann_ivfpq_residual_knn",
     "ann_ivfpq_refine_knn", "ann_pq_refine_stored_knn",
@@ -9344,9 +9667,10 @@ PROOF_WINDOW: list[str] = [
     "flagship_search", "corpus_approx_stats",
     "supplier_part_pagerank_dangling", "supplier_part_hits",
     # r11 data-pipeline families, receipted from birth: DSIR selection,
-    # dup-graph triangle density, Z-order layout key.
+    # dup-graph triangle density, Z-order layout key, snapshot drift gate.
     "dsir_importance_weights", "dsir_resample_topk",
     "neardup_triangle_counts", "zorder_curve_sample",
+    "corpus_snapshot_drift",
     # streaming (real Structured Streaming runs)
     "streaming_tumbling_counts", "streaming_stream_static_join",
     # family-digest batteries (r10: + curation/dedup/profile-events —

@@ -1,0 +1,77 @@
+"""Drift-report invariants: PSI/JSD are exactly 0 on identical
+distributions, positive and ordered under injected drift, JSD ≤ ln 2,
+single-snapshot-only buckets stay finite (Laplace smoothing), and the
+output shape is the scalar-typed gate contract."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.operators.drift import drift_report
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    # id parity is the snapshot; cat is identically distributed across
+    # snapshots, skewed drifts mildly, broken drifts hard.
+    rows = []
+    for i in range(200):
+        snap = i % 2
+        rows.append((
+            i,
+            ["a", "b"][i % 4 // 2],                        # identical mix
+            ["x", "y"][1 if (i % 10 < (7 if snap else 3)) else 0],
+            "only_b" if snap else "only_a",                # disjoint
+        ))
+    return spark.createDataFrame(
+        rows, "id long, cat string, skewed string, broken string")
+
+
+def test_identical_distribution_is_exactly_zero(frame):
+    out = {r.feature: r for r in drift_report(
+        frame, F.col("id") % 2,
+        {"cat": F.col("cat")}).collect()}
+    assert out["cat"].psi == 0.0
+    assert out["cat"].jsd == 0.0
+    assert out["cat"].n_buckets == 2
+
+
+def test_drift_ordering_and_bounds(frame):
+    out = {r.feature: r for r in drift_report(
+        frame, F.col("id") % 2,
+        {"cat": F.col("cat"), "skewed": F.col("skewed"),
+         "broken": F.col("broken")}).collect()}
+    assert out["cat"].psi < out["skewed"].psi < out["broken"].psi
+    for r in out.values():
+        assert r.psi >= 0.0
+        assert 0.0 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_one_sided_buckets_stay_finite(frame):
+    """'broken' has buckets present in exactly one snapshot — smoothing
+    must keep ln() finite (no NaN/inf/NULL in the report)."""
+    row = drift_report(frame, F.col("id") % 2,
+                       {"broken": F.col("broken")}).collect()[0]
+    assert row.n_buckets == 2
+    assert math.isfinite(row.psi) and math.isfinite(row.jsd)
+    assert row.psi > 1.0  # hard drift reads far above the 0.25 alert
+
+
+def test_numeric_bucketizers_and_scalar_schema(frame):
+    out = drift_report(frame, F.col("id") % 2,
+                       {"id_bucket": F.least(F.floor(F.col("id") / 50.0),
+                                             F.lit(3))})
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+    )
+    for f in out.schema.fields:  # driver-gate shape contract: atomic only
+        assert isinstance(f.dataType,
+                          (DoubleType, LongType, IntegerType, StringType))
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].n_buckets == 4

@@ -1,0 +1,106 @@
+"""Binary-signature ANN invariants: signature packing parity (SQL vs
+driver math), sql==numpy physical equivalence, refine dominance, NULL
+handling, and the Hamming↔angle correlation on structured data."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.operators.ann import hyperplanes
+from openai_vector_search_demo_spark.operators.hamming import (
+    HAMMING_NBITS,
+    hamming_assign,
+    hamming_knn,
+    signature_of,
+)
+
+DIM = 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    rows = [(i, i % 3, [round(float(x), 6) for x in rng.randn(DIM)])
+            for i in range(1, 41)]
+    rows.append((41, 0, None))  # NULL embedding must drop, not crash
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+
+
+def test_signature_matches_sql_packing(spark, emb):
+    """The stored column (``hamming_assign`` = ``lsh_bucket`` packing)
+    equals the driver-side ``signature_of`` bit-for-bit per row."""
+    planes = hyperplanes(DIM, nbits=10, seed=3)
+    got = {r.vec_id: r.sig
+           for r in hamming_assign(emb, planes=planes).collect()}
+    for r in emb.collect():
+        if r.embedding is None:
+            assert got[r.vec_id] is None
+        else:
+            assert got[r.vec_id] == signature_of(r.embedding, planes)
+
+
+def test_sql_numpy_equivalence(emb):
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    q = [1.0] + [0.0] * (DIM - 1)
+    a = hamming_knn(emb, q, k=5, shortlist=15, planes=planes,
+                    method="sql").collect()
+    b = hamming_knn(emb, q, k=5, shortlist=15, planes=planes,
+                    method="numpy").collect()
+    assert [(r.vec_id, round(r.similarity, 9)) for r in a] \
+        == [(r.vec_id, round(r.similarity, 9)) for r in b]
+    assert len(a) == 5
+
+
+def test_refine_recovers_exact_topk_with_full_shortlist(emb):
+    """shortlist = corpus ⇒ the refine IS exact brute force."""
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    q = [0.5] * DIM
+    got = [r.vec_id for r in hamming_knn(
+        emb, q, k=5, shortlist=1000, planes=planes).collect()]
+    rows = [(r.vec_id, r.embedding) for r in emb.collect()
+            if r.embedding is not None]
+    qv = np.array(q)
+
+    def cos(v):
+        v = np.array(v)
+        return float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+
+    exact = [vid for vid, _ in sorted(
+        rows, key=lambda t: (-cos(t[1]), t[0]))[:5]]
+    assert got == exact
+
+
+def test_hamming_tracks_angle(emb):
+    """More sign agreements ⇒ smaller angle (statistically): the top
+    Hamming-shortlist of a query must overlap the exact top-k far above
+    chance on correlated vectors."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(DIM)
+    q = [round(float(x), 6) for x in base]
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    # corpus: 10 small perturbations of q (near) + the fixture (far)
+    near = [(100 + i, 9,
+             [round(float(x), 6) for x in base + 0.05 * rng.randn(DIM)])
+            for i in range(10)]
+    spark = emb.sparkSession
+    corpus = emb.unionAll(spark.createDataFrame(
+        near, "vec_id long, label int, embedding array<double>"))
+    got = [r.vec_id for r in hamming_knn(
+        corpus, q, k=10, shortlist=12, planes=planes).collect()]
+    assert sum(1 for v in got if v >= 100) >= 8
+
+
+def test_null_embeddings_drop_in_both_paths(emb):
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    q = [1.0] * DIM
+    for method in ("sql", "numpy"):
+        got = hamming_knn(emb, q, k=100, shortlist=100, planes=planes,
+                          method=method).collect()
+        assert all(r.vec_id != 41 for r in got)
+        assert len(got) == 40
+        assert all(not math.isnan(r.similarity) for r in got)
