@@ -147,6 +147,7 @@ HEADLINE = [
     "supplier_part_pagerank_dangling",  # sink-graph PR w/ mass term (r11)
     "ann_ivfpq_upsert_knn",  # merge-on-read upserted index serving (r11)
     "ann_hamming_refine_knn",  # 8-byte binary tier: XOR/POPCNT + refine (r11)
+    "ann_hamming_stored_knn",  # its stored read path: sig-table scan (r11)
     "corpus_snapshot_drift",  # PSI/JSD snapshot gate, scan-bound (r11)
     "dsir_resample_topk",   # DSIR selection: hashed n-grams + Gumbel (r11)
     "neardup_triangle_counts",  # triangle density over the dup graph (r11)

@@ -131,6 +131,59 @@ def hamming_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             .limit(k).drop("_ham"))
 
 
+def write_hamming_index(df: DataFrame, path: str,
+                        planes: list[list[float]] | None = None,
+                        nbits: int = HAMMING_NBITS, seed: int = 42,
+                        vec_col: str = "embedding",
+                        keep_cols: list[str] | None = None,
+                        dim: int | None = None) -> None:
+    """Persist the binary serving artifact: id/meta columns + the ONE
+    8-byte ``sig`` — fp32 vectors never enter the store (the
+    ``write_ivfpq_index`` contract at an even smaller byte budget, and
+    with NO training artifact to version: the planes are (dim, nbits,
+    seed)).  NULL vectors drop (the family contract)."""
+    keep = keep_cols if keep_cols is not None else ["vec_id", "label"]
+    assigned = hamming_assign(df.filter(F.col(vec_col).isNotNull()),
+                              vec_col=vec_col, planes=planes, nbits=nbits,
+                              seed=seed, dim=dim)
+    assigned.select(*keep, "sig").write.mode("overwrite").parquet(path)
+
+
+def hamming_stored_knn(spark, store: str, source: DataFrame,
+                       qvec: Sequence[float],
+                       planes: list[list[float]] | None = None,
+                       nbits: int = HAMMING_NBITS, seed: int = 42,
+                       k: int = 10, shortlist: int = 100,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       sim_col: str = "similarity") -> DataFrame:
+    """The STORED binary read path — what a 100 TB deployment runs: the
+    shortlist scan touches the signature table only (8 B + id per row,
+    one XOR+POPCNT in whole-stage codegen, zero Python), and ONLY the R
+    shortlisted ids fetch their fp32 vectors from ``source`` via a
+    BROADCAST join of the R-row candidate frame (the
+    ``pq_refine_stored_knn`` point-lookup pattern — never a corpus
+    shuffle).  Identical values to the inline ``hamming_knn`` by
+    construction: same signature, same (ham, id) shortlist order, same
+    exact-cosine rerank."""
+    from openai_vector_search_demo_spark.operators.pq import (
+        exact_refine_topk,
+    )
+
+    dim = len(list(qvec))
+    planes = planes or hyperplanes(dim, nbits, seed)
+    qsig = signature_of(qvec, planes)
+    sigs = spark.read.parquet(store)
+    cand = (sigs.withColumn(
+        "_ham", F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))))
+        .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+        .limit(shortlist))
+    fetched = (source.select(id_col, vec_col)
+               .join(F.broadcast(cand), id_col))
+    return (exact_refine_topk(fetched, qvec, k=k, vec_col=vec_col,
+                              sim_col=sim_col, tie_break=id_col)
+            .drop("_ham", "sig", vec_col))
+
+
 def _hamming_score_numpy(df: DataFrame, qvec: Sequence[float],
                          planes: list[list[float]], qsig: int,
                          vec_col: str) -> DataFrame:

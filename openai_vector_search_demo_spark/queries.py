@@ -5840,6 +5840,50 @@ def ann_hamming_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sim", 6).alias("similarity"))
 
 
+@query("ann_hamming_stored_knn", oracle=_hamming_knn_oracle())
+def ann_hamming_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED binary read path — the serving twin of
+    ``ann_hamming_refine_knn`` (identical planes/shortlist/rerank, hence
+    the identical oracle): write-time ``write_hamming_index`` persists
+    (vec_id, label, sig) — 8 bytes of signature per row, NO fp32 in the
+    store and NO training artifact at all — and the query scans that
+    table with one XOR+POPCNT per row in whole-stage codegen, then
+    point-fetches ONLY the top-100 ids' vectors via a broadcast join for
+    the exact rerank (the ``pq_refine_stored_knn`` pattern).  Store
+    cached per corpus CONTENT fingerprint (the r4 stale-cache fix).
+    Contrast at the byte level: this store is ~16 B/row vs the IVFADC
+    store's ~12 B + pinned codebooks + centroid LUT broadcasts — binary
+    is the zero-maintenance tier, IVFADC the higher-recall-per-byte
+    tier; both refine through the same 100-point-read stage."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    from openai_vector_search_demo_spark.operators.hamming import (
+        hamming_stored_knn,
+        write_hamming_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|{_parquet_fingerprint(emb_path)}".encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_hamming_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_hamming_index(emb.filter(F.col("vec_id") != 0), store,
+                            planes=planes)
+
+    top = hamming_stored_knn(spark, store,
+                             emb.filter(F.col("vec_id") != 0), qvec,
+                             planes=planes, k=10,
+                             shortlist=_HAMMING_SHORTLIST, sim_col="sim")
+    return top.select("vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
 def _hamming_recall_oracle() -> str:
     from openai_vector_search_demo_spark.operators.ann import hyperplanes
     planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)

@@ -104,3 +104,36 @@ def test_null_embeddings_drop_in_both_paths(emb):
         assert all(r.vec_id != 41 for r in got)
         assert len(got) == 40
         assert all(not math.isnan(r.similarity) for r in got)
+
+
+def test_stored_path_equals_inline(spark, emb, tmp_path):
+    """write_hamming_index + hamming_stored_knn serve the inline
+    hamming_knn values exactly (same signature, same shortlist order,
+    same rerank)."""
+    from openai_vector_search_demo_spark.operators.hamming import (
+        hamming_stored_knn,
+        write_hamming_index,
+    )
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    store = str(tmp_path / "hamming_store")
+    write_hamming_index(emb, store, planes=planes)
+    q = [0.3, -0.7, 1.1, 0.0, -0.2, 0.9, -1.3, 0.5]
+    inline = hamming_knn(emb, q, k=7, shortlist=20, planes=planes).collect()
+    stored = hamming_stored_knn(spark, store, emb, q, planes=planes,
+                                k=7, shortlist=20).collect()
+    assert [(r.vec_id, r.label, round(r.similarity, 12)) for r in inline] \
+        == [(r.vec_id, r.label, round(r.similarity, 12)) for r in stored]
+
+
+def test_store_holds_no_vectors(spark, emb, tmp_path):
+    """The serving artifact is ids + the 8-byte signature — fp32 never
+    lands in the store, and NULL-embedding rows drop at write time."""
+    from openai_vector_search_demo_spark.operators.hamming import (
+        write_hamming_index,
+    )
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    store = str(tmp_path / "sig_only")
+    write_hamming_index(emb, store, planes=planes)
+    sigs = spark.read.parquet(store)
+    assert set(sigs.columns) == {"vec_id", "label", "sig"}
+    assert sigs.count() == 40  # the NULL row dropped
