@@ -477,3 +477,53 @@ def test_upserted_store_read_is_pruned_and_python_free(spark, tmp_path):
     assert "MapInPandas" not in p
     assert "Window" in p
     assert "PartitionFilters" in p or "cell IN" in p
+
+
+def test_hamming_stored_scan_is_sig_only_and_python_free(spark, tmp_path):
+    """The stored binary read path must scan ONLY the 8-byte signature
+    table (ReadSchema = ids + sig, no embedding), keep the XOR+POPCNT
+    ranking in codegen, and fetch the R refine vectors via a BROADCAST
+    join — never a corpus shuffle."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.hamming import (
+        hamming_stored_knn,
+        write_hamming_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    store = str(tmp_path / "sig")
+    write_hamming_index(base, store, dim=len(qvec))
+    top = hamming_stored_knn(spark, store, base, qvec, k=10, shortlist=50)
+    p = _physical(top)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p        # R-row point-fetch, broadcast
+    assert "TakeOrderedAndProject" in p    # shortlist + rerank, no sort
+    # the signature store scan projects no vector column
+    import re
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", p)
+    sig_scans = [s for s in scans if "sig:bigint" in s]
+    assert sig_scans and all("embedding" not in s for s in sig_scans)
+
+
+def test_drift_report_is_codegen_with_tiny_shuffle(spark):
+    """The drift gate's corpus-side work is one unpivoted scan — no
+    Python, no cartesian; everything post-shuffle operates on the
+    (feature, bucket) contingency table."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.drift import drift_report
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rep = drift_report(docs, F.col("doc_id") % 2,
+                       {"lang": F.col("lang"),
+                        "len_b": F.floor(F.length("text") / 500.0)})
+    p = _physical(rep)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "CartesianProduct" not in p
+    # map-side combine before the (feature, bucket) exchange
+    assert "partial_sum" in p or "HashAggregate" in p
