@@ -6035,6 +6035,53 @@ def ann_hamming_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+@query("hard_negative_mining", oracle=f"""
+WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings
+                WHERE vec_id >= {_IVF_TRAINED_NQ}
+                  AND embedding IS NOT NULL),
+queries AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qv
+            FROM embeddings WHERE vec_id < {_IVF_TRAINED_NQ}),
+sims AS (SELECT q.qid, e.vec_id, e.label, {_MEAN_RECALL_COS} AS sim
+         FROM corpus e CROSS JOIN queries q
+         WHERE e.label <> q.qlabel),
+top AS (SELECT qid, vec_id, label, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM sims)
+SELECT qid, vec_id, label, ROUND(sim, 6) AS similarity
+FROM top WHERE rn <= 5
+""")
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive embedding training (DPR /
+    Sentence-BERT data prep): per anchor (the shared 20 held-out query
+    vectors, their fixture ``label`` as the positive class), the top-5
+    most-cosine-similar corpus rows of a DIFFERENT label — similar
+    under the current embedding but wrong, the negatives that actually
+    move a bi-encoder.  One Arrow/BLAS pass scores all 20 anchors
+    against the corpus with the label filter applied batch-side; one
+    rank window keeps the top-5 per anchor.  Exact by construction
+    (brute force — the restartable default; at anchor-set scale the
+    candidate generation routes through a stored ANN shortlist
+    instead, ``operators/mining.py`` docstring).  100 scalar rows."""
+    from openai_vector_search_demo_spark.operators.mining import (
+        hard_negatives,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+             .select("vec_id", "label", "embedding")
+             .orderBy("vec_id").collect())
+    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
+    out = hard_negatives(
+        corpus,
+        qids=[int(r.vec_id) for r in qrows],
+        qvecs=[[float(x) for x in r.embedding] for r in qrows],
+        qlabels=[int(r.label) for r in qrows],
+        k=5)
+    return out.select("qid", "vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
 # ---------------------------------------------------------------------------
 # Corpus snapshot drift monitoring (PSI / JSD) — operators/drift.py
 # ---------------------------------------------------------------------------
@@ -9669,11 +9716,13 @@ PROOF_WINDOW: list[str] = [
     # ann_lsh_mean_recall_at_10 stays receipted via retrieval_battery):
     # ann_lsh_knn, ann_ivf_trained_recall_at_10, ann_lsh_mean_recall_at_10,
     # ann_pq_knn.  Rotated out r11 for the binary-signature tier + drift
-    # gate (receipted r9+r10, pytest/fixture-pinned):
-    # ann_ivf_clustered_recall_at_10, ann_lsh_clustered_recall_at_10,
-    # ann_pq_recall_at_10
-    "ann_pq_clustered_recall_at_10",
+    # gate + hard-negative mining (receipted r9+r10,
+    # pytest/fixture-pinned): ann_ivf_clustered_recall_at_10,
+    # ann_lsh_clustered_recall_at_10, ann_pq_recall_at_10,
+    # ann_pq_clustered_recall_at_10
     "ann_ivfpq_knn",
+    # contrastive-training data prep (new r11, receipted from birth)
+    "hard_negative_mining",
     # binary-signature tier (new r11, receipted from birth): 8-byte
     # Hamming serving + its measured recall contrast (sig-only 0.175 →
     # refined 0.635 on the 20 held-out queries)
