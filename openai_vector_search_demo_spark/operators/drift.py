@@ -43,25 +43,27 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def drift_report(df: DataFrame, snapshot: Column,
-                 features: dict[str, Column]) -> DataFrame:
-    """Per-feature distribution drift between the two snapshots of ``df``.
-
-    ``snapshot`` must evaluate to 0 (reference) or 1 (candidate);
-    ``features`` maps feature name → deterministic bucketizer expression
-    (cast to string internally, so categorical and binned-numeric
-    features mix freely).  Returns one row per feature:
-    ``(feature, n_buckets, psi, jsd)``, ordered by feature name.
-    """
+def feature_buckets(df: DataFrame,
+                    features: dict[str, Column]) -> DataFrame:
+    """Unpivot every feature's bucketizer into (feature, bucket) rows —
+    ONE pass over ``df`` regardless of feature count.  Stateless, so it
+    applies unchanged to a streaming DataFrame (``stream_drift_gate``)."""
     structs = [F.struct(F.lit(name).alias("feature"),
                         expr.cast("string").alias("bucket"))
                for name, expr in sorted(features.items())]
-    base = (df.select(snapshot.cast("int").alias("snap"),
-                      F.explode(F.array(*structs)).alias("fb"))
-            .select("snap", "fb.feature", "fb.bucket"))
-    counts = base.groupBy("feature", "bucket").agg(
-        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("cb"))
+    return (df.select(F.explode(F.array(*structs)).alias("fb"))
+            .select("fb.feature", "fb.bucket"))
+
+
+def drift_from_counts(counts: DataFrame) -> DataFrame:
+    """The PSI/JSD math over a prepared contingency table
+    ``(feature, bucket, ca, cb)`` — the shared tail of the batch
+    ``drift_report`` and the streaming ``stream_drift_gate`` (which
+    joins its per-micro-batch candidate counts against static reference
+    counts into this exact shape).  Missing buckets must arrive as
+    ``ca/cb = 0`` rows, not absent rows — the Laplace ``+0.5`` smoothing
+    and the per-feature bucket count ``k`` depend on the union bucket
+    set."""
     w = Window.partitionBy("feature")
     shares = (counts
               .withColumn("na", F.sum("ca").over(w))
@@ -84,3 +86,25 @@ def drift_report(df: DataFrame, snapshot: Column,
         F.round(F.sum("psi_t"), 6).alias("psi"),
         F.round(F.sum("jsd_t"), 6).alias("jsd"))
         .orderBy("feature"))
+
+
+def drift_report(df: DataFrame, snapshot: Column,
+                 features: dict[str, Column]) -> DataFrame:
+    """Per-feature distribution drift between the two snapshots of ``df``.
+
+    ``snapshot`` must evaluate to 0 (reference) or 1 (candidate);
+    ``features`` maps feature name → deterministic bucketizer expression
+    (cast to string internally, so categorical and binned-numeric
+    features mix freely).  Returns one row per feature:
+    ``(feature, n_buckets, psi, jsd)``, ordered by feature name.
+    """
+    structs = [F.struct(F.lit(name).alias("feature"),
+                        expr.cast("string").alias("bucket"))
+               for name, expr in sorted(features.items())]
+    base = (df.select(snapshot.cast("int").alias("snap"),
+                      F.explode(F.array(*structs)).alias("fb"))
+            .select("snap", "fb.feature", "fb.bucket"))
+    counts = base.groupBy("feature", "bucket").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).alias("cb"))
+    return drift_from_counts(counts)

@@ -6141,8 +6141,17 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openai_vector_search_demo_spark.operators.drift import drift_report
 
     docs = t(spark, sf_dir, "documents")
-    scored = ta.with_quality_score(docs)
-    feats = {
+    return drift_report(ta.with_quality_score(docs),
+                        F.col("doc_id") % 2, _drift_features())
+
+
+def _drift_features() -> dict:
+    """The gate's feature set (shared verbatim by the batch and
+    streaming drift slots — identical bucketizers are what make the two
+    slots' oracles the same statement).  All stateless expressions over
+    (text, lang, quality)."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    return {
         "lang": F.col("lang"),
         "quality_decile": F.least(
             F.floor(F.round(F.col("quality"), 6) * 10), F.lit(9)),
@@ -6151,7 +6160,49 @@ def corpus_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chars_bucket": F.least(
             F.floor(F.length("text") / F.lit(500.0)), F.lit(20)),
     }
-    return drift_report(scored, F.col("doc_id") % 2, feats)
+
+
+@query("streaming_drift_gate", oracle=_drift_oracle())
+def streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift gate run LIVE as a real Structured Streaming job: the
+    candidate snapshot (odd doc_ids) arrives as a file stream, its
+    bucket counts accumulate as a complete-mode streaming aggregation
+    (state = the KB contingency table, never the stream), and every
+    micro-batch recomputes PSI/JSD against the static even-doc_id
+    reference counts inside ``foreachBatch`` — the page-before-the-
+    snapshot-ships alerting pattern.  Identical bucketizers and math to
+    ``corpus_snapshot_drift`` (``_drift_features`` /
+    ``drift_from_counts`` are shared), hence the IDENTICAL oracle:
+    streaming execution mode, batch-grade correctness — the
+    ``streaming_tumbling_counts`` contract applied to the r11 gate."""
+    import tempfile
+
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        reference_feature_counts,
+        stream_drift_gate,
+    )
+
+    feats = _drift_features()
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ref = ta.with_quality_score(batch.filter(F.col("doc_id") % 2 == 0))
+    ref_counts = reference_feature_counts(ref, feats) \
+        .localCheckpoint(eager=True)
+
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    cand = ta.with_quality_score(stream.filter(F.col("doc_id") % 2 == 1))
+
+    reports: list = []
+    q = (stream_drift_gate(cand, ref_counts, feats,
+                           lambda rows, bid: reports.append(rows))
+         .option("checkpointLocation", tempfile.mkdtemp(prefix="driftgate_"))
+         .start())
+    q.awaitTermination(300)
+    ref_counts.unpersist()
+    return spark.createDataFrame(
+        reports[-1],
+        "feature string, n_buckets bigint, psi double, jsd double")
 
 
 @query("tfidf_cosine_pairs", oracle=rf"""
@@ -9719,8 +9770,9 @@ PROOF_WINDOW: list[str] = [
     # gate + hard-negative mining (receipted r9+r10,
     # pytest/fixture-pinned): ann_ivf_clustered_recall_at_10,
     # ann_lsh_clustered_recall_at_10, ann_pq_recall_at_10,
-    # ann_pq_clustered_recall_at_10
-    "ann_ivfpq_knn",
+    # ann_pq_clustered_recall_at_10, and (for the streaming drift gate)
+    # ann_ivfpq_knn — its family keeps six in-window receipts via the
+    # residual/refine/stored/upsert slots.
     # contrastive-training data prep (new r11, receipted from birth)
     "hard_negative_mining",
     # binary-signature tier (new r11, receipted from birth): 8-byte
@@ -9764,8 +9816,10 @@ PROOF_WINDOW: list[str] = [
     "dsir_importance_weights", "dsir_resample_topk",
     "neardup_triangle_counts", "zorder_curve_sample",
     "corpus_snapshot_drift",
-    # streaming (real Structured Streaming runs)
+    # streaming (real Structured Streaming runs; the r11 drift gate is
+    # receipted from birth — same oracle as its batch twin)
     "streaming_tumbling_counts", "streaming_stream_static_join",
+    "streaming_drift_gate",
     # family-digest batteries (r10: + curation/dedup/profile-events —
     # the receipt-gap closers)
     "tpch_battery", "analytics_battery", "retrieval_battery",

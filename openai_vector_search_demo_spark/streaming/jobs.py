@@ -339,3 +339,62 @@ def stream_event_followup_join(first: DataFrame, second: DataFrame,
         "inner")
         .select("first_user", "first_id", "second_id",
                 "first_ts", "second_ts"))
+
+
+def stream_drift_gate(doc_stream: DataFrame, reference_counts: DataFrame,
+                      features: dict, on_report) -> "DataStreamWriter":
+    """STREAMING DRIFT GATE — the live form of ``operators.drift``: the
+    candidate corpus arrives as a stream, its per-feature bucket counts
+    accumulate as a streaming aggregation (complete mode — counts are
+    cumulative over everything seen so far), and each micro-batch
+    recomputes the PSI/JSD report against the STATIC reference counts
+    inside ``foreachBatch``, invoking ``on_report(report_rows,
+    batch_id)`` — the hook a deployment points at its alerting (page
+    when any feature's PSI crosses 0.25 mid-ingest, BEFORE the snapshot
+    lands in a training run).
+
+    The streaming layer is wiring only (the engine's streaming design
+    rule): bucketizers are the same stateless expressions batch uses
+    (``drift.feature_buckets``), and the math is the same
+    ``drift.drift_from_counts`` — the full-outer join in the gate
+    aligns the two count relations on the union bucket set with 0-fill,
+    which is exactly the shape the batch union-groupBy produces, so a
+    completed stream's final report EQUALS the batch ``drift_report``
+    of (reference, streamed candidate) bit-for-bit (the oracled
+    ``streaming_drift_gate`` slot pins this).  State is bounded by the
+    contingency-table size (|features| × |buckets| rows), not by the
+    stream."""
+    from openai_vector_search_demo_spark.operators.drift import (
+        drift_from_counts,
+        feature_buckets,
+    )
+
+    cand_counts = (feature_buckets(doc_stream, features)
+                   .groupBy("feature", "bucket")
+                   .agg(F.count(F.lit(1)).alias("cb")))
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        counts = (reference_counts.join(batch_df, ["feature", "bucket"],
+                                        "full_outer")
+                  .select("feature", "bucket",
+                          F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+                          F.coalesce(F.col("cb"), F.lit(0)).alias("cb")))
+        on_report(drift_from_counts(counts).collect(), batch_id)
+
+    return (cand_counts.writeStream
+            .outputMode("complete")
+            .foreachBatch(gate)
+            .trigger(availableNow=True))
+
+
+def reference_feature_counts(reference: DataFrame,
+                             features: dict) -> DataFrame:
+    """Static (feature, bucket, ca) counts of the reference snapshot —
+    computed once at gate start, KBs, the broadcast side of every
+    micro-batch's alignment join."""
+    from openai_vector_search_demo_spark.operators.drift import (
+        feature_buckets,
+    )
+    return (feature_buckets(reference, features)
+            .groupBy("feature", "bucket")
+            .agg(F.count(F.lit(1)).alias("ca")))

@@ -75,3 +75,37 @@ def test_numeric_bucketizers_and_scalar_schema(frame):
                           (DoubleType, LongType, IntegerType, StringType))
     rows = out.collect()
     assert len(rows) == 1 and rows[0].n_buckets == 4
+
+
+def test_stream_gate_equals_batch_report(spark, frame, tmp_path):
+    """A completed stream's final report equals the batch drift_report
+    of (reference, streamed candidate) — the streaming layer is wiring
+    only."""
+    import os
+
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        reference_feature_counts,
+        stream_drift_gate,
+    )
+
+    feats = {"cat": F.col("cat"), "skewed": F.col("skewed")}
+    src = str(tmp_path / "docs")
+    frame.write.parquet(src)
+    batch = spark.read.parquet(src)
+    ref = batch.filter(F.col("id") % 2 == 0)
+    ref_counts = reference_feature_counts(ref, feats)
+
+    stream = (spark.readStream.schema(batch.schema)
+              .format("parquet").load(src))
+    cand = stream.filter(F.col("id") % 2 == 1)
+    reports = []
+    q = (stream_drift_gate(cand, ref_counts, feats,
+                           lambda rows, bid: reports.append(rows))
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
+         .start())
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in reports[-1])
+    want = sorted(tuple(r) for r in drift_report(
+        frame, F.col("id") % 2, feats).collect())
+    assert got == want
