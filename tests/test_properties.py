@@ -322,3 +322,58 @@ def test_funnel_auto_equals_fold_for_any_events(spark, events):
     want = sorted(map(tuple, funnel_counts(df, steps).collect()))
     got = sorted(map(tuple, funnel_counts_auto(df, steps).collect()))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                min_size=4, max_size=40),
+       st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                min_size=4, max_size=40))
+def test_drift_psi_jsd_symmetric_under_snapshot_swap(spark, xs, ys):
+    """PSI and JSD are symmetric statistics: swapping which snapshot is
+    'reference' must leave both unchanged (per-term (pa−pb)·ln(pa/pb)
+    and the midpoint-KL are swap-invariant), and both are 0 iff the two
+    empirical distributions coincide."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.drift import drift_report
+
+    rows = [(0, v) for v in xs] + [(1, v) for v in ys]
+    df = spark.createDataFrame(rows, "snap int, cat string")
+    fwd = drift_report(df, F.col("snap"), {"cat": F.col("cat")}).collect()[0]
+    rev = drift_report(df, 1 - F.col("snap"),
+                       {"cat": F.col("cat")}).collect()[0]
+    assert fwd.psi == rev.psi and fwd.jsd == rev.jsd
+    assert fwd.psi >= 0.0 and 0.0 <= fwd.jsd <= math.log(2) + 1e-9
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.integers(0, (1 << 62) - 1), st.integers(0, (1 << 62) - 1),
+       st.integers(0, (1 << 62) - 1))
+def test_hamming_distance_is_a_metric(a, b, c):
+    """bit_count(xor) — identity, symmetry, triangle inequality (what
+    justifies ranking by it): checked on the driver-side int form the
+    engine's plan literals use."""
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+    assert ham(a, a) == 0
+    assert ham(a, b) == ham(b, a)
+    assert ham(a, c) <= ham(a, b) + ham(b, c)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.floats(-3, 3, allow_nan=False, width=32),
+                min_size=4, max_size=4))
+def test_signature_bit_b_is_sign_of_plane_dot(vec):
+    """signature_of sets bit b exactly when dot(vec, plane_b) >= 0 —
+    the invariant both engines' packings mirror."""
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    from openai_vector_search_demo_spark.operators.hamming import (
+        signature_of,
+    )
+    planes = hyperplanes(4, nbits=9, seed=13)
+    sig = signature_of(vec, planes)
+    for b, p in enumerate(planes):
+        want = 1 if float(np.dot(vec, p)) >= 0.0 else 0
+        assert (sig >> b) & 1 == want
