@@ -109,3 +109,45 @@ def test_stream_gate_equals_batch_report(spark, frame, tmp_path):
     want = sorted(tuple(r) for r in drift_report(
         frame, F.col("id") % 2, feats).collect())
     assert got == want
+
+
+def test_stream_gate_multi_batch_converges(spark, frame, tmp_path):
+    """With one file per micro-batch, each report reflects everything
+    seen SO FAR (complete-mode cumulative counts) and the final report
+    equals the batch form — the mid-ingest alerting semantics."""
+    import os
+
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        reference_feature_counts,
+        stream_drift_gate,
+    )
+
+    feats = {"cat": F.col("cat"), "broken": F.col("broken")}
+    src = str(tmp_path / "docs")
+    cand_rows = frame.filter(F.col("id") % 2 == 1)
+    # two physical files => two availableNow micro-batches
+    cand_rows.filter(F.col("id") < 100).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    cand_rows.filter(F.col("id") >= 100).coalesce(1) \
+        .write.mode("append").parquet(src)
+    ref = frame.filter(F.col("id") % 2 == 0)
+    ref_counts = reference_feature_counts(ref, feats)
+
+    stream = (spark.readStream.schema(frame.schema)
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet").load(src))
+    reports = []
+    q = (stream_drift_gate(stream, ref_counts, feats,
+                           lambda rows, bid: reports.append(rows))
+         .option("checkpointLocation", os.path.join(str(tmp_path), "ck2"))
+         .start())
+    q.awaitTermination(120)
+
+    assert len(reports) >= 2, "expected one report per micro-batch"
+    final = sorted(tuple(r) for r in reports[-1])
+    want = sorted(tuple(r) for r in drift_report(
+        frame, F.col("id") % 2, feats).collect())
+    assert final == want
+    # the interim report is a valid 2-feature report too (gate emits
+    # continuously, not only at end-of-stream)
+    assert len(reports[0]) == 2
