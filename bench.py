@@ -150,6 +150,7 @@ HEADLINE = [
     "ann_hamming_stored_knn",  # its stored read path: sig-table scan (r11)
     "corpus_snapshot_drift",  # PSI/JSD snapshot gate, scan-bound (r11)
     "hard_negative_mining",  # contrastive-training negatives, 20 anchors (r11)
+    "source_quota_cap",     # per-source best-N cap, quality-ranked (r11)
     "dsir_resample_topk",   # DSIR selection: hashed n-grams + Gumbel (r11)
     "neardup_triangle_counts",  # triangle density over the dup graph (r11)
     "zorder_curve_sample",  # Morton layout key, pure codegen (r11)

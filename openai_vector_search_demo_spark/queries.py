@@ -6162,6 +6162,52 @@ def _drift_features() -> dict:
     }
 
 
+@query("source_quota_cap", oracle=f"""
+WITH ql AS ({{ta_quality}}),
+r AS (SELECT d.doc_id, d.source, q.quality,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY q.quality DESC, d.doc_id ASC)
+               AS rn
+      FROM documents d JOIN ql q USING (doc_id)),
+kept AS (SELECT doc_id, source, quality FROM r WHERE rn <= 100)
+SELECT k.source,
+       COUNT(*) AS n_kept,
+       ROUND(MIN(k.quality), 6) AS min_quality_kept,
+       SUM(len({_SQL_TOKS})) AS n_tokens_kept
+FROM kept k JOIN documents USING (doc_id)
+GROUP BY k.source ORDER BY k.source
+""".replace("{ta_quality}", ORACLE_SQL["ta_quality_score"]))
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-SOURCE QUOTA CAP — the "no domain exceeds N documents" rule
+    (the C4/host-capping lineage: one mirror-heavy domain must not
+    dominate the mix), selecting the BEST N per source by the quality
+    score rather than arbitrary survivors.  Emits the per-source audit
+    row (kept count, the quality floor the cap induced, kept token
+    budget).  One rank window keyed by source; at a skewed 100 TB
+    corpus the same semantics run as per-source quality-threshold
+    filters (threshold from a per-source percentile pass) so no single
+    reducer sorts a whale domain — the window form is the exact,
+    oracle-replayable instance (cap=100 bites at sf0.01's ~125
+    docs/source)."""
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    scored = ta.with_quality_score(docs)
+    w = Window.partitionBy("source").orderBy(
+        F.round(F.col("quality"), 6).desc(), F.col("doc_id").asc())
+    kept = (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 100))
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.round(F.min(F.round(F.col("quality"), 6)), 6)
+                 .alias("min_quality_kept"),
+                 F.sum(ta.token_count("text").cast("long"))
+                 .alias("n_tokens_kept"))
+            .orderBy("source"))
+
+
 @query("streaming_drift_gate", oracle=_drift_oracle())
 def streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The drift gate run LIVE as a real Structured Streaming job: the
@@ -9799,8 +9845,13 @@ PROOF_WINDOW: list[str] = [
     # maintenance / validation: upsert_latest_wins + p11_validation_bounds
     # rotated out r11 (receipted r1-r10, pytest-pinned).
     # distributed-analytics singles (+ the r8/r9 scale-safe forms)
-    "tfidf_cosine_pairs_capped", "pareto_abc_quantile", "rfm_quantile",
+    # pareto_abc_quantile rotated out late-r11 for source_quota_cap
+    # (receipted r8-r10; its contrast twin pareto_abc_customers is
+    # in-window this round)
+    "tfidf_cosine_pairs_capped", "rfm_quantile",
     "events_funnel_auto",
+    # per-source quota cap (new r11, receipted from birth)
+    "source_quota_cap",
     # r11 receipt-ledger zeroing (judge #3): the five never-receipted
     # queries rotate through once — the three oracled variant twins
     # (kept for contrast with their scale-safe forms) and the two
