@@ -9331,6 +9331,134 @@ def resample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+_MIX_BUDGET_FRAC = 0.6  # the planned run consumes 60% of corpus tokens
+
+
+@query("mixture_allocation", oracle=rf"""
+WITH tk AS (SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source),
+rw AS (SELECT source, n_tokens,
+              CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 3.0
+                          WHEN 'src2' THEN 2.0 ELSE 1.0 END AS raw
+       FROM tk),
+tot AS (SELECT SUM(raw) AS raw_tot, SUM(n_tokens) AS tok_tot FROM rw)
+SELECT r.source, r.n_tokens,
+       ROUND(r.raw / t.raw_tot, 6) AS share,
+       ROUND({_MIX_BUDGET_FRAC} * t.tok_tot * ROUND(r.raw / t.raw_tot, 6),
+             6) AS target_tokens,
+       ROUND({_MIX_BUDGET_FRAC} * t.tok_tot * ROUND(r.raw / t.raw_tot, 6)
+             / r.n_tokens, 6) AS epochs
+FROM rw r CROSS JOIN tot t ORDER BY r.source
+""")
+def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA MIXING, the PLANNING half (the stage BEFORE
+    ``stratified_mix_sample``/``resample_mix_weights``, which consume
+    rates): given target mixture weights per source and a total token
+    budget (here 60% of the corpus), derive what each source must
+    contribute — its normalized share, its token target, and the
+    resulting EPOCHS over that source (>1 ⇒ upsampling with repeats,
+    the Pile/LLaMA planning arithmetic).  Weights normalize over the
+    sources actually observed, so Σ share = 1 at any source count.
+    One map-side-combined aggregate over the corpus plus literal math —
+    the per-source plan table is rows = |sources|.  Intermediate share
+    rounded 6 dp in-engine before reuse (the engine's cross-engine
+    float contract)."""
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    tk = (docs.groupBy("source")
+          .agg(F.sum(ta.token_count("text").cast("long"))
+               .alias("n_tokens")))
+    raw = (F.when(F.col("source") == "src0", 4.0)
+           .when(F.col("source") == "src1", 3.0)
+           .when(F.col("source") == "src2", 2.0).otherwise(1.0))
+    rw = tk.withColumn("raw", raw)
+    tot = rw.agg(F.sum("raw").alias("raw_tot"),
+                 F.sum("n_tokens").alias("tok_tot"))
+    share = F.round(F.col("raw") / F.col("raw_tot"), 6)
+    target = F.round(F.lit(_MIX_BUDGET_FRAC) * F.col("tok_tot") * share, 6)
+    return (rw.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    share.alias("share"),
+                    target.alias("target_tokens"),
+                    F.round(F.lit(_MIX_BUDGET_FRAC) * F.col("tok_tot")
+                            * share / F.col("n_tokens"), 6).alias("epochs"))
+            .orderBy("source"))
+
+
+@query("split_leakage_audit", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hs),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+         COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+e AS (SELECT id_a, id_b FROM common
+      WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.4),
+sp AS (SELECT doc_id,
+              CASE WHEN b < 900000 THEN 'train'
+                   WHEN b < 950000 THEN 'val' ELSE 'test' END AS split
+       FROM (SELECT doc_id,
+                    CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                         1, 15)) AS BIGINT) % 1000000 AS b
+             FROM documents)),
+cls AS (SELECT CASE WHEN sa.split = sb.split THEN 'within_' || sa.split
+                    ELSE 'cross_' || LEAST(sa.split, sb.split) || '_'
+                         || GREATEST(sa.split, sb.split) END AS pair_class
+        FROM e JOIN sp sa ON sa.doc_id = e.id_a
+               JOIN sp sb ON sb.doc_id = e.id_b)
+SELECT pair_class, COUNT(*) AS n_pairs FROM cls GROUP BY 1 ORDER BY 1
+""")
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-LEAKAGE AUDIT — count near-duplicate pairs (3-gram Jaccard
+    ≥ 0.4, the ``dedup_ngram_jaccard`` relation) that STRADDLE the
+    train/val/test split: a val/test document whose near-dup sits in
+    train inflates eval scores without the model generalizing (Lee et
+    al. ACL 2022 measured exactly this on C4) — so the audit belongs in
+    the gate suite next to decontamination, which checks leakage against
+    EXTERNAL benchmarks where this checks the pipeline's OWN split.
+    Emits (pair_class, n_pairs): ``within_*`` classes are ordinary
+    intra-split duplication; any ``cross_*`` row is actionable (dedup
+    before splitting, or split by near-dup cluster instead of by doc).
+    Same banded shingle join as every near-dup operator — never
+    all-pairs; the split assignment is the keyed deterministic hash of
+    ``dataset_split_documents``."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        dataset_split,
+    )
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = (ngram_jaccard_pairs(docs, k=3, threshold=0.4,
+                                 max_shingle_df=None)
+             .select("id_a", "id_b"))
+    sp = (dataset_split(docs.select("doc_id"), "doc_id",
+                        {"train": 0.9, "val": 0.05, "test": 0.05})
+          .select("doc_id", "split"))
+    sa = sp.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("split_b"))
+    # no broadcast hint: the split relation is corpus-sized at scale
+    # (AQE broadcasts it at fixture scale on its own); the pair relation
+    # is the small side
+    cls = (pairs.join(sa, "id_a").join(sb, "id_b")
+           .select(F.when(F.col("split_a") == F.col("split_b"),
+                          F.concat(F.lit("within_"), F.col("split_a")))
+                   .otherwise(F.concat(
+                       F.lit("cross_"),
+                       F.least("split_a", "split_b"), F.lit("_"),
+                       F.greatest("split_a", "split_b")))
+                   .alias("pair_class")))
+    return (cls.groupBy("pair_class")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy("pair_class"))
+
+
 @query("dedup_cross_corpus", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 e AS (SELECT doc_id AS id_e, len(hs) AS sz_e, unnest(hs) AS h FROM hs),
@@ -9881,13 +10009,16 @@ PROOF_WINDOW: list[str] = [
     # maintenance / validation: upsert_latest_wins + p11_validation_bounds
     # rotated out r11 (receipted r1-r10, pytest-pinned).
     # distributed-analytics singles (+ the r8/r9 scale-safe forms)
-    # pareto_abc_quantile rotated out late-r11 for source_quota_cap
-    # (receipted r8-r10; its contrast twin pareto_abc_customers is
-    # in-window this round)
-    "tfidf_cosine_pairs_capped", "rfm_quantile",
+    # Rotated out late-r11 for the new curation-planning slots (all
+    # receipted r8-r10 with their families still pytest/battery-pinned):
+    # pareto_abc_quantile (contrast twin pareto_abc_customers is
+    # in-window this round), rfm_quantile (twin rfm_segmentation
+    # in-window), tfidf_cosine_pairs_capped (twin tfidf_cosine_pairs
+    # in-window).
     "events_funnel_auto",
-    # per-source quota cap (new r11, receipted from birth)
-    "source_quota_cap",
+    # per-source quota cap, mixture planning, split-leakage audit
+    # (new r11, receipted from birth)
+    "source_quota_cap", "mixture_allocation", "split_leakage_audit",
     # r11 receipt-ledger zeroing (judge #3): the five never-receipted
     # queries rotate through once — the three oracled variant twins
     # (kept for contrast with their scale-safe forms) and the two
