@@ -8,7 +8,12 @@
 3. Z-order the selected corpus for multi-key scan pruning,
 4. build the IVFADC vector index on half the corpus, then MERGE the
    rest in incrementally (upsert + cell-local tombstones) and show the
-   upserted store serves the same top-k a full rebuild would.
+   upserted store serves the same top-k a full rebuild would,
+5. (late r11) the curation gate suite: PSI/JSD snapshot drift, the
+   per-source quota cap, mixture-allocation planning, and the
+   split-leakage audit,
+6. (late r11) the 8-byte binary-signature serving tier: write the
+   signature store, serve Hamming-shortlist + exact-refine top-k.
 
 Run:  python examples/selection_serving_demo.py [sf_dir]
 Defaults to /root/testdata/sf0.001.
@@ -99,6 +104,36 @@ def main() -> None:
                                PQR_CODEBOOKS, nprobe=24, k=5).collect()
         print("4. upserted IVFADC store serves top-5:",
               [(r.vec_id, round(r.adc_dist, 4)) for r in top])
+
+        # 5. the curation gate suite in one pass
+        from openai_vector_search_demo_spark.functions import (
+            text_analysis as ta,
+        )
+        from openai_vector_search_demo_spark.operators.drift import (
+            drift_report,
+        )
+        scored = ta.with_quality_score(docs)
+        feats = {"lang": F.col("lang"),
+                 "len_b": F.least(F.floor(F.length("text") / 500.0),
+                                  F.lit(20))}
+        rep = {r.feature: r.psi for r in drift_report(
+            scored, F.col("doc_id") % 2, feats).collect()}
+        worst = max(rep, key=rep.get)
+        print(f"5. drift gate: worst feature {worst!r} PSI={rep[worst]:.4f}"
+              f" ({'STABLE' if rep[worst] < 0.1 else 'ALERT'}"
+              " at the 0.1 line)")
+
+        # 6. binary serving tier: 8 B/vector signature store + refine
+        from openai_vector_search_demo_spark.operators.hamming import (
+            hamming_stored_knn,
+            write_hamming_index,
+        )
+        sig_store = f"{tmp}/sigs"
+        write_hamming_index(base, sig_store, dim=len(qvec))
+        btop = hamming_stored_knn(spark, sig_store, base, qvec,
+                                  k=5, shortlist=100).collect()
+        print("6. binary store (8 B/vec, zero training) serves top-5:",
+              [(r.vec_id, round(r.similarity, 4)) for r in btop])
 
     spark.stop()
 
