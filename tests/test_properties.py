@@ -377,3 +377,54 @@ def test_signature_bit_b_is_sign_of_plane_dot(vec):
     for b, p in enumerate(planes):
         want = 1 if float(np.dot(vec, p)) >= 0.0 else 0
         assert (sig >> b) & 1 == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                          st.integers(1, 500)),
+                min_size=2, max_size=30))
+def test_mixture_allocation_arithmetic(spark, rows):
+    """Shares always sum to 1 over observed sources, and epochs is the
+    target/available ratio — checked against driver-side arithmetic for
+    arbitrary source mixes (the engine form lives in the
+    `mixture_allocation` slot; this pins the algebra it relies on)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, s, "w " * max(1, t)) for i, (s, t) in enumerate(rows)],
+        "doc_id long, source string, text string")
+    tk = (df.groupBy("source")
+          .agg(F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+               .alias("n_tokens")))
+    raw = F.when(F.col("source") == "s0", 4.0).otherwise(1.0)
+    rw = tk.withColumn("raw", raw)
+    tot = rw.agg(F.sum("raw").alias("rt"),
+                 F.sum("n_tokens").alias("tt")).first()
+    out = (rw.crossJoin(spark.createDataFrame([tot], "rt double, tt long"))
+           .select("source", "n_tokens",
+                   (F.col("raw") / F.col("rt")).alias("share"),
+                   (0.5 * F.col("tt") * F.col("raw") / F.col("rt")
+                    / F.col("n_tokens")).alias("epochs"))).collect()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+    for r in out:
+        want = 0.5 * tot.tt * r.share / r.n_tokens
+        assert abs(r.epochs - want) < 1e-9
+
+
+def test_quota_cap_keeps_best_n_per_source(spark):
+    """The quota window keeps exactly min(N, |source|) rows per source
+    and they are the quality-maximal ones."""
+    from pyspark.sql import Window, functions as F
+
+    rows = [(i, f"s{i % 3}", float(i % 7)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    w = Window.partitionBy("source").orderBy(F.col("q").desc(),
+                                             F.col("doc_id").asc())
+    kept = (df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5))
+    got = {(r.source, r.doc_id) for r in kept.collect()}
+    for s in ("s0", "s1", "s2"):
+        grp = sorted((r for r in rows if r[1] == s),
+                     key=lambda r: (-r[2], r[0]))[:5]
+        assert {(s, r[0]) for r in grp} == {g for g in got if g[0] == s}
