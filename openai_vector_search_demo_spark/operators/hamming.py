@@ -135,6 +135,70 @@ def hamming_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             .limit(k).drop("_ham"))
 
 
+def ivf_hamming_knn(df: DataFrame, qvec: Sequence[float],
+                    centroids: list[list[float]],
+                    nprobe: int, k: int = 10, shortlist: int = 100,
+                    vec_col: str = "embedding",
+                    planes: list[list[float]] | None = None,
+                    nbits: int = HAMMING_NBITS, seed: int = 42,
+                    sim_col: str = "similarity",
+                    tie_break: str = "vec_id") -> DataFrame:
+    """The composed serving rung: COARSE-CELL PRUNING × BINARY RANKING
+    × EXACT REFINE (FAISS's IVF+binary ladder) — only the ``nprobe``
+    nearest cells are candidates at all (at a cell-partitioned store
+    that is a partition-pruned scan of 8 B/row), the survivors rank by
+    one XOR+POPCNT against the query signature, and the top-R shortlist
+    refines with exact cosine.  One Arrow pass fuses cell assignment +
+    probe filter + sign bits (rows outside probed cells never cross
+    back into the JVM — the ``_ivf_score_numpy``/``_lsh_score_numpy``
+    twin); everything after is the same two ``TakeOrderedAndProject``
+    ranks as ``hamming_knn``.  Assignment is spherical (argmax dot,
+    ties → lowest cid — the trained-IVF convention)."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_probe_cells_dot,
+    )
+
+    dim = len(list(qvec))
+    planes = planes or hyperplanes(dim, nbits, seed)
+    qsig = signature_of(qvec, planes)
+    probes = np.asarray(
+        sorted(ivf_probe_cells_dot(qvec, centroids, nprobe)),
+        dtype=np.int64)
+    cent = np.asarray(centroids, dtype=np.float64)
+    pl = np.asarray(planes, dtype=np.float64)
+    qbits = np.array([(qsig >> b) & 1 for b in range(len(planes))],
+                     dtype=bool)
+
+    out_schema = StructType(list(df.schema.fields)
+                            + [StructField("_ham", LongType())])
+
+    def score(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cells = (mat @ cent.T).argmax(axis=1)
+            mask = np.isin(cells, probes)
+            if not mask.any():
+                continue
+            kept = pdf.loc[mask].copy()
+            bits = (mat[mask] @ pl.T) >= 0.0
+            kept["_ham"] = (bits != qbits).sum(axis=1).astype(np.int64)
+            yield kept
+
+    scored = df.mapInPandas(score, out_schema)
+    short = (scored.orderBy(F.col("_ham").asc(), F.col(tie_break).asc())
+             .limit(shortlist))
+    refined = short.withColumn(
+        sim_col, cosine_similarity(F.col(vec_col), vector_lit(qvec)))
+    return (refined.orderBy(F.col(sim_col).desc(), F.col(tie_break).asc())
+            .limit(k).drop("_ham"))
+
+
 def write_hamming_index(df: DataFrame, path: str,
                         planes: list[list[float]] | None = None,
                         nbits: int = HAMMING_NBITS, seed: int = 42,

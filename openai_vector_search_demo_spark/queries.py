@@ -6087,6 +6087,82 @@ def ann_hamming_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sim", 6).alias("similarity"))
 
 
+def _ivf_hamming_knn_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT vec_id, label, embedding FROM embeddings
+           WHERE vec_id <> 0 AND embedding IS NOT NULL),
+cent AS ({_sql_trained_cent()}),
+cd AS (SELECT e.vec_id, c.cid, {_SQL_DOT_CENT} AS dot
+       FROM corpus e CROSS JOIN cent c),
+cm AS (SELECT vec_id, MAX(dot) AS mx FROM cd GROUP BY vec_id),
+assigned AS (SELECT cd.vec_id, MIN(cd.cid) AS part
+             FROM cd JOIN cm USING (vec_id) WHERE cd.dot = cm.mx
+             GROUP BY cd.vec_id),
+qd AS (SELECT c.cid,
+              list_aggregate(list_transform(range(1, {_ANN_DIM + 1}),
+                  i -> CAST(qv[i] AS DOUBLE) * c.c[i]), 'sum') AS dot
+       FROM cent c, q),
+probes AS (SELECT cid FROM (
+             SELECT cid, ROW_NUMBER() OVER (ORDER BY dot DESC, cid ASC)
+               AS rn FROM qd) WHERE rn <= {_IVF_TRAINED_NPROBE}),
+cand AS (SELECT c.vec_id, c.label, c.embedding
+         FROM corpus c JOIN assigned a ON a.vec_id = c.vec_id
+         WHERE a.part IN (SELECT cid FROM probes)),
+{_sql_sig_ctes(planes, "(SELECT vec_id, embedding AS vec FROM cand)",
+               "vec_id")},
+{_sql_sig_ctes(planes, "(SELECT 0 AS qid, qv AS vec FROM q)", "qid",
+               prefix="q")},
+short AS (
+  SELECT c.vec_id, c.label, c.embedding,
+         bit_count(xor(s.sig, qs.sig)) AS ham
+  FROM cand c JOIN sigs s USING (vec_id) CROSS JOIN qsigs qs
+  ORDER BY ham ASC, c.vec_id ASC LIMIT {_HAMMING_SHORTLIST}),
+r AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim FROM short e, q)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM r ORDER BY sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_ivfhamming_refine_knn", oracle=_ivf_hamming_knn_oracle())
+def ann_ivfhamming_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF × BINARY × REFINE — the composed ladder rung (FAISS's
+    IVF+binary pattern): coarse-cell pruning cuts the candidate set to
+    nprobe/nlist of the corpus BEFORE any ranking work, the survivors
+    rank by one XOR+POPCNT against the 62-bit query signature, and the
+    top-100 shortlist refines with exact cosine — so at a
+    cell-partitioned signature store the per-query scan is
+    ~(nprobe/nlist) × 8 bytes/row, the cheapest composed read path in
+    the engine's family (IVFADC trades those bytes for trained
+    codebooks + LUT broadcasts; plain Hamming scans all signatures).
+    One Arrow pass fuses assignment + probe filter + sign bits; rows
+    outside probed cells never re-enter the JVM
+    (``operators/hamming.py::ivf_hamming_knn``).  Same pinned trained
+    centroids, planes, and tie rules as the component slots — the
+    composition is oracle-replayed end to end."""
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    from openai_vector_search_demo_spark.operators.hamming import (
+        ivf_hamming_knn,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == _ANN_DIM
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    top = ivf_hamming_knn(emb.filter(F.col("vec_id") != 0), qvec,
+                          IVF_TRAINED_CENTROIDS,
+                          nprobe=_IVF_TRAINED_NPROBE, k=10,
+                          shortlist=_HAMMING_SHORTLIST, planes=planes,
+                          sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
 def _hamming_recall_oracle() -> str:
     from openai_vector_search_demo_spark.operators.ann import hyperplanes
     planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
@@ -10124,8 +10200,11 @@ PROOF_WINDOW: list[str] = [
     "c3_chunk_words",
     # distributed Lloyd k-means — the trainer as an oracled query (r10)
     "kmeans_cluster_profile",
-    # Q2 KNN — the auto path at production width (variants: pytest/parity)
-    "q2_knn_auto_wide1024",
+    # Q2 KNN auto path rotated out late-r11 (receipted r10; the Q2
+    # family stays receipted via flagship_search_oracled + q7_q9_rerank
+    # in-window and the variant parity pins) for the composed ladder
+    # rung, receipted from birth:
+    "ann_ivfhamming_refine_knn",
     # rerank
     "q7_q9_rerank",
     # flagship end-to-end

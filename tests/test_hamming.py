@@ -162,3 +162,33 @@ def test_no_plane_dot_near_zero_on_gate_fixtures(spark, sf_dir):
     assert min_abs > 1e-9, (
         f"min |plane dot| = {min_abs:.3e}: too close to 0 for the "
         "sign-bit determinism contract")
+
+
+def test_ivf_hamming_subset_of_probed_cells(spark, emb):
+    """The hybrid's results come ONLY from probed cells, and with
+    nprobe = nlist (no pruning) it equals plain hamming_knn exactly."""
+    from openai_vector_search_demo_spark.operators.hamming import (
+        ivf_hamming_knn,
+    )
+    rng = np.random.RandomState(3)
+    centroids = [[round(float(x), 6) for x in rng.randn(DIM)]
+                 for _ in range(4)]
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    q = [0.4, -0.9, 0.2, 1.1, -0.3, 0.7, -0.5, 0.1]
+    full = ivf_hamming_knn(emb, q, centroids, nprobe=4, k=6,
+                           shortlist=50, planes=planes).collect()
+    plain = hamming_knn(emb, q, k=6, shortlist=50, planes=planes).collect()
+    assert [(r.vec_id, round(r.similarity, 12)) for r in full] \
+        == [(r.vec_id, round(r.similarity, 12)) for r in plain]
+
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_probe_cells_dot,
+    )
+    probes = set(ivf_probe_cells_dot(q, centroids, 2))
+    pruned = ivf_hamming_knn(emb, q, centroids, nprobe=2, k=40,
+                             shortlist=100, planes=planes).collect()
+    cent = np.asarray(centroids)
+    for r in pruned:
+        row = next(e for e in emb.collect() if e.vec_id == r.vec_id)
+        cell = int(np.argmax(np.asarray(row.embedding) @ cent.T))
+        assert cell in probes
