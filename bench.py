@@ -149,6 +149,7 @@ HEADLINE = [
     "ann_hamming_refine_knn",  # 8-byte binary tier: XOR/POPCNT + refine (r11)
     "ann_hamming_stored_knn",  # its stored read path: sig-table scan (r11)
     "ann_ivfhamming_refine_knn",  # composed: cell-prune x POPCNT x refine (r11)
+    "ann_ivfhamming_stored_knn",  # its pruned-partition stored read path (r11)
     "corpus_snapshot_drift",  # PSI/JSD snapshot gate, scan-bound (r11)
     "hard_negative_mining",  # contrastive-training negatives, 20 anchors (r11)
     "source_quota_cap",     # per-source best-N cap, quality-ranked (r11)

@@ -199,6 +199,94 @@ def ivf_hamming_knn(df: DataFrame, qvec: Sequence[float],
             .limit(k).drop("_ham"))
 
 
+def write_ivf_hamming_index(df: DataFrame, path: str,
+                            centroids: list[list[float]],
+                            planes: list[list[float]] | None = None,
+                            nbits: int = HAMMING_NBITS, seed: int = 42,
+                            vec_col: str = "embedding",
+                            keep_cols: list[str] | None = None) -> None:
+    """Persist the COMPOSED serving artifact: the 8-byte signature table
+    CELL-PARTITIONED by the coarse quantizer (one directory per cell,
+    one file per cell via the repartition — the ``write_ivfpq_index``
+    layout at the binary byte budget), so the query-time scan is a
+    partition-pruned read of ~(nprobe/nlist) of the signatures with
+    zero assignment or sign arithmetic at read time.  One Arrow pass
+    assigns + signs; NULL vectors drop."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    keep = keep_cols if keep_cols is not None else ["vec_id", "label"]
+    if planes is None:
+        planes = hyperplanes(len(centroids[0]), nbits, seed)
+    cent = np.asarray(centroids, dtype=np.float64)
+    pl = np.asarray(planes, dtype=np.float64)
+    weights = (np.int64(1) << np.arange(pl.shape[0])).astype(np.int64)
+
+    out_schema = StructType(
+        [f for f in df.schema.fields if f.name in keep]
+        + [StructField("sig", LongType()), StructField("cell", IntegerType())])
+
+    def enc(batches):
+        for pdf in batches:
+            pdf = pdf[pdf[vec_col].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            out = pdf[keep].copy()
+            out["sig"] = (((mat @ pl.T) >= 0.0) @ weights).astype(np.int64)
+            out["cell"] = (mat @ cent.T).argmax(axis=1).astype("int32")
+            yield out
+
+    (df.mapInPandas(enc, out_schema)
+       .repartition(F.col("cell"))
+       .write.mode("overwrite").partitionBy("cell").parquet(path))
+
+
+def ivf_hamming_stored_knn(spark, store: str, source: DataFrame,
+                           qvec: Sequence[float],
+                           centroids: list[list[float]],
+                           nprobe: int, k: int = 10, shortlist: int = 100,
+                           planes: list[list[float]] | None = None,
+                           nbits: int = HAMMING_NBITS, seed: int = 42,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           sim_col: str = "similarity") -> DataFrame:
+    """The composed STORED read path — partition discovery enumerates
+    ONLY the ``nprobe`` probed cell directories
+    (``stores.read_probed_partitions``, the IVFADC funnel), the pruned
+    signature scan pays one XOR+POPCNT per surviving row, and the R
+    shortlisted ids broadcast-fetch their fp32 vectors for the exact
+    rerank.  Per-query bytes: ~(nprobe/nlist) × (8 B + ids)/row —
+    the claim ``ivf_hamming_knn``'s docstring makes, made physical.
+    Identical values to the inline form by construction (same
+    assignment, planes, tie rules); the registered slot carries the
+    same oracle."""
+    from openai_vector_search_demo_spark.operators.ann import (
+        ivf_probe_cells_dot,
+    )
+    from openai_vector_search_demo_spark.operators.pq import (
+        exact_refine_topk,
+    )
+    from openai_vector_search_demo_spark.stores import (
+        read_probed_partitions,
+    )
+
+    dim = len(list(qvec))
+    planes = planes or hyperplanes(dim, nbits, seed)
+    qsig = signature_of(qvec, planes)
+    probes = ivf_probe_cells_dot(qvec, centroids, nprobe)
+    sigs = read_probed_partitions(spark, store, "cell", probes)
+    cand = (sigs.withColumn(
+        "_ham", F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))))
+        .orderBy(F.col("_ham").asc(), F.col(id_col).asc())
+        .limit(shortlist))
+    fetched = (source.select(id_col, vec_col)
+               .join(F.broadcast(cand), id_col))
+    return (exact_refine_topk(fetched, qvec, k=k, vec_col=vec_col,
+                              sim_col=sim_col, tie_break=id_col)
+            .drop("_ham", "sig", "cell", vec_col))
+
+
 def write_hamming_index(df: DataFrame, path: str,
                         planes: list[list[float]] | None = None,
                         nbits: int = HAMMING_NBITS, seed: int = 42,

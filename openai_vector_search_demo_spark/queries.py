@@ -6163,6 +6163,54 @@ def ann_ivfhamming_refine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sim", 6).alias("similarity"))
 
 
+@query("ann_ivfhamming_stored_knn", oracle=_ivf_hamming_knn_oracle())
+def ann_ivfhamming_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed rung's STORED read path — the byte claim made
+    physical: ``write_ivf_hamming_index`` persists the signature table
+    CELL-PARTITIONED (one directory per coarse cell, 8 B of signature +
+    ids per row, no fp32), and the query enumerates ONLY the nprobe
+    probed cell directories at partition discovery
+    (``stores.read_probed_partitions``, the IVFADC funnel), pays one
+    XOR+POPCNT per surviving row, then broadcast point-fetches the
+    top-100 for the exact rerank.  Per-query scan ≈ (nprobe/nlist) ×
+    8 B/row — below the IVFADC store's 12 B codes and with no trained
+    codebooks to version.  Identical planes/centroids/tie rules as the
+    inline ``ann_ivfhamming_refine_knn``, hence the identical oracle;
+    store cached per corpus CONTENT fingerprint."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.ann_pretrained import (
+        IVF_TRAINED_CENTROIDS,
+    )
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    from openai_vector_search_demo_spark.operators.hamming import (
+        ivf_hamming_stored_knn,
+        write_ivf_hamming_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|{_parquet_fingerprint(emb_path)}".encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_ivfham_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_ivf_hamming_index(emb.filter(F.col("vec_id") != 0), store,
+                                IVF_TRAINED_CENTROIDS, planes=planes)
+
+    top = ivf_hamming_stored_knn(spark, store,
+                                 emb.filter(F.col("vec_id") != 0), qvec,
+                                 IVF_TRAINED_CENTROIDS,
+                                 nprobe=_IVF_TRAINED_NPROBE, k=10,
+                                 shortlist=_HAMMING_SHORTLIST,
+                                 planes=planes, sim_col="sim")
+    return top.select("vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
 def _hamming_recall_oracle() -> str:
     from openai_vector_search_demo_spark.operators.ann import hyperplanes
     planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
@@ -10255,10 +10303,14 @@ PROOF_WINDOW: list[str] = [
     # oracle at threshold 0.4).  dedup_minhash_lsh rotated out late-r11
     # for the curve slot (receipted r1-r10; the near-dup family keeps
     # five in-window receipts: dedup_battery, curation_pipeline,
-    # decontaminate_overlap_fraction, neardup_triangle_counts,
+    # decontaminate_overlap_fraction (battery), neardup_triangle_counts,
     # split_leakage_audit).
     "curation_pipeline",
-    "decontaminate_overlap_fraction",
+    # decontaminate_overlap_fraction rotated out late-r11 (receipted
+    # r8-r10; decontamination stays in-window via curation_battery's
+    # decontaminate_vs_benchmark member) for the composed rung's stored
+    # read path, receipted from birth (same oracle as its inline twin):
+    "ann_ivfhamming_stored_knn",
     # maintenance / validation: upsert_latest_wins + p11_validation_bounds
     # rotated out r11 (receipted r1-r10, pytest-pinned).
     # distributed-analytics singles (+ the r8/r9 scale-safe forms)

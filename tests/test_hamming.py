@@ -192,3 +192,30 @@ def test_ivf_hamming_subset_of_probed_cells(spark, emb):
         row = next(e for e in emb.collect() if e.vec_id == r.vec_id)
         cell = int(np.argmax(np.asarray(row.embedding) @ cent.T))
         assert cell in probes
+
+
+def test_ivf_hamming_stored_equals_inline(spark, emb, tmp_path):
+    """Cell-partitioned signature store + pruned read serves the inline
+    composed values exactly; the store holds ids + sig + cell only."""
+    from openai_vector_search_demo_spark.operators.hamming import (
+        ivf_hamming_knn,
+        ivf_hamming_stored_knn,
+        write_ivf_hamming_index,
+    )
+    rng = np.random.RandomState(21)
+    centroids = [[round(float(x), 6) for x in rng.randn(DIM)]
+                 for _ in range(4)]
+    planes = hyperplanes(DIM, nbits=HAMMING_NBITS, seed=42)
+    store = str(tmp_path / "ivfham")
+    write_ivf_hamming_index(emb, store, centroids, planes=planes)
+    sigs = spark.read.parquet(store)
+    assert set(sigs.columns) == {"vec_id", "label", "sig", "cell"}
+    assert sigs.count() == 40  # NULL row dropped
+    q = [0.2, -0.8, 0.5, 0.9, -0.4, 0.6, -1.0, 0.3]
+    inline = ivf_hamming_knn(emb, q, centroids, nprobe=2, k=6,
+                             shortlist=25, planes=planes).collect()
+    stored = ivf_hamming_stored_knn(spark, store, emb, q, centroids,
+                                    nprobe=2, k=6, shortlist=25,
+                                    planes=planes).collect()
+    assert [(r.vec_id, r.label, round(r.similarity, 12)) for r in inline] \
+        == [(r.vec_id, r.label, round(r.similarity, 12)) for r in stored]
