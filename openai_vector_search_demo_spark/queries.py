@@ -6265,6 +6265,150 @@ FROM per
 """
 
 
+_HAMMING_CURVE_RS = [25, 50, 100]
+
+
+def _hamming_recall_curve_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    rs = ", ".join(f"({r})" for r in _HAMMING_CURVE_RS)
+    return f"""
+WITH corpus AS (SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id >= {_IVF_TRAINED_NQ}
+                  AND embedding IS NOT NULL),
+queries AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+            WHERE vec_id < {_IVF_TRAINED_NQ}),
+{_sql_sig_ctes(planes, "(SELECT vec_id, embedding AS vec FROM corpus)",
+               "vec_id")},
+{_sql_sig_ctes(planes, "(SELECT qid, qv AS vec FROM queries)", "qid",
+               prefix="q")},
+sims AS (SELECT q.qid, e.vec_id, {_MEAN_RECALL_COS} AS sim
+         FROM corpus e CROSS JOIN queries q),
+ham AS (SELECT qs.qid, s.vec_id, bit_count(xor(s.sig, qs.sig)) AS ham
+        FROM sigs s CROSS JOIN qsigs qs),
+rs AS (SELECT * FROM (VALUES {rs}) AS t(r)),
+exact AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY sim DESC, vec_id ASC) AS rn
+            FROM sims) WHERE rn <= 10),
+hr AS (SELECT qid, vec_id,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY ham ASC, vec_id ASC) AS rn
+       FROM ham),
+short AS (SELECT rs.r, hr.qid, hr.vec_id FROM hr CROSS JOIN rs
+          WHERE hr.rn <= rs.r),
+ref AS (SELECT r, qid, vec_id FROM (
+          SELECT sh.r, s.qid, s.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY sh.r, s.qid
+                                    ORDER BY s.sim DESC, s.vec_id ASC)
+                   AS rn
+          FROM sims s JOIN short sh ON sh.qid = s.qid
+                                   AND sh.vec_id = s.vec_id)
+        WHERE rn <= 10),
+per AS (SELECT rs.r, e.qid,
+               SUM(CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0
+                 AS recall
+        FROM exact e CROSS JOIN rs
+        LEFT JOIN ref f ON f.r = rs.r AND f.qid = e.qid
+                       AND f.vec_id = e.vec_id
+        GROUP BY 1, 2)
+SELECT r AS shortlist, ROUND(AVG(recall), 3) AS mean_recall_at_10
+FROM per GROUP BY r ORDER BY r
+"""
+
+
+@query("ann_hamming_recall_curve", oracle=_hamming_recall_curve_oracle())
+def ann_hamming_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The refine-BUDGET tradeoff curve for the binary tier: recall@10
+    vs shortlist R ∈ {{25, 50, 100}} (R = the number of fp32 point-reads
+    each query pays at the refine stage) — receipts the family's R=100
+    default as a measured choice rather than a constant.  Same one-pass
+    relation as ``ann_hamming_recall_at_10``; each R is a pair of rank
+    windows keyed (R, qid) over it — a curve point costs windows, never
+    a rescan (the ``ann_ivf_recall_curve`` pattern applied to the
+    budget axis instead of the probe axis)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+    from openai_vector_search_demo_spark.operators.ann import hyperplanes
+
+    emb = t(spark, sf_dir, "embeddings")
+    planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
+    pl = np.asarray(planes, dtype=np.float64)
+
+    qrows = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+             .select("vec_id", "embedding").orderBy("vec_id").collect())
+    qids = np.array([int(r.vec_id) for r in qrows], dtype=np.int64)
+    qmat = np.array([[float(x) for x in r.embedding] for r in qrows],
+                    dtype=np.float64)
+    qnorms = np.linalg.norm(qmat, axis=1)
+    qnorms[qnorms == 0] = 1.0
+    qbits = ((qmat @ pl.T) >= 0.0).astype(np.int64)
+    nbits = pl.shape[0]
+
+    corpus = (emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
+              .select("vec_id", "embedding"))
+
+    def sims_and_ham(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = ((mat @ pl.T) >= 0.0).astype(np.int64)
+            agree = bits @ qbits.T + (1 - bits) @ (1 - qbits).T
+            ham = (nbits - agree).astype(np.int64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sim = (mat @ qmat.T) / np.outer(norms, qnorms)
+            n, nq = len(pdf), len(qids)
+            yield pd.DataFrame({
+                "qid": np.tile(qids, n),
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                "sim": sim.ravel(),
+                "ham": ham.ravel(),
+            })
+
+    sims = corpus.mapInPandas(
+        sims_and_ham, "qid bigint, vec_id bigint, sim double, ham bigint")
+    rs_df = spark.createDataFrame([(r,) for r in _HAMMING_CURVE_RS],
+                                  "r int")
+    with cache_scope():
+        sims = scoped_persist(sims)
+        w_sim = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                                  F.col("vec_id").asc())
+        w_ham = Window.partitionBy("qid").orderBy(F.col("ham").asc(),
+                                                  F.col("vec_id").asc())
+        exact = (sims.withColumn("rn", F.row_number().over(w_sim))
+                 .filter(F.col("rn") <= 10).select("qid", "vec_id"))
+        hr = sims.withColumn("rn", F.row_number().over(w_ham))
+        short = (hr.crossJoin(F.broadcast(rs_df))
+                 .filter(F.col("rn") <= F.col("r"))
+                 .select("r", "qid", "vec_id", "sim"))
+        w_rq = Window.partitionBy("r", "qid").orderBy(
+            F.col("sim").desc(), F.col("vec_id").asc())
+        ref = (short.withColumn("rn", F.row_number().over(w_rq))
+               .filter(F.col("rn") <= 10)
+               .select("r", "qid", "vec_id").withColumn("hit", F.lit(1)))
+        base = (exact.crossJoin(F.broadcast(rs_df)))
+        per = (base.join(ref, ["r", "qid", "vec_id"], "left")
+               .groupBy("r", "qid")
+               .agg((F.sum(F.coalesce(F.col("hit"), F.lit(0))) / 10.0)
+                    .alias("recall")))
+        out = (per.groupBy("r")
+               .agg(F.round(F.avg("recall"), 3).alias("mean_recall_at_10"))
+               .select(F.col("r").alias("shortlist"), "mean_recall_at_10")
+               .orderBy("shortlist"))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @query("ann_hamming_recall_at_10", oracle=_hamming_recall_oracle())
 def ann_hamming_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the binary-signature tier vs exact brute force on the
@@ -10291,8 +10435,12 @@ PROOF_WINDOW: list[str] = [
     # plus the r11 merge-on-read upsert equivalence slot (receipted from
     # birth — its oracle is the full-rebuild values).
     "ann_ivfpq_stored_refine_knn", "ann_ivfpq_upsert_knn",
-    # late interaction (new r9 family): inline + stored-index read path
-    "late_interaction_topk", "late_interaction_stored_topk",
+    # late interaction (r9 family): the stored read path rotated out
+    # late-r11 (receipted r9+r10; inline twin stays) for the binary
+    # refine-budget curve, receipted from birth (R=25/50/100 →
+    # 0.31/0.475/0.635 at sf0.01 — the family's R=100 default measured):
+    "late_interaction_topk",
+    "ann_hamming_recall_curve",
     # the nprobe→(recall, scan) tradeoff curve as one oracled row set
     # (new late-r11, receipted from birth: 0.35@6.8% / 0.635@20% /
     # 0.845@38.1% at sf0.01)
