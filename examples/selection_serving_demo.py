@@ -135,6 +135,20 @@ def main() -> None:
         print("6. binary store (8 B/vec, zero training) serves top-5:",
               [(r.vec_id, round(r.similarity, 4)) for r in btop])
 
+        # 7. the composed rung: cell-pruned binary store (the cheapest
+        #    read path — ~(nprobe/nlist) x 8 B/row)
+        from openai_vector_search_demo_spark.operators.hamming import (
+            ivf_hamming_stored_knn,
+            write_ivf_hamming_index,
+        )
+        comp_store = f"{tmp}/ivfham"
+        write_ivf_hamming_index(base, comp_store, IVF_TRAINED_CENTROIDS)
+        ctop = ivf_hamming_stored_knn(spark, comp_store, base, qvec,
+                                      IVF_TRAINED_CENTROIDS, nprobe=24,
+                                      k=5, shortlist=100).collect()
+        print("7. cell-pruned binary store (24/64 cells) serves top-5:",
+              [(r.vec_id, round(r.similarity, 4)) for r in ctop])
+
     spark.stop()
 
 
