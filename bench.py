@@ -153,6 +153,7 @@ HEADLINE = [
     "corpus_snapshot_drift",  # PSI/JSD snapshot gate, scan-bound (r11)
     "hard_negative_mining",  # contrastive-training negatives, 20 anchors (r11)
     "source_quota_cap",     # per-source best-N cap, quality-ranked (r11)
+    "ta_blocklist_gate",    # C4 wordlist gate + removal-rate audit (r11)
     "mixture_allocation",   # mixture planning: shares/targets/epochs (r11)
     "split_leakage_audit",  # near-dup pairs straddling train/val/test (r11)
     "dsir_resample_topk",   # DSIR selection: hashed n-grams + Gumbel (r11)

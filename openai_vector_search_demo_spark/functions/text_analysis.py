@@ -648,3 +648,33 @@ def vocab_coverage(df, sizes: list[int], text_col: str = "text"):
                     F.round(F.lit(1.0) - F.col("covered_tokens")
                             / F.col("total_tokens").cast("double"), 6)
                     .alias("oov_rate")))
+
+
+# ---------------------------------------------------------------------------
+# Blocklist gate (the C4 "bad words" stage, Raffel et al. JMLR 2020 §2.2 —
+# documents containing any term from a policy wordlist are dropped before
+# training).  The ENGINE ships the mechanism, not a policy list: callers
+# pass their own terms (the slot registers a neutral placeholder list so
+# the mechanism is oracle-checked; a deployment swaps in its policy list).
+# ---------------------------------------------------------------------------
+
+def blocklist_hits(c: Column | str, terms: list[str]) -> Column:
+    """Number of tokens matching the blocklist (with multiplicity,
+    case-insensitive via the shared tokenizer) — pure codegen, the
+    ``lang_hits`` machinery pointed at a caller-supplied list."""
+    marks = F.array(*[F.lit(t.lower()) for t in sorted(set(terms))])
+    return F.size(F.filter(tokens(c),
+                           lambda t: F.array_contains(marks, t)))
+
+
+def with_blocklist_flag(df, terms: list[str], text_col: str = "text",
+                        max_hits: int = 0,
+                        hits_col: str = "blocklist_hits",
+                        flag_col: str = "blocked"):
+    """Per-document hit count + the gate flag (``hits > max_hits`` —
+    the C4 rule is max_hits=0: one hit drops the page).  Filter on
+    ``~blocked`` to apply; keeping the flag instead of dropping rows
+    preserves the audit trail the removal-rate reports need."""
+    hits = blocklist_hits(text_col, terms)
+    return (df.withColumn(hits_col, hits)
+            .withColumn(flag_col, F.col(hits_col) > max_hits))

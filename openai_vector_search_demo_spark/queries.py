@@ -6722,6 +6722,54 @@ def streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "feature string, n_buckets bigint, psi double, jsd double")
 
 
+# Neutral placeholder blocklist (fixture vocabulary) — the SLOT checks
+# the gate mechanism; a deployment swaps in its policy wordlist.
+_BLOCKLIST_DEMO = ["dup", "deadlock"]  # "dup" fires (~5% of docs), "deadlock" pins the zero-hit path
+
+
+@query("ta_blocklist_gate", oracle=rf"""
+WITH tok AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang,
+             len(list_filter(toks, t -> list_contains(
+               [{", ".join(repr(t) for t in sorted(_BLOCKLIST_DEMO))}], t)))
+               AS hits
+      FROM tok)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS n_blocked,
+       SUM(hits) AS total_hits,
+       ROUND(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS removal_rate
+FROM h GROUP BY lang ORDER BY lang
+""")
+def ta_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDLIST GATE — the C4 "bad words" stage (Raffel et al. JMLR
+    2020 §2.2: any blocklist hit drops the page) as an audited filter:
+    per language, documents gated vs kept, total hits, and the removal
+    rate the pipeline's curation report tracks (a removal-rate jump is
+    itself a drift alarm — this slot feeds the same report as
+    ``corpus_snapshot_drift``).  The engine ships the MECHANISM
+    (``text_analysis.with_blocklist_flag`` — the codegen stopword-hit
+    machinery pointed at a caller-supplied list); the registered list
+    is a neutral fixture-vocabulary placeholder, swapped for the policy
+    list in deployment.  Pure codegen, one scan, map-side-combined
+    aggregate."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        with_blocklist_flag,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    flagged = with_blocklist_flag(docs, _BLOCKLIST_DEMO)
+    return (flagged.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+                 .alias("n_blocked"),
+                 F.sum("blocklist_hits").alias("total_hits"),
+                 F.round(F.sum(F.when(F.col("blocked"), 1).otherwise(0))
+                         / F.count(F.lit(1)), 6).alias("removal_rate"))
+            .orderBy("lang"))
+
+
 @query("tfidf_cosine_pairs", oracle=rf"""
 WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
@@ -10468,10 +10516,13 @@ PROOF_WINDOW: list[str] = [
     # in-window this round), rfm_quantile (twin rfm_segmentation
     # in-window), tfidf_cosine_pairs_capped (twin tfidf_cosine_pairs
     # in-window).
-    "events_funnel_auto",
-    # per-source quota cap, mixture planning, split-leakage audit
-    # (new r11, receipted from birth)
+    # events_funnel_auto rotated out late-r11 (receipted r8-r10; the
+    # funnel family keeps its benched events_funnel + the fold/njoin
+    # parity pytests) for the wordlist gate, receipted from birth.
+    # per-source quota cap, mixture planning, split-leakage audit,
+    # C4-style wordlist gate (new r11, receipted from birth)
     "source_quota_cap", "mixture_allocation", "split_leakage_audit",
+    "ta_blocklist_gate",
     # r11 receipt-ledger zeroing (judge #3): the five never-receipted
     # queries rotate through once — the three oracled variant twins
     # (kept for contrast with their scale-safe forms) and the two

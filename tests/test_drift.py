@@ -151,3 +151,22 @@ def test_stream_gate_multi_batch_converges(spark, frame, tmp_path):
     # the interim report is a valid 2-feature report too (gate emits
     # continuously, not only at end-of-stream)
     assert len(reports[0]) == 2
+
+
+def test_blocklist_gate_mechanism(spark):
+    """Hits count with multiplicity, case-insensitive; max_hits moves
+    the gate; empty blocklist blocks nothing."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        with_blocklist_flag,
+    )
+    df = spark.createDataFrame(
+        [(1, "Bad BAD thing"), (2, "all clean here"), (3, "bad once")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.blocklist_hits, r.blocked)
+           for r in with_blocklist_flag(df, ["bad"]).collect()}
+    assert out == {1: (2, True), 2: (0, False), 3: (1, True)}
+    lax = {r.doc_id: r.blocked
+           for r in with_blocklist_flag(df, ["bad"], max_hits=1).collect()}
+    assert lax == {1: True, 2: False, 3: False}
+    none = with_blocklist_flag(df, []).filter("blocked").count()
+    assert none == 0
