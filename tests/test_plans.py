@@ -527,3 +527,28 @@ def test_drift_report_is_codegen_with_tiny_shuffle(spark):
     assert "CartesianProduct" not in p
     # map-side combine before the (feature, bucket) exchange
     assert "partial_sum" in p or "HashAggregate" in p
+
+
+def test_blocklist_gate_is_single_scan_codegen(spark):
+    p = plan_of(spark, "ta_blocklist_gate")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+
+
+def test_mixture_allocation_broadcasts_totals(spark):
+    """The 1-row totals frame must broadcast into the per-source plan —
+    never a shuffle of the aggregate."""
+    p = plan_of(spark, "mixture_allocation")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_split_leakage_no_cartesian_no_python(spark):
+    """The near-dup pair relation comes from the banded shingle join —
+    never an all-pairs product — and the whole audit stays JVM-side."""
+    p = plan_of(spark, "split_leakage_audit")
+    assert "CartesianProduct" not in p
+    # the one Python stage is the documented ARROW-vectorized hashlib
+    # shingle hasher (shingle_hashes_fast); row-at-a-time must not appear
+    assert "BatchEvalPython" not in p
+    assert "MapInPandas" not in p
