@@ -57,6 +57,10 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     L1-normalized to sum 1 and rounded at ``round_dp`` in-engine."""
     from openai_vector_search_demo_spark.caching import scoped_persist
 
+    if iters < 1:
+        # iters=0 would return (uniform hubs, None) — callers unpacking
+        # (hubs, auths) get a None frame.  Mirror the empty-edge check.
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     e = scoped_persist(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
                      F.col(weight).alias("_w")))
@@ -78,6 +82,14 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
         # nodes.count() bounded-collect pattern).
         raw = scoped_persist(df)
         total = raw.agg(F.sum(col)).first()[0]
+        if not total:
+            # All-zero (or all-null) weights: SUM is 0 or NULL and the
+            # division would litter every score with null/NaN.  Degenerate
+            # input, not a normalization case — fail loudly.
+            raise ValueError(
+                f"hits: L1 total of '{col}' is {total!r} — all edge "
+                "weights along this pull are zero/null; scores are "
+                "undefined (check the weight column)")
         return raw.select(
             "node",
             F.round(F.col(col) / F.lit(float(total)), round_dp).alias(col))

@@ -505,8 +505,17 @@ def upsert_ivfpq_index(spark, df: DataFrame, path: str,
     import os
 
     existing = spark.read.option("basePath", path).parquet(path)
-    cols = keep_cols or [c for c in df.columns
-                         if c not in (vec_col,)]
+    # Columns come from the STORE's schema, not the batch's (ADVICE r11):
+    # a delete batch is invited to carry only ids, and tombstone files
+    # written with a narrower schema would let a non-mergeSchema read
+    # that samples such a file's footer silently drop the store's meta
+    # columns (e.g. label) for the whole store.  Tombstone rows copy
+    # their meta values from the existing store rows they shadow; fresh
+    # data rows must supply every store meta column (the select below
+    # fails loudly if the batch lacks one).
+    cols = keep_cols or [c for c in existing.columns
+                         if c not in ("cell", "codes", "batch",
+                                      "tombstone")]
     prev_max = existing.agg(
         F.max(F.coalesce(F.col("batch"), F.lit(0)))).first()[0]
     batch = int(prev_max or 0) + 1

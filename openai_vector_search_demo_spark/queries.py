@@ -36,6 +36,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
+_CTE_HEADER_RE = re.compile(r"(\w+)(\s*\([\w\s,]*\))?(\s+AS\s+)\(",
+                            re.IGNORECASE)
+_WITH_RE = re.compile(r"WITH\b(\s+RECURSIVE\b)?", re.IGNORECASE)
+
+
 def _materialize_ctes(sql: str) -> str:
     """Force every CTE in an oracle MATERIALIZED.  DuckDB inlines a CTE
     per reference by default; oracles that reference a predecessor more
@@ -45,22 +50,116 @@ def _materialize_ctes(sql: str) -> str:
     per reference — measured 2^pulls blowups (HITS 7.1 s → 0.04 s,
     kmeans 2.0 → 0.05 s, dedup_battery 3.8 → 0.35 s at sf0.01, values
     identical — the full plain-vs-materialized value-equality sweep ran
-    over every window oracle before this landed).  Statements with
-    RECURSIVE CTEs are left untouched (MATERIALIZED is not valid on
-    them), as are statements with named-WINDOW clauses (``WINDOW w AS
-    (…)`` matches the same ``name AS (`` shape and must not be
-    annotated); anything already annotated is unaffected."""
-    if "RECURSIVE" in sql:
-        return sql
-    if re.search(r"\bWINDOW\s+\w+\s+AS\s*\(", sql):
-        return sql
-    return re.sub(r"\b(\w+) AS \(", r"\1 AS MATERIALIZED (", sql)
+    over every window oracle before this landed).
+
+    The rewrite is ANCHORED to true CTE-header positions (ADVICE r11):
+    a character scan skips string literals, quoted identifiers, and
+    comments, tracks paren depth, and annotates ``name [(cols)] AS (``
+    only where the grammar allows a CTE header — immediately after a
+    ``WITH`` or after a list-level comma that follows a closed CTE
+    body.  Consequences the old whole-string regex got wrong: a
+    ``'… AS ('`` inside a string literal is untouched; the word
+    RECURSIVE in a literal or comment no longer disables the transform
+    for the whole statement (only a real ``WITH RECURSIVE`` list is
+    left plain, where MATERIALIZED is invalid); named-WINDOW clauses
+    (``WINDOW w AS (…)``) sit outside any CTE-list position and need
+    no special-case guard; nested WITHs inside CTE bodies or subqueries
+    are annotated independently."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    depth = 0
+    # stack of open CTE lists: [depth, recursive, armed]; armed means the
+    # next `name AS (` at this depth is a header (right after WITH / ,)
+    lists: list[list] = []
+
+    def word_start(k: int) -> bool:
+        return k == 0 or not (sql[k - 1].isalnum() or sql[k - 1] == "_")
+
+    while i < n:
+        c = sql[i]
+        if c == "'":  # string literal ('' escapes)
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == '"':  # quoted identifier
+            j = sql.find('"', i + 1)
+            j = n - 1 if j == -1 else j
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if c == "-" and sql[i:i + 2] == "--":
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c == "/" and sql[i:i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            j = n - 2 if j == -1 else j
+            out.append(sql[i:j + 2])
+            i = j + 2
+            continue
+        if c == "(":
+            depth += 1
+            out.append(c)
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            out.append(c)
+            i += 1
+            if lists and depth == lists[-1][0]:
+                # a CTE body just closed back to its list depth: a comma
+                # continues the list, anything else ends it
+                k = i
+                while k < n and sql[k].isspace():
+                    k += 1
+                if k < n and sql[k] == ",":
+                    lists[-1][2] = True
+                else:
+                    lists.pop()
+            continue
+        if c in "Ww" and word_start(i):
+            m = _WITH_RE.match(sql, i)
+            if m:
+                lists.append([depth, bool(m.group(1)), True])
+                out.append(m.group(0))
+                i = m.end()
+                continue
+        if (lists and lists[-1][2] and depth == lists[-1][0]
+                and (c.isalpha() or c == "_") and word_start(i)):
+            m = _CTE_HEADER_RE.match(sql, i)
+            if m:
+                lists[-1][2] = False
+                if lists[-1][1]:  # RECURSIVE list: leave plain
+                    out.append(m.group(0))
+                else:
+                    out.append(f"{m.group(1)}{m.group(2) or ''}"
+                               f"{m.group(3)}MATERIALIZED (")
+                depth += 1  # the header's '(' was consumed
+                i = m.end()
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+RAW_ORACLE_SQL: dict[str, str] = {}  # pre-transform, for transform tests
 
 
 def query(name: str, oracle: str | None = None):
     def deco(fn):
         SPARK_QUERIES[name] = fn
         if oracle is not None:
+            RAW_ORACLE_SQL[name] = oracle
             ORACLE_SQL[name] = _materialize_ctes(oracle)
         return fn
     return deco
@@ -4446,7 +4545,8 @@ _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 @query("json_extract_props", oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 10
@@ -6644,7 +6744,7 @@ kept AS (SELECT doc_id, source, quality FROM r WHERE rn <= 100)
 SELECT k.source,
        COUNT(*) AS n_kept,
        ROUND(MIN(k.quality), 6) AS min_quality_kept,
-       SUM(len({_SQL_TOKS})) AS n_tokens_kept
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens_kept
 FROM kept k JOIN documents USING (doc_id)
 GROUP BY k.source ORDER BY k.source
 """.replace("{ta_quality}", ORACLE_SQL["ta_quality_score"]))
@@ -6736,8 +6836,9 @@ h AS (SELECT doc_id, lang,
       FROM tok)
 SELECT lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS n_blocked,
-       SUM(hits) AS total_hits,
+       CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_blocked,
+       CAST(SUM(hits) AS BIGINT) AS total_hits,
        ROUND(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
          AS removal_rate
 FROM h GROUP BY lang ORDER BY lang
@@ -8603,10 +8704,10 @@ def tpch_q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("tpch_q12_priority_shipping", oracle="""
 SELECT CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
@@ -9664,7 +9765,7 @@ def events_windows_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("stratified_mix_sample", oracle=f"""
 SELECT source, COUNT(*) AS n_docs,
-       SUM(len({_SQL_TOKS})) AS n_tokens
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
 FROM documents
 WHERE CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15))
            AS BIGINT) % 1000000
@@ -10302,7 +10403,8 @@ def pack_sequences_512_string_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("pack_stats_512", oracle=rf"""
 WITH {_PACK_ORACLE_CTE}
 SELECT grp, CAST(start_offset // 512 AS INTEGER) AS bin_in_grp,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS tokens_starting
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_starting
 FROM c GROUP BY 1, 2 ORDER BY 1, 2
 """)
 def pack_stats_512(spark: SparkSession, sf_dir: str) -> DataFrame:

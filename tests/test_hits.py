@@ -52,6 +52,25 @@ def test_empty_edges_raise(spark):
         hits(df)
 
 
+def test_iters_below_one_raises(supply):
+    """ADVICE r11: iters=0 used to return (uniform hubs, None) — a None
+    authorities frame for any caller unpacking the pair."""
+    from openai_vector_search_demo_spark.operators.hits import hits
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="iters"):
+            hits(supply, iters=bad)
+
+
+def test_all_zero_weights_raise_not_null_scores(spark):
+    """ADVICE r11: an all-zero weight column made the L1 total 0, and the
+    division produced null scores; now it fails loudly."""
+    from openai_vector_search_demo_spark.operators.hits import hits
+    df = spark.createDataFrame(
+        [("a", 1, 0), ("b", 1, 0)], "src string, dst int, w int")
+    with pytest.raises(ValueError, match="zero"):
+        hits(df, iters=1)[1].collect()
+
+
 def test_checkpoint_every_pins_plan_depth(supply):
     from openai_vector_search_demo_spark.operators.hits import hits
 

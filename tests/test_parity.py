@@ -61,6 +61,37 @@ def canon_rows(cols, rows):
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
 
 
+_INTEGRAL_SPARK = ("ByteType", "ShortType", "IntegerType", "LongType")
+
+
+def assert_oracle_pandas_dtypes(name, sdf, srows, con, sql):
+    """Driver-dtype parity (VERDICT r11 #2): the real driver fetches the
+    oracle via pandas (``.df()``), where DuckDB HUGEINT — e.g. an un-CAST
+    ``SUM()`` over integers — lands as float64 while Spark emits int64,
+    so the value hash mismatches even when every cell is equal
+    (CORRECTNESS_r11: source_quota_cap / ta_blocklist_gate).  fetchall()
+    hides this (HUGEINT -> plain int), so this check goes through
+    ``.df()`` exactly like the driver: any oracle column that is
+    pandas-float where the Spark schema is integral (and the Spark rows
+    are null-free, since nullable ints legitimately float through
+    pandas on BOTH sides) is a gate failure waiting for its rotation."""
+    import pandas as pd
+
+    odf = con.execute(sql).df()
+    spark_kind = {f.name: type(f.dataType).__name__ for f in sdf.schema.fields}
+    for j, col in enumerate(sdf.columns):
+        if spark_kind[col] not in _INTEGRAL_SPARK:
+            continue
+        if any(r[j] is None for r in srows):
+            continue
+        if col in odf.columns and pd.api.types.is_float_dtype(odf[col].dtype):
+            raise AssertionError(
+                f"{name}: oracle column '{col}' is {odf[col].dtype} under "
+                "pandas (.df(), the driver's path) but the Spark schema is "
+                "integral — likely an un-CAST integer SUM() (DuckDB HUGEINT); "
+                "wrap it in CAST(... AS BIGINT)")
+
+
 ORACLES = entrymod.oracle_sql()
 ALL = list(entrymod.queries().items())
 
@@ -82,6 +113,7 @@ def test_query_matches_oracle(spark, name, fn):
     assert sorted(scols) == sorted(ocols), f"{name}: column mismatch {scols} vs {ocols}"
     assert len(srows) == len(orows), f"{name}: row count {len(srows)} vs {len(orows)}"
     assert canon_rows(scols, srows) == canon_rows(ocols, orows), f"{name}: value mismatch"
+    assert_oracle_pandas_dtypes(name, sdf, srows, con, ORACLES[name])
 
 
 # ---------------------------------------------------------------------------
@@ -166,6 +198,31 @@ def test_gate_shape_rejects_array_columns(spark):
         assert_atomic_schema("prefix_kmeans_shape", df)
     with pytest.raises(TypeError, match="non-atomic"):
         canon_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_dtype_gate_catches_hugeint_oracle(spark):
+    """A slot shaped like the pre-fix r11 source_quota_cap — Spark bigint
+    vs an oracle whose un-CAST integer SUM() returns HUGEINT (float64
+    through pandas) — must fail the dtype layer even though fetchall()
+    values match bit-for-bit (exactly how 46/50 shipped)."""
+    sdf = spark.createDataFrame([("a", 10)], "k string, total bigint")
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    bad = "SELECT 'a' AS k, SUM(x) AS total FROM (SELECT UNNEST([1,2,3,4]) x)"
+    assert con.execute(bad).fetchall() == [("a", 10)]  # fetchall hides it
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_oracle_pandas_dtypes("prefix_r11_shape", sdf, srows, con, bad)
+    good = bad.replace("SUM(x)", "CAST(SUM(x) AS BIGINT)")
+    assert_oracle_pandas_dtypes("fixed_r11_shape", sdf, srows, con, good)
+
+
+def test_dtype_gate_is_wired_into_the_query_gate():
+    """The dtype layer must stay inside the per-query gate replica, so
+    every oracled registration is dtype-checked from birth (r12 rotation
+    hygiene: 'receipted from birth' means dtype-checked birth)."""
+    import inspect
+    src = inspect.getsource(test_query_matches_oracle)
+    assert "assert_oracle_pandas_dtypes(name, sdf, srows, con," in src
 
 
 def test_gate_shape_every_registered_query_is_atomic_typed():

@@ -99,6 +99,33 @@ def test_delete_tombstones_id_everywhere(spark, tmp_path, parts):
     assert victim not in [v for v, _ in _knn(spark, store, qvec, cent, cb)]
 
 
+def test_ids_only_delete_batch_keeps_store_meta_schema(spark, tmp_path,
+                                                       parts):
+    """ADVICE r11: a delete batch carrying ONLY ids (the docstring-invited
+    shape) must not append tombstone files with a narrower schema — a
+    non-mergeSchema read that samples such a file's footer would silently
+    drop the store's meta columns (e.g. label) for every row.  Tombstones
+    now copy meta columns from the store rows they shadow."""
+    from openai_vector_search_demo_spark.operators.pq import (
+        upsert_ivfpq_index, write_ivfpq_index)
+    base, qvec, cent, cb = parts
+    labeled = base.withColumn(
+        "label", F.concat(F.lit("doc-"), F.col("vec_id")))
+    store = str(tmp_path / "meta")
+    write_ivfpq_index(labeled, store, cent, cb)
+    victim = _knn(spark, store, qvec, cent, cb)[0][0]
+    ids_only = labeled.filter(F.col("vec_id") == victim).select("vec_id")
+    upsert_ivfpq_index(spark, ids_only, store, cent, cb, delete=True)
+    rows = spark.read.option("basePath", store).parquet(store)
+    assert "label" in rows.columns
+    # every file (including the tombstone batch) carries label populated
+    assert rows.filter(F.col("label").isNull()).count() == 0
+    tomb = rows.filter(F.col("tombstone"))
+    assert tomb.count() >= 1
+    assert tomb.filter(F.col("label") == f"doc-{victim}").count() >= 1
+    assert victim not in [v for v, _ in _knn(spark, store, qvec, cent, cb)]
+
+
 def test_compaction_resolves_and_clears_marker(spark, tmp_path, parts):
     from openai_vector_search_demo_spark.operators.pq import (
         _UPSERT_MARKER, compact_ivfpq_index, upsert_ivfpq_index,
