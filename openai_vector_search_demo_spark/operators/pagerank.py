@@ -83,9 +83,24 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     ein = scoped_persist(
         edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"),
                      F.col(weight).alias("_w")))
-    nodes = scoped_persist(
-        ein.select(F.col("_src").alias("node"))
-        .union(ein.select(F.col("_dst").alias("node"))).distinct())
+    nodes = ein.select(F.col("_src").alias("node")).union(
+        ein.select(F.col("_dst").alias("node"))).distinct()
+    if dangling == "redistribute":
+        # The sink flag is carried as a column ON the node set (and so
+        # on every rank vector) rather than kept as a separate sink-node
+        # relation: the per-round dangling sum then needs no semi-join —
+        # just a conditional aggregate over the cached ranks.  Paired
+        # same-session A/B (scripts/ab_pagerank_dangling_fold.py): a
+        # wash at sf0.1 (+0.15 s on 4.1), −11% at sf1 (7.26 → 6.44 s),
+        # where the dropped per-round join/broadcast stages matter.
+        srcs = ein.select(F.col("_src").alias("node")).distinct()
+        nodes = (nodes
+                 .join(srcs.withColumn("_has_out", F.lit(True)),
+                       "node", "left")
+                 .select("node",
+                         F.coalesce(F.col("_has_out"), F.lit(False))
+                         .alias("_out")))
+    nodes = scoped_persist(nodes)
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank: empty edge relation")
@@ -93,28 +108,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = scoped_persist(
         ein.join(outw, "_src")
         .select("_src", "_dst", (F.col("_w") / F.col("_tw")).alias("_p")))
-    dang = None
-    if dangling == "redistribute":
-        dang = scoped_persist(
-            nodes.join(ein.select(F.col("_src").alias("node")).distinct(),
-                       "node", "left_anti"))
     tele = (1.0 - damping) / n
-    ranks = nodes.select("node",
+    carry = ["node"] if dangling == "none" else ["node", "_out"]
+    ranks = nodes.select(*carry,
                          F.round(F.lit(1.0) / F.lit(n), round_dp)
                          .alias("pr"))
     for i in range(iters):
-        contrib = (e.join(ranks, e["_src"] == ranks["node"])
-                   .groupBy("_dst")
-                   .agg(F.sum(F.col("pr") * F.col("_p")).alias("_s"))
-                   .withColumnRenamed("_dst", "node"))
-        if dang is None:
-            new_pr = F.round(
-                F.lit(tele)
-                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
-                round_dp)
-            ranks = (nodes.join(contrib, "node", "left")
-                     .select("node", new_pr.alias("pr")))
-        else:
+        if dangling == "redistribute":
             # Dangling mass: the per-round sink-rank sum is rounded
             # IN-ENGINE (determinism contract) and collected as ONE
             # driver scalar that re-enters the plan as a literal.  An
@@ -124,18 +124,29 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             # recomputing the chain for the scalar, ranks is persisted
             # for the round (one row per node — bounded).
             ranks = scoped_persist(ranks)
-            dm = (ranks.join(dang, "node", "semi")
-                  .agg(F.round(F.coalesce(F.sum("pr"), F.lit(0.0)),
-                               round_dp)).first()[0])
+            dm = (ranks.agg(
+                F.round(F.coalesce(
+                    F.sum(F.when(~F.col("_out"), F.col("pr"))),
+                    F.lit(0.0)), round_dp)).first()[0])
+        contrib = (e.join(ranks, e["_src"] == ranks["node"])
+                   .groupBy("_dst")
+                   .agg(F.sum(F.col("pr") * F.col("_p")).alias("_s"))
+                   .withColumnRenamed("_dst", "node"))
+        if dangling == "none":
+            new_pr = F.round(
+                F.lit(tele)
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                round_dp)
+        else:
             new_pr = F.round(
                 F.lit(tele)
                 + F.lit(damping)
                 * (F.coalesce(F.col("_s"), F.lit(0.0))
                    + F.lit(float(dm)) / F.lit(n)),
                 round_dp)
-            ranks = (nodes.join(contrib, "node", "left")
-                     .select("node", new_pr.alias("pr")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select(*carry, new_pr.alias("pr")))
         if checkpoint_every and (i + 1) % checkpoint_every == 0 \
                 and (i + 1) < iters:
             ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+    return ranks.select("node", "pr")

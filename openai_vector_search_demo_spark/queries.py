@@ -9702,6 +9702,14 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
     "events_funnel": [
         ("conversion", "d"), ("event_type", "s"), ("step", "s"),
         ("users", "s")],
+    "pareto_abc_customers": [
+        ("klass", "s"), ("max_cum_share", "d"), ("min_cum_share", "d"),
+        ("n_customers", "s"), ("revenue", "d")],
+    "rfm_segmentation": [
+        ("custkey", "s"), ("f", "s"), ("frequency", "s"), ("m", "s"),
+        ("monetary", "d"), ("r", "s"), ("recency_us", "s"), ("rfm", "s")],
+    "tfidf_cosine_pairs": [
+        ("cosine", "d"), ("id_a", "s"), ("id_b", "s")],
 }
 
 
@@ -10488,6 +10496,29 @@ def multimodal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-*checkable*: the oracle pins the expected (query_name, n_rows,
     digest) rows as literals (``_MULTIMODAL_PINNED``)."""
     return _battery(spark, sf_dir, _MULTIMODAL_BATTERY)
+
+
+# The three global-window contrast twins (VERDICT r11 #8): each is the
+# exact-but-scale-unsafe form kept deliberately next to its scale-safe
+# sibling (pareto_abc_quantile / rfm_quantile / tfidf_cosine_pairs_capped,
+# all in analytics_battery) so the contrast stays live in the registry.
+# Their one-round direct receipts (r11 window) would otherwise go stale;
+# the battery gives them a persistent per-round receipt without burning
+# three window slots in future rotations.
+_VARIANTS_BATTERY = [
+    "pareto_abc_customers", "rfm_segmentation", "tfidf_cosine_pairs",
+]
+
+
+@query("variants_battery", oracle=_battery_oracle(_VARIANTS_BATTERY))
+def variants_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-contrast twins in one driver slot: global-window Pareto
+    ABC classing, per-customer RFM scoring via global NTILE, and the
+    uncapped all-pairs TF-IDF cosine join — each exact on the fixture
+    and each documented as the DON'T-run-at-100TB form next to its
+    scale-safe sibling.  One digest per member, each as strict as an
+    individual gate row."""
+    return _battery(spark, sf_dir, _VARIANTS_BATTERY)
 
 
 # ===========================================================================

@@ -149,7 +149,8 @@ def test_battery_members_are_all_registered_and_oracled():
     oracled = entrymod.oracle_sql()
     for fam in (Q._TPCH_BATTERY, Q._ANALYTICS_BATTERY, Q._RETRIEVAL_BATTERY,
                 Q._EVENTS_WINDOWS_BATTERY, Q._CURATION_BATTERY,
-                Q._DEDUP_BATTERY, Q._PROFILE_EVENTS_BATTERY):
+                Q._DEDUP_BATTERY, Q._PROFILE_EVENTS_BATTERY,
+                Q._VARIANTS_BATTERY):
         for m in fam:
             assert m in Q.SPARK_QUERIES and m in oracled, m
     for m in Q._MULTIMODAL_BATTERY:
