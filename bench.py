@@ -160,6 +160,9 @@ HEADLINE = [
     "neardup_triangle_counts",  # triangle density over the dup graph (r11)
     "zorder_curve_sample",  # Morton layout key, pure codegen (r11)
     "curation_pipeline",
+    "ann_ivfpq_compacted_knn",  # compacted store serving: zero-marker read (r12)
+    "quality_classifier_calibration",  # reliability bins over held-out scores (r12)
+    "streaming_neardup_gate",  # live LSH admission gate vs stored band index (r12)
 ]
 
 

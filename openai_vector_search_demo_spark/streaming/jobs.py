@@ -387,6 +387,47 @@ def stream_drift_gate(doc_stream: DataFrame, reference_counts: DataFrame,
             .trigger(availableNow=True))
 
 
+def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
+                        k: int = 3, num_hashes: int = 16, bands: int = 4,
+                        threshold: float = 0.5) -> "DataStreamWriter":
+    """STREAMING NEAR-DUP ADMISSION GATE — the live form of the
+    continuous-ingestion loop ``dedup.write_band_index`` documents:
+    each micro-batch of arriving documents is shingled/MinHashed ONCE
+    (its own Arrow pass only), joined against the STORED band index,
+    and exact-Jaccard verified (``dedup.minhash_lsh_cross_stored``);
+    ``on_result(match_rows, batch_id)`` receives the verified
+    ``(new_id, existing_id, jaccard)`` matches — the hook a deployment
+    points at its admission policy (drop the arrival, or keep it and
+    append its entries to the index for the next batch).
+
+    The streaming layer is wiring only (the engine's streaming design
+    rule): candidate generation and verification are the batch
+    operator's shared helpers, so a completed stream's concatenated
+    matches EQUAL the batch cross-dedup of (stream contents, store) —
+    micro-batches partition the new side and each new doc's matches are
+    computed entirely within its own batch (the oracled
+    ``streaming_neardup_gate`` slot pins this).  Per-batch state is
+    nothing: the store carries all cross-batch knowledge, which is what
+    makes the gate restartable and at-least-once safe (a re-delivered
+    doc just re-reports the same matches)."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_cross_stored,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        matches = minhash_lsh_cross_stored(
+            batch_df.sparkSession, batch_df, store, k=k,
+            num_hashes=num_hashes, bands=bands,
+            threshold=threshold).collect()
+        on_result(matches, batch_id)
+
+    return (doc_stream.writeStream
+            .foreachBatch(gate)
+            .trigger(availableNow=True))
+
+
 def reference_feature_counts(reference: DataFrame,
                              features: dict) -> DataFrame:
     """Static (feature, bucket, ca) counts of the reference snapshot —

@@ -552,3 +552,25 @@ def test_split_leakage_no_cartesian_no_python(spark):
     # shingle hasher (shingle_hashes_fast); row-at-a-time must not appear
     assert "BatchEvalPython" not in p
     assert "MapInPandas" not in p
+
+
+def test_calibration_bins_are_codegen_single_aggregate(spark):
+    """The reliability-diagram slot: one scan of the test split, one
+    10-group hash aggregate, no Python anywhere (features are the
+    classifier's codegen regexp passes)."""
+    p = plan_of(spark, "quality_classifier_calibration")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "HashAggregate" in p
+
+
+def test_compacted_store_read_is_marker_free_and_pruned(spark):
+    """Compaction's whole point in the plan: the compacted store serves
+    WITHOUT the per-(id, cell) latest-wins window the upserted store
+    pays (marker-gated), while staying partition-pruned and
+    Python-free — the zero-maintenance-cost read path, pinned."""
+    p = plan_of(spark, "ann_ivfpq_compacted_knn")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "Window" not in p
+    assert "PartitionFilters" in p or "cell IN" in p

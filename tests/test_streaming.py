@@ -304,3 +304,50 @@ def test_tws_operator_constructs_unstreamed(spark):
     out = stream_user_running_stats_tws(stream)
     assert [f.name for f in out.schema.fields] == [
         "user_id", "n_events", "sum_value", "closed"]
+
+
+def test_stream_neardup_gate_equals_batch_across_microbatches(spark,
+                                                              workdir):
+    """The live near-dup gate's correctness claim: because micro-batches
+    partition the new side and the store carries all cross-batch
+    knowledge, the concatenated per-batch matches EQUAL the batch
+    cross-dedup — here forced through MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over a two-file arrival directory) to pin that
+    the equality does not depend on everything landing in one batch."""
+    import tempfile
+
+    from openai_vector_search_demo_spark.operators.dedup import (
+        minhash_lsh_cross,
+        write_band_index,
+    )
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_neardup_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    new = (docs.filter(F.col("doc_id") % 4 == 0)
+           .withColumn("doc_id", F.col("doc_id") + 1000000))
+    store = str(workdir / "band_store")
+    write_band_index(docs, store, k=3, num_hashes=16, bands=4)
+
+    src = str(workdir / "arrivals")
+    new.filter(F.col("doc_id") % 8 == 0).write.parquet(src)
+    new.filter(F.col("doc_id") % 8 != 0).write.mode("append").parquet(src)
+
+    batches: list = []
+    stream = (spark.readStream.schema(new.schema)
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (stream_neardup_gate(stream, store,
+                             lambda rows, bid: batches.append(rows))
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="neardup_test_"))
+         .start())
+    q.awaitTermination(180)
+
+    assert len(batches) >= 2  # the split actually exercised >1 micro-batch
+    got = {tuple(r) for b in batches for r in b}
+    want = {tuple(r) for r in
+            minhash_lsh_cross(new, docs, k=3, num_hashes=16, bands=4,
+                              threshold=0.5).collect()}
+    assert got == want and len(want) > 0
