@@ -163,6 +163,7 @@ HEADLINE = [
     "ann_ivfpq_compacted_knn",  # compacted store serving: zero-marker read (r12)
     "quality_classifier_calibration",  # reliability bins over held-out scores (r12)
     "streaming_neardup_gate",  # live LSH admission gate vs stored band index (r12)
+    "dedup_ingest_loop",  # 2-batch admit/append loop on a fresh band store (r12)
 ]
 
 

@@ -493,6 +493,50 @@ def minhash_lsh_cross_stored(spark, new: DataFrame, store: str,
         shn.select("id_n", "hs_n"), hs_e, threshold)
 
 
+def ingest_batch_against_index(spark, batch: DataFrame, store: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text",
+                               k: int = 3, num_hashes: int = 16,
+                               bands: int = 4,
+                               threshold: float = 0.5) -> DataFrame:
+    """ONE admission round of the continuous-ingestion dedup loop:
+    shingle/MinHash the arriving batch ONCE, check it against the
+    ``write_band_index`` store, and append the ADMITTED docs' band
+    entries + shingle sets to the store — reusing the same shingled
+    frame for both the verify join and the append, so each batch pays
+    exactly one Arrow pass (the naive check-then-``write_band_index``
+    composition shingles the batch twice).  Returns the verified
+    ``(new_id, existing_id, jaccard)`` matches; the admitted set is
+    ``batch − distinct(new_id)``.  The accumulated corpus is never
+    re-shingled; the caller wraps a loop of these per batch."""
+    sh = _shingle_side(batch, id_col, text_col, k, num_hashes, "n",
+                       cache=True)
+    rows = num_hashes // bands
+    # localCheckpoint, not persist: the append below grows the very
+    # parquet files this plan reads, and a lazily-persisted frame whose
+    # cache fills during the append job re-lists the store and reports
+    # every admitted doc as a jaccard-1.0 SELF-match.  The eager
+    # checkpoint pins the pre-append result (bounded: verified pairs of
+    # ONE batch).
+    matches = _cross_verify(
+        _band_entries(sh, "n", rows, bands),
+        spark.read.parquet(store),
+        sh.select("id_n", "hs_n"), spark.read.parquet(store + "_sigs"),
+        threshold).localCheckpoint(eager=True)
+    rejected = matches.select(F.col("new_id").alias("_rej_id")).distinct()
+    adm = (sh.join(rejected, sh["id_n"] == F.col("_rej_id"),
+                   "left_anti")
+           .select(F.col("id_n").alias("id_e"),
+                   F.col("hs_n").alias("hs_e"), "signature"))
+    adm = scoped_persist(adm)
+    (_band_entries(adm, "e", rows, bands)
+     .repartition(F.col("band"))
+     .write.mode("append").partitionBy("band").parquet(store))
+    adm.select("id_e", "hs_e").write.mode("append").parquet(
+        store + "_sigs")
+    return matches
+
+
 def minhash_lsh_pairs_with_side(df: DataFrame, keep_cols,
                                 id_col: str = "doc_id",
                                 text_col: str = "text", k: int = 3,

@@ -10447,6 +10447,166 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         results, "new_id bigint, existing_id bigint, jaccard double")
 
 
+_HALF_TOKS_SQL = (r"array_to_string(list_slice({t}, 1, len({t}) // 2), ' ')"
+                  .format(t=_SQL_TOKS))
+
+_INGEST_LOOP_ORACLE = rf"""
+WITH
+src AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, {_HALF_TOKS_SQL}
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, {_HALF_TOKS_SQL}
+  FROM documents WHERE doc_id % 4 = 1
+  UNION ALL
+  SELECT doc_id + 2000000, {_HALF_TOKS_SQL}
+  FROM documents WHERE doc_id % 4 = 3
+),
+tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM src),
+sh AS (SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+              ELSE [] END AS shs
+       FROM tok),
+hs AS (SELECT doc_id,
+         list_distinct(list_transform(shs,
+           s -> {_SQL_H60.format(expr='s')})) AS hs
+       FROM sh),
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+mh AS (SELECT ex.doc_id, p.i,
+         MIN((p.a * (ex.h % 2147483647) + p.b) % 2147483647) AS m
+       FROM ex, {{perms}}
+       GROUP BY ex.doc_id, p.i),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+band AS (SELECT doc_id, b.b,
+           {_SQL_H60.format(expr="array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')")} AS bucket
+         FROM sig, UNNEST(range(4)) AS b(b)),
+ver1 AS (SELECT c.new_id,
+           len(list_intersect(hn.hs, he.hs)) * 1.0
+           / (len(hn.hs) + len(he.hs)
+              - len(list_intersect(hn.hs, he.hs))) AS jacc
+         FROM (SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+               FROM band n JOIN band e ON n.b = e.b AND n.bucket = e.bucket
+               WHERE n.doc_id >= 1000000 AND n.doc_id < 2000000
+                 AND e.doc_id < 1000000) c
+         JOIN hs hn ON hn.doc_id = c.new_id
+         JOIN hs he ON he.doc_id = c.existing_id),
+rej1 AS (SELECT DISTINCT new_id FROM ver1 WHERE jacc >= 0.5),
+adm1 AS (SELECT doc_id FROM src
+         WHERE doc_id >= 1000000 AND doc_id < 2000000
+         EXCEPT SELECT new_id FROM rej1),
+ver2 AS (SELECT c.new_id,
+           len(list_intersect(hn.hs, he.hs)) * 1.0
+           / (len(hn.hs) + len(he.hs)
+              - len(list_intersect(hn.hs, he.hs))) AS jacc
+         FROM (SELECT DISTINCT n.doc_id AS new_id, e.doc_id AS existing_id
+               FROM band n JOIN band e ON n.b = e.b AND n.bucket = e.bucket
+               WHERE n.doc_id >= 2000000
+                 AND (e.doc_id < 1000000
+                      OR e.doc_id IN (SELECT doc_id FROM adm1))) c
+         JOIN hs hn ON hn.doc_id = c.new_id
+         JOIN hs he ON he.doc_id = c.existing_id),
+rej2 AS (SELECT DISTINCT new_id FROM ver2 WHERE jacc >= 0.5)
+SELECT * FROM (
+  SELECT 'b1' AS batch,
+         (SELECT COUNT(*) FROM src
+          WHERE doc_id >= 1000000 AND doc_id < 2000000) AS n_arrived,
+         (SELECT COUNT(*) FROM rej1) AS n_rejected,
+         (SELECT COUNT(*) FROM adm1) AS n_admitted
+  UNION ALL
+  SELECT 'b2',
+         (SELECT COUNT(*) FROM src WHERE doc_id >= 2000000),
+         (SELECT COUNT(*) FROM rej2),
+         (SELECT COUNT(*) FROM src WHERE doc_id >= 2000000)
+           - (SELECT COUNT(*) FROM rej2)
+) ORDER BY batch
+""".replace("{perms}", "__PERMS__")
+
+
+def _ingest_loop_oracle() -> str:
+    return _INGEST_LOOP_ORACLE.replace("__PERMS__", _sql_minhash_perms(16))
+
+
+def _half_text_col() -> F.Column:
+    """Rebuild a doc's text from the FIRST HALF of its whitespace tokens
+    (lowered, single-space joined) — the oracle's deterministic
+    'genuinely new but related' arrival: sub-threshold Jaccard against
+    the full original for typical docs, identical across engines because
+    both sides tokenize with the same \\s+ split."""
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda x: x != "")
+    return F.array_join(
+        F.slice(toks, F.lit(1), F.floor(F.size(toks) / 2).cast("int")),
+        " ")
+
+
+@query("dedup_ingest_loop", oracle=_ingest_loop_oracle())
+def dedup_ingest_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CONTINUOUS-INGESTION DEDUP LOOP, end to end (r12) — the
+    pattern ``write_band_index``'s docstring documents, receipted as one
+    slot: build the corpus band index once, then for each arriving
+    batch (1) check it against the store, (2) admit the non-duplicates,
+    (3) append ONLY the admitted docs' band entries/sigs to the store
+    (``mode='append'``), so batch 2 is deduplicated against corpus ∪
+    batch-1 survivors without ever re-shingling the accumulated corpus.
+
+    The seeded arrivals exercise every path: batch 1 mixes verbatim
+    re-arrivals (rejected against the corpus) with half-token variants
+    (sub-threshold → admitted, appended); batch 2 re-sends the SAME
+    half-token variants (now rejected — proving the append worked) plus
+    fresh half-token docs (admitted).  Emits the per-batch admission
+    audit ``(batch, n_arrived, n_rejected, n_admitted)``; the oracle
+    replays both rounds including the store growth.  At 100 TB each
+    batch costs one Arrow shingle pass over the BATCH plus a
+    band-partitioned join against the store — the accumulated corpus is
+    never rescanned."""
+    import tempfile
+
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ingest_batch_against_index,
+        write_band_index,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = tempfile.mkdtemp(prefix="ingest_loop_") + "/band"
+
+    half = _half_text_col()
+    b1 = (docs.filter(F.col("doc_id") % 4 == 0)
+          .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+          .unionByName(
+              docs.filter(F.col("doc_id") % 4 == 1)
+              .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                      half.alias("text"))))
+    b2 = (docs.filter(F.col("doc_id") % 4 == 1)
+          .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                  half.alias("text"))
+          .unionByName(
+              docs.filter(F.col("doc_id") % 4 == 3)
+              .select((F.col("doc_id") + 2000000).alias("doc_id"),
+                      half.alias("text"))))
+
+    rows = []
+    with cache_scope():
+        write_band_index(docs, store, k=3, num_hashes=16, bands=4)
+        for name, batch in (("b1", b1), ("b2", b2)):
+            n_arrived = batch.count()
+            matches = ingest_batch_against_index(
+                spark, batch, store, k=3, num_hashes=16, bands=4,
+                threshold=0.5)
+            n_rejected = matches.select("new_id").distinct().count()
+            rows.append((name, n_arrived, n_rejected,
+                         n_arrived - n_rejected))
+    return spark.createDataFrame(
+        rows, "batch string, n_arrived bigint, n_rejected bigint, "
+              "n_admitted bigint")
+
+
 @query("decontaminate_vs_benchmark", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 bench AS (SELECT DISTINCT h
@@ -10774,8 +10934,12 @@ PROOF_WINDOW: list[str] = [
     # Hamming serving + its measured recall contrast (sig-only 0.175 →
     # refined 0.635 on the 20 held-out queries)
     "ann_hamming_refine_knn", "ann_hamming_recall_at_10",
+    # ann_pq_residual_clustered_recall_at_10 rotated out r12 (receipted
+    # r10+r11; the residual family keeps six in-window receipts incl.
+    # its uncluttered twin) for the continuous-ingestion dedup loop,
+    # receipted from birth:
     "ann_pq_residual_recall_at_10",
-    "ann_pq_residual_clustered_recall_at_10", "ann_ivfpq_residual_knn",
+    "dedup_ingest_loop", "ann_ivfpq_residual_knn",
     "ann_ivfpq_refine_knn", "ann_pq_refine_stored_knn",
     "ann_pq_refine_recall_at_10", "ann_pq_refine_clustered_recall_at_10",
     # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10),

@@ -676,3 +676,37 @@ def test_band_index_append_is_incremental(spark, tmp_path):
                         docs.filter((F.col("doc_id") % 7 == 0)
                                     & (F.col("doc_id") < 400)).collect()}
     assert expected_new_ids <= caught
+
+
+def test_ingest_batch_shingles_once_and_appends_only_admitted(spark,
+                                                              tmp_path):
+    """The r12 admission-round operator: matches are pinned PRE-append
+    (no jaccard-1.0 self-matches — the lazily-persisted-frame bug this
+    operator's checkpoint guards against), only admitted docs' entries
+    enter the store, and an identical re-ingest then rejects the whole
+    batch (admission idempotence)."""
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ingest_batch_against_index, write_band_index)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 300)
+    batch = (docs.filter((F.col("doc_id") % 7 == 0)
+                         | (F.col("doc_id") >= 300))
+             .withColumn("doc_id", F.col("doc_id") + 1000000))
+    store = str(tmp_path / "ingest_store")
+    write_band_index(base, store)
+    m1 = ingest_batch_against_index(spark, batch, store)
+    assert m1.filter(F.col("new_id") == F.col("existing_id")).count() == 0
+    rejected = {r.new_id for r in m1.select("new_id").distinct().collect()}
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    admitted = batch_ids - rejected
+    assert admitted and rejected  # both paths exercised
+    # the store grew by exactly the admitted docs' sigs
+    sig_ids = {r.id_e for r in
+               spark.read.parquet(store + "_sigs").select("id_e").collect()}
+    assert sig_ids & batch_ids == admitted
+    # idempotence: the same batch re-ingested is now fully rejected
+    # (every doc matches either the base corpus or its own admitted copy)
+    m2 = ingest_batch_against_index(spark, batch, store)
+    assert {r.new_id for r in m2.select("new_id").distinct().collect()} \
+        == batch_ids
