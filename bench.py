@@ -164,6 +164,7 @@ HEADLINE = [
     "quality_classifier_calibration",  # reliability bins over held-out scores (r12)
     "streaming_neardup_gate",  # live LSH admission gate vs stored band index (r12)
     "dedup_ingest_loop",  # 2-batch admit/append loop on a fresh band store (r12)
+    "classifier_weighted_resample",  # GD-scores -> hash-Gumbel top-k (r12)
 ]
 
 

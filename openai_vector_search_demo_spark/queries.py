@@ -3110,6 +3110,71 @@ def quality_classifier_calibration(spark: SparkSession,
             .orderBy("bin"))
 
 
+def _classifier_resample_oracle() -> str:
+    ctes, wf, zsql = _logreg_ctes()
+    return f"""
+WITH {ctes},
+scored AS (
+  SELECT f.doc_id, ROUND(1.0 / (1.0 + exp(-({zsql}))), 6) AS prob
+  FROM allfeat f CROSS JOIN {wf} w),
+keyed AS (
+  SELECT doc_id, prob,
+         ROUND(ln(GREATEST(prob, 0.000001)), 6) AS lweight
+  FROM scored)
+SELECT doc_id, prob, lweight,
+       ROUND(lweight + (-ln(-ln(
+         (CAST(CAST(('0x' || substr(md5('gumbel:7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 9007199254740992 AS DOUBLE) + 0.5) / 9007199254740992.0))),
+             6) AS key
+FROM keyed
+ORDER BY key DESC, doc_id ASC LIMIT 50
+"""
+
+
+@query("classifier_weighted_resample",
+       oracle=_classifier_resample_oracle())
+def classifier_weighted_resample(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """CLASSIFIER-WEIGHTED SAMPLING (r12) — the step the calibration
+    audit exists to justify: use the trained quality classifier's
+    scores as RESAMPLING WEIGHTS (keep ∝ prob) rather than a hard
+    threshold, via the engine's deterministic Gumbel-top-k machinery
+    (``dsir.gumbel_key``, seed 7) — the quality-pruning pattern where
+    borderline documents keep proportional representation instead of
+    cliff-edge exclusion.  log-weight = ln(max(prob, 1e-6)) rounded
+    6 dp in-engine (the clamp bounds the penalty of a 0-rounded score);
+    selection is one TakeOrderedAndProject over the scored corpus.
+    Composes three receipted families end to end: GD training →
+    codegen sigmoid scoring → hash-Gumbel selection; the oracle
+    replays the whole chain."""
+    from openai_vector_search_demo_spark.caching import scoped_persist
+    from openai_vector_search_demo_spark.operators.classifier import (
+        FEATURE_NAMES,
+        logreg_features,
+        logreg_prob,
+        logreg_train_gd,
+        with_split,
+    )
+    from openai_vector_search_demo_spark.operators.dsir import gumbel_key
+
+    docs = logreg_features(with_split(t(spark, sf_dir, "documents")))
+    train = scoped_persist(
+        docs.filter(F.col("split") == "train")
+        .select("y", *[f"f{j}" for j in range(len(FEATURE_NAMES))]))
+    try:
+        w = logreg_train_gd(train)
+    finally:
+        train.unpersist()
+    keyed = (docs.select("doc_id",
+                         F.round(logreg_prob(w), 6).alias("prob"))
+             .withColumn("lweight",
+                         F.round(F.log(F.greatest(F.col("prob"),
+                                                  F.lit(1e-6))), 6))
+             .withColumn("key", gumbel_key("doc_id", "lweight", seed=7)))
+    return (keyed.orderBy(F.col("key").desc(), F.col("doc_id").asc())
+            .limit(50))
+
+
 def _ivf_clustered_recall_oracle() -> str:
     from openai_vector_search_demo_spark.ann_clustered import (
         CLUSTERED_NPROBE,
@@ -10941,7 +11006,10 @@ PROOF_WINDOW: list[str] = [
     "ann_pq_residual_recall_at_10",
     "dedup_ingest_loop", "ann_ivfpq_residual_knn",
     "ann_ivfpq_refine_knn", "ann_pq_refine_stored_knn",
-    "ann_pq_refine_recall_at_10", "ann_pq_refine_clustered_recall_at_10",
+    # ann_pq_refine_clustered_recall_at_10 rotated out r12 (receipted
+    # r10+r11; the refine family keeps four in-window receipts) for the
+    # classifier-weighted resample composition, receipted from birth:
+    "ann_pq_refine_recall_at_10", "classifier_weighted_resample",
     # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10),
     # plus the r11 merge-on-read upsert equivalence slot (receipted from
     # birth — its oracle is the full-rebuild values).

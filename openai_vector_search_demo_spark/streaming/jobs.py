@@ -389,7 +389,8 @@ def stream_drift_gate(doc_stream: DataFrame, reference_counts: DataFrame,
 
 def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
                         k: int = 3, num_hashes: int = 16, bands: int = 4,
-                        threshold: float = 0.5) -> "DataStreamWriter":
+                        threshold: float = 0.5,
+                        append_admitted: bool = False) -> "DataStreamWriter":
     """STREAMING NEAR-DUP ADMISSION GATE — the live form of the
     continuous-ingestion loop ``dedup.write_band_index`` documents:
     each micro-batch of arriving documents is shingled/MinHashed ONCE
@@ -398,7 +399,14 @@ def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
     ``on_result(match_rows, batch_id)`` receives the verified
     ``(new_id, existing_id, jaccard)`` matches — the hook a deployment
     points at its admission policy (drop the arrival, or keep it and
-    append its entries to the index for the next batch).
+    append its entries to the index for the next batch).  With
+    ``append_admitted=True`` the gate IS the full continuous-ingestion
+    loop run live: each micro-batch's admitted docs' band entries/sigs
+    are appended to the store before the next batch arrives
+    (``dedup.ingest_batch_against_index`` — one Arrow shingle pass per
+    batch shared by the check and the append), so later arrivals are
+    deduplicated against the corpus PLUS earlier survivors; the
+    stream ≡ batch-loop equality is pinned in tests/test_streaming.py.
 
     The streaming layer is wiring only (the engine's streaming design
     rule): candidate generation and verification are the batch
@@ -411,16 +419,23 @@ def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
     makes the gate restartable and at-least-once safe (a re-delivered
     doc just re-reports the same matches)."""
     from openai_vector_search_demo_spark.operators.dedup import (
+        ingest_batch_against_index,
         minhash_lsh_cross_stored,
     )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        matches = minhash_lsh_cross_stored(
-            batch_df.sparkSession, batch_df, store, k=k,
-            num_hashes=num_hashes, bands=bands,
-            threshold=threshold).collect()
+        if append_admitted:
+            matches = ingest_batch_against_index(
+                batch_df.sparkSession, batch_df, store, k=k,
+                num_hashes=num_hashes, bands=bands,
+                threshold=threshold).collect()
+        else:
+            matches = minhash_lsh_cross_stored(
+                batch_df.sparkSession, batch_df, store, k=k,
+                num_hashes=num_hashes, bands=bands,
+                threshold=threshold).collect()
         on_result(matches, batch_id)
 
     return (doc_stream.writeStream

@@ -351,3 +351,75 @@ def test_stream_neardup_gate_equals_batch_across_microbatches(spark,
             minhash_lsh_cross(new, docs, k=3, num_hashes=16, bands=4,
                               threshold=0.5).collect()}
     assert got == want and len(want) > 0
+
+
+def test_stream_ingest_loop_equals_batch_loop(spark, workdir):
+    """append_admitted=True makes the gate the full continuous-ingestion
+    loop live: batch-2 arrivals must be rejected against batch-1
+    SURVIVORS (appended mid-stream), and the per-round matches must
+    equal the batch loop's — arrival order forced via file mtimes +
+    maxFilesPerTrigger=1, one file per round (micro-batch boundaries
+    must match the batch loop's rounds for the equality to be exact:
+    neither form cross-checks docs WITHIN one round)."""
+    import glob
+    import os
+    import tempfile
+    import time as _time
+
+    from openai_vector_search_demo_spark.operators.dedup import (
+        ingest_batch_against_index,
+        write_band_index,
+    )
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_neardup_gate,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    fresh1 = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    b1 = fresh1.unionByName(          # fresh docs + verbatim re-arrivals
+        corpus.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000))
+    b2 = (fresh1.withColumn("doc_id", F.col("doc_id") + 2000000)
+          .unionByName(               # copies of b1 survivors + new fresh
+              docs.filter((F.col("doc_id") >= 350)
+                          & (F.col("doc_id") < 400))
+              .withColumn("doc_id", F.col("doc_id") + 2000000)))
+
+    store_a = str(workdir / "batch_store")
+    write_band_index(corpus, store_a)
+    want = [
+        {tuple(r) for r in
+         ingest_batch_against_index(spark, b1, store_a).collect()},
+        {tuple(r) for r in
+         ingest_batch_against_index(spark, b2, store_a).collect()},
+    ]
+    assert want[0] and want[1]
+    # the append worked batch-side: some b2 copy matched a b1 survivor
+    assert any(300 <= ex < 350 for _, ex, _ in want[1])
+
+    store_b = str(workdir / "stream_store")
+    write_band_index(corpus, store_b)
+    src = str(workdir / "arrivals")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+    parts = sorted(glob.glob(os.path.join(src, "part-*.parquet")),
+                   key=os.path.getmtime)
+    now = _time.time()
+    os.utime(parts[0], (now - 100, now - 100))
+    os.utime(parts[1], (now, now))
+
+    batches: list = []
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).format("parquet").load(src))
+    q = (stream_neardup_gate(stream, store_b,
+                             lambda rows, bid: batches.append(rows),
+                             append_admitted=True)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ingestloop_stream_"))
+         .start())
+    q.awaitTermination(180)
+
+    assert len(batches) == 2
+    assert [{tuple(r) for r in b} for b in batches] == want
