@@ -165,6 +165,7 @@ HEADLINE = [
     "streaming_neardup_gate",  # live LSH admission gate vs stored band index (r12)
     "dedup_ingest_loop",  # 2-batch admit/append loop on a fresh band store (r12)
     "classifier_weighted_resample",  # GD-scores -> hash-Gumbel top-k (r12)
+    "unigram_lm_word_scores",  # SentencePiece-family Viterbi scoring (r12)
 ]
 
 

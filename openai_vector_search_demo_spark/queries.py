@@ -7382,6 +7382,121 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                             num_merges=_BPE_MERGES)
 
 
+def _unigram_lm_oracle(max_piece: int = 4, top_k: int = 24,
+                       max_len: int = 16) -> str:
+    """Unrolled Viterbi DP over word positions: vocabulary training as
+    aggregation CTEs, then one ``b{{i}}`` CTE per character position
+    1..max_len — each the integer-key max over the ≤ max_piece
+    predecessor levels.  All-integer keys, so the replay is exact (ln
+    appears once, at vocab-score time, rounded to micro-nats)."""
+    from openai_vector_search_demo_spark.operators.unigram_lm import (
+        KEY_BASE,
+        OOV_SCORE_MICRO,
+    )
+    ctes = [
+        f"""wf AS (SELECT word, COUNT(*) AS freq
+       FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+       GROUP BY word)""",
+        f"""s1 AS (SELECT word, freq, unnest(range(1, {max_piece + 1})) AS plen
+       FROM wf)""",
+        """s2 AS (SELECT word, freq, plen,
+              unnest(range(1, len(word) - plen + 2)) AS pos
+       FROM s1 WHERE len(word) >= plen)""",
+        """sub AS (SELECT substr(word, CAST(pos AS INT), CAST(plen AS INT))
+                AS piece, SUM(freq) AS cnt
+       FROM s2 GROUP BY 1)""",
+        f"""kept AS (SELECT piece, cnt FROM sub WHERE len(piece) = 1
+       UNION ALL
+       SELECT piece, cnt FROM (
+         SELECT piece, cnt,
+                ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         FROM sub WHERE len(piece) >= 2) WHERE rn <= {top_k})""",
+        "tot AS (SELECT SUM(cnt) AS t FROM kept)",
+        """voc AS (SELECT piece,
+              CAST(ROUND(ln(cnt / t.t) * 1000000) AS BIGINT) AS sc
+       FROM kept, tot t)""",
+        f"""vocx AS (SELECT piece, sc FROM voc
+       UNION ALL
+       SELECT DISTINCT substr(word, CAST(pos AS INT), 1),
+              CAST({OOV_SCORE_MICRO} AS BIGINT)
+       FROM s2 WHERE plen = 1
+         AND substr(word, CAST(pos AS INT), 1) NOT IN
+             (SELECT piece FROM voc))""",
+        "b0 AS (SELECT word, CAST(0 AS BIGINT) AS key FROM wf)",
+    ]
+    for i in range(1, max_len + 1):
+        branches = []
+        for j in range(max(0, i - max_piece), i):
+            branches.append(
+                f"""SELECT b.word, b.key + {KEY_BASE} * s.sc - 1 AS key
+    FROM b{j} b JOIN vocx s
+      ON s.piece = substr(b.word, {j + 1}, {i - j})
+    WHERE len(b.word) >= {i}""")
+        body = "\n    UNION ALL\n    ".join(branches)
+        ctes.append(f"""b{i} AS (SELECT word, MAX(key) AS key FROM (
+    {body}
+  ) GROUP BY word)""")
+    finals = "\n  UNION ALL\n  ".join(
+        f"SELECT word, key FROM b{i} WHERE len(word) = {i}"
+        for i in range(1, max_len + 1))
+    ctes.append(f"""best AS (
+  {finals}
+  UNION ALL
+  SELECT word, CAST({KEY_BASE} * {OOV_SCORE_MICRO} - 1 AS BIGINT)
+  FROM wf WHERE len(word) > {max_len})""")
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT w.word, w.freq,
+       CAST((-b.key) % {KEY_BASE} AS BIGINT) AS n_pieces,
+       CAST(-((-b.key) // {KEY_BASE}) AS BIGINT) AS score_micro
+FROM wf w JOIN best b USING (word)
+ORDER BY w.freq DESC, w.word ASC
+LIMIT 25
+"""
+
+
+@query("unigram_lm_word_scores", oracle=_unigram_lm_oracle())
+def unigram_lm_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM TOKENIZER SCORING (r12) — the SentencePiece family's
+    inference half next to the BPE pair (``bpe_train_merges`` /
+    ``bpe_segment_corpus``): train a piece vocabulary (every char +
+    top-24 multi-char substrings by frequency-weighted count), then
+    Viterbi-segment every DISTINCT word for its best
+    ``max Σ ln p(piece)`` — reported as exact micro-nat integers with
+    the piece count of the optimum (``operators/unigram_lm.py``; the
+    (score, pieces) pair packs into one BIGINT key so the DP is pure
+    integer ``max``).  The oracle RETRAINS the vocabulary and replays
+    the DP as 16 unrolled position CTEs over the same integer keys.
+    Top-25 words by corpus frequency."""
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+    from openai_vector_search_demo_spark.operators.unigram_lm import (
+        KEY_BASE,
+        train_unigram_vocab,
+        viterbi_word_scores,
+        word_frequencies,
+    )
+
+    with cache_scope():
+        wf = scoped_persist(
+            word_frequencies(t(spark, sf_dir, "documents")))
+        voc = train_unigram_vocab(wf)
+        keyed = viterbi_word_scores(wf.select("word"), voc)
+        out = (wf.join(keyed, "word")
+               .select("word", "freq",
+                       F.pmod(-F.col("key"), F.lit(KEY_BASE))
+                       .alias("n_pieces"),
+                       (-F.expr(f"(-key) div {KEY_BASE}"))
+                       .alias("score_micro"))
+               .orderBy(F.col("freq").desc(), F.col("word").asc())
+               .limit(25))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @query("label_embedding_profile", oracle=r"""
 WITH idx AS (SELECT label,
                     unnest(range(1, len(embedding) + 1)) AS i,
@@ -10978,7 +11093,10 @@ PROOF_WINDOW: list[str] = [
     # text analysis (+ the r8 bigram LM, first driver receipt r9).
     # ta_quality_score rotated out r11 (receipted r1-r10, pytest-pinned,
     # quality features re-exercised by the classifier slots' battery).
-    "ta_bigram_lm_score",
+    # ta_bigram_lm_score rotated out r12 (receipted r9-r11 AND a member
+    # of analytics_battery, so its receipt persists) for the unigram-LM
+    # tokenizer scoring slot, receipted from birth:
+    "unigram_lm_word_scores",
     # ANN — the r9 clustered-corpus receipts, the r9 PQ compression
     # slots, the r10 residual-IVFADC family, and the r10 REFINE stage
     # (exact rerank of the ADC shortlist — the slots that finish the

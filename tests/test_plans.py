@@ -574,3 +574,20 @@ def test_compacted_store_read_is_marker_free_and_pruned(spark):
     assert "MapInPandas" not in p
     assert "Window" not in p
     assert "PartitionFilters" in p or "cell IN" in p
+
+
+def test_unigram_vocab_training_is_jvm_only(spark):
+    """The unigram-LM vocabulary trainer must be pure DataFrame
+    aggregation — the substring explode is a JVM sequence+substring
+    projection, never Python; only the Viterbi DP (bounded by DISTINCT
+    words) crosses the Arrow boundary."""
+    from openai_vector_search_demo_spark.operators.unigram_lm import (
+        train_unigram_vocab,
+        word_frequencies,
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    voc = train_unigram_vocab(word_frequencies(docs))
+    p = _physical(voc)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "HashAggregate" in p
