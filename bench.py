@@ -166,6 +166,7 @@ HEADLINE = [
     "dedup_ingest_loop",  # 2-batch admit/append loop on a fresh band store (r12)
     "classifier_weighted_resample",  # GD-scores -> hash-Gumbel top-k (r12)
     "unigram_lm_word_scores",  # SentencePiece-family Viterbi scoring (r12)
+    "unigram_lm_token_budget",  # per-lang subword budget + fertility (r12)
 ]
 
 

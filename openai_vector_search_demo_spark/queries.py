@@ -7456,6 +7456,78 @@ LIMIT 25
 """
 
 
+def _unigram_lm_budget_oracle() -> str:
+    """Per-language token budget under the unigram tokenizer: the same
+    trained-vocab + DP chain, joined back to the per-document token
+    stream."""
+    from openai_vector_search_demo_spark.operators.unigram_lm import (
+        KEY_BASE,
+    )
+    base = _unigram_lm_oracle()
+    head, _, _tail = base.partition("SELECT w.word, w.freq,")
+    return head.rstrip() + ",\n" + f"""np AS (SELECT word,
+             CAST((-key) % {KEY_BASE} AS BIGINT) AS n_pieces
+      FROM best),
+dtok AS (SELECT doc_id, lang, unnest({_SQL_TOKS}) AS word
+         FROM documents)
+SELECT d.lang,
+       CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_words,
+       CAST(SUM(np.n_pieces) AS BIGINT) AS n_subword_tokens,
+       ROUND(SUM(np.n_pieces) * 1.0 / COUNT(*), 6) AS pieces_per_word
+FROM dtok d JOIN np USING (word)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+@query("unigram_lm_token_budget", oracle=_unigram_lm_budget_oracle())
+def unigram_lm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET ACCOUNTING under the unigram tokenizer (r12) — the
+    number packing, sharding, and mixture planning actually consume:
+    per language, documents, whitespace words, SUBWORD tokens (each
+    word costs its Viterbi-optimal piece count), and the pieces-per-word
+    fertility ratio (the tokenizer-fit diagnostic; a fertility jump on
+    one language is a vocabulary-mismatch alarm).  The per-word DP runs
+    once over DISTINCT words; the corpus-wide total is a broadcast join
+    of the word→pieces table back to the token stream plus one
+    map-side-combined aggregate — corpus bytes are touched exactly
+    once."""
+    from openai_vector_search_demo_spark.caching import (
+        cache_scope,
+        scoped_persist,
+    )
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.unigram_lm import (
+        KEY_BASE,
+        train_unigram_vocab,
+        viterbi_word_scores,
+        word_frequencies,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    with cache_scope():
+        wf = scoped_persist(word_frequencies(docs))
+        voc = train_unigram_vocab(wf)
+        np_tab = (viterbi_word_scores(wf.select("word"), voc)
+                  .select("word", F.pmod(-F.col("key"), F.lit(KEY_BASE))
+                          .alias("n_pieces")))
+        dtok = docs.select("doc_id", "lang",
+                           F.explode(tokens("text")).alias("word"))
+        n = F.count(F.lit(1))
+        out = (dtok.join(F.broadcast(np_tab), "word")
+               .groupBy("lang")
+               .agg(F.countDistinct("doc_id").alias("n_docs"),
+                    n.alias("n_words"),
+                    F.sum("n_pieces").alias("n_subword_tokens"),
+                    F.round(F.sum("n_pieces") * F.lit(1.0) / n, 6)
+                    .alias("pieces_per_word"))
+               .orderBy("lang"))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @query("unigram_lm_word_scores", oracle=_unigram_lm_oracle())
 def unigram_lm_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNIGRAM-LM TOKENIZER SCORING (r12) — the SentencePiece family's
@@ -11076,7 +11148,11 @@ PROOF_WINDOW: list[str] = [
     # reference parity: pipeline scalars, keys, chunking (P1-P11, C3).
     # p1_cleanse_text and p3_md5_key rotated out r10 (receipted r1-r9,
     # pytest-pinned) for the kmeans and stored-IVFADC slots.
-    "c3_chunk_words",
+    # c3_chunk_words rotated out r12 (receipted r1-r11; the chunking
+    # family keeps in-window receipts via analytics_battery's
+    # c3_chunk_words_sliding + c3_chunk_sentences members) for the
+    # unigram token-budget slot, receipted from birth:
+    "unigram_lm_token_budget",
     # distributed Lloyd k-means — the trainer as an oracled query (r10)
     "kmeans_cluster_profile",
     # Q2 KNN auto path rotated out late-r11 (receipted r10; the Q2
