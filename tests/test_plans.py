@@ -509,6 +509,40 @@ def test_hamming_stored_scan_is_sig_only_and_python_free(spark, tmp_path):
     assert sig_scans and all("embedding" not in s for s in sig_scans)
 
 
+def test_sq8_stored_scan_is_codes_only_and_python_free(spark, tmp_path):
+    """The stored SQ8 read path must scan ONLY the code table
+    (ReadSchema = ids + codes, no fp32 embedding), keep the
+    decode+ADC chain in codegen (SQL path — no Python anywhere), and
+    fetch the R refine vectors via a BROADCAST join — never a corpus
+    shuffle."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.sq import (
+        sq8_stored_knn,
+        sq8_train,
+        write_sq8_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    mins, maxs = sq8_train(base, dim=len(qvec))
+    store = str(tmp_path / "sq8")
+    write_sq8_index(base, store, mins, maxs)
+    top = sq8_stored_knn(spark, store, base, qvec, mins, maxs,
+                         k=10, shortlist=50)
+    p = _physical(top)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p        # R-row point-fetch, broadcast
+    assert "TakeOrderedAndProject" in p    # shortlist + rerank, no sort
+    # the code store scan projects no fp32 vector column
+    import re
+    scans = re.findall(r"ReadSchema: struct<[^>]*>", p)
+    code_scans = [s for s in scans if "codes:array" in s]
+    assert code_scans and all("embedding" not in s for s in code_scans)
+
+
 def test_drift_report_is_codegen_with_tiny_shuffle(spark):
     """The drift gate's corpus-side work is one unpivoted scan — no
     Python, no cartesian; everything post-shuffle operates on the
