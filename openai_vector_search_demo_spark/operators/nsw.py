@@ -1,0 +1,241 @@
+"""Graph ANN: NSW-style kNN-graph build + deterministic beam search.
+
+The reference's actual index is HNSW (modules/utilities.py:272-278 —
+Redis `HNSW` vector index); this module is the closest Spark-native
+analogue in the engine's ANN ladder: a stored NEIGHBOR GRAPH (top-M
+cosine neighbors per vector — the single-layer Navigable-Small-World
+form, Malkov et al. 2014, public method description only) searched by
+multi-seed best-first BEAM expansion, exactly the serving pattern HNSW
+uses below its hierarchy.  Unlike the hash/quantizer tiers (LSH, IVF,
+PQ, SQ8, binary), candidates come from GRAPH LOCALITY: each round
+expands the current frontier's adjacency lists and keeps the best
+``ef`` newcomers, so the scan cost is rounds·ef·M score evaluations —
+independent of corpus size — instead of any corpus-wide pass.
+
+Build (offline, one-time — the standard graph-index trade):
+``build_knn_graph`` computes the EXACT top-M neighbor list per vector
+with the semdedup salt-split block pattern (``operators/semdedup.py``):
+rows hash into S = ⌈n/max_block_rows⌉ shards, every unordered shard
+pair meets in its own BLAS task (per-task memory bounded by
+max_block_rows²), each task emits its LEFT rows' per-block top-M, and a
+global per-src window reduces the ≤ S·M candidates per row to the final
+top-M — exact, because the true top-M is a subset of the union of
+per-block top-Ms.  At 100 TB the same build runs per IVF cell first
+(cell-bounds the quadratic, the semdedup posture); the graph THIS
+module stores and serves is format-identical either way.
+
+Search (``beam_search_knn``): frontier₀ = fixed seeds; each of T rounds
+joins the frontier's adjacency rows (a broadcast of ≤ ef ids against
+the src-bucketed edge store — partition-pruned point lookups), scores
+the unvisited newcomers by exact cosine against the query (M·ef vector
+point-reads per round, broadcast join), keeps the top-ef as the next
+frontier, and accumulates every scored node.  The answer is the top-k
+of all visited nodes — i.e. the refine is built in: scores are exact
+cosines throughout, the graph only decides WHICH nodes get scored.
+Recall is measured, never assumed (``ann_nsw_recall_at_10``).
+
+Determinism contract (the ANN-family rule, ``ann.py`` module
+docstring): every selection — per-block top-M, global top-M, per-round
+top-ef, final top-k — orders by the 6-dp-rounded cosine with an id
+tie-break, so graph, beam trajectory, and answer replay bit-for-bit in
+DuckDB for the correctness gate (the BLAS-vs-fold float caveat is the
+same pinned-never-happens contract every numpy ANN path carries).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.vectors import (
+    cosine_similarity,
+    vector_lit,
+)
+
+NSW_M = 6          # neighbors kept per node
+NSW_EF = 12        # beam width per round
+NSW_ROUNDS = 3     # frontier expansions
+NSW_SEEDS = (1, 101, 201, 301)
+"""Fixed, id-spread entry points (the multi-seed NSW convention; HNSW's
+upper layers exist to pick good seeds — fixed spread seeds are the
+deterministic stand-in, and the recall slot prices them honestly)."""
+
+DEFAULT_MAX_BLOCK_ROWS = 8192
+
+
+def build_knn_graph(df: DataFrame, m: int = NSW_M,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    max_block_rows: int = DEFAULT_MAX_BLOCK_ROWS
+                    ) -> DataFrame:
+    """Exact top-``m`` cosine neighbor list per node as (src, dst, sim)
+    rows, sim 6-dp-rounded (the determinism boundary).  Salt-split
+    blocked BLAS: every shard pair meets once, per-task memory ≤
+    max_block_rows²·8 B, and each task emits only its left rows'
+    per-block top-m — the global window then sees ≤ S·m rows per src,
+    never the n² pair relation."""
+    import pandas as pd
+
+    base = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    n = base.count()
+    s = max(1, -(-n // max_block_rows))
+
+    def block_topm(key, pdf):
+        empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                              "dst": pd.Series([], dtype="int64"),
+                              "sim": pd.Series([], dtype="float64")})
+        i, j = key
+        a = pdf[pdf["salt"] == i]
+        b = pdf[pdf["salt"] == j] if i != j else a
+        if len(a) == 0 or len(b) == 0:
+            return empty
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        ids_b = b["id"].to_numpy(dtype=np.int64)
+        mat_a = np.array(a["v"].tolist(), dtype=np.float64)
+        mat_b = np.array(b["v"].tolist(), dtype=np.float64)
+        na = np.linalg.norm(mat_a, axis=1)
+        na[na == 0] = 1.0
+        nb = np.linalg.norm(mat_b, axis=1)
+        nb[nb == 0] = 1.0
+        sims = np.round((mat_a / na[:, None]) @ (mat_b / nb[:, None]).T, 6)
+        out = []
+        for side, (rids, cids, sm) in enumerate(
+                [(ids_a, ids_b, sims)] if i == j
+                else [(ids_a, ids_b, sims), (ids_b, ids_a, sims.T)]):
+            for r in range(len(rids)):
+                row = sm[r]
+                # top-m by (sim desc, dst asc), self excluded
+                order = np.lexsort((cids, -row))
+                picked = [c for c in order if cids[c] != rids[r]][:m]
+                for c in picked:
+                    out.append((rids[r], cids[c], row[c]))
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["src", "dst", "sim"])
+
+    salted = base.withColumn(
+        "salt", F.pmod(F.xxhash64("id"), F.lit(s)).cast("int"))
+    expanded = salted.withColumn("grp", F.explode(F.transform(
+        F.sequence(F.lit(0), F.lit(s - 1)),
+        lambda k: F.struct(F.least(k, F.col("salt")).alias("i"),
+                           F.greatest(k, F.col("salt")).alias("j")))))
+    cands = (expanded
+             .select("id", "v", "salt",
+                     F.col("grp.i").alias("i"), F.col("grp.j").alias("j"))
+             .groupBy("i", "j")
+             .applyInPandas(block_topm,
+                            schema="src long, dst long, sim double"))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                          F.col("dst").asc())
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= m).drop("_rn"))
+
+
+def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_buckets: int = 16) -> None:
+    """Persist the serving artifact: the adjacency table, BUCKETED BY
+    SRC (one directory per ``pmod(src, n_buckets)``) so each beam
+    round's frontier lookup is a partition-pruned point read of ≤ ef
+    buckets — the vectors themselves are NOT stored here (the refine
+    point-reads them from the source table)."""
+    edges = build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
+    (edges.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+                      .cast("int"))
+     .repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def beam_search_knn(edges, source: DataFrame,
+                    qvec: Sequence[float], k: int = 10,
+                    ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
+                    seeds: Sequence[int] = NSW_SEEDS,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    sim_col: str = "similarity") -> DataFrame:
+    """Multi-seed beam search over an adjacency relation.  Per round the
+    frontier is COLLECTED (≤ ef ids — the bounded-collect class every
+    iterative operator here uses) so the edge lookup is an IN-list the
+    scan can prune on; newcomers score by exact cosine via a broadcast
+    point-read join against ``source``.  Returns the top-k of ALL
+    visited nodes — exact scores, graph-bounded candidate set.
+
+    ``edges`` is a DataFrame or an ``ids -> DataFrame`` lookup callable
+    (the stored path passes one that also filters the store's bucket
+    partition column, so the IN-list prunes DIRECTORIES, not just row
+    groups)."""
+    q = vector_lit(qvec)
+    lookup = edges if callable(edges) else (
+        lambda ids: edges.filter(F.col("src").isin(ids)))
+
+    def score(ids_df: DataFrame) -> DataFrame:
+        return (source.join(F.broadcast(ids_df), id_col)
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col(vec_col), q), 6)))
+
+    seed_df = (source.sparkSession
+               .createDataFrame([(int(x),) for x in seeds],
+                                f"{id_col} long"))
+    visited = score(seed_df).select(id_col, "label", "_s")
+    frontier = [int(x) for x in seeds]
+    seen = set(frontier)
+    for _ in range(rounds):
+        if not frontier:
+            break
+        cand = (lookup(frontier)
+                .select(F.col("dst").alias(id_col)).distinct())
+        new_ids = [r[id_col] for r in cand.collect() if r[id_col] not in seen]
+        if not new_ids:
+            break
+        seen.update(new_ids)
+        new_df = score(source.sparkSession.createDataFrame(
+            [(int(x),) for x in sorted(new_ids)], f"{id_col} long"))
+        scored = new_df.select(id_col, "label", "_s")
+        visited = visited.unionByName(scored)
+        top = (scored.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+               .limit(ef).collect())
+        frontier = [r[id_col] for r in top]
+    return (visited
+            .withColumnRenamed("_s", sim_col)
+            .orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+            .limit(k))
+
+
+def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
+            m: int = NSW_M, ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
+            seeds: Sequence[int] = NSW_SEEDS,
+            vec_col: str = "embedding", id_col: str = "vec_id",
+            sim_col: str = "similarity") -> DataFrame:
+    """Inline build+search (the oracled form; production stores the
+    graph once via ``write_nsw_index`` and serves many queries)."""
+    edges = build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
+    return beam_search_knn(edges, df, qvec, k=k, ef=ef, rounds=rounds,
+                           seeds=seeds, vec_col=vec_col, id_col=id_col,
+                           sim_col=sim_col)
+
+
+def nsw_stored_knn(spark, path: str, source: DataFrame,
+                   qvec: Sequence[float], k: int = 10,
+                   ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
+                   seeds: Sequence[int] = NSW_SEEDS,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   sim_col: str = "similarity",
+                   n_buckets: int = 16) -> DataFrame:
+    """Serving read of a ``write_nsw_index`` store: each round touches
+    only the frontier's src BUCKET DIRECTORIES (the lookup filters the
+    partition column derived from the frontier ids — partition pruning
+    at discovery time, the stored-LSH pattern) and the scored ids'
+    vectors (broadcast point-reads).  ``n_buckets`` must match the
+    write."""
+    edges = spark.read.parquet(path)
+
+    def lookup(ids: list[int]) -> DataFrame:
+        buckets = sorted({i % n_buckets for i in ids})
+        return edges.filter(F.col("bucket").isin(buckets)
+                            & F.col("src").isin(ids))
+
+    return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
+                           rounds=rounds, seeds=seeds, vec_col=vec_col,
+                           id_col=id_col, sim_col=sim_col)

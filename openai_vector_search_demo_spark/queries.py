@@ -11281,6 +11281,172 @@ def ann_sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
+# ---------------------------------------------------------------------------
+# Graph ANN (NSW) — the reference's index is HNSW; this is the Spark-native
+# single-layer analogue: stored kNN-neighbor graph + multi-seed beam search
+# (r12).  The oracle REBUILDS the exact graph relationally and replays the
+# beam round by round — graph, trajectory, and answer all value-checked.
+# ---------------------------------------------------------------------------
+
+_NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 3
+_NSW_SEEDS = (1, 101, 201, 301)
+
+
+def _sql_nsw_edges() -> str:
+    """Exact top-M cosine neighbor graph, relationally: explode dims,
+    norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
+    cosine, ROW_NUMBER top-M per src with the dst tie-break — the same
+    selection order ``operators.nsw.build_knn_graph`` uses."""
+    d = _ANN_DIM
+    return f"""nswex AS (SELECT vec_id AS id, ii.i AS i,
+                     CAST(embedding[ii.i] AS DOUBLE) AS x
+       FROM embeddings, UNNEST(generate_series(1, {d})) AS ii(i)
+       WHERE vec_id <> 0 AND embedding IS NOT NULL),
+nswnrm AS (SELECT id, sqrt(SUM(x * x)) AS nm FROM nswex GROUP BY id),
+nswdots AS (SELECT a.id AS src, b.id AS dst, SUM(a.x * b.x) AS d
+            FROM nswex a JOIN nswex b USING (i)
+            WHERE a.id <> b.id GROUP BY 1, 2),
+nswsims AS (SELECT src, dst, ROUND(d / (na.nm * nb.nm), 6) AS sim
+            FROM nswdots
+            JOIN nswnrm na ON na.id = src
+            JOIN nswnrm nb ON nb.id = dst),
+nswedges AS (SELECT src, dst FROM (
+               SELECT src, dst, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+               FROM nswsims) WHERE rn <= {_NSW_M})"""
+
+
+def _sql_nsw_beam() -> str:
+    """Unrolled beam rounds (the HITS/PageRank oracle pattern): v_r
+    accumulates every scored node, f_r is the round's top-ef newcomers;
+    all selections on the 6-dp-rounded cosine with vec_id ties."""
+    seeds = ", ".join(str(s) for s in _NSW_SEEDS)
+    parts = [f"""nswq AS (SELECT embedding AS qv FROM embeddings
+         WHERE vec_id = 0),
+v0 AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
+       FROM embeddings e, nswq q
+       WHERE e.vec_id IN ({seeds})),
+f0 AS (SELECT vec_id FROM v0)"""]
+    for r in range(1, _NSW_ROUNDS + 1):
+        parts.append(f"""c{r} AS (SELECT DISTINCT g.dst AS vec_id
+        FROM nswedges g JOIN f{r - 1} f ON g.src = f.vec_id
+        WHERE g.dst NOT IN (SELECT vec_id FROM v{r - 1})),
+s{r} AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
+         FROM embeddings e JOIN c{r} USING (vec_id), nswq q),
+v{r} AS (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM s{r}),
+f{r} AS (SELECT vec_id FROM s{r}
+         ORDER BY s DESC, vec_id ASC LIMIT {_NSW_EF})""")
+    return ",\n".join(parts)
+
+
+def _nsw_knn_oracle() -> str:
+    return f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()}
+SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
+ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_nsw_beam_knn", oracle=_nsw_knn_oracle())
+def ann_nsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-ANN KNN — the engine's analogue of the reference's HNSW
+    index (modules/utilities.py:272-278): exact top-{_NSW_M} cosine
+    neighbor graph (salt-split blocked BLAS build, per-task memory
+    bounded) searched by {_NSW_ROUNDS}-round multi-seed beam expansion
+    (ef={_NSW_EF}).  Candidates come from graph locality, not a corpus
+    scan: query cost is rounds·ef·M score evaluations regardless of
+    corpus size.  Scores are exact cosines throughout (the refine is
+    built in); every selection orders by the 6-dp-rounded score with id
+    ties, so the oracle rebuilds the graph AND replays the beam
+    bit-for-bit.  Recall priced by ``ann_nsw_recall_at_10``; 100 TB
+    posture in ``operators/nsw.py``."""
+    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == _ANN_DIM
+    top = nsw_knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                  m=_NSW_M, ef=_NSW_EF, rounds=_NSW_ROUNDS,
+                  seeds=_NSW_SEEDS, sim_col="similarity")
+    return top.select("vec_id", "label", "similarity")
+
+
+@query("ann_nsw_stored_knn", oracle=_nsw_knn_oracle())
+def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED graph read path — serving twin of ``ann_nsw_beam_knn``
+    (identical graph/beam parameters, hence the identical oracle): the
+    adjacency table persists src-BUCKETED (``write_nsw_index``), each
+    beam round reads only the frontier's buckets (partition-pruned
+    point lookups of ≤ ef·M edge rows), and scored ids point-read their
+    fp32 vectors via broadcast joins.  The store holds NO vectors —
+    byte cost is M ids/node.  Build is offline and cached per corpus
+    CONTENT fingerprint (the r4 stale-cache fix); query-time work is
+    independent of corpus size — the property that makes graph indexes
+    the serving tier of choice at 100 TB."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nsw{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(base, store, m=_NSW_M)
+
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
+                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+                         sim_col="similarity")
+    return top.select("vec_id", "label", "similarity")
+
+
+@query("ann_nsw_recall_at_10", oracle=f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()},
+approx_top AS (SELECT vec_id FROM v{_NSW_ROUNDS}
+               ORDER BY s DESC, vec_id ASC LIMIT 10),
+exact_top AS ({_KNN_ORACLE})
+SELECT (SELECT COUNT(*) FROM exact_top) AS n_exact,
+       (SELECT COUNT(*) FROM approx_top) AS n_approx,
+       (SELECT COUNT(*) FROM exact_top e JOIN approx_top a USING (vec_id))
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact_top e JOIN approx_top a
+              USING (vec_id)) / 10.0, 3) AS recall_at_10
+""")
+def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the {_NSW_ROUNDS}-round beam against exact brute force —
+    the honest price of graph navigation from fixed seeds (the family
+    rule: recall is measured by the driver gate every round, never
+    assumed).  The beam touches ≤ seeds + rounds·ef·M nodes; recall
+    rises with ef/rounds exactly as HNSW's efSearch knob — this slot
+    pins the shipped operating point."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact_top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id") \
+        .select("vec_id")
+    approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=_NSW_EF,
+                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+                         sim_col="sim").select("vec_id")
+    overlap = exact_top.join(approx_top, "vec_id")
+    return (exact_top.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(approx_top.agg(F.count(F.lit(1)).alias("n_approx")))
+            .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+            .withColumn("recall_at_10",
+                        F.round(F.col("n_overlap") / 10.0, 3)))
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator

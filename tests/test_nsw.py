@@ -1,0 +1,128 @@
+"""NSW graph-ANN invariants: exact graph build (vs brute force), salt
+split exactness, beam boundedness/monotonicity, full-connectivity limit,
+stored==inline, and the store's byte budget (no vectors)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.operators.nsw import (
+    beam_search_knn,
+    build_knn_graph,
+    nsw_knn,
+    nsw_stored_knn,
+    write_nsw_index,
+)
+
+DIM = 8
+N = 40
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(5)
+    rows = [(i, i % 3, [round(float(x), 6) for x in rng.randn(DIM)])
+            for i in range(1, N + 1)]
+    rows.append((N + 1, 0, None))  # NULL embedding must drop, not crash
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+
+
+def _brute_graph(emb, m):
+    rows = [(r.vec_id, np.array(r.embedding)) for r in emb.collect()
+            if r.embedding is not None]
+    ids = np.array([i for i, _ in rows])
+    mat = np.array([v for _, v in rows])
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = np.round(unit @ unit.T, 6)
+    out = {}
+    for a in range(len(ids)):
+        order = sorted((c for c in range(len(ids)) if c != a),
+                       key=lambda c: (-sims[a, c], ids[c]))
+        out[int(ids[a])] = [int(ids[c]) for c in order[:m]]
+    return out
+
+
+def test_graph_build_matches_brute_force(emb):
+    want = _brute_graph(emb, m=4)
+    got = {}
+    edges = build_knn_graph(emb, m=4).collect()
+    for r in sorted(edges, key=lambda r: (r.src, -r.sim, r.dst)):
+        got.setdefault(r.src, []).append(r.dst)
+    assert got == want
+
+
+def test_salt_split_build_is_exact(emb):
+    """Forcing many shard-pair tasks must not change the graph — the
+    per-block top-m union provably contains the true top-m."""
+    want = {(r.src, r.dst) for r in build_knn_graph(emb, m=3).collect()}
+    got = {(r.src, r.dst) for r in
+           build_knn_graph(emb, m=3, max_block_rows=7).collect()}
+    assert got == want
+
+
+def test_beam_visits_are_graph_bounded(emb):
+    """The answer set must come from seeds + expanded adjacency only —
+    rounds·ef·M is the whole candidate budget."""
+    edges = build_knn_graph(emb, m=3)
+    adj = {}
+    for r in edges.collect():
+        adj.setdefault(r.src, []).append(r.dst)
+    reach = set(seeds := [1, 5, 9])
+    frontier = list(seeds)
+    for _ in range(2):
+        new = {d for s in frontier for d in adj.get(s, [])} - reach
+        reach |= new
+        frontier = list(new)
+    got = {r.vec_id for r in
+           beam_search_knn(edges, emb, [0.2] * DIM, k=40, ef=4,
+                           rounds=2, seeds=seeds).collect()}
+    assert got <= reach
+
+
+def test_full_beam_recovers_exact_topk(emb):
+    """With a complete graph (m = n-1) and one round, the beam scores
+    every node — the answer must equal exact brute-force KNN."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    base = emb.filter(F.col("embedding").isNotNull())
+    qvec = [0.3] * DIM
+    exact = [r.vec_id for r in
+             knn(base, qvec, k=10, sim_col="sim",
+                 tie_break="vec_id").collect()]
+    edges = build_knn_graph(emb, m=N - 1)
+    got = [r.vec_id for r in
+           beam_search_knn(edges, base, qvec, k=10, ef=N,
+                           rounds=1, seeds=[1]).collect()]
+    assert got == exact
+
+
+def test_stored_path_equals_inline(spark, emb, tmp_path):
+    qvec = [0.1] * DIM
+    store = str(tmp_path / "nsw")
+    write_nsw_index(emb, store, m=3, n_buckets=4)
+    inline = [(r.vec_id, r.similarity) for r in
+              nsw_knn(emb, qvec, k=10, m=3, ef=5, rounds=2,
+                      seeds=[1, 9]).collect()]
+    stored = [(r.vec_id, r.similarity) for r in
+              nsw_stored_knn(spark, store, emb, qvec, k=10, ef=5,
+                             rounds=2, seeds=[1, 9],
+                             n_buckets=4).collect()]
+    assert stored == inline
+
+
+def test_store_holds_edges_not_vectors(spark, emb, tmp_path):
+    store = str(tmp_path / "nsw")
+    write_nsw_index(emb, store, m=3, n_buckets=4)
+    stored = spark.read.parquet(store)
+    assert set(stored.columns) == {"src", "dst", "sim", "bucket"}
+    # every node has exactly m out-edges
+    counts = stored.groupBy("src").count().collect()
+    assert all(r["count"] == 3 for r in counts) and len(counts) == N
+
+
+def test_null_embeddings_absent_from_graph(emb):
+    edges = build_knn_graph(emb, m=3)
+    ids = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
+    assert N + 1 not in ids

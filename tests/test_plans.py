@@ -543,6 +543,41 @@ def test_sq8_stored_scan_is_codes_only_and_python_free(spark, tmp_path):
     assert code_scans and all("embedding" not in s for s in code_scans)
 
 
+def test_nsw_stored_lookup_prunes_buckets_and_search_is_python_free(
+        spark, tmp_path):
+    """The stored graph's per-round edge lookup must prune at PARTITION
+    DISCOVERY (the frontier's bucket list reaches PartitionFilters), and
+    the search's scoring plan must stay Python-free with broadcast
+    point-reads — the per-query work is rounds·ef·M rows, never a corpus
+    scan or shuffle."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") != 0)
+    qvec = emb.filter(F.col("vec_id") == 0).first().embedding
+    store = str(tmp_path / "nsw")
+    write_nsw_index(base, store, m=4, n_buckets=8)
+
+    edges = spark.read.parquet(store)
+    lookup = edges.filter(F.col("bucket").isin([1, 5])
+                          & F.col("src").isin([1, 101]))
+    p = _physical(lookup)
+    assert "PartitionFilters" in p and "bucket" in p
+
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=6,
+                         rounds=2, seeds=(1, 101), n_buckets=8)
+    p = _physical(top)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "BroadcastHashJoin" in p      # scored-id vector point-reads
+    assert "SortMergeJoin" not in p      # never a corpus-sized shuffle join
+
+
 def test_drift_report_is_codegen_with_tiny_shuffle(spark):
     """The drift gate's corpus-side work is one unpivoted scan — no
     Python, no cartesian; everything post-shuffle operates on the
