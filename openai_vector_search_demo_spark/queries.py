@@ -11447,6 +11447,54 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
+@query("ann_nsw_ranking_metrics", oracle=f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()},
+approx AS (SELECT vec_id, a_rank FROM (
+             SELECT vec_id, ROW_NUMBER() OVER (
+               ORDER BY s DESC, vec_id ASC) AS a_rank
+             FROM v{_NSW_ROUNDS}) WHERE a_rank <= 10),
+exact0 AS ({_KNN_ORACLE}),
+exact AS (SELECT vec_id, ROW_NUMBER() OVER (
+            ORDER BY similarity DESC, vec_id ASC) AS e_rank
+          FROM exact0),
+m1 AS (SELECT CAST(COUNT(e.vec_id) AS BIGINT) AS n_overlap,
+              SUM(COALESCE(11 - e.e_rank, 0) / log2(a.a_rank + 1)) AS dcg,
+              MIN(CASE WHEN e.e_rank IS NOT NULL THEN a.a_rank END)
+                AS first_hit
+       FROM approx a LEFT JOIN exact e USING (vec_id)),
+m2 AS (SELECT SUM((11 - e_rank) / log2(e_rank + 1)) AS idcg FROM exact)
+SELECT n_overlap,
+       ROUND(n_overlap / 10.0, 3) AS recall_at_10,
+       ROUND(COALESCE(1.0 / first_hit, 0.0), 6) AS mrr,
+       ROUND(dcg / idcg, 6) AS ndcg_at_10
+FROM m1, m2
+""")
+def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-AWARE retrieval evaluation — nDCG@10 and MRR alongside the
+    set-overlap recall the ``ann_*_recall_at_10`` family reports
+    (graded relevance = 11 − exact_rank, the ideal-list-as-ground-truth
+    protocol; ``operators/ranking_metrics.py``).  Evaluated on the NSW
+    beam — the tier whose recall < 1 makes the ranking metrics
+    informative — and replayed end to end by the oracle: graph build,
+    beam trajectory, both rank assignments, and the DCG sums.  Metric
+    cost is k-row algebra; the retrieval is the only scale term."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    from openai_vector_search_demo_spark.operators.ranking_metrics import (
+        ranking_metrics,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = (knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
+             .select("vec_id", F.round("sim", 6).alias("similarity")))
+    approx = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=_NSW_EF,
+                     rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+                     sim_col="similarity").select("vec_id", "similarity")
+    return ranking_metrics(approx, exact, k=10)
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator
