@@ -11495,6 +11495,73 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(approx, exact, k=10)
 
 
+@query("scd2_customer_priority", oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         LAG(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+ver AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS version_no
+  FROM seq),
+hist AS (
+  SELECT o_custkey, version_no,
+         MIN(o_orderpriority) AS priority,
+         CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM ver GROUP BY o_custkey, version_no)
+SELECT o_custkey, version_no, priority, valid_from_us, n_orders,
+       LEAD(valid_from_us) OVER v AS valid_to_us,
+       CASE WHEN LEAD(valid_from_us) OVER v IS NULL THEN 1 ELSE 0 END
+         AS is_current
+FROM hist
+WINDOW v AS (PARTITION BY o_custkey ORDER BY version_no ASC)
+""")
+def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE-2 SLOWLY-CHANGING-DIMENSION build — the warehouse-history
+    operator: each customer's o_orderpriority stream (ordered by
+    orderdate, orderkey) collapses into versioned validity intervals —
+    a new version exactly when the value changes, ``valid_from`` /
+    ``valid_to`` as epoch-µs (the engine's timezone-proof timestamp
+    export), open interval + ``is_current`` flag on the latest.  Two
+    window passes + one aggregate, ALL on the same o_custkey hash
+    partitioning — one shuffle total, then per-customer sorts bounded
+    by order counts; at 100 TB the dimension key is the only exchange
+    and skew is order-volume skew (salting applies unchanged)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    o = t(spark, sf_dir, "orders")
+    seq = o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev"))
+    ver = seq.withColumn(
+        "version_no",
+        F.sum(F.when(F.col("prev").isNull()
+                     | (F.col("prev") != F.col("o_orderpriority")), 1)
+              .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)).cast("int"))
+    hist = (ver.groupBy("o_custkey", "version_no")
+            .agg(F.min("o_orderpriority").alias("priority"),
+                 F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                 .alias("valid_from_us"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    v = Window.partitionBy("o_custkey").orderBy(F.col("version_no").asc())
+    return hist.select(
+        "o_custkey", "version_no", "priority", "valid_from_us", "n_orders",
+        F.lead("valid_from_us").over(v).alias("valid_to_us"),
+        F.when(F.lead("valid_from_us").over(v).isNull(), 1).otherwise(0)
+        .alias("is_current"))
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator
