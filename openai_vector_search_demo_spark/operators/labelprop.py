@@ -1,0 +1,69 @@
+"""Semi-supervised label propagation over a document similarity graph.
+
+The curation use-case: a quality/domain/topic label exists for a SEED
+subset (human-reviewed docs, a trusted source) and must spread to the
+unlabeled rest through near-duplicate similarity edges — members of the
+same template family inherit the reviewed member's label instead of
+being re-classified from scratch (the classic semi-supervised LP of Zhu
+& Ghahramani 2002 / Raghavan et al. 2007, public method descriptions
+only; the hard-clamp majority-vote variant).
+
+Semantics (deterministic — the engine-wide contract):
+- seeds are CLAMPED: a labeled node never changes label,
+- each round, every still-unlabeled node adopts the PLURALITY label
+  among its labeled neighbors (ties break label-ascending), if any,
+- newly labeled nodes vote from the next round on; after T rounds
+  unreached nodes stay NULL (the honest coverage number).
+Every step is counting + a row_number pick — no floats anywhere, so
+the DuckDB oracle replays all rounds exactly.
+
+Scale posture (100 TB): the edge relation comes from the engine's
+banded/shingle pair derivations (never all-pairs); per round the work
+is one hash join (edges × current labels) + one (node, label) count
+aggregate + one per-node top-1 window — all shuffled on the node key,
+reusable partitioning across rounds, labels-frame lineage grows one
+union per round (bounded T; ``checkpoint_every``-style truncation
+applies the same way as PageRank's if T grows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def label_propagation(edges: DataFrame, seeds: DataFrame,
+                      rounds: int = 3) -> DataFrame:
+    """``edges``: undirected pairs as (a, b) — both directions derived
+    here; ``seeds``: (node, label).  Returns (node, label,
+    round_labeled) for EVERY graph node — label/round NULL when the
+    propagation never reached it."""
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, "
+                         f"got {rounds}")
+    bedges = (edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+              .unionByName(
+                  edges.select(F.col("b").alias("u"),
+                               F.col("a").alias("v")))
+              .distinct())
+    nodes = bedges.select(F.col("u").alias("node")).distinct()
+    lab = (seeds.join(nodes, "node")
+           .select("node", "label", F.lit(0).alias("round_labeled")))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(),
+                                           F.col("label").asc())
+    for r in range(1, rounds + 1):
+        votes = (bedges
+                 .join(lab.select(F.col("node").alias("v"), "label"), "v")
+                 .join(lab.select(F.col("node").alias("u")), "u",
+                       "left_anti")
+                 .groupBy(F.col("u").alias("node"), "label")
+                 .agg(F.count(F.lit(1)).alias("c")))
+        newly = (votes.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1)
+                 .select("node", "label",
+                         F.lit(r).alias("round_labeled")))
+        lab = lab.unionByName(newly)
+    return (nodes.join(lab, "node", "left")
+            .select("node", "label",
+                    F.col("round_labeled").cast("int")
+                    .alias("round_labeled")))
