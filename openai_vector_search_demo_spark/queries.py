@@ -11635,6 +11635,100 @@ def neardup_label_propagation(spark: SparkSession,
     return spark.createDataFrame(rows, out.schema)
 
 
+_MRL_DIM, _MRL_SHORTLIST = 16, 50
+
+
+def _sql_mrl_ctes() -> str:
+    d = _MRL_DIM
+    return f"""mrlq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+mrl AS (SELECT e.vec_id, e.label, e.embedding,
+               ROUND(
+                 list_aggregate(list_transform(range(1, {d + 1}),
+                     i -> CAST(e.embedding[i] AS DOUBLE)
+                          * CAST(qv[i] AS DOUBLE)), 'sum')
+                 / (sqrt(list_aggregate(list_transform(range(1, {d + 1}),
+                       i -> CAST(e.embedding[i] AS DOUBLE)
+                            * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, {d + 1}),
+                       i -> CAST(qv[i] AS DOUBLE)
+                            * CAST(qv[i] AS DOUBLE)), 'sum'))), 6) AS ps
+        FROM embeddings e, mrlq
+        WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL)"""
+
+
+@query("ann_matryoshka_refine_knn", oracle=f"""
+WITH {_sql_mrl_ctes()},
+short AS (SELECT vec_id, label, embedding FROM mrl
+          ORDER BY ps DESC, vec_id ASC LIMIT {_MRL_SHORTLIST}),
+r AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim
+      FROM short e, mrlq q)
+SELECT vec_id, label, ROUND(sim, 6) AS similarity
+FROM r ORDER BY sim DESC, vec_id ASC LIMIT 10
+""")
+def ann_matryoshka_refine_knn(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """MATRYOSHKA (prefix-dim) KNN — the zero-training, zero-artifact
+    rung of the ANN ladder (Kusupati et al. 2022 adaptive retrieval):
+    rank by cosine over the FIRST {_MRL_DIM} of {_ANN_DIM} dims
+    ({_MRL_DIM}/{_ANN_DIM} of the scan bytes/FLOPs), refine the
+    top-{_MRL_SHORTLIST} with the full vector.  Both ranks on
+    6-dp-rounded scores with vec_id ties — bit-replayable.  Prefix
+    recall priced by ``ann_matryoshka_recall_at_10`` (the fixture is
+    not MRL-trained, so that number is the honest untrained floor).
+    See ``operators/matryoshka.py``."""
+    from openai_vector_search_demo_spark.operators.matryoshka import (
+        matryoshka_knn,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    assert len(qvec) == _ANN_DIM
+    top = matryoshka_knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
+                         prefix_dim=_MRL_DIM, shortlist=_MRL_SHORTLIST,
+                         sim_col="sim", tie_break="vec_id")
+    return top.select("vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
+@query("ann_matryoshka_recall_at_10", oracle=f"""
+WITH {_sql_mrl_ctes()},
+approx_top AS (SELECT vec_id FROM mrl
+               ORDER BY ps DESC, vec_id ASC LIMIT 10),
+exact_top AS ({_KNN_ORACLE})
+SELECT (SELECT COUNT(*) FROM exact_top) AS n_exact,
+       (SELECT COUNT(*) FROM approx_top) AS n_approx,
+       (SELECT COUNT(*) FROM exact_top e JOIN approx_top a USING (vec_id))
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM exact_top e JOIN approx_top a
+              USING (vec_id)) / 10.0, 3) AS recall_at_10
+""")
+def ann_matryoshka_recall_at_10(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Recall of the UNREFINED {_MRL_DIM}-dim prefix against exact brute
+    force — the honest untrained-prefix floor (MRL-trained embeddings
+    concentrate information in the prefix; the fixture's do not, so
+    this slot measures the mechanics' worst case and the refine slot
+    shows the recovered answer)."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.matryoshka import (
+        matryoshka_knn,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact_top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id") \
+        .select("vec_id")
+    approx_top = matryoshka_knn(base, qvec, k=10, prefix_dim=_MRL_DIM,
+                                shortlist=10, sim_col="sim",
+                                tie_break="vec_id",
+                                refine=False).select("vec_id")
+    overlap = exact_top.join(approx_top, "vec_id")
+    return (exact_top.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(approx_top.agg(F.count(F.lit(1)).alias("n_approx")))
+            .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+            .withColumn("recall_at_10",
+                        F.round(F.col("n_overlap") / 10.0, 3)))
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator
