@@ -11729,6 +11729,63 @@ def ann_matryoshka_recall_at_10(spark: SparkSession,
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
+@query("streaming_session_windows", oracle="""
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS grp
+      FROM o)
+SELECT epoch_us(MIN(ts)) AS session_start_us, user_id,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM g GROUP BY user_id, grp
+""")
+def streaming_session_windows(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """SESSION windows executed as a real Structured Streaming job (file
+    source → watermark → native ``session_window`` stateful merge →
+    memory sink, availableNow) — value-checked against the SAME
+    gap-island first-principles oracle as the batch
+    ``events_session_window`` slot.  The stateful session MERGE is what
+    the streaming run adds over the tumbling slot: sessions straddling
+    micro-batch boundaries must reconcile into single rows, which
+    exercises the session-state store, not just windowed counting.
+    State is bounded by open sessions (watermark evicts closed ones) —
+    the 100 TB stream posture."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_session_windows,
+    )
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    name = f"stream_session_{next(_STREAM_SEQ)}"
+    try:
+        raw_batch = _read_events_raw(spark, sf_dir)
+        ts_us = _events_ts_us(raw_batch)
+        stream = (spark.readStream.schema(raw_batch.schema)
+                  .format("parquet")
+                  .option("pathGlobFilter", "events.parquet")
+                  .load(sf_dir)
+                  .withColumn("ts", F.timestamp_micros(ts_us)))
+        q = (stream_session_windows(stream, "5 minutes",
+                                    watermark="100 days")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+        spark.catalog.dropTempView(name)
+    return out
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator

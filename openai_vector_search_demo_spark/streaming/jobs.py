@@ -137,6 +137,24 @@ def stream_tumbling_counts(events_stream: DataFrame, width: str = "1 hour",
     return tumbling_counts(events_stream.withWatermark("ts", watermark), width)
 
 
+def stream_session_windows(events_stream: DataFrame,
+                           gap: str = "5 minutes",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked SESSION windows on a stream: Spark's native
+    ``session_window`` merges per-key events within the inactivity gap
+    ACROSS micro-batches (the stateful merge is the whole point — a
+    session straddling a batch boundary must still come out as one
+    row), and the watermark closes sessions whose gap has provably
+    expired, evicting their state — bounded state at unbounded input.
+    Same output shape as the batch ``operators.windows.session_windows``
+    so the two share one oracle."""
+    from openai_vector_search_demo_spark.operators.windows import (
+        session_windows,
+    )
+    return session_windows(events_stream.withWatermark("ts", watermark),
+                           gap)
+
+
 def stream_dedup_documents(doc_stream: DataFrame,
                            ts_col: str | None = None,
                            watermark: str = "1 hour") -> DataFrame:
