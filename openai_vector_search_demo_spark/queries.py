@@ -11786,6 +11786,98 @@ def streaming_session_windows(spark: SparkSession,
     return out
 
 
+@query("jsonl_export_roundtrip", oracle=rf"""
+WITH h AS (SELECT source, lang, n_chars,
+                  {_SQL_H60.format(expr="text")} % 1000003 AS th
+           FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(th) AS BIGINT) AS text_hash_sum,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM h GROUP BY source
+""")
+def jsonl_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL SINK+SOURCE round-trip — the interchange format every
+    training-data pipeline ships (shard exports, labeling hand-offs):
+    the corpus is WRITTEN as JSON-lines, READ BACK schema-pinned, and
+    digested per source (counts, char sums, a modular text-hash sum,
+    lang cardinality); the oracle computes the same digest from the
+    PARQUET original, so any encode/decode lossiness — escaping,
+    unicode, numeric coercion, silent row drops — breaks the hash.
+    Write cached per corpus CONTENT fingerprint.  Scale: the export is
+    one map-only write, the digest one aggregate; JSONL costs ~3-4× the
+    parquet bytes and zero column pruning — which is why it is the
+    EXCHANGE format here, never the query store (the engine's stores
+    are all parquet)."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|jsonl|{_parquet_fingerprint(docs_path)}".encode()) \
+        .hexdigest()[:10]
+    path = os.path.join("/tmp", "spark_graft_jsonl_" + key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return (back
+            .withColumn("th", _hash60(F.col("text")) % F.lit(1000003))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"),
+                 F.sum("th").alias("text_hash_sum"),
+                 F.countDistinct("lang").alias("n_langs")))
+
+
+@query("csv_export_roundtrip", oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS first_us,
+       CAST(epoch_us(MAX(o_orderdate)) AS BIGINT) AS last_us
+FROM orders GROUP BY 1, 2
+""")
+def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV SINK+SOURCE round-trip — the hand-off format for BI and
+    legacy ingestion: orders (keys, doubles, timestamps, enum strings)
+    written as headered CSV, read back schema-pinned, digested per
+    (status, priority); the oracle digests the PARQUET original, so any
+    quoting, locale, float-rendering, or timestamp-format loss breaks
+    the hash.  Timestamps survive via an explicit micro-second format
+    (CSV's default second-precision rendering WOULD truncate — the slot
+    pins the non-lossy configuration, which is the operational point).
+    Write cached per corpus CONTENT fingerprint."""
+    import hashlib
+    import os
+
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    o = t(spark, sf_dir, "orders")
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|csv|{_parquet_fingerprint(orders_path)}".encode()) \
+        .hexdigest()[:10]
+    path = os.path.join("/tmp", "spark_graft_csv_" + key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (o.write.mode("overwrite").option("header", True)
+         .option("timestampNTZFormat", fmt).csv(path))
+    back = (spark.read.schema(o.schema).option("header", True)
+            .option("timestampNTZFormat", fmt).csv(path))
+    return (back.groupBy("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum("o_orderkey").alias("key_sum"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+                 F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                 .alias("first_us"),
+                 F.unix_micros(F.max("o_orderdate").cast("timestamp"))
+                 .alias("last_us")))
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator
