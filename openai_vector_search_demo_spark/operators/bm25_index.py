@@ -1,0 +1,99 @@
+"""Stored inverted index for BM25: bucket-partitioned postings + stats.
+
+The lexical twin of the ANN stored tiers: `bm25_top_docs` tokenizes the
+corpus per query (the right shape for ad-hoc analytics, wrong for a
+serving path); this module persists the classic IR artifacts once —
+
+- POSTINGS (token, doc_id, tf, dl), partitioned by ``bucket =
+  pmod(h60(token), n_buckets)`` so a query reads only its terms'
+  bucket directories (partition pruning at discovery time, the
+  stored-LSH pattern applied to text),
+- DF (token, dfc) — the document-frequency table, vocabulary-sized,
+- STATS (n_docs, avgdl) — one row,
+
+and serves Okapi BM25 (k1=1.2, b=0.75 — Robertson/Walker, public) by
+scanning ~|query terms| / n_buckets of the postings, joining the
+(broadcast) per-term df, and one TakeOrderedAndProject.  Scoring
+arithmetic is IDENTICAL to the inline form, so both share one oracle.
+
+Scale posture (100 TB): the postings relation is corpus-tokens-sized
+but written once; per query the scan is partition-pruned to the query
+terms' buckets and filtered to the terms before any shuffle — the only
+exchange is the per-doc score sum, keyed by doc_id over query-term hits
+only.  df/stats ride broadcasts.  At web scale the same layout sharded
+by (bucket, doc-range) is a textbook distributed inverted index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.functions.text_analysis import (
+    _hash60,
+    tokens,
+)
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_BUCKETS = 16
+
+
+def write_bm25_index(df: DataFrame, path: str,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n_buckets: int = BM25_BUCKETS) -> None:
+    """Persist postings/df/stats under ``path``.  One tokenize pass
+    feeds all three (the exploded stream is aggregated, never stored
+    raw); postings land one directory per token bucket."""
+    toks = (df.select(F.col(id_col).alias("doc_id"),
+                      tokens(text_col).alias("toks"))
+            .withColumn("dl", F.size("toks")))
+    post = (toks.select("doc_id", "dl", F.explode("toks").alias("token"))
+            .groupBy("doc_id", "dl", "token")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("bucket",
+                        F.pmod(_hash60(F.col("token")),
+                               F.lit(n_buckets)).cast("int")))
+    (post.repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(f"{path}/postings"))
+    postings = post.sparkSession.read.parquet(f"{path}/postings")
+    (postings.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/df"))
+    (toks.agg(F.count(F.lit(1)).alias("n_docs"),
+              F.avg("dl").alias("avgdl"))
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats"))
+
+
+def bm25_stored_topk(spark, path: str, terms: list[str], k: int = 20,
+                     k1: float = BM25_K1, b: float = BM25_B,
+                     n_buckets: int = BM25_BUCKETS,
+                     score_col: str = "bm25") -> DataFrame:
+    """Serve BM25 top-k for ``terms`` off a ``write_bm25_index`` store:
+    partition-pruned postings read (the terms' buckets only), broadcast
+    df join, one per-doc sum, one TakeOrderedAndProject.  ``n_buckets``
+    must match the write."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60 as _h60,  # noqa: F401 (documented: bucket derivation)
+    )
+    import hashlib
+
+    def _bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) \
+            % n_buckets
+
+    buckets = sorted({_bucket(t) for t in terms})
+    n_docs, avgdl = spark.read.parquet(f"{path}/stats").first()
+    post = (spark.read.parquet(f"{path}/postings")
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("token").isin(terms)))
+    dfq = (spark.read.parquet(f"{path}/df")
+           .filter(F.col("token").isin(terms)))
+    idf = F.log((F.lit(n_docs) - F.col("dfc") + 0.5)
+                / (F.col("dfc") + 0.5) + 1.0)
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    return (post.join(F.broadcast(dfq), "token")
+            .withColumn("part", idf * F.col("tf") * (k1 + 1.0) / denom)
+            .groupBy("doc_id")
+            .agg(F.round(F.sum("part"), 6).alias(score_col))
+            .orderBy(F.col(score_col).desc(), F.col("doc_id").asc())
+            .limit(k))

@@ -11902,6 +11902,37 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("last_us")))
 
 
+@query("bm25_stored_topk", oracle=_BM25_ORACLE)
+def bm25_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED INVERTED INDEX — the lexical serving path
+    (``operators/bm25_index.py``): token-bucket-partitioned postings +
+    df + stats persisted once; the query reads ONLY its terms' bucket
+    directories (partition pruning at discovery, the stored-LSH pattern
+    applied to text), joins the broadcast df table, and serves Okapi
+    BM25 identical to the inline ``bm25_top_docs`` — hence the
+    identical oracle.  Store cached per corpus CONTENT fingerprint.
+    At 100 TB the postings write is the one-time cost; per query the
+    scan is |terms|/n_buckets of the postings and the only shuffle is
+    the per-doc sum over query-term hits."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.bm25_index import (
+        bm25_stored_topk as serve,
+        write_bm25_index,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|bm25|{_parquet_fingerprint(docs_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_bm25_" + key)
+    if not os.path.exists(os.path.join(store, "stats")):
+        write_bm25_index(docs, store)
+    return serve(spark, store, _BM25_TERMS, k=20, score_col="bm25")
+
+
 # The r12 ladder extensions are REGISTERED AFTER the battery definitions,
 # so they join retrieval_battery HERE (rotation hygiene, judge r11 #7:
 # receipted from birth — the stored/serving forms take direct window

@@ -578,6 +578,30 @@ def test_nsw_stored_lookup_prunes_buckets_and_search_is_python_free(
     assert "SortMergeJoin" not in p      # never a corpus-sized shuffle join
 
 
+def test_bm25_stored_scan_prunes_buckets_and_is_python_free(
+        spark, tmp_path):
+    """The inverted-index serving read must prune postings DIRECTORIES
+    by the query terms' buckets (PartitionFilters), join the df table
+    by broadcast, and keep everything in codegen — the only shuffle is
+    the per-doc score sum over query-term hits."""
+    from openai_vector_search_demo_spark.operators.bm25_index import (
+        bm25_stored_topk,
+        write_bm25_index,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    store = str(tmp_path / "bm25")
+    write_bm25_index(docs, store, n_buckets=8)
+    top = bm25_stored_topk(spark, store, ["hash", "join", "spark"],
+                           k=20, n_buckets=8)
+    p = _physical(top)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "MapInPandas" not in p
+    assert "PartitionFilters" in p and "bucket" in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_drift_report_is_codegen_with_tiny_shuffle(spark):
     """The drift gate's corpus-side work is one unpivoted scan — no
     Python, no cartesian; everything post-shuffle operates on the
