@@ -216,25 +216,134 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
                            sim_col=sim_col)
 
 
+def upsert_nsw_index(spark, path: str, batch: DataFrame,
+                     existing: DataFrame, m: int = NSW_M,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_buckets: int = 16) -> None:
+    """INSERT a vector batch into a stored neighbor graph WITHOUT a
+    rebuild — and, for pure inserts, EXACTLY (the property quantizer
+    tiers cannot offer): node j's true top-m over C∪B is a subset of
+    (its stored top-m over C) ∪ B, so appending
+
+    - each new node's top-m edge list over C∪B (one blocked
+      batch×corpus BLAS pass — |B|·|C| work, never |C|²), and
+    - each EXISTING node's candidate edges to batch nodes that beat
+      its current m-th edge under the (sim desc, dst asc) order
+      (filtered against the per-src worst row, so the append is
+      |improvements|, not |C|·|B|),
+
+    and resolving per-src top-m AT READ TIME (the merge-on-read window
+    ``beam_search_knn``'s stored lookup applies) serves the identical
+    graph a full rebuild would produce — the oracle for the upsert slot
+    IS the full-rebuild oracle.  Deletes are out of scope here (a
+    removed node invalidates neighbors' lists non-locally; the
+    documented production answer is periodic recompaction, the IVFADC
+    pattern)."""
+    import pandas as pd
+
+    ex = (existing.filter(F.col(vec_col).isNotNull())
+          .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    brows = (batch.filter(F.col(vec_col).isNotNull())
+             .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+             .collect())
+    if not brows:
+        return
+    bids = np.array([r.id for r in brows], dtype=np.int64)
+    bmat = np.array([list(r.v) for r in brows], dtype=np.float64)
+    bn = np.linalg.norm(bmat, axis=1)
+    bn[bn == 0] = 1.0
+    bunit = bmat / bn[:, None]
+    sess = existing.sparkSession
+
+    def cross_sims(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            sims = np.round((mat / nm[:, None]) @ bunit.T, 6)
+            rows = []
+            for i in range(len(ids)):
+                for j in range(len(bids)):
+                    if ids[i] != bids[j]:
+                        rows.append((int(ids[i]), int(bids[j]),
+                                     float(sims[i, j])))
+            if rows:
+                yield pd.DataFrame(rows, columns=["src", "dst", "sim"])
+
+    # (existing∪batch) × batch sims — batch rides the closure (broadcast
+    # by value); one Arrow pass over the corpus, |B| columns per row
+    allnodes = ex.unionByName(sess.createDataFrame(
+        [(int(r.id), list(r.v)) for r in brows], "id long, v array<double>"))
+    cross = allnodes.mapInPandas(cross_sims, "src long, dst long, sim double")
+
+    # new nodes' top-m over C∪B: need batch×(C∪B) sims = transpose of
+    # the batch columns plus batch×batch (already in `cross` where src
+    # is a batch id)
+    rev = cross.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "sim")
+    new_side = (cross.filter(F.col("src").isin([int(x) for x in bids]))
+                .unionByName(rev.filter(
+                    F.col("src").isin([int(x) for x in bids]))))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                          F.col("dst").asc())
+    new_edges = (new_side.dropDuplicates(["src", "dst"])
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= m).drop("_rn"))
+
+    # existing nodes' improvements: candidates beating the current m-th
+    # edge under (sim desc, dst asc)
+    stored = spark.read.parquet(path).select("src", "dst", "sim")
+    worst = (stored.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == m)
+             .select("src", F.col("sim").alias("wsim"),
+                     F.col("dst").alias("wdst")))
+    improvements = (cross.filter(~F.col("src").isin([int(x) for x in bids]))
+                    .join(worst, "src", "left")
+                    .filter(F.col("wsim").isNull()
+                            | (F.col("sim") > F.col("wsim"))
+                            | ((F.col("sim") == F.col("wsim"))
+                               & (F.col("dst") < F.col("wdst"))))
+                    .select("src", "dst", "sim"))
+
+    out = new_edges.unionByName(improvements)
+    (out.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+                    .cast("int"))
+     .repartition(F.col("bucket"))
+     .write.mode("append").partitionBy("bucket").parquet(path))
+
+
 def nsw_stored_knn(spark, path: str, source: DataFrame,
                    qvec: Sequence[float], k: int = 10,
                    ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
                    seeds: Sequence[int] = NSW_SEEDS,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    sim_col: str = "similarity",
-                   n_buckets: int = 16) -> DataFrame:
+                   n_buckets: int = 16, m: int = NSW_M) -> DataFrame:
     """Serving read of a ``write_nsw_index`` store: each round touches
     only the frontier's src BUCKET DIRECTORIES (the lookup filters the
     partition column derived from the frontier ids — partition pruning
     at discovery time, the stored-LSH pattern) and the scored ids'
     vectors (broadcast point-reads).  ``n_buckets`` must match the
-    write."""
+    write.
+
+    MERGE-ON-READ: the per-src top-``m`` window below resolves the
+    current adjacency from (original ∪ ``upsert_nsw_index``-appended)
+    rows — a no-op on a never-upserted store (exactly m rows/src) and
+    the exact full-rebuild list after inserts; it runs on the
+    frontier-sized lookup, never the store."""
     edges = spark.read.parquet(path)
+    wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                           F.col("dst").asc())
 
     def lookup(ids: list[int]) -> DataFrame:
         buckets = sorted({i % n_buckets for i in ids})
-        return edges.filter(F.col("bucket").isin(buckets)
-                            & F.col("src").isin(ids))
+        return (edges.filter(F.col("bucket").isin(buckets)
+                             & F.col("src").isin(ids))
+                .withColumn("_rn", F.row_number().over(wm))
+                .filter(F.col("_rn") <= m).drop("_rn"))
 
     return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
                            rounds=rounds, seeds=seeds, vec_col=vec_col,

@@ -11902,6 +11902,57 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("last_us")))
 
 
+@query("ann_nsw_upsert_knn", oracle=_nsw_knn_oracle())
+def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL GRAPH-INDEX MAINTENANCE — the NSW twin of
+    ``ann_ivfpq_upsert_knn``: the store is built WITHOUT every 5th
+    vector, the held-out batch is then INSERTED via
+    ``operators.nsw.upsert_nsw_index`` (one |B|×|C| blocked pass + the
+    beats-the-m-th-edge improvement filter — never a rebuild), and the
+    beam search over the upserted store must serve the FULL-REBUILD
+    answer — the oracle is literally the full-rebuild oracle, which is
+    provable for pure inserts: node j's true top-m over C∪B ⊆ (stored
+    top-m over C) ∪ B, so the read-time merge window reconstructs the
+    exact graph.  The property the quantizer tiers cannot offer (their
+    upserts change cell geometry); deletes remain the documented
+    recompaction case."""
+    import hashlib
+    import os
+    import shutil
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_stored_knn,
+        upsert_nsw_index,
+        write_nsw_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    corpus = base.filter(F.col("vec_id") % 5 != 3)
+    batch = base.filter(F.col("vec_id") % 5 == 3)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswup{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nswup_store_" + key)
+    marker = os.path.join(store, "_UPSERTED")
+    if not os.path.exists(marker):
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        write_nsw_index(corpus.select("vec_id", "embedding"), store,
+                        m=_NSW_M)
+        upsert_nsw_index(spark, store, batch, corpus, m=_NSW_M)
+        with open(marker, "w") as fh:
+            fh.write("1")
+
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
+                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+                         sim_col="similarity", m=_NSW_M)
+    return top.select("vec_id", "label", "similarity")
+
+
 @query("bm25_stored_topk", oracle=_BM25_ORACLE)
 def bm25_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STORED INVERTED INDEX — the lexical serving path

@@ -122,6 +122,47 @@ def test_store_holds_edges_not_vectors(spark, emb, tmp_path):
     assert all(r["count"] == 3 for r in counts) and len(counts) == N
 
 
+def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
+    """Insert-only maintenance is EXACT: the upserted store's resolved
+    adjacency and beam answer must equal a full rebuild over C∪B."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        upsert_nsw_index,
+    )
+    base = emb.filter(F.col("embedding").isNotNull())
+    corpus = base.filter(F.col("vec_id") % 4 != 1)
+    batch = base.filter(F.col("vec_id") % 4 == 1)
+    inc = str(tmp_path / "inc")
+    write_nsw_index(corpus, inc, m=3, n_buckets=4)
+    upsert_nsw_index(spark, inc, batch, corpus, m=3, n_buckets=4)
+    full = str(tmp_path / "full")
+    write_nsw_index(base, full, m=3, n_buckets=4)
+
+    qvec = [0.25] * DIM
+    got = [(r.vec_id, r.similarity) for r in
+           nsw_stored_knn(spark, inc, base, qvec, k=10, ef=5, rounds=2,
+                          seeds=[2, 10], n_buckets=4, m=3).collect()]
+    want = [(r.vec_id, r.similarity) for r in
+            nsw_stored_knn(spark, full, base, qvec, k=10, ef=5, rounds=2,
+                           seeds=[2, 10], n_buckets=4, m=3).collect()]
+    assert got == want
+
+    # the resolved adjacency itself must match, node by node
+    from pyspark.sql import Window
+    wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                           F.col("dst").asc())
+
+    def resolved(path):
+        rows = (spark.read.parquet(path)
+                .withColumn("_rn", F.row_number().over(wm))
+                .filter(F.col("_rn") <= 3).collect())
+        out = {}
+        for r in sorted(rows, key=lambda r: (r.src, r._rn)):
+            out.setdefault(r.src, []).append(r.dst)
+        return out
+
+    assert resolved(inc) == resolved(full)
+
+
 def test_null_embeddings_absent_from_graph(emb):
     edges = build_knn_graph(emb, m=3)
     ids = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
