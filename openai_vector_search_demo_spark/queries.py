@@ -11996,9 +11996,11 @@ _RETRIEVAL_BATTERY.extend([
     "ann_sq8_refine_knn", "ann_sq8_recall_at_10",
     "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
     "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
-    "bm25_stored_topk",
+    "bm25_stored_topk", "ann_nsw_upsert_knn",
 ])
 _BATTERY_SPECS["bm25_stored_topk"] = [("bm25", "d"), ("doc_id", "s")]
+_BATTERY_SPECS["ann_nsw_upsert_knn"] = [
+    ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 RAW_ORACLE_SQL["retrieval_battery"] = _battery_oracle(_RETRIEVAL_BATTERY)
 ORACLE_SQL["retrieval_battery"] = _materialize_ctes(
     RAW_ORACLE_SQL["retrieval_battery"])
