@@ -11902,6 +11902,49 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("last_us")))
 
 
+@query("streaming_dedup_within_watermark", oracle=f"""
+SELECT DISTINCT {_SQL_FINGERPRINT} AS fingerprint FROM documents
+""")
+def streaming_dedup_within_watermark(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The WATERMARK-BOUNDED streaming dedup — the unbounded-stream
+    production form of ``streaming_dedup``: Spark's native
+    ``dropDuplicatesWithinWatermark`` keeps fingerprint state only
+    until the watermark passes a key's last sighting (the bounded-state
+    property plain stateful ``dropDuplicates`` cannot offer — its state
+    grows with distinct keys forever).  Real availableNow run with an
+    event-time column + in-stream duplication of every 3rd document;
+    every injected duplicate arrives inside the watermark and must
+    collapse, so the result equals the batch DISTINCT-fingerprint set —
+    the SAME oracle as the unbounded twin, with eviction semantics the
+    twin lacks."""
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_dedup_documents,
+    )
+    name = f"stream_dedup_ww_{next(_STREAM_SEQ)}"
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    dup = (stream.withColumn(
+               "_copy", F.explode(F.when(F.col("doc_id") % 3 == 0,
+                                         F.array(F.lit(1), F.lit(2)))
+                                  .otherwise(F.array(F.lit(1)))))
+           .drop("_copy")
+           .withColumn("event_ts",
+                       F.lit("2024-01-01 00:00:00").cast("timestamp")))
+    try:
+        q = (stream_dedup_documents(dup, ts_col="event_ts",
+                                    watermark="1 hour")
+             .select("fingerprint")
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+    return out
+
+
 @query("ann_nsw_upsert_knn", oracle=_nsw_knn_oracle())
 def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL GRAPH-INDEX MAINTENANCE — the NSW twin of
@@ -12004,6 +12047,15 @@ _BATTERY_SPECS["ann_nsw_upsert_knn"] = [
 RAW_ORACLE_SQL["retrieval_battery"] = _battery_oracle(_RETRIEVAL_BATTERY)
 ORACLE_SQL["retrieval_battery"] = _materialize_ctes(
     RAW_ORACLE_SQL["retrieval_battery"])
+
+# Same pattern for the watermark-bounded streaming dedup: it joins the
+# events/streaming battery (its unbounded twin's home) post-registration.
+_EVENTS_WINDOWS_BATTERY.append("streaming_dedup_within_watermark")
+_BATTERY_SPECS["streaming_dedup_within_watermark"] = [("fingerprint", "s")]
+RAW_ORACLE_SQL["events_windows_battery"] = _battery_oracle(
+    _EVENTS_WINDOWS_BATTERY)
+ORACLE_SQL["events_windows_battery"] = _materialize_ctes(
+    RAW_ORACLE_SQL["events_windows_battery"])
 
 
 # ===========================================================================
