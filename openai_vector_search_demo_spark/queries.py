@@ -11902,6 +11902,59 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("last_us")))
 
 
+@query("ivm_source_stats_delta", oracle=rf"""
+WITH h AS (SELECT source, n_chars,
+                  {_SQL_TOKS} AS toks FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+FROM h GROUP BY source
+""")
+def ivm_source_stats_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE — the materialized-aggregate delta
+    pattern (Delta Live Tables / Materialize shape, reduced to its
+    algebra): a per-source stats MATVIEW built over the corpus MINUS
+    every 4th document, then a DELTA batch (those held-out docs)
+    aggregated alone and MERGED by full-outer sum — the maintained view
+    must equal the full recompute, which IS the oracle.  The point at
+    100 TB: the delta path aggregates |batch| rows + |sources| matview
+    rows instead of re-scanning the corpus — correct because count/sum
+    are commutative monoids (the oracle-checked claim); the engine's
+    non-monoid incrementals (dedup stores, ANN upserts) each carry
+    their own slot."""
+    docs = t(spark, sf_dir, "documents")
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        token_count,
+    )
+
+    def agg(df):
+        return (df.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"),
+                     F.sum(token_count("text")).alias("n_tokens")))
+
+    matview = agg(docs.filter(F.col("doc_id") % 4 != 1))
+    delta = agg(docs.filter(F.col("doc_id") % 4 == 1))
+    m = matview.select("source",
+                       F.col("n_docs").alias("m_docs"),
+                       F.col("sum_chars").alias("m_chars"),
+                       F.col("n_tokens").alias("m_tokens"))
+    d = delta.select("source",
+                     F.col("n_docs").alias("d_docs"),
+                     F.col("sum_chars").alias("d_chars"),
+                     F.col("n_tokens").alias("d_tokens"))
+    merged = m.join(d, "source", "full_outer")
+    z = F.lit(0).cast("long")
+    return merged.select(
+        "source",
+        (F.coalesce("m_docs", z) + F.coalesce("d_docs", z))
+        .alias("n_docs"),
+        (F.coalesce("m_chars", z) + F.coalesce("d_chars", z))
+        .alias("sum_chars"),
+        (F.coalesce("m_tokens", z) + F.coalesce("d_tokens", z))
+        .alias("n_tokens"))
+
+
 @query("streaming_dedup_within_watermark", oracle=f"""
 SELECT DISTINCT {_SQL_FINGERPRINT} AS fingerprint FROM documents
 """)
@@ -12056,6 +12109,15 @@ RAW_ORACLE_SQL["events_windows_battery"] = _battery_oracle(
     _EVENTS_WINDOWS_BATTERY)
 ORACLE_SQL["events_windows_battery"] = _materialize_ctes(
     RAW_ORACLE_SQL["events_windows_battery"])
+
+# ... and the IVM delta-merge slot joins the analytics battery.
+_ANALYTICS_BATTERY.append("ivm_source_stats_delta")
+_BATTERY_SPECS["ivm_source_stats_delta"] = [
+    ("n_docs", "s"), ("n_tokens", "s"), ("source", "s"),
+    ("sum_chars", "s")]
+RAW_ORACLE_SQL["analytics_battery"] = _battery_oracle(_ANALYTICS_BATTERY)
+ORACLE_SQL["analytics_battery"] = _materialize_ctes(
+    RAW_ORACLE_SQL["analytics_battery"])
 
 
 # ===========================================================================
