@@ -13,7 +13,12 @@
    per-source quota cap, mixture-allocation planning, and the
    split-leakage audit,
 6. (late r11) the 8-byte binary-signature serving tier: write the
-   signature store, serve Hamming-shortlist + exact-refine top-k.
+   signature store, serve Hamming-shortlist + exact-refine top-k,
+7. (late r11) the composed cell-pruned binary rung,
+8. (r12) the SQ8 byte-per-dim tier: min/max train + code store,
+9. (r12) the NSW graph tier incl. an insert-only upsert that serves
+   the full-rebuild answer (merge-on-read adjacency),
+10. (r12) the lexical side: stored inverted index + bucket-pruned BM25.
 
 Run:  python examples/selection_serving_demo.py [sf_dir]
 Defaults to /root/testdata/sf0.001.
@@ -148,6 +153,50 @@ def main() -> None:
                                       k=5, shortlist=100).collect()
         print("7. cell-pruned binary store (24/64 cells) serves top-5:",
               [(r.vec_id, round(r.similarity, 4)) for r in ctop])
+
+        # 8. (r12) SQ8 byte-per-dim tier: min/max train, code store,
+        #    codes-only scan + exact refine
+        from openai_vector_search_demo_spark.operators.sq import (
+            sq8_stored_knn,
+            sq8_train,
+            write_sq8_index,
+        )
+        mins, maxs = sq8_train(base)
+        sq_store = f"{tmp}/sq8"
+        write_sq8_index(base, sq_store, mins, maxs)
+        stop_ = sq8_stored_knn(spark, sq_store, base, qvec, mins, maxs,
+                               k=5).collect()
+        print("8. SQ8 code store (64 B/vec, min/max train) serves top-5:",
+              [(r.vec_id, round(r.similarity, 4)) for r in stop_])
+
+        # 9. (r12) graph tier: kNN-graph store, beam serving, then
+        #    insert-only upsert that provably equals a full rebuild
+        from openai_vector_search_demo_spark.operators.nsw import (
+            nsw_stored_knn,
+            upsert_nsw_index,
+            write_nsw_index,
+        )
+        gstore = f"{tmp}/nsw"
+        corpus = base.filter(F.col("vec_id") % 5 != 3)
+        write_nsw_index(corpus, gstore)
+        upsert_nsw_index(spark, gstore, base.filter(F.col("vec_id") % 5 == 3),
+                         corpus)
+        gtop = nsw_stored_knn(spark, gstore, base, qvec, k=5).collect()
+        print("9. NSW graph store (post-upsert, merge-on-read) serves"
+              " top-5:",
+              [(r.vec_id, round(r.similarity, 4)) for r in gtop])
+
+        # 10. (r12) the lexical side: stored inverted index + BM25
+        from openai_vector_search_demo_spark.operators.bm25_index import (
+            bm25_stored_topk,
+            write_bm25_index,
+        )
+        bstore = f"{tmp}/bm25"
+        write_bm25_index(docs, bstore)
+        ltop = bm25_stored_topk(spark, bstore,
+                                ["hash", "join", "spark"], k=5).collect()
+        print("10. inverted-index BM25 (bucket-pruned postings) top-5:",
+              [(r.doc_id, round(r.bm25, 4)) for r in ltop])
 
     spark.stop()
 
