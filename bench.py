@@ -177,6 +177,8 @@ HEADLINE = [
     "streaming_session_windows",  # stateful session merge, real run (r12)
     "jsonl_export_roundtrip",  # JSON sink+source fidelity digest (r12)
     "csv_export_roundtrip",   # CSV sink+source fidelity digest (r12)
+    "bm25_stored_topk",       # inverted index: bucket-pruned postings (r12)
+    "ann_nsw_upsert_knn",     # graph insert-only upsert == full rebuild (r12)
 ]
 
 
