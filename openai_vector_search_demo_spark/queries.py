@@ -11334,26 +11334,32 @@ nswedges AS (SELECT src, dst FROM (
                FROM nswsims) WHERE rn <= {_NSW_M})"""
 
 
-def _sql_nsw_beam() -> str:
+def _sql_nsw_beam(prefix: str = "", ef: int = _NSW_EF,
+                  include_q: bool = True) -> str:
     """Unrolled beam rounds (the HITS/PageRank oracle pattern): v_r
     accumulates every scored node, f_r is the round's top-ef newcomers;
-    all selections on the 6-dp-rounded cosine with vec_id ties."""
+    all selections on the 6-dp-rounded cosine with vec_id ties.
+    ``prefix`` namespaces the CTEs so one oracle can unroll several ef
+    operating points over the shared edge relation (the curve slot);
+    ``include_q=False`` skips the shared query-vector CTE."""
     seeds = ", ".join(str(s) for s in _NSW_SEEDS)
-    parts = [f"""nswq AS (SELECT embedding AS qv FROM embeddings
-         WHERE vec_id = 0),
-v0 AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
+    p = prefix
+    head = ("""nswq AS (SELECT embedding AS qv FROM embeddings
+         WHERE vec_id = 0),\n""" if include_q else "")
+    parts = [f"""{head}{p}v0 AS (SELECT e.vec_id, e.label,
+       ROUND({_SQL_COS_TO_Q}, 6) AS s
        FROM embeddings e, nswq q
        WHERE e.vec_id IN ({seeds})),
-f0 AS (SELECT vec_id FROM v0)"""]
+{p}f0 AS (SELECT vec_id FROM {p}v0)"""]
     for r in range(1, _NSW_ROUNDS + 1):
-        parts.append(f"""c{r} AS (SELECT DISTINCT g.dst AS vec_id
-        FROM nswedges g JOIN f{r - 1} f ON g.src = f.vec_id
-        WHERE g.dst NOT IN (SELECT vec_id FROM v{r - 1})),
-s{r} AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
-         FROM embeddings e JOIN c{r} USING (vec_id), nswq q),
-v{r} AS (SELECT * FROM v{r - 1} UNION ALL SELECT * FROM s{r}),
-f{r} AS (SELECT vec_id FROM s{r}
-         ORDER BY s DESC, vec_id ASC LIMIT {_NSW_EF})""")
+        parts.append(f"""{p}c{r} AS (SELECT DISTINCT g.dst AS vec_id
+        FROM nswedges g JOIN {p}f{r - 1} f ON g.src = f.vec_id
+        WHERE g.dst NOT IN (SELECT vec_id FROM {p}v{r - 1})),
+{p}s{r} AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
+         FROM embeddings e JOIN {p}c{r} USING (vec_id), nswq q),
+{p}v{r} AS (SELECT * FROM {p}v{r - 1} UNION ALL SELECT * FROM {p}s{r}),
+{p}f{r} AS (SELECT vec_id FROM {p}s{r}
+         ORDER BY s DESC, vec_id ASC LIMIT {ef})""")
     return ",\n".join(parts)
 
 
@@ -11463,6 +11469,79 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
             .withColumn("recall_at_10",
                         F.round(F.col("n_overlap") / 10.0, 3)))
+
+
+_NSW_CURVE_EFS = (6, 12, 48)
+
+
+def _nsw_curve_oracle() -> str:
+    beams = ",\n".join(
+        _sql_nsw_beam(prefix=f"e{ef}_", ef=ef, include_q=(i == 0))
+        for i, ef in enumerate(_NSW_CURVE_EFS))
+    points = "\nUNION ALL\n".join(f"""
+SELECT {ef} AS ef,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{ef}_v{_NSW_ROUNDS})
+         AS n_visited,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+          SELECT vec_id FROM e{ef}_v{_NSW_ROUNDS}
+          ORDER BY s DESC, vec_id ASC LIMIT 10) a
+        JOIN exact_top USING (vec_id)) AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM (
+          SELECT vec_id FROM e{ef}_v{_NSW_ROUNDS}
+          ORDER BY s DESC, vec_id ASC LIMIT 10) a
+        JOIN exact_top USING (vec_id)) / 10.0, 3) AS recall_at_10"""
+        for ef in _NSW_CURVE_EFS)
+    return f"""
+WITH {_sql_nsw_edges()},
+{beams},
+exact_top AS ({_KNN_ORACLE})
+SELECT * FROM ({points}) _curve ORDER BY ef
+"""
+
+
+@query("ann_nsw_recall_curve", oracle=_nsw_curve_oracle())
+def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beam-width TRADEOFF CURVE as one oracled row set — HNSW's
+    efSearch knob priced like the IVF nprobe and binary shortlist
+    curves: for ef ∈ {_NSW_CURVE_EFS}, nodes VISITED (= exact-score
+    evaluations, the query's scan cost) vs recall@10 against exact
+    brute force, all off the same cached graph store.  The knob answer
+    to the measured recall drop at larger corpora: raising ef buys
+    recall with visited-count growth bounded by rounds·ef·M, still
+    corpus-size-independent."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+    import hashlib
+    import os
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in
+             knn(base, qvec, k=10, sim_col="sim",
+                 tie_break="vec_id").collect()}
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nsw{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(base, store, m=_NSW_M)
+    rows = []
+    for ef in _NSW_CURVE_EFS:
+        visited = nsw_stored_knn(spark, store, base, qvec, k=4000,
+                                 ef=ef, rounds=_NSW_ROUNDS,
+                                 seeds=_NSW_SEEDS,
+                                 sim_col="sim").collect()
+        top10 = [r.vec_id for r in visited[:10]]
+        overlap = len(exact.intersection(top10))
+        rows.append((ef, len(visited), overlap, round(overlap / 10.0, 3)))
+    return spark.createDataFrame(
+        rows, "ef int, n_visited long, n_overlap long,"
+              " recall_at_10 double")
 
 
 @query("ann_nsw_ranking_metrics", oracle=f"""
@@ -12110,8 +12189,11 @@ _RETRIEVAL_BATTERY.extend([
     "ann_sq8_refine_knn", "ann_sq8_recall_at_10",
     "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
     "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
-    "bm25_stored_topk", "ann_nsw_upsert_knn",
+    "bm25_stored_topk", "ann_nsw_upsert_knn", "ann_nsw_recall_curve",
 ])
+_BATTERY_SPECS["ann_nsw_recall_curve"] = [
+    ("ef", "s"), ("n_overlap", "s"), ("n_visited", "s"),
+    ("recall_at_10", "d")]
 _BATTERY_SPECS["bm25_stored_topk"] = [("bm25", "d"), ("doc_id", "s")]
 _BATTERY_SPECS["ann_nsw_upsert_knn"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
