@@ -11999,6 +11999,147 @@ def csv_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("last_us")))
 
 
+@query("ccnet_perplexity_buckets", oracle=rf"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS tk FROM documents),
+dtc AS (SELECT doc_id, tk, COUNT(*) AS ct FROM tok GROUP BY ALL),
+vocab AS (SELECT tk, SUM(ct) AS c FROM dtc GROUP BY tk),
+stats AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+lm AS (SELECT doc_id, CAST(SUM(ct) AS BIGINT) AS n_tokens,
+              ROUND(SUM(ct * ln((c + 1.0) / (n + v))) / SUM(ct), 6)
+                AS avg_logprob
+       FROM dtc JOIN vocab USING (tk), stats GROUP BY doc_id),
+b AS (SELECT d.lang, lm.doc_id, lm.n_tokens, lm.avg_logprob,
+             NTILE(3) OVER (PARTITION BY d.lang
+                            ORDER BY lm.avg_logprob DESC,
+                                     lm.doc_id ASC) AS bucket
+      FROM lm JOIN documents d USING (doc_id))
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(AVG(avg_logprob), 6) AS avg_lp,
+       CAST(SUM(CASE WHEN bucket = 1 THEN 1
+                     WHEN bucket = 2 AND doc_id % 2 = 0 THEN 1
+                     WHEN bucket = 3 AND doc_id % 10 = 0 THEN 1
+                     ELSE 0 END) AS BIGINT) AS n_kept
+FROM b GROUP BY lang, bucket
+""")
+def ccnet_perplexity_buckets(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """CCNET PERPLEXITY BUCKETING (Wenzek et al. LREC 2020, public
+    method description only) — the head/middle/tail curation stage:
+    per-language terciles of the corpus-trained LM fluency score
+    (``ta_unigram_lm_score``'s exact relational model standing in for
+    KenLM), with the classic keep policy applied deterministically
+    (head kept whole, middle 1/2, tail 1/10 by the id hash) and audited
+    per (lang, bucket): docs, tokens, mean score, kept count.  One LM
+    scan + one per-language NTILE window + one aggregate; the bucketing
+    key at 100 TB is the language — the window partitions are
+    per-language corpora, exactly CCNet's sharding."""
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        unigram_lm_scores,
+    )
+    docs = t(spark, sf_dir, "documents")
+    lm = unigram_lm_scores(docs)
+    b = (lm.join(docs.select("doc_id", "lang"), "doc_id")
+         .withColumn("bucket", F.ntile(3).over(
+             Window.partitionBy("lang")
+             .orderBy(F.col("avg_logprob").desc(),
+                      F.col("doc_id").asc())).cast("int")))
+    kept = (F.when(F.col("bucket") == 1, 1)
+            .when((F.col("bucket") == 2) & (F.col("doc_id") % 2 == 0), 1)
+            .when((F.col("bucket") == 3) & (F.col("doc_id") % 10 == 0), 1)
+            .otherwise(0))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").alias("n_tokens"),
+                 F.round(F.avg("avg_logprob"), 6).alias("avg_lp"),
+                 F.sum(kept).alias("n_kept")))
+
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@query("gopher_quality_rules", oracle=rf"""
+WITH w AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+m AS (SELECT doc_id,
+             len(toks) AS n_words,
+             list_aggregate(list_transform(toks, t -> len(t)), 'sum')
+               * 1.0 / len(toks) AS mean_wl,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+               * 1.0 / len(toks) AS alpha_frac,
+             len(list_distinct(list_filter(toks,
+               t -> t IN ('{"','".join(_GOPHER_STOPS)}')))) AS n_stops
+      FROM w WHERE len(toks) > 0),
+r AS (SELECT doc_id,
+             CAST(n_words BETWEEN 50 AND 100000 AS INT) AS word_count,
+             CAST(mean_wl BETWEEN 3 AND 10 AS INT) AS mean_word_length,
+             CAST(alpha_frac >= 0.8 AS INT) AS alpha_word_fraction,
+             CAST(n_stops >= 2 AS INT) AS stop_word_presence
+      FROM m),
+u AS (
+  SELECT 'word_count' AS rule, word_count AS ok FROM r
+  UNION ALL SELECT 'mean_word_length', mean_word_length FROM r
+  UNION ALL SELECT 'alpha_word_fraction', alpha_word_fraction FROM r
+  UNION ALL SELECT 'stop_word_presence', stop_word_presence FROM r
+  UNION ALL SELECT 'ALL', word_count * mean_word_length
+                          * alpha_word_fraction * stop_word_presence
+  FROM r)
+SELECT rule, CAST(SUM(ok) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_fail,
+       ROUND(SUM(1 - ok) * 1.0 / COUNT(*), 6) AS fail_rate
+FROM u GROUP BY rule
+""")
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER RULE FILTERS (Rae et al. 2021 §A1.1, public method
+    description only) — the recognizable heuristic-gate subset the
+    fixture's schema can express: word-count bounds, mean-word-length
+    bounds, alphabetic-word fraction, and stop-word presence, plus the
+    conjunction row ('ALL'), each reported as a pass/fail/removal-rate
+    AUDIT (the form a curation run reviews before committing the gate —
+    the removal-rate-jump alarm ``ta_blocklist_gate`` documents applies
+    here too).  One tokenize pass, codegen ratios, a 5-way unpivot, one
+    aggregate — scan-bound at any corpus size."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    m = (docs.select(
+        F.size(toks).alias("n_words"),
+        (F.aggregate(F.transform(toks, lambda t: F.length(t)),
+                     F.lit(0), lambda a, x: a + x)
+         * 1.0 / F.size(toks)).alias("mean_wl"),
+        (F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+         * 1.0 / F.size(toks)).alias("alpha_frac"),
+        F.size(F.array_distinct(F.filter(
+            toks, lambda t: t.isin(*_GOPHER_STOPS)))).alias("n_stops"))
+        .filter(F.col("n_words") > 0))
+    r = m.select(
+        F.col("n_words").between(50, 100000).cast("int")
+        .alias("word_count"),
+        F.col("mean_wl").between(3, 10).cast("int")
+        .alias("mean_word_length"),
+        (F.col("alpha_frac") >= 0.8).cast("int")
+        .alias("alpha_word_fraction"),
+        (F.col("n_stops") >= 2).cast("int").alias("stop_word_presence"))
+    r = r.withColumn("ALL", F.col("word_count") * F.col("mean_word_length")
+                     * F.col("alpha_word_fraction")
+                     * F.col("stop_word_presence"))
+    u = r.selectExpr(
+        "stack(5, 'word_count', word_count,"
+        " 'mean_word_length', mean_word_length,"
+        " 'alpha_word_fraction', alpha_word_fraction,"
+        " 'stop_word_presence', stop_word_presence,"
+        " 'ALL', ALL) as (rule, ok)")
+    return (u.groupBy("rule")
+            .agg(F.sum("ok").alias("n_pass"),
+                 F.sum(1 - F.col("ok")).alias("n_fail"),
+                 F.round(F.sum(1 - F.col("ok")) * 1.0
+                         / F.count(F.lit(1)), 6).alias("fail_rate")))
+
+
 @query("ivm_source_stats_delta", oracle=rf"""
 WITH h AS (SELECT source, n_chars,
                   {_SQL_TOKS} AS toks FROM documents)
@@ -12218,6 +12359,18 @@ _BATTERY_SPECS["ivm_source_stats_delta"] = [
 RAW_ORACLE_SQL["analytics_battery"] = _battery_oracle(_ANALYTICS_BATTERY)
 ORACLE_SQL["analytics_battery"] = _materialize_ctes(
     RAW_ORACLE_SQL["analytics_battery"])
+
+# ... and the two named curation stages join the curation battery.
+_CURATION_BATTERY.extend(["ccnet_perplexity_buckets",
+                          "gopher_quality_rules"])
+_BATTERY_SPECS["ccnet_perplexity_buckets"] = [
+    ("avg_lp", "d"), ("bucket", "s"), ("lang", "s"), ("n_docs", "s"),
+    ("n_kept", "s"), ("n_tokens", "s")]
+_BATTERY_SPECS["gopher_quality_rules"] = [
+    ("fail_rate", "d"), ("n_fail", "s"), ("n_pass", "s"), ("rule", "s")]
+RAW_ORACLE_SQL["curation_battery"] = _battery_oracle(_CURATION_BATTERY)
+ORACLE_SQL["curation_battery"] = _materialize_ctes(
+    RAW_ORACLE_SQL["curation_battery"])
 
 
 # ===========================================================================
