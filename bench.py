@@ -179,6 +179,8 @@ HEADLINE = [
     "csv_export_roundtrip",   # CSV sink+source fidelity digest (r12)
     "bm25_stored_topk",       # inverted index: bucket-pruned postings (r12)
     "ann_nsw_upsert_knn",     # graph insert-only upsert == full rebuild (r12)
+    "ccnet_perplexity_buckets",  # head/middle/tail LM bucketing (r12)
+    "gopher_quality_rules",   # rule-filter pass/fail audit (r12)
 ]
 
 
