@@ -113,6 +113,36 @@ def _run(spark, sf_dir: str) -> int:
     print("6. shard manifest (4 shards, epoch-1 permutation):")
     for r in manifest.orderBy("shard").collect():
         print(f"   shard {r.shard}: {r.n_docs} docs, {r.n_tokens} tokens")
+
+    # 7. (r12) the named curation stages on the scrubbed corpus:
+    #    Gopher rule audit + CCNet head/middle/tail LM bucketing
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens as _toks,
+    )
+    toks = _toks("text")  # scrubbed carries the cleaned text as `text`
+    gop = (scrubbed
+           .select(F.size(toks).alias("nw"),
+                   F.size(F.array_distinct(F.filter(
+                       toks, lambda t: t.isin("the", "be", "to", "of",
+                                              "and", "that", "have",
+                                              "with")))).alias("ns"))
+           .agg(F.sum((F.col("nw").between(20, 100000)
+                       & (F.col("ns") >= 2)).cast("int")).alias("ok"),
+                F.count(F.lit(1)).alias("n")).first())
+    print(f"7. gopher gate (>=20 words post-scrub + stop-word rule): "
+          f"{gop.ok}/{gop.n} pass")
+    buck = (lm.join(scrubbed.select("doc_id"), "doc_id")
+            .withColumn("b", F.ntile(3).over(
+                Window.orderBy(F.col("avg_logprob").desc(),
+                               F.col("doc_id").asc())))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("n"),
+                              F.round(F.avg("avg_logprob"), 3).alias("lp"))
+            .orderBy("b").collect())
+    names = {1: "head", 2: "middle", 3: "tail"}
+    print("8. ccnet buckets:",
+          ", ".join(f"{names[r.b]}={r.n} (lp {r.lp})" for r in buck))
     return 0
 
 
