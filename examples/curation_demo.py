@@ -129,7 +129,7 @@ def _run(spark, sf_dir: str) -> int:
                                               "and", "that", "have",
                                               "with")))).alias("ns"))
            .agg(F.sum((F.col("nw").between(20, 100000)
-                       & (F.col("ns") >= 2)).cast("int")).alias("ok"),
+                       & (F.col("ns") >= 1)).cast("int")).alias("ok"),
                 F.count(F.lit(1)).alias("n")).first())
     print(f"7. gopher gate (>=20 words post-scrub + stop-word rule): "
           f"{gop.ok}/{gop.n} pass")

