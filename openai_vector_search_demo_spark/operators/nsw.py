@@ -203,6 +203,62 @@ def beam_search_knn(edges, source: DataFrame,
             .limit(k))
 
 
+def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
+                          queries: DataFrame, k: int = 10,
+                          ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
+                          seeds: Sequence[int] = NSW_SEEDS,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          qid_col: str = "qid", qvec_col: str = "qv",
+                          sim_col: str = "similarity") -> DataFrame:
+    """BATCHED multi-query beam search — the serving form for query
+    THROUGHPUT: the frontier is a (qid, node) RELATION, every round is
+    one edge join + one anti join + one broadcast-scored point-read +
+    one per-qid top-ef window, and NOTHING is collected to the driver —
+    the single-query ``beam_search_knn``'s bounded collects disappear
+    because the qid key carries all per-query state in-plan.  At 100 TB
+    this is how an offline evaluation or a batch re-ranking job runs
+    thousands of queries in one pass over the (bucketed) edge store.
+    Returns the per-qid top-k of all visited nodes, exact cosines,
+    6-dp-rounded with (qid, sim desc, id asc) determinism."""
+    from openai_vector_search_demo_spark.caching import scoped_persist
+
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("_qv"))
+    vecs = source.filter(F.col(vec_col).isNotNull()) \
+        .select(id_col, vec_col)
+
+    def score(ids_df: DataFrame) -> DataFrame:
+        return (ids_df.join(vecs, id_col)
+                .join(F.broadcast(q), "qid")
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col(vec_col), F.col("_qv")), 6))
+                .select("qid", id_col, "_s"))
+
+    sess = source.sparkSession
+    seed_df = (q.select("qid").crossJoin(
+        sess.createDataFrame([(int(x),) for x in seeds],
+                             f"{id_col} long")))
+    visited = scoped_persist(score(seed_df))
+    frontier = visited.select("qid", F.col(id_col).alias("src"))
+    wf = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
+                                           F.col(id_col).asc())
+    for _ in range(rounds):
+        cand = (edges.join(frontier, "src")
+                .select("qid", F.col("dst").alias(id_col)).distinct())
+        new = cand.join(visited.select("qid", id_col),
+                        ["qid", id_col], "left_anti")
+        scored = scoped_persist(score(new))
+        visited = scoped_persist(visited.unionByName(scored))
+        frontier = (scored.withColumn("_rn", F.row_number().over(wf))
+                    .filter(F.col("_rn") <= ef)
+                    .select("qid", F.col(id_col).alias("src")))
+    return (visited.withColumn("_rn", F.row_number().over(wf))
+            .filter(F.col("_rn") <= k)
+            .select("qid", id_col,
+                    F.col("_s").alias(sim_col), F.col("_rn").alias("rank")))
+
+
 def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             m: int = NSW_M, ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
             seeds: Sequence[int] = NSW_SEEDS,

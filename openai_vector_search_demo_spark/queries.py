@@ -11310,16 +11310,18 @@ _NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 3
 _NSW_SEEDS = (1, 101, 201, 301)
 
 
-def _sql_nsw_edges() -> str:
+def _sql_nsw_edges(corpus_where: str = "vec_id <> 0") -> str:
     """Exact top-M cosine neighbor graph, relationally: explode dims,
     norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
     cosine, ROW_NUMBER top-M per src with the dst tie-break — the same
-    selection order ``operators.nsw.build_knn_graph`` uses."""
+    selection order ``operators.nsw.build_knn_graph`` uses.
+    ``corpus_where`` picks the node set (the mean-recall slot holds out
+    the first {_IVF_TRAINED_NQ} ids as queries)."""
     d = _ANN_DIM
     return f"""nswex AS (SELECT vec_id AS id, ii.i AS i,
                      CAST(embedding[ii.i] AS DOUBLE) AS x
        FROM embeddings, UNNEST(generate_series(1, {d})) AS ii(i)
-       WHERE vec_id <> 0 AND embedding IS NOT NULL),
+       WHERE {corpus_where} AND embedding IS NOT NULL),
 nswnrm AS (SELECT id, sqrt(SUM(x * x)) AS nm FROM nswex GROUP BY id),
 nswdots AS (SELECT a.id AS src, b.id AS dst, SUM(a.x * b.x) AS d
             FROM nswex a JOIN nswex b USING (i)
@@ -11542,6 +11544,143 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "ef int, n_visited long, n_overlap long,"
               " recall_at_10 double")
+
+
+_NSW_BATCH_SEEDS = (20, 101, 201, 301)
+
+
+def _nsw_mean_recall_oracle() -> str:
+    """qid-keyed unrolled beam over the 20 held-out queries — ONE set
+    of round CTEs carries every query's frontier/visited state (the
+    relational form of ``beam_search_knn_batch``); exact tops come from
+    the scaffold-style all-pairs sims."""
+    nq, d = _IVF_TRAINED_NQ, _ANN_DIM
+    seeds = ", ".join(str(s) for s in _NSW_BATCH_SEEDS)
+    parts = [f"""bsims AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         ROUND(list_aggregate(list_transform(range(1, {d + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE)
+                  * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+          * sqrt(list_aggregate(list_transform(q.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)
+           AS s
+  FROM embeddings e, embeddings q
+  WHERE e.vec_id >= {nq} AND q.vec_id < {nq}
+    AND e.embedding IS NOT NULL AND q.embedding IS NOT NULL),
+bv0 AS (SELECT qid, vec_id, s FROM bsims WHERE vec_id IN ({seeds})),
+bf0 AS (SELECT qid, vec_id FROM bv0)"""]
+    for r in range(1, _NSW_ROUNDS + 1):
+        parts.append(f"""bc{r} AS (
+  SELECT DISTINCT f.qid, g.dst AS vec_id
+  FROM nswedges g JOIN bf{r - 1} f ON g.src = f.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM bv{r - 1} v
+                    WHERE v.qid = f.qid AND v.vec_id = g.dst)),
+bs{r} AS (SELECT c.qid, c.vec_id, s.s
+          FROM bc{r} c JOIN bsims s
+            ON s.qid = c.qid AND s.vec_id = c.vec_id),
+bv{r} AS (SELECT * FROM bv{r - 1} UNION ALL SELECT * FROM bs{r}),
+bf{r} AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM bs{r}) WHERE rn <= {_NSW_EF})""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {_sql_nsw_edges(corpus_where=f"vec_id >= {nq}")},
+{body},
+approx AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+             FROM bv{_NSW_ROUNDS}) WHERE rn <= 10),
+exact AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM bsims) WHERE rn <= 10),
+per AS (SELECT e.qid,
+               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0 AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        GROUP BY e.qid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(recall), 3) AS mean_recall_at_10,
+       ROUND(MIN(recall), 3) AS min_recall,
+       ROUND(MAX(recall), 3) AS max_recall
+FROM per
+"""
+
+
+@query("ann_nsw_mean_recall_at_10", oracle=_nsw_mean_recall_oracle())
+def ann_nsw_mean_recall_at_10(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Beam recall on the SHARED 20 held-out queries (the
+    ``ann_ivf_trained_recall_at_10`` protocol — single-query recall is
+    one draw; the family rule wants the distribution) via the BATCHED
+    beam ``operators.nsw.beam_search_knn_batch``: one qid-keyed frontier
+    relation serves all 20 queries per round — one edge join, one anti
+    join, one scored point-read, one per-qid window, ZERO driver
+    collects (the throughput serving form; the single-query beam's
+    bounded collects disappear into the qid key).  Graph over the
+    held-out corpus (ids ≥ 20), store cached per corpus fingerprint."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.knn import knn  # noqa: F401
+    from openai_vector_search_demo_spark.operators.nsw import (
+        beam_search_knn_batch,
+        write_nsw_index,
+    )
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
+    queries_df = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qv")))
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswnq{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nswnq_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(corpus.select("vec_id", "embedding"), store,
+                        m=_NSW_M)
+    edges = spark.read.parquet(store)
+
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity, vector_lit,  # noqa: F401
+    )
+    with cache_scope():
+        approx = beam_search_knn_batch(
+            edges, corpus, queries_df, k=10, ef=_NSW_EF,
+            rounds=_NSW_ROUNDS, seeds=_NSW_BATCH_SEEDS)
+        # exact per-qid top-10: one qid-keyed rank over the scored
+        # cross relation (the oracle's bsims twin)
+        w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
+                                              F.col("vec_id").asc())
+        sims = (corpus.select("vec_id", "embedding")
+                .crossJoin(F.broadcast(queries_df))
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col("embedding"), F.col("qv")),
+                    6)))
+        exact = (sims.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= 10).select("qid", "vec_id"))
+        per = (exact.join(approx.select("qid", "vec_id",
+                                        F.lit(1).alias("hit")),
+                          ["qid", "vec_id"], "left")
+               .groupBy("qid")
+               .agg((F.sum(F.coalesce("hit", F.lit(0))) / 10.0)
+                    .alias("recall")))
+        out = per.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
+            F.round(F.min("recall"), 3).alias("min_recall"),
+            F.round(F.max("recall"), 3).alias("max_recall"))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
 
 
 @query("ann_nsw_ranking_metrics", oracle=f"""
@@ -12333,7 +12472,11 @@ _RETRIEVAL_BATTERY.extend([
     "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
     "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
     "bm25_stored_topk", "ann_nsw_upsert_knn", "ann_nsw_recall_curve",
+    "ann_nsw_mean_recall_at_10",
 ])
+_BATTERY_SPECS["ann_nsw_mean_recall_at_10"] = [
+    ("max_recall", "d"), ("mean_recall_at_10", "d"),
+    ("min_recall", "d"), ("n_queries", "s")]
 _BATTERY_SPECS["ann_nsw_recall_curve"] = [
     ("ef", "s"), ("n_overlap", "s"), ("n_visited", "s"),
     ("recall_at_10", "d")]
