@@ -163,6 +163,28 @@ def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
     assert resolved(inc) == resolved(full)
 
 
+def test_batched_beam_equals_per_query_beam(spark, emb):
+    """The qid-keyed batched beam must return, per query, exactly what
+    the single-query beam returns — same seeds/ef/rounds, same ranks."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        beam_search_knn_batch,
+    )
+    base = emb.filter(F.col("embedding").isNotNull())
+    edges = build_knn_graph(base, m=3)
+    queries = spark.createDataFrame(
+        [(100, [0.3] * DIM), (200, [-0.2] * DIM)],
+        "qid long, qv array<double>")
+    got = {}
+    for r in beam_search_knn_batch(edges, base, queries, k=5, ef=4,
+                                   rounds=2, seeds=[1, 9]).collect():
+        got.setdefault(r.qid, []).append((r.vec_id, r.similarity))
+    for qid, qv in [(100, [0.3] * DIM), (200, [-0.2] * DIM)]:
+        want = [(r.vec_id, r.similarity) for r in
+                beam_search_knn(edges, base, qv, k=5, ef=4, rounds=2,
+                                seeds=[1, 9]).collect()]
+        assert got[qid] == want, qid
+
+
 def test_null_embeddings_absent_from_graph(emb):
     edges = build_knn_graph(emb, m=3)
     ids = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
