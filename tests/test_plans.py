@@ -602,6 +602,76 @@ def test_bm25_stored_scan_prunes_buckets_and_is_python_free(
     assert "TakeOrderedAndProject" in p
 
 
+def test_scd2_build_is_one_exchange(spark):
+    """The type-2 history build's docstring claim, pinned: both window
+    passes and the version aggregate share the o_custkey hash
+    partitioning — exactly ONE Exchange in the physical plan, no
+    Python, no join."""
+    import re
+
+    from openai_vector_search_demo_spark import queries as Q
+
+    df = Q.SPARK_QUERIES["scd2_customer_priority"](spark, SF)
+    p = _physical(df)
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "Join" not in p
+
+
+def test_labelprop_rounds_are_joins_not_cartesians(spark):
+    """Label propagation's per-round work must stay hash joins + counts
+    — no cartesian product, no Python — with the adjacency persisted
+    (InMemoryTableScan in the final plan)."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.labelprop import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "a long, b long")
+    seeds = spark.createDataFrame([(1, "x"), (15, "y")],
+                                  "node long, label string")
+    out = label_propagation(edges, seeds, rounds=2)
+    p = _physical(out)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    assert "InMemoryTableScan" in p   # persisted adjacency/labels
+    for df in [out]:
+        df.unpersist = getattr(df, "unpersist", None)
+    spark.catalog.clearCache()
+
+
+def test_batched_beam_plan_is_python_free_with_broadcasts(spark):
+    """The batched multi-query beam's final plan: qid-keyed windows,
+    broadcast query table, no Python, no cartesian."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        beam_search_knn_batch,
+        write_nsw_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") >= 20)
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("qv")))
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        store = f"{tmp}/nsw"
+        write_nsw_index(base, store, m=4, n_buckets=4)
+        edges = spark.read.parquet(store)
+        out = beam_search_knn_batch(edges, base, queries, k=5, ef=4,
+                                    rounds=2, seeds=(20, 101))
+        p = _physical(out)
+        assert "CartesianProduct" not in p
+        assert "BatchEvalPython" not in p and "MapInPandas" not in p
+        assert "BroadcastHashJoin" in p
+        out.collect()
+    spark.catalog.clearCache()
+
+
 def test_drift_report_is_codegen_with_tiny_shuffle(spark):
     """The drift gate's corpus-side work is one unpivoted scan — no
     Python, no cartesian; everything post-shuffle operates on the
