@@ -40,6 +40,16 @@ top-ef, final top-k — orders by the 6-dp-rounded cosine with an id
 tie-break, so graph, beam trajectory, and answer replay bit-for-bit in
 DuckDB for the correctness gate (the BLAS-vs-fold float caveat is the
 same pinned-never-happens contract every numpy ANN path carries).
+
+PIPELINE-ORDER REQUIREMENT (measured, SCALE.md r12): when duplicate
+multiplicity exceeds M, the exact kNN graph shatters into
+per-duplicate-group cliques and NO beam setting can navigate across
+them (sf1 replica fixture: 2,000 ten-node components, recall 0.0).
+Run the engine's near-dup/semantic dedup BEFORE ``build_knn_graph`` —
+measured to restore a single navigable component and the expected
+recall, while shrinking the index by the duplicate factor.
+``tests/test_nsw.py::test_duplicate_multiplicity_disconnects_graph``
+pins the pathology and the fix.
 """
 
 from __future__ import annotations

@@ -185,6 +185,55 @@ def test_batched_beam_equals_per_query_beam(spark, emb):
         assert got[qid] == want, qid
 
 
+def test_duplicate_multiplicity_disconnects_graph(spark):
+    """The pipeline-order lesson (SCALE.md): when duplicate multiplicity
+    exceeds M, the exact kNN graph shatters into per-duplicate-group
+    cliques and beam navigation cannot cross them; dedup-first restores
+    one navigable component.  Pinned on a synthetic: 8 groups × 5
+    near-replicas, M=3."""
+    import collections
+
+    import numpy as np
+
+    rng = np.random.RandomState(13)
+    centers = rng.randn(8, DIM)
+    rows = []
+    vid = 1
+    for g in range(8):
+        for r in range(5):
+            v = centers[g] + 0.001 * rng.randn(DIM)
+            rows.append((vid, g, [round(float(x), 6) for x in v]))
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+
+    def components(edges_df):
+        adj = collections.defaultdict(list)
+        for r in edges_df.collect():
+            adj[r.src].append(r.dst)
+            adj[r.dst].append(r.src)
+        seen, comps = set(), []
+        for n in list(adj):
+            if n in seen:
+                continue
+            stack, size = [n], 0
+            while stack:
+                x = stack.pop()
+                if x in seen:
+                    continue
+                seen.add(x)
+                size += 1
+                stack.extend(adj[x])
+            comps.append(size)
+        return sorted(comps)
+
+    raw = components(build_knn_graph(df, m=3))
+    assert raw == [5] * 8          # one clique per replica group
+
+    dedup = df.filter(F.col("vec_id") % 5 == 1)  # one survivor per group
+    assert len(components(build_knn_graph(dedup, m=3))) == 1
+
+
 def test_null_embeddings_absent_from_graph(emb):
     edges = build_knn_graph(emb, m=3)
     ids = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
