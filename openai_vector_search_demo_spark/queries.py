@@ -12281,6 +12281,84 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("fail_rate")))
 
 
+_RAG_BUDGET, _RAG_PER_SOURCE = 512, 2
+
+
+@query("rag_context_budget_pack", oracle=rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
+       WHERE token IN ('{"','".join(_BM25_TERMS)}') GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+    ROUND(SUM(ln((s.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        * tf.tf * ({_BM25_K1} + 1.0)
+        / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                 + {_BM25_B} * dl.dl / s.avgdl))), 6)
+      AS bm25
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+capped AS (SELECT s.doc_id, s.bm25, d.source, dl.dl AS n_tokens
+           FROM scored s
+           JOIN documents d USING (doc_id) JOIN dl USING (doc_id)
+           QUALIFY ROW_NUMBER() OVER (PARTITION BY d.source
+                     ORDER BY s.bm25 DESC, s.doc_id ASC)
+                   <= {_RAG_PER_SOURCE}),
+packed AS (SELECT doc_id, source, bm25, CAST(n_tokens AS BIGINT)
+             AS n_tokens,
+           CAST(ROW_NUMBER() OVER w AS INT) AS position,
+           CAST(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens
+           FROM capped
+           WINDOW w AS (ORDER BY bm25 DESC, doc_id ASC))
+SELECT position, doc_id, source, bm25, n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAG_BUDGET}
+""")
+def rag_context_budget_pack(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """RAG CONTEXT ASSEMBLY under a token budget — the stage between
+    retrieval and the prompt (the reference pastes top-k content into
+    the LLM context at app/app.py:102-109 with no budget control; this
+    is the production form): candidates ranked by lexical relevance
+    (the engine's BM25), capped at {_RAG_PER_SOURCE} per source (no
+    single-document domination), then the best-first PREFIX that fits
+    the {_RAG_BUDGET}-token budget — position, per-doc and cumulative
+    token cost all exported.  Two rank windows + one running sum; every
+    selection on 6-dp scores with id ties — fully oracle-replayed.  At
+    scale the candidate set is a top-k shortlist, so the packing
+    windows run on k rows."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        token_count,
+    )
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    scored = (_bm25_scores(spark, sf_dir)
+              .select("doc_id", F.round("score", 6).alias("bm25")))
+    cand = (scored.join(docs.select("doc_id", "source",
+                                    token_count("text")
+                                    .alias("n_tokens")), "doc_id"))
+    ws = Window.partitionBy("source").orderBy(F.col("bm25").desc(),
+                                              F.col("doc_id").asc())
+    capped = (cand.withColumn("_rs", F.row_number().over(ws))
+              .filter(F.col("_rs") <= _RAG_PER_SOURCE).drop("_rs"))
+    wp = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    packed = (capped
+              .withColumn("position", F.row_number().over(wp).cast("int"))
+              .withColumn("cum_tokens",
+                          F.sum("n_tokens").over(
+                              wp.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow))))
+    return (packed.filter(F.col("cum_tokens") <= _RAG_BUDGET)
+            .select("position", "doc_id", "source", "bm25",
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("cum_tokens").cast("long").alias("cum_tokens")))
+
+
 @query("ivm_source_stats_delta", oracle=rf"""
 WITH h AS (SELECT source, n_chars,
                   {_SQL_TOKS} AS toks FROM documents)
@@ -12472,8 +12550,11 @@ _RETRIEVAL_BATTERY.extend([
     "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
     "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
     "bm25_stored_topk", "ann_nsw_upsert_knn", "ann_nsw_recall_curve",
-    "ann_nsw_mean_recall_at_10",
+    "ann_nsw_mean_recall_at_10", "rag_context_budget_pack",
 ])
+_BATTERY_SPECS["rag_context_budget_pack"] = [
+    ("bm25", "d"), ("cum_tokens", "s"), ("doc_id", "s"),
+    ("n_tokens", "s"), ("position", "s"), ("source", "s")]
 _BATTERY_SPECS["ann_nsw_mean_recall_at_10"] = [
     ("max_recall", "d"), ("mean_recall_at_10", "d"),
     ("min_recall", "d"), ("n_queries", "s")]
