@@ -428,3 +428,53 @@ def test_quota_cap_keeps_best_n_per_source(spark):
         grp = sorted((r for r in rows if r[1] == s),
                      key=lambda r: (-r[2], r[0]))[:5]
         assert {(s, r[0]) for r in grp} == {g for g in got if g[0] == s}
+
+
+# ---------------------------------------------------------------------------
+# Label propagation vs a pure-Python reference (r12): clamped plurality
+# voting with (count desc, label asc) ties on arbitrary small graphs.
+# ---------------------------------------------------------------------------
+
+def _lp_reference(edges, seeds, rounds):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: (l, 0) for n, l in seeds.items() if n in adj}
+    for r in range(1, rounds + 1):
+        newly = {}
+        for n in adj:
+            if n in lab:
+                continue
+            votes = {}
+            for nb in adj[n]:
+                if nb in lab:
+                    votes[lab[nb][0]] = votes.get(lab[nb][0], 0) + 1
+            if votes:
+                best = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+                newly[n] = (best[0][0], r)
+        lab.update(newly)
+    return {n: lab.get(n, (None, None)) for n in adj}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(1, 12), st.integers(1, 12))
+                .filter(lambda p: p[0] != p[1]),
+                min_size=1, max_size=20),
+       st.dictionaries(st.integers(1, 12),
+                       st.sampled_from(["a", "b", "c"]),
+                       min_size=1, max_size=4),
+       st.integers(1, 3))
+def test_label_propagation_matches_reference(spark, edges, seeds, rounds):
+    from openai_vector_search_demo_spark.operators.labelprop import (
+        label_propagation,
+    )
+    e = spark.createDataFrame([(a, b) for a, b in edges], "a long, b long")
+    s = spark.createDataFrame(list(seeds.items()),
+                              "node long, label string")
+    got = {r.node: (r.label, r.round_labeled) for r in
+           label_propagation(e, s, rounds=rounds).collect()}
+    want = _lp_reference(edges, seeds, rounds)
+    assert got == want
+    spark.catalog.clearCache()
