@@ -12537,6 +12537,214 @@ def bm25_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve(spark, store, _BM25_TERMS, k=20, score_col="bm25")
 
 
+def _qid_mean_recall_oracle(approx_sims_sql: str) -> str:
+    """Mean-recall@10 scaffold for RANK-based approximate tiers on the
+    20 held-out queries: caller supplies an ``asims(qid, vec_id, s)``
+    CTE body (the approximate score relation); exact tops come from the
+    full-precision qsims relation; summary is the family's 1-row
+    shape."""
+    nq, d = _IVF_TRAINED_NQ, _ANN_DIM
+    return f"""
+WITH qsims AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         list_aggregate(list_transform(range(1, {d + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE)
+                  * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+          * sqrt(list_aggregate(list_transform(q.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+           AS s
+  FROM embeddings e, embeddings q
+  WHERE e.vec_id >= {nq} AND q.vec_id < {nq}
+    AND e.embedding IS NOT NULL AND q.embedding IS NOT NULL),
+{approx_sims_sql},
+exact AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM qsims) WHERE rn <= 10),
+approx AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+             FROM asims) WHERE rn <= 10),
+per AS (SELECT e.qid,
+               SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / 10.0 AS recall
+        FROM exact e
+        LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
+        GROUP BY e.qid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(recall), 3) AS mean_recall_at_10,
+       ROUND(MIN(recall), 3) AS min_recall,
+       ROUND(MAX(recall), 3) AS max_recall
+FROM per
+"""
+
+
+def _qid_mean_recall_harness(spark, sf_dir, approx_score_col):
+    """Spark twin of ``_qid_mean_recall_oracle``: ``approx_score_col``
+    maps (corpus vec column, query vec column) -> the approximate score
+    Column; exact = full cosine.  One cross relation, two qid rank
+    windows, one aggregate — no loops, no collects beyond the 1-row
+    summary."""
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = (emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
+              .filter(F.col("embedding").isNotNull())
+              .select("vec_id", "embedding"))
+    queries_df = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
+                  .filter(F.col("embedding").isNotNull())
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qv")))
+    from openai_vector_search_demo_spark.caching import scoped_persist
+    rel = scoped_persist(
+        corpus.crossJoin(F.broadcast(queries_df))
+        .withColumn("_exact", cosine_similarity(F.col("embedding"),
+                                                F.col("qv")))
+        .withColumn("_approx", approx_score_col(F.col("embedding"),
+                                                F.col("qv"))))
+    we = Window.partitionBy("qid").orderBy(F.col("_exact").desc(),
+                                           F.col("vec_id").asc())
+    wa = Window.partitionBy("qid").orderBy(F.col("_approx").desc(),
+                                           F.col("vec_id").asc())
+    exact = (rel.withColumn("_rn", F.row_number().over(we))
+             .filter(F.col("_rn") <= 10).select("qid", "vec_id"))
+    approx = (rel.withColumn("_rn", F.row_number().over(wa))
+              .filter(F.col("_rn") <= 10)
+              .select("qid", "vec_id", F.lit(1).alias("hit")))
+    per = (exact.join(approx, ["qid", "vec_id"], "left")
+           .groupBy("qid")
+           .agg((F.sum(F.coalesce("hit", F.lit(0))) / 10.0)
+                .alias("recall")))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
+        F.round(F.min("recall"), 3).alias("min_recall"),
+        F.round(F.max("recall"), 3).alias("max_recall"))
+
+
+@query("ann_matryoshka_mean_recall_at_10", oracle=_qid_mean_recall_oracle(
+    f"""asims AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         list_aggregate(list_transform(range(1, {_MRL_DIM + 1}),
+             i -> CAST(e.embedding[i] AS DOUBLE)
+                  * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, {_MRL_DIM + 1}),
+              i -> CAST(e.embedding[i] AS DOUBLE)
+                   * CAST(e.embedding[i] AS DOUBLE)), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, {_MRL_DIM + 1}),
+              i -> CAST(q.embedding[i] AS DOUBLE)
+                   * CAST(q.embedding[i] AS DOUBLE)), 'sum'))) AS s
+  FROM embeddings e, embeddings q
+  WHERE e.vec_id >= {_IVF_TRAINED_NQ} AND q.vec_id < {_IVF_TRAINED_NQ}
+    AND e.embedding IS NOT NULL AND q.embedding IS NOT NULL)"""))
+def ann_matryoshka_mean_recall_at_10(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """The prefix tier's recall DISTRIBUTION on the shared 20 held-out
+    queries (the family protocol — the single-query slot's 0.1 is one
+    draw): unrefined {_MRL_DIM}-of-{_ANN_DIM}-dim ranking vs exact, per
+    qid, one cross relation + two rank windows.  The honest untrained-
+    prefix floor as a distribution; MRL-trained embeddings move it."""
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from openai_vector_search_demo_spark.caching import cache_scope
+
+    def approx(vec, qv):
+        return cosine_similarity(F.slice(vec, 1, _MRL_DIM),
+                                 F.slice(qv, 1, _MRL_DIM))
+
+    with cache_scope():
+        out = _qid_mean_recall_harness(spark, sf_dir, approx)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("ann_sq8_mean_recall_at_10", oracle=_qid_mean_recall_oracle(
+    f"""sqmmx AS (SELECT j, MIN(CAST(x AS DOUBLE)) AS mn,
+                     MAX(CAST(x AS DOUBLE)) AS mx
+        FROM (SELECT unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS j
+              FROM embeddings
+              WHERE vec_id >= {_IVF_TRAINED_NQ}
+                AND embedding IS NOT NULL)
+        GROUP BY j),
+sqarrs AS (SELECT list(mn ORDER BY j) AS mnv, list(mx ORDER BY j) AS mxv
+           FROM sqmmx),
+sqdec AS (
+  SELECT vec_id,
+         list_transform(range(1, {_ANN_DIM + 1}), i ->
+           mnv[i] + (CASE WHEN mxv[i] = mnv[i] THEN 0.0
+                 ELSE LEAST(255.0, GREATEST(0.0,
+                   FLOOR((CAST(embedding[i] AS DOUBLE) - mnv[i])
+                         / (mxv[i] - mnv[i]) * 256.0)))
+            END + 0.5) * (mxv[i] - mnv[i]) / 256.0) AS xh
+  FROM embeddings, sqarrs
+  WHERE vec_id >= {_IVF_TRAINED_NQ} AND embedding IS NOT NULL),
+asims AS (
+  SELECT q.vec_id AS qid, e.vec_id,
+         list_aggregate(list_transform(range(1, {_ANN_DIM + 1}),
+             i -> e.xh[i] * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+         / (sqrt(list_aggregate(list_transform(e.xh, x -> x * x),
+                                'sum'))
+          * sqrt(list_aggregate(list_transform(q.embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS s
+  FROM sqdec e, embeddings q
+  WHERE q.vec_id < {_IVF_TRAINED_NQ} AND q.embedding IS NOT NULL)"""))
+def ann_sq8_mean_recall_at_10(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The SQ8 tier's unrefined recall DISTRIBUTION on the shared 20
+    held-out queries — re-proving the serve-without-refine claim (the
+    single-query slot's 1.0) across the whole query set each round:
+    min/max retrained on the held-out corpus (ids ≥ {_IVF_TRAINED_NQ})
+    in BOTH engines, decoded-ADC ranking vs exact per qid."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.functions.vectors import (
+        l2_norm,
+        vector_lit,
+    )
+    from openai_vector_search_demo_spark.operators.sq import (
+        SQ8_LEVELS,
+        sq8_train,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _IVF_TRAINED_NQ)
+    mins, maxs = sq8_train(corpus, dim=_ANN_DIM)
+    mn, mx = vector_lit(mins), vector_lit(maxs)
+
+    def approx(vec, qv):
+        dec = F.transform(
+            vec,
+            lambda x, i: F.element_at(mn, i + 1)
+            + (F.when(F.element_at(mx, i + 1)
+                      == F.element_at(mn, i + 1), F.lit(0.0))
+               .otherwise(F.least(
+                   F.lit(float(SQ8_LEVELS - 1)),
+                   F.greatest(F.lit(0.0), F.floor(
+                       (x.cast("double") - F.element_at(mn, i + 1))
+                       / (F.element_at(mx, i + 1)
+                          - F.element_at(mn, i + 1))
+                       * F.lit(float(SQ8_LEVELS))))))
+               + F.lit(0.5))
+            * (F.element_at(mx, i + 1) - F.element_at(mn, i + 1))
+            / F.lit(float(SQ8_LEVELS)))
+        from openai_vector_search_demo_spark.functions.vectors import (
+            dot_product,
+        )
+        return dot_product(dec, qv) / (l2_norm(dec) * l2_norm(qv))
+
+    with cache_scope():
+        out = _qid_mean_recall_harness(spark, sf_dir, approx)
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
+
 # The r12 ladder extensions are REGISTERED AFTER the battery definitions,
 # so they join retrieval_battery HERE (rotation hygiene, judge r11 #7:
 # receipted from birth — the stored/serving forms take direct window
@@ -12551,7 +12759,12 @@ _RETRIEVAL_BATTERY.extend([
     "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
     "bm25_stored_topk", "ann_nsw_upsert_knn", "ann_nsw_recall_curve",
     "ann_nsw_mean_recall_at_10", "rag_context_budget_pack",
+    "ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10",
 ])
+for _n in ("ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10"):
+    _BATTERY_SPECS[_n] = [
+        ("max_recall", "d"), ("mean_recall_at_10", "d"),
+        ("min_recall", "d"), ("n_queries", "s")]
 _BATTERY_SPECS["rag_context_budget_pack"] = [
     ("bm25", "d"), ("cum_tokens", "s"), ("doc_id", "s"),
     ("n_tokens", "s"), ("position", "s"), ("source", "s")]
