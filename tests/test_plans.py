@@ -672,6 +672,21 @@ def test_batched_beam_plan_is_python_free_with_broadcasts(spark):
     spark.catalog.clearCache()
 
 
+def test_r12_curation_and_rag_slots_are_python_free(spark):
+    """The named curation stages and the RAG packer must stay pure
+    codegen — no Python evaluators, no cartesian products."""
+    from openai_vector_search_demo_spark import queries as Q
+
+    for name in ("ccnet_perplexity_buckets", "gopher_quality_rules",
+                 "rag_context_budget_pack", "scd2_customer_priority",
+                 "ivm_source_stats_delta"):
+        df = Q.SPARK_QUERIES[name](spark, SF)
+        p = _physical(df)
+        assert "BatchEvalPython" not in p, name
+        assert "ArrowEvalPython" not in p and "MapInPandas" not in p, name
+        assert "CartesianProduct" not in p, name
+
+
 def test_drift_report_is_codegen_with_tiny_shuffle(spark):
     """The drift gate's corpus-side work is one unpivoted scan — no
     Python, no cartesian; everything post-shuffle operates on the
