@@ -164,7 +164,8 @@ def beam_search_knn(edges, source: DataFrame,
                     ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
                     seeds: Sequence[int] = NSW_SEEDS,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    sim_col: str = "similarity") -> DataFrame:
+                    sim_col: str = "similarity",
+                    exclude_ids: Sequence[int] | None = None) -> DataFrame:
     """Multi-seed beam search over an adjacency relation.  Per round the
     frontier is COLLECTED (≤ ef ids — the bounded-collect class every
     iterative operator here uses) so the edge lookup is an IN-list the
@@ -207,9 +208,14 @@ def beam_search_knn(edges, source: DataFrame,
         top = (scored.orderBy(F.col("_s").desc(), F.col(id_col).asc())
                .limit(ef).collect())
         frontier = [r[id_col] for r in top]
-    return (visited
-            .withColumnRenamed("_s", sim_col)
-            .orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+    out = visited.withColumnRenamed("_s", sim_col)
+    if exclude_ids:
+        # SOFT DELETE (the FAISS IDSelector pattern): tombstoned nodes
+        # remain traversable GHOSTS — they keep the graph connected and
+        # may carry the beam — but can never be returned.  Hard removal
+        # is the documented recompaction case (rebuild without them).
+        out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
+    return (out.orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
             .limit(k))
 
 
@@ -381,6 +387,27 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
      .write.mode("append").partitionBy("bucket").parquet(path))
 
 
+def delete_from_nsw_index(spark, path: str, ids: Sequence[int]) -> None:
+    """SOFT-DELETE ids from a stored graph: append them to the store's
+    tombstone table.  Ghost semantics (see ``beam_search_knn``): the
+    nodes stay traversable so connectivity survives, they just cannot
+    be returned.  The tombstone set is read whole at query time — it is
+    the store's pending-delete backlog, bounded by recompaction cadence
+    (rebuild without the tombstoned rows folds it back to zero, the
+    IVFADC ``compact`` pattern)."""
+    (spark.createDataFrame([(int(x),) for x in ids], "vec_id long")
+     .coalesce(1).write.mode("append").parquet(f"{path}/_tombstones"))
+
+
+def read_nsw_tombstones(spark, path: str) -> list[int]:
+    import os
+    tpath = f"{path}/_tombstones"
+    if not os.path.isdir(tpath):
+        return []
+    return sorted(r.vec_id for r in spark.read.parquet(tpath)
+                  .distinct().collect())
+
+
 def nsw_stored_knn(spark, path: str, source: DataFrame,
                    qvec: Sequence[float], k: int = 10,
                    ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
@@ -413,4 +440,5 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
 
     return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
                            rounds=rounds, seeds=seeds, vec_col=vec_col,
-                           id_col=id_col, sim_col=sim_col)
+                           id_col=id_col, sim_col=sim_col,
+                           exclude_ids=read_nsw_tombstones(spark, path))

@@ -12537,6 +12537,69 @@ def bm25_stored_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return serve(spark, store, _BM25_TERMS, k=20, score_col="bm25")
 
 
+@query("ann_nsw_delete_knn", oracle=f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()},
+exact3 AS (SELECT vec_id FROM (
+             SELECT e.vec_id, {_SQL_COS_TO_Q} AS sim
+             FROM embeddings e, nswq q
+             WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL)
+           ORDER BY sim DESC, vec_id ASC LIMIT 3)
+SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
+WHERE vec_id NOT IN (SELECT vec_id FROM exact3)
+ORDER BY s DESC, vec_id ASC LIMIT 10
+""")
+def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-INDEX SOFT DELETE — the third leg of the maintenance story
+    (insert-exact upsert, soft delete, documented recompaction): the
+    query's TRUE top-3 neighbors are tombstoned
+    (``operators.nsw.delete_from_nsw_index``) and the serving read must
+    return the best 10 of the REST while the deleted nodes keep
+    carrying the beam as traversable GHOSTS (the FAISS IDSelector
+    semantics — removing them from the graph would disconnect their
+    neighborhoods until recompaction).  The oracle replays the same
+    beam and excludes the same data-derived top-3; adversarial by
+    construction: the deleted nodes are exactly the ones the beam finds
+    first."""
+    import hashlib
+    import os
+    import shutil
+
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        delete_from_nsw_index,
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswdel{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nswdel_store_" + key)
+    marker = os.path.join(store, "_TOMBSTONED")
+    if not os.path.exists(marker):
+        if os.path.exists(store):
+            shutil.rmtree(store)
+        write_nsw_index(base.select("vec_id", "embedding"), store,
+                        m=_NSW_M)
+        top3 = [r.vec_id for r in
+                knn(base, qvec, k=3, sim_col="sim",
+                    tie_break="vec_id").collect()]
+        delete_from_nsw_index(spark, store, top3)
+        with open(marker, "w") as fh:
+            fh.write(",".join(map(str, top3)))
+
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
+                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+                         sim_col="similarity", m=_NSW_M)
+    return top.select("vec_id", "label", "similarity")
+
+
 def _qid_mean_recall_oracle(approx_sims_sql: str) -> str:
     """Mean-recall@10 scaffold for RANK-based approximate tiers on the
     20 held-out queries: caller supplies an ``asims(qid, vec_id, s)``
@@ -12760,7 +12823,10 @@ _RETRIEVAL_BATTERY.extend([
     "bm25_stored_topk", "ann_nsw_upsert_knn", "ann_nsw_recall_curve",
     "ann_nsw_mean_recall_at_10", "rag_context_budget_pack",
     "ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10",
+    "ann_nsw_delete_knn",
 ])
+_BATTERY_SPECS["ann_nsw_delete_knn"] = [
+    ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 for _n in ("ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10"):
     _BATTERY_SPECS[_n] = [
         ("max_recall", "d"), ("mean_recall_at_10", "d"),

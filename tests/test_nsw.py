@@ -185,6 +185,45 @@ def test_batched_beam_equals_per_query_beam(spark, emb):
         assert got[qid] == want, qid
 
 
+def test_soft_delete_ghosts_keep_carrying_the_beam(spark, tmp_path):
+    """Tombstoned nodes must never be returned but MUST stay
+    traversable: on a chain graph where the only path to the best
+    region runs through a deleted node, the beam still gets there."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        delete_from_nsw_index,
+        nsw_stored_knn,
+        read_nsw_tombstones,
+    )
+    import pandas as pd  # noqa: F401
+
+    # chain 1-2-3-4-5 embedded on a line: cosine to q=[1,0] decreases
+    # with angle; node 3 is the bridge
+    import math as _m
+    rows = [(i, 0, [_m.cos(0.1 * i), _m.sin(0.1 * i)])
+            for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    store = str(tmp_path / "nsw")
+    # hand-build a pure chain adjacency (src-bucketed like the writer)
+    edges = spark.createDataFrame(
+        [(a, b, 0.0) for a, b in
+         [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5),
+          (5, 4)]], "src long, dst long, sim double")
+    (edges.withColumn("bucket", (F.col("src") % 4).cast("int"))
+     .write.mode("overwrite").partitionBy("bucket").parquet(store))
+    delete_from_nsw_index(spark, store, [3])
+    assert read_nsw_tombstones(spark, store) == [3]
+
+    # seed at node 5 (worst), q favors node 1; reaching 1 REQUIRES
+    # passing ghost 3
+    got = [r.vec_id for r in
+           nsw_stored_knn(spark, store, df, [1.0, 0.0], k=5, ef=2,
+                          rounds=4, seeds=[5], n_buckets=4,
+                          m=2).collect()]
+    assert 3 not in got          # never returned
+    assert got[0] == 1           # but the beam crossed it
+
+
 def test_duplicate_multiplicity_disconnects_graph(spark):
     """The pipeline-order lesson (SCALE.md): when duplicate multiplicity
     exceeds M, the exact kNN graph shatters into per-duplicate-group
