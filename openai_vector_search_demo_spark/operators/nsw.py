@@ -24,15 +24,25 @@ per-block top-Ms.  At 100 TB the same build runs per IVF cell first
 (cell-bounds the quadratic, the semdedup posture); the graph THIS
 module stores and serves is format-identical either way.
 
-Search (``beam_search_knn``): frontier₀ = fixed seeds; each of T rounds
+Search (``beam_search_knn``, v2 semantic since r13): entry comes from
+the COARSE LAYER — the deterministic ⌈√n⌉-node subset ``id % stride ==
+0`` is scored exactly (the HNSW upper layer's seed-finding job as one
+bounded scan; at 100 TB a materialized table or itself graph-indexed —
+the recursion that yields the full hierarchy), its top-8 seed the
+beam, and the scored coarse nodes stay candidates.  Each of T rounds
 joins the frontier's adjacency rows (a broadcast of ≤ ef ids against
-the src-bucketed edge store — partition-pruned point lookups), scores
-the unvisited newcomers by exact cosine against the query (M·ef vector
-point-reads per round, broadcast join), keeps the top-ef as the next
-frontier, and accumulates every scored node.  The answer is the top-k
-of all visited nodes — i.e. the refine is built in: scores are exact
-cosines throughout, the graph only decides WHICH nodes get scored.
-Recall is measured, never assumed (``ann_nsw_recall_at_10``).
+the src-bucketed edge store — partition-pruned point lookups),
+traverses them SYMMETRICALLY (out-edges ∪ reversed in-edges — the
+reverse-link practice; hubs become entryways, not one-way sinks),
+scores the unvisited newcomers by exact cosine against the query,
+keeps the top-ef as the next frontier (ef autoscales to ⌈√n⌉ —
+``nsw_serving_params``), and accumulates every scored node.  The
+answer is the top-k of all visited nodes — i.e. the refine is built
+in: scores are exact cosines throughout, the graph only decides WHICH
+nodes get scored.  Recall is measured, never assumed — the r12 fixed
+seed/ef defaults served mean recall@10 = 0.155 at sf0.1; this serving
+semantic measures 0.76 (sf0.01: 0.93) with √n-bounded visit counts
+(``ann_nsw_mean_recall_at_10``, ``ann_nsw_recall_curve``).
 
 Determinism contract (the ANN-family rule, ``ann.py`` module
 docstring): every selection — per-block top-M, global top-M, per-round
@@ -65,15 +75,46 @@ from openai_vector_search_demo_spark.functions.vectors import (
     vector_lit,
 )
 
-NSW_M = 6          # neighbors kept per node
-NSW_EF = 12        # beam width per round
-NSW_ROUNDS = 3     # frontier expansions
+NSW_M = 6          # out-neighbors kept per node (traversal is SYMMETRIC)
+NSW_EF = 12        # beam-width FLOOR — serving autoscales to ⌈√n⌉
+NSW_ROUNDS = 4     # frontier expansions (pinned; the oracle unrolls them)
+NSW_SEED_COUNT = 8  # entry points taken from the coarse layer per query
 NSW_SEEDS = (1, 101, 201, 301)
-"""Fixed, id-spread entry points (the multi-seed NSW convention; HNSW's
-upper layers exist to pick good seeds — fixed spread seeds are the
-deterministic stand-in, and the recall slot prices them honestly)."""
+"""Legacy fixed, id-spread entry points — kept for explicit-seed callers
+and tests.  SERVING default is the COARSE ENTRY LAYER instead (r13, the
+measured fix for the r12 recall collapse): the deterministic subset
+``id % stride == 0`` with ``stride = ⌈√n⌉`` is scored exactly against
+the query (⌈√n⌉ evaluations — the HNSW upper layer's job, done as one
+bounded scan) and its top-``NSW_SEED_COUNT`` become the beam's entry
+points; the scored coarse nodes stay in the candidate set (their exact
+scores are already paid for).  Fixed seeds at sf0.1 served mean
+recall@10 = 0.155; coarse entry + symmetric traversal + ef = ⌈√n⌉
+serves 0.76 (sf0.01: 0.93) at √n-bounded visit counts — see
+``ann_nsw_mean_recall_at_10`` / ``ann_nsw_recall_curve``."""
 
 DEFAULT_MAX_BLOCK_ROWS = 8192
+
+
+def nsw_serving_params(n: int) -> tuple[int, int, int]:
+    """(stride, ef, rounds) for a corpus of ``n`` vectors — the
+    registered serving autoscale: coarse layer and beam width both
+    ⌈√n⌉ (so per-query cost is Θ(√n·M) score evaluations — the NSW
+    polylog regime — while the coarse layer keeps entry points near
+    the answer as n grows), rounds pinned at NSW_ROUNDS (the oracle
+    unrolls them; depth buys less than width once entry is coarse)."""
+    import math
+    root = max(2, math.ceil(math.sqrt(max(1, n))))
+    return root, max(NSW_EF, root), NSW_ROUNDS
+
+
+def symmetrize_edges(edges: DataFrame) -> DataFrame:
+    """Undirected traversal relation from a directed top-M adjacency:
+    out-edges ∪ reversed in-edges (the HNSW reverse-link practice —
+    hub nodes become ENTRYWAYS to their spokes, not one-way sinks;
+    measured +0.1–0.2 mean recall at every scale)."""
+    fwd = edges.select("src", "dst")
+    return fwd.union(fwd.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst"))).distinct()
 
 
 def build_knn_graph(df: DataFrame, m: int = NSW_M,
@@ -151,10 +192,24 @@ def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
     SRC (one directory per ``pmod(src, n_buckets)``) so each beam
     round's frontier lookup is a partition-pruned point read of ≤ ef
     buckets — the vectors themselves are NOT stored here (the refine
-    point-reads them from the source table)."""
+    point-reads them from the source table).
+
+    v2 (r13): each directed top-M edge is written in BOTH directions —
+    the out-edge with ``fwd = true`` (the canonical list the
+    merge-on-read top-M window resolves) and its mirror under the
+    OTHER endpoint's bucket with ``fwd = false`` — so symmetric
+    traversal stays a single src-pruned point read per round instead
+    of an unprunable dst-side scan.  Mirror rows are traversal HINTS:
+    the stored lookup validates each against the mirror source's
+    current resolved top-M (one extra pruned point read), which makes
+    them exact under upserts too."""
     edges = build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
-    (edges.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
-                      .cast("int"))
+    both = (edges.withColumn("fwd", F.lit(True))
+            .unionByName(edges.select(F.col("dst").alias("src"),
+                                      F.col("src").alias("dst"), "sim")
+                         .withColumn("fwd", F.lit(False))))
+    (both.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+                     .cast("int"))
      .repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
@@ -165,13 +220,24 @@ def beam_search_knn(edges, source: DataFrame,
                     seeds: Sequence[int] = NSW_SEEDS,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     sim_col: str = "similarity",
-                    exclude_ids: Sequence[int] | None = None) -> DataFrame:
+                    exclude_ids: Sequence[int] | None = None,
+                    stride: int | None = None,
+                    n_entry: int = NSW_SEED_COUNT) -> DataFrame:
     """Multi-seed beam search over an adjacency relation.  Per round the
     frontier is COLLECTED (≤ ef ids — the bounded-collect class every
     iterative operator here uses) so the edge lookup is an IN-list the
     scan can prune on; newcomers score by exact cosine via a broadcast
     point-read join against ``source``.  Returns the top-k of ALL
     visited nodes — exact scores, graph-bounded candidate set.
+
+    Entry points: with ``stride`` set (the serving default via
+    ``nsw_serving_params``) the COARSE LAYER ``id % stride == 0`` is
+    scored exactly and its top-``n_entry`` seed the beam — the scored
+    coarse nodes stay in the candidate set.  At 100 TB the coarse
+    layer is a materialized ⌈n/stride⌉-row table (or itself indexed —
+    the recursion that yields the HNSW hierarchy); here it is a
+    filtered scan of ``source``.  Without ``stride``, ``seeds`` are
+    used verbatim (legacy fixed-entry mode).
 
     ``edges`` is a DataFrame or an ``ids -> DataFrame`` lookup callable
     (the stored path passes one that also filters the store's bucket
@@ -186,12 +252,24 @@ def beam_search_knn(edges, source: DataFrame,
                 .withColumn("_s", F.round(
                     cosine_similarity(F.col(vec_col), q), 6)))
 
-    seed_df = (source.sparkSession
-               .createDataFrame([(int(x),) for x in seeds],
-                                f"{id_col} long"))
-    visited = score(seed_df).select(id_col, "label", "_s")
-    frontier = [int(x) for x in seeds]
-    seen = set(frontier)
+    if stride is not None:
+        coarse = (source.filter(
+            F.col(vec_col).isNotNull()
+            & (F.pmod(F.col(id_col), F.lit(int(stride))) == 0))
+            .withColumn("_s", F.round(
+                cosine_similarity(F.col(vec_col), q), 6)))
+        visited = coarse.select(id_col, "label", "_s")
+        entry = (visited.orderBy(F.col("_s").desc(), F.col(id_col).asc())
+                 .limit(n_entry).collect())
+        frontier = [r[id_col] for r in entry]
+        seen = {r[id_col] for r in visited.select(id_col).collect()}
+    else:
+        seed_df = (source.sparkSession
+                   .createDataFrame([(int(x),) for x in seeds],
+                                    f"{id_col} long"))
+        visited = score(seed_df).select(id_col, "label", "_s")
+        frontier = [int(x) for x in seeds]
+        seen = set(frontier)
     for _ in range(rounds):
         if not frontier:
             break
@@ -226,7 +304,9 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
                           vec_col: str = "embedding",
                           id_col: str = "vec_id",
                           qid_col: str = "qid", qvec_col: str = "qv",
-                          sim_col: str = "similarity") -> DataFrame:
+                          sim_col: str = "similarity",
+                          stride: int | None = None,
+                          n_entry: int = NSW_SEED_COUNT) -> DataFrame:
     """BATCHED multi-query beam search — the serving form for query
     THROUGHPUT: the frontier is a (qid, node) RELATION, every round is
     one edge join + one anti join + one broadcast-scored point-read +
@@ -252,13 +332,26 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
                 .select("qid", id_col, "_s"))
 
     sess = source.sparkSession
-    seed_df = (q.select("qid").crossJoin(
-        sess.createDataFrame([(int(x),) for x in seeds],
-                             f"{id_col} long")))
-    visited = scoped_persist(score(seed_df))
-    frontier = visited.select("qid", F.col(id_col).alias("src"))
     wf = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
                                            F.col(id_col).asc())
+    if stride is not None:
+        # coarse entry (serving default): every qid scores the shared
+        # ⌈n/stride⌉-row coarse layer (one broadcast-scored crossjoin —
+        # at 100 TB a materialized table), keeps all of it as visited,
+        # and enters the graph at its per-qid top-n_entry.
+        seed_df = (q.select("qid").crossJoin(
+            vecs.filter(F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
+            .select(id_col)))
+        visited = scoped_persist(score(seed_df))
+        frontier = (visited.withColumn("_rn", F.row_number().over(wf))
+                    .filter(F.col("_rn") <= n_entry)
+                    .select("qid", F.col(id_col).alias("src")))
+    else:
+        seed_df = (q.select("qid").crossJoin(
+            sess.createDataFrame([(int(x),) for x in seeds],
+                                 f"{id_col} long")))
+        visited = scoped_persist(score(seed_df))
+        frontier = visited.select("qid", F.col(id_col).alias("src"))
     for _ in range(rounds):
         cand = (edges.join(frontier, "src")
                 .select("qid", F.col("dst").alias(id_col)).distinct())
@@ -279,13 +372,19 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             m: int = NSW_M, ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
             seeds: Sequence[int] = NSW_SEEDS,
             vec_col: str = "embedding", id_col: str = "vec_id",
-            sim_col: str = "similarity") -> DataFrame:
+            sim_col: str = "similarity",
+            stride: int | None = None,
+            n_entry: int = NSW_SEED_COUNT) -> DataFrame:
     """Inline build+search (the oracled form; production stores the
-    graph once via ``write_nsw_index`` and serves many queries)."""
-    edges = build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
+    graph once via ``write_nsw_index`` and serves many queries).
+    Traversal is SYMMETRIC over the directed top-m build (the v2
+    serving semantic); pass ``stride`` for coarse entry."""
+    edges = symmetrize_edges(
+        build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col))
     return beam_search_knn(edges, df, qvec, k=k, ef=ef, rounds=rounds,
                            seeds=seeds, vec_col=vec_col, id_col=id_col,
-                           sim_col=sim_col)
+                           sim_col=sim_col, stride=stride,
+                           n_entry=n_entry)
 
 
 def upsert_nsw_index(spark, path: str, batch: DataFrame,
@@ -367,7 +466,8 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
 
     # existing nodes' improvements: candidates beating the current m-th
     # edge under (sim desc, dst asc)
-    stored = spark.read.parquet(path).select("src", "dst", "sim")
+    stored = (spark.read.parquet(path).filter(F.col("fwd"))
+              .select("src", "dst", "sim"))
     worst = (stored.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == m)
              .select("src", F.col("sim").alias("wsim"),
@@ -381,8 +481,16 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
                     .select("src", "dst", "sim"))
 
     out = new_edges.unionByName(improvements)
-    (out.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
-                    .cast("int"))
+    # v2: every appended out-edge also lands as a fwd=false mirror under
+    # the other endpoint's bucket (see write_nsw_index) — mirrors whose
+    # canonical edge is later displaced become stale HINTS, which the
+    # stored lookup's validation pass filters against the live top-m.
+    both = (out.withColumn("fwd", F.lit(True))
+            .unionByName(out.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"), "sim")
+                         .withColumn("fwd", F.lit(False))))
+    (both.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+                     .cast("int"))
      .repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket").parquet(path))
 
@@ -408,13 +516,31 @@ def read_nsw_tombstones(spark, path: str) -> list[int]:
                   .distinct().collect())
 
 
+def resolve_stored_edges(spark, path: str, m: int = NSW_M) -> DataFrame:
+    """The store's CURRENT undirected traversal relation, resolved
+    globally: merge-on-read top-``m`` window over the fwd rows (exact
+    adjacency after any ``upsert_nsw_index`` appends), then
+    symmetrized.  The BATCH serving form uses this — one resolve
+    amortized over thousands of queries per job; the single-query path
+    (``nsw_stored_knn``) instead resolves frontier-locally per round
+    and never touches the whole store."""
+    wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                           F.col("dst").asc())
+    fwd = (spark.read.parquet(path).filter(F.col("fwd"))
+           .withColumn("_rn", F.row_number().over(wm))
+           .filter(F.col("_rn") <= m).select("src", "dst"))
+    return symmetrize_edges(fwd)
+
+
 def nsw_stored_knn(spark, path: str, source: DataFrame,
                    qvec: Sequence[float], k: int = 10,
                    ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
                    seeds: Sequence[int] = NSW_SEEDS,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    sim_col: str = "similarity",
-                   n_buckets: int = 16, m: int = NSW_M) -> DataFrame:
+                   n_buckets: int = 16, m: int = NSW_M,
+                   stride: int | None = None,
+                   n_entry: int = NSW_SEED_COUNT) -> DataFrame:
     """Serving read of a ``write_nsw_index`` store: each round touches
     only the frontier's src BUCKET DIRECTORIES (the lookup filters the
     partition column derived from the frontier ids — partition pruning
@@ -422,23 +548,43 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
     vectors (broadcast point-reads).  ``n_buckets`` must match the
     write.
 
-    MERGE-ON-READ: the per-src top-``m`` window below resolves the
-    current adjacency from (original ∪ ``upsert_nsw_index``-appended)
-    rows — a no-op on a never-upserted store (exactly m rows/src) and
-    the exact full-rebuild list after inserts; it runs on the
-    frontier-sized lookup, never the store."""
+    MERGE-ON-READ: the per-src top-``m`` window resolves the current
+    OUT-list from (original ∪ ``upsert_nsw_index``-appended) fwd rows —
+    a no-op on a never-upserted store and the exact full-rebuild list
+    after inserts; it runs on the frontier-sized lookup, never the
+    store.  Traversal is SYMMETRIC (v2): the frontier's fwd=false
+    mirror rows contribute reversed edges after VALIDATION — each
+    mirror (w←x) is kept only if (x→w) survives x's own resolved
+    top-m, one extra bucket-pruned point read per round — so stale
+    mirrors left behind by upsert displacement can never steer the
+    beam off the oracle's graph."""
     edges = spark.read.parquet(path)
     wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
                                            F.col("dst").asc())
 
-    def lookup(ids: list[int]) -> DataFrame:
+    def resolved_fwd(ids: list[int]) -> DataFrame:
         buckets = sorted({i % n_buckets for i in ids})
         return (edges.filter(F.col("bucket").isin(buckets)
-                             & F.col("src").isin(ids))
+                             & F.col("src").isin(ids) & F.col("fwd"))
                 .withColumn("_rn", F.row_number().over(wm))
-                .filter(F.col("_rn") <= m).drop("_rn"))
+                .filter(F.col("_rn") <= m).select("src", "dst"))
+
+    def lookup(ids: list[int]) -> DataFrame:
+        buckets = sorted({i % n_buckets for i in ids})
+        fwd = resolved_fwd(ids)
+        mirrors = (edges.filter(F.col("bucket").isin(buckets)
+                                & F.col("src").isin(ids) & ~F.col("fwd"))
+                   .select("src", "dst").distinct())
+        xs = [r.dst for r in mirrors.select("dst").distinct().collect()]
+        if not xs:
+            return fwd
+        valid = resolved_fwd(xs).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"))
+        return fwd.unionByName(mirrors.join(valid, ["src", "dst"],
+                                            "left_semi")).distinct()
 
     return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
                            rounds=rounds, seeds=seeds, vec_col=vec_col,
                            id_col=id_col, sim_col=sim_col,
-                           exclude_ids=read_nsw_tombstones(spark, path))
+                           exclude_ids=read_nsw_tombstones(spark, path),
+                           stride=stride, n_entry=n_entry)

@@ -11306,17 +11306,21 @@ def ann_sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beam round by round — graph, trajectory, and answer all value-checked.
 # ---------------------------------------------------------------------------
 
-_NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 3
-_NSW_SEEDS = (1, 101, 201, 301)
+_NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 4
+_NSW_SEED_COUNT = 8
+_NSW_SEEDS = (1, 101, 201, 301)  # legacy fixed-entry mode (tests only)
 
 
 def _sql_nsw_edges(corpus_where: str = "vec_id <> 0") -> str:
     """Exact top-M cosine neighbor graph, relationally: explode dims,
     norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
     cosine, ROW_NUMBER top-M per src with the dst tie-break — the same
-    selection order ``operators.nsw.build_knn_graph`` uses.
-    ``corpus_where`` picks the node set (the mean-recall slot holds out
-    the first {_IVF_TRAINED_NQ} ids as queries)."""
+    selection order ``operators.nsw.build_knn_graph`` uses — plus the
+    SYMMETRIZED traversal relation (out ∪ reversed-in, the v2 serving
+    semantic) and the autoscaled serving params (stride = ef = ⌈√n⌉,
+    ``operators.nsw.nsw_serving_params``).  ``corpus_where`` picks the
+    node set (the mean-recall slot holds out the first
+    {_IVF_TRAINED_NQ} ids as queries)."""
     d = _ANN_DIM
     return f"""nswex AS (SELECT vec_id AS id, ii.i AS i,
                      CAST(embedding[ii.i] AS DOUBLE) AS x
@@ -11333,35 +11337,53 @@ nswsims AS (SELECT src, dst, ROUND(d / (na.nm * nb.nm), 6) AS sim
 nswedges AS (SELECT src, dst FROM (
                SELECT src, dst, ROW_NUMBER() OVER (
                  PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
-               FROM nswsims) WHERE rn <= {_NSW_M})"""
+               FROM nswsims) WHERE rn <= {_NSW_M}),
+nswsym AS (SELECT src, dst FROM nswedges
+           UNION SELECT dst, src FROM nswedges),
+nswp AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                  AS stride,
+                GREATEST({_NSW_EF},
+                         CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS ef
+         FROM embeddings
+         WHERE {corpus_where} AND embedding IS NOT NULL)"""
 
 
-def _sql_nsw_beam(prefix: str = "", ef: int = _NSW_EF,
-                  include_q: bool = True) -> str:
-    """Unrolled beam rounds (the HITS/PageRank oracle pattern): v_r
-    accumulates every scored node, f_r is the round's top-ef newcomers;
+def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
+                  include_q: bool = True,
+                  corpus_where: str = "vec_id <> 0") -> str:
+    """Unrolled beam rounds (the HITS/PageRank oracle pattern) in the
+    v2 serving semantic: v0 = the exactly-scored COARSE LAYER
+    (vec_id % stride == 0), f0 = its top-{_NSW_SEED_COUNT}; each round
+    expands the frontier over the SYMMETRIC relation ``nswsym``, keeps
+    every scored node in v_r and the round's top-ef newcomers as f_r;
     all selections on the 6-dp-rounded cosine with vec_id ties.
-    ``prefix`` namespaces the CTEs so one oracle can unroll several ef
-    operating points over the shared edge relation (the curve slot);
-    ``include_q=False`` skips the shared query-vector CTE."""
-    seeds = ", ".join(str(s) for s in _NSW_SEEDS)
+    ``ef=None`` uses the autoscaled width from ``nswp``; a literal ef
+    namespaced by ``prefix`` lets one oracle unroll several operating
+    points over the shared relations (the curve slot)."""
     p = prefix
+    ef_pred = (f"rn <= {ef}" if ef is not None
+               else "rn <= (SELECT ef FROM nswp)")
     head = ("""nswq AS (SELECT embedding AS qv FROM embeddings
          WHERE vec_id = 0),\n""" if include_q else "")
     parts = [f"""{head}{p}v0 AS (SELECT e.vec_id, e.label,
        ROUND({_SQL_COS_TO_Q}, 6) AS s
        FROM embeddings e, nswq q
-       WHERE e.vec_id IN ({seeds})),
-{p}f0 AS (SELECT vec_id FROM {p}v0)"""]
+       WHERE {corpus_where.replace('vec_id', 'e.vec_id')}
+         AND e.embedding IS NOT NULL
+         AND e.vec_id % (SELECT stride FROM nswp) = 0),
+{p}f0 AS (SELECT vec_id FROM {p}v0
+         ORDER BY s DESC, vec_id ASC LIMIT {_NSW_SEED_COUNT})"""]
     for r in range(1, _NSW_ROUNDS + 1):
         parts.append(f"""{p}c{r} AS (SELECT DISTINCT g.dst AS vec_id
-        FROM nswedges g JOIN {p}f{r - 1} f ON g.src = f.vec_id
+        FROM nswsym g JOIN {p}f{r - 1} f ON g.src = f.vec_id
         WHERE g.dst NOT IN (SELECT vec_id FROM {p}v{r - 1})),
 {p}s{r} AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
          FROM embeddings e JOIN {p}c{r} USING (vec_id), nswq q),
 {p}v{r} AS (SELECT * FROM {p}v{r - 1} UNION ALL SELECT * FROM {p}s{r}),
-{p}f{r} AS (SELECT vec_id FROM {p}s{r}
-         ORDER BY s DESC, vec_id ASC LIMIT {ef})""")
+{p}f{r} AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (
+             ORDER BY s DESC, vec_id ASC) AS rn FROM {p}s{r})
+         WHERE {ef_pred})""")
     return ",\n".join(parts)
 
 
@@ -11379,21 +11401,31 @@ def ann_nsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRAPH-ANN KNN — the engine's analogue of the reference's HNSW
     index (modules/utilities.py:272-278): exact top-{_NSW_M} cosine
     neighbor graph (salt-split blocked BLAS build, per-task memory
-    bounded) searched by {_NSW_ROUNDS}-round multi-seed beam expansion
-    (ef={_NSW_EF}).  Candidates come from graph locality, not a corpus
-    scan: query cost is rounds·ef·M score evaluations regardless of
-    corpus size.  Scores are exact cosines throughout (the refine is
+    bounded) searched SYMMETRICALLY by the {_NSW_ROUNDS}-round beam
+    from a COARSE ENTRY LAYER (the r13 serving semantic: stride = ef =
+    ⌈√n⌉ autoscale, top-{_NSW_SEED_COUNT} coarse nodes as entry —
+    HNSW's upper layer as one bounded scan).  Candidates come from
+    graph locality: per-query cost is Θ(√n·M) score evaluations, not a
+    corpus scan.  Scores are exact cosines throughout (the refine is
     built in); every selection orders by the 6-dp-rounded score with id
     ties, so the oracle rebuilds the graph AND replays the beam
-    bit-for-bit.  Recall priced by ``ann_nsw_recall_at_10``; 100 TB
-    posture in ``operators/nsw.py``."""
-    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    bit-for-bit.  Recall priced by ``ann_nsw_recall_at_10`` /
+    ``ann_nsw_mean_recall_at_10`` (0.93 @ sf0.01, 0.76 @ sf0.1 — vs
+    0.155 under the r12 fixed-seed defaults); 100 TB posture in
+    ``operators/nsw.py``."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_knn,
+        nsw_serving_params,
+    )
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     assert len(qvec) == _ANN_DIM
-    top = nsw_knn(emb.filter(F.col("vec_id") != 0), qvec, k=10,
-                  m=_NSW_M, ef=_NSW_EF, rounds=_NSW_ROUNDS,
-                  seeds=_NSW_SEEDS, sim_col="similarity")
+    base = emb.filter(F.col("vec_id") != 0)
+    stride, ef, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
+    top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef, rounds=rounds,
+                  stride=stride, n_entry=_NSW_SEED_COUNT,
+                  sim_col="similarity")
     return top.select("vec_id", "label", "similarity")
 
 
@@ -11417,21 +11449,27 @@ def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_nsw_index,
     )
 
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+    )
+
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
+    stride, ef, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nsw{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(base, store, m=_NSW_M)
 
-    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
-                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
-                         sim_col="similarity")
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+                         rounds=rounds, stride=stride,
+                         n_entry=_NSW_SEED_COUNT, sim_col="similarity")
     return top.select("vec_id", "label", "similarity")
 
 
@@ -11456,14 +11494,20 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rises with ef/rounds exactly as HNSW's efSearch knob — this slot
     pins the shipped operating point."""
     from openai_vector_search_demo_spark.operators.knn import knn
-    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_knn,
+        nsw_serving_params,
+    )
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
+    stride, ef, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
     exact_top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id") \
         .select("vec_id")
-    approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=_NSW_EF,
-                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+    approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef,
+                         rounds=rounds, stride=stride,
+                         n_entry=_NSW_SEED_COUNT,
                          sim_col="sim").select("vec_id")
     overlap = exact_top.join(approx_top, "vec_id")
     return (exact_top.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -11473,7 +11517,10 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
-_NSW_CURVE_EFS = (6, 12, 48)
+_NSW_CURVE_EFS = (8, 23, 45)
+"""Beam-width operating points for the curve slot: below / at / above
+the sf0.01 autoscale point (⌈√499⌉ = 23; 45 is the sf0.1 autoscale —
+the curve prices what the next scale step costs and buys)."""
 
 
 def _nsw_curve_oracle() -> str:
@@ -11505,14 +11552,16 @@ SELECT * FROM ({points}) _curve ORDER BY ef
 def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The beam-width TRADEOFF CURVE as one oracled row set — HNSW's
     efSearch knob priced like the IVF nprobe and binary shortlist
-    curves: for ef ∈ {_NSW_CURVE_EFS}, nodes VISITED (= exact-score
-    evaluations, the query's scan cost) vs recall@10 against exact
-    brute force, all off the same cached graph store.  The knob answer
-    to the measured recall drop at larger corpora: raising ef buys
-    recall with visited-count growth bounded by rounds·ef·M, still
-    corpus-size-independent."""
+    curves: for ef ∈ {_NSW_CURVE_EFS} (below / at / above the sf0.01
+    autoscale point), nodes VISITED (= exact-score evaluations, the
+    query's scan cost) vs recall@10 against exact brute force, all off
+    the same cached graph store under the v2 serving semantic (coarse
+    entry + symmetric traversal).  The knob answer at larger corpora:
+    ef autoscales with ⌈√n⌉ and this curve prices each step —
+    visited-count growth stays √n-bounded, never a corpus scan."""
     from openai_vector_search_demo_spark.operators.knn import knn
     from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
         nsw_stored_knn,
         write_nsw_index,
     )
@@ -11522,12 +11571,14 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
+    stride, _, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
     exact = {r.vec_id for r in
              knn(base, qvec, k=10, sim_col="sim",
                  tie_break="vec_id").collect()}
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nsw{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -11535,8 +11586,8 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for ef in _NSW_CURVE_EFS:
         visited = nsw_stored_knn(spark, store, base, qvec, k=4000,
-                                 ef=ef, rounds=_NSW_ROUNDS,
-                                 seeds=_NSW_SEEDS,
+                                 ef=ef, rounds=rounds, stride=stride,
+                                 n_entry=_NSW_SEED_COUNT,
                                  sim_col="sim").collect()
         top10 = [r.vec_id for r in visited[:10]]
         overlap = len(exact.intersection(top10))
@@ -11546,16 +11597,14 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
               " recall_at_10 double")
 
 
-_NSW_BATCH_SEEDS = (20, 101, 201, 301)
-
-
 def _nsw_mean_recall_oracle() -> str:
     """qid-keyed unrolled beam over the 20 held-out queries — ONE set
     of round CTEs carries every query's frontier/visited state (the
-    relational form of ``beam_search_knn_batch``); exact tops come from
+    relational form of ``beam_search_knn_batch``), under the v2
+    serving semantic: per-qid coarse entry (vec_id % stride = 0, top-8)
+    and symmetric traversal with autoscaled ef; exact tops come from
     the scaffold-style all-pairs sims."""
     nq, d = _IVF_TRAINED_NQ, _ANN_DIM
-    seeds = ", ".join(str(s) for s in _NSW_BATCH_SEEDS)
     parts = [f"""bsims AS (
   SELECT q.vec_id AS qid, e.vec_id,
          ROUND(list_aggregate(list_transform(range(1, {d + 1}),
@@ -11569,12 +11618,16 @@ def _nsw_mean_recall_oracle() -> str:
   FROM embeddings e, embeddings q
   WHERE e.vec_id >= {nq} AND q.vec_id < {nq}
     AND e.embedding IS NOT NULL AND q.embedding IS NOT NULL),
-bv0 AS (SELECT qid, vec_id, s FROM bsims WHERE vec_id IN ({seeds})),
-bf0 AS (SELECT qid, vec_id FROM bv0)"""]
+bv0 AS (SELECT qid, vec_id, s FROM bsims
+        WHERE vec_id % (SELECT stride FROM nswp) = 0),
+bf0 AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+          FROM bv0) WHERE rn <= {_NSW_SEED_COUNT})"""]
     for r in range(1, _NSW_ROUNDS + 1):
         parts.append(f"""bc{r} AS (
   SELECT DISTINCT f.qid, g.dst AS vec_id
-  FROM nswedges g JOIN bf{r - 1} f ON g.src = f.vec_id
+  FROM nswsym g JOIN bf{r - 1} f ON g.src = f.vec_id
   WHERE NOT EXISTS (SELECT 1 FROM bv{r - 1} v
                     WHERE v.qid = f.qid AND v.vec_id = g.dst)),
 bs{r} AS (SELECT c.qid, c.vec_id, s.s
@@ -11584,7 +11637,7 @@ bv{r} AS (SELECT * FROM bv{r - 1} UNION ALL SELECT * FROM bs{r}),
 bf{r} AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id, ROW_NUMBER() OVER (
               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-            FROM bs{r}) WHERE rn <= {_NSW_EF})""")
+            FROM bs{r}) WHERE rn <= (SELECT ef FROM nswp))""")
     body = ",\n".join(parts)
     return f"""
 WITH {_sql_nsw_edges(corpus_where=f"vec_id >= {nq}")},
@@ -11602,11 +11655,18 @@ per AS (SELECT e.qid,
                  / 10.0 AS recall
         FROM exact e
         LEFT JOIN approx a ON a.qid = e.qid AND a.vec_id = e.vec_id
-        GROUP BY e.qid)
+        GROUP BY e.qid),
+vis AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nv
+        FROM bv{_NSW_ROUNDS} GROUP BY qid),
+corpn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM embeddings
+          WHERE vec_id >= {nq} AND embedding IS NOT NULL)
 SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        ROUND(AVG(recall), 3) AS mean_recall_at_10,
        ROUND(MIN(recall), 3) AS min_recall,
-       ROUND(MAX(recall), 3) AS max_recall
+       ROUND(MAX(recall), 3) AS max_recall,
+       (SELECT ROUND(AVG(nv), 1) FROM vis) AS mean_visited,
+       ROUND((SELECT AVG(nv) FROM vis) / (SELECT nc FROM corpn), 3)
+         AS visited_fraction
 FROM per
 """
 
@@ -11629,6 +11689,8 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
     from openai_vector_search_demo_spark.operators.knn import knn  # noqa: F401
     from openai_vector_search_demo_spark.operators.nsw import (
         beam_search_knn_batch,
+        nsw_serving_params,
+        resolve_stored_edges,
         write_nsw_index,
     )
     from pyspark.sql import Window
@@ -11638,25 +11700,35 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
     queries_df = (emb.filter(F.col("vec_id") < _IVF_TRAINED_NQ)
                   .select(F.col("vec_id").alias("qid"),
                           F.col("embedding").alias("qv")))
+    stride, ef, rounds = nsw_serving_params(
+        corpus.filter(F.col("embedding").isNotNull()).count())
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswnq{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswnqv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswnq_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(corpus.select("vec_id", "embedding"), store,
                         m=_NSW_M)
-    edges = spark.read.parquet(store)
+    # batch serving: resolve the store's undirected traversal relation
+    # ONCE per job (merge-on-read window + symmetrize), amortized over
+    # every query in the batch
+    edges = resolve_stored_edges(spark, store, m=_NSW_M)
 
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.functions.vectors import (
         cosine_similarity, vector_lit,  # noqa: F401
     )
     with cache_scope():
-        approx = beam_search_knn_batch(
-            edges, corpus, queries_df, k=10, ef=_NSW_EF,
-            rounds=_NSW_ROUNDS, seeds=_NSW_BATCH_SEEDS)
+        # k beyond any visit count -> the batch beam returns the WHOLE
+        # per-qid visited relation with ranks: one run yields both the
+        # top-10 answers (rank <= 10) and the scan-cost receipt
+        # (visited counts — the number the curve slot prices)
+        allv = beam_search_knn_batch(
+            edges, corpus, queries_df, k=1 << 30, ef=ef, rounds=rounds,
+            stride=stride, n_entry=_NSW_SEED_COUNT)
+        n_corpus = corpus.filter(F.col("embedding").isNotNull()).count()
         # exact per-qid top-10: one qid-keyed rank over the scored
         # cross relation (the oracle's bsims twin)
         w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
@@ -11668,17 +11740,26 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
                     6)))
         exact = (sims.withColumn("_rn", F.row_number().over(w))
                  .filter(F.col("_rn") <= 10).select("qid", "vec_id"))
-        per = (exact.join(approx.select("qid", "vec_id",
-                                        F.lit(1).alias("hit")),
-                          ["qid", "vec_id"], "left")
+        # ONE pass over the visited relation yields both the quality
+        # number (hits among rank<=10) and the scan-cost receipt
+        # (visited count per qid) — branching the deep unrolled-beam
+        # plan twice is what a 4-round lineage cannot afford
+        per = (allv.join(F.broadcast(exact.withColumn("hit", F.lit(1))),
+                         ["qid", "vec_id"], "left")
                .groupBy("qid")
-               .agg((F.sum(F.coalesce("hit", F.lit(0))) / 10.0)
-                    .alias("recall")))
-        out = per.agg(
+               .agg((F.sum(F.when((F.col("rank") <= 10)
+                                  & F.col("hit").isNotNull(), 1)
+                           .otherwise(0)) / 10.0).alias("recall"),
+                    F.count(F.lit(1)).alias("nv")))
+        out = (per.agg(
             F.count(F.lit(1)).alias("n_queries"),
             F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
             F.round(F.min("recall"), 3).alias("min_recall"),
-            F.round(F.max("recall"), 3).alias("max_recall"))
+            F.round(F.max("recall"), 3).alias("max_recall"),
+            F.round(F.avg("nv"), 1).alias("mean_visited"))
+            .withColumn("visited_fraction",
+                        F.round(F.col("mean_visited") / F.lit(n_corpus),
+                                3)))
         rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
 
@@ -11724,6 +11805,7 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from openai_vector_search_demo_spark.operators.knn import knn
     from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
         nsw_stored_knn,
         write_nsw_index,
     )
@@ -11733,17 +11815,20 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
+    stride, ef, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
     exact = (knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
              .select("vec_id", F.round("sim", 6).alias("similarity")))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nsw{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(base, store, m=_NSW_M)
-    approx = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
-                            rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+    approx = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+                            rounds=rounds, stride=stride,
+                            n_entry=_NSW_SEED_COUNT,
                             sim_col="similarity") \
         .select("vec_id", "similarity")
     return ranking_metrics(approx, exact, k=10)
@@ -12479,15 +12564,21 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_nsw_index,
     )
 
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+    )
+
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     corpus = base.filter(F.col("vec_id") % 5 != 3)
     batch = base.filter(F.col("vec_id") % 5 == 3)
+    stride, ef, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswup{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswupv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswup_store_" + key)
     marker = os.path.join(store, "_UPSERTED")
@@ -12500,8 +12591,9 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write("1")
 
-    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
-                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+                         rounds=rounds, stride=stride,
+                         n_entry=_NSW_SEED_COUNT,
                          sim_col="similarity", m=_NSW_M)
     return top.select("vec_id", "label", "similarity")
 
@@ -12572,13 +12664,19 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_nsw_index,
     )
 
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+    )
+
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
+    stride, ef, rounds = nsw_serving_params(
+        base.filter(F.col("embedding").isNotNull()).count())
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswdel{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswdelv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswdel_store_" + key)
     marker = os.path.join(store, "_TOMBSTONED")
@@ -12594,8 +12692,9 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(marker, "w") as fh:
             fh.write(",".join(map(str, top3)))
 
-    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=_NSW_EF,
-                         rounds=_NSW_ROUNDS, seeds=_NSW_SEEDS,
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+                         rounds=rounds, stride=stride,
+                         n_entry=_NSW_SEED_COUNT,
                          sim_col="similarity", m=_NSW_M)
     return top.select("vec_id", "label", "similarity")
 

@@ -116,10 +116,14 @@ def test_store_holds_edges_not_vectors(spark, emb, tmp_path):
     store = str(tmp_path / "nsw")
     write_nsw_index(emb, store, m=3, n_buckets=4)
     stored = spark.read.parquet(store)
-    assert set(stored.columns) == {"src", "dst", "sim", "bucket"}
-    # every node has exactly m out-edges
-    counts = stored.groupBy("src").count().collect()
+    assert set(stored.columns) == {"src", "dst", "sim", "fwd", "bucket"}
+    # every node has exactly m canonical out-edges (fwd); mirror rows
+    # land under the other endpoint's bucket for pruned reverse lookup
+    counts = stored.filter(F.col("fwd")).groupBy("src").count().collect()
     assert all(r["count"] == 3 for r in counts) and len(counts) == N
+    fwd = {(r.src, r.dst) for r in stored.filter(F.col("fwd")).collect()}
+    rev = {(r.dst, r.src) for r in stored.filter(~F.col("fwd")).collect()}
+    assert fwd == rev
 
 
 def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
@@ -152,7 +156,7 @@ def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
                                            F.col("dst").asc())
 
     def resolved(path):
-        rows = (spark.read.parquet(path)
+        rows = (spark.read.parquet(path).filter(F.col("fwd"))
                 .withColumn("_rn", F.row_number().over(wm))
                 .filter(F.col("_rn") <= 3).collect())
         out = {}
@@ -206,9 +210,9 @@ def test_soft_delete_ghosts_keep_carrying_the_beam(spark, tmp_path):
     store = str(tmp_path / "nsw")
     # hand-build a pure chain adjacency (src-bucketed like the writer)
     edges = spark.createDataFrame(
-        [(a, b, 0.0) for a, b in
+        [(a, b, 0.0, True) for a, b in
          [(1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3), (4, 5),
-          (5, 4)]], "src long, dst long, sim double")
+          (5, 4)]], "src long, dst long, sim double, fwd boolean")
     (edges.withColumn("bucket", (F.col("src") % 4).cast("int"))
      .write.mode("overwrite").partitionBy("bucket").parquet(store))
     delete_from_nsw_index(spark, store, [3])
@@ -277,3 +281,103 @@ def test_null_embeddings_absent_from_graph(emb):
     edges = build_knn_graph(emb, m=3)
     ids = {r.src for r in edges.collect()} | {r.dst for r in edges.collect()}
     assert N + 1 not in ids
+
+
+def test_nsw_serving_params_autoscale():
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+    )
+    assert nsw_serving_params(480) == (22, 22, 4)    # sf0.01 held-out
+    assert nsw_serving_params(1980) == (45, 45, 4)   # sf0.1 held-out
+    assert nsw_serving_params(100) == (10, 12, 4)    # ef floor holds
+    assert nsw_serving_params(1) == (2, 12, 4)       # degenerate corpus
+
+
+def test_symmetric_traversal_uses_reverse_edges(spark):
+    """A spoke reachable ONLY via a reverse edge: c's nearest is b, but
+    nobody's out-list points at c.  Directed traversal from a never
+    finds c; the v2 symmetric traversal must."""
+    import math as _m
+    # angles: a=0, b=0.1, c=0.25 rad on the unit circle; m=1 out-lists:
+    # a->b, b->a (closer than c), c->b — no out-edge enters c.
+    rows = [(1, 0, [_m.cos(0.0), _m.sin(0.0)]),
+            (2, 0, [_m.cos(0.1), _m.sin(0.1)]),
+            (3, 0, [_m.cos(0.25), _m.sin(0.25)])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    edges = build_knn_graph(df, m=1)
+    out = {(r.src, r.dst) for r in edges.collect()}
+    assert out == {(1, 2), (2, 1), (3, 2)}
+    qvec = [_m.cos(0.3), _m.sin(0.3)]  # favors c
+    directed = {r.vec_id for r in
+                beam_search_knn(edges, df, qvec, k=3, ef=3, rounds=3,
+                                seeds=[1]).collect()}
+    assert 3 not in directed
+    sym = {r.vec_id for r in
+           nsw_knn(df, qvec, k=3, m=1, ef=3, rounds=3,
+                   seeds=[1]).collect()}
+    assert 3 in sym
+
+
+def test_coarse_entry_stored_equals_inline(spark, emb, tmp_path):
+    """The full v2 serving path — coarse entry + symmetric stored
+    lookup — must equal the inline build+search with the same knobs."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        beam_search_knn_batch,
+        symmetrize_edges,
+    )
+    qvec = [0.15] * DIM
+    store = str(tmp_path / "nsw")
+    write_nsw_index(emb, store, m=3, n_buckets=4)
+    inline = [(r.vec_id, r.similarity) for r in
+              nsw_knn(emb, qvec, k=10, m=3, ef=6, rounds=2,
+                      stride=5, n_entry=3).collect()]
+    stored = [(r.vec_id, r.similarity) for r in
+              nsw_stored_knn(spark, store, emb, qvec, k=10, ef=6,
+                             rounds=2, n_buckets=4, m=3, stride=5,
+                             n_entry=3).collect()]
+    assert stored == inline
+    # the batched form with the same coarse entry returns the same rows
+    base = emb.filter(F.col("embedding").isNotNull())
+    edges = symmetrize_edges(build_knn_graph(base, m=3))
+    queries = spark.createDataFrame([(7, qvec)], "qid long, qv array<double>")
+    batched = [(r.vec_id, r.similarity) for r in
+               beam_search_knn_batch(edges, base, queries, k=10, ef=6,
+                                     rounds=2, stride=5,
+                                     n_entry=3).collect()]
+    assert batched == inline
+
+
+def test_stale_mirrors_filtered_after_upsert(spark, emb, tmp_path):
+    """Upsert displacement leaves fwd=false mirror rows whose canonical
+    edge is gone; the stored lookup's validation must keep the beam on
+    the exact rebuilt graph — visited closures over the upserted and
+    the rebuilt store must be identical."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        resolve_stored_edges,
+        upsert_nsw_index,
+    )
+    base = emb.filter(F.col("embedding").isNotNull())
+    corpus = base.filter(F.col("vec_id") % 4 != 1)
+    batch = base.filter(F.col("vec_id") % 4 == 1)
+    inc = str(tmp_path / "inc")
+    write_nsw_index(corpus, inc, m=3, n_buckets=4)
+    upsert_nsw_index(spark, inc, batch, corpus, m=3, n_buckets=4)
+    full = str(tmp_path / "full")
+    write_nsw_index(base, full, m=3, n_buckets=4)
+
+    # vacuity guard: the upserted store DOES carry stale mirrors
+    resolved_sym = {(r.src, r.dst) for r in
+                    resolve_stored_edges(spark, inc, m=3).collect()}
+    raw_rev = {(r.src, r.dst) for r in
+               spark.read.parquet(inc).filter(~F.col("fwd")).collect()}
+    assert raw_rev - resolved_sym, "no stale mirror — test is vacuous"
+
+    qvec = [0.2] * DIM
+    got = [(r.vec_id, r.similarity) for r in
+           nsw_stored_knn(spark, inc, base, qvec, k=N, ef=N, rounds=4,
+                          n_buckets=4, m=3, stride=5).collect()]
+    want = [(r.vec_id, r.similarity) for r in
+            nsw_stored_knn(spark, full, base, qvec, k=N, ef=N, rounds=4,
+                           n_buckets=4, m=3, stride=5).collect()]
+    assert got == want
