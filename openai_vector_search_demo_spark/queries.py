@@ -12006,6 +12006,181 @@ def neardup_label_propagation(spark: SparkSession,
     return spark.createDataFrame(rows, out.schema)
 
 
+_CAP_M, _CAP_REPS = 3, 4
+_CAP_BASE_WHERE = "vec_id >= 20 AND vec_id < 120"
+
+
+def _dedup_capstone_phase_sql(p: str, nodes: str) -> str:
+    """One capstone phase, relationally: exact top-M graph over the
+    phase's node set + symmetrized traversal + autoscaled-param beam
+    (the v2 serving semantic) + TRUE component count via a recursive
+    transitive closure.  Every non-recursive CTE is hand-MATERIALIZED:
+    the @query auto-transform correctly leaves WITH RECURSIVE lists
+    plain, and the beam's v-chain would otherwise inline the graph
+    relation ~3^rounds times (the blowup the transform exists for)."""
+    d = _ANN_DIM
+    parts = [f"""{p}ex AS MATERIALIZED (SELECT vec_id AS id, ii.i AS i,
+                     CAST(embedding[ii.i] AS DOUBLE) AS x
+       FROM {nodes}, UNNEST(generate_series(1, {d})) AS ii(i)),
+{p}nrm AS MATERIALIZED (SELECT id, sqrt(SUM(x * x)) AS nm
+       FROM {p}ex GROUP BY id),
+{p}dots AS MATERIALIZED (SELECT a.id AS src, b.id AS dst,
+              SUM(a.x * b.x) AS d
+       FROM {p}ex a JOIN {p}ex b USING (i)
+       WHERE a.id <> b.id GROUP BY 1, 2),
+{p}sims AS MATERIALIZED (SELECT src, dst,
+              ROUND(d / (na.nm * nb.nm), 6) AS sim
+       FROM {p}dots JOIN {p}nrm na ON na.id = src
+       JOIN {p}nrm nb ON nb.id = dst),
+{p}edges AS MATERIALIZED (SELECT src, dst FROM (
+         SELECT src, dst, ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+         FROM {p}sims) WHERE rn <= {_CAP_M}),
+{p}sym AS MATERIALIZED (SELECT src, dst FROM {p}edges
+       UNION SELECT dst, src FROM {p}edges),
+{p}p AS MATERIALIZED (SELECT
+         GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS stride,
+         GREATEST({_NSW_EF}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS ef
+       FROM {nodes}),
+{p}qs AS MATERIALIZED (SELECT e.vec_id, ROUND({_SQL_COS_TO_Q}, 6) AS s
+       FROM {nodes} e, capq q),
+{p}v0 AS MATERIALIZED (SELECT vec_id, s FROM {p}qs
+       WHERE vec_id % (SELECT stride FROM {p}p) = 0),
+{p}f0 AS MATERIALIZED (SELECT vec_id FROM {p}v0
+       ORDER BY s DESC, vec_id ASC LIMIT {_NSW_SEED_COUNT})"""]
+    for r in range(1, _NSW_ROUNDS + 1):
+        parts.append(f"""{p}c{r} AS MATERIALIZED (
+         SELECT DISTINCT g.dst AS vec_id
+         FROM {p}sym g JOIN {p}f{r - 1} f ON g.src = f.vec_id
+         WHERE g.dst NOT IN (SELECT vec_id FROM {p}v{r - 1})),
+{p}s{r} AS MATERIALIZED (SELECT q.vec_id, q.s
+         FROM {p}qs q JOIN {p}c{r} USING (vec_id)),
+{p}v{r} AS MATERIALIZED (SELECT * FROM {p}v{r - 1}
+         UNION ALL SELECT * FROM {p}s{r}),
+{p}f{r} AS MATERIALIZED (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (
+             ORDER BY s DESC, vec_id ASC) AS rn FROM {p}s{r})
+         WHERE rn <= (SELECT ef FROM {p}p))""")
+    parts.append(f"""{p}reach AS (
+         SELECT vec_id AS node, vec_id AS r FROM {nodes}
+         UNION SELECT t.node, e.dst
+         FROM {p}reach t JOIN {p}sym e ON e.src = t.r),
+{p}comp AS (SELECT node, MIN(r) AS root FROM {p}reach GROUP BY node),
+{p}top AS MATERIALIZED (SELECT vec_id FROM {p}v{_NSW_ROUNDS}
+         ORDER BY s DESC, vec_id ASC LIMIT 10),
+{p}recj AS MATERIALIZED (SELECT g.c
+         FROM (SELECT DISTINCT vec_id % 1000 AS c FROM {p}top) g
+         JOIN extop e USING (c))""")
+    return ",\n".join(parts)
+
+
+def _dedup_capstone_oracle() -> str:
+    reps = "\n  UNION ALL ".join(
+        f"SELECT vec_id + {1000 * r} AS vec_id, embedding FROM embeddings"
+        f" WHERE {_CAP_BASE_WHERE}" for r in range(1, _CAP_REPS + 1))
+    return f"""
+WITH RECURSIVE
+capq AS MATERIALIZED (SELECT embedding AS qv FROM embeddings
+       WHERE vec_id = 0),
+rep AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings WHERE {_CAP_BASE_WHERE}
+  UNION ALL {reps}),
+surv AS MATERIALIZED (SELECT MIN(vec_id) AS vec_id, embedding
+       FROM rep GROUP BY embedding),
+extop AS MATERIALIZED (SELECT vec_id % 1000 AS c FROM (
+  SELECT e.vec_id, {_SQL_COS_TO_Q} AS s FROM surv e, capq q
+  ORDER BY s DESC, e.vec_id ASC LIMIT 10)),
+{_dedup_capstone_phase_sql("ca", "rep")},
+{_dedup_capstone_phase_sql("cb", "surv")}
+SELECT * FROM (
+  SELECT 'dedup_first' AS phase,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_vectors,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cbedges) AS n_edges,
+         (SELECT CAST(COUNT(DISTINCT root) AS BIGINT) FROM cbcomp)
+           AS n_components,
+         (SELECT ROUND(COUNT(*) / 10.0, 3) FROM cbrecj) AS recall_at_10
+  UNION ALL
+  SELECT 'no_dedup',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM rep),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM caedges),
+         (SELECT CAST(COUNT(DISTINCT root) AS BIGINT) FROM cacomp),
+         (SELECT ROUND(COUNT(*) / 10.0, 3) FROM carecj)
+) ORDER BY phase ASC
+"""
+
+
+@query("dedup_graph_index_capstone", oracle=_dedup_capstone_oracle())
+def dedup_graph_index_capstone(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """DEDUP-BEFORE-GRAPH-INDEX CAPSTONE — the measured pipeline-order
+    lesson (SCALE.md r12; ``tests/test_nsw.py::test_duplicate_
+    multiplicity_disconnects_graph``) as one oracled slot: on a corpus
+    where duplicate multiplicity ({_CAP_REPS + 1}) exceeds the graph
+    degree M={_CAP_M}, the exact kNN graph shatters into one clique
+    per replica group (n_components = n_groups) AND duplicates crowd
+    the beam's answer set; running the engine's exact dedup FIRST
+    (hash-groupBy keep-min, ``operators/dedup.py``) restores a single
+    navigable component, recall 0.2 → 1.0, and shrinks the index
+    {_CAP_REPS + 1}× — the dedup → build → serve composition every
+    100 TB embedding-index pipeline must order correctly.  Phases
+    share the v2 serving semantic (coarse entry, symmetric traversal,
+    autoscaled params); component counts come from the engine's
+    large-star/small-star connected components, replayed in the
+    oracle by a recursive transitive closure."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.dedup import (
+        duplicate_clusters,
+    )
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        beam_search_knn,
+        build_knn_graph,
+        nsw_serving_params,
+        symmetrize_edges,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = (emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 120))
+            .select("vec_id", "label", "embedding"))
+    rep = base
+    for r in range(1, _CAP_REPS + 1):
+        rep = rep.unionByName(base.select(
+            (F.col("vec_id") + 1000 * r).alias("vec_id"),
+            "label", "embedding"))
+    rows = []
+    with cache_scope():
+        # the dedup step IS the operator under test: exact-duplicate
+        # collapse, keep the smallest id (hash-groupBy — one shuffle)
+        surv_ids = (rep.groupBy("embedding")
+                    .agg(F.min("vec_id").alias("vec_id"))
+                    .select("vec_id"))
+        survivors = rep.join(surv_ids, "vec_id")
+        exact = {r2.vec_id % 1000 for r2 in
+                 knn(survivors, qvec, k=10, sim_col="sim",
+                     tie_break="vec_id").collect()}
+        for phase, nodes in [("dedup_first", survivors),
+                             ("no_dedup", rep)]:
+            n = nodes.count()
+            stride, ef, rounds = nsw_serving_params(n)
+            edges = build_knn_graph(nodes, m=_CAP_M)
+            n_edges = edges.count()
+            comp = duplicate_clusters(edges.select(
+                F.col("src").alias("id_a"), F.col("dst").alias("id_b")))
+            n_comp = (comp.select("cluster_id").distinct().count())
+            top = beam_search_knn(symmetrize_edges(edges), nodes, qvec,
+                                  k=10, ef=ef, rounds=rounds,
+                                  stride=stride,
+                                  n_entry=_NSW_SEED_COUNT)
+            got = {r2.vec_id % 1000 for r2 in top.collect()}
+            rows.append((phase, n, n_edges, n_comp,
+                         round(len(got & exact) / 10.0, 3)))
+    rows.sort()
+    return spark.createDataFrame(
+        rows, "phase string, n_vectors long, n_edges long,"
+              " n_components long, recall_at_10 double")
+
+
 _MRL_DIM, _MRL_SHORTLIST = 16, 50
 
 
