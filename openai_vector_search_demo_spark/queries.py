@@ -12645,6 +12645,173 @@ def rag_context_budget_pack(spark: SparkSession,
                     F.col("cum_tokens").cast("long").alias("cum_tokens")))
 
 
+_RAGS_POOL, _RAGS_K, _RAGS_LAM, _RAGS_BUDGET = 20, 8, 0.5, 400
+
+
+def _rag_serving_oracle() -> str:
+    """Hybrid RRF pool → unrolled greedy MMR → budget packing, end to
+    end: the BM25/vector/fusion CTEs are the ``hybrid_search_rrf``
+    oracle verbatim, the MMR rounds are the ``q2_knn_mmr`` pattern over
+    the fused pool (relevance = 6-dp RRF score, diversity = raw cosine
+    between doc embeddings), and the packing is the
+    ``rag_context_budget_pack`` running-sum prefix in SELECTION order."""
+    lam, mu = _RAGS_LAM, 1.0 - _RAGS_LAM
+
+    def cos(x: str, y: str) -> str:
+        return (f"list_aggregate(list_transform("
+                f"range(1, len({x}.embedding) + 1), "
+                f"i -> CAST({x}.embedding[i] AS DOUBLE)"
+                f" * CAST({y}.embedding[i] AS DOUBLE)), 'sum') "
+                f"/ (sqrt(list_aggregate(list_transform({x}.embedding, "
+                f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')) "
+                f"* sqrt(list_aggregate(list_transform({y}.embedding, "
+                f"t -> CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 'sum')))")
+
+    parts = [rf"""tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
+stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex
+       WHERE token IN ('{"','".join(_BM25_TERMS)}') GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+bm25 AS (
+  SELECT tf.doc_id,
+    SUM(ln((s.n - dfq.dfc + 0.5) / (dfq.dfc + 0.5) + 1.0)
+        * tf.tf * ({_BM25_K1} + 1.0)
+        / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                 + {_BM25_B} * dl.dl / s.avgdl))) AS score
+  FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+  GROUP BY tf.doc_id),
+lex_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM (SELECT doc_id, score FROM bm25
+        ORDER BY score DESC, doc_id ASC LIMIT {_RRF_N})),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+vec_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id ASC) AS r
+  FROM (SELECT e.vec_id AS doc_id, {_SQL_COS_TO_Q} AS sim
+        FROM embeddings e, q WHERE e.vec_id <> 0
+        ORDER BY sim DESC, doc_id ASC LIMIT {_RRF_N})),
+fused AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + l.r), 0)
+         + COALESCE(1.0 / ({_RRF_K} + v.r), 0) AS rrf
+  FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id),
+cand AS (SELECT p.doc_id AS vec_id, p.rel, e.embedding
+         FROM (SELECT doc_id, ROUND(rrf, 6) AS rel FROM fused
+               ORDER BY rrf DESC, doc_id ASC LIMIT {_RAGS_POOL}) p
+         JOIN embeddings e ON e.vec_id = p.doc_id),
+sel1 AS (SELECT vec_id, embedding, rel FROM cand
+         ORDER BY rel DESC, vec_id ASC LIMIT 1),
+selall1 AS (SELECT * FROM sel1)"""]
+    for r in range(2, _RAGS_K + 1):
+        parts.append(f"""sc{r} AS (
+  SELECT c.vec_id, c.embedding, c.rel,
+         (SELECT MAX({cos('c', 's')}) FROM selall{r - 1} s) AS ms
+  FROM cand c
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM selall{r - 1})),
+sel{r} AS (SELECT vec_id, embedding, rel FROM sc{r}
+           ORDER BY {lam} * rel - {mu} * ms DESC, vec_id ASC LIMIT 1),
+selall{r} AS (SELECT * FROM selall{r - 1} UNION ALL SELECT * FROM sel{r})""")
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT {r} AS position, vec_id AS doc_id, rel AS rrf_score"
+        f" FROM sel{r}" for r in range(1, _RAGS_K + 1))
+    parts.append(f"""ranked AS ({ranked}),
+packed AS (SELECT r.position, r.doc_id, r.rrf_score, d.source,
+                  CAST(dl.dl AS BIGINT) AS n_tokens,
+                  CAST(SUM(dl.dl) OVER (ORDER BY r.position ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS cum_tokens
+           FROM ranked r JOIN documents d USING (doc_id)
+           JOIN dl USING (doc_id))""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT CAST(position AS INT) AS position, doc_id, rrf_score, source,
+       n_tokens, cum_tokens
+FROM packed WHERE cum_tokens <= {_RAGS_BUDGET}
+ORDER BY position ASC""")
+
+
+@query("rag_serving_pipeline", oracle=_rag_serving_oracle())
+def rag_serving_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG SERVING CAPSTONE — the query-path twin of
+    ``curation_pipeline`` and the closest analogue of the reference's
+    full ``getResult`` flow (app/app.py:64-113: embed → index search →
+    rerank → paste top-k into the LLM context): HYBRID retrieval (BM25
+    lexical ∪ vector cosine, reciprocal-rank fused — the engine's
+    ``hybrid_search_rrf`` stage), the top-{_RAGS_POOL} fused pool
+    DIVERSIFIED by greedy MMR (λ={_RAGS_LAM} — near-duplicate passages
+    waste context tokens; ``operators/mmr.py``), and the selection
+    PACKED into a {_RAGS_BUDGET}-token budget in selection order
+    (``rag_context_budget_pack`` mechanics).  Every stage's selection
+    runs on 6-dp scores with id tie-breaks, so the oracle replays the
+    fusion, all {_RAGS_K} MMR rounds, and the packing prefix
+    bit-for-bit.  Scale: retrieval is the only corpus-touching stage
+    (top-N heaps / ANN shortlists); MMR and packing run on ≤
+    {_RAGS_POOL} rows."""
+    from pyspark.sql import Window
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        token_count,
+    )
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+        vector_lit,
+    )
+    from openai_vector_search_demo_spark.operators.mmr import mmr_select
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+
+    bm25 = _bm25_scores(spark, sf_dir)
+    lex_top = bm25.orderBy(F.col("score").desc(), F.col("doc_id").asc()) \
+                  .limit(_RRF_N)
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("lex_r"))
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    sim = (emb.filter(F.col("vec_id") != 0)
+           .select(F.col("vec_id").alias("doc_id"),
+                   cosine_similarity("embedding", vector_lit(qvec))
+                   .alias("sim")))
+    vec_top = sim.orderBy(F.col("sim").desc(), F.col("doc_id").asc()) \
+                 .limit(_RRF_N)
+    vec_rank = vec_top.select(
+        "doc_id", F.row_number().over(
+            Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc()))
+        .alias("vec_r"))
+    fused = (lex_rank.join(vec_rank, "doc_id", "full_outer")
+             .withColumn("rrf",
+                         F.coalesce(1.0 / (_RRF_K + F.col("lex_r")),
+                                    F.lit(0.0))
+                         + F.coalesce(1.0 / (_RRF_K + F.col("vec_r")),
+                                      F.lit(0.0))))
+    pool = (fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+            .limit(_RAGS_POOL)
+            .select("doc_id", F.round("rrf", 6).alias("rel")))
+    cand = scoped_persist(
+        pool.join(emb.select(F.col("vec_id").alias("doc_id"),
+                             "embedding"), "doc_id")
+        .select(F.col("doc_id").alias("vec_id"), "embedding", "rel"))
+    sel = mmr_select(cand, k=_RAGS_K, lam=_RAGS_LAM)
+    wp = Window.orderBy(F.col("position").asc())
+    packed = (sel.select(F.col("rank").cast("int").alias("position"),
+                         F.col("vec_id").alias("doc_id"),
+                         F.col("rel").alias("rrf_score"))
+              .join(docs.select("doc_id", "source",
+                                token_count("text").cast("long")
+                                .alias("n_tokens")), "doc_id")
+              .withColumn("cum_tokens",
+                          F.sum("n_tokens").over(
+                              wp.rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow))))
+    return (packed.filter(F.col("cum_tokens") <= _RAGS_BUDGET)
+            .select("position", "doc_id", "rrf_score", "source",
+                    "n_tokens", F.col("cum_tokens").cast("long")
+                    .alias("cum_tokens"))
+            .orderBy("position"))
+
+
 @query("ivm_source_stats_delta", oracle=rf"""
 WITH h AS (SELECT source, n_chars,
                   {_SQL_TOKS} AS toks FROM documents)
