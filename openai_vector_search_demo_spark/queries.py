@@ -11859,6 +11859,158 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics(approx, exact, k=10)
 
 
+def _scd2_build(o: DataFrame) -> DataFrame:
+    """Full SCD2 rebuild over an orders relation — the version-interval
+    algebra shared by the batch slot and the splice slot's store build:
+    change-point lag, running version numbers, per-version aggregate,
+    interval linking (see ``scd2_customer_priority``)."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    seq = o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev"))
+    ver = seq.withColumn(
+        "version_no",
+        F.sum(F.when(F.col("prev").isNull()
+                     | (F.col("prev") != F.col("o_orderpriority")), 1)
+              .otherwise(0))
+        .over(w.rowsBetween(Window.unboundedPreceding,
+                            Window.currentRow)).cast("int"))
+    hist = (ver.groupBy("o_custkey", "version_no")
+            .agg(F.min("o_orderpriority").alias("priority"),
+                 F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                 .alias("valid_from_us"),
+                 F.count(F.lit(1)).alias("n_orders")))
+    v = Window.partitionBy("o_custkey").orderBy(F.col("version_no").asc())
+    return hist.select(
+        "o_custkey", "version_no", "priority", "valid_from_us", "n_orders",
+        F.lead("valid_from_us").over(v).alias("valid_to_us"),
+        F.when(F.lead("valid_from_us").over(v).isNull(), 1).otherwise(0)
+        .alias("is_current"))
+
+
+_SCD2_CUTOFF = "1997-01-01"
+
+
+@query("scd2_incremental_splice", oracle="""
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+         LAG(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC)),
+ver AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY o_custkey
+                    ORDER BY o_orderdate ASC, o_orderkey ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS version_no
+  FROM seq),
+hist AS (
+  SELECT o_custkey, version_no,
+         MIN(o_orderpriority) AS priority,
+         CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS valid_from_us,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM ver GROUP BY o_custkey, version_no)
+SELECT o_custkey, version_no, priority, valid_from_us, n_orders,
+       LEAD(valid_from_us) OVER v AS valid_to_us,
+       CASE WHEN LEAD(valid_from_us) OVER v IS NULL THEN 1 ELSE 0 END
+         AS is_current
+FROM hist
+WINDOW v AS (PARTITION BY o_custkey ORDER BY version_no ASC)
+""")
+def scd2_incremental_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 DELTA-BATCH SPLICE — incremental maintenance of a stored
+    type-2 dimension, the ``ann_ivfpq_upsert_knn`` proof pattern
+    applied to the warehouse tier: the dimension store is built from
+    orders BEFORE 1997-01-01 (cached per corpus fingerprint), the
+    later orders arrive as a delta batch, and the MERGE must serve the
+    FULL-REBUILD dimension — the oracle is literally the rebuild SQL.
+    Exactness argument: all delta event times sort after the store's
+    (date-split batches), so (a) CLOSED versions are immutable — they
+    pass through byte-identical, never recomputed; (b) each customer's
+    delta stream re-versions locally, seeded by the stored OPEN
+    version's (priority, version_no, n_orders, valid_from) — a first
+    delta row with the same priority EXTENDS the open version (order
+    count bump), a different one CLOSES it; (c) only the tail (open ∪
+    delta versions) passes through the interval-link window.  Work is
+    |delta| + |open versions|, never the fact history — the 100 TB
+    point of SCD2 splicing (Kimball's incremental dimension load)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit(_SCD2_CUTOFF).cast("date")
+    orders_path = os.path.join(sf_dir, "orders.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|scd2v1|{_parquet_fingerprint(orders_path)}"
+        .encode()).hexdigest()[:10]
+    store_path = os.path.join("/tmp", "spark_graft_scd2_" + key)
+    if not os.path.exists(os.path.join(store_path, "_SUCCESS")):
+        (_scd2_build(o.filter(F.col("o_orderdate") < cutoff))
+         .write.mode("overwrite").parquet(store_path))
+    store = spark.read.parquet(store_path)
+    delta = o.filter(F.col("o_orderdate") >= cutoff)
+
+    cur = (store.filter(F.col("is_current") == 1)
+           .select("o_custkey",
+                   F.col("version_no").alias("_v"),
+                   F.col("priority").alias("_p"),
+                   F.col("valid_from_us").alias("_t"),
+                   F.col("n_orders").alias("_k")))
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    dseq = (delta.select("o_custkey", "o_orderkey", "o_orderdate",
+                         "o_orderpriority",
+                         F.lag("o_orderpriority").over(w).alias("prev"))
+            .join(cur, "o_custkey", "left"))
+    # change flag: within-delta rows compare to the previous delta row;
+    # the FIRST delta row compares to the stored open version's priority
+    chg = F.when(F.col("prev").isNotNull(),
+                 (F.col("prev") != F.col("o_orderpriority")).cast("int"))         .otherwise(F.when(F.col("_p").isNull()
+                          | (F.col("_p") != F.col("o_orderpriority")), 1)
+                   .otherwise(0))
+    dver = dseq.withColumn(
+        "version_no",
+        (F.coalesce(F.col("_v"), F.lit(0))
+         + F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow))).cast("int"))
+    dgrp = (dver.groupBy("o_custkey", "version_no")
+            .agg(F.min("o_orderpriority").alias("priority"),
+                 F.unix_micros(F.min("o_orderdate").cast("timestamp"))
+                 .alias("valid_from_us"),
+                 F.count(F.lit(1)).alias("dn"),
+                 F.first("_v").alias("_v")))
+    # open versions, order counts bumped where the delta extends them
+    cont = (cur.join(dgrp.filter(F.col("version_no") == F.col("_v"))
+                     .select("o_custkey", "dn"), "o_custkey", "left")
+            .select("o_custkey", F.col("_v").alias("version_no"),
+                    F.col("_p").alias("priority"),
+                    F.col("_t").alias("valid_from_us"),
+                    (F.col("_k") + F.coalesce("dn", F.lit(0)))
+                    .alias("n_orders")))
+    newv = (dgrp.filter(F.col("_v").isNull()
+                        | (F.col("version_no") > F.col("_v")))
+            .select("o_custkey", "version_no", "priority",
+                    "valid_from_us", F.col("dn").alias("n_orders")))
+    tail = cont.unionByName(newv)
+    v = Window.partitionBy("o_custkey").orderBy(F.col("version_no").asc())
+    tail_fixed = tail.select(
+        "o_custkey", "version_no", "priority", "valid_from_us", "n_orders",
+        F.lead("valid_from_us").over(v).alias("valid_to_us"),
+        F.when(F.lead("valid_from_us").over(v).isNull(), 1).otherwise(0)
+        .alias("is_current"))
+    closed = store.filter(F.col("is_current") == 0).select(
+        "o_custkey", "version_no", "priority", "valid_from_us",
+        "n_orders", "valid_to_us", "is_current")
+    return closed.unionByName(tail_fixed)
+
+
 @query("scd2_customer_priority", oracle="""
 WITH seq AS (
   SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
@@ -11899,31 +12051,7 @@ def scd2_customer_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning — one shuffle total, then per-customer sorts bounded
     by order counts; at 100 TB the dimension key is the only exchange
     and skew is order-volume skew (salting applies unchanged)."""
-    from pyspark.sql import Window
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    o = t(spark, sf_dir, "orders")
-    seq = o.select(
-        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority",
-        F.lag("o_orderpriority").over(w).alias("prev"))
-    ver = seq.withColumn(
-        "version_no",
-        F.sum(F.when(F.col("prev").isNull()
-                     | (F.col("prev") != F.col("o_orderpriority")), 1)
-              .otherwise(0))
-        .over(w.rowsBetween(Window.unboundedPreceding,
-                            Window.currentRow)).cast("int"))
-    hist = (ver.groupBy("o_custkey", "version_no")
-            .agg(F.min("o_orderpriority").alias("priority"),
-                 F.unix_micros(F.min("o_orderdate").cast("timestamp"))
-                 .alias("valid_from_us"),
-                 F.count(F.lit(1)).alias("n_orders")))
-    v = Window.partitionBy("o_custkey").orderBy(F.col("version_no").asc())
-    return hist.select(
-        "o_custkey", "version_no", "priority", "valid_from_us", "n_orders",
-        F.lead("valid_from_us").over(v).alias("valid_to_us"),
-        F.when(F.lead("valid_from_us").over(v).isNull(), 1).otherwise(0)
-        .alias("is_current"))
+    return _scd2_build(t(spark, sf_dir, "orders"))
 
 
 _LP_ROUNDS = 3
