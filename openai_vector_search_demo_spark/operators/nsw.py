@@ -317,7 +317,6 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
     thousands of queries in one pass over the (bucketed) edge store.
     Returns the per-qid top-k of all visited nodes, exact cosines,
     6-dp-rounded with (qid, sim desc, id asc) determinism."""
-    from openai_vector_search_demo_spark.caching import scoped_persist
 
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).alias("_qv"))
@@ -342,7 +341,7 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
         seed_df = (q.select("qid").crossJoin(
             vecs.filter(F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
             .select(id_col)))
-        visited = scoped_persist(score(seed_df))
+        visited = score(seed_df).localCheckpoint()
         frontier = (visited.withColumn("_rn", F.row_number().over(wf))
                     .filter(F.col("_rn") <= n_entry)
                     .select("qid", F.col(id_col).alias("src")))
@@ -350,15 +349,21 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
         seed_df = (q.select("qid").crossJoin(
             sess.createDataFrame([(int(x),) for x in seeds],
                                  f"{id_col} long")))
-        visited = scoped_persist(score(seed_df))
+        visited = score(seed_df).localCheckpoint()
         frontier = visited.select("qid", F.col(id_col).alias("src"))
     for _ in range(rounds):
         cand = (edges.join(frontier, "src")
                 .select("qid", F.col("dst").alias(id_col)).distinct())
         new = cand.join(visited.select("qid", id_col),
                         ["qid", id_col], "left_anti")
-        scored = scoped_persist(score(new))
-        visited = scoped_persist(visited.unionByName(scored))
+        # localCheckpoint, not persist: the checkpoint CUTS the logical
+        # lineage each round, so the plan the driver analyzes stays
+        # round-sized instead of growing 4 unrolled rounds deep — the
+        # deep tree (TreeNode string rendering during analysis) is what
+        # OOM'd a default-1g gate session late in a 50-slot run (r13).
+        # State is ef·M rows/qid — KB-class blocks (the mmr pattern).
+        scored = score(new).localCheckpoint()
+        visited = visited.unionByName(scored).localCheckpoint()
         frontier = (scored.withColumn("_rn", F.row_number().over(wf))
                     .filter(F.col("_rn") <= ef)
                     .select("qid", F.col(id_col).alias("src")))

@@ -9857,11 +9857,17 @@ def _digest_member(df: DataFrame, name: str) -> DataFrame:
 
 
 def _battery(spark: SparkSession, sf_dir: str, members: list[str]) -> DataFrame:
-    out = None
+    # each member's digest is materialized as it is produced (ONE tiny
+    # row) instead of union-chaining 25+ member plans into a single
+    # mega-plan: the unioned logical tree OOM'd a default-1g driver
+    # once the graph-ANN members carried 4-round unrolled beam plans
+    # (r13) — and the REAL driver gate runs on a plain default session.
+    rows, schema = [], None
     for m in members:
         d = _digest_member(SPARK_QUERIES[m](spark, sf_dir), m)
-        out = d if out is None else out.unionByName(d)
-    return out.orderBy("query_name")
+        schema = d.schema
+        rows.extend(d.collect())
+    return spark.createDataFrame(rows, schema).orderBy("query_name")
 
 
 def _duck_canon(col: str, kind: str) -> str:
@@ -13431,7 +13437,8 @@ _BATTERY_SPECS["rag_context_budget_pack"] = [
     ("n_tokens", "s"), ("position", "s"), ("source", "s")]
 _BATTERY_SPECS["ann_nsw_mean_recall_at_10"] = [
     ("max_recall", "d"), ("mean_recall_at_10", "d"),
-    ("min_recall", "d"), ("n_queries", "s")]
+    ("mean_visited", "d"), ("min_recall", "d"), ("n_queries", "s"),
+    ("visited_fraction", "d")]
 _BATTERY_SPECS["ann_nsw_recall_curve"] = [
     ("ef", "s"), ("n_overlap", "s"), ("n_visited", "s"),
     ("recall_at_10", "d")]
@@ -13519,158 +13526,74 @@ ORACLE_SQL["curation_battery"] = _materialize_ctes(
 # the family) -> in comes supplier_part_hits, receipted from birth.
 # All seven stay parity-pinned in tests/test_parity.py.
 PROOF_WINDOW: list[str] = [
-    # reference parity: pipeline scalars, keys, chunking (P1-P11, C3).
-    # p1_cleanse_text and p3_md5_key rotated out r10 (receipted r1-r9,
-    # pytest-pinned) for the kmeans and stored-IVFADC slots.
-    # c3_chunk_words rotated out r12 (receipted r1-r11; the chunking
-    # family keeps in-window receipts via analytics_battery's
-    # c3_chunk_words_sliding + c3_chunk_sentences members) for the
-    # unigram token-budget slot, receipted from birth:
+    # ------------------------------------------------------------------
+    # r13 rotation (VERDICT r12 #3): the 17 r12 slots that carried only
+    # battery-digest receipts take DIRECT window rows (the whole SQ8 /
+    # NSW / Matryoshka recall families, the two named curation stages,
+    # bm25_stored_topk, rag_context_budget_pack,
+    # streaming_dedup_within_watermark), plus the three new r13 slots
+    # (dedup_graph_index_capstone, rag_serving_pipeline,
+    # scd2_incremental_splice — receipted from birth).  Rotated OUT: 20
+    # slots, every one green in BOTH r11 and r12 (the repo rule: no
+    # slot leaves the window on a single receipt): kmeans_cluster_
+    # profile, ann_ivfhamming_refine_knn, hard_negative_mining,
+    # q7_q9_rerank (family stays pinned by flagship_search_oracled),
+    # ann_ivfpq_residual_knn, ann_pq_refine_stored_knn,
+    # ann_ivfpq_stored_refine_knn, ann_ivfpq_upsert_knn (family keeps
+    # ann_ivfpq_compacted_knn in-window), late_interaction_topk,
+    # ann_hamming_recall_curve, ann_ivfhamming_stored_knn,
+    # supplier_part_pagerank_dangling, supplier_part_hits,
+    # dsir_resample_topk, zorder_curve_sample, corpus_snapshot_drift,
+    # streaming_stream_static_join, streaming_drift_gate,
+    # curation_pipeline (9 straight green rounds; its composition is
+    # re-receipted by the two new capstones), split_leakage_audit.
+    # DEFERRED one round: ivm_source_stats_delta (analytics_battery
+    # digest receipt stands) — the window is driver-capped at 50 and
+    # outs were limited by the 2-receipt rule.  KEPT despite being
+    # rotation-eligible by age: source_quota_cap + ta_blocklist_gate
+    # (their r11 rows were the red oracles — r12 is their only green)
+    # and ann_hamming_stored_knn (first windowed r12).
+    # ------------------------------------------------------------------
+    # r12-born slots taking their second receipt + changed-this-round
+    # slots re-receipting their new implementations:
     "unigram_lm_token_budget",
-    # distributed Lloyd k-means — the trainer as an oracled query (r10)
-    "kmeans_cluster_profile",
-    # Q2 KNN auto path rotated out late-r11 (receipted r10; the Q2
-    # family stays receipted via flagship_search_oracled + q7_q9_rerank
-    # in-window and the variant parity pins) for the composed ladder
-    # rung, receipted from birth:
-    "ann_ivfhamming_refine_knn",
-    # rerank
-    "q7_q9_rerank",
-    # flagship end-to-end
     "flagship_search_oracled",
-    # document cracking rotated out r11 (receipted r1-r10; VALUES-pinned
-    # oracle + the pdf/docx parser pytest suite).
-    # text analysis (+ the r8 bigram LM, first driver receipt r9).
-    # ta_quality_score rotated out r11 (receipted r1-r10, pytest-pinned,
-    # quality features re-exercised by the classifier slots' battery).
-    # ta_bigram_lm_score rotated out r12 (receipted r9-r11 AND a member
-    # of analytics_battery, so its receipt persists) for the unigram-LM
-    # tokenizer scoring slot, receipted from birth:
     "unigram_lm_word_scores",
-    # ANN — the r9 clustered-corpus receipts, the r9 PQ compression
-    # slots, the r10 residual-IVFADC family, and the r10 REFINE stage
-    # (exact rerank of the ADC shortlist — the slots that finish the
-    # compression↔recall story at ~0.97 on both corpus geometries).
-    # Rotated out this round (multiply-receipted r8+r9, pytest-pinned;
-    # ann_lsh_mean_recall_at_10 stays receipted via retrieval_battery):
-    # ann_lsh_knn, ann_ivf_trained_recall_at_10, ann_lsh_mean_recall_at_10,
-    # ann_pq_knn.  Rotated out r11 for the binary-signature tier + drift
-    # gate + hard-negative mining (receipted r9+r10,
-    # pytest/fixture-pinned): ann_ivf_clustered_recall_at_10,
-    # ann_lsh_clustered_recall_at_10, ann_pq_recall_at_10,
-    # ann_pq_clustered_recall_at_10, and (for the streaming drift gate)
-    # ann_ivfpq_knn — its family keeps six in-window receipts via the
-    # residual/refine/stored/upsert slots.
-    # contrastive-training data prep (new r11, receipted from birth)
-    "hard_negative_mining",
-    # binary-signature tier (new r11, receipted from birth): 8-byte
-    # Hamming serving + its measured recall contrast (sig-only 0.175 →
-    # refined 0.635 on the 20 held-out queries).
-    # ann_hamming_recall_at_10 rotated out late-r12 (receipted r11+r12;
-    # the hamming family keeps refine/stored/curve/composed in-window)
-    # for the SQ8 stored serving path, receipted from birth (its
-    # inline + recall twins enter retrieval_battery the same round):
-    "ann_hamming_refine_knn", "ann_sq8_stored_knn",
-    # ann_pq_residual_clustered_recall_at_10 rotated out r12 (receipted
-    # r10+r11; the residual family keeps six in-window receipts incl.
-    # its uncluttered twin) for the continuous-ingestion dedup loop,
-    # receipted from birth.
-    # Late-r12 rotation (the graph-ANN + SCD2 wave; every swapped-out
-    # slot is 2+-round receipted AND permanently parity-pinned):
-    # ann_pq_residual_recall_at_10 out (r11+r12; residual family keeps
-    # ann_ivfpq_residual_knn in-window) for the NSW stored serving
-    # path; ann_ivfpq_refine_knn out (r11+r12; refine family keeps
-    # pq_refine_stored + ivfpq_stored_refine) for the order-aware
-    # ranking metrics; ann_pq_refine_recall_at_10 out (r11+r12) for the
-    # SCD2 dimension-history build:
-    "ann_nsw_stored_knn",
-    "dedup_ingest_loop", "ann_ivfpq_residual_knn",
-    "ann_nsw_ranking_metrics", "ann_pq_refine_stored_knn",
-    "scd2_customer_priority", "classifier_weighted_resample",
-    # the stored IVFADC index: pruning x codegen ADC (+ refine) (r10),
-    # plus the r11 merge-on-read upsert equivalence slot (receipted from
-    # birth — its oracle is the full-rebuild values).
-    "ann_ivfpq_stored_refine_knn", "ann_ivfpq_upsert_knn",
-    # late interaction (r9 family): the stored read path rotated out
-    # late-r11 (receipted r9+r10; inline twin stays) for the binary
-    # refine-budget curve, receipted from birth (R=25/50/100 →
-    # 0.31/0.475/0.635 at sf0.01 — the family's R=100 default measured):
-    "late_interaction_topk",
-    "ann_hamming_recall_curve",
-    # ann_ivf_recall_curve rotated out late-r12 (receipted r11+r12; the
-    # curve shape keeps ann_hamming_recall_curve in-window) for
-    # semi-supervised label propagation over the near-dup graph,
-    # receipted from birth:
-    "neardup_label_propagation",
-    # dedup + curation capstone (+ r8 CDC and graded decontamination).
-    # dedup_ngram_jaccard rotated out r11 (receipted r1-r10; its shingle
-    # pair relation stays live in-window inside neardup_triangle_counts'
-    # oracle at threshold 0.4).  dedup_minhash_lsh rotated out late-r11
-    # for the curve slot (receipted r1-r10; the near-dup family keeps
-    # five in-window receipts: dedup_battery, curation_pipeline,
-    # decontaminate_overlap_fraction (battery), neardup_triangle_counts,
-    # split_leakage_audit).
-    "curation_pipeline",
-    # decontaminate_overlap_fraction rotated out late-r11 (receipted
-    # r8-r10; decontamination stays in-window via curation_battery's
-    # decontaminate_vs_benchmark member) for the composed rung's stored
-    # read path, receipted from birth (same oracle as its inline twin):
-    "ann_ivfhamming_stored_knn",
-    # maintenance / validation: upsert_latest_wins + p11_validation_bounds
-    # rotated out r11 (receipted r1-r10, pytest-pinned).
-    # distributed-analytics singles (+ the r8/r9 scale-safe forms)
-    # Rotated out late-r11 for the new curation-planning slots (all
-    # receipted r8-r10 with their families still pytest/battery-pinned):
-    # pareto_abc_quantile (contrast twin pareto_abc_customers is
-    # in-window this round), rfm_quantile (twin rfm_segmentation
-    # in-window), tfidf_cosine_pairs_capped (twin tfidf_cosine_pairs
-    # in-window).
-    # events_funnel_auto rotated out late-r11 (receipted r8-r10; the
-    # funnel family keeps its benched events_funnel + the fold/njoin
-    # parity pytests) for the wordlist gate, receipted from birth.
-    # per-source quota cap, mixture planning, split-leakage audit,
-    # C4-style wordlist gate (new r11, receipted from birth)
-    # mixture_allocation rotated out late-r12 (receipted r11+r12; the
-    # curation-planning family keeps quota-cap/leakage/blocklist +
-    # curation_pipeline in-window) for the JSONL interchange
-    # round-trip, receipted from birth:
-    "source_quota_cap", "jsonl_export_roundtrip", "split_leakage_audit",
-    "ta_blocklist_gate",
-    # r12 rotation: the r11 one-round ledger receipts rotate out —
-    # flagship_search + corpus_approx_stats (rows-only-by-nature, their
-    # recorded rows-only receipts stand; oracled twins
-    # flagship_search_oracled / corpus_distinct_stats stay receipted)
-    # and the three contrast twins pareto_abc_customers /
-    # rfm_segmentation / tfidf_cosine_pairs (now permanently receipted
-    # via the new variants_battery below).  In: variants_battery,
-    # ann_hamming_stored_knn (the last never-windowed registration,
-    # judge r11 #4), and the three new r12 slots — classifier
-    # calibration, the live near-dup gate, compaction-by-values — each
-    # dtype-checked from birth (tests/test_parity.py's oracle-dtype
-    # layer gates every registration).
-    "variants_battery", "ann_hamming_stored_knn",
-    "quality_classifier_calibration", "streaming_neardup_gate",
-    "ann_ivfpq_compacted_knn",
-    "supplier_part_pagerank_dangling", "supplier_part_hits",
-    # r11 data-pipeline families, receipted from birth: DSIR selection,
-    # dup-graph triangle density, Z-order layout key, snapshot drift
-    # gate.  dsir_importance_weights rotated out late-r12 (receipted
-    # r11+r12; the DSIR family keeps resample_topk, which composes the
-    # weights end to end) for the CSV interchange round-trip, receipted
-    # from birth:
-    "csv_export_roundtrip", "dsir_resample_topk",
-    "neardup_triangle_counts", "zorder_curve_sample",
-    "corpus_snapshot_drift",
-    # streaming (real Structured Streaming runs; the r11 drift gate is
-    # receipted from birth — same oracle as its batch twin).
-    # streaming_tumbling_counts rotated out late-r12 (receipted
-    # r9-r12; the tumbling shape stays receipted via
-    # events_windows_battery's events_tumbling_window member) for the
-    # stateful session-window merge run, receipted from birth:
-    "streaming_session_windows", "streaming_stream_static_join",
-    "streaming_drift_gate",
-    # family-digest batteries (r10: + curation/dedup/profile-events —
-    # the receipt-gap closers)
+    "ann_sq8_stored_knn",
+    # the NSW family re-receipts the r13 serving semantic (coarse entry
+    # + symmetric traversal + autoscale) — every slot's oracle replays
+    # the new beam:
+    "ann_nsw_stored_knn", "ann_nsw_beam_knn", "ann_nsw_recall_at_10",
+    "ann_nsw_recall_curve", "ann_nsw_mean_recall_at_10",
+    "ann_nsw_upsert_knn", "ann_nsw_delete_knn",
+    "ann_nsw_ranking_metrics",
+    # new r13 capstones, receipted from birth:
+    "dedup_graph_index_capstone", "rag_serving_pipeline",
+    "scd2_incremental_splice",
+    # SQ8 + Matryoshka recall families (battery-only in r12):
+    "ann_sq8_refine_knn", "ann_sq8_recall_at_10",
+    "ann_sq8_mean_recall_at_10",
+    "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
+    "ann_matryoshka_mean_recall_at_10",
+    # named curation stages + serving/context slots (battery-only r12):
+    "ccnet_perplexity_buckets", "gopher_quality_rules",
+    "rag_context_budget_pack", "bm25_stored_topk",
+    "streaming_dedup_within_watermark",
+    # r12-born second receipts (continued):
+    "dedup_ingest_loop", "scd2_customer_priority",
+    "classifier_weighted_resample",
+    # changed this round (pair-store reads) — re-receipted:
+    "neardup_label_propagation", "neardup_triangle_counts",
+    # single-green keeps (see header):
+    "source_quota_cap", "ta_blocklist_gate", "ann_hamming_stored_knn",
+    "ann_hamming_refine_knn",
+    # r12-born second receipts (continued):
+    "jsonl_export_roundtrip", "csv_export_roundtrip",
+    "variants_battery", "quality_classifier_calibration",
+    "streaming_neardup_gate", "ann_ivfpq_compacted_knn",
+    "streaming_session_windows",
+    # family-digest batteries (the receipts for every non-windowed
+    # member — 111 slots ride these digests):
     "tpch_battery", "analytics_battery", "retrieval_battery",
     "events_windows_battery", "multimodal_battery",
     "curation_battery", "dedup_battery", "profile_events_battery",

@@ -44,3 +44,19 @@ def spark():
     s = get_spark("engine-tests", shuffle_partitions=8)
     yield s
     s.stop()
+
+
+def pytest_collection_modifyitems(config, items):
+    """Auto-tier: equivalence/parity/A-B-class tests (X equals Y, X
+    matches Y, two paths agree, convergence-to-reference) are the SLOW
+    tier — they re-run an operator twice (or against a naive twin /
+    the full registry oracle) and dominate suite wall-clock.  Default
+    CI tier is ``pytest -m "not slow"`` (< 5 min, every operator's
+    functional invariants); the full suite (~15-30 min) runs before
+    release and in the round driver.  Explicit @pytest.mark.slow
+    decorators compose with this rule."""
+    kws = ("equals", "matches", "agree", "parity", "converge",
+           "_identical", "beats", "specs_match")
+    for it in items:
+        if any(k in it.name for k in kws):
+            it.add_marker(pytest.mark.slow)

@@ -87,6 +87,7 @@ def test_embedding_near_dup_symmetry_free_and_thresholded(spark):
     assert all(r.id_a < r.id_b for r in out)
 
 
+@pytest.mark.slow
 def test_embedding_near_dup_methods_agree(spark):
     """blocked (distributed default) ≡ driver ≡ sql on a random fixture —
     and the blocked plan stays exact for any block count."""

@@ -111,6 +111,7 @@ def test_stream_gate_equals_batch_report(spark, frame, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_gate_multi_batch_converges(spark, frame, tmp_path):
     """With one file per micro-batch, each report reflects everything
     seen SO FAR (complete-mode cumulative counts) and the final report

@@ -71,6 +71,7 @@ def test_all_zero_weights_raise_not_null_scores(spark):
         hits(df, iters=1)[1].collect()
 
 
+@pytest.mark.slow
 def test_checkpoint_every_pins_plan_depth(supply):
     from openai_vector_search_demo_spark.operators.hits import hits
 

@@ -17,6 +17,7 @@ def corpus(spark):
             .filter(F.col("vec_id") >= 20))
 
 
+@pytest.mark.slow
 def test_kmeans_deterministic_and_unit_norm(corpus):
     from openai_vector_search_demo_spark.operators.kmeans import (
         kmeans_lloyd_spherical,
@@ -30,6 +31,7 @@ def test_kmeans_deterministic_and_unit_norm(corpus):
         assert abs(1.0 - math.sqrt(sum(x * x for x in c))) < 1e-4
 
 
+@pytest.mark.slow
 def test_kmeans_cohesion_monotone(corpus):
     """Lloyd's invariant: mean cosine to the assigned centroid never
     decreases with more iterations (up to the 6-dp rounding noise)."""

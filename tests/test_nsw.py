@@ -126,6 +126,7 @@ def test_store_holds_edges_not_vectors(spark, emb, tmp_path):
     assert fwd == rev
 
 
+@pytest.mark.slow
 def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
     """Insert-only maintenance is EXACT: the upserted store's resolved
     adjacency and beam answer must equal a full rebuild over C∪B."""
@@ -167,6 +168,7 @@ def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
     assert resolved(inc) == resolved(full)
 
 
+@pytest.mark.slow
 def test_batched_beam_equals_per_query_beam(spark, emb):
     """The qid-keyed batched beam must return, per query, exactly what
     the single-query beam returns — same seeds/ef/rounds, same ranks."""
@@ -319,6 +321,7 @@ def test_symmetric_traversal_uses_reverse_edges(spark):
     assert 3 in sym
 
 
+@pytest.mark.slow
 def test_coarse_entry_stored_equals_inline(spark, emb, tmp_path):
     """The full v2 serving path — coarse entry + symmetric stored
     lookup — must equal the inline build+search with the same knobs."""
@@ -348,6 +351,7 @@ def test_coarse_entry_stored_equals_inline(spark, emb, tmp_path):
     assert batched == inline
 
 
+@pytest.mark.slow
 def test_stale_mirrors_filtered_after_upsert(spark, emb, tmp_path):
     """Upsert displacement leaves fwd=false mirror rows whose canonical
     edge is gone; the stored lookup's validation must keep the beam on

@@ -97,6 +97,7 @@ ALL = list(entrymod.queries().items())
 
 
 @pytest.mark.parametrize("name,fn", ALL, ids=[n for n, _ in ALL])
+@pytest.mark.slow
 def test_query_matches_oracle(spark, name, fn):
     sdf = fn(spark, SF)
     assert_atomic_schema(name, sdf)

@@ -667,8 +667,30 @@ def test_batched_beam_plan_is_python_free_with_broadcasts(spark):
         p = _physical(out)
         assert "CartesianProduct" not in p
         assert "BatchEvalPython" not in p and "MapInPandas" not in p
-        assert "BroadcastHashJoin" in p
+        # r13: each round is localCheckpoint-truncated (the deep unrolled
+        # lineage OOM'd a default-1g gate driver), so the FINAL plan is a
+        # qid window over checkpointed round relations — the round-cut is
+        # itself the asserted property now:
+        assert "ExistingRDD" in p and "Window" in p
         out.collect()
+        # the scoring join INSIDE a round (invisible in the truncated
+        # final plan): query vectors ride a broadcast hash join, and the
+        # shape is python-free — asserted on the round-identical plan
+        vecs = base.select("vec_id", "embedding")
+        q = queries.select("qid", F.col("qv").alias("_qv"))
+        ids_df = q.select("qid").crossJoin(
+            spark.createDataFrame([(20,), (101,)], "vec_id long"))
+        from openai_vector_search_demo_spark.functions.vectors import (
+            cosine_similarity,
+        )
+        rp = _physical(
+            ids_df.join(vecs, "vec_id")
+            .join(F.broadcast(q), "qid")
+            .withColumn("_s", F.round(
+                cosine_similarity(F.col("embedding"), F.col("_qv")), 6))
+            .select("qid", "vec_id", "_s"))
+        assert "BroadcastHashJoin" in rp
+        assert "BatchEvalPython" not in rp and "MapInPandas" not in rp
     spark.catalog.clearCache()
 
 

@@ -148,6 +148,7 @@ def test_compaction_resolves_and_clears_marker(spark, tmp_path, parts):
     assert rows.filter(F.col("tombstone")).count() == 0
 
 
+@pytest.mark.slow
 def test_stream_upsert_converges_to_full_rebuild(spark, tmp_path, parts):
     """Streaming index maintenance: two parquet drops flow through
     foreachBatch upserts; the store must serve the full-rebuild values,

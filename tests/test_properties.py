@@ -26,6 +26,9 @@ texts = st.text(
     max_size=120)
 
 
+pytestmark = pytest.mark.slow  # hypothesis A/B property sweeps
+
+
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(st.lists(texts, min_size=1, max_size=25))

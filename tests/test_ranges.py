@@ -34,6 +34,7 @@ def test_overlapping_bands_emit_one_row_each(spark):
     assert got == ["a", "b"]
 
 
+@pytest.mark.slow
 def test_equals_naive_nonequi_join(spark):
     """Bucketed plan ≡ naive non-equi join on a random-ish fixture, at a
     width that forces multi-bucket bands."""

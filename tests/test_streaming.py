@@ -65,6 +65,7 @@ def test_stream_dedup_first_occurrence_wins(spark, workdir):
     assert out.select("fingerprint").distinct().count() == 30
 
 
+@pytest.mark.slow
 def test_stateful_running_stats_matches_batch(spark, workdir):
     from openai_vector_search_demo_spark.queries import load_events
     from openai_vector_search_demo_spark.streaming.jobs import (
@@ -249,6 +250,7 @@ def _has_protobuf() -> bool:
     "container conftest.py activates vendor/pbshim (the cloud-sdk vendored "
     "pure-python runtime under its canonical name), so this only skips "
     "where neither a real protobuf nor that runtime exists"))
+@pytest.mark.slow
 def test_tws_running_stats_matches_batch(spark, workdir):
     """The transformWithStateInPandas twin must reproduce the legacy
     applyInPandasWithState operator's batch equivalence: last emitted row
@@ -353,6 +355,7 @@ def test_stream_neardup_gate_equals_batch_across_microbatches(spark,
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_stream_ingest_loop_equals_batch_loop(spark, workdir):
     """append_admitted=True makes the gate the full continuous-ingestion
     loop live: batch-2 arrivals must be rejected against batch-1
