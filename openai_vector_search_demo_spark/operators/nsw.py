@@ -273,9 +273,11 @@ def beam_search_knn(edges, source: DataFrame,
     for _ in range(rounds):
         if not frontier:
             break
-        cand = (lookup(frontier)
-                .select(F.col("dst").alias(id_col)).distinct())
-        new_ids = [r[id_col] for r in cand.collect() if r[id_col] not in seen]
+        # dedup driver-side: the candidate relation is ≤ ef·2M rows, and
+        # a .distinct() here is a full 32-partition shuffle stage per
+        # round on local mode — one bounded collect replaces it
+        cand = lookup(frontier).select(F.col("dst").alias(id_col))
+        new_ids = sorted({r[id_col] for r in cand.collect()} - seen)
         if not new_ids:
             break
         seen.update(new_ids)
@@ -498,6 +500,13 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
                      .cast("int"))
      .repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket").parquet(path))
+    # store-format contract: the marker tells readers that merge-on-read
+    # resolution AND mirror validation are now REQUIRED (a fresh store
+    # needs neither — every src has exactly m fwd rows and every mirror
+    # is valid); recompaction (rebuild) clears it with the store
+    import os
+    with open(os.path.join(path, "_DELTAS"), "w") as fh:
+        fh.write("1")
 
 
 def delete_from_nsw_index(spark, path: str, ids: Sequence[int]) -> None:
@@ -563,7 +572,10 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
     top-m, one extra bucket-pruned point read per round — so stale
     mirrors left behind by upsert displacement can never steer the
     beam off the oracle's graph."""
+    import os
+
     edges = spark.read.parquet(path)
+    has_deltas = os.path.exists(os.path.join(path, "_DELTAS"))
     wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
                                            F.col("dst").asc())
 
@@ -575,18 +587,29 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                 .filter(F.col("_rn") <= m).select("src", "dst"))
 
     def lookup(ids: list[int]) -> DataFrame:
+        if not has_deltas:
+            # never-upserted store (the common serving case): every src
+            # has exactly m fwd rows and every mirror is valid — one
+            # pruned read, no window, no validation round-trip
+            buckets = sorted({i % n_buckets for i in ids})
+            return (edges.filter(F.col("bucket").isin(buckets)
+                                 & F.col("src").isin(ids))
+                    .select("src", "dst"))
         buckets = sorted({i % n_buckets for i in ids})
         fwd = resolved_fwd(ids)
         mirrors = (edges.filter(F.col("bucket").isin(buckets)
                                 & F.col("src").isin(ids) & ~F.col("fwd"))
-                   .select("src", "dst").distinct())
-        xs = [r.dst for r in mirrors.select("dst").distinct().collect()]
+                   .select("src", "dst"))
+        # no .distinct() anywhere in this path: each would be a full
+        # shuffle stage on a ≤ ef·M-row relation, and the beam set-dedups
+        # candidates driver-side anyway — duplicates here are harmless
+        xs = sorted({r.dst for r in mirrors.select("dst").collect()})
         if not xs:
             return fwd
         valid = resolved_fwd(xs).select(
             F.col("dst").alias("src"), F.col("src").alias("dst"))
         return fwd.unionByName(mirrors.join(valid, ["src", "dst"],
-                                            "left_semi")).distinct()
+                                            "left_semi"))
 
     return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
                            rounds=rounds, seeds=seeds, vec_col=vec_col,

@@ -11342,6 +11342,23 @@ _NSW_SEED_COUNT = 8
 _NSW_SEEDS = (1, 101, 201, 301)  # legacy fixed-entry mode (tests only)
 
 
+_NSW_N_MEMO: dict[tuple, int] = {}
+
+
+def _nsw_corpus_n(spark: SparkSession, sf_dir: str, df: DataFrame,
+                  tag: str) -> int:
+    """Corpus size for the NSW autoscale, memoized per (sf_dir, corpus
+    CONTENT fingerprint, tag) — eight serving slots would otherwise
+    each pay a count job per run for a number that only changes when
+    the data does."""
+    import os
+    key = (sf_dir, _parquet_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet")), tag)
+    if key not in _NSW_N_MEMO:
+        _NSW_N_MEMO[key] = df.filter(F.col("embedding").isNotNull()).count()
+    return _NSW_N_MEMO[key]
+
+
 def _sql_nsw_edges(corpus_where: str = "vec_id <> 0") -> str:
     """Exact top-M cosine neighbor graph, relationally: explode dims,
     norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
@@ -11453,7 +11470,7 @@ def ann_nsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(qvec) == _ANN_DIM
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
     top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef, rounds=rounds,
                   stride=stride, n_entry=_NSW_SEED_COUNT,
                   sim_col="similarity")
@@ -11488,7 +11505,7 @@ def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -11533,7 +11550,7 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
     exact_top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id") \
         .select("vec_id")
     approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef,
@@ -11603,7 +11620,7 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, _, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
     exact = {r.vec_id for r in
              knn(base, qvec, k=10, sim_col="sim",
                  tie_break="vec_id").collect()}
@@ -11732,7 +11749,7 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
                   .select(F.col("vec_id").alias("qid"),
                           F.col("embedding").alias("qv")))
     stride, ef, rounds = nsw_serving_params(
-        corpus.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, corpus, "heldout"))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -11847,7 +11864,7 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
     exact = (knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
              .select("vec_id", F.round("sim", 6).alias("similarity")))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -13076,7 +13093,7 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.filter(F.col("vec_id") % 5 != 3)
     batch = base.filter(F.col("vec_id") % 5 == 3)
     stride, ef, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -13174,7 +13191,7 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        base.filter(F.col("embedding").isNotNull()).count())
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
