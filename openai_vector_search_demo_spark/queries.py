@@ -13426,6 +13426,80 @@ def ann_sq8_mean_recall_at_10(spark: SparkSession,
 
 
 
+@query("streaming_nsw_ingest", oracle=_nsw_knn_oracle())
+def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE GRAPH-INDEX INGESTION — a REAL Structured Streaming run
+    (file source, maxFilesPerTrigger=1 → two genuine micro-batches,
+    availableNow) feeding ``streaming.jobs.stream_upsert_nsw_index``:
+    the stored NSW graph is built WITHOUT every 5th vector, the
+    held-out vectors arrive as two parquet drops, each micro-batch
+    inserts into the graph and appends to the vectors table (so the
+    next batch's existing-corpus is already upserted — iterated
+    insert-exactness composes), and the beam search over the streamed
+    store must serve the FULL-REBUILD answer: the oracle is literally
+    the rebuild SQL, the ``ann_nsw_upsert_knn`` proof carried through
+    a live at-least-once pipeline.  Completes the streaming-maintenance
+    trio (document ingest, IVFADC upsert, near-dup gate) for the graph
+    tier."""
+    import hashlib
+    import os
+    import shutil
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        NSW_SEED_COUNT as _NSC,
+        nsw_serving_params,
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        read_embedding_stream,
+        stream_upsert_nsw_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    corpus = base.filter(F.col("vec_id") % 5 != 3)
+    stride, ef, rounds = nsw_serving_params(
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswstream{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        .encode()).hexdigest()[:10]
+    root = os.path.join("/tmp", "spark_graft_nswstream_" + key)
+    store = os.path.join(root, "graph")
+    marker = os.path.join(root, "_STREAMED")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        vectors_dir = os.path.join(root, "vectors")
+        drops = os.path.join(root, "drops")
+        ckpt = os.path.join(root, "ckpt")
+        (corpus.select("vec_id", "embedding")
+         .write.mode("overwrite").parquet(vectors_dir))
+        write_nsw_index(spark.read.parquet(vectors_dir), store, m=_NSW_M)
+        # two live parquet drops -> two micro-batches
+        batch = base.filter(F.col("vec_id") % 5 == 3) \
+            .select("vec_id", "embedding")
+        (batch.filter(F.col("vec_id") % 2 == 0).coalesce(1)
+         .write.mode("append").parquet(drops))
+        (batch.filter(F.col("vec_id") % 2 == 1).coalesce(1)
+         .write.mode("append").parquet(drops))
+        stream = read_embedding_stream(spark, drops,
+                                       max_files_per_trigger=1)
+        q = stream_upsert_nsw_index(stream, store, vectors_dir, ckpt,
+                                    m=_NSW_M).start()
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("1")
+
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+                         rounds=rounds, stride=stride, n_entry=_NSC,
+                         sim_col="similarity", m=_NSW_M)
+    return top.select("vec_id", "label", "similarity")
+
+
 # The r12 ladder extensions are REGISTERED AFTER the battery definitions,
 # so they join retrieval_battery HERE (rotation hygiene, judge r11 #7:
 # receipted from birth — the stored/serving forms take direct window
@@ -13441,9 +13515,11 @@ _RETRIEVAL_BATTERY.extend([
     "bm25_stored_topk", "ann_nsw_upsert_knn", "ann_nsw_recall_curve",
     "ann_nsw_mean_recall_at_10", "rag_context_budget_pack",
     "ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10",
-    "ann_nsw_delete_knn",
+    "ann_nsw_delete_knn", "streaming_nsw_ingest",
 ])
 _BATTERY_SPECS["ann_nsw_delete_knn"] = [
+    ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
+_BATTERY_SPECS["streaming_nsw_ingest"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 for _n in ("ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10"):
     _BATTERY_SPECS[_n] = [

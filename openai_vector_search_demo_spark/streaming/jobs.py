@@ -128,6 +128,45 @@ def stream_upsert_ivfpq_index(stream: DataFrame, store: str,
             .trigger(availableNow=True))
 
 
+def stream_upsert_nsw_index(stream: DataFrame, store: str,
+                            vectors_dir: str, checkpoint_dir: str,
+                            m: int = 6, n_buckets: int = 16,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id"):
+    """STREAMING GRAPH-INDEX MAINTENANCE — the NSW twin of
+    ``stream_upsert_ivfpq_index``: each micro-batch of arriving vectors
+    INSERTS into the stored neighbor graph via
+    ``nsw.upsert_nsw_index`` (exact for pure inserts: batch nodes' full
+    top-m lists + existing nodes' beats-the-m-th-edge improvements,
+    both directions, resolved merge-on-read at serving time), then
+    appends itself to the vectors table — so the NEXT batch's "existing
+    corpus" includes it and the iterated upserts compose to the exact
+    full-rebuild graph (each step's exactness argument applies to the
+    previous step's already-exact state).  The streaming layer is
+    wiring only — maintenance semantics live in the batch operator
+    (the engine's streaming design rule).  ``vectors_dir`` must hold
+    the current corpus and ``store`` its graph (``write_nsw_index``)
+    before the stream starts."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        upsert_nsw_index,
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        existing = spark.read.parquet(vectors_dir)
+        upsert_nsw_index(spark, store, batch_df, existing, m=m,
+                         n_buckets=n_buckets, vec_col=vec_col,
+                         id_col=id_col)
+        batch_df.write.mode("append").parquet(vectors_dir)
+
+    return (stream.writeStream
+            .foreachBatch(upsert_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
 def stream_tumbling_counts(events_stream: DataFrame, width: str = "1 hour",
                            watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts: late events beyond the watermark
