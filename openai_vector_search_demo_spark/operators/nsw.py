@@ -223,12 +223,19 @@ def beam_search_knn(edges, source: DataFrame,
                     exclude_ids: Sequence[int] | None = None,
                     stride: int | None = None,
                     n_entry: int = NSW_SEED_COUNT) -> DataFrame:
-    """Multi-seed beam search over an adjacency relation.  Per round the
-    frontier is COLLECTED (≤ ef ids — the bounded-collect class every
-    iterative operator here uses) so the edge lookup is an IN-list the
-    scan can prune on; newcomers score by exact cosine via a broadcast
-    point-read join against ``source``.  Returns the top-k of ALL
-    visited nodes — exact scores, graph-bounded candidate set.
+    """Multi-seed beam search over an adjacency relation — the
+    SINGLE-QUERY serving form: ONE Spark job per round (the frontier's
+    pruned edge lookup broadcast-joined against ``source`` and scored
+    in the same plan), with the ≤ ef·2M scored rows accumulated
+    driver-side — visited-set dedup, per-round top-ef, and the final
+    top-k are Python sorts over KB-class state, costing zero extra
+    jobs (at real-cluster scheduler latency the job count IS the query
+    latency — the local-cluster smoke measured ~0.5 s per round-trip;
+    query THROUGHPUT belongs to ``beam_search_knn_batch``, which keeps
+    all per-query state in-plan).  Scores stay exact 6-dp-rounded
+    cosines computed in the plan; every selection orders by
+    (score desc, id asc) — the same total order Spark's orderBy gives,
+    so the trajectory is oracle-replayable bit-for-bit.
 
     Entry points: with ``stride`` set (the serving default via
     ``nsw_serving_params``) the COARSE LAYER ``id % stride == 0`` is
@@ -247,56 +254,64 @@ def beam_search_knn(edges, source: DataFrame,
     lookup = edges if callable(edges) else (
         lambda ids: edges.filter(F.col("src").isin(ids)))
 
-    def score(ids_df: DataFrame) -> DataFrame:
-        return (source.join(F.broadcast(ids_df), id_col)
-                .withColumn("_s", F.round(
-                    cosine_similarity(F.col(vec_col), q), 6)))
+    def skey(r):
+        s = r["_s"]
+        # Spark orderBy(desc) puts NULLs last; -inf reproduces that
+        return (-(s if s is not None else float("-inf")), r[id_col])
 
     if stride is not None:
-        coarse = (source.filter(
+        scored0 = (source.filter(
             F.col(vec_col).isNotNull()
             & (F.pmod(F.col(id_col), F.lit(int(stride))) == 0))
             .withColumn("_s", F.round(
-                cosine_similarity(F.col(vec_col), q), 6)))
-        visited = coarse.select(id_col, "label", "_s")
-        entry = (visited.orderBy(F.col("_s").desc(), F.col(id_col).asc())
-                 .limit(n_entry).collect())
-        frontier = [r[id_col] for r in entry]
-        seen = {r[id_col] for r in visited.select(id_col).collect()}
+                cosine_similarity(F.col(vec_col), q), 6))
+            .select(id_col, "label", "_s"))
+        schema = scored0.schema
+        rows = scored0.collect()
+        visited = {r[id_col]: r for r in rows}
+        frontier = [r[id_col] for r in sorted(rows, key=skey)[:n_entry]]
+        seen = set(visited)
     else:
         seed_df = (source.sparkSession
                    .createDataFrame([(int(x),) for x in seeds],
                                     f"{id_col} long"))
-        visited = score(seed_df).select(id_col, "label", "_s")
+        scored0 = (source.join(F.broadcast(seed_df), id_col)
+                   .withColumn("_s", F.round(
+                       cosine_similarity(F.col(vec_col), q), 6))
+                   .select(id_col, "label", "_s"))
+        schema = scored0.schema
+        visited = {r[id_col]: r for r in scored0.collect()}
         frontier = [int(x) for x in seeds]
-        seen = set(frontier)
+        seen = set(visited) | set(frontier)
     for _ in range(rounds):
         if not frontier:
             break
-        # dedup driver-side: the candidate relation is ≤ ef·2M rows, and
-        # a .distinct() here is a full 32-partition shuffle stage per
-        # round on local mode — one bounded collect replaces it
         cand = lookup(frontier).select(F.col("dst").alias(id_col))
-        new_ids = sorted({r[id_col] for r in cand.collect()} - seen)
-        if not new_ids:
+        cand_rows = (source.join(F.broadcast(cand), id_col)
+                     .withColumn("_s", F.round(
+                         cosine_similarity(F.col(vec_col), q), 6))
+                     .select(id_col, "label", "_s").collect())
+        new = {}
+        for r in cand_rows:
+            i = r[id_col]
+            if i not in seen and i not in new:
+                new[i] = r
+        if not new:
             break
-        seen.update(new_ids)
-        new_df = score(source.sparkSession.createDataFrame(
-            [(int(x),) for x in sorted(new_ids)], f"{id_col} long"))
-        scored = new_df.select(id_col, "label", "_s")
-        visited = visited.unionByName(scored)
-        top = (scored.orderBy(F.col("_s").desc(), F.col(id_col).asc())
-               .limit(ef).collect())
-        frontier = [r[id_col] for r in top]
-    out = visited.withColumnRenamed("_s", sim_col)
+        seen.update(new)
+        visited.update(new)
+        frontier = [r[id_col] for r in
+                    sorted(new.values(), key=skey)[:ef]]
+    out_rows = sorted(visited.values(), key=skey)
     if exclude_ids:
         # SOFT DELETE (the FAISS IDSelector pattern): tombstoned nodes
         # remain traversable GHOSTS — they keep the graph connected and
         # may carry the beam — but can never be returned.  Hard removal
         # is the documented recompaction case (rebuild without them).
-        out = out.filter(~F.col(id_col).isin(list(exclude_ids)))
-    return (out.orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
-            .limit(k))
+        dead = set(exclude_ids)
+        out_rows = [r for r in out_rows if r[id_col] not in dead]
+    top = source.sparkSession.createDataFrame(out_rows[:k], schema)
+    return top.withColumnRenamed("_s", sim_col)
 
 
 def beam_search_knn_batch(edges: DataFrame, source: DataFrame,

@@ -41,7 +41,10 @@ SF001 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("engine-tests", shuffle_partitions=8)
+    # AQE off for tests only: KB fixtures pay stage-by-stage re-planning
+    # for nothing (2x on tiny actions, see session.get_spark); the gate
+    # and bench sessions keep Spark defaults / AQE on
+    s = get_spark("engine-tests", shuffle_partitions=8, adaptive=False)
     yield s
     s.stop()
 
