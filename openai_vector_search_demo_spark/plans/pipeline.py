@@ -213,6 +213,15 @@ def search(chunks: DataFrame,
         raise ValueError("question embedding failed (E1 returned None)")
     scoped = chunks.filter(F.col("tenant") == tenant) if tenant else chunks
     hits = knn(scoped, qvec, k=k, sim_col="similarity", tie_break="id")
+    # Materialize the k hits BEFORE the E3 scorer: production scoring is
+    # one LLM call per row, and without a hard boundary the
+    # once-per-candidate guarantee hinges on AQE's exchange
+    # materialization — with AQE disabled the scorer pipelines under
+    # CollectLimit and runs per-partition-wide (measured: 30 rows for
+    # k=5).  One k-row checkpoint job is noise next to k LLM calls;
+    # the execution-count pin is
+    # tests/test_plans.py::test_search_scorer_executes_once_per_candidate.
+    hits = hits.localCheckpoint()
     scored = (scorer or deterministic_scorer)(question, hits)
     # known_small: hits is knn(..., k).limit(k) — statically bounded, so the
     # retrieval-idx size guard must not spend a probe job (the r2 defect ran

@@ -41,10 +41,13 @@ SF001 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    # AQE off for tests only: KB fixtures pay stage-by-stage re-planning
-    # for nothing (2x on tiny actions, see session.get_spark); the gate
-    # and bench sessions keep Spark defaults / AQE on
-    s = get_spark("engine-tests", shuffle_partitions=8, adaptive=False)
+    # AQE stays ON even for tests: a micro-benchmark showed 2x on bare
+    # tiny shuffles, but a real-module A/B showed no net win (UDF/setup
+    # dominates) AND the E3 once-per-candidate execution pin
+    # (test_search_scorer_executes_once_per_candidate) depends on AQE's
+    # exchange materialization - with AQE off the scorer pipelines under
+    # CollectLimit and runs per-partition-wide (30 rows for k=5)
+    s = get_spark("engine-tests", shuffle_partitions=8)
     yield s
     s.stop()
 

