@@ -13426,6 +13426,106 @@ def ann_sq8_mean_recall_at_10(spark: SparkSession,
 
 
 
+_NSW_FILTER_LABEL = 4
+
+
+def _nsw_filtered_oracle() -> str:
+    return f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()}
+SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
+WHERE label = {_NSW_FILTER_LABEL}
+ORDER BY s DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("ann_nsw_filtered_knn", oracle=_nsw_filtered_oracle())
+def ann_nsw_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED vector search — the hybrid-query capability of
+    the reference's index backend (Redis vector queries compose with
+    attribute filters; FAISS calls it IDSelector): top-10 among
+    ``label = {_NSW_FILTER_LABEL}`` (~10% selectivity) served off the
+    SAME stored graph with POST-FILTER semantics — non-matching nodes
+    still CARRY the beam (exactly the tombstone-ghost machinery of
+    ``ann_nsw_delete_knn``; pre-filtering the graph would disconnect it
+    at low selectivity, the known filtered-HNSW failure), they just
+    cannot be returned.  Zero new index state: one graph serves every
+    predicate.  Recall vs the exact filtered top-10 is priced by
+    ``ann_nsw_filtered_recall_at_10``."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    stride, ef, rounds = nsw_serving_params(
+        _nsw_corpus_n(spark, sf_dir, base, "base"))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode())         .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(base, store, m=_NSW_M)
+    # k beyond any visit count -> the whole visited set; the predicate
+    # then applies to RESULTS only (ghost traversal)
+    allv = nsw_stored_knn(spark, store, base, qvec, k=1 << 20, ef=ef,
+                          rounds=rounds, stride=stride,
+                          n_entry=_NSW_SEED_COUNT,
+                          sim_col="similarity")
+    return (allv.filter(F.col("label") == _NSW_FILTER_LABEL)
+            .select("vec_id", "label", "similarity")
+            .orderBy(F.col("similarity").desc(), F.col("vec_id").asc())
+            .limit(10))
+
+
+@query("ann_nsw_filtered_recall_at_10", oracle=f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()},
+ftop AS (SELECT vec_id FROM v{_NSW_ROUNDS}
+         WHERE label = {_NSW_FILTER_LABEL}
+         ORDER BY s DESC, vec_id ASC LIMIT 10),
+fx AS (SELECT e.vec_id FROM embeddings e, nswq q
+       WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
+         AND e.label = {_NSW_FILTER_LABEL}
+       ORDER BY {_SQL_COS_TO_Q} DESC, e.vec_id ASC LIMIT 10)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fx) AS n_exact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ftop) AS n_approx,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fx JOIN ftop USING (vec_id))
+         AS n_overlap,
+       ROUND((SELECT COUNT(*) FROM fx JOIN ftop USING (vec_id)) / 10.0, 3)
+         AS recall_at_10
+""")
+def ann_nsw_filtered_recall_at_10(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Recall of the post-filtered beam against the exact filtered
+    top-10 — the honesty receipt for ``ann_nsw_filtered_knn`` (the
+    family rule: a filtered index serves a HARDER query from the same
+    visited set, so its recall is measured separately, never inferred
+    from the unfiltered number)."""
+    from openai_vector_search_demo_spark.operators.knn import knn
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = (knn(base.filter(F.col("label") == _NSW_FILTER_LABEL), qvec,
+                 k=10, sim_col="sim", tie_break="vec_id")
+             .select("vec_id"))
+    approx = SPARK_QUERIES["ann_nsw_filtered_knn"](spark, sf_dir) \
+        .select("vec_id")
+    overlap = exact.join(approx, "vec_id")
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+            .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+            .withColumn("recall_at_10",
+                        F.round(F.col("n_overlap") / 10.0, 3)))
+
+
 @query("streaming_nsw_ingest", oracle=_nsw_knn_oracle())
 def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE GRAPH-INDEX INGESTION — a REAL Structured Streaming run
@@ -13516,11 +13616,17 @@ _RETRIEVAL_BATTERY.extend([
     "ann_nsw_mean_recall_at_10", "rag_context_budget_pack",
     "ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10",
     "ann_nsw_delete_knn", "streaming_nsw_ingest",
+    "ann_nsw_filtered_knn", "ann_nsw_filtered_recall_at_10",
 ])
 _BATTERY_SPECS["ann_nsw_delete_knn"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 _BATTERY_SPECS["streaming_nsw_ingest"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
+_BATTERY_SPECS["ann_nsw_filtered_knn"] = [
+    ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
+_BATTERY_SPECS["ann_nsw_filtered_recall_at_10"] = [
+    ("n_approx", "s"), ("n_exact", "s"), ("n_overlap", "s"),
+    ("recall_at_10", "d")]
 for _n in ("ann_sq8_mean_recall_at_10", "ann_matryoshka_mean_recall_at_10"):
     _BATTERY_SPECS[_n] = [
         ("max_recall", "d"), ("mean_recall_at_10", "d"),
