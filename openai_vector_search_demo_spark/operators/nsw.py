@@ -185,6 +185,90 @@ def build_knn_graph(df: DataFrame, m: int = NSW_M,
             .filter(F.col("_rn") <= m).drop("_rn"))
 
 
+def build_knn_graph_sharded(df: DataFrame, centroids,
+                            m: int = NSW_M, n_cells: int = 8,
+                            n_assign: int = 2,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id") -> DataFrame:
+    """CELL-BOUNDED graph build with boundary MULTI-ASSIGNMENT — the
+    100 TB build path the module docstring promises, as a first-class
+    operator (the SPANN / sharded-DiskANN practice, public method
+    descriptions): nodes are assigned to their top-``n_assign``
+    super-cells (super-cell score = max spherical dot over the trained
+    quantizer's centroids folded by ``cid % n_cells``; ties → smaller
+    super-cell id), every super-cell computes its members' within-cell
+    exact top-``m`` in ONE bounded task, and a global per-src window
+    reduces the ≤ n_assign·m candidates per node to the final list.
+    Per-task work is |cell|² — never n² — and the multi-assignment
+    replicates BOUNDARY nodes into every cell they are near, which is
+    what keeps cross-cell true neighbors discoverable:
+    ``ann_nsw_cellbuild_mean_recall_at_10`` measures n_assign=1 vs 2 at
+    0.495 → 0.92 (sf0.01) and 0.545 → 0.76 (sf0.1) — the replicated
+    build matches the GLOBAL build's recall (0.93 / 0.76) with the
+    same edge budget."""
+    import pandas as pd
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    base = (df.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+
+    def assign(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            dots = (mat / nm[:, None]) @ cent.T
+            sup = np.full((len(ids), n_cells), -np.inf)
+            for j in range(cent.shape[0]):
+                s = j % n_cells
+                sup[:, s] = np.maximum(sup[:, s], dots[:, j])
+            rows = []
+            for r in range(len(ids)):
+                order = np.lexsort((np.arange(n_cells), -sup[r]))
+                for s in order[:n_assign]:
+                    rows.append((int(ids[r]), list(pdf["v"].iloc[r]),
+                                 int(s)))
+            yield pd.DataFrame(rows, columns=["id", "v", "sup"])
+
+    exploded = base.mapInPandas(
+        assign, schema="id long, v array<double>, sup int")
+
+    def cell_topm(key, pdf):
+        import pandas as pd
+        empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                              "dst": pd.Series([], dtype="int64"),
+                              "sim": pd.Series([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nm = np.linalg.norm(mat, axis=1)
+        nm[nm == 0] = 1.0
+        u = mat / nm[:, None]
+        sims = np.round(u @ u.T, 6)
+        out = []
+        for r in range(len(ids)):
+            row = sims[r]
+            order = np.lexsort((ids, -row))
+            picked = [c for c in order if ids[c] != ids[r]][:m]
+            for c in picked:
+                out.append((int(ids[r]), int(ids[c]), float(row[c])))
+        return pd.DataFrame(out, columns=["src", "dst", "sim"]) \
+            if out else empty
+
+    cands = (exploded.groupBy("sup")
+             .applyInPandas(cell_topm,
+                            schema="src long, dst long, sim double")
+             .dropDuplicates(["src", "dst"]))
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                          F.col("dst").asc())
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= m).drop("_rn"))
+
+
 def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
                     vec_col: str = "embedding", id_col: str = "vec_id",
                     n_buckets: int = 16) -> None:
