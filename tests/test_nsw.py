@@ -385,3 +385,51 @@ def test_stale_mirrors_filtered_after_upsert(spark, emb, tmp_path):
             nsw_stored_knn(spark, full, base, qvec, k=N, ef=N, rounds=4,
                            n_buckets=4, m=3, stride=5).collect()]
     assert got == want
+
+
+def test_sharded_build_single_cell_equals_global(spark, emb):
+    """With one super-cell the sharded build degenerates to the global
+    exact build — same edge set, same sims."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        build_knn_graph_sharded,
+    )
+    rng = np.random.RandomState(7)
+    cent = [[round(float(x), 6) for x in rng.randn(DIM)] for _ in range(4)]
+    want = {(r.src, r.dst, r.sim) for r in
+            build_knn_graph(emb, m=3).collect()}
+    got = {(r.src, r.dst, r.sim) for r in
+           build_knn_graph_sharded(emb, cent, m=3, n_cells=1,
+                                   n_assign=1).collect()}
+    assert got == want
+
+
+def test_sharded_build_edges_stay_within_shared_cells(spark, emb):
+    """n_assign=1: every edge's endpoints must share the argmax
+    super-cell — the cell-bounded contract (and the reason boundary
+    replication exists)."""
+    import numpy as np
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        build_knn_graph_sharded,
+    )
+    rng = np.random.RandomState(11)
+    cent = np.round(rng.randn(8, DIM), 6)
+    rows = [(r.vec_id, np.array(r.embedding)) for r in emb.collect()
+            if r.embedding is not None]
+    sup = {}
+    for i, v in rows:
+        u = v / np.linalg.norm(v)
+        dots = u @ cent.T
+        scores = np.full(4, -np.inf)
+        for j in range(8):
+            scores[j % 4] = max(scores[j % 4], dots[j])
+        order = np.lexsort((np.arange(4), -scores))
+        sup[i] = int(order[0])
+    edges = build_knn_graph_sharded(
+        emb, [list(map(float, c)) for c in cent], m=3, n_cells=4,
+        n_assign=1).collect()
+    assert edges, "no edges built"
+    for r in edges:
+        assert sup[r.src] == sup[r.dst], (r.src, r.dst)
