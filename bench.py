@@ -204,6 +204,7 @@ HEADLINE = [
     "gopher_quality_rules",   # rule-filter pass/fail audit (r12)
     "rag_serving_pipeline",   # hybrid RRF -> MMR -> budget pack (r13)
     "scd2_incremental_splice",  # delta-batch dimension merge (r13)
+    "ann_nsw_filtered_knn",   # predicate-filtered graph serving (r13)
     # labelprop/triangles stay benched under their original names above;
     # r13 pointed them at the persisted pair store (BASELINE.md A/B:
     # 7.11 -> 3.64 s and 2.74 -> 1.39 s same-session)
