@@ -572,8 +572,11 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
 
     # existing nodes' improvements: candidates beating the current m-th
     # edge under (sim desc, dst asc)
+    # (src, dst) dedup first: a replayed micro-batch's byte-identical
+    # appended rows must not shift the m-th-edge threshold (offline
+    # path — the dedup shuffle is fine here, unlike the serving lookup)
     stored = (spark.read.parquet(path).filter(F.col("fwd"))
-              .select("src", "dst", "sim"))
+              .select("src", "dst", "sim").dropDuplicates(["src", "dst"]))
     worst = (stored.withColumn("_rn", F.row_number().over(w))
              .filter(F.col("_rn") == m)
              .select("src", F.col("sim").alias("wsim"),
@@ -602,10 +605,11 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
     # store-format contract: the marker tells readers that merge-on-read
     # resolution AND mirror validation are now REQUIRED (a fresh store
     # needs neither — every src has exactly m fwd rows and every mirror
-    # is valid); recompaction (rebuild) clears it with the store
-    import os
-    with open(os.path.join(path, "_DELTAS"), "w") as fh:
-        fh.write("1")
+    # is valid); recompaction (rebuild) clears it with the store.
+    # Written via the Hadoop FileSystem API so the marker exists — and is
+    # visible to readers — on ANY store URI, not just the local posix FS.
+    from openai_vector_search_demo_spark.stores import fs_touch
+    fs_touch(spark, path.rstrip("/") + "/_DELTAS")
 
 
 def delete_from_nsw_index(spark, path: str, ids: Sequence[int]) -> None:
@@ -639,8 +643,11 @@ def resolve_stored_edges(spark, path: str, m: int = NSW_M) -> DataFrame:
     and never touches the whole store."""
     wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
                                            F.col("dst").asc())
+    # dense_rank for the same replay-duplicate collapse as the stored
+    # lookup's resolved_fwd; symmetrize_edges' distinct removes the
+    # repeated (src, dst) rows duplicates leave behind
     fwd = (spark.read.parquet(path).filter(F.col("fwd"))
-           .withColumn("_rn", F.row_number().over(wm))
+           .withColumn("_rn", F.dense_rank().over(wm))
            .filter(F.col("_rn") <= m).select("src", "dst"))
     return symmetrize_edges(fwd)
 
@@ -671,18 +678,28 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
     top-m, one extra bucket-pruned point read per round — so stale
     mirrors left behind by upsert displacement can never steer the
     beam off the oracle's graph."""
-    import os
+    from openai_vector_search_demo_spark.stores import fs_exists
 
     edges = spark.read.parquet(path)
-    has_deltas = os.path.exists(os.path.join(path, "_DELTAS"))
+    # Hadoop-FS stat, not os.path: the marker must be visible on ANY
+    # store URI (s3a://, hdfs://) or an upserted remote store would
+    # silently take the fresh-store fast path and serve a stale graph.
+    has_deltas = fs_exists(spark, path.rstrip("/") + "/_DELTAS")
     wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
                                            F.col("dst").asc())
 
     def resolved_fwd(ids: list[int]) -> DataFrame:
+        # DENSE_RANK, not row_number: an at-least-once replay of an
+        # upsert micro-batch appends byte-identical (src, dst, sim)
+        # rows, and under row_number each copy would burn a top-m slot.
+        # (sim desc, dst asc) totally orders DISTINCT dsts, so the two
+        # rankings agree everywhere except exact duplicates — which
+        # dense_rank collapses onto one rank (the beam set-dedups the
+        # repeated (src, dst) output rows for free).
         buckets = sorted({i % n_buckets for i in ids})
         return (edges.filter(F.col("bucket").isin(buckets)
                              & F.col("src").isin(ids) & F.col("fwd"))
-                .withColumn("_rn", F.row_number().over(wm))
+                .withColumn("_rn", F.dense_rank().over(wm))
                 .filter(F.col("_rn") <= m).select("src", "dst"))
 
     def lookup(ids: list[int]) -> DataFrame:

@@ -11346,14 +11346,19 @@ _NSW_N_MEMO: dict[tuple, int] = {}
 
 
 def _nsw_corpus_n(spark: SparkSession, sf_dir: str, df: DataFrame,
-                  tag: str) -> int:
+                  min_id: int) -> int:
     """Corpus size for the NSW autoscale, memoized per (sf_dir, corpus
-    CONTENT fingerprint, tag) — eight serving slots would otherwise
-    each pay a count job per run for a number that only changes when
-    the data does."""
+    CONTENT fingerprint, corpus predicate) — eight serving slots would
+    otherwise each pay a count job per run for a number that only
+    changes when the data does.  ``min_id`` IS the corpus predicate
+    (every NSW corpus here is ``vec_id >= min_id``: 1 for the base
+    corpus, the held-out query count for recall corpora) — keying on
+    the VALUE means two slots share a memo row exactly when their
+    corpora are provably identical, never because two free-form tags
+    happened to collide."""
     import os
     key = (sf_dir, _parquet_fingerprint(
-        os.path.join(sf_dir, "embeddings.parquet")), tag)
+        os.path.join(sf_dir, "embeddings.parquet")), int(min_id))
     if key not in _NSW_N_MEMO:
         _NSW_N_MEMO[key] = df.filter(F.col("embedding").isNotNull()).count()
     return _NSW_N_MEMO[key]
@@ -11470,7 +11475,7 @@ def ann_nsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(qvec) == _ANN_DIM
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
     top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef, rounds=rounds,
                   stride=stride, n_entry=_NSW_SEED_COUNT,
                   sim_col="similarity")
@@ -11505,7 +11510,7 @@ def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -11550,7 +11555,7 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
     exact_top = knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id") \
         .select("vec_id")
     approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef,
@@ -11620,7 +11625,7 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, _, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
     exact = {r.vec_id for r in
              knn(base, qvec, k=10, sim_col="sim",
                  tie_break="vec_id").collect()}
@@ -11749,7 +11754,7 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
                   .select(F.col("vec_id").alias("qid"),
                           F.col("embedding").alias("qv")))
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, corpus, "heldout"))
+        _nsw_corpus_n(spark, sf_dir, corpus, _IVF_TRAINED_NQ))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -11864,7 +11869,7 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
     exact = (knn(base, qvec, k=10, sim_col="sim", tie_break="vec_id")
              .select("vec_id", F.round("sim", 6).alias("similarity")))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -11995,7 +12000,8 @@ def scd2_incremental_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change flag: within-delta rows compare to the previous delta row;
     # the FIRST delta row compares to the stored open version's priority
     chg = F.when(F.col("prev").isNotNull(),
-                 (F.col("prev") != F.col("o_orderpriority")).cast("int"))         .otherwise(F.when(F.col("_p").isNull()
+                 (F.col("prev") != F.col("o_orderpriority")).cast("int")) \
+        .otherwise(F.when(F.col("_p").isNull()
                           | (F.col("_p") != F.col("o_orderpriority")), 1)
                    .otherwise(0))
     dver = dseq.withColumn(
@@ -13093,7 +13099,7 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.filter(F.col("vec_id") % 5 != 3)
     batch = base.filter(F.col("vec_id") % 5 == 3)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -13191,7 +13197,7 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -13465,10 +13471,11 @@ def ann_nsw_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode())         .hexdigest()[:10]
+        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(base, store, m=_NSW_M)
@@ -13684,7 +13691,7 @@ def ann_nsw_cellbuild_mean_recall_at_10(spark: SparkSession,
                   .select(F.col("vec_id").alias("qid"),
                           F.col("embedding").alias("qv")))
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, corpus, "heldout"))
+        _nsw_corpus_n(spark, sf_dir, corpus, _CB_NQ))
     w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
                                           F.col("vec_id").asc())
     rows = []
@@ -13762,7 +13769,7 @@ def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") != 0)
     corpus = base.filter(F.col("vec_id") % 5 != 3)
     stride, ef, rounds = nsw_serving_params(
-        _nsw_corpus_n(spark, sf_dir, base, "base"))
+        _nsw_corpus_n(spark, sf_dir, base, 1))
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(

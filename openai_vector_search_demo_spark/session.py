@@ -24,25 +24,25 @@ def default_parallelism() -> int:
 
 def get_spark(app_name: str = "openai-vector-search-demo-spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None,
-              adaptive: bool = True) -> SparkSession:
+              shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's conventions applied.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so tests and bench share
     one code path; on a cluster the caller simply passes ``master=None`` with a
     pre-configured environment and only the session-level confs below apply.
 
-    ``adaptive=False`` disables AQE — for the TEST session only: on the
-    KB-scale fixtures every shuffle query pays AQE's stage-by-stage
-    re-planning for nothing (measured 2× on tiny actions: 40 micro
-    queries 10.75 s → 5.11 s).  Production/bench/gate sessions keep AQE
-    on — it is the documented 100 TB skew/coalesce lever.
+    AQE is always on — it is the documented 100 TB skew/coalesce lever,
+    and a real-module A/B showed no net win from disabling it even on
+    KB-scale test fixtures (UDF/setup cost dominates there).  Execution
+    guarantees never depend on it: e.g. the E3 once-per-candidate pin
+    rests on an explicit ``localCheckpoint`` boundary
+    (``plans/pipeline.py``), not on AQE's exchange materialization.
     """
     cores = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.adaptive.enabled", "true" if adaptive else "false")
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -35,7 +35,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_probed_partitions", "register_partitioned_store"]
+__all__ = ["read_probed_partitions", "register_partitioned_store",
+           "fs_exists", "fs_touch"]
+
+
+def _hadoop_path_fs(spark: SparkSession, path: str):
+    """(Path, FileSystem) for ``path`` via Spark's own Hadoop conf — the
+    URI-scheme-aware way to stat/write store markers.  A driver-local
+    ``os.path`` check silently misses on any non-local store URI (s3a://,
+    hdfs://, abfss://) — the 100 TB posture the stored-index docstrings
+    claim — so every marker read/write below goes through this."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jpath, fs
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API (scheme-aware:
+    file://, s3a://, hdfs://, ...)."""
+    jpath, fs = _hadoop_path_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create (or overwrite) an empty marker file at ``path`` through the
+    Hadoop FileSystem API."""
+    jpath, fs = _hadoop_path_fs(spark, path)
+    fs.create(jpath, True).close()
 
 
 def read_probed_partitions(spark: SparkSession, store: str, part_col: str,

@@ -146,7 +146,18 @@ def stream_upsert_nsw_index(stream: DataFrame, store: str,
     wiring only — maintenance semantics live in the batch operator
     (the engine's streaming design rule).  ``vectors_dir`` must hold
     the current corpus and ``store`` its graph (``write_nsw_index``)
-    before the stream starts."""
+    before the stream starts.
+
+    IDEMPOTENT under at-least-once replay, derived from the DATA (no
+    side-channel batch ledger): each batch is anti-joined against the
+    vectors table's current ids first, so a fully-applied batch replays
+    as a no-op (empty insert, no duplicate vector rows).  The one
+    partial-failure window — edges committed, vectors append lost —
+    replays the edge append with byte-identical rows, which the store's
+    merge-on-read resolution collapses (dense_rank over (sim desc, dst
+    asc): exact duplicates share one top-m slot — ``nsw.resolved_fwd``
+    /``resolve_stored_edges``), then completes the vectors append; the
+    resolved adjacency equals the full rebuild either way."""
     from openai_vector_search_demo_spark.operators.nsw import (
         upsert_nsw_index,
     )
@@ -156,10 +167,17 @@ def stream_upsert_nsw_index(stream: DataFrame, store: str,
             return
         spark = batch_df.sparkSession
         existing = spark.read.parquet(vectors_dir)
-        upsert_nsw_index(spark, store, batch_df, existing, m=m,
+        # replay guard: only ids not already in the corpus insert (the
+        # localCheckpoint pins the anti-join result so the upsert and
+        # the append see the same rows)
+        fresh = (batch_df.join(existing.select(id_col), id_col,
+                               "left_anti").localCheckpoint())
+        if fresh.isEmpty():
+            return
+        upsert_nsw_index(spark, store, fresh, existing, m=m,
                          n_buckets=n_buckets, vec_col=vec_col,
                          id_col=id_col)
-        batch_df.write.mode("append").parquet(vectors_dir)
+        fresh.write.mode("append").parquet(vectors_dir)
 
     return (stream.writeStream
             .foreachBatch(upsert_batch)

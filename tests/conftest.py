@@ -43,10 +43,9 @@ SF001 = "/root/testdata/sf0.01"
 def spark():
     # AQE stays ON even for tests: a micro-benchmark showed 2x on bare
     # tiny shuffles, but a real-module A/B showed no net win (UDF/setup
-    # dominates) AND the E3 once-per-candidate execution pin
-    # (test_search_scorer_executes_once_per_candidate) depends on AQE's
-    # exchange materialization - with AQE off the scorer pipelines under
-    # CollectLimit and runs per-partition-wide (30 rows for k=5)
+    # dominates).  No execution pin depends on AQE either way — the E3
+    # once-per-candidate guarantee rests on the explicit localCheckpoint
+    # boundary in plans/pipeline.py, AQE on or off.
     s = get_spark("engine-tests", shuffle_partitions=8)
     yield s
     s.stop()

@@ -168,6 +168,41 @@ def test_upsert_equals_full_rebuild(spark, emb, tmp_path):
     assert resolved(inc) == resolved(full)
 
 
+def test_upsert_replay_is_idempotent(spark, emb, tmp_path):
+    """At-least-once replay safety, end to end: applying the SAME batch
+    upsert twice (the edge-append replay a foreachBatch retry produces)
+    must leave the resolved adjacency and the beam answer identical to
+    a single application — byte-identical duplicate rows collapse under
+    the dense_rank merge-on-read resolution."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        resolve_stored_edges,
+        upsert_nsw_index,
+    )
+    base = emb.filter(F.col("embedding").isNotNull())
+    corpus = base.filter(F.col("vec_id") % 4 != 1)
+    batch = base.filter(F.col("vec_id") % 4 == 1)
+    once = str(tmp_path / "once")
+    twice = str(tmp_path / "twice")
+    for path in (once, twice):
+        write_nsw_index(corpus, path, m=3, n_buckets=4)
+        upsert_nsw_index(spark, path, batch, corpus, m=3, n_buckets=4)
+    upsert_nsw_index(spark, twice, batch, corpus, m=3, n_buckets=4)
+
+    def adjacency(path):
+        rows = resolve_stored_edges(spark, path, m=3).collect()
+        return {(r.src, r.dst) for r in rows}
+
+    assert adjacency(twice) == adjacency(once)
+    qvec = [0.25] * DIM
+    got = [(r.vec_id, r.similarity) for r in
+           nsw_stored_knn(spark, twice, base, qvec, k=10, ef=5, rounds=2,
+                          seeds=[2, 10], n_buckets=4, m=3).collect()]
+    want = [(r.vec_id, r.similarity) for r in
+            nsw_stored_knn(spark, once, base, qvec, k=10, ef=5, rounds=2,
+                           seeds=[2, 10], n_buckets=4, m=3).collect()]
+    assert got == want
+
+
 @pytest.mark.slow
 def test_batched_beam_equals_per_query_beam(spark, emb):
     """The qid-keyed batched beam must return, per query, exactly what
