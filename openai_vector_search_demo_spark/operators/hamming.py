@@ -292,17 +292,26 @@ def write_hamming_index(df: DataFrame, path: str,
                         nbits: int = HAMMING_NBITS, seed: int = 42,
                         vec_col: str = "embedding",
                         keep_cols: list[str] | None = None,
-                        dim: int | None = None) -> None:
+                        dim: int | None = None,
+                        tenant_col: str | None = None) -> None:
     """Persist the binary serving artifact: id/meta columns + the ONE
     8-byte ``sig`` — fp32 vectors never enter the store (the
     ``write_ivfpq_index`` contract at an even smaller byte budget, and
     with NO training artifact to version: the planes are (dim, nbits,
-    seed)).  NULL vectors drop (the family contract)."""
+    seed)).  NULL vectors drop (the family contract).  With
+    ``tenant_col`` the store is tenant-partitioned
+    (``tenant=T/…`` — the reference's per-alias physical isolation);
+    ``hamming_stored_knn(tenant=...)`` then scans only its tenant's
+    signatures."""
     keep = keep_cols if keep_cols is not None else ["vec_id", "label"]
     assigned = hamming_assign(df.filter(F.col(vec_col).isNotNull()),
                               vec_col=vec_col, planes=planes, nbits=nbits,
                               seed=seed, dim=dim)
-    assigned.select(*keep, "sig").write.mode("overwrite").parquet(path)
+    if tenant_col is None:
+        assigned.select(*keep, "sig").write.mode("overwrite").parquet(path)
+    else:
+        (assigned.select(*keep, tenant_col, "sig")
+         .write.mode("overwrite").partitionBy(tenant_col).parquet(path))
 
 
 def hamming_stored_knn(spark, store: str, source: DataFrame,
@@ -311,7 +320,8 @@ def hamming_stored_knn(spark, store: str, source: DataFrame,
                        nbits: int = HAMMING_NBITS, seed: int = 42,
                        k: int = 10, shortlist: int = 100,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       sim_col: str = "similarity") -> DataFrame:
+                       sim_col: str = "similarity",
+                       tenant=None) -> DataFrame:
     """The STORED binary read path — what a 100 TB deployment runs: the
     shortlist scan touches the signature table only (8 B + id per row,
     one XOR+POPCNT in whole-stage codegen, zero Python), and ONLY the R
@@ -328,6 +338,11 @@ def hamming_stored_knn(spark, store: str, source: DataFrame,
     dim = len(list(qvec))
     planes = planes or hyperplanes(dim, nbits, seed)
     qsig = signature_of(qvec, planes)
+    if tenant is not None:
+        # tenant-scoped store (write_hamming_index(tenant_col=...)):
+        # open only the tenant's subtree — other tenants' signature
+        # files are never listed (structural isolation)
+        store = f"{store.rstrip('/')}/tenant={tenant}"
     sigs = spark.read.parquet(store)
     cand = (sigs.withColumn(
         "_ham", F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))))

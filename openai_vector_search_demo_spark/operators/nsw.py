@@ -76,9 +76,12 @@ from openai_vector_search_demo_spark.functions.vectors import (
 )
 
 NSW_M = 6          # out-neighbors kept per node (traversal is SYMMETRIC)
-NSW_EF = 12        # beam-width FLOOR — serving autoscales to ⌈√n⌉
-NSW_ROUNDS = 4     # frontier expansions (pinned; the oracle unrolls them)
-NSW_SEED_COUNT = 8  # entry points taken from the coarse layer per query
+NSW_EF = 12        # beam-width FLOOR — serving autoscales to ⌈1.5·√n⌉
+NSW_ROUNDS = 5     # frontier expansions (pinned; the oracle unrolls them)
+NSW_ENTRY_COUNT = 16  # base-beam entry points taken from the L1 layer
+NSW_SEED_COUNT = 8    # seeds INTO the L1 beam (and legacy flat entries)
+NSW_L1_ROUNDS = 2     # beam rounds over the graph-indexed coarse layer
+NSW_HIER_FLOOR = 16   # |L1| below this -> score all of L1 (flat entry)
 NSW_SEEDS = (1, 101, 201, 301)
 """Legacy fixed, id-spread entry points — kept for explicit-seed callers
 and tests.  SERVING default is the COARSE ENTRY LAYER instead (r13, the
@@ -97,14 +100,49 @@ DEFAULT_MAX_BLOCK_ROWS = 8192
 
 def nsw_serving_params(n: int) -> tuple[int, int, int]:
     """(stride, ef, rounds) for a corpus of ``n`` vectors — the
-    registered serving autoscale: coarse layer and beam width both
-    ⌈√n⌉ (so per-query cost is Θ(√n·M) score evaluations — the NSW
-    polylog regime — while the coarse layer keeps entry points near
-    the answer as n grows), rounds pinned at NSW_ROUNDS (the oracle
-    unrolls them; depth buys less than width once entry is coarse)."""
+    registered serving autoscale (v3, r14): coarse layer ⌈√n⌉, beam
+    width ef = ⌈1.5·√n⌉, rounds = {NSW_ROUNDS} — the measured sf0.1
+    operating point that lifts the recall TAIL (min 0.50 → 0.90 over
+    the 20 held-out queries, mean 0.76 → 0.97) while per-query cost
+    stays Θ(√n·M) score evaluations.  The r13 point (ef = ⌈√n⌉,
+    4 rounds, 8 entries) is the receipted ancestor in BASELINE.md."""
     import math
     root = max(2, math.ceil(math.sqrt(max(1, n))))
-    return root, max(NSW_EF, root), NSW_ROUNDS
+    ef = max(NSW_EF, math.ceil(1.5 * math.sqrt(max(1, n))))
+    return root, ef, NSW_ROUNDS
+
+
+def nsw_l1_params(n1: int) -> tuple[int, bool]:
+    """(stride2, hierarchical) for an L1 coarse layer of ``n1`` nodes —
+    the second hierarchy level's autoscale: the L2 entry subset is
+    ``id % (stride·stride2) == 0`` with stride2 = ⌈√n1⌉ (≈ n^(1/4)
+    exact evaluations per query), and the L1 beam's width is stride2.
+    Below ``NSW_HIER_FLOOR`` nodes the whole L1 layer is scored flat —
+    the small-corpus degeneration the oracle mirrors with an OR
+    predicate (a 6-node layer has nothing to index)."""
+    import math
+    return max(2, math.ceil(math.sqrt(max(1, n1)))), n1 >= NSW_HIER_FLOOR
+
+
+def nsw_filtered_ef(ef: int, n_match: int, n_total: int,
+                    k: int = 10, cap: int = 4) -> int:
+    """PREDICATE-AWARE beam widening for post-filter serving (the
+    filtered-DiskANN / ACORN practice, public method descriptions):
+    a beam of width ef carries ~ef·selectivity predicate matches per
+    round, so at low selectivity the visited set can hold fewer than
+    ``k`` matches and the post-filter answer starves.  Widen by
+    w = ⌈k / (ef·sel)⌉ = ⌈k·n_total / (ef·n_match)⌉ — the factor that
+    makes the EXPECTED per-round match count k — clamped to [1, cap]
+    (cap bounds worst-case cost at cap·ef·M evaluations per round; an
+    empty predicate keeps w = cap rather than diverging).  Measured at
+    sf0.1 (BASELINE.md r14): 1% selectivity recall 0.9 → 1.0 at w = 4;
+    ≥10% selectivity stays w ≤ 2.  Deterministic from counts, so the
+    DuckDB oracle computes the identical width."""
+    import math
+    if n_match <= 0:
+        return ef * cap
+    w = math.ceil(k * n_total / (ef * n_match))
+    return ef * max(1, min(cap, w))
 
 
 def symmetrize_edges(edges: DataFrame) -> DataFrame:
@@ -286,7 +324,18 @@ def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
     of an unprunable dst-side scan.  Mirror rows are traversal HINTS:
     the stored lookup validates each against the mirror source's
     current resolved top-M (one extra pruned point read), which makes
-    them exact under upserts too."""
+    them exact under upserts too.
+
+    v3 (r14): the store also carries the HIERARCHY's next level — the
+    symmetrized exact top-M graph over the coarse subset
+    ``id % stride == 0`` under ``_L1`` (bucketed by src the same way)
+    and its write-time params under ``_L1_META`` — so serving entry is
+    a beam over the graph-indexed L1 layer (Θ(n^(1/4)·M) evaluations)
+    instead of a flat Θ(√n) exact scan.  L1 is √n-sized: its build is
+    n work (amortized next to the base n²-bounded build) and it is
+    REBUILT WHOLE on upsert, so it needs no merge-on-read story."""
+    import json
+
     edges = build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
     both = (edges.withColumn("fwd", F.lit(True))
             .unionByName(edges.select(F.col("dst").alias("src"),
@@ -297,6 +346,73 @@ def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
      .repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
+    base = df.filter(F.col(vec_col).isNotNull())
+    n = base.count()
+    stride, _, _ = nsw_serving_params(n)
+    n1 = base.filter(
+        F.pmod(F.col(id_col), F.lit(int(stride))) == 0).count()
+    stride2, _ = nsw_l1_params(n1)
+    l1 = build_l1_graph(base, stride, m=m, vec_col=vec_col,
+                        id_col=id_col)
+    (l1.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+                   .cast("int"))
+     .repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(path.rstrip("/") + "/_L1"))
+    from openai_vector_search_demo_spark.stores import fs_write_text
+    fs_write_text(df.sparkSession, path.rstrip("/") + "/_L1_META",
+                  json.dumps({"stride": int(stride), "n1": int(n1),
+                              "stride2": int(stride2), "m": int(m)}))
+
+
+def build_l1_graph(df: DataFrame, stride: int, m: int = NSW_M,
+                   vec_col: str = "embedding", id_col: str = "vec_id"
+                   ) -> DataFrame:
+    """The hierarchy's SECOND level: the exact top-``m`` graph over the
+    coarse subset ``id % stride == 0`` (⌈n/stride⌉ ≈ √n nodes — so the
+    build is √n² = n work, amortized away next to the base build),
+    already SYMMETRIZED (L1 is rebuilt whole on upsert — no
+    merge-on-read story needed, mirrors can be materialized)."""
+    coarse = df.filter(F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
+    return symmetrize_edges(
+        build_knn_graph(coarse, m=m, vec_col=vec_col, id_col=id_col))
+
+
+def write_nsw_index_tenants(df: DataFrame, path: str,
+                            tenant_col: str = "tenant",
+                            m: int = NSW_M,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            n_buckets: int = 16) -> list:
+    """TENANT-SCOPED graph stores — the reference's per-alias physical
+    isolation (modules/utilities.py:282-287: each index alias is both
+    a NAME and a separate physical index) applied to the graph tier:
+    one logical store, laid out ``path/tenant=T/bucket=B`` with each
+    tenant's graph, L1 layer, and metadata built from ITS OWN vectors
+    only.  A tenant's serve (``nsw_tenant_path`` + ``nsw_stored_knn``)
+    opens only its subtree — other tenants' buckets are never listed,
+    let alone read (stronger than a partition filter: the prune is
+    structural).  Cross-tenant edges cannot exist by construction,
+    which is the isolation a filter-on-one-graph cannot give.  The
+    per-tenant loop is |tenants| driver iterations around fully
+    distributed builds — the Hive-partitioned-table write pattern.
+    Returns the tenant values written."""
+    tenants = [r[0] for r in df.select(tenant_col).distinct()
+               .orderBy(tenant_col).collect()]
+    for tv in tenants:
+        sub = df.filter(F.col(tenant_col) == tv).drop(tenant_col)
+        write_nsw_index(sub, nsw_tenant_path(path, tv), m=m,
+                        vec_col=vec_col, id_col=id_col,
+                        n_buckets=n_buckets)
+    return tenants
+
+
+def nsw_tenant_path(path: str, tenant) -> str:
+    """The tenant's physical subtree inside a ``write_nsw_index_tenants``
+    store (Hive-style partition naming, so the whole store also reads
+    as one partitioned table for offline jobs)."""
+    return f"{path.rstrip('/')}/tenant={tenant}"
+
 
 def beam_search_knn(edges, source: DataFrame,
                     qvec: Sequence[float], k: int = 10,
@@ -306,7 +422,8 @@ def beam_search_knn(edges, source: DataFrame,
                     sim_col: str = "similarity",
                     exclude_ids: Sequence[int] | None = None,
                     stride: int | None = None,
-                    n_entry: int = NSW_SEED_COUNT) -> DataFrame:
+                    n_entry: int = NSW_ENTRY_COUNT,
+                    l1_edges=None, n1: int | None = None) -> DataFrame:
     """Multi-seed beam search over an adjacency relation — the
     SINGLE-QUERY serving form: ONE Spark job per round (the frontier's
     pruned edge lookup broadcast-joined against ``source`` and scored
@@ -321,19 +438,25 @@ def beam_search_knn(edges, source: DataFrame,
     (score desc, id asc) — the same total order Spark's orderBy gives,
     so the trajectory is oracle-replayable bit-for-bit.
 
-    Entry points: with ``stride`` set (the serving default via
-    ``nsw_serving_params``) the COARSE LAYER ``id % stride == 0`` is
-    scored exactly and its top-``n_entry`` seed the beam — the scored
-    coarse nodes stay in the candidate set.  At 100 TB the coarse
-    layer is a materialized ⌈n/stride⌉-row table (or itself indexed —
-    the recursion that yields the HNSW hierarchy); here it is a
-    filtered scan of ``source``.  Without ``stride``, ``seeds`` are
+    Entry points (v3, HIERARCHICAL): with ``stride``, ``l1_edges`` and
+    ``n1`` all set (the serving default — ``nsw_serving_params`` +
+    the store's L1 layer) entry itself is a beam: the L2 subset
+    ``id % (stride·stride2) == 0`` (≈ n^(1/4) nodes, stride2 = ⌈√n1⌉)
+    is scored exactly, its top-``NSW_SEED_COUNT`` walk
+    ``NSW_L1_ROUNDS`` beam rounds over the GRAPH-INDEXED coarse layer
+    (``l1_edges`` — the recursion that yields the HNSW hierarchy:
+    entry cost drops from Θ(√n) exact evaluations to Θ(n^(1/4)·M)),
+    and the top-``n_entry`` of every L1 node visited seed the base
+    beam — all L1-visited stay candidates (their exact scores are
+    paid).  With only ``stride`` set, the whole coarse layer is
+    scored flat (the r13 semantic, and the registered degeneration
+    when ``n1 < NSW_HIER_FLOOR``).  Without ``stride``, ``seeds`` are
     used verbatim (legacy fixed-entry mode).
 
-    ``edges`` is a DataFrame or an ``ids -> DataFrame`` lookup callable
-    (the stored path passes one that also filters the store's bucket
-    partition column, so the IN-list prunes DIRECTORIES, not just row
-    groups)."""
+    ``edges`` / ``l1_edges`` are DataFrames or ``ids -> DataFrame``
+    lookup callables (the stored path passes ones that also filter the
+    store's bucket partition column, so the IN-list prunes
+    DIRECTORIES, not just row groups)."""
     q = vector_lit(qvec)
     lookup = edges if callable(edges) else (
         lambda ids: edges.filter(F.col("src").isin(ids)))
@@ -343,13 +466,50 @@ def beam_search_knn(edges, source: DataFrame,
         # Spark orderBy(desc) puts NULLs last; -inf reproduces that
         return (-(s if s is not None else float("-inf")), r[id_col])
 
-    if stride is not None:
-        scored0 = (source.filter(
-            F.col(vec_col).isNotNull()
-            & (F.pmod(F.col(id_col), F.lit(int(stride))) == 0))
-            .withColumn("_s", F.round(
-                cosine_similarity(F.col(vec_col), q), 6))
-            .select(id_col, "label", "_s"))
+    def score_ids(pred) -> DataFrame:
+        return (source.filter(F.col(vec_col).isNotNull() & pred)
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col(vec_col), q), 6))
+                .select(id_col, "label", "_s"))
+
+    hier = (stride is not None and l1_edges is not None
+            and n1 is not None and n1 >= NSW_HIER_FLOOR)
+    if hier:
+        stride2, _ = nsw_l1_params(n1)
+        l1_lookup = l1_edges if callable(l1_edges) else (
+            lambda ids: l1_edges.filter(F.col("src").isin(ids)))
+        scored0 = score_ids(
+            F.pmod(F.col(id_col), F.lit(int(stride) * stride2)) == 0)
+        schema = scored0.schema
+        rows = scored0.collect()
+        visited = {r[id_col]: r for r in rows}
+        seen = set(visited)
+        hf = [r[id_col] for r in
+              sorted(rows, key=skey)[:NSW_SEED_COUNT]]
+        for _ in range(NSW_L1_ROUNDS):
+            if not hf:
+                break
+            cand = l1_lookup(hf).select(F.col("dst").alias(id_col))
+            cand_rows = (source.join(F.broadcast(cand), id_col)
+                         .withColumn("_s", F.round(
+                             cosine_similarity(F.col(vec_col), q), 6))
+                         .select(id_col, "label", "_s").collect())
+            new = {}
+            for r in cand_rows:
+                i = r[id_col]
+                if i not in seen and i not in new:
+                    new[i] = r
+            if not new:
+                break
+            seen.update(new)
+            visited.update(new)
+            hf = [r[id_col] for r in
+                  sorted(new.values(), key=skey)[:stride2]]
+        frontier = [r[id_col] for r in
+                    sorted(visited.values(), key=skey)[:n_entry]]
+    elif stride is not None:
+        scored0 = score_ids(
+            F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
         schema = scored0.schema
         rows = scored0.collect()
         visited = {r[id_col]: r for r in rows}
@@ -407,7 +567,9 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
                           qid_col: str = "qid", qvec_col: str = "qv",
                           sim_col: str = "similarity",
                           stride: int | None = None,
-                          n_entry: int = NSW_SEED_COUNT) -> DataFrame:
+                          n_entry: int = NSW_ENTRY_COUNT,
+                          l1_edges: DataFrame | None = None,
+                          n1: int | None = None) -> DataFrame:
     """BATCHED multi-query beam search — the serving form for query
     THROUGHPUT: the frontier is a (qid, node) RELATION, every round is
     one edge join + one anti join + one broadcast-scored point-read +
@@ -434,11 +596,43 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
     sess = source.sparkSession
     wf = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
                                            F.col(id_col).asc())
-    if stride is not None:
-        # coarse entry (serving default): every qid scores the shared
-        # ⌈n/stride⌉-row coarse layer (one broadcast-scored crossjoin —
-        # at 100 TB a materialized table), keeps all of it as visited,
-        # and enters the graph at its per-qid top-n_entry.
+    hier = (stride is not None and l1_edges is not None
+            and n1 is not None and n1 >= NSW_HIER_FLOOR)
+    if hier:
+        # HIERARCHICAL entry (v3): every qid scores the shared L2
+        # subset (≈ n^(1/4) rows), walks NSW_L1_ROUNDS qid-keyed beam
+        # rounds over the graph-indexed coarse layer, and enters the
+        # base graph at its per-qid top-n_entry of all L1-visited —
+        # the same relational round shape as the base beam, on a
+        # √n-sized edge relation.
+        stride2, _ = nsw_l1_params(n1)
+        seed_df = (q.select("qid").crossJoin(
+            vecs.filter(F.pmod(F.col(id_col),
+                               F.lit(int(stride) * stride2)) == 0)
+            .select(id_col)))
+        visited = score(seed_df).localCheckpoint()
+        hf = (visited.withColumn("_rn", F.row_number().over(wf))
+              .filter(F.col("_rn") <= NSW_SEED_COUNT)
+              .select("qid", F.col(id_col).alias("src")))
+        for _ in range(NSW_L1_ROUNDS):
+            cand = (l1_edges.join(hf, "src")
+                    .select("qid", F.col("dst").alias(id_col))
+                    .distinct())
+            new = cand.join(visited.select("qid", id_col),
+                            ["qid", id_col], "left_anti")
+            scored = score(new).localCheckpoint()
+            visited = visited.unionByName(scored).localCheckpoint()
+            hf = (scored.withColumn("_rn", F.row_number().over(wf))
+                  .filter(F.col("_rn") <= stride2)
+                  .select("qid", F.col(id_col).alias("src")))
+        frontier = (visited.withColumn("_rn", F.row_number().over(wf))
+                    .filter(F.col("_rn") <= n_entry)
+                    .select("qid", F.col(id_col).alias("src")))
+    elif stride is not None:
+        # flat coarse entry (the r13 semantic, kept as the registered
+        # degeneration for n1 < NSW_HIER_FLOOR): every qid scores the
+        # whole ⌈n/stride⌉-row coarse layer, keeps all of it as
+        # visited, and enters the graph at its per-qid top-n_entry.
         seed_df = (q.select("qid").crossJoin(
             vecs.filter(F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
             .select(id_col)))
@@ -480,17 +674,31 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             vec_col: str = "embedding", id_col: str = "vec_id",
             sim_col: str = "similarity",
             stride: int | None = None,
-            n_entry: int = NSW_SEED_COUNT) -> DataFrame:
+            n_entry: int = NSW_ENTRY_COUNT,
+            n1: int | None = None) -> DataFrame:
     """Inline build+search (the oracled form; production stores the
     graph once via ``write_nsw_index`` and serves many queries).
-    Traversal is SYMMETRIC over the directed top-m build (the v2
-    serving semantic); pass ``stride`` for coarse entry."""
+    Traversal is SYMMETRIC over the directed top-m build; with
+    ``stride`` set the L1 layer is graph-indexed inline too and entry
+    is the v3 HIERARCHICAL beam (``n1`` skips the coarse count job
+    when the caller already knows it)."""
     edges = symmetrize_edges(
         build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col))
+    l1 = None
+    if stride is not None:
+        coarse = df.filter(
+            F.col(vec_col).isNotNull()
+            & (F.pmod(F.col(id_col), F.lit(int(stride))) == 0))
+        if n1 is None:
+            n1 = coarse.count()
+        if n1 >= NSW_HIER_FLOOR:
+            l1 = build_l1_graph(df.filter(F.col(vec_col).isNotNull()),
+                                stride, m=m, vec_col=vec_col,
+                                id_col=id_col)
     return beam_search_knn(edges, df, qvec, k=k, ef=ef, rounds=rounds,
                            seeds=seeds, vec_col=vec_col, id_col=id_col,
                            sim_col=sim_col, stride=stride,
-                           n_entry=n_entry)
+                           n_entry=n_entry, l1_edges=l1, n1=n1)
 
 
 def upsert_nsw_index(spark, path: str, batch: DataFrame,
@@ -608,8 +816,32 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
     # is valid); recompaction (rebuild) clears it with the store.
     # Written via the Hadoop FileSystem API so the marker exists — and is
     # visible to readers — on ANY store URI, not just the local posix FS.
-    from openai_vector_search_demo_spark.stores import fs_touch
+    from openai_vector_search_demo_spark.stores import fs_touch, \
+        fs_write_text
     fs_touch(spark, path.rstrip("/") + "/_DELTAS")
+
+    # v3: rebuild the L1 layer WHOLE from the post-upsert corpus —
+    # √n-sized, so the rebuild is n work (vs the n² full base rebuild
+    # the merge-on-read append replaces), and stride/stride2 track the
+    # grown corpus exactly as a full rebuild's would, which keeps the
+    # upsert slot's full-rebuild oracle exact.  Deterministic from the
+    # corpus, so an at-least-once replay overwrites with the same bytes.
+    import json
+
+    n = allnodes.count()
+    stride, _, _ = nsw_serving_params(n)
+    n1 = allnodes.filter(
+        F.pmod(F.col("id"), F.lit(int(stride))) == 0).count()
+    stride2, _ = nsw_l1_params(n1)
+    l1 = build_l1_graph(allnodes, stride, m=m, vec_col="v", id_col="id")
+    (l1.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
+                   .cast("int"))
+     .repartition(F.col("bucket"))
+     .write.mode("overwrite").partitionBy("bucket")
+     .parquet(path.rstrip("/") + "/_L1"))
+    fs_write_text(spark, path.rstrip("/") + "/_L1_META",
+                  json.dumps({"stride": int(stride), "n1": int(n1),
+                              "stride2": int(stride2), "m": int(m)}))
 
 
 def delete_from_nsw_index(spark, path: str, ids: Sequence[int]) -> None:
@@ -652,6 +884,28 @@ def resolve_stored_edges(spark, path: str, m: int = NSW_M) -> DataFrame:
     return symmetrize_edges(fwd)
 
 
+def read_l1_meta(spark, path: str) -> dict | None:
+    """The store's L1-layer metadata (write-time stride/stride2/n1) or
+    None for a pre-v3 store — read through the Hadoop FS API so it is
+    visible on any store URI."""
+    import json
+
+    from openai_vector_search_demo_spark.stores import fs_read_text
+    txt = fs_read_text(spark, path.rstrip("/") + "/_L1_META")
+    return json.loads(txt) if txt else None
+
+
+def resolve_stored_l1(spark, path: str):
+    """(l1_edges, meta) for the BATCH serving form: the store's whole
+    L1 relation (√n-sized — one read amortized over every query in the
+    batch) plus its metadata; (None, None) for a pre-v3 store."""
+    meta = read_l1_meta(spark, path)
+    if meta is None:
+        return None, None
+    return (spark.read.parquet(path.rstrip("/") + "/_L1")
+            .select("src", "dst"), meta)
+
+
 def nsw_stored_knn(spark, path: str, source: DataFrame,
                    qvec: Sequence[float], k: int = 10,
                    ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
@@ -660,7 +914,7 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                    sim_col: str = "similarity",
                    n_buckets: int = 16, m: int = NSW_M,
                    stride: int | None = None,
-                   n_entry: int = NSW_SEED_COUNT) -> DataFrame:
+                   n_entry: int = NSW_ENTRY_COUNT) -> DataFrame:
     """Serving read of a ``write_nsw_index`` store: each round touches
     only the frontier's src BUCKET DIRECTORIES (the lookup filters the
     partition column derived from the frontier ids — partition pruning
@@ -727,8 +981,32 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
         return fwd.unionByName(mirrors.join(valid, ["src", "dst"],
                                             "left_semi"))
 
+    # v3 hierarchical entry off the store's own L1 layer: the lookup
+    # prunes _L1's bucket directories by the frontier ids exactly like
+    # the base lookup (L1 is stored pre-symmetrized and rebuilt whole
+    # on upsert, so it needs neither merge-on-read nor mirrors).  The
+    # stored layer is used only when the caller's stride MATCHES the
+    # write-time stride (they agree whenever both derive from the same
+    # corpus — the serving slots' case); an explicit non-matching
+    # stride keeps the flat coarse scan, since the stored L1 indexes a
+    # different layer than the one the caller asked to enter through.
+    l1_cb = None
+    n1 = None
+    if stride is not None:
+        meta = read_l1_meta(spark, path)
+        if meta is not None and int(meta["stride"]) == int(stride):
+            n1 = int(meta["n1"])
+            l1e = spark.read.parquet(path.rstrip("/") + "/_L1")
+
+            def l1_cb(ids: list[int]):
+                buckets = sorted({i % n_buckets for i in ids})
+                return (l1e.filter(F.col("bucket").isin(buckets)
+                                   & F.col("src").isin(ids))
+                        .select("src", "dst"))
+
     return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
                            rounds=rounds, seeds=seeds, vec_col=vec_col,
                            id_col=id_col, sim_col=sim_col,
                            exclude_ids=read_nsw_tombstones(spark, path),
-                           stride=stride, n_entry=n_entry)
+                           stride=stride, n_entry=n_entry,
+                           l1_edges=l1_cb, n1=n1)

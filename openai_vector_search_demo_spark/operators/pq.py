@@ -447,7 +447,8 @@ def write_ivfpq_index(df: DataFrame, path: str,
                       centroids: list[list[float]],
                       codebooks: list[list[list[float]]],
                       vec_col: str = "embedding",
-                      keep_cols: list[str] | None = None) -> None:
+                      keep_cols: list[str] | None = None,
+                      tenant_col: str | None = None) -> None:
     """Persist the FULL IVFADC serving artifact — the billion-scale
     layout the inline ``ivfpq_residual_knn`` simulates: one Arrow pass
     assigns each vector its coarse cell and residual-encodes it, and
@@ -462,13 +463,23 @@ def write_ivfpq_index(df: DataFrame, path: str,
     ``upsert_ivfpq_index`` can later append without a rebuild; a
     freshly-written store has no ``_UPSERT`` marker, and the read path
     skips the latest-wins resolve entirely (zero serving cost until
-    the first upsert)."""
+    the first upsert).
+
+    With ``tenant_col`` the store is TENANT-FIRST partitioned
+    (``tenant=T/cell=C`` — the reference's per-alias physical
+    isolation, modules/utilities.py:282-287): a tenant's query opens
+    only its own subtree (``ivfpq_stored_knn(tenant=...)``), so other
+    tenants' cells are never listed; per-tenant upsert/compaction
+    point ``upsert_ivfpq_index`` at the tenant subtree."""
     cols = keep_cols or [c for c in df.columns if c != vec_col]
+    parts = ["cell"] if tenant_col is None else [tenant_col, "cell"]
+    if tenant_col is not None and tenant_col not in cols:
+        cols = [*cols, tenant_col]
     (_residual_encoded(df, centroids, codebooks, vec_col, cols)
      .withColumn("batch", F.lit(0))
      .withColumn("tombstone", F.lit(False))
      .repartition(F.col("cell"))
-     .write.mode("overwrite").partitionBy("cell").parquet(path))
+     .write.mode("overwrite").partitionBy(*parts).parquet(path))
 
 
 def upsert_ivfpq_index(spark, df: DataFrame, path: str,
@@ -582,7 +593,8 @@ def ivfpq_stored_knn(spark, store: str, qvec: Sequence[float],
                      vec_col: str = "embedding",
                      dist_col: str = "adc_dist",
                      sim_col: str = "similarity",
-                     table: str | None = None) -> DataFrame:
+                     table: str | None = None,
+                     tenant=None) -> DataFrame:
     """Query the stored IVFADC index — every scale lever of the family
     composed into ONE read plan:
 
@@ -613,6 +625,12 @@ def ivfpq_stored_knn(spark, store: str, qvec: Sequence[float],
     probes = ivf_probe_cells_dot(qvec, centroids, nprobe)
     luts = residual_adc_luts(qvec, centroids, codebooks, probes)
     m = len(codebooks)
+    if tenant is not None:
+        # tenant-scoped store (write_ivfpq_index(tenant_col=...)):
+        # descend into the tenant's subtree BEFORE cell enumeration —
+        # other tenants' cell directories are never listed (structural
+        # isolation, not just a filter)
+        store = f"{store.rstrip('/')}/tenant={tenant}"
     cand = read_probed_partitions(spark, store, "cell", probes,
                                   table=table)
     # Upserted store (marker present): resolve per-(id, cell)

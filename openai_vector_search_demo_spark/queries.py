@@ -6327,13 +6327,13 @@ def _sql_sig_ctes(planes, source: str, id_col: str,
        FROM {prefix}dots GROUP BY 1)"""
 
 
-def _hamming_knn_oracle() -> str:
+def _hamming_knn_oracle(corpus_where: str = "vec_id <> 0") -> str:
     from openai_vector_search_demo_spark.operators.ann import hyperplanes
     planes = hyperplanes(_ANN_DIM, nbits=_HAMMING_NBITS, seed=42)
     return f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 corpus AS (SELECT vec_id, label, embedding FROM embeddings
-           WHERE vec_id <> 0 AND embedding IS NOT NULL),
+           WHERE {corpus_where} AND embedding IS NOT NULL),
 {_sql_sig_ctes(planes, "(SELECT vec_id, embedding AS vec FROM corpus)",
                "vec_id")},
 {_sql_sig_ctes(planes, "(SELECT 0 AS qid, qv AS vec FROM q)", "qid",
@@ -11337,8 +11337,11 @@ def ann_sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 # beam round by round — graph, trajectory, and answer all value-checked.
 # ---------------------------------------------------------------------------
 
-_NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 4
-_NSW_SEED_COUNT = 8
+_NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 5
+_NSW_ENTRY = 16       # base-beam entry points (top of the L1-visited set)
+_NSW_SEED_COUNT = 8   # seeds INTO the L1 beam
+_NSW_L1_ROUNDS = 2    # beam rounds over the graph-indexed coarse layer
+_NSW_HIER_FLOOR = 16  # |L1| below this -> score all of L1 (flat entry)
 _NSW_SEEDS = (1, 101, 201, 301)  # legacy fixed-entry mode (tests only)
 
 
@@ -11369,10 +11372,13 @@ def _sql_nsw_edges(corpus_where: str = "vec_id <> 0") -> str:
     norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
     cosine, ROW_NUMBER top-M per src with the dst tie-break — the same
     selection order ``operators.nsw.build_knn_graph`` uses — plus the
-    SYMMETRIZED traversal relation (out ∪ reversed-in, the v2 serving
-    semantic) and the autoscaled serving params (stride = ef = ⌈√n⌉,
-    ``operators.nsw.nsw_serving_params``).  ``corpus_where`` picks the
-    node set (the mean-recall slot holds out the first
+    SYMMETRIZED traversal relation (out ∪ reversed-in), the autoscaled
+    serving params (v3: stride = ⌈√n⌉, ef = ⌈1.5·√n⌉ —
+    ``operators.nsw.nsw_serving_params``), and the HIERARCHY's next
+    level: the L1 layer's size/stride2 (``nswp1``) and its own exact
+    top-M graph over the coarse subset (``nswhsym`` — what
+    ``operators.nsw.build_l1_graph`` builds).  ``corpus_where`` picks
+    the node set (the mean-recall slot holds out the first
     {_IVF_TRAINED_NQ} ids as queries)."""
     d = _ANN_DIM
     return f"""nswex AS (SELECT vec_id AS id, ii.i AS i,
@@ -11396,36 +11402,82 @@ nswsym AS (SELECT src, dst FROM nswedges
 nswp AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
                   AS stride,
                 GREATEST({_NSW_EF},
-                         CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS ef
+                         CAST(CEIL(1.5 * SQRT(COUNT(*))) AS BIGINT))
+                  AS ef
          FROM embeddings
-         WHERE {corpus_where} AND embedding IS NOT NULL)"""
+         WHERE {corpus_where} AND embedding IS NOT NULL),
+nswp1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                 GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                   AS stride2
+          FROM embeddings
+          WHERE {corpus_where} AND embedding IS NOT NULL
+            AND vec_id % (SELECT stride FROM nswp) = 0),
+nswhedges AS (SELECT src, dst FROM (
+               SELECT src, dst, ROW_NUMBER() OVER (
+                 PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+               FROM nswsims
+               WHERE src % (SELECT stride FROM nswp) = 0
+                 AND dst % (SELECT stride FROM nswp) = 0)
+              WHERE rn <= {_NSW_M}),
+nswhsym AS (SELECT src, dst FROM nswhedges
+            UNION SELECT dst, src FROM nswhedges)"""
 
 
 def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
                   include_q: bool = True,
                   corpus_where: str = "vec_id <> 0") -> str:
     """Unrolled beam rounds (the HITS/PageRank oracle pattern) in the
-    v2 serving semantic: v0 = the exactly-scored COARSE LAYER
-    (vec_id % stride == 0), f0 = its top-{_NSW_SEED_COUNT}; each round
-    expands the frontier over the SYMMETRIC relation ``nswsym``, keeps
-    every scored node in v_r and the round's top-ef newcomers as f_r;
-    all selections on the 6-dp-rounded cosine with vec_id ties.
+    v3 serving semantic — entry is itself a beam over the
+    graph-indexed L1 layer: hv0 = the exactly-scored L2 subset
+    (vec_id % (stride·stride2) == 0, OR the whole coarse layer when
+    n1 < {_NSW_HIER_FLOOR} — the flat degeneration), hf0 = its
+    top-{_NSW_SEED_COUNT}; {_NSW_L1_ROUNDS} rounds expand over the L1
+    relation ``nswhsym`` with width stride2; v0 = every L1 node
+    visited, f0 = its top-{_NSW_ENTRY}.  Each BASE round then expands
+    the frontier over the SYMMETRIC relation ``nswsym``, keeps every
+    scored node in v_r and the round's top-ef newcomers as f_r; all
+    selections on the 6-dp-rounded cosine with vec_id ties.
     ``ef=None`` uses the autoscaled width from ``nswp``; a literal ef
-    namespaced by ``prefix`` lets one oracle unroll several operating
-    points over the shared relations (the curve slot)."""
+    (or a SQL expression string — the filtered-curve slot's
+    data-dependent widened width) namespaced by ``prefix`` lets one
+    oracle unroll several operating points over the shared
+    relations."""
     p = prefix
-    ef_pred = (f"rn <= {ef}" if ef is not None
-               else "rn <= (SELECT ef FROM nswp)")
+    if ef is None:
+        ef_pred = "rn <= (SELECT ef FROM nswp)"
+    elif isinstance(ef, str):
+        ef_pred = f"rn <= ({ef})"
+    else:
+        ef_pred = f"rn <= {ef}"
     head = ("""nswq AS (SELECT embedding AS qv FROM embeddings
          WHERE vec_id = 0),\n""" if include_q else "")
-    parts = [f"""{head}{p}v0 AS (SELECT e.vec_id, e.label,
+    cw = corpus_where.replace('vec_id', 'e.vec_id')
+    parts = [f"""{head}{p}hv0 AS (SELECT e.vec_id, e.label,
        ROUND({_SQL_COS_TO_Q}, 6) AS s
        FROM embeddings e, nswq q
-       WHERE {corpus_where.replace('vec_id', 'e.vec_id')}
+       WHERE {cw}
          AND e.embedding IS NOT NULL
-         AND e.vec_id % (SELECT stride FROM nswp) = 0),
-{p}f0 AS (SELECT vec_id FROM {p}v0
+         AND e.vec_id % (SELECT stride FROM nswp) = 0
+         AND ((SELECT n1 FROM nswp1) < {_NSW_HIER_FLOOR}
+              OR e.vec_id % ((SELECT stride FROM nswp)
+                             * (SELECT stride2 FROM nswp1)) = 0)),
+{p}hf0 AS (SELECT vec_id FROM {p}hv0
          ORDER BY s DESC, vec_id ASC LIMIT {_NSW_SEED_COUNT})"""]
+    for r in range(1, _NSW_L1_ROUNDS + 1):
+        parts.append(f"""{p}hc{r} AS (SELECT DISTINCT g.dst AS vec_id
+        FROM nswhsym g JOIN {p}hf{r - 1} f ON g.src = f.vec_id
+        WHERE g.dst NOT IN (SELECT vec_id FROM {p}hv{r - 1})),
+{p}hs{r} AS (SELECT e.vec_id, e.label, ROUND({_SQL_COS_TO_Q}, 6) AS s
+         FROM embeddings e JOIN {p}hc{r} USING (vec_id), nswq q),
+{p}hv{r} AS (SELECT * FROM {p}hv{r - 1} UNION ALL
+             SELECT * FROM {p}hs{r}),
+{p}hf{r} AS (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (
+             ORDER BY s DESC, vec_id ASC) AS rn FROM {p}hs{r})
+         WHERE rn <= (SELECT stride2 FROM nswp1))""")
+    parts.append(f"""{p}v0 AS (SELECT * FROM {p}hv{_NSW_L1_ROUNDS}),
+{p}f0 AS (SELECT vec_id FROM {p}v0
+         ORDER BY s DESC, vec_id ASC LIMIT {_NSW_ENTRY})""")
     for r in range(1, _NSW_ROUNDS + 1):
         parts.append(f"""{p}c{r} AS (SELECT DISTINCT g.dst AS vec_id
         FROM nswsym g JOIN {p}f{r - 1} f ON g.src = f.vec_id
@@ -11477,7 +11529,7 @@ def ann_nsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride, ef, rounds = nsw_serving_params(
         _nsw_corpus_n(spark, sf_dir, base, 1))
     top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef, rounds=rounds,
-                  stride=stride, n_entry=_NSW_SEED_COUNT,
+                  stride=stride, n_entry=_NSW_ENTRY,
                   sim_col="similarity")
     return top.select("vec_id", "label", "similarity")
 
@@ -11514,7 +11566,7 @@ def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -11522,7 +11574,7 @@ def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
                          rounds=rounds, stride=stride,
-                         n_entry=_NSW_SEED_COUNT, sim_col="similarity")
+                         n_entry=_NSW_ENTRY, sim_col="similarity")
     return top.select("vec_id", "label", "similarity")
 
 
@@ -11560,7 +11612,7 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef,
                          rounds=rounds, stride=stride,
-                         n_entry=_NSW_SEED_COUNT,
+                         n_entry=_NSW_ENTRY,
                          sim_col="sim").select("vec_id")
     overlap = exact_top.join(approx_top, "vec_id")
     return (exact_top.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -11570,10 +11622,12 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
-_NSW_CURVE_EFS = (8, 23, 45)
+_NSW_CURVE_EFS = (12, 33, 67)
 """Beam-width operating points for the curve slot: below / at / above
-the sf0.01 autoscale point (⌈√499⌉ = 23; 45 is the sf0.1 autoscale —
-the curve prices what the next scale step costs and buys)."""
+the sf0.01 autoscale point (⌈1.5·√480⌉ = 33; 67 is the sf0.1
+autoscale — the curve prices what the next scale step costs and
+buys).  The v3 knee receipt: 33→67 is what lifted the sf0.1 recall
+tail (min 0.5 → 0.9, BASELINE.md r14)."""
 
 
 def _nsw_curve_oracle() -> str:
@@ -11631,7 +11685,7 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tie_break="vec_id").collect()}
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -11640,7 +11694,7 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ef in _NSW_CURVE_EFS:
         visited = nsw_stored_knn(spark, store, base, qvec, k=4000,
                                  ef=ef, rounds=rounds, stride=stride,
-                                 n_entry=_NSW_SEED_COUNT,
+                                 n_entry=_NSW_ENTRY,
                                  sim_col="sim").collect()
         top10 = [r.vec_id for r in visited[:10]]
         overlap = len(exact.intersection(top10))
@@ -11671,12 +11725,35 @@ def _nsw_mean_recall_oracle() -> str:
   FROM embeddings e, embeddings q
   WHERE e.vec_id >= {nq} AND q.vec_id < {nq}
     AND e.embedding IS NOT NULL AND q.embedding IS NOT NULL),
-bv0 AS (SELECT qid, vec_id, s FROM bsims
-        WHERE vec_id % (SELECT stride FROM nswp) = 0),
+bhv0 AS (SELECT qid, vec_id, s FROM bsims
+        WHERE vec_id % (SELECT stride FROM nswp) = 0
+          AND ((SELECT n1 FROM nswp1) < {_NSW_HIER_FLOOR}
+               OR vec_id % ((SELECT stride FROM nswp)
+                            * (SELECT stride2 FROM nswp1)) = 0)),
+bhf0 AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+          FROM bhv0) WHERE rn <= {_NSW_SEED_COUNT})"""]
+    for r in range(1, _NSW_L1_ROUNDS + 1):
+        parts.append(f"""bhc{r} AS (
+  SELECT DISTINCT f.qid, g.dst AS vec_id
+  FROM nswhsym g JOIN bhf{r - 1} f ON g.src = f.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM bhv{r - 1} v
+                    WHERE v.qid = f.qid AND v.vec_id = g.dst)),
+bhs{r} AS (SELECT c.qid, c.vec_id, s.s
+          FROM bhc{r} c JOIN bsims s
+            ON s.qid = c.qid AND s.vec_id = c.vec_id),
+bhv{r} AS (SELECT * FROM bhv{r - 1} UNION ALL SELECT * FROM bhs{r}),
+bhf{r} AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM bhs{r})
+          WHERE rn <= (SELECT stride2 FROM nswp1))""")
+    parts.append(f"""bv0 AS (SELECT * FROM bhv{_NSW_L1_ROUNDS}),
 bf0 AS (SELECT qid, vec_id FROM (
           SELECT qid, vec_id, ROW_NUMBER() OVER (
             PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-          FROM bv0) WHERE rn <= {_NSW_SEED_COUNT})"""]
+          FROM bv0) WHERE rn <= {_NSW_ENTRY})""")
     for r in range(1, _NSW_ROUNDS + 1):
         parts.append(f"""bc{r} AS (
   SELECT DISTINCT f.qid, g.dst AS vec_id
@@ -11744,6 +11821,7 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
         beam_search_knn_batch,
         nsw_serving_params,
         resolve_stored_edges,
+        resolve_stored_l1,
         write_nsw_index,
     )
     from pyspark.sql import Window
@@ -11758,7 +11836,7 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswnqv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswnqv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswnq_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -11766,8 +11844,10 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
                         m=_NSW_M)
     # batch serving: resolve the store's undirected traversal relation
     # ONCE per job (merge-on-read window + symmetrize), amortized over
-    # every query in the batch
+    # every query in the batch; the L1 layer rides along the same way
+    # (√n-sized, one read)
     edges = resolve_stored_edges(spark, store, m=_NSW_M)
+    l1_edges, l1_meta = resolve_stored_l1(spark, store)
 
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.functions.vectors import (
@@ -11780,7 +11860,8 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
         # (visited counts — the number the curve slot prices)
         allv = beam_search_knn_batch(
             edges, corpus, queries_df, k=1 << 30, ef=ef, rounds=rounds,
-            stride=stride, n_entry=_NSW_SEED_COUNT)
+            stride=stride, n_entry=_NSW_ENTRY,
+            l1_edges=l1_edges, n1=l1_meta["n1"])
         n_corpus = corpus.filter(F.col("embedding").isNotNull()).count()
         # exact per-qid top-10: one qid-keyed rank over the scored
         # cross relation (the oracle's bsims twin)
@@ -11874,14 +11955,14 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", F.round("sim", 6).alias("similarity")))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(base, store, m=_NSW_M)
     approx = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
                             rounds=rounds, stride=stride,
-                            n_entry=_NSW_SEED_COUNT,
+                            n_entry=_NSW_ENTRY,
                             sim_col="similarity") \
         .select("vec_id", "similarity")
     return ranking_metrics(approx, exact, k=10)
@@ -11921,7 +12002,14 @@ def _scd2_build(o: DataFrame) -> DataFrame:
 _SCD2_CUTOFF = "1997-01-01"
 
 
-@query("scd2_incremental_splice", oracle="""
+_SCD2_SPLICE_COLS = ("is_current", "n_orders", "o_custkey", "priority",
+                     "valid_from_us", "valid_to_us", "version_no")
+_SCD2_SPLICE_HASH = "md5(concat_ws('|', " + ", ".join(
+    f"coalesce(CAST({c} AS VARCHAR), '{_CANON_NULL}')"
+    for c in _SCD2_SPLICE_COLS) + "))"
+
+
+@query("scd2_incremental_splice", oracle=f"""
 WITH seq AS (
   SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
          LAG(o_orderpriority) OVER w AS prev
@@ -11942,13 +12030,18 @@ hist AS (
          MIN(o_orderpriority) AS priority,
          CAST(epoch_us(MIN(o_orderdate)) AS BIGINT) AS valid_from_us,
          CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM ver GROUP BY o_custkey, version_no)
-SELECT o_custkey, version_no, priority, valid_from_us, n_orders,
-       LEAD(valid_from_us) OVER v AS valid_to_us,
-       CASE WHEN LEAD(valid_from_us) OVER v IS NULL THEN 1 ELSE 0 END
-         AS is_current
-FROM hist
-WINDOW v AS (PARTITION BY o_custkey ORDER BY version_no ASC)
+  FROM ver GROUP BY o_custkey, version_no),
+dim AS (
+  SELECT o_custkey, version_no, priority, valid_from_us, n_orders,
+         LEAD(valid_from_us) OVER v AS valid_to_us,
+         CASE WHEN LEAD(valid_from_us) OVER v IS NULL THEN 1 ELSE 0 END
+           AS is_current
+  FROM hist
+  WINDOW v AS (PARTITION BY o_custkey ORDER BY version_no ASC))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(is_current) AS BIGINT) AS n_current,
+       md5(coalesce(string_agg(h, '' ORDER BY h), '')) AS digest
+FROM (SELECT is_current, {_SCD2_SPLICE_HASH} AS h FROM dim) _h
 """)
 def scd2_incremental_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 DELTA-BATCH SPLICE — incremental maintenance of a stored
@@ -12037,7 +12130,23 @@ def scd2_incremental_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = store.filter(F.col("is_current") == 0).select(
         "o_custkey", "version_no", "priority", "valid_from_us",
         "n_orders", "valid_to_us", "is_current")
-    return closed.unionByName(tail_fixed)
+    dim = closed.unionByName(tail_fixed)
+    # DIGEST receipt (VERDICT r13 #3): collecting the full spliced
+    # dimension priced the EXPORT, not the MERGE (sf1 ratio 7.4× on
+    # 10× data for a |delta|+|open| operation).  Emit count + current
+    # count + an order-insensitive md5 fold instead — the bench now
+    # prices the splice itself.  The sorted collect_list fold is the
+    # battery-digest pattern (one 32·n-byte buffer — fine at any sf
+    # this repo runs; at 100 TB fold per-partition first, then md5 the
+    # sorted partition digests).
+    h = F.md5(F.concat_ws("|", *[
+        F.coalesce(F.col(c).cast("string"), F.lit(_CANON_NULL))
+        for c in _SCD2_SPLICE_COLS]))
+    return (dim.select(h.alias("h"), "is_current")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("is_current").cast("bigint").alias("n_current"),
+                 F.md5(F.concat_ws("", F.sort_array(
+                     F.collect_list("h")))).alias("digest")))
 
 
 @query("scd2_customer_priority", oracle="""
@@ -12197,14 +12306,48 @@ def _dedup_capstone_phase_sql(p: str, nodes: str) -> str:
        UNION SELECT dst, src FROM {p}edges),
 {p}p AS MATERIALIZED (SELECT
          GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS stride,
-         GREATEST({_NSW_EF}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS ef
+         GREATEST({_NSW_EF},
+                  CAST(CEIL(1.5 * SQRT(COUNT(*))) AS BIGINT)) AS ef
        FROM {nodes}),
+{p}p1 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+         GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS stride2
+       FROM {nodes}
+       WHERE vec_id % (SELECT stride FROM {p}p) = 0),
+{p}hedges AS MATERIALIZED (SELECT src, dst FROM (
+         SELECT src, dst, ROW_NUMBER() OVER (
+           PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+         FROM {p}sims
+         WHERE src % (SELECT stride FROM {p}p) = 0
+           AND dst % (SELECT stride FROM {p}p) = 0)
+       WHERE rn <= {_CAP_M}),
+{p}hsym AS MATERIALIZED (SELECT src, dst FROM {p}hedges
+       UNION SELECT dst, src FROM {p}hedges),
 {p}qs AS MATERIALIZED (SELECT e.vec_id, ROUND({_SQL_COS_TO_Q}, 6) AS s
        FROM {nodes} e, capq q),
-{p}v0 AS MATERIALIZED (SELECT vec_id, s FROM {p}qs
-       WHERE vec_id % (SELECT stride FROM {p}p) = 0),
-{p}f0 AS MATERIALIZED (SELECT vec_id FROM {p}v0
+{p}hv0 AS MATERIALIZED (SELECT vec_id, s FROM {p}qs
+       WHERE vec_id % (SELECT stride FROM {p}p) = 0
+         AND ((SELECT n1 FROM {p}p1) < {_NSW_HIER_FLOOR}
+              OR vec_id % ((SELECT stride FROM {p}p)
+                           * (SELECT stride2 FROM {p}p1)) = 0)),
+{p}hf0 AS MATERIALIZED (SELECT vec_id FROM {p}hv0
        ORDER BY s DESC, vec_id ASC LIMIT {_NSW_SEED_COUNT})"""]
+    for r in range(1, _NSW_L1_ROUNDS + 1):
+        parts.append(f"""{p}hc{r} AS MATERIALIZED (
+         SELECT DISTINCT g.dst AS vec_id
+         FROM {p}hsym g JOIN {p}hf{r - 1} f ON g.src = f.vec_id
+         WHERE g.dst NOT IN (SELECT vec_id FROM {p}hv{r - 1})),
+{p}hs{r} AS MATERIALIZED (SELECT q.vec_id, q.s
+         FROM {p}qs q JOIN {p}hc{r} USING (vec_id)),
+{p}hv{r} AS MATERIALIZED (SELECT * FROM {p}hv{r - 1}
+         UNION ALL SELECT * FROM {p}hs{r}),
+{p}hf{r} AS MATERIALIZED (SELECT vec_id FROM (
+           SELECT vec_id, ROW_NUMBER() OVER (
+             ORDER BY s DESC, vec_id ASC) AS rn FROM {p}hs{r})
+         WHERE rn <= (SELECT stride2 FROM {p}p1))""")
+    parts.append(f"""{p}v0 AS MATERIALIZED (
+         SELECT * FROM {p}hv{_NSW_L1_ROUNDS}),
+{p}f0 AS MATERIALIZED (SELECT vec_id FROM {p}v0
+       ORDER BY s DESC, vec_id ASC LIMIT {_NSW_ENTRY})""")
     for r in range(1, _NSW_ROUNDS + 1):
         parts.append(f"""{p}c{r} AS MATERIALIZED (
          SELECT DISTINCT g.dst AS vec_id
@@ -12292,6 +12435,7 @@ def dedup_graph_index_capstone(spark: SparkSession,
     from openai_vector_search_demo_spark.operators.nsw import (
         beam_search_knn,
         build_knn_graph,
+        build_l1_graph,
         nsw_serving_params,
         symmetrize_edges,
     )
@@ -12325,10 +12469,14 @@ def dedup_graph_index_capstone(spark: SparkSession,
             comp = duplicate_clusters(edges.select(
                 F.col("src").alias("id_a"), F.col("dst").alias("id_b")))
             n_comp = (comp.select("cluster_id").distinct().count())
+            n1 = nodes.filter(
+                F.pmod(F.col("vec_id"), F.lit(int(stride))) == 0).count()
+            l1 = build_l1_graph(nodes, stride, m=_CAP_M)
             top = beam_search_knn(symmetrize_edges(edges), nodes, qvec,
                                   k=10, ef=ef, rounds=rounds,
                                   stride=stride,
-                                  n_entry=_NSW_SEED_COUNT)
+                                  n_entry=_NSW_ENTRY,
+                                  l1_edges=l1, n1=n1)
             got = {r2.vec_id % 1000 for r2 in top.collect()}
             rows.append((phase, n, n_edges, n_comp,
                          round(len(got & exact) / 10.0, 3)))
@@ -13103,7 +13251,7 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswupv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswupv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswup_store_" + key)
     marker = os.path.join(store, "_UPSERTED")
@@ -13118,7 +13266,7 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
                          rounds=rounds, stride=stride,
-                         n_entry=_NSW_SEED_COUNT,
+                         n_entry=_NSW_ENTRY,
                          sim_col="similarity", m=_NSW_M)
     return top.select("vec_id", "label", "similarity")
 
@@ -13201,7 +13349,7 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswdelv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswdelv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswdel_store_" + key)
     marker = os.path.join(store, "_TOMBSTONED")
@@ -13219,7 +13367,7 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
                          rounds=rounds, stride=stride,
-                         n_entry=_NSW_SEED_COUNT,
+                         n_entry=_NSW_ENTRY,
                          sim_col="similarity", m=_NSW_M)
     return top.select("vec_id", "label", "similarity")
 
@@ -13474,7 +13622,7 @@ def ann_nsw_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nsw_corpus_n(spark, sf_dir, base, 1))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv2{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -13483,7 +13631,7 @@ def ann_nsw_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then applies to RESULTS only (ghost traversal)
     allv = nsw_stored_knn(spark, store, base, qvec, k=1 << 20, ef=ef,
                           rounds=rounds, stride=stride,
-                          n_entry=_NSW_SEED_COUNT,
+                          n_entry=_NSW_ENTRY,
                           sim_col="similarity")
     return (allv.filter(F.col("label") == _NSW_FILTER_LABEL)
             .select("vec_id", "label", "similarity")
@@ -13533,6 +13681,230 @@ def ann_nsw_filtered_recall_at_10(spark: SparkSession,
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
+_NSW_FSEL = (
+    ("sel01", f"label = {_NSW_FILTER_LABEL} AND vec_id % 10 = 1"),
+    ("sel10", f"label = {_NSW_FILTER_LABEL}"),
+    ("sel50", "label < 5"),
+)
+"""The filtered-serving selectivity ladder: ~1% / ~10% / ~50% of the
+corpus (label is uniform over 10 values; the %10 split cuts one label
+to a tenth).  The 1% point is the known post-filter failure mode —
+the beam visits < k matches — and the one the widening rule exists
+for."""
+
+
+def _nsw_filtered_curve_oracle() -> str:
+    parts = [_sql_nsw_edges()]
+    points = []
+    for i, (tag, pred) in enumerate(_NSW_FSEL):
+        p = f"{tag}_"
+        parts.append(f"""{p}m AS (SELECT CAST(COUNT(*) AS BIGINT)
+           AS n_match
+       FROM embeddings
+       WHERE vec_id <> 0 AND embedding IS NOT NULL AND {pred}),
+{p}w AS (SELECT (SELECT ef FROM nswp) * LEAST(4, GREATEST(1,
+           CAST(CEIL(10.0
+             * (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+                WHERE vec_id <> 0 AND embedding IS NOT NULL)
+             / ((SELECT ef FROM nswp) * (SELECT n_match FROM {p}m)))
+           AS BIGINT))) AS ef_eff)""")
+        parts.append(_sql_nsw_beam(prefix=p,
+                                   ef=f"SELECT ef_eff FROM {p}w",
+                                   include_q=(i == 0)))
+        parts.append(f"""{p}ft AS (SELECT vec_id
+        FROM {p}v{_NSW_ROUNDS} WHERE {pred}
+        ORDER BY s DESC, vec_id ASC LIMIT 10),
+{p}fx AS (SELECT e.vec_id FROM embeddings e, nswq q
+        WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
+          AND {pred.replace('label', 'e.label')
+                  .replace('vec_id % 10', 'e.vec_id % 10')}
+        ORDER BY {_SQL_COS_TO_Q} DESC, e.vec_id ASC LIMIT 10)""")
+        points.append(f"""
+SELECT '{tag}' AS bucket,
+       (SELECT CAST(ef_eff AS BIGINT) FROM {p}w) AS ef_eff,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}fx) AS n_exact,
+       (SELECT n_match FROM {p}m) AS n_match,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}v{_NSW_ROUNDS}
+        WHERE {pred}) AS n_matches_visited,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM {p}fx JOIN {p}ft USING (vec_id)) AS n_overlap,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {p}v{_NSW_ROUNDS})
+         AS n_visited,
+       ROUND((SELECT COUNT(*) FROM {p}fx JOIN {p}ft USING (vec_id))
+             / (SELECT COUNT(*) FROM {p}fx), 3) AS recall_at_10""")
+    body = ",\n".join(parts)
+    rows = "\nUNION ALL\n".join(points)
+    return f"WITH {body}\nSELECT * FROM ({rows}) _fc ORDER BY bucket"
+
+
+@query("ann_nsw_filtered_recall_curve",
+       oracle=_nsw_filtered_curve_oracle())
+def ann_nsw_filtered_recall_curve(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """FILTERED SERVING PRICED ACROSS SELECTIVITY — the ~1% / ~10% /
+    ~50% ladder over the same stored graph, with the PREDICATE-AWARE
+    beam widening ``operators.nsw.nsw_filtered_ef`` wired in (the
+    filtered-DiskANN / ACORN practice): ef widens by
+    ⌈k·n_total/(ef·n_match)⌉ clamped to [1, 4], the factor that makes
+    the expected per-round match count k.  The known failure mode is
+    the 1% point — post-filter starves when the visited set holds
+    < k matches (recall 0.9 unwidened at sf0.1); widened it serves
+    1.0.  Each row receipts the price too: effective ef, nodes
+    visited, matches visited, overlap vs the exact filtered top-10.
+    One graph serves every predicate — zero per-predicate index
+    state."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_filtered_ef,
+        nsw_serving_params,
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    n_total = _nsw_corpus_n(spark, sf_dir, base, 1)
+    stride, ef, rounds = nsw_serving_params(n_total)
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(base, store, m=_NSW_M)
+
+    preds = {
+        "sel01": (F.col("label") == _NSW_FILTER_LABEL)
+        & (F.col("vec_id") % 10 == 1),
+        "sel10": F.col("label") == _NSW_FILTER_LABEL,
+        "sel50": F.col("label") < 5,
+    }
+    rows = []
+    for tag, pred in preds.items():
+        n_match = base.filter(F.col("embedding").isNotNull() & pred) \
+            .count()
+        ef_eff = nsw_filtered_ef(ef, n_match, n_total, k=10, cap=4)
+        allv = nsw_stored_knn(spark, store, base, qvec, k=1 << 20,
+                              ef=ef_eff, rounds=rounds, stride=stride,
+                              n_entry=_NSW_ENTRY, sim_col="s")
+        n_visited = allv.count()
+        n_mv = allv.filter(pred).count()
+        ft = (allv.filter(pred)
+              .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+              .limit(10).select("vec_id"))
+        fx = (knn(base.filter(pred), qvec, k=10, sim_col="sim",
+                  tie_break="vec_id").select("vec_id"))
+        n_exact = fx.count()
+        n_overlap = fx.join(ft, "vec_id").count()
+        rows.append((tag, ef_eff, n_exact, n_match, n_mv, n_overlap,
+                     n_visited, round(n_overlap / n_exact, 3)))
+    return spark.createDataFrame(
+        rows, "bucket string, ef_eff long, n_exact long, n_match long,"
+              " n_matches_visited long, n_overlap long, n_visited long,"
+              " recall_at_10 double").orderBy("bucket")
+
+
+_NSW_TENANT_WHERE = "vec_id <> 0 AND label % 2 = 0"
+
+
+@query("ann_nsw_tenant_knn", oracle=f"""
+WITH {_sql_nsw_edges(corpus_where=_NSW_TENANT_WHERE)},
+{_sql_nsw_beam(corpus_where=_NSW_TENANT_WHERE)}
+SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
+ORDER BY s DESC, vec_id ASC LIMIT 10
+""")
+def ann_nsw_tenant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TENANT-SCOPED graph serving — the reference's per-alias physical
+    isolation (each Redis index alias is a separate physical index,
+    modules/utilities.py:282-287) applied to the ANN store tier
+    (SURVEY §1.1 #4): ``write_nsw_index_tenants`` lays the store out
+    ``tenant=T/bucket=B`` with each tenant's graph + L1 layer built
+    from ITS OWN vectors only, and the serve opens only its tenant's
+    subtree — other tenants' buckets are never listed, and cross-tenant
+    edges cannot exist by construction (stronger than filtering one
+    shared graph, whose beam would still traverse — and pay for —
+    other tenants' nodes).  Tenants here are label-parity halves; the
+    oracle is the full v3 beam over the tenant-0 corpus alone.
+    ``tests/test_nsw.py`` pins that the serve's input files all live
+    under ``tenant=0/``."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+        nsw_stored_knn,
+        nsw_tenant_path,
+        write_nsw_index_tenants,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    tdf = (emb.filter(F.col("vec_id") != 0)
+           .withColumn("tenant",
+                       F.pmod(F.col("label"), F.lit(2)).cast("string")))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswtenv1{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nswten_store_" + key)
+    if not os.path.exists(
+            os.path.join(nsw_tenant_path(store, "0"), "_SUCCESS")):
+        write_nsw_index_tenants(tdf, store, tenant_col="tenant",
+                                m=_NSW_M)
+    base0 = tdf.filter(F.col("tenant") == "0").drop("tenant")
+    n0 = base0.filter(F.col("embedding").isNotNull()).count()
+    stride, ef, rounds = nsw_serving_params(n0)
+    top = nsw_stored_knn(spark, nsw_tenant_path(store, "0"), base0,
+                         qvec, k=10, ef=ef, rounds=rounds,
+                         stride=stride, n_entry=_NSW_ENTRY,
+                         sim_col="similarity", m=_NSW_M)
+    return top.select("vec_id", "label", "similarity")
+
+
+@query("ann_hamming_tenant_knn",
+       oracle=_hamming_knn_oracle(corpus_where=_NSW_TENANT_WHERE))
+def ann_hamming_tenant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant scoping on the BINARY tier (the same per-alias physical
+    isolation as ``ann_nsw_tenant_knn``, applied to the 8-byte
+    signature store): ``write_hamming_index(tenant_col=...)``
+    partitions the store tenant-first, and the tenant's serve scans
+    only its own signatures — the shortlist never pays for other
+    tenants' rows.  Same planes/shortlist/rerank as
+    ``ann_hamming_stored_knn``; the oracle is that slot's SQL over the
+    tenant-0 corpus alone."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.hamming import (
+        hamming_stored_knn,
+        write_hamming_index,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    tdf = (emb.filter(F.col("vec_id") != 0)
+           .withColumn("tenant",
+                       F.pmod(F.col("label"), F.lit(2)).cast("string")))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|hamtenv1|{_parquet_fingerprint(emb_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_hamten_" + key)
+    if not os.path.exists(store):
+        write_hamming_index(tdf, store, nbits=_HAMMING_NBITS, seed=42,
+                            tenant_col="tenant")
+    base0 = tdf.filter(F.col("tenant") == "0").drop("tenant")
+    top = hamming_stored_knn(
+        spark, store, base0, qvec, nbits=_HAMMING_NBITS, seed=42,
+        k=10, shortlist=_HAMMING_SHORTLIST, sim_col="sim", tenant="0")
+    return top.select("vec_id", "label",
+                      F.round("sim", 6).alias("similarity"))
+
+
 _CB_CELLS, _CB_NQ = 8, 20
 
 
@@ -13579,8 +13951,21 @@ cbsims AS (SELECT src, dst, ROUND(dt / (na.nm * nb.nm), 6) AS sim
 cbp AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
                  AS stride,
                GREATEST({_NSW_EF},
-                        CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS ef
+                        CAST(CEIL(1.5 * SQRT(COUNT(*))) AS BIGINT)) AS ef
         FROM cben),
+cbp1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+                GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                  AS stride2
+         FROM cben WHERE vec_id % (SELECT stride FROM cbp) = 0),
+cbhedges AS (SELECT src, dst FROM (
+           SELECT src, dst, ROW_NUMBER() OVER (
+             PARTITION BY src ORDER BY sim DESC, dst ASC) AS rn
+           FROM cbsims
+           WHERE src % (SELECT stride FROM cbp) = 0
+             AND dst % (SELECT stride FROM cbp) = 0)
+         WHERE rn <= {_NSW_M}),
+cbhsym AS (SELECT src, dst FROM cbhedges
+           UNION SELECT dst, src FROM cbhedges),
 cbqs AS (
   SELECT q.vec_id AS qid, e.vec_id,
          ROUND(list_aggregate(list_transform(range(1, {d + 1}),
@@ -13597,7 +13982,34 @@ cbqs AS (
 cbexact AS (SELECT qid, vec_id FROM (
               SELECT qid, vec_id, ROW_NUMBER() OVER (
                 PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-              FROM cbqs) WHERE rn <= 10)"""]
+              FROM cbqs) WHERE rn <= 10),
+cbhv0 AS (SELECT qid, vec_id, s FROM cbqs
+          WHERE vec_id % (SELECT stride FROM cbp) = 0
+            AND ((SELECT n1 FROM cbp1) < {_NSW_HIER_FLOOR}
+                 OR vec_id % ((SELECT stride FROM cbp)
+                              * (SELECT stride2 FROM cbp1)) = 0)),
+cbhf0 AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM cbhv0) WHERE rn <= {_NSW_SEED_COUNT})"""]
+    # the hierarchical ENTRY is mode-independent (L1 is the exact graph
+    # over the coarse subset, not the sharded build under test), so one
+    # shared qid-keyed L1 beam seeds both modes' base beams
+    for r in range(1, _NSW_L1_ROUNDS + 1):
+        parts.append(f"""cbhc{r} AS (
+  SELECT DISTINCT f.qid, g.dst AS vec_id
+  FROM cbhsym g JOIN cbhf{r - 1} f ON g.src = f.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM cbhv{r - 1} v
+                    WHERE v.qid = f.qid AND v.vec_id = g.dst)),
+cbhs{r} AS (SELECT c.qid, c.vec_id, s.s
+          FROM cbhc{r} c JOIN cbqs s
+            ON s.qid = c.qid AND s.vec_id = c.vec_id),
+cbhv{r} AS (SELECT * FROM cbhv{r - 1} UNION ALL SELECT * FROM cbhs{r}),
+cbhf{r} AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM cbhs{r})
+          WHERE rn <= (SELECT stride2 FROM cbp1))""")
     for a in (1, 2):
         p = f"m{a}"
         parts.append(f"""{p}mem AS (SELECT vec_id, sup FROM cbrank
@@ -13612,12 +14024,11 @@ cbexact AS (SELECT qid, vec_id FROM (
          WHERE rn <= {_NSW_M}),
 {p}sym AS (SELECT src, dst FROM {p}edges
          UNION SELECT dst, src FROM {p}edges),
-{p}v0 AS (SELECT qid, vec_id, s FROM cbqs
-         WHERE vec_id % (SELECT stride FROM cbp) = 0),
+{p}v0 AS (SELECT * FROM cbhv{_NSW_L1_ROUNDS}),
 {p}f0 AS (SELECT qid, vec_id FROM (
            SELECT qid, vec_id, ROW_NUMBER() OVER (
              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-           FROM {p}v0) WHERE rn <= {_NSW_SEED_COUNT})""")
+           FROM {p}v0) WHERE rn <= {_NSW_ENTRY})""")
         for r in range(1, _NSW_ROUNDS + 1):
             parts.append(f"""{p}c{r} AS (
   SELECT DISTINCT f.qid, g.dst AS vec_id
@@ -13680,6 +14091,7 @@ def ann_nsw_cellbuild_mean_recall_at_10(spark: SparkSession,
     from openai_vector_search_demo_spark.operators.nsw import (
         beam_search_knn_batch,
         build_knn_graph_sharded,
+        build_l1_graph,
         nsw_serving_params,
         symmetrize_edges,
     )
@@ -13705,6 +14117,14 @@ def ann_nsw_cellbuild_mean_recall_at_10(spark: SparkSession,
                  .filter(F.col("_rn") <= 10).select("qid", "vec_id")
                  .withColumn("hit", F.lit(1)))
         exact = scoped_persist(exact)
+        # the hierarchical ENTRY layer is mode-independent (exact L1
+        # graph over the coarse subset — not the sharded build under
+        # test), so one build serves both modes' beams
+        base = corpus.select("vec_id", "embedding") \
+            .filter(F.col("embedding").isNotNull())
+        n1 = base.filter(
+            F.pmod(F.col("vec_id"), F.lit(int(stride))) == 0).count()
+        l1 = scoped_persist(build_l1_graph(base, stride, m=_NSW_M))
         for a in (1, 2):
             edges = build_knn_graph_sharded(
                 corpus.select("vec_id", "embedding"),
@@ -13714,7 +14134,7 @@ def ann_nsw_cellbuild_mean_recall_at_10(spark: SparkSession,
             allv = beam_search_knn_batch(
                 symmetrize_edges(edges), corpus, queries_df,
                 k=1 << 30, ef=ef, rounds=rounds, stride=stride,
-                n_entry=_NSW_SEED_COUNT)
+                n_entry=_NSW_ENTRY, l1_edges=l1, n1=n1)
             per = (allv.join(F.broadcast(exact), ["qid", "vec_id"],
                              "left")
                    .groupBy("qid")
@@ -13754,7 +14174,7 @@ def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from openai_vector_search_demo_spark.operators.nsw import (
-        NSW_SEED_COUNT as _NSC,
+        NSW_ENTRY_COUNT as _NSC,
         nsw_serving_params,
         nsw_stored_knn,
         write_nsw_index,
@@ -13773,7 +14193,7 @@ def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswstream{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswstreamv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     root = os.path.join("/tmp", "spark_graft_nswstream_" + key)
     store = os.path.join(root, "graph")

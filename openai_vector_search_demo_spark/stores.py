@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_probed_partitions", "register_partitioned_store",
-           "fs_exists", "fs_touch"]
+           "fs_exists", "fs_touch", "fs_write_text", "fs_read_text"]
 
 
 def _hadoop_path_fs(spark: SparkSession, path: str):
@@ -63,6 +63,35 @@ def fs_touch(spark: SparkSession, path: str) -> None:
     Hadoop FileSystem API."""
     jpath, fs = _hadoop_path_fs(spark, path)
     fs.create(jpath, True).close()
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (store metadata — e.g. the NSW upper
+    layer's write-time params) through the Hadoop FileSystem API, so it
+    lands next to the data on ANY store URI."""
+    jpath, fs = _hadoop_path_fs(spark, path)
+    out = fs.create(jpath, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str | None:
+    """Read a small text file written by ``fs_write_text``; None if the
+    file does not exist (callers treat that as 'no metadata')."""
+    jpath, fs = _hadoop_path_fs(spark, path)
+    if not fs.exists(jpath):
+        return None
+    inp = fs.open(jpath)
+    try:
+        chunks = []
+        while True:
+            b = inp.read()
+            if b < 0:
+                break
+            chunks.append(b)
+        return bytes(chunks).decode("utf-8")
+    finally:
+        inp.close()
 
 
 def read_probed_partitions(spark: SparkSession, store: str, part_col: str,

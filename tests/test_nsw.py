@@ -324,10 +324,20 @@ def test_nsw_serving_params_autoscale():
     from openai_vector_search_demo_spark.operators.nsw import (
         nsw_serving_params,
     )
-    assert nsw_serving_params(480) == (22, 22, 4)    # sf0.01 held-out
-    assert nsw_serving_params(1980) == (45, 45, 4)   # sf0.1 held-out
-    assert nsw_serving_params(100) == (10, 12, 4)    # ef floor holds
-    assert nsw_serving_params(1) == (2, 12, 4)       # degenerate corpus
+    assert nsw_serving_params(480) == (22, 33, 5)    # sf0.01 held-out
+    assert nsw_serving_params(1980) == (45, 67, 5)   # sf0.1 held-out
+    assert nsw_serving_params(49) == (7, 12, 5)      # ef floor holds
+    assert nsw_serving_params(1) == (2, 12, 5)       # degenerate corpus
+
+
+def test_nsw_l1_params():
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_l1_params,
+    )
+    assert nsw_l1_params(44) == (7, True)    # sf0.1 L1 layer
+    assert nsw_l1_params(22) == (5, True)    # sf0.01 L1 layer
+    assert nsw_l1_params(6) == (3, False)    # below the hier floor
+    assert nsw_l1_params(1) == (2, False)
 
 
 def test_symmetric_traversal_uses_reverse_edges(spark):
@@ -468,3 +478,52 @@ def test_sharded_build_edges_stay_within_shared_cells(spark, emb):
     assert edges, "no edges built"
     for r in edges:
         assert sup[r.src] == sup[r.dst], (r.src, r.dst)
+
+
+@pytest.mark.slow
+def test_tenant_store_isolation(spark, emb, tmp_path):
+    """Per-alias physical isolation (VERDICT r13 #4): a tenant's serve
+    opens ONLY its own subtree — the other tenant's files are never in
+    the read's input set — and equals the inline build over that
+    tenant's vectors alone (cross-tenant edges cannot exist)."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_tenant_path,
+        write_nsw_index_tenants,
+    )
+    store = str(tmp_path / "nswten")
+    tdf = emb.withColumn(
+        "tenant", F.pmod(F.col("label"), F.lit(2)).cast("string"))
+    tenants = write_nsw_index_tenants(tdf, store, tenant_col="tenant",
+                                      m=3, n_buckets=4)
+    assert tenants == ["0", "1"]
+    base0 = tdf.filter(F.col("tenant") == "0").drop("tenant")
+    qvec = [0.15] * DIM
+    stored = [(r.vec_id, r.similarity) for r in
+              nsw_stored_knn(spark, nsw_tenant_path(store, "0"), base0,
+                             qvec, k=10, ef=6, rounds=2, n_buckets=4,
+                             m=3, stride=5, n_entry=3).collect()]
+    inline = [(r.vec_id, r.similarity) for r in
+              nsw_knn(base0, qvec, k=10, m=3, ef=6, rounds=2,
+                      stride=5, n_entry=3).collect()]
+    assert stored == inline
+    # structural prune: every file the tenant-0 read can touch lives
+    # under tenant=0/; tenant=1's subtree exists and is disjoint
+    files0 = spark.read.parquet(nsw_tenant_path(store, "0")).inputFiles()
+    files1 = spark.read.parquet(nsw_tenant_path(store, "1")).inputFiles()
+    assert files0 and files1
+    assert all("tenant=0" in f for f in files0)
+    assert not set(files0) & set(files1)
+
+
+@pytest.mark.slow
+def test_filtered_ef_widening():
+    """The predicate-aware widening rule: expected per-round match
+    count reaches k, clamped to [1, cap]·ef; empty predicates take the
+    cap rather than diverging."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_filtered_ef,
+    )
+    assert nsw_filtered_ef(68, 22, 1999, k=10, cap=4) == 68 * 4
+    assert nsw_filtered_ef(68, 196, 1999, k=10, cap=4) == 68 * 2
+    assert nsw_filtered_ef(68, 995, 1999, k=10, cap=4) == 68
+    assert nsw_filtered_ef(68, 0, 1999, k=10, cap=4) == 68 * 4
