@@ -203,11 +203,16 @@ HEADLINE = [
     "ccnet_perplexity_buckets",  # head/middle/tail LM bucketing (r12)
     "gopher_quality_rules",   # rule-filter pass/fail audit (r12)
     "rag_serving_pipeline",   # hybrid RRF -> MMR -> budget pack (r13)
-    "scd2_incremental_splice",  # delta-batch dimension merge (r13)
+    "scd2_incremental_splice",  # delta-batch dimension merge (r13; r14
+    # emits a count+hash digest so this prices the MERGE, not an export)
     "ann_nsw_filtered_knn",   # predicate-filtered graph serving (r13)
     # labelprop/triangles stay benched under their original names above;
     # r13 pointed them at the persisted pair store (BASELINE.md A/B:
     # 7.11 -> 3.64 s and 2.74 -> 1.39 s same-session)
+    "ann_nsw_filtered_recall_curve",  # 1/10/50% selectivity ladder with
+    # predicate-aware beam widening (r14)
+    "ann_nsw_tenant_knn",     # tenant-isolated graph serving (r14)
+    "ann_hamming_tenant_knn",  # tenant-isolated signature serving (r14)
 ]
 
 

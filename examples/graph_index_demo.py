@@ -62,7 +62,6 @@ def main() -> None:
           "the graph)")
 
     # 2. sharded build: per-task work bounded by |cell|^2
-    stride, ef, rounds = nsw_serving_params(n)
     edges = build_knn_graph_sharded(survivors, IVF_TRAINED_CENTROIDS,
                                     n_cells=4, n_assign=2)
     print(f"[2] sharded build (4 super-cells, top-2 assignment): "
@@ -76,6 +75,12 @@ def main() -> None:
         write_nsw_index(corpus, store, n_buckets=8)
 
         def serve(tag, source, **kw):
+            # recompute the autoscale from THIS corpus: the stored L1
+            # layer is keyed to the write-time stride, and serving with
+            # a matching stride is what turns on the hierarchical entry
+            # (a mismatch degrades gracefully to the flat coarse scan)
+            stride, ef, rounds = nsw_serving_params(
+                source.filter(F.col("embedding").isNotNull()).count())
             top = nsw_stored_knn(spark, store, source, qvec, k=5,
                                  ef=ef, rounds=rounds, stride=stride,
                                  n_buckets=8, **kw).collect()

@@ -24,24 +24,29 @@ per-block top-Ms.  At 100 TB the same build runs per IVF cell first
 (cell-bounds the quadratic, the semdedup posture); the graph THIS
 module stores and serves is format-identical either way.
 
-Search (``beam_search_knn``, v2 semantic since r13): entry comes from
-the COARSE LAYER — the deterministic ⌈√n⌉-node subset ``id % stride ==
-0`` is scored exactly (the HNSW upper layer's seed-finding job as one
-bounded scan; at 100 TB a materialized table or itself graph-indexed —
-the recursion that yields the full hierarchy), its top-8 seed the
-beam, and the scored coarse nodes stay candidates.  Each of T rounds
-joins the frontier's adjacency rows (a broadcast of ≤ ef ids against
-the src-bucketed edge store — partition-pruned point lookups),
-traverses them SYMMETRICALLY (out-edges ∪ reversed in-edges — the
-reverse-link practice; hubs become entryways, not one-way sinks),
-scores the unvisited newcomers by exact cosine against the query,
-keeps the top-ef as the next frontier (ef autoscales to ⌈√n⌉ —
-``nsw_serving_params``), and accumulates every scored node.  The
-answer is the top-k of all visited nodes — i.e. the refine is built
-in: scores are exact cosines throughout, the graph only decides WHICH
-nodes get scored.  Recall is measured, never assumed — the r12 fixed
-seed/ef defaults served mean recall@10 = 0.155 at sf0.1; this serving
-semantic measures 0.76 (sf0.01: 0.93) with √n-bounded visit counts
+Search (``beam_search_knn``, v3 semantic since r14): entry is ITSELF
+HIERARCHICAL — the ⌈√n⌉-node coarse subset ``id % stride == 0`` is
+graph-indexed too (``build_l1_graph``; stored under ``_L1``), and a
+query enters by scoring the ~n^(1/4)-node L2 subset exactly, walking
+two beam rounds over the L1 graph, and seeding the base beam with the
+top-16 of every L1 node visited (all of which stay candidates — their
+exact scores are paid).  This is the reference's actual HNSW
+multi-layer structure (modules/utilities.py:272-278): per-query entry
+cost drops from Θ(√n) exact evaluations to Θ(n^(1/4)·M), and the
+recursion continues at whatever depth the corpus needs.  Each of T
+base rounds joins the frontier's adjacency rows (a broadcast of ≤ ef
+ids against the src-bucketed edge store — partition-pruned point
+lookups), traverses them SYMMETRICALLY (out-edges ∪ reversed in-edges
+— the reverse-link practice; hubs become entryways, not one-way
+sinks), scores the unvisited newcomers by exact cosine against the
+query, keeps the top-ef as the next frontier (ef autoscales to
+⌈1.5·√n⌉ — ``nsw_serving_params``), and accumulates every scored
+node.  The answer is the top-k of all visited nodes — i.e. the refine
+is built in: scores are exact cosines throughout, the graph only
+decides WHICH nodes get scored.  Recall is measured, never assumed —
+r12 fixed knobs served mean recall@10 = 0.155 at sf0.1, r13's flat
+coarse entry 0.76 (min 0.50), and this v3 operating point 0.97 (min
+0.90) at visited fraction 0.609 and falling with n
 (``ann_nsw_mean_recall_at_10``, ``ann_nsw_recall_curve``).
 
 Determinism contract (the ANN-family rule, ``ann.py`` module
@@ -84,15 +89,11 @@ NSW_L1_ROUNDS = 2     # beam rounds over the graph-indexed coarse layer
 NSW_HIER_FLOOR = 16   # |L1| below this -> score all of L1 (flat entry)
 NSW_SEEDS = (1, 101, 201, 301)
 """Legacy fixed, id-spread entry points — kept for explicit-seed callers
-and tests.  SERVING default is the COARSE ENTRY LAYER instead (r13, the
-measured fix for the r12 recall collapse): the deterministic subset
-``id % stride == 0`` with ``stride = ⌈√n⌉`` is scored exactly against
-the query (⌈√n⌉ evaluations — the HNSW upper layer's job, done as one
-bounded scan) and its top-``NSW_SEED_COUNT`` become the beam's entry
-points; the scored coarse nodes stay in the candidate set (their exact
-scores are already paid for).  Fixed seeds at sf0.1 served mean
-recall@10 = 0.155; coarse entry + symmetric traversal + ef = ⌈√n⌉
-serves 0.76 (sf0.01: 0.93) at √n-bounded visit counts — see
+and tests.  SERVING default is the HIERARCHICAL entry instead (v3,
+r14): L2 exact scan + L1 beam over the graph-indexed coarse layer —
+see the module docstring and ``nsw_serving_params``/``nsw_l1_params``.
+Fixed seeds at sf0.1 served mean recall@10 = 0.155; the r13 flat
+coarse entry 0.76 (min 0.50); v3 serves 0.97 (min 0.90) — see
 ``ann_nsw_mean_recall_at_10`` / ``ann_nsw_recall_curve``."""
 
 DEFAULT_MAX_BLOCK_ROWS = 8192

@@ -1,0 +1,528 @@
+# Split from the single-file registry (r14); see _shared for the
+# registry, decorator, and parity conventions.
+from __future__ import annotations
+
+from openai_vector_search_demo_spark.queries._shared import *  # noqa: F401,F403
+from openai_vector_search_demo_spark.queries.ann_quant import _parquet_fingerprint  # noqa: F401
+from openai_vector_search_demo_spark.queries.text_analysis import _SQL_TOKS  # noqa: F401
+from openai_vector_search_demo_spark.queries.text_analysis import _SQL_H60  # noqa: F401
+from openai_vector_search_demo_spark.queries.text_analysis import _SQL_SHINGLE_CTE  # noqa: F401
+from openai_vector_search_demo_spark.queries.text_analysis import _SQL_FINGERPRINT  # noqa: F401
+
+# Training-data pipeline: deduplication (north star / BASELINE.json)
+# ---------------------------------------------------------------------------
+
+@query("dedup_exact", oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 = 0
+),
+fp AS (SELECT doc_id,
+         {_SQL_FINGERPRINT} AS fingerprint
+       FROM corpus)
+SELECT fingerprint, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM fp GROUP BY fingerprint
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint.  The fixture corpus has no
+    exact dups, so the query unions back every 3rd doc — the operator must
+    collapse those to dup_count=2 and keep the min id."""
+    from openai_vector_search_demo_spark.operators.dedup import exact_dedup
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return exact_dedup(corpus, text_col="text", id_col="doc_id")
+
+
+@query("dedup_ngram_jaccard", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, len(hs) AS sz, unnest(hs) AS h FROM hs),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b,
+         COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (sz_a + sz_b - common), 6) AS jaccard
+FROM common
+WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.5
+""")
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram Jaccard ≥ 0.5 (shingle bucket join —
+    never an all-pairs product).  ``max_shingle_df=None`` is EXPLICIT: this
+    is the exact-parity query; the operator's default is the corpus-safe
+    ``'auto'`` DF cap."""
+    from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=None)
+
+
+_CAPPED_JACCARD_ORACLE = rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex0 AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+keep AS (SELECT h FROM ex0 GROUP BY h HAVING COUNT(*) <= 2),
+ex AS (SELECT doc_id, h FROM ex0 JOIN keep USING (h)),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (za.sz + zb.sz - common), 6) AS jaccard
+FROM common JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+WHERE common * 1.0 / (za.sz + zb.sz - common) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard_capped", oracle=_CAPPED_JACCARD_ORACLE)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-shingle mitigation: shingles in more than ``max_shingle_df``
+    documents are dropped before the self-join (a shingle in d docs feeds
+    d·(d−1)/2 candidate rows — boilerplate trigrams make the join quadratic
+    at corpus scale).  Jaccard is over the filtered sets; the oracle mirrors
+    the identical DF-cap + size-recompute chain."""
+    from openai_vector_search_demo_spark.operators.dedup import ngram_jaccard_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_shingle_df=2)
+
+
+def _sql_minhash_perms(num_hashes: int) -> str:
+    """VALUES literal of the engine's universal-hash (a, b) parameters —
+    built by the same `minhash_params` the Spark operator uses, so the two
+    sides share one source of truth."""
+    from openai_vector_search_demo_spark.operators.dedup import minhash_params
+    rows = ", ".join(f"({i}, {a}, {b})"
+                     for i, (a, b) in enumerate(minhash_params(num_hashes)))
+    return f"(VALUES {rows}) AS p(i, a, b)"
+
+
+_MINHASH_ORACLE = rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+mh AS (SELECT ex.doc_id, p.i,
+         MIN((p.a * (ex.h % 2147483647) + p.b) % 2147483647) AS m
+       FROM ex, {_sql_minhash_perms(16)}
+       GROUP BY ex.doc_id, p.i),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mh GROUP BY doc_id),
+band AS (SELECT doc_id, b.b,
+           {_SQL_H60.format(expr="array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')")} AS bucket
+         FROM sig, UNNEST(range(4)) AS b(b)),
+cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+         FROM band l JOIN band r ON l.b = r.b AND l.bucket = r.bucket
+                     AND l.doc_id < r.doc_id),
+ver AS (SELECT c.id_a, c.id_b,
+          len(list_intersect(ha.hs, hb.hs)) AS common,
+          len(ha.hs) AS sz_a, len(hb.hs) AS sz_b
+        FROM cand c JOIN hs ha ON ha.doc_id = c.id_a
+                    JOIN hs hb ON hb.doc_id = c.id_b)
+SELECT id_a, id_b, ROUND(common * 1.0 / (sz_a + sz_b - common), 6) AS jaccard
+FROM ver WHERE common * 1.0 / (sz_a + sz_b - common) >= 0.5
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidates, verified by exact Jaccard ≥ 0.5.
+    md5-derived hashes make the whole chain bit-reproducible in DuckDB."""
+    from openai_vector_search_demo_spark.operators.dedup import minhash_lsh_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_pairs(docs, k=3, num_hashes=16, bands=4, threshold=0.5)
+
+
+@query("dedup_simhash", oracle=rf"""
+WITH {_SQL_SHINGLE_CTE},
+ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+bits AS (SELECT ex.doc_id, t.b,
+           SUM(CASE WHEN (ex.h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+         FROM ex, UNNEST(range(32)) AS t(b)
+         GROUP BY ex.doc_id, t.b),
+sig AS (SELECT doc_id,
+          SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sh, b.sh)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-32 near-dup pairs, Hamming ≤ 3, via pigeonhole band join
+    (recall-complete for max_hamming < bands ⇒ equals the brute-force oracle)."""
+    from openai_vector_search_demo_spark.operators.dedup import simhash_pairs
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_pairs(docs, k=3, max_hamming=3, bands=4)
+
+
+@query("dedup_embedding_cosine", oracle="""
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS cos
+  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cos, 6) AS cosine FROM p WHERE cos >= 0.4
+""")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact all-pairs semantics via the
+    triangle-blocked distributed plan (no driver collect anywhere in the
+    plan; `ann_lsh_near_dup` is the sub-quadratic 100 TB variant)."""
+    from openai_vector_search_demo_spark.operators.dedup import embedding_near_dup
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, threshold=0.4)
+
+
+@query("upsert_latest_wins", oracle="""
+WITH versions AS (
+  SELECT doc_id, 0 AS version, text FROM documents
+  UNION ALL
+  SELECT doc_id, 1 AS version, 'v2 ' || text FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, version, text FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+  FROM versions)
+WHERE rn = 1
+""")
+def upsert_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference HSET upsert semantics (SURVEY §1.3) as last-write-wins over
+    an append-only log: re-ingesting half the docs must supersede v0."""
+    from openai_vector_search_demo_spark.operators.dedup import latest_wins
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    log = (docs.withColumn("version", F.lit(0))
+           .unionByName(docs.filter(F.col("doc_id") % 2 == 0)
+                        .select("doc_id",
+                                F.concat(F.lit("v2 "), F.col("text")).alias("text"))
+                        .withColumn("version", F.lit(1))))
+    return latest_wins(log.select("doc_id", "version", "text"),
+                       keys=["doc_id"], order_col="version")
+
+
+@query("p11_validation_bounds", oracle="""
+SELECT doc_id,
+       (length(trim(text)) >= 5 AND length(text) <= 300) AS valid_prompt,
+       (length(trim(source)) >= 6 AND length(source) <= 10) AS valid_alias
+FROM documents
+""")
+def p11_validation_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — the reference's prompt/alias validation predicates
+    (app/app.py:36-39,254: prompt len in [5,300], alias len in [6,10]),
+    applied as vectorized boolean columns."""
+    from openai_vector_search_demo_spark.config import (
+        PROMPT_MAX_LEN,
+        PROMPT_MIN_LEN,
+        TENANT_MAX_LEN,
+        TENANT_MIN_LEN,
+    )
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ((F.length(F.trim("text")) >= PROMPT_MIN_LEN)
+         & (F.length("text") <= PROMPT_MAX_LEN)).alias("valid_prompt"),
+        ((F.length(F.trim("source")) >= TENANT_MIN_LEN)
+         & (F.length("source") <= TENANT_MAX_LEN)).alias("valid_alias"))
+
+
+@query("events_value_percentiles", oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+""")
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, both linear interpolation).  The sketch-based
+    `approx_percentile` is the 100 TB form — same call shape, rows-only."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+                 F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99")))
+
+
+@query("asof_join_tolerance", oracle="""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             event_id AS p_event_id, value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+rd AS (SELECT * FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+                                      ORDER BY p_event_id DESC) AS rn
+         FROM r) WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts_us,
+       CASE WHEN l.ts_us - rd.ts_us <= 1800000000
+            THEN rd.p_event_id END AS p_event_id,
+       CASE WHEN l.ts_us - rd.ts_us <= 1800000000
+            THEN ROUND(rd.p_value, 6) END AS p_value
+FROM l ASOF LEFT JOIN rd
+  ON l.user_id = rd.user_id AND rd.ts_us <= l.ts_us
+""")
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof`` semantics): each
+    click enriched with the user's most recent purchase ONLY if it is at
+    most 30 minutes old — stale matches come back NULL, the freshness
+    contract every feature lookup actually wants.  Same one-keyed-window
+    plan as the untoleranced form; the oracle is DuckDB's native ASOF
+    JOIN with the staleness condition applied to the matched row."""
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    ev = t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("event_id", "user_id", "ts_us"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts_us",
+                         F.col("event_id").alias("p_event_id"),
+                         F.col("value").alias("p_value")))
+    out = as_of_join(clicks, purchases, key="user_id", ts="ts_us",
+                     payload=["p_event_id", "p_value"],
+                     right_tie_break="p_event_id",
+                     tolerance=1_800_000_000)
+    return out.select("event_id", "user_id", "ts_us", "p_event_id",
+                      F.round("p_value", 6).alias("p_value"))
+
+
+@query("asof_join_last_purchase", oracle="""
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+           FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             event_id AS p_event_id, value AS p_value,
+             epoch_us(ts) AS p_ts_us
+      FROM events WHERE event_type = 'purchase'),
+rd AS (SELECT * FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_us
+                                      ORDER BY p_event_id DESC) AS rn
+         FROM r) WHERE rn = 1)
+SELECT l.event_id, l.user_id, l.ts_us,
+       ROUND(l.value, 6) AS value,
+       rd.p_event_id,
+       ROUND(rd.p_value, 6) AS p_value,
+       rd.p_ts_us
+FROM l ASOF LEFT JOIN rd
+  ON l.user_id = rd.user_id AND rd.ts_us <= l.ts_us
+""")
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: every click event enriched with the
+    user's most recent purchase at-or-before it.  Spark has no native ASOF
+    join — implemented as union + running last_value per key (one window
+    shuffle, no range explosion); DuckDB's native ASOF JOIN is the oracle."""
+    from openai_vector_search_demo_spark.operators.asof import as_of_join
+    ev = t(spark, sf_dir, "events")
+    left = (ev.filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts_us",
+                    F.round("value", 6).alias("value")))
+    right = (ev.filter(F.col("event_type") == "purchase")
+             .select("user_id", "ts_us",
+                     F.col("event_id").alias("p_event_id"),
+                     F.round("value", 6).alias("p_value"),
+                     F.col("ts_us").alias("p_ts_us")))
+    return as_of_join(left, right, key="user_id", ts="ts_us",
+                      payload=["p_event_id", "p_value", "p_ts_us"],
+                      right_tie_break="p_event_id")
+
+
+@query("skew_salted_agg", oracle="""
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 6) AS sum_value,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY event_type
+""")
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a hot low-cardinality key (5 event
+    types).  Exactly equals the one-phase GROUP BY — which is the oracle —
+    while spreading each hot key over 32 reducers (SURVEY §4.4 skew note)."""
+    from openai_vector_search_demo_spark.operators.skew import salted_aggregate
+    ev = t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev, ["event_type"],
+        {"n": (F.count(F.lit(1)), F.sum("n")),
+         "sum_value": (F.sum("value"), F.sum("sum_value")),
+         "max_value": (F.max("value"), F.max("max_value"))},
+        salt_buckets=32)
+    return out.select("event_type", "n",
+                      F.round("sum_value", 6).alias("sum_value"),
+                      F.round("max_value", 6).alias("max_value"))
+
+
+_LATE_Q = "hash join on a small table"
+_LATE_MT, _LATE_W, _LATE_DIM, _LATE_K = 64, 1, 64, 10
+
+
+def _late_interaction_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        query_window_features,
+    )
+    qrows = ",\n".join(
+        f"({p}, {b}, {w!r})"
+        for p, b, w in query_window_features(_LATE_Q, _LATE_MT, _LATE_W,
+                                             _LATE_DIM))
+    offs = ", ".join(str(o) for o in range(-_LATE_W, _LATE_W + 1))
+    return f"""
+WITH tk0 AS (SELECT doc_id, list_slice({_SQL_TOKS}, 1, {_LATE_MT}) AS tks
+             FROM documents),
+tok AS (SELECT doc_id, len(tks) AS n, unnest(tks) AS tk,
+               generate_subscripts(tks, 1) - 1 AS tpos
+        FROM tk0),
+feat AS (SELECT doc_id, n, tpos,
+                CAST(h % {_LATE_DIM} AS INT) AS bucket,
+                CASE WHEN (h >> 59) & 1 = 0 THEN 1.0 ELSE -1.0 END AS sign
+         FROM (SELECT *, {_SQL_H60.format(expr="tk")} AS h FROM tok)),
+spread AS (SELECT doc_id, bucket, sign, tpos + off AS pos
+           FROM feat, (SELECT unnest([{offs}]) AS off)
+           WHERE tpos + off >= 0 AND tpos + off < n),
+s AS (SELECT doc_id, pos, bucket, SUM(sign) AS sv FROM spread
+      GROUP BY ALL HAVING SUM(sign) <> 0),
+nrm AS (SELECT doc_id, pos, sqrt(SUM(sv * sv)) AS nrm FROM s GROUP BY ALL),
+dfeat AS (SELECT s.doc_id, s.pos, s.bucket, s.sv / n.nrm AS w
+          FROM s JOIN nrm n USING (doc_id, pos)),
+q(qpos, bucket, wq) AS (VALUES {qrows}),
+dpos AS (SELECT doc_id, len(tks) AS n_dpos FROM tk0 WHERE len(tks) > 0),
+dots AS (SELECT d.doc_id, d.pos, q.qpos, SUM(d.w * q.wq) AS cos
+         FROM dfeat d JOIN q USING (bucket) GROUP BY ALL),
+best AS (SELECT doc_id, qpos, MAX(cos) AS mx,
+                COUNT(DISTINCT pos) AS n_hit
+         FROM dots GROUP BY ALL),
+adj AS (SELECT b.doc_id, b.qpos,
+               CASE WHEN b.n_hit < p.n_dpos THEN greatest(b.mx, 0.0)
+                    ELSE b.mx END AS msim
+        FROM best b JOIN dpos p USING (doc_id))
+SELECT doc_id, ROUND(SUM(msim), 6) AS maxsim_score
+FROM adj GROUP BY doc_id
+ORDER BY maxsim_score DESC, doc_id ASC LIMIT {_LATE_K}
+"""
+
+
+@query("late_interaction_topk", oracle=_late_interaction_oracle())
+def late_interaction_topk_query(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction (MaxSim) top-k — multi-vector
+    retrieval where each query token finds its best-matching document
+    token position (Khattab & Zaharia, SIGIR 2020), realized as pure
+    relational algebra over the deterministic hash embedder's SPARSE
+    per-position context vectors: bucket equi-join against a broadcast
+    query-feature table (the corpus never shuffles for the dots),
+    map-side-combinable max/sum aggregates, TakeOrderedAndProject top-k.
+    Candidate-set semantics like any inverted index: zero-overlap
+    documents tie at score 0 and are not retrieved.  The oracle
+    re-derives every feature, dot, and max from the same md5-60bit
+    literals — an exact value check of a retrieval model usually served
+    only approximately.  Plan/derivation notes in
+    ``operators/late_interaction.py``."""
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_topk,
+    )
+    return late_interaction_topk(
+        t(spark, sf_dir, "documents"), _LATE_Q, k=_LATE_K,
+        max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
+
+
+@query("late_interaction_stored_topk", oracle=_late_interaction_oracle())
+def late_interaction_stored_topk_query(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """The STORED multi-vector read path: ``write_token_window_index``
+    persists the sparse feature relation bucket-partitioned (+ per-doc
+    position counts as side metadata), and the query reads ONLY its
+    probe-bucket directories — the ``ann_lsh_stored_knn`` pattern
+    applied to late interaction, touching |query buckets|/dim of the
+    index.  Same oracle as the inline slot: dots can only arise on
+    shared buckets, so pruning is invisible to values.  Store cached
+    per corpus CONTENT like the ANN stores (path + data-file
+    fingerprint)."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_stored_topk,
+        write_token_window_index,
+    )
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|li2|{_parquet_fingerprint(docs_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_li_store_" + key)
+    if not (os.path.exists(os.path.join(store, "_SUCCESS"))
+            and os.path.exists(os.path.join(store + "_meta", "_SUCCESS"))):
+        write_token_window_index(
+            t(spark, sf_dir, "documents"),
+            store, max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
+    return late_interaction_stored_topk(
+        spark, store, _LATE_Q, k=_LATE_K,
+        max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
+
+
+@query("similarity_join_topk", oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20),
+s AS (
+  SELECT q.vec_id AS vec_id_query, r.vec_id AS vec_id,
+    list_aggregate(list_transform(range(1, len(r.embedding) + 1),
+        i -> CAST(r.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))) AS sim
+  FROM q CROSS JOIN r)
+SELECT vec_id_query, vec_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(sim, 6) AS similarity
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id_query
+                                   ORDER BY sim DESC, vec_id ASC) AS rank
+      FROM s)
+WHERE rank <= 3
+""")
+def similarity_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 generalized to a query *relation*: top-3 similarity join of 20
+    query vectors against the rest (broadcast small side, per-key window —
+    SURVEY §2.6 'similarity join' is the one join the engine must build)."""
+    from openai_vector_search_demo_spark.operators.knn import similarity_join
+    emb = t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") < 20)
+    right = emb.filter(F.col("vec_id") >= 20)
+    out = similarity_join(left, right, k=3)
+    return out.select("vec_id_query", "vec_id", "rank",
+                      F.round("similarity", 6).alias("similarity"))
+
+
+@query("tfidf_top_terms", oracle=rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfc FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         tf.tf * (ln((n.n + 1.0) / (dfq.dfc + 1.0)) + 1.0) AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+  WHERE tf.doc_id < 50)
+SELECT doc_id, token, CAST(rank AS INTEGER) AS rank,
+       ROUND(score, 6) AS tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-5 terms per doc
+    (first 50 docs).  Document frequency joins on the token — broadcast
+    (vocabulary ≪ corpus); corpus size enters as a literal from a 1-row agg."""
+    from openai_vector_search_demo_spark.functions.text_analysis import tokens
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
+    scored = (tf.filter(F.col("doc_id") < 50)
+              .join(F.broadcast(dfq), "token")
+              .withColumn("score",
+                          F.col("tf") * (F.log((F.lit(n_docs) + 1.0)
+                                               / (F.col("dfc") + 1.0)) + 1.0)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(),
+                                             F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("doc_id", "token", "rank",
+                    F.round("score", 6).alias("tfidf")))
+
+
+# ---------------------------------------------------------------------------
