@@ -171,6 +171,37 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def run_concurrent(thunks):
+    """Run independent driver-side query thunks CONCURRENTLY (one Python
+    thread each — Spark's scheduler interleaves their jobs across the
+    cluster; results are deterministic because each thunk is).  The
+    curve slots use this: N independent serving points cost max(point)
+    wall-clock instead of sum(point) — exactly how a real serving tier
+    overlaps scheduler round-trips at any scale.  Exceptions propagate
+    to the caller; results return in thunk order."""
+    import threading
+
+    results: list = [None] * len(thunks)
+    errors: list = [None] * len(thunks)
+
+    def runner(i, fn):
+        try:
+            results[i] = fn()
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errors[i] = exc
+
+    threads = [threading.Thread(target=runner, args=(i, fn))
+               for i, fn in enumerate(thunks)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    for exc in errors:
+        if exc is not None:
+            raise exc
+    return results
+
+
 def _read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read `events.parquet` whatever its physical `ts` encoding.
 
@@ -240,6 +271,7 @@ def _sql_stoplist() -> str:
 
 
 __all__ = [
+    "run_concurrent",
     "os",
     "re",
     "Callable",

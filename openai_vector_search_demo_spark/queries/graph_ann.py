@@ -69,6 +69,22 @@ def _nsw_corpus_n(spark: SparkSession, sf_dir: str, df: DataFrame,
     return _NSW_N_MEMO[key]
 
 
+def _nsw_l1_n(spark: SparkSession, sf_dir: str, df: DataFrame,
+              min_id: int, stride: int) -> int:
+    """L1-layer size for the same corpus, memoized the same way with
+    the stride VALUE extending the predicate key (the coarse layer is
+    ``vec_id % stride == 0`` within the ``vec_id >= min_id`` corpus)."""
+    import os
+    key = (sf_dir, _parquet_fingerprint(
+        os.path.join(sf_dir, "embeddings.parquet")), int(min_id),
+        "l1", int(stride))
+    if key not in _NSW_N_MEMO:
+        _NSW_N_MEMO[key] = df.filter(
+            F.col("embedding").isNotNull()
+            & (F.pmod(F.col("vec_id"), F.lit(int(stride))) == 0)).count()
+    return _NSW_N_MEMO[key]
+
+
 def _sql_nsw_edges(corpus_where: str = "vec_id <> 0") -> str:
     """Exact top-M cosine neighbor graph, relationally: explode dims,
     norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
@@ -232,6 +248,7 @@ def ann_nsw_beam_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nsw_corpus_n(spark, sf_dir, base, 1))
     top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef, rounds=rounds,
                   stride=stride, n_entry=_NSW_ENTRY,
+                  n1=_nsw_l1_n(spark, sf_dir, base, 1, stride),
                   sim_col="similarity")
     return top.select("vec_id", "label", "similarity")
 
@@ -315,6 +332,7 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_top = nsw_knn(base, qvec, k=10, m=_NSW_M, ef=ef,
                          rounds=rounds, stride=stride,
                          n_entry=_NSW_ENTRY,
+                         n1=_nsw_l1_n(spark, sf_dir, base, 1, stride),
                          sim_col="sim").select("vec_id")
     overlap = exact_top.join(approx_top, "vec_id")
     return (exact_top.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -392,15 +410,19 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(base, store, m=_NSW_M)
-    rows = []
-    for ef in _NSW_CURVE_EFS:
+    def point(ef):
         visited = nsw_stored_knn(spark, store, base, qvec, k=4000,
                                  ef=ef, rounds=rounds, stride=stride,
                                  n_entry=_NSW_ENTRY,
                                  sim_col="sim").collect()
         top10 = [r.vec_id for r in visited[:10]]
         overlap = len(exact.intersection(top10))
-        rows.append((ef, len(visited), overlap, round(overlap / 10.0, 3)))
+        return (ef, len(visited), overlap, round(overlap / 10.0, 3))
+
+    # independent operating points: three driver threads interleave
+    # their beam-round jobs (wall-clock = max, not sum — run_concurrent)
+    rows = run_concurrent([lambda ef=ef: point(ef)
+                           for ef in _NSW_CURVE_EFS])
     return spark.createDataFrame(
         rows, "ef int, n_visited long, n_overlap long,"
               " recall_at_10 double")
@@ -2485,8 +2507,8 @@ def ann_nsw_filtered_recall_curve(spark: SparkSession,
         "sel10": F.col("label") == _NSW_FILTER_LABEL,
         "sel50": F.col("label") < 5,
     }
-    rows = []
-    for tag, pred in preds.items():
+
+    def point(tag, pred):
         n_match = base.filter(F.col("embedding").isNotNull() & pred) \
             .count()
         ef_eff = nsw_filtered_ef(ef, n_match, n_total, k=10, cap=4)
@@ -2502,8 +2524,15 @@ def ann_nsw_filtered_recall_curve(spark: SparkSession,
                   tie_break="vec_id").select("vec_id"))
         n_exact = fx.count()
         n_overlap = fx.join(ft, "vec_id").count()
-        rows.append((tag, ef_eff, n_exact, n_match, n_mv, n_overlap,
-                     n_visited, round(n_overlap / n_exact, 3)))
+        return (tag, ef_eff, n_exact, n_match, n_mv, n_overlap,
+                n_visited, round(n_overlap / n_exact, 3))
+
+    # the three points are independent serving queries — submit them
+    # from three driver threads so their (many, tiny) beam-round jobs
+    # interleave: wall-clock = max(point), not sum (run_concurrent)
+    rows = run_concurrent([
+        lambda tag=tag, pred=pred: point(tag, pred)
+        for tag, pred in preds.items()])
     return spark.createDataFrame(
         rows, "bucket string, ef_eff long, n_exact long, n_match long,"
               " n_matches_visited long, n_overlap long, n_visited long,"
