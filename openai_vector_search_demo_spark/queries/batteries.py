@@ -780,6 +780,53 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("pair_class"))
 
 
+@query("benchmark_decontamination", oracle=rf"""
+WITH dtok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+dsh AS (SELECT doc_id,
+          CASE WHEN len(toks) >= 8
+               THEN list_distinct(list_transform(
+                      range(1, len(toks) - 6),
+                      i -> array_to_string(list_slice(toks, i, i + 7),
+                                           ' ')))
+               ELSE [] END AS g8
+        FROM dtok),
+db AS (SELECT doc_id AS bid, unnest(g8) AS g FROM dsh
+       WHERE doc_id % 20 = 7),
+dtr AS (SELECT doc_id, unnest(g8) AS g FROM dsh
+        WHERE doc_id % 20 <> 7)
+SELECT dtr.doc_id,
+       CAST(COUNT(DISTINCT db.bid) AS BIGINT) AS n_bench_docs,
+       CAST(COUNT(DISTINCT dtr.g) AS BIGINT) AS n_shared_ngrams
+FROM dtr JOIN db USING (g)
+GROUP BY dtr.doc_id ORDER BY dtr.doc_id
+""")
+def benchmark_decontamination(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """BENCHMARK DECONTAMINATION — the external-eval leakage gate
+    (``operators/decontamination.py``; the GPT-3 appendix-C / PaLM
+    13-gram practice at an 8-gram setting for ~50-token documents):
+    every training document sharing ≥ 1 8-gram with any benchmark
+    document, with the audit counts a data card needs (how many
+    benchmark docs it hits, how many distinct n-grams).  The benchmark
+    stand-in is the ``doc_id % 20 = 7`` slice (an external table in
+    production — the operator takes any DataFrame).  Scale shape: the
+    benchmark n-gram relation BROADCASTS (eval sets are small by
+    nature); the corpus scan is one projection + explode + broadcast
+    semi-join — the corpus is never shuffled by n-gram and never
+    self-joined.  Sibling of ``split_leakage_audit`` (which audits the
+    pipeline's OWN split); ``operators.decontamination.decontaminate``
+    is the anti-join consumer."""
+    from openai_vector_search_demo_spark.operators.decontamination import (
+        benchmark_contamination,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 7)
+    train = docs.filter(F.col("doc_id") % 20 != 7)
+    return (benchmark_contamination(train, bench, n=8)
+            .orderBy("doc_id"))
+
+
 @query("dedup_cross_corpus", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 e AS (SELECT doc_id AS id_e, len(hs) AS sz_e, unnest(hs) AS h FROM hs),

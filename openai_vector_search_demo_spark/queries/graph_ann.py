@@ -3045,12 +3045,18 @@ ORACLE_SQL["analytics_battery"] = _materialize_ctes(
 
 # ... and the two named curation stages join the curation battery.
 _CURATION_BATTERY.extend(["ccnet_perplexity_buckets",
-                          "gopher_quality_rules"])
+                          "gopher_quality_rules",
+                          # r14: the external-benchmark leakage gate
+                          # joins at birth (direct window row this
+                          # round; the digest pins it after rotation)
+                          "benchmark_decontamination"])
 _BATTERY_SPECS["ccnet_perplexity_buckets"] = [
     ("avg_lp", "d"), ("bucket", "s"), ("lang", "s"), ("n_docs", "s"),
     ("n_kept", "s"), ("n_tokens", "s")]
 _BATTERY_SPECS["gopher_quality_rules"] = [
     ("fail_rate", "d"), ("n_fail", "s"), ("n_pass", "s"), ("rule", "s")]
+_BATTERY_SPECS["benchmark_decontamination"] = [
+    ("doc_id", "s"), ("n_bench_docs", "s"), ("n_shared_ngrams", "s")]
 RAW_ORACLE_SQL["curation_battery"] = _battery_oracle(_CURATION_BATTERY)
 ORACLE_SQL["curation_battery"] = _materialize_ctes(
     RAW_ORACLE_SQL["curation_battery"])

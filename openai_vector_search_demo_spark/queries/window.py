@@ -57,8 +57,11 @@ PROOF_WINDOW: list[str] = [
     # three new r14 slots, receipted from birth
     # (ann_nsw_filtered_recall_curve — the selectivity ladder with
     # predicate-aware widening; ann_nsw_tenant_knn +
-    # ann_hamming_tenant_knn — per-alias tenant isolation).  Rotated
-    # OUT: six slots green in BOTH r12 and r13 (the 2-receipt rule),
+    # ann_hamming_tenant_knn — per-alias tenant isolation;
+    # benchmark_decontamination — the external-eval leakage gate).
+    # Rotated OUT: seven slots green in BOTH r12 and r13 (the
+    # 2-receipt rule; source_quota_cap makes seven — curation keeps
+    # ta_blocklist_gate + curation_battery),
     # every family keeping a representative: unigram_lm_token_budget
     # (unigram_lm_word_scores stays), scd2_customer_priority
     # (scd2_incremental_splice stays, re-receipting its new digest
@@ -129,8 +132,11 @@ PROOF_WINDOW: list[str] = [
     "rag_context_budget_pack", "bm25_stored_topk",
     "streaming_dedup_within_watermark",
     "neardup_label_propagation", "neardup_triangle_counts",
+    # r14 addition, receipted from birth (the external-benchmark
+    # leakage gate — sibling of split_leakage_audit):
+    "benchmark_decontamination",
     # single-green keeps (see header):
-    "source_quota_cap", "ta_blocklist_gate", "ann_hamming_stored_knn",
+    "ta_blocklist_gate", "ann_hamming_stored_knn",
     "ann_hamming_refine_knn",
     "csv_export_roundtrip",
     "variants_battery", "quality_classifier_calibration",

@@ -527,3 +527,37 @@ def test_filtered_ef_widening():
     assert nsw_filtered_ef(68, 196, 1999, k=10, cap=4) == 68 * 2
     assert nsw_filtered_ef(68, 995, 1999, k=10, cap=4) == 68
     assert nsw_filtered_ef(68, 0, 1999, k=10, cap=4) == 68 * 4
+
+
+@pytest.mark.slow
+def test_hierarchical_entry_stored_equals_inline(spark, tmp_path):
+    """The v3 HIERARCHICAL path proper (n1 >= NSW_HIER_FLOOR, so the
+    L2-scan + L1-beam entry actually engages, unlike the small-fixture
+    flat degenerations elsewhere): stored serving off _L1/_L1_META
+    must equal the inline build+search with the same autoscale, and
+    the store must carry the L1 layer."""
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+        read_l1_meta,
+    )
+    rng = np.random.RandomState(7)
+    big = spark.createDataFrame(
+        [(i, i % 4, [round(float(x), 6) for x in rng.randn(DIM)])
+         for i in range(1, 401)],
+        "vec_id long, label int, embedding array<double>")
+    n = 400
+    stride, ef, rounds = nsw_serving_params(n)   # stride 20 -> n1 = 20
+    store = str(tmp_path / "nswh")
+    write_nsw_index(big, store, m=3, n_buckets=4)
+    meta = read_l1_meta(spark, store)
+    assert meta is not None and meta["stride"] == stride
+    assert meta["n1"] >= 16, "fixture must engage the hierarchical path"
+    qvec = [0.2] * DIM
+    stored = [(r.vec_id, r.similarity) for r in
+              nsw_stored_knn(spark, store, big, qvec, k=10, ef=ef,
+                             rounds=rounds, n_buckets=4, m=3,
+                             stride=stride).collect()]
+    inline = [(r.vec_id, r.similarity) for r in
+              nsw_knn(big, qvec, k=10, m=3, ef=ef, rounds=rounds,
+                      stride=stride).collect()]
+    assert stored == inline and len(stored) == 10
