@@ -187,3 +187,35 @@ def test_stream_upsert_converges_to_full_rebuild(spark, tmp_path, parts):
         .start().awaitTermination(120)
     assert open(os.path.join(store, _UPSERT_MARKER)).read() == marker_before
     assert _knn(spark, store, qvec, cent, cb) == want
+
+
+@pytest.mark.slow
+def test_tenant_store_serves_tenant_only(spark, tmp_path, parts):
+    """Per-alias tenant isolation on the IVFADC tier (VERDICT r13 #4):
+    a tenant-first-partitioned store serves, for tenant 0, exactly
+    what a dedicated store built from tenant 0's vectors alone serves
+    — and the tenant read's input files all live under tenant=0/."""
+    from openai_vector_search_demo_spark.operators.pq import (
+        ivfpq_stored_knn,
+        write_ivfpq_index,
+    )
+    base, qvec, cent, cb = parts
+    tdf = base.withColumn(
+        "tenant", F.pmod(F.col("label"), F.lit(2)).cast("string"))
+    shared = str(tmp_path / "ivfpq_ten")
+    write_ivfpq_index(tdf, shared, cent, cb,
+                      keep_cols=["vec_id", "label"], tenant_col="tenant")
+    solo = str(tmp_path / "ivfpq_solo")
+    write_ivfpq_index(tdf.filter(F.col("tenant") == "0").drop("tenant"),
+                      solo, cent, cb, keep_cols=["vec_id", "label"])
+    got = [(r.vec_id, round(r.adc_dist, 6)) for r in
+           ivfpq_stored_knn(spark, shared, qvec, cent, cb,
+                            nprobe=NPROBE, k=10, tenant="0").collect()]
+    want = [(r.vec_id, round(r.adc_dist, 6)) for r in
+            ivfpq_stored_knn(spark, solo, qvec, cent, cb,
+                             nprobe=NPROBE, k=10).collect()]
+    assert got == want and len(got) == 10
+    files0 = spark.read.parquet(f"{shared}/tenant=0").inputFiles()
+    files1 = spark.read.parquet(f"{shared}/tenant=1").inputFiles()
+    assert files0 and files1 and not set(files0) & set(files1)
+    assert all("tenant=0" in f for f in files0)
