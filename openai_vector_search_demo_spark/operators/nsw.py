@@ -866,6 +866,29 @@ def read_nsw_tombstones(spark, path: str) -> list[int]:
                   .distinct().collect())
 
 
+def compact_nsw_index(spark, path: str, source: DataFrame, dest: str,
+                      m: int = NSW_M, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      n_buckets: int = 16) -> int:
+    """Periodic maintenance fold — the graph tier's
+    ``compact_ivfpq_index``: REBUILD graph + L1 from ``source`` minus
+    the store's tombstones, written marker-free to ``dest`` (a NEW
+    location; the caller swaps paths).  Serving returns to the
+    fresh-store fast path (no ``_DELTAS`` → one pruned read per round,
+    no merge-on-read window, no mirror validation) and soft-deleted
+    GHOSTS are hard-removed (their edges cannot be dropped in place —
+    a removed node invalidates its neighbors' top-m lists non-locally,
+    which is exactly why deletes are soft until compaction).  Returns
+    the number of tombstoned ids folded away."""
+    dead = read_nsw_tombstones(spark, path)
+    live = source
+    if dead:
+        live = source.filter(~F.col(id_col).isin([int(x) for x in dead]))
+    write_nsw_index(live, dest, m=m, vec_col=vec_col, id_col=id_col,
+                    n_buckets=n_buckets)
+    return len(dead)
+
+
 def resolve_stored_edges(spark, path: str, m: int = NSW_M) -> DataFrame:
     """The store's CURRENT undirected traversal relation, resolved
     globally: merge-on-read top-``m`` window over the fwd rows (exact

@@ -827,6 +827,48 @@ def benchmark_decontamination(spark: SparkSession,
             .orderBy("doc_id"))
 
 
+@query("streaming_decontamination_gate",
+       oracle=RAW_ORACLE_SQL["benchmark_decontamination"])
+def streaming_decontamination_gate(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The decontamination gate run LIVE as a real Structured
+    Streaming job (``streaming.jobs.stream_decontamination_gate``):
+    training documents arrive as a file stream, the benchmark n-gram
+    relation is STATIC broadcast state shared by every micro-batch,
+    and each batch's contaminated docs are reported from
+    ``foreachBatch``.  Detection is the batch operator and every doc's
+    verdict is computed within its own micro-batch against the static
+    benchmark — so the concatenated results EQUAL the batch slot,
+    hence the IDENTICAL oracle to ``benchmark_decontamination`` (the
+    ``streaming_neardup_gate`` contract applied to the external-eval
+    gate).  No cross-batch state at all: restartable, at-least-once
+    safe by construction."""
+    import tempfile
+
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_decontamination_gate,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = (batch.filter(F.col("doc_id") % 20 == 7)
+             .select("doc_id", "text"))
+    stream = (spark.readStream.schema(batch.schema).format("parquet")
+              .option("pathGlobFilter", "documents.parquet").load(sf_dir))
+    train = (stream.filter(F.col("doc_id") % 20 != 7)
+             .select("doc_id", "text"))
+    results: list = []
+    q = (stream_decontamination_gate(
+            train, bench, lambda rows, bid: results.extend(rows), n=8)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="decontamgate_"))
+         .start())
+    q.awaitTermination(300)
+    return (spark.createDataFrame(
+        results, "doc_id bigint, n_bench_docs bigint,"
+                 " n_shared_ngrams bigint")
+        .orderBy("doc_id"))
+
+
 @query("dedup_cross_corpus", oracle=rf"""
 WITH {_SQL_SHINGLE_CTE},
 e AS (SELECT doc_id AS id_e, len(hs) AS sz_e, unnest(hs) AS h FROM hs),

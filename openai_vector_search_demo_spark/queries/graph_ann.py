@@ -3049,13 +3049,16 @@ _CURATION_BATTERY.extend(["ccnet_perplexity_buckets",
                           # r14: the external-benchmark leakage gate
                           # joins at birth (direct window row this
                           # round; the digest pins it after rotation)
-                          "benchmark_decontamination"])
+                          "benchmark_decontamination",
+                          "streaming_decontamination_gate"])
 _BATTERY_SPECS["ccnet_perplexity_buckets"] = [
     ("avg_lp", "d"), ("bucket", "s"), ("lang", "s"), ("n_docs", "s"),
     ("n_kept", "s"), ("n_tokens", "s")]
 _BATTERY_SPECS["gopher_quality_rules"] = [
     ("fail_rate", "d"), ("n_fail", "s"), ("n_pass", "s"), ("rule", "s")]
 _BATTERY_SPECS["benchmark_decontamination"] = [
+    ("doc_id", "s"), ("n_bench_docs", "s"), ("n_shared_ngrams", "s")]
+_BATTERY_SPECS["streaming_decontamination_gate"] = [
     ("doc_id", "s"), ("n_bench_docs", "s"), ("n_shared_ngrams", "s")]
 RAW_ORACLE_SQL["curation_battery"] = _battery_oracle(_CURATION_BATTERY)
 ORACLE_SQL["curation_battery"] = _materialize_ctes(

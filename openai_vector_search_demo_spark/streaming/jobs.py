@@ -518,6 +518,41 @@ def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
             .trigger(availableNow=True))
 
 
+def stream_decontamination_gate(doc_stream: DataFrame, bench: DataFrame,
+                                on_result, n: int | None = None
+                                ) -> "DataStreamWriter":
+    """STREAMING BENCHMARK-DECONTAMINATION GATE — the live form of
+    ``operators.decontamination``: each micro-batch of arriving
+    documents is n-gram-exploded (its own scan only) and joined
+    against the BROADCAST benchmark n-gram relation;
+    ``on_result(contaminated_rows, batch_id)`` receives the per-doc
+    audit rows ``(doc_id, n_bench_docs, n_shared_ngrams)`` — the hook
+    a deployment points at its admission policy.  The streaming layer
+    is wiring only (the engine's streaming design rule): detection is
+    the batch operator, the benchmark is STATIC state shared by every
+    batch, and each arriving doc's verdict is computed entirely within
+    its own micro-batch — so a completed stream's concatenated results
+    EQUAL the batch ``benchmark_contamination`` of the whole stream
+    contents (the oracled ``streaming_decontamination_gate`` slot pins
+    this), and the gate is restartable / at-least-once safe (a
+    re-delivered doc re-reports the same audit row)."""
+    from openai_vector_search_demo_spark.operators.decontamination import (
+        DECONTAM_NGRAM,
+        benchmark_contamination,
+    )
+    n = DECONTAM_NGRAM if n is None else n
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        rows = benchmark_contamination(batch_df, bench, n=n).collect()
+        on_result(rows, batch_id)
+
+    return (doc_stream.writeStream
+            .foreachBatch(gate)
+            .trigger(availableNow=True))
+
+
 def reference_feature_counts(reference: DataFrame,
                              features: dict) -> DataFrame:
     """Static (feature, bucket, ca) counts of the reference snapshot —

@@ -561,3 +561,48 @@ def test_hierarchical_entry_stored_equals_inline(spark, tmp_path):
               nsw_knn(big, qvec, k=10, m=3, ef=ef, rounds=rounds,
                       stride=stride).collect()]
     assert stored == inline and len(stored) == 10
+
+
+@pytest.mark.slow
+def test_compact_folds_deltas_and_tombstones(spark, emb, tmp_path):
+    """Recompaction closes the maintenance triangle: after upsert +
+    soft delete, the compacted store (a) equals a direct rebuild
+    without the tombstoned rows, (b) carries no _DELTAS/_tombstones —
+    the serving read takes the fresh-store fast path and the deleted
+    id is HARD-gone, not ghost-filtered."""
+    import os
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        compact_nsw_index,
+        delete_from_nsw_index,
+        upsert_nsw_index,
+    )
+    base = emb.filter(F.col("embedding").isNotNull())
+    corpus = base.filter(F.col("vec_id") % 4 != 1)
+    batch = base.filter(F.col("vec_id") % 4 == 1)
+    store = str(tmp_path / "live")
+    write_nsw_index(corpus, store, m=3, n_buckets=4)
+    upsert_nsw_index(spark, store, batch, corpus, m=3, n_buckets=4)
+    qvec = [0.25] * DIM
+    best = nsw_stored_knn(spark, store, base, qvec, k=1, ef=5, rounds=2,
+                          seeds=[2, 10], n_buckets=4, m=3).first().vec_id
+    delete_from_nsw_index(spark, store, [best])
+
+    dest = str(tmp_path / "compacted")
+    n_dead = compact_nsw_index(spark, store, base, dest, m=3,
+                               n_buckets=4)
+    assert n_dead == 1
+    assert not os.path.exists(os.path.join(dest, "_DELTAS"))
+    assert not os.path.isdir(os.path.join(dest, "_tombstones"))
+
+    want = str(tmp_path / "rebuild")
+    write_nsw_index(base.filter(F.col("vec_id") != best), want, m=3,
+                    n_buckets=4)
+    got = [(r.vec_id, r.similarity) for r in
+           nsw_stored_knn(spark, dest, base, qvec, k=10, ef=5, rounds=2,
+                          seeds=[2, 10], n_buckets=4, m=3).collect()]
+    ref = [(r.vec_id, r.similarity) for r in
+           nsw_stored_knn(spark, want, base, qvec, k=10, ef=5, rounds=2,
+                          seeds=[2, 10], n_buckets=4, m=3).collect()]
+    assert got == ref
+    assert best not in {v for v, _ in got}
