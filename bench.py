@@ -213,6 +213,8 @@ HEADLINE = [
     # predicate-aware beam widening (r14)
     "ann_nsw_tenant_knn",     # tenant-isolated graph serving (r14)
     "ann_hamming_tenant_knn",  # tenant-isolated signature serving (r14)
+    "benchmark_decontamination",  # external-eval n-gram leakage gate (r14)
+    "streaming_decontamination_gate",  # its live streaming twin (r14)
 ]
 
 
