@@ -341,8 +341,13 @@ def hamming_stored_knn(spark, store: str, source: DataFrame,
     if tenant is not None:
         # tenant-scoped store (write_hamming_index(tenant_col=...)):
         # open only the tenant's subtree — other tenants' signature
-        # files are never listed (structural isolation)
-        store = f"{store.rstrip('/')}/tenant={tenant}"
+        # files are never listed (structural isolation).  Hive-escaped:
+        # the path matches what partitionBy wrote, and a '/'-bearing
+        # value cannot escape the subtree.
+        from openai_vector_search_demo_spark.stores import (
+            escape_partition_value,
+        )
+        store = f"{store.rstrip('/')}/tenant={escape_partition_value(tenant)}"
     sigs = spark.read.parquet(store)
     cand = (sigs.withColumn(
         "_ham", F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))))

@@ -411,8 +411,15 @@ def write_nsw_index_tenants(df: DataFrame, path: str,
 def nsw_tenant_path(path: str, tenant) -> str:
     """The tenant's physical subtree inside a ``write_nsw_index_tenants``
     store (Hive-style partition naming, so the whole store also reads
-    as one partitioned table for offline jobs)."""
-    return f"{path.rstrip('/')}/tenant={tenant}"
+    as one partitioned table for offline jobs).  The value is
+    Hive-escaped (``escape_partition_value``): the composed path always
+    names the directory ``partitionBy`` would write, and a
+    traversal-shaped tenant value ('/', '..') cannot escape the
+    subtree."""
+    from openai_vector_search_demo_spark.stores import (
+        escape_partition_value,
+    )
+    return f"{path.rstrip('/')}/tenant={escape_partition_value(tenant)}"
 
 
 def beam_search_knn(edges, source: DataFrame,

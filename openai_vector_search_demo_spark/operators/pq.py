@@ -629,8 +629,13 @@ def ivfpq_stored_knn(spark, store: str, qvec: Sequence[float],
         # tenant-scoped store (write_ivfpq_index(tenant_col=...)):
         # descend into the tenant's subtree BEFORE cell enumeration —
         # other tenants' cell directories are never listed (structural
-        # isolation, not just a filter)
-        store = f"{store.rstrip('/')}/tenant={tenant}"
+        # isolation, not just a filter).  Hive-escaped: the path matches
+        # what partitionBy wrote, and a '/'-bearing value cannot escape
+        # the subtree.
+        from openai_vector_search_demo_spark.stores import (
+            escape_partition_value,
+        )
+        store = f"{store.rstrip('/')}/tenant={escape_partition_value(tenant)}"
     cand = read_probed_partitions(spark, store, "cell", probes,
                                   table=table)
     # Upserted store (marker present): resolve per-(id, cell)

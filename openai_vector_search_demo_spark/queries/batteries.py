@@ -857,8 +857,11 @@ def streaming_decontamination_gate(spark: SparkSession,
     train = (stream.filter(F.col("doc_id") % 20 != 7)
              .select("doc_id", "text"))
     results: list = []
+    # r15 hook contract: the callback gets the per-batch audit
+    # DataFrame; collecting is this slot's policy choice (tiny fixture)
     q = (stream_decontamination_gate(
-            train, bench, lambda rows, bid: results.extend(rows), n=8)
+            train, bench, lambda df, bid: results.extend(df.collect()),
+            n=8)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="decontamgate_"))
          .start())
@@ -1143,8 +1146,10 @@ def streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("doc_id", F.col("doc_id") + 1000000)
            .select("doc_id", "text"))
     results: list = []
+    # r15 hook contract: the callback gets the per-batch match
+    # DataFrame; collecting is this slot's policy choice (tiny fixture)
     q = (stream_neardup_gate(new, store,
-                             lambda rows, bid: results.extend(rows))
+                             lambda df, bid: results.extend(df.collect()))
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="neardupgate_"))
          .start())

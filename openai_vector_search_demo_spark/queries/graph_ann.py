@@ -411,7 +411,11 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_nsw_index(base, store, m=_NSW_M)
     def point(ef):
-        visited = nsw_stored_knn(spark, store, base, qvec, k=4000,
+        # k beyond any visit count: the returned relation IS the whole
+        # visited set, so len() below equals the oracle's COUNT(*) — a
+        # finite k here would silently truncate n_visited the moment a
+        # widened beam visits more than k nodes (ADVICE r14)
+        visited = nsw_stored_knn(spark, store, base, qvec, k=1 << 30,
                                  ef=ef, rounds=rounds, stride=stride,
                                  n_entry=_NSW_ENTRY,
                                  sim_col="sim").collect()
@@ -572,6 +576,16 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
     # (√n-sized, one read)
     edges = resolve_stored_edges(spark, store, m=_NSW_M)
     l1_edges, l1_meta = resolve_stored_l1(spark, store)
+    if l1_meta is None:
+        # _L1_META missing despite _SUCCESS (a crashed cache write
+        # between the base-graph and L1 writes): rewrite the store once
+        # rather than serving flat-entry forever off a half-built cache
+        # (ADVICE r14 — nsw_stored_knn guards this; the batch slot must
+        # too, or the slot fails with TypeError until /tmp is cleaned).
+        write_nsw_index(corpus.select("vec_id", "embedding"), store,
+                        m=_NSW_M)
+        edges = resolve_stored_edges(spark, store, m=_NSW_M)
+        l1_edges, l1_meta = resolve_stored_l1(spark, store)
 
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.functions.vectors import (
@@ -2625,7 +2639,11 @@ def ann_hamming_tenant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}|hamtenv1|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_hamten_" + key)
-    if not os.path.exists(store):
+    # gate on _SUCCESS, not the bare directory: an interrupted write
+    # leaves a partial store that a directory-existence check would
+    # never rebuild (ADVICE r14 — the NSW slots' pattern; the
+    # single partitionBy write drops ONE marker at the store root)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
         write_hamming_index(tdf, store, nbits=_HAMMING_NBITS, seed=42,
                             tenant_col="tenant")
     base0 = tdf.filter(F.col("tenant") == "0").drop("tenant")

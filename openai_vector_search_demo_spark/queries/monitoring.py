@@ -171,8 +171,11 @@ def streaming_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = ta.with_quality_score(stream.filter(F.col("doc_id") % 2 == 1))
 
     reports: list = []
+    # r15 hook contract: the callback gets the per-batch report
+    # DataFrame; this slot's policy is "keep the final report" — the
+    # collect is the CALLBACK's bounded choice, not the gate's
     q = (stream_drift_gate(cand, ref_counts, feats,
-                           lambda rows, bid: reports.append(rows))
+                           lambda df, bid: reports.append(df.collect()))
          .option("checkpointLocation", tempfile.mkdtemp(prefix="driftgate_"))
          .start())
     q.awaitTermination(300)

@@ -36,7 +36,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["read_probed_partitions", "register_partitioned_store",
-           "fs_exists", "fs_touch", "fs_write_text", "fs_read_text"]
+           "fs_exists", "fs_touch", "fs_write_text", "fs_read_text",
+           "escape_partition_value"]
+
+# the characters Spark/Hive escape in partition directory names
+# (ExternalCatalogUtils.escapePathName / Hive FileUtils.escapePathName —
+# public API behavior): control chars plus this printable set, each
+# written as %XX uppercase hex.  Composing "tenant=<raw>" paths by
+# f-string with an unescaped value either ESCAPES the isolation subtree
+# (a value containing '/' or '..') or MISSES the directory partitionBy
+# actually wrote (space, '=', ':'), so every tenant path below goes
+# through escape_partition_value (ADVICE r14).
+_HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(1, 32)}
+
+
+def escape_partition_value(value) -> str:
+    """The directory-name form of a partition VALUE — exactly what
+    ``df.write.partitionBy(col)`` produces for that value, so composed
+    subtree paths like ``{store}/tenant={escaped}`` always name the
+    directory the write created and can never contain a path separator
+    (slash and backslash are in the escape set: traversal-shaped values
+    become inert ``%2F``/``%5C`` sequences inside ONE component).
+    Matches Hive's escapePathName; ``__HIVE_DEFAULT_PARTITION__`` is the
+    engine-standard null slot."""
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(f"%{ord(ch):02X}" if ch in _HIVE_ESCAPE else ch
+                   for ch in str(value))
 
 
 def _hadoop_path_fs(spark: SparkSession, path: str):
@@ -83,13 +109,12 @@ def fs_read_text(spark: SparkSession, path: str) -> str | None:
         return None
     inp = fs.open(jpath)
     try:
-        chunks = []
-        while True:
-            b = inp.read()
-            if b < 0:
-                break
-            chunks.append(b)
-        return bytes(chunks).decode("utf-8")
+        # one JVM call for the whole payload (commons-io rides Spark's
+        # classpath) — the per-byte inp.read() loop this replaces paid
+        # one py4j round-trip PER BYTE (ADVICE r14)
+        jvm = spark.sparkContext._jvm
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+        return bytes(data).decode("utf-8")
     finally:
         inp.close()
 

@@ -423,10 +423,13 @@ def stream_drift_gate(doc_stream: DataFrame, reference_counts: DataFrame,
     accumulate as a streaming aggregation (complete mode — counts are
     cumulative over everything seen so far), and each micro-batch
     recomputes the PSI/JSD report against the STATIC reference counts
-    inside ``foreachBatch``, invoking ``on_report(report_rows,
+    inside ``foreachBatch``, invoking ``on_report(report_df,
     batch_id)`` — the hook a deployment points at its alerting (page
     when any feature's PSI crosses 0.25 mid-ingest, BEFORE the snapshot
-    lands in a training run).
+    lands in a training run).  The callback receives the per-batch
+    report DATAFRAME (r15 contract, uniform across the gates): the
+    policy decides whether to collect it (bounded here by the
+    contingency-table size) or write it to a sink.
 
     The streaming layer is wiring only (the engine's streaming design
     rule): bucketizers are the same stateless expressions batch uses
@@ -454,7 +457,12 @@ def stream_drift_gate(doc_stream: DataFrame, reference_counts: DataFrame,
                   .select("feature", "bucket",
                           F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
                           F.coalesce(F.col("cb"), F.lit(0)).alias("cb")))
-        on_report(drift_from_counts(counts).collect(), batch_id)
+        # hook contract (r15): the callback receives the per-batch
+        # result DATAFRAME, not collected rows — the deployment's
+        # policy decides whether to collect (bounded here by the
+        # contingency-table size) or write to a sink; the gate itself
+        # never materializes driver-side (VERDICT r14 #3)
+        on_report(drift_from_counts(counts), batch_id)
 
     return (cand_counts.writeStream
             .outputMode("complete")
@@ -471,10 +479,13 @@ def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
     each micro-batch of arriving documents is shingled/MinHashed ONCE
     (its own Arrow pass only), joined against the STORED band index,
     and exact-Jaccard verified (``dedup.minhash_lsh_cross_stored``);
-    ``on_result(match_rows, batch_id)`` receives the verified
-    ``(new_id, existing_id, jaccard)`` matches — the hook a deployment
-    points at its admission policy (drop the arrival, or keep it and
-    append its entries to the index for the next batch).  With
+    ``on_result(match_df, batch_id)`` receives the verified
+    ``(new_id, existing_id, jaccard)`` match DATAFRAME — the hook a
+    deployment points at its admission policy (drop the arrival, or
+    keep it and append its entries to the index for the next batch).
+    The callback, not the gate, decides whether to collect or write to
+    a sink (r15 contract: a heavily duplicated batch at scale would
+    make a gate-side collect unbounded).  With
     ``append_admitted=True`` the gate IS the full continuous-ingestion
     loop run live: each micro-batch's admitted docs' band entries/sigs
     are appended to the store before the next batch arrives
@@ -505,12 +516,16 @@ def stream_neardup_gate(doc_stream: DataFrame, store: str, on_result,
             matches = ingest_batch_against_index(
                 batch_df.sparkSession, batch_df, store, k=k,
                 num_hashes=num_hashes, bands=bands,
-                threshold=threshold).collect()
+                threshold=threshold)
         else:
             matches = minhash_lsh_cross_stored(
                 batch_df.sparkSession, batch_df, store, k=k,
                 num_hashes=num_hashes, bands=bands,
-                threshold=threshold).collect()
+                threshold=threshold)
+        # hook contract (r15): the callback receives the per-batch match
+        # DATAFRAME — a heavily contaminated batch at scale would make a
+        # gate-side collect unbounded; the admission policy decides
+        # whether to collect or write to a sink (VERDICT r14 #3)
         on_result(matches, batch_id)
 
     return (doc_stream.writeStream
@@ -525,9 +540,12 @@ def stream_decontamination_gate(doc_stream: DataFrame, bench: DataFrame,
     ``operators.decontamination``: each micro-batch of arriving
     documents is n-gram-exploded (its own scan only) and joined
     against the BROADCAST benchmark n-gram relation;
-    ``on_result(contaminated_rows, batch_id)`` receives the per-doc
-    audit rows ``(doc_id, n_bench_docs, n_shared_ngrams)`` — the hook
-    a deployment points at its admission policy.  The streaming layer
+    ``on_result(audit_df, batch_id)`` receives the per-doc audit
+    DATAFRAME ``(doc_id, n_bench_docs, n_shared_ngrams)`` — the hook a
+    deployment points at its admission policy, which decides whether
+    to collect or write to a sink (r15 contract: a heavily
+    contaminated batch at scale would make a gate-side collect
+    unbounded).  The streaming layer
     is wiring only (the engine's streaming design rule): detection is
     the batch operator, the benchmark is STATIC state shared by every
     batch, and each arriving doc's verdict is computed entirely within
@@ -545,8 +563,11 @@ def stream_decontamination_gate(doc_stream: DataFrame, bench: DataFrame,
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        rows = benchmark_contamination(batch_df, bench, n=n).collect()
-        on_result(rows, batch_id)
+        # hook contract (r15): the callback receives the per-batch audit
+        # DATAFRAME — a heavily contaminated batch at scale would make a
+        # gate-side collect unbounded; the admission policy decides
+        # whether to collect or write to a sink (VERDICT r14 #3)
+        on_result(benchmark_contamination(batch_df, bench, n=n), batch_id)
 
     return (doc_stream.writeStream
             .foreachBatch(gate)

@@ -100,7 +100,7 @@ def test_stream_gate_equals_batch_report(spark, frame, tmp_path):
     cand = stream.filter(F.col("id") % 2 == 1)
     reports = []
     q = (stream_drift_gate(cand, ref_counts, feats,
-                           lambda rows, bid: reports.append(rows))
+                           lambda df, bid: reports.append(df.collect()))
          .option("checkpointLocation", os.path.join(str(tmp_path), "ck"))
          .start())
     q.awaitTermination(120)
@@ -139,7 +139,7 @@ def test_stream_gate_multi_batch_converges(spark, frame, tmp_path):
               .format("parquet").load(src))
     reports = []
     q = (stream_drift_gate(stream, ref_counts, feats,
-                           lambda rows, bid: reports.append(rows))
+                           lambda df, bid: reports.append(df.collect()))
          .option("checkpointLocation", os.path.join(str(tmp_path), "ck2"))
          .start())
     q.awaitTermination(120)

@@ -172,3 +172,45 @@ def test_ivfpq_stored_over_catalog_table(spark, tmp_path):
         assert cat == fs and len(fs) == 10
     finally:
         spark.sql("DROP TABLE IF EXISTS ivfpq_cat_test")
+
+
+def test_escape_partition_value_matches_spark_partitionby(spark, tmp_path):
+    """escape_partition_value must produce EXACTLY the directory name
+    partitionBy writes (else composed tenant subtree paths miss the
+    store), and must neutralize path separators (else a hostile tenant
+    value escapes the isolation subtree) — ADVICE r14."""
+    import os
+
+    from openai_vector_search_demo_spark.stores import (
+        escape_partition_value,
+    )
+
+    vals = ["plain", "a b", "x=y", "c:d", "p/q", "..", "pct%20", "q?r",
+            "s*t", 'q"r', "h#i", "j'k", "b\\c", "l{m", "n[o", "r^s"]
+    df = spark.createDataFrame([(v, 1) for v in vals],
+                               "tenant string, x int")
+    store = str(tmp_path / "esc_store")
+    df.write.mode("overwrite").partitionBy("tenant").parquet(store)
+    actual = sorted(e[len("tenant="):] for e in os.listdir(store)
+                    if e.startswith("tenant="))
+    assert sorted(escape_partition_value(v) for v in vals) == actual
+    # traversal-shaped values stay single path components
+    for hostile in ("../../etc", "a/b", "..\\x"):
+        esc = escape_partition_value(hostile)
+        assert "/" not in esc and "\\" not in esc
+    assert escape_partition_value(None) == "__HIVE_DEFAULT_PARTITION__"
+
+
+def test_fs_read_text_roundtrip(spark, tmp_path):
+    """fs_write_text/fs_read_text round-trip through the Hadoop FS API
+    in ONE bulk read (the per-byte py4j loop is gone — ADVICE r14)."""
+    from openai_vector_search_demo_spark.stores import (
+        fs_read_text,
+        fs_write_text,
+    )
+
+    p = str(tmp_path / "meta.txt")
+    payload = '{"stride": 45, "note": "héllo — utf-8"}'
+    fs_write_text(spark, p, payload)
+    assert fs_read_text(spark, p) == payload
+    assert fs_read_text(spark, str(tmp_path / "absent.txt")) is None

@@ -341,7 +341,7 @@ def test_stream_neardup_gate_equals_batch_across_microbatches(spark,
     stream = (spark.readStream.schema(new.schema)
               .option("maxFilesPerTrigger", 1).format("parquet").load(src))
     q = (stream_neardup_gate(stream, store,
-                             lambda rows, bid: batches.append(rows))
+                             lambda df, bid: batches.append(df.collect()))
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="neardup_test_"))
          .start())
@@ -417,7 +417,7 @@ def test_stream_ingest_loop_equals_batch_loop(spark, workdir):
     stream = (spark.readStream.schema(b1.schema)
               .option("maxFilesPerTrigger", 1).format("parquet").load(src))
     q = (stream_neardup_gate(stream, store_b,
-                             lambda rows, bid: batches.append(rows),
+                             lambda df, bid: batches.append(df.collect()),
                              append_admitted=True)
          .option("checkpointLocation",
                  tempfile.mkdtemp(prefix="ingestloop_stream_"))
