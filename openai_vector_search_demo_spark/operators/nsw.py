@@ -24,30 +24,37 @@ per-block top-Ms.  At 100 TB the same build runs per IVF cell first
 (cell-bounds the quadratic, the semdedup posture); the graph THIS
 module stores and serves is format-identical either way.
 
-Search (``beam_search_knn``, v3 semantic since r14): entry is ITSELF
-HIERARCHICAL — the ⌈√n⌉-node coarse subset ``id % stride == 0`` is
-graph-indexed too (``build_l1_graph``; stored under ``_L1``), and a
-query enters by scoring the ~n^(1/4)-node L2 subset exactly, walking
-two beam rounds over the L1 graph, and seeding the base beam with the
-top-16 of every L1 node visited (all of which stay candidates — their
-exact scores are paid).  This is the reference's actual HNSW
-multi-layer structure (modules/utilities.py:272-278): per-query entry
-cost drops from Θ(√n) exact evaluations to Θ(n^(1/4)·M), and the
-recursion continues at whatever depth the corpus needs.  Each of T
-base rounds joins the frontier's adjacency rows (a broadcast of ≤ ef
-ids against the src-bucketed edge store — partition-pruned point
-lookups), traverses them SYMMETRICALLY (out-edges ∪ reversed in-edges
-— the reverse-link practice; hubs become entryways, not one-way
-sinks), scores the unvisited newcomers by exact cosine against the
-query, keeps the top-ef as the next frontier (ef autoscales to
-⌈1.5·√n⌉ — ``nsw_serving_params``), and accumulates every scored
-node.  The answer is the top-k of all visited nodes — i.e. the refine
-is built in: scores are exact cosines throughout, the graph only
-decides WHICH nodes get scored.  Recall is measured, never assumed —
-r12 fixed knobs served mean recall@10 = 0.155 at sf0.1, r13's flat
-coarse entry 0.76 (min 0.50), and this v3 operating point 0.97 (min
-0.90) at visited fraction 0.609 and falling with n
-(``ann_nsw_mean_recall_at_10``, ``ann_nsw_recall_curve``).
+Search (``beam_search_knn``, v4 semantic since r15): entry is ITSELF
+HIERARCHICAL AND RECURSIVE — ``nsw_hier_plan`` graph-indexes every
+level of the stride stack (⌈√n⌉-node L1, n^(1/4)-node L2, … stored
+under ``_L1``/``_L2``/…) down to the first level smaller than
+``NSW_HIER_FLOOR``, and a query enters by scoring that tiny top
+subset exactly, then DESCENDING: per level, two beam rounds at
+constant width ``NSW_HIER_W``, re-seeded from the running pool's top;
+the base beam starts from the pool's top-16 (all hierarchy-visited
+stay candidates — their exact scores are paid).  This is the
+reference's actual HNSW multi-layer structure
+(modules/utilities.py:272-278): entry work is
+depth·2·{NSW_HIER_W}·2M evaluations with depth = Θ(log log n) — flat
+in n for any real corpus.  Each of T base rounds joins the frontier's
+adjacency rows (a broadcast of ≤ ef ids against the src-bucketed edge
+store — partition-pruned point lookups), traverses them SYMMETRICALLY
+(out-edges ∪ reversed in-edges — the reverse-link practice; hubs
+become entryways, not one-way sinks), scores the unvisited newcomers
+by exact cosine against the query, keeps the top-ef as the next
+frontier (ef = {NSW_EF_SERVE} CONSTANT — v4's one-line scale law:
+per-query work is BOUNDED by rounds·ef·2M evaluations independent of
+corpus size, where v3's ⌈1.5·√n⌉ autoscale made it Θ(√n·M) and its
+recall still decayed 0.97 → 0.77 → 0.62 across 2k/20k/100k), and
+accumulates every scored node.  The answer is the top-k of all
+visited nodes — i.e. the refine is built in: scores are exact cosines
+throughout, the graph only decides WHICH nodes get scored.  Recall is
+measured, never assumed — the v4 point (with M = 16, the degree that
+keeps an exact-kNN graph navigable at 100k; M = 6 needed 2× the beam
+for less recall) serves mean/min recall@10 = 1.00/1.00 @ 2k,
+1.00/1.00 @ 20k, 0.98/0.90 @ 100k at the SAME ef
+(``ann_nsw_mean_recall_at_10``, ``ann_nsw_fixed_ef_scaling``,
+``scripts/ab_nsw_v4_deep.py``).
 
 Determinism contract (the ANN-family rule, ``ann.py`` module
 docstring): every selection — per-block top-M, global top-M, per-round
@@ -80,49 +87,97 @@ from openai_vector_search_demo_spark.functions.vectors import (
     vector_lit,
 )
 
-NSW_M = 6          # out-neighbors kept per node (traversal is SYMMETRIC)
-NSW_EF = 12        # beam-width FLOOR — serving autoscales to ⌈1.5·√n⌉
-NSW_ROUNDS = 5     # frontier expansions (pinned; the oracle unrolls them)
-NSW_ENTRY_COUNT = 16  # base-beam entry points taken from the L1 layer
-NSW_SEED_COUNT = 8    # seeds INTO the L1 beam (and legacy flat entries)
-NSW_L1_ROUNDS = 2     # beam rounds over the graph-indexed coarse layer
-NSW_HIER_FLOOR = 16   # |L1| below this -> score all of L1 (flat entry)
+NSW_M = 16         # out-neighbors kept per node (traversal is SYMMETRIC)
+NSW_EF = 12        # beam-width floor (tests' explicit-knob mode)
+NSW_EF_SERVE = 160  # CONSTANT serving beam width — independent of n (v4)
+NSW_ROUNDS = 8     # frontier expansions (pinned; the oracle unrolls them)
+NSW_ENTRY_COUNT = 16  # base-beam entry points taken from the level stack
+NSW_HIER_W = 16    # per-level beam width AND seed count (constant in n)
+NSW_SEED_COUNT = NSW_HIER_W  # back-compat alias (pre-v4 name)
+NSW_L1_ROUNDS = 2     # beam rounds per graph-indexed hierarchy level
+NSW_HIER_FLOOR = 16   # level size below this -> score the level flat
 NSW_SEEDS = (1, 101, 201, 301)
 """Legacy fixed, id-spread entry points — kept for explicit-seed callers
-and tests.  SERVING default is the HIERARCHICAL entry instead (v3,
-r14): L2 exact scan + L1 beam over the graph-indexed coarse layer —
-see the module docstring and ``nsw_serving_params``/``nsw_l1_params``.
-Fixed seeds at sf0.1 served mean recall@10 = 0.155; the r13 flat
-coarse entry 0.76 (min 0.50); v3 serves 0.97 (min 0.90) — see
-``ann_nsw_mean_recall_at_10`` / ``ann_nsw_recall_curve``."""
+and tests.  SERVING default is the HIERARCHICAL entry instead (v4,
+r15): flat scan of the top (< {NSW_HIER_FLOOR}-node) subset, then a
+constant-width beam down every graph-indexed level — see the module
+docstring and ``nsw_serving_params``/``nsw_hier_plan``.  Fixed seeds at
+sf0.1 served mean recall@10 = 0.155; the r13 flat coarse entry 0.76
+(min 0.50); v3 (√n-autoscaled ef) 0.97 at sf0.1 but DECAYING with n
+(0.77 @ 20k, 0.62 @ 100k); v4's constant-ef point holds ≥0.9 across
+the same curve — see ``ann_nsw_mean_recall_at_10`` /
+``ann_nsw_fixed_ef_scaling``."""
 
 DEFAULT_MAX_BLOCK_ROWS = 8192
 
 
 def nsw_serving_params(n: int) -> tuple[int, int, int]:
     """(stride, ef, rounds) for a corpus of ``n`` vectors — the
-    registered serving autoscale (v3, r14): coarse layer ⌈√n⌉, beam
-    width ef = ⌈1.5·√n⌉, rounds = {NSW_ROUNDS} — the measured sf0.1
-    operating point that lifts the recall TAIL (min 0.50 → 0.90 over
-    the 20 held-out queries, mean 0.76 → 0.97) while per-query cost
-    stays Θ(√n·M) score evaluations.  The r13 point (ef = ⌈√n⌉,
-    4 rounds, 8 entries) is the receipted ancestor in BASELINE.md."""
+    registered serving policy (v4, r15): coarse stride ⌈√n⌉ (the
+    HIERARCHY's geometry — its depth adapts to n), beam width
+    ef = {NSW_EF_SERVE} CONSTANT, rounds = {NSW_ROUNDS} constant.
+    Per-query work is therefore BOUNDED by rounds·ef·2M score
+    evaluations — independent of corpus size — where v3's
+    ef = ⌈1.5·√n⌉ made it Θ(√n·M) and its recall at the autoscale
+    point still decayed 0.97 → 0.77 → 0.62 across 2k/20k/100k
+    (VERDICT r14 #1).  The constant point (with the deeper hierarchy
+    and the M = {NSW_M} degree that makes a kNN graph navigable at
+    100k) was picked by the numpy-twin A/B
+    (``scripts/ab_nsw_v4_deep.py``) and holds mean recall ≥ 0.9 on the
+    same 3-point curve with a visited count that SATURATES instead of
+    growing — receipted by ``ann_nsw_fixed_ef_scaling``."""
     import math
     root = max(2, math.ceil(math.sqrt(max(1, n))))
-    ef = max(NSW_EF, math.ceil(1.5 * math.sqrt(max(1, n))))
-    return root, ef, NSW_ROUNDS
+    return root, NSW_EF_SERVE, NSW_ROUNDS
 
 
 def nsw_l1_params(n1: int) -> tuple[int, bool]:
     """(stride2, hierarchical) for an L1 coarse layer of ``n1`` nodes —
-    the second hierarchy level's autoscale: the L2 entry subset is
-    ``id % (stride·stride2) == 0`` with stride2 = ⌈√n1⌉ (≈ n^(1/4)
-    exact evaluations per query), and the L1 beam's width is stride2.
-    Below ``NSW_HIER_FLOOR`` nodes the whole L1 layer is scored flat —
-    the small-corpus degeneration the oracle mirrors with an OR
-    predicate (a 6-node layer has nothing to index)."""
+    one recursion step of the hierarchy's geometry: the next level's
+    subset is ``id % (stride·stride2) == 0`` with stride2 = ⌈√n1⌉.
+    Below ``NSW_HIER_FLOOR`` nodes the layer is scored flat — the
+    small-corpus degeneration the oracle mirrors with an OR predicate
+    (a 6-node layer has nothing to index).  ``nsw_hier_plan`` applies
+    this step recursively (v4)."""
     import math
     return max(2, math.ceil(math.sqrt(max(1, n1)))), n1 >= NSW_HIER_FLOOR
+
+
+def nsw_hier_plan(df: DataFrame, n: int,
+                  id_col: str = "vec_id",
+                  n1: int | None = None) -> tuple[list[int], list[int]]:
+    """(strides, counts) of the full level stack for corpus ``df`` of
+    size ``n`` — the v4 RECURSION the v3 design only named: level ℓ is
+    the subset ``id % (s1·…·sℓ) == 0`` with s_{ℓ+1} = ⌈√n_ℓ⌉; every
+    level with ≥ {NSW_HIER_FLOOR} nodes gets its own exact top-M graph,
+    and the FIRST smaller level is the flat-scanned entry top.  Level
+    sizes fall as n^(1/2), n^(1/4), n^(1/8)… so depth is Θ(log log n)
+    (2 at 2k, 3 at 100k, ~4 at 10⁹) and per-query entry work is
+    depth·{NSW_L1_ROUNDS}·{NSW_HIER_W}·2M evaluations — flat in n.
+    This is the reference HNSW's actual multi-layer structure
+    (modules/utilities.py:272-278).  ``df`` must already be filtered to
+    non-null vectors; counts come from the DATA (one count job per
+    level, ≤ ~4), so a replay is deterministic.  ``n1`` short-circuits
+    the first count when the caller already knows it (the memoized
+    slots)."""
+    import math
+    strides: list[int] = []
+    counts: list[int] = []
+    prod = 1
+    cur = max(1, n)
+    while True:
+        s = max(2, math.ceil(math.sqrt(cur)))
+        prod *= s
+        if not strides and n1 is not None:
+            cnt = int(n1)
+        else:
+            cnt = df.filter(
+                F.pmod(F.col(id_col), F.lit(int(prod))) == 0).count()
+        strides.append(int(s))
+        counts.append(int(cnt))
+        if cnt < NSW_HIER_FLOOR:
+            return strides, counts
+        cur = cnt
 
 
 def nsw_filtered_ef(ef: int, n_match: int, n_total: int,
@@ -327,17 +382,41 @@ def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
     current resolved top-M (one extra pruned point read), which makes
     them exact under upserts too.
 
-    v3 (r14): the store also carries the HIERARCHY's next level — the
-    symmetrized exact top-M graph over the coarse subset
-    ``id % stride == 0`` under ``_L1`` (bucketed by src the same way)
-    and its write-time params under ``_L1_META`` — so serving entry is
-    a beam over the graph-indexed L1 layer (Θ(n^(1/4)·M) evaluations)
-    instead of a flat Θ(√n) exact scan.  L1 is √n-sized: its build is
-    n work (amortized next to the base n²-bounded build) and it is
-    REBUILT WHOLE on upsert, so it needs no merge-on-read story."""
-    import json
-
+    v4 (r15): the store carries the WHOLE hierarchy — every level of
+    ``nsw_hier_plan`` with ≥ {NSW_HIER_FLOOR} nodes gets its own exact
+    top-M graph under ``_L1``, ``_L2``, … (each in the SAME dual
+    fwd/mirror bucketed format as the base layer, so the incremental
+    upsert machinery applies to levels too — VERDICT r14 #2), and the
+    write-time geometry lands in ``_L1_META`` (strides + counts +
+    legacy v3 keys).  Level ℓ is n^(1/2^ℓ)-sized: its build is at most
+    n work (amortized next to the base n²-bounded build), depth is
+    Θ(log log n), and serving entry costs depth·{NSW_L1_ROUNDS}·
+    {NSW_HIER_W}·2M evaluations — flat in n."""
+    base = df.filter(F.col(vec_col).isNotNull())
+    n = base.count()
+    strides, counts = nsw_hier_plan(base, n, id_col=id_col)
     edges = build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
+    _write_graph_dual(edges, path, n_buckets)
+    prod = 1
+    for lvl, (s, cnt) in enumerate(zip(strides, counts), start=1):
+        prod *= s
+        if cnt < NSW_HIER_FLOOR:
+            break       # this subset is the flat-scanned entry top
+        sub = base.filter(F.pmod(F.col(id_col), F.lit(int(prod))) == 0)
+        ledges = build_knn_graph(sub, m=m, vec_col=vec_col,
+                                 id_col=id_col)
+        _write_graph_dual(ledges, f"{path.rstrip('/')}/_L{lvl}",
+                          n_buckets)
+    _write_hier_meta(df.sparkSession, path, strides, counts, m)
+
+
+def _write_graph_dual(edges: DataFrame, path: str,
+                      n_buckets: int) -> None:
+    """Persist a directed top-M adjacency in the store's DUAL format:
+    every edge under its src bucket with ``fwd = true`` (the canonical
+    list merge-on-read resolves) plus a ``fwd = false`` mirror under
+    the dst's bucket (symmetric traversal stays a src-pruned point
+    read) — see the v2 notes above."""
     both = (edges.withColumn("fwd", F.lit(True))
             .unionByName(edges.select(F.col("dst").alias("src"),
                                       F.col("src").alias("dst"), "sim")
@@ -347,33 +426,34 @@ def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
      .repartition(F.col("bucket"))
      .write.mode("overwrite").partitionBy("bucket").parquet(path))
 
-    base = df.filter(F.col(vec_col).isNotNull())
-    n = base.count()
-    stride, _, _ = nsw_serving_params(n)
-    n1 = base.filter(
-        F.pmod(F.col(id_col), F.lit(int(stride))) == 0).count()
-    stride2, _ = nsw_l1_params(n1)
-    l1 = build_l1_graph(base, stride, m=m, vec_col=vec_col,
-                        id_col=id_col)
-    (l1.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
-                   .cast("int"))
-     .repartition(F.col("bucket"))
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(path.rstrip("/") + "/_L1"))
+
+def _write_hier_meta(spark, path: str, strides: list[int],
+                     counts: list[int], m: int) -> None:
+    """``_L1_META``: the frozen write-time geometry (v4 adds the full
+    ``strides``/``counts`` stack; the v3 scalar keys stay for
+    compatibility with pre-v4 readers and tests)."""
+    import json
+
     from openai_vector_search_demo_spark.stores import fs_write_text
-    fs_write_text(df.sparkSession, path.rstrip("/") + "/_L1_META",
-                  json.dumps({"stride": int(stride), "n1": int(n1),
-                              "stride2": int(stride2), "m": int(m)}))
+    legacy_stride2 = strides[1] if len(strides) > 1 else \
+        nsw_l1_params(counts[0])[0]
+    fs_write_text(spark, path.rstrip("/") + "/_L1_META",
+                  json.dumps({"stride": int(strides[0]),
+                              "n1": int(counts[0]),
+                              "stride2": int(legacy_stride2),
+                              "m": int(m),
+                              "strides": [int(s) for s in strides],
+                              "counts": [int(c) for c in counts]}))
 
 
 def build_l1_graph(df: DataFrame, stride: int, m: int = NSW_M,
                    vec_col: str = "embedding", id_col: str = "vec_id"
                    ) -> DataFrame:
-    """The hierarchy's SECOND level: the exact top-``m`` graph over the
-    coarse subset ``id % stride == 0`` (⌈n/stride⌉ ≈ √n nodes — so the
-    build is √n² = n work, amortized away next to the base build),
-    already SYMMETRIZED (L1 is rebuilt whole on upsert — no
-    merge-on-read story needed, mirrors can be materialized)."""
+    """One hierarchy level, inline form: the exact top-``m`` graph over
+    the subset ``id % stride == 0`` (pass the stride PRODUCT for deeper
+    levels), already SYMMETRIZED — the shape the in-memory beam and the
+    oracle consume directly (the stored path uses the dual fwd/mirror
+    format instead so levels stay incrementally maintainable)."""
     coarse = df.filter(F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
     return symmetrize_edges(
         build_knn_graph(coarse, m=m, vec_col=vec_col, id_col=id_col))
@@ -431,7 +511,9 @@ def beam_search_knn(edges, source: DataFrame,
                     exclude_ids: Sequence[int] | None = None,
                     stride: int | None = None,
                     n_entry: int = NSW_ENTRY_COUNT,
-                    l1_edges=None, n1: int | None = None) -> DataFrame:
+                    l1_edges=None, n1: int | None = None,
+                    hier_levels: Sequence | None = None,
+                    flat_mod: int | None = None) -> DataFrame:
     """Multi-seed beam search over an adjacency relation — the
     SINGLE-QUERY serving form: ONE Spark job per round (the frontier's
     pruned edge lookup broadcast-joined against ``source`` and scored
@@ -446,25 +528,26 @@ def beam_search_knn(edges, source: DataFrame,
     (score desc, id asc) — the same total order Spark's orderBy gives,
     so the trajectory is oracle-replayable bit-for-bit.
 
-    Entry points (v3, HIERARCHICAL): with ``stride``, ``l1_edges`` and
-    ``n1`` all set (the serving default — ``nsw_serving_params`` +
-    the store's L1 layer) entry itself is a beam: the L2 subset
-    ``id % (stride·stride2) == 0`` (≈ n^(1/4) nodes, stride2 = ⌈√n1⌉)
-    is scored exactly, its top-``NSW_SEED_COUNT`` walk
-    ``NSW_L1_ROUNDS`` beam rounds over the GRAPH-INDEXED coarse layer
-    (``l1_edges`` — the recursion that yields the HNSW hierarchy:
-    entry cost drops from Θ(√n) exact evaluations to Θ(n^(1/4)·M)),
-    and the top-``n_entry`` of every L1 node visited seed the base
-    beam — all L1-visited stay candidates (their exact scores are
-    paid).  With only ``stride`` set, the whole coarse layer is
-    scored flat (the r13 semantic, and the registered degeneration
+    Entry points (v4, HIERARCHICAL): with ``hier_levels``/``flat_mod``
+    set — or the legacy depth-1 shape ``stride``+``l1_edges``+``n1``
+    (upgraded internally) — entry DESCENDS the level stack: the flat
+    top subset ``id % flat_mod == 0`` (< {NSW_HIER_FLOOR} nodes) is
+    scored exactly, then each graph level from the top down runs
+    {NSW_L1_ROUNDS} beam rounds at CONSTANT width {NSW_HIER_W}
+    (seeded by the running pool's top-{NSW_HIER_W}), and the
+    top-``n_entry`` of everything visited seeds the base beam — all
+    hierarchy-visited stay candidates (their exact scores are paid).
+    Entry work is depth·{NSW_L1_ROUNDS}·{NSW_HIER_W}·2M evaluations —
+    flat in n (depth is log log n).  With only ``stride`` set, the
+    whole coarse layer is scored flat (the registered degeneration
     when ``n1 < NSW_HIER_FLOOR``).  Without ``stride``, ``seeds`` are
     used verbatim (legacy fixed-entry mode).
 
-    ``edges`` / ``l1_edges`` are DataFrames or ``ids -> DataFrame``
+    ``edges`` / level entries are DataFrames or ``ids -> DataFrame``
     lookup callables (the stored path passes ones that also filter the
     store's bucket partition column, so the IN-list prunes
-    DIRECTORIES, not just row groups)."""
+    DIRECTORIES, not just row groups); ``hier_levels`` is ordered
+    L1 → Ld (the descent runs it reversed)."""
     q = vector_lit(qvec)
     lookup = edges if callable(edges) else (
         lambda ids: edges.filter(F.col("src").isin(ids)))
@@ -480,39 +563,45 @@ def beam_search_knn(edges, source: DataFrame,
                     cosine_similarity(F.col(vec_col), q), 6))
                 .select(id_col, "label", "_s"))
 
-    hier = (stride is not None and l1_edges is not None
-            and n1 is not None and n1 >= NSW_HIER_FLOOR)
-    if hier:
-        stride2, _ = nsw_l1_params(n1)
-        l1_lookup = l1_edges if callable(l1_edges) else (
-            lambda ids: l1_edges.filter(F.col("src").isin(ids)))
+    if (hier_levels is None and stride is not None
+            and l1_edges is not None and n1 is not None
+            and n1 >= NSW_HIER_FLOOR):
+        # legacy depth-1 call shape -> the v4 descent with one level
+        hier_levels = [l1_edges]
+        flat_mod = int(stride) * nsw_l1_params(n1)[0]
+    if hier_levels:
+        lookups = [lv if callable(lv) else
+                   (lambda ids, _e=lv: _e.filter(F.col("src").isin(ids)))
+                   for lv in hier_levels]
         scored0 = score_ids(
-            F.pmod(F.col(id_col), F.lit(int(stride) * stride2)) == 0)
+            F.pmod(F.col(id_col), F.lit(int(flat_mod))) == 0)
         schema = scored0.schema
         rows = scored0.collect()
         visited = {r[id_col]: r for r in rows}
         seen = set(visited)
-        hf = [r[id_col] for r in
-              sorted(rows, key=skey)[:NSW_SEED_COUNT]]
-        for _ in range(NSW_L1_ROUNDS):
-            if not hf:
-                break
-            cand = l1_lookup(hf).select(F.col("dst").alias(id_col))
-            cand_rows = (source.join(F.broadcast(cand), id_col)
-                         .withColumn("_s", F.round(
-                             cosine_similarity(F.col(vec_col), q), 6))
-                         .select(id_col, "label", "_s").collect())
-            new = {}
-            for r in cand_rows:
-                i = r[id_col]
-                if i not in seen and i not in new:
-                    new[i] = r
-            if not new:
-                break
-            seen.update(new)
-            visited.update(new)
+        for lk in reversed(lookups):
             hf = [r[id_col] for r in
-                  sorted(new.values(), key=skey)[:stride2]]
+                  sorted(visited.values(), key=skey)[:NSW_HIER_W]]
+            for _ in range(NSW_L1_ROUNDS):
+                if not hf:
+                    break
+                cand = lk(hf).select(F.col("dst").alias(id_col))
+                cand_rows = (source.join(F.broadcast(cand), id_col)
+                             .withColumn("_s", F.round(
+                                 cosine_similarity(F.col(vec_col), q),
+                                 6))
+                             .select(id_col, "label", "_s").collect())
+                new = {}
+                for r in cand_rows:
+                    i = r[id_col]
+                    if i not in seen and i not in new:
+                        new[i] = r
+                if not new:
+                    break
+                seen.update(new)
+                visited.update(new)
+                hf = [r[id_col] for r in
+                      sorted(new.values(), key=skey)[:NSW_HIER_W]]
         frontier = [r[id_col] for r in
                     sorted(visited.values(), key=skey)[:n_entry]]
     elif stride is not None:
@@ -577,7 +666,9 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
                           stride: int | None = None,
                           n_entry: int = NSW_ENTRY_COUNT,
                           l1_edges: DataFrame | None = None,
-                          n1: int | None = None) -> DataFrame:
+                          n1: int | None = None,
+                          hier_levels: Sequence[DataFrame] | None = None,
+                          flat_mod: int | None = None) -> DataFrame:
     """BATCHED multi-query beam search — the serving form for query
     THROUGHPUT: the frontier is a (qid, node) RELATION, every round is
     one edge join + one anti join + one broadcast-scored point-read +
@@ -604,35 +695,41 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
     sess = source.sparkSession
     wf = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
                                            F.col(id_col).asc())
-    hier = (stride is not None and l1_edges is not None
-            and n1 is not None and n1 >= NSW_HIER_FLOOR)
-    if hier:
-        # HIERARCHICAL entry (v3): every qid scores the shared L2
-        # subset (≈ n^(1/4) rows), walks NSW_L1_ROUNDS qid-keyed beam
-        # rounds over the graph-indexed coarse layer, and enters the
-        # base graph at its per-qid top-n_entry of all L1-visited —
-        # the same relational round shape as the base beam, on a
-        # √n-sized edge relation.
-        stride2, _ = nsw_l1_params(n1)
+    if (hier_levels is None and stride is not None
+            and l1_edges is not None and n1 is not None
+            and n1 >= NSW_HIER_FLOOR):
+        # legacy depth-1 call shape -> the v4 descent with one level
+        hier_levels = [l1_edges]
+        flat_mod = int(stride) * nsw_l1_params(n1)[0]
+    if hier_levels:
+        # HIERARCHICAL entry (v4): every qid scores the shared flat top
+        # subset (< NSW_HIER_FLOOR rows), then DESCENDS the level stack
+        # — per level, NSW_L1_ROUNDS qid-keyed beam rounds at constant
+        # width NSW_HIER_W over that level's edge relation (re-seeded
+        # from the running pool's per-qid top) — and enters the base
+        # graph at its per-qid top-n_entry of everything visited: the
+        # same relational round shape as the base beam, on
+        # progressively larger but still tiny edge relations.
         seed_df = (q.select("qid").crossJoin(
             vecs.filter(F.pmod(F.col(id_col),
-                               F.lit(int(stride) * stride2)) == 0)
+                               F.lit(int(flat_mod))) == 0)
             .select(id_col)))
         visited = score(seed_df).localCheckpoint()
-        hf = (visited.withColumn("_rn", F.row_number().over(wf))
-              .filter(F.col("_rn") <= NSW_SEED_COUNT)
-              .select("qid", F.col(id_col).alias("src")))
-        for _ in range(NSW_L1_ROUNDS):
-            cand = (l1_edges.join(hf, "src")
-                    .select("qid", F.col("dst").alias(id_col))
-                    .distinct())
-            new = cand.join(visited.select("qid", id_col),
-                            ["qid", id_col], "left_anti")
-            scored = score(new).localCheckpoint()
-            visited = visited.unionByName(scored).localCheckpoint()
-            hf = (scored.withColumn("_rn", F.row_number().over(wf))
-                  .filter(F.col("_rn") <= stride2)
+        for ledges in reversed(list(hier_levels)):
+            hf = (visited.withColumn("_rn", F.row_number().over(wf))
+                  .filter(F.col("_rn") <= NSW_HIER_W)
                   .select("qid", F.col(id_col).alias("src")))
+            for _ in range(NSW_L1_ROUNDS):
+                cand = (ledges.join(hf, "src")
+                        .select("qid", F.col("dst").alias(id_col))
+                        .distinct())
+                new = cand.join(visited.select("qid", id_col),
+                                ["qid", id_col], "left_anti")
+                scored = score(new).localCheckpoint()
+                visited = visited.unionByName(scored).localCheckpoint()
+                hf = (scored.withColumn("_rn", F.row_number().over(wf))
+                      .filter(F.col("_rn") <= NSW_HIER_W)
+                      .select("qid", F.col(id_col).alias("src")))
         frontier = (visited.withColumn("_rn", F.row_number().over(wf))
                     .filter(F.col("_rn") <= n_entry)
                     .select("qid", F.col(id_col).alias("src")))
@@ -687,26 +784,33 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
     """Inline build+search (the oracled form; production stores the
     graph once via ``write_nsw_index`` and serves many queries).
     Traversal is SYMMETRIC over the directed top-m build; with
-    ``stride`` set the L1 layer is graph-indexed inline too and entry
-    is the v3 HIERARCHICAL beam (``n1`` skips the coarse count job
-    when the caller already knows it)."""
+    ``stride`` set the whole level stack is graph-indexed inline too
+    and entry is the v4 HIERARCHICAL descent (``n1`` skips the first
+    coarse count job when the caller already knows it)."""
     edges = symmetrize_edges(
         build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col))
-    l1 = None
+    levels, flat_mod = None, None
     if stride is not None:
-        coarse = df.filter(
-            F.col(vec_col).isNotNull()
-            & (F.pmod(F.col(id_col), F.lit(int(stride))) == 0))
-        if n1 is None:
-            n1 = coarse.count()
-        if n1 >= NSW_HIER_FLOOR:
-            l1 = build_l1_graph(df.filter(F.col(vec_col).isNotNull()),
-                                stride, m=m, vec_col=vec_col,
-                                id_col=id_col)
+        base = df.filter(F.col(vec_col).isNotNull())
+        n = base.count()
+        strides, counts = nsw_hier_plan(base, n, id_col=id_col, n1=n1)
+        levels, prod = [], 1
+        for s, cnt in zip(strides, counts):
+            prod *= s
+            if cnt < NSW_HIER_FLOOR:
+                break
+            levels.append(build_l1_graph(base, prod, m=m,
+                                         vec_col=vec_col,
+                                         id_col=id_col))
+        flat_mod = prod
+        if not levels:
+            # degenerate corpus: flat coarse entry at the caller stride
+            levels, flat_mod = None, None
     return beam_search_knn(edges, df, qvec, k=k, ef=ef, rounds=rounds,
                            seeds=seeds, vec_col=vec_col, id_col=id_col,
                            sim_col=sim_col, stride=stride,
-                           n_entry=n_entry, l1_edges=l1, n1=n1)
+                           n_entry=n_entry, hier_levels=levels,
+                           flat_mod=flat_mod)
 
 
 def upsert_nsw_index(spark, path: str, batch: DataFrame,
@@ -731,9 +835,19 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
     IS the full-rebuild oracle.  Deletes are out of scope here (a
     removed node invalidates neighbors' lists non-locally; the
     documented production answer is periodic recompaction, the IVFADC
-    pattern)."""
-    import pandas as pd
+    pattern).
 
+    v4 (r15, VERDICT r14 #2): the HIERARCHY is maintained incrementally
+    too — each stored level is just another NSW graph in the same dual
+    format, so the level's batch members (|B|/s1·…·sℓ of the batch) get
+    the SAME exact append (new-node lists + beats-the-m-th-edge
+    improvements, merge-on-read resolved).  A level is rebuilt whole
+    ONLY when its geometry moves: the post-upsert ``nsw_hier_plan`` is
+    compared stride-product by stride-product against the stored meta,
+    and ⌈√n⌉ changes once per ~2√n inserts, so the rebuild (≤ n work,
+    on an n^(1/2^ℓ)-sized layer) amortizes to O(√n) per insert — the
+    upsert path's steady-state work term is |batch|-proportional, not
+    the Θ(n) whole-L1 rebuild v3 paid per batch."""
     ex = (existing.filter(F.col(vec_col).isNotNull())
           .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
     brows = (batch.filter(F.col(vec_col).isNotNull())
@@ -741,6 +855,73 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
              .collect())
     if not brows:
         return
+    sess = existing.sparkSession
+    bdf = sess.createDataFrame(
+        [(int(r.id), list(r.v)) for r in brows],
+        "id long, v array<double>")
+    _append_graph_delta(spark, path, brows, ex, m, n_buckets)
+    # store-format contract: the marker tells readers that merge-on-read
+    # resolution AND mirror validation are now REQUIRED (a fresh store
+    # needs neither — every src has exactly m fwd rows and every mirror
+    # is valid); recompaction (rebuild) clears it with the store.
+    # Written via the Hadoop FileSystem API so the marker exists — and is
+    # visible to readers — on ANY store URI, not just the local posix FS.
+    from openai_vector_search_demo_spark.stores import fs_touch
+    fs_touch(spark, path.rstrip("/") + "/_DELTAS")
+
+    # hierarchy maintenance: recompute the plan from the post-upsert
+    # corpus (deterministic — an at-least-once replay sees the same
+    # corpus and produces the same bytes), append incrementally where
+    # the frozen geometry still matches, rebuild a level only where its
+    # stride product moved (or it newly crossed the floor)
+    allnodes = ex.unionByName(bdf)
+    n = allnodes.count()
+    meta = read_l1_meta(spark, path) or {}
+    old_strides = meta.get("strides", [])
+    old_counts = meta.get("counts", [])
+    strides, counts = nsw_hier_plan(allnodes, n, id_col="id")
+    prod, old_prod = 1, 1
+    geom_ok = True
+    for lvl, (s, cnt) in enumerate(zip(strides, counts), start=1):
+        prod *= s
+        if lvl <= len(old_strides):
+            old_prod *= old_strides[lvl - 1]
+        geom_ok = (geom_ok and lvl <= len(old_strides)
+                   and old_prod == prod
+                   and lvl <= len(old_counts)
+                   and old_counts[lvl - 1] >= NSW_HIER_FLOOR)
+        if cnt < NSW_HIER_FLOOR:
+            break       # flat top — no graph at this level
+        lpath = f"{path.rstrip('/')}/_L{lvl}"
+        if geom_ok:
+            bsub = [r for r in brows if int(r.id) % prod == 0]
+            if bsub:
+                _append_graph_delta(
+                    spark, lpath, bsub,
+                    ex.filter(F.pmod(F.col("id"), F.lit(int(prod)))
+                              == 0),
+                    m, n_buckets)
+        else:
+            sub = allnodes.filter(
+                F.pmod(F.col("id"), F.lit(int(prod))) == 0)
+            _write_graph_dual(
+                build_knn_graph(sub, m=m, vec_col="v", id_col="id"),
+                lpath, n_buckets)
+    _write_hier_meta(spark, path, strides, counts, m)
+
+
+def _append_graph_delta(spark, path: str, brows, existing: DataFrame,
+                        m: int, n_buckets: int) -> None:
+    """The exact-insert append for ONE stored graph (base layer or a
+    hierarchy level): ``brows`` are collected (id, v) batch rows (KB —
+    they ride the closure as a broadcast-by-value), ``existing`` the
+    (id, v) relation of the layer's current members.  Appends the new
+    nodes' top-m lists over existing∪batch plus every existing node's
+    candidates that beat its current m-th stored edge, in the dual
+    fwd/mirror format; merge-on-read resolution makes the result equal
+    a full rebuild of the layer (the ``upsert_nsw_index`` proof)."""
+    import pandas as pd
+
     bids = np.array([r.id for r in brows], dtype=np.int64)
     bmat = np.array([list(r.v) for r in brows], dtype=np.float64)
     bn = np.linalg.norm(bmat, axis=1)
@@ -767,8 +948,8 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
                 yield pd.DataFrame(rows, columns=["src", "dst", "sim"])
 
     # (existing∪batch) × batch sims — batch rides the closure (broadcast
-    # by value); one Arrow pass over the corpus, |B| columns per row
-    allnodes = ex.unionByName(sess.createDataFrame(
+    # by value); one Arrow pass over the layer, |B| columns per row
+    allnodes = existing.unionByName(sess.createDataFrame(
         [(int(r.id), list(r.v)) for r in brows], "id long, v array<double>"))
     cross = allnodes.mapInPandas(cross_sims, "src long, dst long, sim double")
 
@@ -818,38 +999,6 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
                      .cast("int"))
      .repartition(F.col("bucket"))
      .write.mode("append").partitionBy("bucket").parquet(path))
-    # store-format contract: the marker tells readers that merge-on-read
-    # resolution AND mirror validation are now REQUIRED (a fresh store
-    # needs neither — every src has exactly m fwd rows and every mirror
-    # is valid); recompaction (rebuild) clears it with the store.
-    # Written via the Hadoop FileSystem API so the marker exists — and is
-    # visible to readers — on ANY store URI, not just the local posix FS.
-    from openai_vector_search_demo_spark.stores import fs_touch, \
-        fs_write_text
-    fs_touch(spark, path.rstrip("/") + "/_DELTAS")
-
-    # v3: rebuild the L1 layer WHOLE from the post-upsert corpus —
-    # √n-sized, so the rebuild is n work (vs the n² full base rebuild
-    # the merge-on-read append replaces), and stride/stride2 track the
-    # grown corpus exactly as a full rebuild's would, which keeps the
-    # upsert slot's full-rebuild oracle exact.  Deterministic from the
-    # corpus, so an at-least-once replay overwrites with the same bytes.
-    import json
-
-    n = allnodes.count()
-    stride, _, _ = nsw_serving_params(n)
-    n1 = allnodes.filter(
-        F.pmod(F.col("id"), F.lit(int(stride))) == 0).count()
-    stride2, _ = nsw_l1_params(n1)
-    l1 = build_l1_graph(allnodes, stride, m=m, vec_col="v", id_col="id")
-    (l1.withColumn("bucket", F.pmod(F.col("src"), F.lit(n_buckets))
-                   .cast("int"))
-     .repartition(F.col("bucket"))
-     .write.mode("overwrite").partitionBy("bucket")
-     .parquet(path.rstrip("/") + "/_L1"))
-    fs_write_text(spark, path.rstrip("/") + "/_L1_META",
-                  json.dumps({"stride": int(stride), "n1": int(n1),
-                              "stride2": int(stride2), "m": int(m)}))
 
 
 def delete_from_nsw_index(spark, path: str, ids: Sequence[int]) -> None:
@@ -927,14 +1076,39 @@ def read_l1_meta(spark, path: str) -> dict | None:
 
 
 def resolve_stored_l1(spark, path: str):
-    """(l1_edges, meta) for the BATCH serving form: the store's whole
-    L1 relation (√n-sized — one read amortized over every query in the
-    batch) plus its metadata; (None, None) for a pre-v3 store."""
-    meta = read_l1_meta(spark, path)
+    """(l1_edges, meta) — the legacy depth-1 view of
+    ``resolve_stored_levels`` (kept for pre-v4 call sites/tests)."""
+    levels, meta = resolve_stored_levels(spark, path)
     if meta is None:
         return None, None
-    return (spark.read.parquet(path.rstrip("/") + "/_L1")
-            .select("src", "dst"), meta)
+    return (levels[0] if levels else None), meta
+
+
+def resolve_stored_levels(spark, path: str, m: int = NSW_M):
+    """(levels, meta) for the BATCH serving form: every stored
+    hierarchy level's undirected traversal relation L1 → Ld, each
+    resolved with the merge-on-read top-``m`` window over its fwd rows
+    (exact after ``upsert_nsw_index`` level appends) and symmetrized —
+    one read per level, n^(1/2^ℓ)-sized, amortized over every query in
+    the batch.  ([], meta-or-None) when the store has no graph levels
+    (flat-entry corpora / pre-v3 stores)."""
+    meta = read_l1_meta(spark, path)
+    if meta is None:
+        return [], None
+    counts = meta.get("counts", [meta["n1"]])
+    levels = []
+    wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
+                                           F.col("dst").asc())
+    mm = int(meta.get("m", m))
+    for lvl, cnt in enumerate(counts, start=1):
+        if cnt < NSW_HIER_FLOOR:
+            break
+        fwd = (spark.read.parquet(f"{path.rstrip('/')}/_L{lvl}")
+               .filter(F.col("fwd"))
+               .withColumn("_rn", F.dense_rank().over(wm))
+               .filter(F.col("_rn") <= mm).select("src", "dst"))
+        levels.append(symmetrize_edges(fwd))
+    return levels, meta
 
 
 def nsw_stored_knn(spark, path: str, source: DataFrame,
@@ -1012,32 +1186,78 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
         return fwd.unionByName(mirrors.join(valid, ["src", "dst"],
                                             "left_semi"))
 
-    # v3 hierarchical entry off the store's own L1 layer: the lookup
-    # prunes _L1's bucket directories by the frontier ids exactly like
-    # the base lookup (L1 is stored pre-symmetrized and rebuilt whole
-    # on upsert, so it needs neither merge-on-read nor mirrors).  The
-    # stored layer is used only when the caller's stride MATCHES the
-    # write-time stride (they agree whenever both derive from the same
-    # corpus — the serving slots' case); an explicit non-matching
-    # stride keeps the flat coarse scan, since the stored L1 indexes a
-    # different layer than the one the caller asked to enter through.
-    l1_cb = None
-    n1 = None
+    # v4 hierarchical entry off the store's own level stack: each
+    # level's lookup prunes its _L{l} bucket directories by the
+    # frontier ids exactly like the base lookup, with the SAME
+    # merge-on-read resolution + mirror validation when the store
+    # carries upsert deltas (levels are stored in the base dual format
+    # since v4, so they are incrementally maintainable too).  The
+    # stored stack is used only when the caller's stride MATCHES the
+    # write-time geometry (they agree whenever both derive from the
+    # same corpus — the serving slots' case); an explicit non-matching
+    # stride keeps the flat coarse scan, since the stored levels index
+    # different layers than the one the caller asked to enter through.
+    levels = None
+    flat_mod = None
     if stride is not None:
         meta = read_l1_meta(spark, path)
         if meta is not None and int(meta["stride"]) == int(stride):
-            n1 = int(meta["n1"])
-            l1e = spark.read.parquet(path.rstrip("/") + "/_L1")
+            strides = meta.get("strides", [meta["stride"],
+                                           meta["stride2"]])
+            # legacy v3 metas carry only n1: pad with a below-floor
+            # count so the loop terminates at flat_mod = stride·stride2
+            # (exactly the v3 flat-top geometry)
+            counts = meta.get("counts", [meta["n1"], 0])
+            mm = int(meta.get("m", m))
 
-            def l1_cb(ids: list[int]):
-                buckets = sorted({i % n_buckets for i in ids})
-                return (l1e.filter(F.col("bucket").isin(buckets)
-                                   & F.col("src").isin(ids))
-                        .select("src", "dst"))
+            def level_cb(lvl: int):
+                le = spark.read.parquet(f"{path.rstrip('/')}/_L{lvl}")
+
+                def cb(ids: list[int]) -> DataFrame:
+                    buckets = sorted({i % n_buckets for i in ids})
+                    sel = (le.filter(F.col("bucket").isin(buckets)
+                                     & F.col("src").isin(ids)))
+                    if not has_deltas:
+                        return sel.select("src", "dst")
+                    fwd = (sel.filter(F.col("fwd"))
+                           .withColumn("_rn", F.dense_rank().over(wm))
+                           .filter(F.col("_rn") <= mm)
+                           .select("src", "dst"))
+                    mirrors = (sel.filter(~F.col("fwd"))
+                               .select("src", "dst"))
+                    xs = sorted({r.dst for r in
+                                 mirrors.select("dst").collect()})
+                    if not xs:
+                        return fwd
+                    xb = sorted({i % n_buckets for i in xs})
+                    valid = (le.filter(F.col("bucket").isin(xb)
+                                       & F.col("src").isin(xs)
+                                       & F.col("fwd"))
+                             .withColumn("_rn",
+                                         F.dense_rank().over(wm))
+                             .filter(F.col("_rn") <= mm)
+                             .select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+                    return fwd.unionByName(
+                        mirrors.join(valid, ["src", "dst"],
+                                     "left_semi"))
+                return cb
+
+            levels = []
+            prod = 1
+            for lvl, (s, cnt) in enumerate(zip(strides, counts),
+                                           start=1):
+                prod *= s
+                if cnt < NSW_HIER_FLOOR:
+                    break
+                levels.append(level_cb(lvl))
+            flat_mod = prod
+            if not levels:
+                levels, flat_mod = None, None
 
     return beam_search_knn(lookup, source, qvec, k=k, ef=ef,
                            rounds=rounds, seeds=seeds, vec_col=vec_col,
                            id_col=id_col, sim_col=sim_col,
                            exclude_ids=read_nsw_tombstones(spark, path),
                            stride=stride, n_entry=n_entry,
-                           l1_edges=l1_cb, n1=n1)
+                           hier_levels=levels, flat_mod=flat_mod)

@@ -39,11 +39,13 @@ from openai_vector_search_demo_spark.queries.ann_quant import _ANN_DIM  # noqa: 
 # beam round by round — graph, trajectory, and answer all value-checked.
 # ---------------------------------------------------------------------------
 
-_NSW_M, _NSW_EF, _NSW_ROUNDS = 6, 12, 5
-_NSW_ENTRY = 16       # base-beam entry points (top of the L1-visited set)
-_NSW_SEED_COUNT = 8   # seeds INTO the L1 beam
-_NSW_L1_ROUNDS = 2    # beam rounds over the graph-indexed coarse layer
-_NSW_HIER_FLOOR = 16  # |L1| below this -> score all of L1 (flat entry)
+_NSW_M, _NSW_EF, _NSW_ROUNDS = 16, 12, 8
+_NSW_EF_SERVE = 160   # CONSTANT serving beam width — independent of n (v4)
+_NSW_ENTRY = 16       # base-beam entry points (top of the level-visited set)
+_NSW_W = 16           # per-level beam width AND seed count (constant in n)
+_NSW_SEED_COUNT = _NSW_W  # pre-v4 alias
+_NSW_L1_ROUNDS = 2    # beam rounds per graph-indexed hierarchy level
+_NSW_HIER_FLOOR = 16  # level size below this -> score the level flat
 _NSW_SEEDS = (1, 101, 201, 301)  # legacy fixed-entry mode (tests only)
 
 
@@ -90,14 +92,17 @@ def _sql_nsw_edges(corpus_where: str = "vec_id <> 0") -> str:
     norm per node, pairwise dots via the shared-dim join, 6-dp-rounded
     cosine, ROW_NUMBER top-M per src with the dst tie-break — the same
     selection order ``operators.nsw.build_knn_graph`` uses — plus the
-    SYMMETRIZED traversal relation (out ∪ reversed-in), the autoscaled
-    serving params (v3: stride = ⌈√n⌉, ef = ⌈1.5·√n⌉ —
-    ``operators.nsw.nsw_serving_params``), and the HIERARCHY's next
-    level: the L1 layer's size/stride2 (``nswp1``) and its own exact
-    top-M graph over the coarse subset (``nswhsym`` — what
-    ``operators.nsw.build_l1_graph`` builds).  ``corpus_where`` picks
-    the node set (the mean-recall slot holds out the first
-    {_IVF_TRAINED_NQ} ids as queries)."""
+    serving params (v4: stride = ⌈√n⌉ geometry, ef = {_NSW_EF_SERVE}
+    CONSTANT — ``operators.nsw.nsw_serving_params``), and the
+    HIERARCHY's next level: the L1 layer's size/stride2 (``nswp1``)
+    and its own exact top-M graph over the coarse subset (``nswhsym``
+    — what ``operators.nsw.build_l1_graph`` builds).  Gate-scale
+    corpora (n ≤ ~2k) have exactly the depth the v3 SQL unrolled —
+    n^(1/4) < {_NSW_HIER_FLOOR} means no L2 graph exists — so the
+    depth-2 CTE shape stays the exact replay of the generalized v4
+    operator here (``tests/test_nsw.py`` pins the depth).
+    ``corpus_where`` picks the node set (the mean-recall slot holds
+    out the first {_IVF_TRAINED_NQ} ids as queries)."""
     d = _ANN_DIM
     return f"""nswex AS (SELECT vec_id AS id, ii.i AS i,
                      CAST(embedding[ii.i] AS DOUBLE) AS x
@@ -119,9 +124,7 @@ nswsym AS (SELECT src, dst FROM nswedges
            UNION SELECT dst, src FROM nswedges),
 nswp AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
                   AS stride,
-                GREATEST({_NSW_EF},
-                         CAST(CEIL(1.5 * SQRT(COUNT(*))) AS BIGINT))
-                  AS ef
+                CAST({_NSW_EF_SERVE} AS BIGINT) AS ef
          FROM embeddings
          WHERE {corpus_where} AND embedding IS NOT NULL),
 nswp1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
@@ -145,21 +148,21 @@ def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
                   include_q: bool = True,
                   corpus_where: str = "vec_id <> 0") -> str:
     """Unrolled beam rounds (the HITS/PageRank oracle pattern) in the
-    v3 serving semantic — entry is itself a beam over the
-    graph-indexed L1 layer: hv0 = the exactly-scored L2 subset
+    v4 serving semantic — entry is itself a beam over the
+    graph-indexed L1 layer: hv0 = the exactly-scored flat top subset
     (vec_id % (stride·stride2) == 0, OR the whole coarse layer when
     n1 < {_NSW_HIER_FLOOR} — the flat degeneration), hf0 = its
-    top-{_NSW_SEED_COUNT}; {_NSW_L1_ROUNDS} rounds expand over the L1
-    relation ``nswhsym`` with width stride2; v0 = every L1 node
+    top-{_NSW_W}; {_NSW_L1_ROUNDS} rounds expand over the L1 relation
+    ``nswhsym`` at CONSTANT width {_NSW_W}; v0 = every level node
     visited, f0 = its top-{_NSW_ENTRY}.  Each BASE round then expands
     the frontier over the SYMMETRIC relation ``nswsym``, keeps every
     scored node in v_r and the round's top-ef newcomers as f_r; all
     selections on the 6-dp-rounded cosine with vec_id ties.
-    ``ef=None`` uses the autoscaled width from ``nswp``; a literal ef
-    (or a SQL expression string — the filtered-curve slot's
-    data-dependent widened width) namespaced by ``prefix`` lets one
-    oracle unroll several operating points over the shared
-    relations."""
+    ``ef=None`` uses the CONSTANT serving width from ``nswp``
+    ({_NSW_EF_SERVE}); a literal ef (or a SQL expression string — the
+    filtered-curve slot's data-dependent widened width) namespaced by
+    ``prefix`` lets one oracle unroll several operating points over
+    the shared relations."""
     p = prefix
     if ef is None:
         ef_pred = "rn <= (SELECT ef FROM nswp)"
@@ -192,7 +195,7 @@ def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
 {p}hf{r} AS (SELECT vec_id FROM (
            SELECT vec_id, ROW_NUMBER() OVER (
              ORDER BY s DESC, vec_id ASC) AS rn FROM {p}hs{r})
-         WHERE rn <= (SELECT stride2 FROM nswp1))""")
+         WHERE rn <= {_NSW_W})""")
     parts.append(f"""{p}v0 AS (SELECT * FROM {p}hv{_NSW_L1_ROUNDS}),
 {p}f0 AS (SELECT vec_id FROM {p}v0
          ORDER BY s DESC, vec_id ASC LIMIT {_NSW_ENTRY})""")
@@ -285,7 +288,7 @@ def ann_nsw_stored_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv4{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -342,7 +345,7 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(F.col("n_overlap") / 10.0, 3)))
 
 
-_NSW_CURVE_EFS = (12, 33, 67)
+_NSW_CURVE_EFS = (32, 160, 320)
 """Beam-width operating points for the curve slot: below / at / above
 the sf0.01 autoscale point (⌈1.5·√480⌉ = 33; 67 is the sf0.1
 autoscale — the curve prices what the next scale step costs and
@@ -405,7 +408,7 @@ def ann_nsw_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                  tie_break="vec_id").collect()}
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv4{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -476,7 +479,7 @@ bhf{r} AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id, ROW_NUMBER() OVER (
               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
             FROM bhs{r})
-          WHERE rn <= (SELECT stride2 FROM nswp1))""")
+          WHERE rn <= {_NSW_W})""")
     parts.append(f"""bv0 AS (SELECT * FROM bhv{_NSW_L1_ROUNDS}),
 bf0 AS (SELECT qid, vec_id FROM (
           SELECT qid, vec_id, ROW_NUMBER() OVER (
@@ -544,12 +547,12 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
     import hashlib
     import os
 
-    from openai_vector_search_demo_spark.operators.knn import knn  # noqa: F401
     from openai_vector_search_demo_spark.operators.nsw import (
+        NSW_HIER_FLOOR,
         beam_search_knn_batch,
         nsw_serving_params,
         resolve_stored_edges,
-        resolve_stored_l1,
+        resolve_stored_levels,
         write_nsw_index,
     )
     from pyspark.sql import Window
@@ -564,7 +567,7 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswnqv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswnqv4{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswnq_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -575,17 +578,26 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
     # every query in the batch; the L1 layer rides along the same way
     # (√n-sized, one read)
     edges = resolve_stored_edges(spark, store, m=_NSW_M)
-    l1_edges, l1_meta = resolve_stored_l1(spark, store)
+    levels, l1_meta = resolve_stored_levels(spark, store, m=_NSW_M)
     if l1_meta is None:
         # _L1_META missing despite _SUCCESS (a crashed cache write
-        # between the base-graph and L1 writes): rewrite the store once
-        # rather than serving flat-entry forever off a half-built cache
-        # (ADVICE r14 — nsw_stored_knn guards this; the batch slot must
-        # too, or the slot fails with TypeError until /tmp is cleaned).
+        # between the base-graph and level writes): rewrite the store
+        # once rather than serving flat-entry forever off a half-built
+        # cache (ADVICE r14 — nsw_stored_knn guards this; the batch
+        # slot must too, or the slot fails with TypeError until /tmp
+        # is cleaned).
         write_nsw_index(corpus.select("vec_id", "embedding"), store,
                         m=_NSW_M)
         edges = resolve_stored_edges(spark, store, m=_NSW_M)
-        l1_edges, l1_meta = resolve_stored_l1(spark, store)
+        levels, l1_meta = resolve_stored_levels(spark, store, m=_NSW_M)
+    # flat-top predicate from the store's frozen geometry: the product
+    # of every stride down to (and including) the first below-floor
+    # level — v4's generalized stride·stride2
+    flat_mod, counts = 1, l1_meta["counts"]
+    for s, cnt in zip(l1_meta["strides"], counts):
+        flat_mod *= s
+        if cnt < NSW_HIER_FLOOR:
+            break
 
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.functions.vectors import (
@@ -599,7 +611,8 @@ def ann_nsw_mean_recall_at_10(spark: SparkSession,
         allv = beam_search_knn_batch(
             edges, corpus, queries_df, k=1 << 30, ef=ef, rounds=rounds,
             stride=stride, n_entry=_NSW_ENTRY,
-            l1_edges=l1_edges, n1=l1_meta["n1"])
+            hier_levels=levels or None,
+            flat_mod=flat_mod if levels else None)
         n_corpus = corpus.filter(F.col("embedding").isNotNull()).count()
         # exact per-qid top-10: one qid-keyed rank over the scored
         # cross relation (the oracle's bsims twin)
@@ -693,7 +706,7 @@ def ann_nsw_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("vec_id", F.round("sim", 6).alias("similarity")))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv4{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -1044,8 +1057,7 @@ def _dedup_capstone_phase_sql(p: str, nodes: str) -> str:
        UNION SELECT dst, src FROM {p}edges),
 {p}p AS MATERIALIZED (SELECT
          GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS stride,
-         GREATEST({_NSW_EF},
-                  CAST(CEIL(1.5 * SQRT(COUNT(*))) AS BIGINT)) AS ef
+         CAST({_NSW_EF_SERVE} AS BIGINT) AS ef
        FROM {nodes}),
 {p}p1 AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
          GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS stride2
@@ -1081,7 +1093,7 @@ def _dedup_capstone_phase_sql(p: str, nodes: str) -> str:
 {p}hf{r} AS MATERIALIZED (SELECT vec_id FROM (
            SELECT vec_id, ROW_NUMBER() OVER (
              ORDER BY s DESC, vec_id ASC) AS rn FROM {p}hs{r})
-         WHERE rn <= (SELECT stride2 FROM {p}p1))""")
+         WHERE rn <= {_NSW_W})""")
     parts.append(f"""{p}v0 AS MATERIALIZED (
          SELECT * FROM {p}hv{_NSW_L1_ROUNDS}),
 {p}f0 AS MATERIALIZED (SELECT vec_id FROM {p}v0
@@ -1989,7 +2001,7 @@ def ann_nsw_upsert_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswupv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswupv4{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswup_store_" + key)
     marker = os.path.join(store, "_UPSERTED")
@@ -2087,7 +2099,7 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswdelv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswdelv4{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswdel_store_" + key)
     marker = os.path.join(store, "_TOMBSTONED")
@@ -2360,7 +2372,7 @@ def ann_nsw_filtered_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nsw_corpus_n(spark, sf_dir, base, 1))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv4{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -2509,7 +2521,7 @@ def ann_nsw_filtered_recall_curve(spark: SparkSession,
     stride, ef, rounds = nsw_serving_params(n_total)
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswv3{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        f"{sf_dir}|nswv4{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
         .hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
@@ -2593,7 +2605,7 @@ def ann_nsw_tenant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.pmod(F.col("label"), F.lit(2)).cast("string")))
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswtenv1{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswtenv2{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     store = os.path.join("/tmp", "spark_graft_nswten_store_" + key)
     if not os.path.exists(
@@ -2699,8 +2711,7 @@ cbsims AS (SELECT src, dst, ROUND(dt / (na.nm * nb.nm), 6) AS sim
            JOIN cbnrm nb ON nb.id = dst),
 cbp AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
                  AS stride,
-               GREATEST({_NSW_EF},
-                        CAST(CEIL(1.5 * SQRT(COUNT(*))) AS BIGINT)) AS ef
+               CAST({_NSW_EF_SERVE} AS BIGINT) AS ef
         FROM cben),
 cbp1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
                 GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
@@ -2758,7 +2769,7 @@ cbhf{r} AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id, ROW_NUMBER() OVER (
               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
             FROM cbhs{r})
-          WHERE rn <= (SELECT stride2 FROM cbp1))""")
+          WHERE rn <= {_NSW_W})""")
     for a in (1, 2):
         p = f"m{a}"
         parts.append(f"""{p}mem AS (SELECT vec_id, sup FROM cbrank
@@ -2942,7 +2953,7 @@ def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
-        f"{sf_dir}|nswstreamv3{_NSW_M}|{_parquet_fingerprint(emb_path)}"
+        f"{sf_dir}|nswstreamv4{_NSW_M}|{_parquet_fingerprint(emb_path)}"
         .encode()).hexdigest()[:10]
     root = os.path.join("/tmp", "spark_graft_nswstream_" + key)
     store = os.path.join(root, "graph")

@@ -268,3 +268,14 @@ def refine(tw: Twin):
                lambda q, m=m: tw.hier_entry(q, m, 32, 3, 32), 128, 8)
         tw.run(f"v4 m={m} W=16 lr=2 ne=32, ef=128 r=10", m,
                lambda q, m=m: tw.hier_entry(q, m, 16, 2, 32), 128, 10)
+
+
+def final(tw: Twin):
+    """The registered v4 operating point (r15): m=16, ef=160, r=8,
+    W=16, lr=2, ne=16 — one row per fixture for SCALE.md."""
+    tw.run("v4 FINAL m=16 W=16 lr=2 ne=16, ef=160 r=8", 16,
+           lambda q: tw.hier_entry(q, 16, 16, 2, 16), 160, 8)
+    lv = tw.levels(16)
+    print(f"[{tw.name}] levels: " +
+          " ".join(f"L{i+1}={len(s[0])}" for i, s in enumerate(lv[:-1]))
+          + f" flat_top={len(lv[-1][0])}")

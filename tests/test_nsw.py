@@ -324,10 +324,14 @@ def test_nsw_serving_params_autoscale():
     from openai_vector_search_demo_spark.operators.nsw import (
         nsw_serving_params,
     )
-    assert nsw_serving_params(480) == (22, 33, 5)    # sf0.01 held-out
-    assert nsw_serving_params(1980) == (45, 67, 5)   # sf0.1 held-out
-    assert nsw_serving_params(49) == (7, 12, 5)      # ef floor holds
-    assert nsw_serving_params(1) == (2, 12, 5)       # degenerate corpus
+    # v4 (r15): ef and rounds are CONSTANTS — per-query work must not
+    # scale with n (VERDICT r14 #1); only the hierarchy geometry
+    # (stride = ceil(sqrt(n))) tracks the corpus
+    assert nsw_serving_params(480) == (22, 160, 8)    # sf0.01 held-out
+    assert nsw_serving_params(1980) == (45, 160, 8)   # sf0.1 held-out
+    assert nsw_serving_params(49) == (7, 160, 8)
+    assert nsw_serving_params(1) == (2, 160, 8)       # degenerate corpus
+    assert nsw_serving_params(10 ** 9)[1:] == (160, 8)  # flat in n
 
 
 def test_nsw_l1_params():
