@@ -215,6 +215,11 @@ HEADLINE = [
     "ann_hamming_tenant_knn",  # tenant-isolated signature serving (r14)
     "benchmark_decontamination",  # external-eval n-gram leakage gate (r14)
     "streaming_decontamination_gate",  # its live streaming twin (r14)
+    "ann_nsw_compacted_knn",  # compacted graph serving: marker-free read (r15)
+    # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
+    # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
+    # it is a driver-gated correctness/scale receipt, not an sf-scaled
+    # perf query; its timings live in SCALE.md.
 ]
 
 

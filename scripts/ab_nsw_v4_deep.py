@@ -29,8 +29,17 @@ FLOOR = 16
 FIXTURES = {
     "n2k": "/root/testdata/sf0.1/embeddings.parquet",
     "n20k": "/tmp/sf1_ann/embeddings.parquet",
-    "n100k": "/tmp/sf5_ann/embeddings.parquet",
+    # the SLOT-owned deterministic 100k fixture (regenerated on demand —
+    # queries.graph_ann._ensure_ann_scale_fixture; seed 1404, 50x)
+    "n100k": "/tmp/spark_graft_ann100k_fixture/embeddings.parquet",
 }
+
+
+def _ensure_fixtures():
+    from openai_vector_search_demo_spark.queries.graph_ann import (
+        _ensure_ann_scale_fixture,
+    )
+    _ensure_ann_scale_fixture()
 
 
 def load(path):
