@@ -38,12 +38,39 @@ BM25_K1, BM25_B = 1.2, 0.75
 BM25_BUCKETS = 16
 
 
+def bm25_tenant_path(path: str, tenant) -> str:
+    """A tenant's physical subtree inside a tenant-scoped BM25 store
+    (Hive-escaped value — the ``nsw_tenant_path`` contract)."""
+    from openai_vector_search_demo_spark.stores import (
+        escape_partition_value,
+    )
+    return f"{path.rstrip('/')}/tenant={escape_partition_value(tenant)}"
+
+
 def write_bm25_index(df: DataFrame, path: str,
                      id_col: str = "doc_id", text_col: str = "text",
-                     n_buckets: int = BM25_BUCKETS) -> None:
+                     n_buckets: int = BM25_BUCKETS,
+                     tenant_col: str | None = None) -> None:
     """Persist postings/df/stats under ``path``.  One tokenize pass
     feeds all three (the exploded stream is aggregated, never stored
-    raw); postings land one directory per token bucket."""
+    raw); postings land one directory per token bucket.
+
+    With ``tenant_col`` the store is TENANT-SCOPED (the reference's
+    per-alias physical isolation, the ``write_nsw_index_tenants``
+    pattern): one subtree per tenant, each holding postings AND its
+    own df/stats built from that tenant's documents only — so a
+    tenant's BM25 scores (idf, avgdl, n_docs) equal a dedicated
+    single-tenant index by construction, and a tenant's serve never
+    lists other tenants' directories."""
+    if tenant_col is not None:
+        tenants = [r[0] for r in df.select(tenant_col).distinct()
+                   .orderBy(tenant_col).collect()]
+        for tv in tenants:
+            write_bm25_index(
+                df.filter(F.col(tenant_col) == tv).drop(tenant_col),
+                bm25_tenant_path(path, tv), id_col=id_col,
+                text_col=text_col, n_buckets=n_buckets)
+        return
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       tokens(text_col).alias("toks"))
             .withColumn("dl", F.size("toks")))
@@ -67,11 +94,16 @@ def write_bm25_index(df: DataFrame, path: str,
 def bm25_stored_topk(spark, path: str, terms: list[str], k: int = 20,
                      k1: float = BM25_K1, b: float = BM25_B,
                      n_buckets: int = BM25_BUCKETS,
-                     score_col: str = "bm25") -> DataFrame:
+                     score_col: str = "bm25",
+                     tenant=None) -> DataFrame:
     """Serve BM25 top-k for ``terms`` off a ``write_bm25_index`` store:
     partition-pruned postings read (the terms' buckets only), broadcast
     df join, one per-doc sum, one TakeOrderedAndProject.  ``n_buckets``
-    must match the write."""
+    must match the write.  With ``tenant`` the read descends into that
+    tenant's subtree (its own postings/df/stats — structural isolation;
+    other tenants' files are never listed)."""
+    if tenant is not None:
+        path = bm25_tenant_path(path, tenant)
     from openai_vector_search_demo_spark.functions.text_analysis import (
         _hash60 as _h60,  # noqa: F401 (documented: bucket derivation)
     )

@@ -230,10 +230,23 @@ def _maxsim_topk(dfeat: DataFrame, qdf: DataFrame, dpos: DataFrame,
             .limit(k))
 
 
+def li_tenant_path(path: str, tenant) -> str:
+    """A tenant's physical subtree inside a tenant-scoped token-window
+    store (Hive-escaped value — the ``nsw_tenant_path`` contract).  The
+    ``/idx`` leaf keeps the bucket directories AND the ``idx_meta``
+    side table together INSIDE the tenant subtree."""
+    from openai_vector_search_demo_spark.stores import (
+        escape_partition_value,
+    )
+    return (f"{path.rstrip('/')}/tenant={escape_partition_value(tenant)}"
+            "/idx")
+
+
 def write_token_window_index(df: DataFrame, path: str,
                              text_col: str = "text", id_col: str = "doc_id",
                              max_tokens: int = 64, window: int = 1,
-                             dim: int = 64) -> None:
+                             dim: int = 64,
+                             tenant_col: str | None = None) -> None:
     """Write-time multi-vector index — the ``lsh_assign`` pattern for
     late interaction: the sparse feature relation persisted
     BUCKET-PARTITIONED (one directory per bucket; the ``repartition``
@@ -245,7 +258,25 @@ def write_token_window_index(df: DataFrame, path: str,
     buckets a given query never probes and those that sign-cancelled
     entirely — so a partition-pruned read alone cannot reconstruct it.
     One tiny row per document (the same scale as any doc-store side
-    table), joined on id at query time."""
+    table), joined on id at query time.
+
+    With ``tenant_col`` the store is TENANT-SCOPED (the reference's
+    per-alias physical isolation, the ``write_nsw_index_tenants``
+    pattern): one ``tenant=T/idx`` subtree per tenant, each with its
+    own buckets and position-count metadata built from that tenant's
+    documents only — a tenant's serve never lists other tenants'
+    directories, and cross-tenant score interference is structurally
+    impossible."""
+    if tenant_col is not None:
+        tenants = [r[0] for r in df.select(tenant_col).distinct()
+                   .orderBy(tenant_col).collect()]
+        for tv in tenants:
+            write_token_window_index(
+                df.filter(F.col(tenant_col) == tv).drop(tenant_col),
+                li_tenant_path(path, tv), text_col=text_col,
+                id_col=id_col, max_tokens=max_tokens, window=window,
+                dim=dim)
+        return
     feats = token_window_features(df, text_col, id_col,
                                   max_tokens, window, dim)
     (feats.repartition(F.col("bucket"))
@@ -259,7 +290,8 @@ def late_interaction_stored_topk(spark, store: str, query: str, k: int = 10,
                                  max_tokens: int = 64, window: int = 1,
                                  dim: int = 64,
                                  score_col: str = "maxsim_score",
-                                 table: str | None = None) -> DataFrame:
+                                 table: str | None = None,
+                                 tenant=None) -> DataFrame:
     """MaxSim top-k over a ``write_token_window_index`` store: the scan
     reads ONLY the query's probe buckets — |query buckets| of ``dim``
     partitions, via ``stores.read_probed_partitions`` (catalog-backed
@@ -273,6 +305,10 @@ def late_interaction_stored_topk(spark, store: str, query: str, k: int = 10,
         read_probed_partitions,
     )
 
+    if tenant is not None:
+        # tenant-scoped store: descend into the tenant's subtree — its
+        # own buckets AND metadata (structural isolation)
+        store = li_tenant_path(store, tenant)
     qfeats = query_window_features(query, max_tokens, window, dim)
     if not qfeats:
         return (spark.read.parquet(store + "_meta")

@@ -350,7 +350,7 @@ _LATE_Q = "hash join on a small table"
 _LATE_MT, _LATE_W, _LATE_DIM, _LATE_K = 64, 1, 64, 10
 
 
-def _late_interaction_oracle() -> str:
+def _late_interaction_oracle(corpus_where: str = "TRUE") -> str:
     from openai_vector_search_demo_spark.operators.late_interaction import (
         query_window_features,
     )
@@ -361,7 +361,7 @@ def _late_interaction_oracle() -> str:
     offs = ", ".join(str(o) for o in range(-_LATE_W, _LATE_W + 1))
     return f"""
 WITH tk0 AS (SELECT doc_id, list_slice({_SQL_TOKS}, 1, {_LATE_MT}) AS tks
-             FROM documents),
+             FROM documents WHERE {corpus_where}),
 tok AS (SELECT doc_id, len(tks) AS n, unnest(tks) AS tk,
                generate_subscripts(tks, 1) - 1 AS tpos
         FROM tk0),

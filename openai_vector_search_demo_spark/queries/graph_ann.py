@@ -18,6 +18,9 @@ from openai_vector_search_demo_spark.queries.batteries import _RETRIEVAL_BATTERY
 from openai_vector_search_demo_spark.queries.ann_quant import _sql_vec_lit  # noqa: F401
 from openai_vector_search_demo_spark.queries.hamming_tier import _hamming_knn_oracle  # noqa: F401
 from openai_vector_search_demo_spark.queries.monitoring import _BM25_ORACLE  # noqa: F401
+from openai_vector_search_demo_spark.queries.monitoring import _bm25_oracle  # noqa: F401
+from openai_vector_search_demo_spark.queries.dedup import _late_interaction_oracle  # noqa: F401
+from openai_vector_search_demo_spark.queries.dedup import _LATE_Q, _LATE_MT, _LATE_W, _LATE_DIM, _LATE_K  # noqa: F401
 from openai_vector_search_demo_spark.queries.text_analysis import _SQL_FINGERPRINT  # noqa: F401
 from openai_vector_search_demo_spark.queries.monitoring import _RRF_K  # noqa: F401
 from openai_vector_search_demo_spark.queries.monitoring import _RRF_N  # noqa: F401
@@ -2749,6 +2752,86 @@ def ann_hamming_tenant_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("sim", 6).alias("similarity"))
 
 
+_TENANT_DOC_WHERE = "doc_id % 2 = 0"
+
+
+@query("bm25_tenant_topk", oracle=_bm25_oracle(_TENANT_DOC_WHERE))
+def bm25_tenant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tenant scoping on the LEXICAL tier (VERDICT r14 #7 — the same
+    per-alias physical isolation as ``ann_nsw_tenant_knn``, applied to
+    the inverted index): ``write_bm25_index(tenant_col=...)`` lays one
+    subtree per tenant, each with its OWN postings, df table, and
+    corpus stats — so idf/avgdl/n_docs equal a dedicated single-tenant
+    index by construction (a filter over a shared index could never
+    give tenant-local idf), and the serve opens only its tenant's
+    directories.  Tenants are doc-id-parity halves; the oracle is the
+    shared BM25 SQL over the tenant-0 corpus alone."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.bm25_index import (
+        bm25_stored_topk as serve,
+        bm25_tenant_path,
+        write_bm25_index,
+    )
+
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("tenant",
+                        F.pmod(F.col("doc_id"), F.lit(2)).cast("string")))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|bm25ten1|{_parquet_fingerprint(docs_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_bm25ten_" + key)
+    # stats is the subtree's LAST write — its marker gates the cache
+    if not os.path.exists(os.path.join(
+            bm25_tenant_path(store, "0"), "stats", "_SUCCESS")):
+        write_bm25_index(docs, store, tenant_col="tenant")
+    return serve(spark, store, _BM25_TERMS, k=20, score_col="bm25",
+                 tenant="0")
+
+
+@query("late_interaction_tenant_topk",
+       oracle=_late_interaction_oracle(_TENANT_DOC_WHERE))
+def late_interaction_tenant_topk(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Tenant scoping on the MULTI-VECTOR tier (VERDICT r14 #7 — the
+    last stored tier without it): ``write_token_window_index(
+    tenant_col=...)`` lays one ``tenant=T/idx`` subtree per tenant,
+    each with its own bucket directories AND position-count metadata
+    built from that tenant's documents only; the MaxSim serve probes
+    only its tenant's buckets.  Tenants are doc-id-parity halves; the
+    oracle is the shared late-interaction SQL over the tenant-0 corpus
+    alone."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_stored_topk,
+        li_tenant_path,
+        write_token_window_index,
+    )
+
+    docs = (t(spark, sf_dir, "documents")
+            .withColumn("tenant",
+                        F.pmod(F.col("doc_id"), F.lit(2)).cast("string")))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|liten1|{_parquet_fingerprint(docs_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_liten_" + key)
+    # the meta side table is the subtree's LAST write — its marker
+    # gates the cache
+    if not os.path.exists(os.path.join(
+            li_tenant_path(store, "0") + "_meta", "_SUCCESS")):
+        write_token_window_index(docs, store, max_tokens=_LATE_MT,
+                                 window=_LATE_W, dim=_LATE_DIM,
+                                 tenant_col="tenant")
+    return late_interaction_stored_topk(
+        spark, store, _LATE_Q, k=_LATE_K, max_tokens=_LATE_MT,
+        window=_LATE_W, dim=_LATE_DIM, tenant="0")
+
+
 _CB_CELLS, _CB_NQ = 8, 20
 
 
@@ -3395,8 +3478,15 @@ _RETRIEVAL_BATTERY.extend([
     "ann_nsw_filtered_recall_curve",
     "ann_nsw_tenant_knn", "ann_hamming_tenant_knn",
     # r15: compaction closes the maintenance triangle as a direct
-    # window slot (receipted from birth — VERDICT r14 #4)
+    # window slot (receipted from birth — VERDICT r14 #4), and tenant
+    # scoping lands for the last two stored tiers (lexical +
+    # multi-vector — VERDICT r14 #7).  ann_nsw_fixed_ef_scaling is
+    # deliberately NOT a battery member: the battery re-executes every
+    # member per digest, and the 100k slot costs ~2 min — it holds a
+    # DIRECT window row instead (its whole point is the driver-gated
+    # receipt).
     "ann_nsw_compacted_knn",
+    "bm25_tenant_topk", "late_interaction_tenant_topk",
 ])
 _BATTERY_SPECS["ann_nsw_filtered_recall_curve"] = [
     ("bucket", "s"), ("ef_eff", "s"), ("n_exact", "s"),
@@ -3410,6 +3500,13 @@ _BATTERY_SPECS["ann_nsw_delete_knn"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 _BATTERY_SPECS["ann_nsw_compacted_knn"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
+_BATTERY_SPECS["ann_nsw_fixed_ef_scaling"] = [
+    ("ef", "s"), ("mean_recall_at_10", "d"), ("mean_visited", "d"),
+    ("min_recall", "d"), ("n_corpus", "s"), ("n_graph_levels", "s"),
+    ("n_queries", "s"), ("rounds", "s"), ("visited_fraction", "d")]
+_BATTERY_SPECS["bm25_tenant_topk"] = [("bm25", "d"), ("doc_id", "s")]
+_BATTERY_SPECS["late_interaction_tenant_topk"] = [
+    ("doc_id", "s"), ("maxsim_score", "d")]
 _BATTERY_SPECS["streaming_nsw_ingest"] = [
     ("label", "s"), ("similarity", "d"), ("vec_id", "s")]
 _BATTERY_SPECS["ann_nsw_cellbuild_mean_recall_at_10"] = [

@@ -1277,8 +1277,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["hash", "join", "spark"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-_BM25_ORACLE = rf"""
-WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+def _bm25_oracle(corpus_where: str = "TRUE") -> str:
+    """Okapi BM25 top-20 for the shared terms over ``documents``
+    restricted by ``corpus_where`` — df/avgdl/n_docs all come from the
+    restricted corpus, which is exactly what a tenant-scoped store's
+    per-subtree stats serve."""
+    return rf"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+             WHERE {corpus_where}),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
 stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
 ex AS (SELECT doc_id, unnest(toks) AS token FROM tok),
@@ -1296,6 +1302,9 @@ scored AS (
 SELECT doc_id, ROUND(score, 6) AS bm25
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
 """
+
+
+_BM25_ORACLE = _bm25_oracle()
 
 
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,3 +48,45 @@ def test_python_bucket_matches_stored_column(spark, tmp_path):
     for r in post:
         want = int(hashlib.md5(r.token.encode()).hexdigest()[:15], 16) % 8
         assert r.bucket == want, r.token
+
+
+def test_bm25_tenant_store_isolation(spark, tmp_path):
+    """Tenant-scoped lexical store (VERDICT r14 #7): a tenant's serve
+    equals a dedicated single-tenant index (its OWN df/avgdl/n_docs,
+    not filtered shared stats), and its read's input set never leaves
+    the tenant subtree."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.bm25_index import (
+        bm25_stored_topk,
+        bm25_tenant_path,
+        write_bm25_index,
+    )
+
+    rows = [(i, f"alpha beta {'gamma ' * (i % 3)}doc {i}", str(i % 2))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string,"
+                                       " tenant string")
+    store = str(tmp_path / "bm25ten")
+    write_bm25_index(docs, store, tenant_col="tenant")
+    # dedicated single-tenant index over the same docs
+    solo = str(tmp_path / "bm25solo")
+    write_bm25_index(docs.filter(F.col("tenant") == "0").drop("tenant"),
+                     solo)
+    terms = ["alpha", "gamma"]
+    got = [(r.doc_id, r.bm25) for r in
+           bm25_stored_topk(spark, store, terms, k=10,
+                            tenant="0").collect()]
+    want = [(r.doc_id, r.bm25) for r in
+            bm25_stored_topk(spark, solo, terms, k=10).collect()]
+    assert got == want and got
+    files0 = spark.read.parquet(
+        f"{bm25_tenant_path(store, '0')}/postings").inputFiles()
+    assert files0 and all("tenant=0" in f for f in files0)
+
+
+def test_bm25_tenant_path_escapes(spark):
+    from openai_vector_search_demo_spark.operators.bm25_index import (
+        bm25_tenant_path,
+    )
+    assert bm25_tenant_path("/s", "a/b") == "/s/tenant=a%2Fb"

@@ -222,3 +222,37 @@ def test_stored_index_empty_probe_and_empty_query(spark, tmp_path):
     store = str(tmp_path / "li_index2")
     write_token_window_index(df, store)
     assert late_interaction_stored_topk(spark, store, "  ").collect() == []
+
+
+def test_late_interaction_tenant_store_isolation(spark, tmp_path):
+    """Tenant-scoped multi-vector store (VERDICT r14 #7): a tenant's
+    MaxSim serve equals a dedicated single-tenant index, and its probe
+    reads never leave the tenant subtree."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        late_interaction_stored_topk,
+        li_tenant_path,
+        write_token_window_index,
+    )
+
+    rows = [(i, f"hash join table scan merge {'sort ' * (i % 3)}{i}",
+             str(i % 2)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string,"
+                                       " tenant string")
+    store = str(tmp_path / "liten")
+    write_token_window_index(docs, store, dim=16, tenant_col="tenant")
+    solo = str(tmp_path / "lisolo")
+    write_token_window_index(
+        docs.filter(F.col("tenant") == "0").drop("tenant"), solo, dim=16)
+    q = "hash join"
+    got = [(r.doc_id, r.maxsim_score) for r in
+           late_interaction_stored_topk(spark, store, q, k=5, dim=16,
+                                        tenant="0").collect()]
+    want = [(r.doc_id, r.maxsim_score) for r in
+            late_interaction_stored_topk(spark, solo, q, k=5,
+                                         dim=16).collect()]
+    assert got == want and got
+    files0 = spark.read.parquet(
+        li_tenant_path(store, "0")).inputFiles()
+    assert files0 and all("tenant=0" in f for f in files0)
