@@ -50,6 +50,26 @@ from openai_vector_search_demo_spark.queries._shared import *  # noqa: F401,F403
 # All seven stay parity-pinned in tests/test_parity.py.
 PROOF_WINDOW: list[str] = [
     # ------------------------------------------------------------------
+    # r15 rotation (VERDICT r14 #4): IN come the four new r15 slots,
+    # receipted from birth (ann_nsw_compacted_knn — the maintenance
+    # triangle's compaction leg; ann_nsw_fixed_ef_scaling — the
+    # constant-ef law at n = 10⁵, deliberately battery-exempt so this
+    # IS its receipt; bm25_tenant_topk + late_interaction_tenant_topk
+    # — tenant isolation for the last two stored tiers) plus the two
+    # never-windowed streaming forms (streaming_decontamination_gate,
+    # streaming_nsw_ingest — battery digests stood in before; direct
+    # rows now).  Rotated OUT, each green in BOTH r13 and r14 (the
+    # 2-receipt rule), every family keeping a representative:
+    # ann_sq8_refine_knn + ann_sq8_recall_at_10 (ann_sq8_stored_knn +
+    # ann_sq8_mean_recall_at_10 stay), ann_matryoshka_refine_knn +
+    # ann_matryoshka_recall_at_10 (ann_matryoshka_mean_recall_at_10
+    # stays), bm25_stored_topk (bm25_tenant_topk exercises the same
+    # serve machinery + isolation; battery digest continues),
+    # rag_context_budget_pack (rag_serving_pipeline composes it).  The
+    # whole NSW family stays again: every slot's serving semantic
+    # changed this round (v4 — recursive hierarchy, constant ef=160,
+    # 8 rounds, M=16) and must re-receipt.
+    # ------------------------------------------------------------------
     # r14 rotation (VERDICT r13 #5): IN come the three r13 slots that
     # were never windowed (ann_nsw_filtered_knn,
     # ann_nsw_filtered_recall_at_10, ann_nsw_cellbuild_mean_recall_at_10
@@ -118,18 +138,22 @@ PROOF_WINDOW: list[str] = [
     # new r14 slots, receipted from birth:
     "ann_nsw_filtered_recall_curve",
     "ann_nsw_tenant_knn", "ann_hamming_tenant_knn",
+    # new r15 slots, receipted from birth (see r15 rotation header):
+    "ann_nsw_compacted_knn", "ann_nsw_fixed_ef_scaling",
+    "bm25_tenant_topk", "late_interaction_tenant_topk",
+    # never-windowed streaming forms take direct rows:
+    "streaming_decontamination_gate", "streaming_nsw_ingest",
     # r13 capstones taking their second receipt (scd2 re-receipts its
     # new MERGE-pricing digest form):
     "dedup_graph_index_capstone", "rag_serving_pipeline",
     "scd2_incremental_splice",
-    # SQ8 + Matryoshka recall families (battery-only in r12):
-    "ann_sq8_refine_knn", "ann_sq8_recall_at_10",
+    # SQ8 + Matryoshka distribution receipts (refine/single-recall
+    # twins rotated out r15 — see header):
     "ann_sq8_mean_recall_at_10",
-    "ann_matryoshka_refine_knn", "ann_matryoshka_recall_at_10",
     "ann_matryoshka_mean_recall_at_10",
-    # named curation stages + serving/context slots (battery-only r12):
+    # named curation stages + serving/context slots (battery-only r12;
+    # rag_context_budget_pack + bm25_stored_topk rotated out r15):
     "ccnet_perplexity_buckets", "gopher_quality_rules",
-    "rag_context_budget_pack", "bm25_stored_topk",
     "streaming_dedup_within_watermark",
     "neardup_label_propagation", "neardup_triangle_counts",
     # r14 addition, receipted from birth (the external-benchmark
