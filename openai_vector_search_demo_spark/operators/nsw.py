@@ -943,7 +943,27 @@ def _append_graph_delta(spark, path: str, brows, existing: DataFrame,
     bunit = bmat / bn[:, None]
     sess = existing.sparkSession
 
+    slack = m + 8
+
     def cross_sims(pdf_iter):
+        """TWO pruned candidate streams per Arrow block, both exact by
+        the blocked-top-M threshold argument (ties at the boundary
+        included):
+
+        - kind=0, (existing src → batch dst): each NON-batch row's
+          top-(m+8) batch candidates — a superset of every batch edge
+          that can enter the row's resolved top-m (anything below its
+          own top-m among batch can never displace a stored edge into
+          the final list).
+        - kind=1, (batch src → block dst): each batch node's
+          top-(m+8) candidates among THIS block's rows; the union over
+          blocks contains the node's true global top-m over C∪B, and
+          the per-src window below reduces it exactly.
+
+        Emission is |block|·(m+8) + |B|·(m+8) rows instead of the
+        |block|·|B| full cross relation — the r15 fix that cut the
+        500-into-100k upsert's base append from ~7 min of per-tuple
+        Python to one vectorized pass."""
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
@@ -952,29 +972,51 @@ def _append_graph_delta(spark, path: str, brows, existing: DataFrame,
             nm = np.linalg.norm(mat, axis=1)
             nm[nm == 0] = 1.0
             sims = np.round((mat / nm[:, None]) @ bunit.T, 6)
-            rows = []
-            for i in range(len(ids)):
-                for j in range(len(bids)):
-                    if ids[i] != bids[j]:
-                        rows.append((int(ids[i]), int(bids[j]),
-                                     float(sims[i, j])))
-            if rows:
-                yield pd.DataFrame(rows, columns=["src", "dst", "sim"])
+            self_mask = ids[:, None] == bids[None, :]
+            sims_masked = np.where(self_mask, -np.inf, sims)
+            out_src, out_dst, out_sim = [], [], []
+            # kind=0: per existing row, top-(m+8) batch candidates
+            ex_rows = np.nonzero(~np.isin(ids, bids))[0]
+            if len(ex_rows) and len(bids):
+                sm = sims_masked[ex_rows]
+                if sm.shape[1] > slack:
+                    th = np.partition(sm, sm.shape[1] - slack, axis=1)[
+                        :, sm.shape[1] - slack][:, None]
+                    keep = sm >= th
+                else:
+                    keep = np.isfinite(sm)
+                ri, ci = np.nonzero(keep)
+                out_src.append(ids[ex_rows][ri])
+                out_dst.append(bids[ci])
+                out_sim.append(sims[ex_rows][ri, ci])
+            # kind=1: per batch column, top-(m+8) rows of this block
+            if len(ids) and len(bids):
+                sm = sims_masked
+                if sm.shape[0] > slack:
+                    th = np.partition(sm, sm.shape[0] - slack, axis=0)[
+                        sm.shape[0] - slack][None, :]
+                    keep = sm >= th
+                else:
+                    keep = np.isfinite(sm)
+                ri, ci = np.nonzero(keep)
+                out_src.append(bids[ci])
+                out_dst.append(ids[ri])
+                out_sim.append(sims[ri, ci])
+            if out_src:
+                yield pd.DataFrame({
+                    "src": np.concatenate(out_src).astype(np.int64),
+                    "dst": np.concatenate(out_dst).astype(np.int64),
+                    "sim": np.concatenate(out_sim).astype(np.float64)})
 
     # (existing∪batch) × batch sims — batch rides the closure (broadcast
-    # by value); one Arrow pass over the layer, |B| columns per row
+    # by value); one Arrow pass over the layer, pruned emission
     allnodes = existing.unionByName(sess.createDataFrame(
         [(int(r.id), list(r.v)) for r in brows], "id long, v array<double>"))
     cross = allnodes.mapInPandas(cross_sims, "src long, dst long, sim double")
 
-    # new nodes' top-m over C∪B: need batch×(C∪B) sims = transpose of
-    # the batch columns plus batch×batch (already in `cross` where src
-    # is a batch id)
-    rev = cross.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
-                       "sim")
-    new_side = (cross.filter(F.col("src").isin([int(x) for x in bids]))
-                .unionByName(rev.filter(
-                    F.col("src").isin([int(x) for x in bids]))))
+    # new nodes' top-m over C∪B: the kind=1 stream (batch src) unioned
+    # over blocks, reduced by the global per-src window
+    new_side = cross.filter(F.col("src").isin([int(x) for x in bids]))
     w = Window.partitionBy("src").orderBy(F.col("sim").desc(),
                                           F.col("dst").asc())
     new_edges = (new_side.dropDuplicates(["src", "dst"])
