@@ -96,6 +96,18 @@ NSW_HIER_W = 16    # per-level beam width AND seed count (constant in n)
 NSW_SEED_COUNT = NSW_HIER_W  # back-compat alias (pre-v4 name)
 NSW_L1_ROUNDS = 2     # beam rounds per graph-indexed hierarchy level
 NSW_HIER_FLOOR = 16   # level size below this -> score the level flat
+NSW_STOP_K = 32
+"""Early-termination window (r15 — HNSW's efSearch convergence rule,
+public method description): a base-beam round that produces NO
+newcomer scoring above the {NSW_STOP_K}-th best visited node cannot
+change the answer's neighborhood — stop instead of spending the
+remaining rounds.  Twin-measured FREE at the recall envelope
+(stop_k=32: identical 0.98/0.90 at 100k, 1.00/1.00 at 2k) while toy
+corpora converge in ~4 rounds instead of 8 — the saturation rounds
+were pure cost.  stop_k=10/16 DO cost tail recall at 100k (min 0.90 →
+0.70) — the margin between k and the stop window is what absorbs
+late-round improvements.  Deterministic from 6-dp-rounded values, so
+every oracle replays the same stop decision."""
 NSW_SEEDS = (1, 101, 201, 301)
 """Legacy fixed, id-spread entry points — kept for explicit-seed callers
 and tests.  SERVING default is the HIERARCHICAL entry instead (v4,
@@ -527,7 +539,8 @@ def beam_search_knn(edges, source: DataFrame,
                     n_entry: int = NSW_ENTRY_COUNT,
                     l1_edges=None, n1: int | None = None,
                     hier_levels: Sequence | None = None,
-                    flat_mod: int | None = None) -> DataFrame:
+                    flat_mod: int | None = None,
+                    stop_k: int | None = NSW_STOP_K) -> DataFrame:
     """Multi-seed beam search over an adjacency relation — the
     SINGLE-QUERY serving form: ONE Spark job per round (the frontier's
     pruned edge lookup broadcast-joined against ``source`` and scored
@@ -655,6 +668,18 @@ def beam_search_knn(edges, source: DataFrame,
             break
         seen.update(new)
         visited.update(new)
+        if stop_k is not None:
+            # convergence (NSW_STOP_K): the round's best newcomer
+            # scores below the stop_k-th best visited value — further
+            # expansion cannot reach the answer's neighborhood
+            vals = sorted((r["_s"] for r in visited.values()
+                           if r["_s"] is not None), reverse=True)
+            if len(vals) > stop_k:
+                best_new = max((r["_s"] for r in new.values()
+                                if r["_s"] is not None),
+                               default=float("-inf"))
+                if best_new < vals[stop_k - 1]:
+                    break
         frontier = [r[id_col] for r in
                     sorted(new.values(), key=skey)[:ef]]
     out_rows = sorted(visited.values(), key=skey)
@@ -682,7 +707,8 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
                           l1_edges: DataFrame | None = None,
                           n1: int | None = None,
                           hier_levels: Sequence[DataFrame] | None = None,
-                          flat_mod: int | None = None) -> DataFrame:
+                          flat_mod: int | None = None,
+                          stop_k: int | None = NSW_STOP_K) -> DataFrame:
     """BATCHED multi-query beam search — the serving form for query
     THROUGHPUT: the frontier is a (qid, node) RELATION, every round is
     one edge join + one anti join + one broadcast-scored point-read +
@@ -781,6 +807,33 @@ def beam_search_knn_batch(edges: DataFrame, source: DataFrame,
         frontier = (scored.withColumn("_rn", F.row_number().over(wf))
                     .filter(F.col("_rn") <= ef)
                     .select("qid", F.col(id_col).alias("src")))
+        if stop_k is not None:
+            # per-qid convergence (NSW_STOP_K, relational form): a qid
+            # whose round produced no newcomer above its stop_k-th best
+            # visited value drops out of the frontier — its remaining
+            # rounds become empty joins.  kth is the stop_k-th largest
+            # VALUE (rank without tie-break is value-deterministic);
+            # the count guard keeps a qid alive until it has visited
+            # MORE than stop_k nodes (the twin/oracle contract).
+            kagg = (visited
+                    .withColumn("_kn", F.row_number().over(
+                        Window.partitionBy("qid")
+                        .orderBy(F.col("_s").desc())))
+                    .groupBy("qid")
+                    .agg(F.count(F.lit(1)).alias("_nv"),
+                         F.max(F.when(F.col("_kn") == stop_k,
+                                      F.col("_s"))).alias("_kth")))
+            mx = scored.groupBy("qid").agg(F.max("_s").alias("_mx"))
+            alive = (mx.join(kagg, "qid", "left")
+                     .filter((F.col("_nv") <= stop_k)
+                             | (F.col("_mx") >= F.col("_kth")))
+                     .select("qid"))
+            frontier = frontier.join(alive, "qid", "left_semi") \
+                .localCheckpoint()
+            if frontier.isEmpty():
+                # every qid converged — the remaining rounds would be
+                # empty joins and their checkpoint jobs pure overhead
+                break
     return (visited.withColumn("_rn", F.row_number().over(wf))
             .filter(F.col("_rn") <= k)
             .select("qid", id_col,
@@ -794,7 +847,8 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
             sim_col: str = "similarity",
             stride: int | None = None,
             n_entry: int = NSW_ENTRY_COUNT,
-            n1: int | None = None) -> DataFrame:
+            n1: int | None = None,
+            stop_k: int | None = NSW_STOP_K) -> DataFrame:
     """Inline build+search (the oracled form; production stores the
     graph once via ``write_nsw_index`` and serves many queries).
     Traversal is SYMMETRIC over the directed top-m build; with
@@ -824,7 +878,7 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
                            seeds=seeds, vec_col=vec_col, id_col=id_col,
                            sim_col=sim_col, stride=stride,
                            n_entry=n_entry, hier_levels=levels,
-                           flat_mod=flat_mod)
+                           flat_mod=flat_mod, stop_k=stop_k)
 
 
 def upsert_nsw_index(spark, path: str, batch: DataFrame,
@@ -1175,7 +1229,8 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                    sim_col: str = "similarity",
                    n_buckets: int = 16, m: int = NSW_M,
                    stride: int | None = None,
-                   n_entry: int = NSW_ENTRY_COUNT) -> DataFrame:
+                   n_entry: int = NSW_ENTRY_COUNT,
+                   stop_k: int | None = NSW_STOP_K) -> DataFrame:
     """Serving read of a ``write_nsw_index`` store: each round touches
     only the frontier's src BUCKET DIRECTORIES (the lookup filters the
     partition column derived from the frontier ids — partition pruning
@@ -1316,4 +1371,5 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                            id_col=id_col, sim_col=sim_col,
                            exclude_ids=read_nsw_tombstones(spark, path),
                            stride=stride, n_entry=n_entry,
-                           hier_levels=levels, flat_mod=flat_mod)
+                           hier_levels=levels, flat_mod=flat_mod,
+                           stop_k=stop_k)

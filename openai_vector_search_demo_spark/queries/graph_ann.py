@@ -48,6 +48,7 @@ _NSW_ENTRY = 16       # base-beam entry points (top of the level-visited set)
 _NSW_W = 16           # per-level beam width AND seed count (constant in n)
 _NSW_SEED_COUNT = _NSW_W  # pre-v4 alias
 _NSW_L1_ROUNDS = 2    # beam rounds per graph-indexed hierarchy level
+_NSW_STOP_K = 32      # early-termination window (operators.nsw.NSW_STOP_K)
 _NSW_HIER_FLOOR = 16  # level size below this -> score the level flat
 _NSW_SEEDS = (1, 101, 201, 301)  # legacy fixed-entry mode (tests only)
 
@@ -149,7 +150,8 @@ nswhsym AS (SELECT src, dst FROM nswhedges
 
 def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
                   include_q: bool = True,
-                  corpus_where: str = "vec_id <> 0") -> str:
+                  corpus_where: str = "vec_id <> 0",
+                  stop: bool = True) -> str:
     """Unrolled beam rounds (the HITS/PageRank oracle pattern) in the
     v4 serving semantic — entry is itself a beam over the
     graph-indexed L1 layer: hv0 = the exactly-scored flat top subset
@@ -202,6 +204,16 @@ def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
     parts.append(f"""{p}v0 AS (SELECT * FROM {p}hv{_NSW_L1_ROUNDS}),
 {p}f0 AS (SELECT vec_id FROM {p}v0
          ORDER BY s DESC, vec_id ASC LIMIT {_NSW_ENTRY})""")
+    # early-termination mirror (NSW_STOP_K): the frontier empties when
+    # the round's best newcomer scores below the stop_k-th best visited
+    # VALUE and more than stop_k nodes are visited — subsequent round
+    # CTEs join empty relations (the operator breaks its loop)
+    stop_pred = (f"""
+           AND ((SELECT COUNT(*) FROM {{p}}v{{r}}) <= {_NSW_STOP_K}
+                OR (SELECT MAX(s) FROM {{p}}s{{r}}) >=
+                   (SELECT MIN(s) FROM (SELECT s FROM {{p}}v{{r}}
+                      ORDER BY s DESC LIMIT {_NSW_STOP_K}) _k))"""
+                 if stop else "")
     for r in range(1, _NSW_ROUNDS + 1):
         parts.append(f"""{p}c{r} AS (SELECT DISTINCT g.dst AS vec_id
         FROM nswsym g JOIN {p}f{r - 1} f ON g.src = f.vec_id
@@ -212,7 +224,7 @@ def _sql_nsw_beam(prefix: str = "", ef: int | None = None,
 {p}f{r} AS (SELECT vec_id FROM (
            SELECT vec_id, ROW_NUMBER() OVER (
              ORDER BY s DESC, vec_id ASC) AS rn FROM {p}s{r})
-         WHERE {ef_pred})""")
+         WHERE {ef_pred}{stop_pred.format(p=p, r=r)})""")
     return ",\n".join(parts)
 
 
@@ -498,10 +510,19 @@ bs{r} AS (SELECT c.qid, c.vec_id, s.s
           FROM bc{r} c JOIN bsims s
             ON s.qid = c.qid AND s.vec_id = c.vec_id),
 bv{r} AS (SELECT * FROM bv{r - 1} UNION ALL SELECT * FROM bs{r}),
+balive{r} AS (SELECT m.qid FROM
+    (SELECT qid, MAX(s) AS mx FROM bs{r} GROUP BY qid) m
+    LEFT JOIN (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nv,
+                      MAX(CASE WHEN rn = {_NSW_STOP_K} THEN s END) AS kth
+               FROM (SELECT qid, s, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY s DESC) AS rn
+                     FROM bv{r}) GROUP BY qid) k USING (qid)
+    WHERE k.nv <= {_NSW_STOP_K} OR m.mx >= k.kth),
 bf{r} AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id, ROW_NUMBER() OVER (
               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-            FROM bs{r}) WHERE rn <= (SELECT ef FROM nswp))""")
+            FROM bs{r} JOIN balive{r} USING (qid))
+          WHERE rn <= (SELECT ef FROM nswp))""")
     body = ",\n".join(parts)
     return f"""
 WITH {_sql_nsw_edges(corpus_where=f"vec_id >= {nq}")},
@@ -1113,7 +1134,11 @@ def _dedup_capstone_phase_sql(p: str, nodes: str) -> str:
 {p}f{r} AS MATERIALIZED (SELECT vec_id FROM (
            SELECT vec_id, ROW_NUMBER() OVER (
              ORDER BY s DESC, vec_id ASC) AS rn FROM {p}s{r})
-         WHERE rn <= (SELECT ef FROM {p}p))""")
+         WHERE rn <= (SELECT ef FROM {p}p)
+           AND ((SELECT COUNT(*) FROM {p}v{r}) <= {_NSW_STOP_K}
+                OR (SELECT MAX(s) FROM {p}s{r}) >=
+                   (SELECT MIN(s) FROM (SELECT s FROM {p}v{r}
+                      ORDER BY s DESC LIMIT {_NSW_STOP_K}) _k)))""")
     parts.append(f"""{p}reach AS (
          SELECT vec_id AS node, vec_id AS r FROM {nodes}
          UNION SELECT t.node, e.dst
@@ -2544,9 +2569,13 @@ def _nsw_filtered_curve_oracle() -> str:
                 WHERE vec_id <> 0 AND embedding IS NOT NULL)
              / ((SELECT ef FROM nswp) * (SELECT n_match FROM {p}m)))
            AS BIGINT))) AS ef_eff)""")
+        # stop=False: the widened beam exists to keep visiting until
+        # enough MATCHES are seen — terminating on the unfiltered
+        # top-32 would re-open the 1%-selectivity starvation the
+        # widening closed; its receipts price the full widened cost
         parts.append(_sql_nsw_beam(prefix=p,
                                    ef=f"SELECT ef_eff FROM {p}w",
-                                   include_q=(i == 0)))
+                                   include_q=(i == 0), stop=False))
         parts.append(f"""{p}ft AS (SELECT vec_id
         FROM {p}v{_NSW_ROUNDS} WHERE {pred}
         ORDER BY s DESC, vec_id ASC LIMIT 10),
@@ -2626,7 +2655,8 @@ def ann_nsw_filtered_recall_curve(spark: SparkSession,
         ef_eff = nsw_filtered_ef(ef, n_match, n_total, k=10, cap=4)
         allv = nsw_stored_knn(spark, store, base, qvec, k=1 << 20,
                               ef=ef_eff, rounds=rounds, stride=stride,
-                              n_entry=_NSW_ENTRY, sim_col="s")
+                              n_entry=_NSW_ENTRY, sim_col="s",
+                              stop_k=None)
         n_visited = allv.count()
         n_mv = allv.filter(pred).count()
         ft = (allv.filter(pred)
@@ -2965,10 +2995,19 @@ cbhf{r} AS (SELECT qid, vec_id FROM (
           FROM {p}c{r} c JOIN cbqs s
             ON s.qid = c.qid AND s.vec_id = c.vec_id),
 {p}v{r} AS (SELECT * FROM {p}v{r - 1} UNION ALL SELECT * FROM {p}s{r}),
+{p}alive{r} AS (SELECT m.qid FROM
+    (SELECT qid, MAX(s) AS mx FROM {p}s{r} GROUP BY qid) m
+    LEFT JOIN (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nv,
+                      MAX(CASE WHEN rn = {_NSW_STOP_K} THEN s END) AS kth
+               FROM (SELECT qid, s, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY s DESC) AS rn
+                     FROM {p}v{r}) GROUP BY qid) k USING (qid)
+    WHERE k.nv <= {_NSW_STOP_K} OR m.mx >= k.kth),
 {p}f{r} AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id, ROW_NUMBER() OVER (
               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-            FROM {p}s{r}) WHERE rn <= (SELECT ef FROM cbp))""")
+            FROM {p}s{r} JOIN {p}alive{r} USING (qid))
+          WHERE rn <= (SELECT ef FROM cbp))""")
         parts.append(f"""{p}approx AS (SELECT qid, vec_id FROM (
              SELECT qid, vec_id, ROW_NUMBER() OVER (
                PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
@@ -3240,10 +3279,19 @@ ss{r} AS (SELECT c.qid, c.vec_id, s.s
           FROM sc{r} c JOIN sqs s
             ON s.qid = c.qid AND s.vec_id = c.vec_id),
 sv{r} AS (SELECT * FROM sv{r - 1} UNION ALL SELECT * FROM ss{r}),
+salive{r} AS (SELECT m.qid FROM
+    (SELECT qid, MAX(s) AS mx FROM ss{r} GROUP BY qid) m
+    LEFT JOIN (SELECT qid, CAST(COUNT(*) AS BIGINT) AS nv,
+                      MAX(CASE WHEN rn = {_NSW_STOP_K} THEN s END) AS kth
+               FROM (SELECT qid, s, ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY s DESC) AS rn
+                     FROM sv{r}) GROUP BY qid) k USING (qid)
+    WHERE k.nv <= {_NSW_STOP_K} OR m.mx >= k.kth),
 sf{r} AS (SELECT qid, vec_id FROM (
             SELECT qid, vec_id, ROW_NUMBER() OVER (
               PARTITION BY qid ORDER BY s DESC, vec_id ASC) AS rn
-            FROM ss{r}) WHERE rn <= {_NSW_EF_SERVE})""")
+            FROM ss{r} JOIN salive{r} USING (qid))
+          WHERE rn <= {_NSW_EF_SERVE})""")
     body = ",\n".join(parts)
     return f"""
 WITH {body},
