@@ -610,3 +610,30 @@ def test_compact_folds_deltas_and_tombstones(spark, emb, tmp_path):
                           seeds=[2, 10], n_buckets=4, m=3).collect()]
     assert got == ref
     assert best not in {v for v, _ in got}
+
+
+@pytest.mark.slow
+def test_stop_rule_answer_and_bound(spark, emb):
+    """NSW_STOP_K early termination (r15): with the 40-node fixture the
+    converged beam's top-k equals the exhaustive (stop_k=None) beam's
+    top-k — the rule only skips rounds whose newcomers cannot enter the
+    answer's neighborhood — and a tiny stop window provably visits no
+    MORE than the exhaustive run."""
+    from openai_vector_search_demo_spark.operators.nsw import NSW_STOP_K
+
+    qvec = [0.2] * DIM
+    base = emb.filter(F.col("embedding").isNotNull())
+    full = nsw_knn(base, qvec, k=10, m=3, ef=8, rounds=6, stride=7,
+                   n_entry=4, stop_k=None)
+    stopped = nsw_knn(base, qvec, k=10, m=3, ef=8, rounds=6, stride=7,
+                      n_entry=4, stop_k=NSW_STOP_K)
+    assert [(r.vec_id, r.similarity) for r in full.collect()] == \
+        [(r.vec_id, r.similarity) for r in stopped.collect()]
+    # whole visited relation: stopped ⊆ full
+    full_v = {r.vec_id for r in
+              nsw_knn(base, qvec, k=1 << 20, m=3, ef=8, rounds=6,
+                      stride=7, n_entry=4, stop_k=None).collect()}
+    stop_v = {r.vec_id for r in
+              nsw_knn(base, qvec, k=1 << 20, m=3, ef=8, rounds=6,
+                      stride=7, n_entry=4, stop_k=12).collect()}
+    assert stop_v <= full_v
