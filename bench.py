@@ -216,6 +216,7 @@ HEADLINE = [
     "benchmark_decontamination",  # external-eval n-gram leakage gate (r14)
     "streaming_decontamination_gate",  # its live streaming twin (r14)
     "ann_nsw_compacted_knn",  # compacted graph serving: marker-free read (r15)
+    "ann_auto_knn",  # tier router: exact-vs-graph by corpus size (r15)
     # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
     # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
     # it is a driver-gated correctness/scale receipt, not an sf-scaled

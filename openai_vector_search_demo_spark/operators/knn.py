@@ -145,3 +145,68 @@ def similarity_join(left: DataFrame, right: DataFrame,
                     F.col("_rid").alias(right_id),
                     F.col("_rank").alias("rank"),
                     F.col(sim_col)))
+
+
+def auto_knn_exact_max() -> int:
+    """Corpus-size threshold below which the router serves EXACT KNN.
+
+    The v4 graph beam's per-query work is bounded by
+    ``NSW_ROUNDS · NSW_EF_SERVE · 2 · NSW_M`` score evaluations
+    (``operators.nsw`` — the constant-ef law).  When the corpus itself
+    is no larger than that budget, a single exact scan costs the same
+    work class, needs no stored index, and returns recall 1.0 — so
+    exact strictly dominates (the FAISS rule of thumb: serve flat
+    below the index's own search budget).  Routing on this boundary is
+    therefore a pure win at every n, never a recall trade.
+    """
+    from openai_vector_search_demo_spark.operators.nsw import (
+        NSW_EF_SERVE,
+        NSW_M,
+        NSW_ROUNDS,
+    )
+    return NSW_ROUNDS * NSW_EF_SERVE * 2 * NSW_M
+
+
+def auto_knn(df: DataFrame,
+             query_vec: Sequence[float],
+             k: int = 10,
+             *,
+             n: int | None = None,
+             exact_max: int | None = None,
+             vec_col: str = "embedding",
+             sim_col: str = "similarity",
+             tie_break: str = "vec_id",
+             nsw_kwargs: dict | None = None) -> tuple[str, DataFrame]:
+    """ANN tier ROUTER — the planner step the reference performs by
+    configuration (redis serves FLAT vs HNSW per index type;
+    modules/utilities.py:272-278 always picks HNSW): route one query to
+    the cheapest serving tier that meets the recall target, by corpus
+    size.
+
+    ``n <= exact_max`` (default ``auto_knn_exact_max()``): EXACT
+    cosine top-k — one broadcast-scan map stage,
+    ``TakeOrderedAndProject``, recall 1.0.  Larger corpora: the v4
+    constant-ef NSW graph beam (``operators.nsw.nsw_knn``), whose work
+    is independent of n.  Returns ``(tier, top-k DataFrame)`` with the
+    similarity 6-dp-rounded on both paths (the ANN-family determinism
+    contract), so either branch replays in the DuckDB oracle.
+
+    ``n`` (the routing statistic) is a required input when the caller
+    already knows it — passing it avoids a count job; left ``None`` it
+    is computed from ``df`` once.  ``nsw_kwargs`` forwards serving
+    params (ef/rounds/stride/n1/…) to ``nsw_knn`` for the graph branch.
+    """
+    if n is None:
+        n = df.filter(F.col(vec_col).isNotNull()).count()
+    if exact_max is None:
+        exact_max = auto_knn_exact_max()
+    if n <= exact_max:
+        top = knn(df, query_vec, k=k, vec_col=vec_col, sim_col="_raw_sim",
+                  tie_break=tie_break, method="auto")
+        cols = [c for c in df.columns]
+        return "exact", top.select(
+            *cols, F.round("_raw_sim", 6).alias(sim_col))
+    from openai_vector_search_demo_spark.operators.nsw import nsw_knn
+    top = nsw_knn(df, query_vec, k=k, sim_col=sim_col,
+                  **(nsw_kwargs or {}))
+    return "graph", top

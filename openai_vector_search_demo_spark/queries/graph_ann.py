@@ -3628,3 +3628,93 @@ ORACLE_SQL["curation_battery"] = _materialize_ctes(
 
 
 # ===========================================================================
+
+
+# ===========================================================================
+# ANN tier ROUTER (r15) — the planner step: route a query to the cheapest
+# serving tier that meets the recall target, by corpus size.
+# ---------------------------------------------------------------------------
+
+# Mirror of operators.knn.auto_knn_exact_max() for decoration-time SQL;
+# tests/test_router.py pins the two equal so they cannot drift.
+_AUTO_EXACT_MAX = _NSW_ROUNDS * _NSW_EF_SERVE * 2 * _NSW_M
+
+
+def _auto_knn_oracle() -> str:
+    return f"""
+WITH {_sql_nsw_edges()},
+{_sql_nsw_beam()},
+autn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+         WHERE vec_id <> 0 AND embedding IS NOT NULL),
+autex AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim
+          FROM embeddings e, nswq q
+          WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
+autex10 AS (SELECT vec_id, label, ROUND(sim, 6) AS similarity
+            FROM autex ORDER BY sim DESC, vec_id ASC LIMIT 10),
+autg10 AS (SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
+           ORDER BY s DESC, vec_id ASC LIMIT 10)
+SELECT mode, tier, (SELECT n FROM autn) AS n_corpus, exact_max,
+       vec_id, label, similarity
+FROM (
+  SELECT 'auto' AS mode,
+         CASE WHEN (SELECT n FROM autn) <= {_AUTO_EXACT_MAX}
+              THEN 'exact' ELSE 'graph' END AS tier,
+         CAST({_AUTO_EXACT_MAX} AS BIGINT) AS exact_max, t.*
+  FROM (SELECT * FROM autex10
+        WHERE (SELECT n FROM autn) <= {_AUTO_EXACT_MAX}
+        UNION ALL
+        SELECT * FROM autg10
+        WHERE (SELECT n FROM autn) > {_AUTO_EXACT_MAX}) t
+  UNION ALL
+  SELECT 'forced_graph' AS mode, 'graph' AS tier,
+         CAST(0 AS BIGINT) AS exact_max, t.*
+  FROM autg10 t
+) u
+"""
+
+
+@query("ann_auto_knn", oracle=_auto_knn_oracle())
+def ann_auto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier ROUTER — the planner the reference leaves to static
+    configuration (RediSearch indexes declare FLAT or HNSW at CREATE
+    time and the demo always picks HNSW, modules/utilities.py:272-278):
+    ``operators.knn.auto_knn`` routes by corpus size at query time.
+    n ≤ rounds·ef·2M (= {_AUTO_EXACT_MAX}, the v4 graph beam's own
+    evaluation budget) serves EXACT cosine top-k — same work class as
+    the beam, no stored index, recall 1.0 — else the constant-ef NSW
+    graph tier.  Routing on the beam's own budget means the switch is
+    a pure win at every n, never a recall trade (the FAISS flat-vs-
+    index rule of thumb).
+
+    Two invocations pin BOTH branches at gate scale: ``auto`` (the
+    production threshold — exact at every test sf; the graph side of
+    the rule at n > budget is receipted by ``ann_nsw_fixed_ef_scaling``
+    at n = 10⁵) and ``forced_graph`` (threshold 0 — the identical
+    query THROUGH the router's graph branch).  The oracle computes the
+    same CASE from COUNT(*) and replays whichever branch it selects —
+    rule and results both value-checked."""
+    from openai_vector_search_demo_spark.operators.knn import (
+        auto_knn,
+        auto_knn_exact_max,
+    )
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    n = _nsw_corpus_n(spark, sf_dir, base, 1)
+    stride, ef, rounds = nsw_serving_params(n)
+    kw = dict(m=_NSW_M, ef=ef, rounds=rounds, stride=stride,
+              n_entry=_NSW_ENTRY,
+              n1=_nsw_l1_n(spark, sf_dir, base, 1, stride))
+    parts = []
+    for mode, thr in (("auto", auto_knn_exact_max()), ("forced_graph", 0)):
+        tier, top = auto_knn(base, qvec, k=10, n=n, exact_max=thr,
+                             nsw_kwargs=kw)
+        parts.append(top.select(
+            F.lit(mode).alias("mode"), F.lit(tier).alias("tier"),
+            F.lit(int(n)).cast("long").alias("n_corpus"),
+            F.lit(int(thr)).cast("long").alias("exact_max"),
+            "vec_id", "label", "similarity"))
+    return parts[0].unionByName(parts[1])

@@ -77,17 +77,35 @@ def test_derived_table_and_cast_parens_untouched():
 
 def test_every_registered_oracle_still_parses_in_duckdb():
     """The verify-recipe assertion, as a pinned test: the transformed SQL
-    of every registered oracle must remain parseable (views not needed —
-    a parse error surfaces before binding for the syntax this guards)."""
+    of every registered oracle must remain parseable.  Oracles whose
+    read_parquet targets are runtime-materialized /tmp artifacts (stored
+    ANN indexes, the 100k scale fixture — written by the QUERY before the
+    driver runs the oracle) get a parse-only check via
+    json_serialize_sql when the artifact isn't on disk yet (fresh
+    container); everything else gets the stronger EXPLAIN (parse+bind)."""
+    import glob
+    import re
+
     con = duckdb.connect()
     for tbl in ["region", "nation", "customer", "supplier", "part",
                 "orders", "lineitem", "events", "documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW {tbl} AS SELECT * FROM "
             f"read_parquet('/root/testdata/sf0.001/{tbl}.parquet')")
+    path_re = re.compile(r"read_parquet\('(/tmp/[^']+)'")
     for name, sql in ORACLE_SQL.items():
+        materialized = all(
+            glob.glob(p) for p in path_re.findall(sql))
         try:
-            con.execute(f"EXPLAIN {sql}")
+            if materialized:
+                con.execute(f"EXPLAIN {sql}")
+            else:
+                err = con.execute(
+                    "SELECT json_serialize_sql(?::VARCHAR)",
+                    [sql]).fetchone()[0]
+                assert '"error":false' in err.replace(" ", ""), err[:400]
+        except AssertionError:
+            raise
         except Exception as e:  # pragma: no cover - failure reporting
             raise AssertionError(f"{name}: transformed oracle no longer "
                                  f"parses: {e}") from e

@@ -1,0 +1,80 @@
+"""ANN tier router (`operators.knn.auto_knn`) — routing rule + both
+branches against the direct operators (SURVEY.md §5.3 conventions)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openai_vector_search_demo_spark.operators.knn import (
+    auto_knn,
+    auto_knn_exact_max,
+    knn,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") != 0).cache()
+
+
+@pytest.fixture(scope="module")
+def qvec(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+
+
+def test_threshold_is_the_beam_budget_and_matches_the_oracle_mirror():
+    from openai_vector_search_demo_spark.operators.nsw import (
+        NSW_EF_SERVE,
+        NSW_M,
+        NSW_ROUNDS,
+    )
+    from openai_vector_search_demo_spark.queries.graph_ann import (
+        _AUTO_EXACT_MAX,
+    )
+    assert auto_knn_exact_max() == NSW_ROUNDS * NSW_EF_SERVE * 2 * NSW_M
+    assert _AUTO_EXACT_MAX == auto_knn_exact_max()
+
+
+def test_auto_routes_exact_below_budget_and_equals_direct_knn(spark, base,
+                                                              qvec):
+    n = base.filter(F.col("embedding").isNotNull()).count()
+    assert n <= auto_knn_exact_max()  # every test sf is below the budget
+    tier, top = auto_knn(base, qvec, k=10, n=n)
+    assert tier == "exact"
+    got = [(r["vec_id"], r["similarity"])
+           for r in top.select("vec_id", "similarity").collect()]
+    exp = knn(base, qvec, k=10, sim_col="s", tie_break="vec_id") \
+        .select("vec_id", F.round("s", 6).alias("s")).collect()
+    assert got == [(r["vec_id"], r["s"]) for r in exp]
+
+
+def test_forced_graph_branch_equals_direct_nsw_knn(spark, base, qvec):
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_knn,
+        nsw_serving_params,
+    )
+    n = base.filter(F.col("embedding").isNotNull()).count()
+    stride, ef, rounds = nsw_serving_params(n)
+    n1 = base.filter(F.col("embedding").isNotNull()
+                     & (F.pmod(F.col("vec_id"), F.lit(int(stride))) == 0)) \
+        .count()
+    kw = dict(ef=ef, rounds=rounds, stride=stride, n1=n1)
+    tier, top = auto_knn(base, qvec, k=10, n=n, exact_max=0, nsw_kwargs=kw)
+    assert tier == "graph"
+    got = [(r["vec_id"], r["similarity"])
+           for r in top.select("vec_id", "similarity").collect()]
+    exp = [(r["vec_id"], r["similarity"])
+           for r in nsw_knn(base, qvec, k=10, sim_col="similarity", **kw)
+           .select("vec_id", "similarity").collect()]
+    assert got == exp and len(got) == 10
+
+
+def test_auto_counts_corpus_itself_when_n_not_passed(spark, base, qvec):
+    tier, top = auto_knn(base, qvec, k=3)
+    assert tier == "exact"
+    assert len(top.collect()) == 3
