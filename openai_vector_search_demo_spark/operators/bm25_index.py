@@ -63,9 +63,8 @@ def write_bm25_index(df: DataFrame, path: str,
     single-tenant index by construction, and a tenant's serve never
     lists other tenants' directories."""
     if tenant_col is not None:
-        tenants = [r[0] for r in df.select(tenant_col).distinct()
-                   .orderBy(tenant_col).collect()]
-        for tv in tenants:
+        from openai_vector_search_demo_spark.stores import tenant_values
+        for tv in tenant_values(df, tenant_col):
             write_bm25_index(
                 df.filter(F.col(tenant_col) == tv).drop(tenant_col),
                 bm25_tenant_path(path, tv), id_col=id_col,

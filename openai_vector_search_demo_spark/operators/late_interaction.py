@@ -268,9 +268,8 @@ def write_token_window_index(df: DataFrame, path: str,
     directories, and cross-tenant score interference is structurally
     impossible."""
     if tenant_col is not None:
-        tenants = [r[0] for r in df.select(tenant_col).distinct()
-                   .orderBy(tenant_col).collect()]
-        for tv in tenants:
+        from openai_vector_search_demo_spark.stores import tenant_values
+        for tv in tenant_values(df, tenant_col):
             write_token_window_index(
                 df.filter(F.col(tenant_col) == tv).drop(tenant_col),
                 li_tenant_path(path, tv), text_col=text_col,

@@ -504,8 +504,8 @@ def write_nsw_index_tenants(df: DataFrame, path: str,
     per-tenant loop is |tenants| driver iterations around fully
     distributed builds — the Hive-partitioned-table write pattern.
     Returns the tenant values written."""
-    tenants = [r[0] for r in df.select(tenant_col).distinct()
-               .orderBy(tenant_col).collect()]
+    from openai_vector_search_demo_spark.stores import tenant_values
+    tenants = tenant_values(df, tenant_col)
     for tv in tenants:
         sub = df.filter(F.col(tenant_col) == tv).drop(tenant_col)
         write_nsw_index(sub, nsw_tenant_path(path, tv), m=m,
@@ -859,8 +859,22 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
         build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col))
     levels, flat_mod = None, None
     if stride is not None:
+        import math
         base = df.filter(F.col(vec_col).isNotNull())
         n = base.count()
+        if int(stride) != max(2, math.ceil(math.sqrt(max(1, n)))):
+            # Non-√n coarse geometry: the hierarchy recursion is defined
+            # on the √-stack only, and the caller's n1 counts the
+            # caller-stride subset, not the √-subset — building levels
+            # here would index geometry the caller never asked for.
+            # Serve the flat coarse entry at the caller's stride instead
+            # (the same fallback nsw_stored_knn takes on a stored-meta
+            # stride mismatch, keeping the two paths equal).
+            return beam_search_knn(edges, df, qvec, k=k, ef=ef,
+                                   rounds=rounds, seeds=seeds,
+                                   vec_col=vec_col, id_col=id_col,
+                                   sim_col=sim_col, stride=stride,
+                                   n_entry=n_entry, stop_k=stop_k)
         strides, counts = nsw_hier_plan(base, n, id_col=id_col, n1=n1)
         levels, prod = [], 1
         for s, cnt in zip(strides, counts):
@@ -927,7 +941,8 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
     bdf = sess.createDataFrame(
         [(int(r.id), list(r.v)) for r in brows],
         "id long, v array<double>")
-    _append_graph_delta(spark, path, brows, ex, m, n_buckets)
+    _append_graph_delta(spark, path, brows, ex, m, n_buckets,
+                        batch_df=bdf)
     # store-format contract: the marker tells readers that merge-on-read
     # resolution AND mirror validation are now REQUIRED (a fresh store
     # needs neither — every src has exactly m fwd rows and every mirror
@@ -979,7 +994,8 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
 
 
 def _append_graph_delta(spark, path: str, brows, existing: DataFrame,
-                        m: int, n_buckets: int) -> None:
+                        m: int, n_buckets: int,
+                        batch_df: DataFrame | None = None) -> None:
     """The exact-insert append for ONE stored graph (base layer or a
     hierarchy level): ``brows`` are collected (id, v) batch rows (KB —
     they ride the closure as a broadcast-by-value), ``existing`` the
@@ -1064,8 +1080,13 @@ def _append_graph_delta(spark, path: str, brows, existing: DataFrame,
 
     # (existing∪batch) × batch sims — batch rides the closure (broadcast
     # by value); one Arrow pass over the layer, pruned emission
-    allnodes = existing.unionByName(sess.createDataFrame(
-        [(int(r.id), list(r.v)) for r in brows], "id long, v array<double>"))
+    # (batch_df lets the base-layer caller reuse its already-built
+    # batch DataFrame instead of re-serializing brows)
+    if batch_df is None:
+        batch_df = sess.createDataFrame(
+            [(int(r.id), list(r.v)) for r in brows],
+            "id long, v array<double>")
+    allnodes = existing.unionByName(batch_df)
     cross = allnodes.mapInPandas(cross_sims, "src long, dst long, sim double")
 
     # new nodes' top-m over C∪B: the kind=1 stream (batch src) unioned
@@ -1213,8 +1234,15 @@ def resolve_stored_levels(spark, path: str, m: int = NSW_M):
     for lvl, cnt in enumerate(counts, start=1):
         if cnt < NSW_HIER_FLOOR:
             break
-        fwd = (spark.read.parquet(f"{path.rstrip('/')}/_L{lvl}")
-               .filter(F.col("fwd"))
+        raw = spark.read.parquet(f"{path.rstrip('/')}/_L{lvl}")
+        if "fwd" not in raw.columns:
+            # pre-v4 store: _L1 was written as an already-symmetrized
+            # (src, dst, sim, bucket) relation with no fwd/mirror split
+            # — its rows ARE the traversal relation (no merge-on-read
+            # window applies: v3 rebuilt the layer whole on upsert)
+            levels.append(raw.select("src", "dst").distinct())
+            continue
+        fwd = (raw.filter(F.col("fwd"))
                .withColumn("_rn", F.dense_rank().over(wm))
                .filter(F.col("_rn") <= mm).select("src", "dst"))
         levels.append(symmetrize_edges(fwd))
@@ -1328,7 +1356,10 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                     buckets = sorted({i % n_buckets for i in ids})
                     sel = (le.filter(F.col("bucket").isin(buckets)
                                      & F.col("src").isin(ids)))
-                    if not has_deltas:
+                    if not has_deltas or "fwd" not in le.columns:
+                        # no deltas — or a pre-v4 layer written whole
+                        # (symmetric, no fwd/mirror split): rows ARE
+                        # the traversal relation
                         return sel.select("src", "dst")
                     fwd = (sel.filter(F.col("fwd"))
                            .withColumn("_rn", F.dense_rank().over(wm))

@@ -361,11 +361,13 @@ def ann_nsw_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NSW_CURVE_EFS = (32, 160, 320)
-"""Beam-width operating points for the curve slot: below / at / above
-the sf0.01 autoscale point (⌈1.5·√480⌉ = 33; 67 is the sf0.1
-autoscale — the curve prices what the next scale step costs and
-buys).  The v3 knee receipt: 33→67 is what lifted the sf0.1 recall
-tail (min 0.5 → 0.9, BASELINE.md r14)."""
+"""Beam-width operating points for the curve slot, relative to the v4
+CONSTANT serving width ef = {_NSW_EF_SERVE} (`NSW_EF_SERVE`): a 5×
+cheaper point below it, the registered point itself, and a 2× point
+above — the curve prices what narrowing buys (less visited) and costs
+(recall) around the shipped knee.  The v4 operating point was chosen
+by the 3-scale numpy-twin sweep in ``scripts/ab_nsw_v4_deep.py``
+(decision table in BASELINE.md r15)."""
 
 
 def _nsw_curve_oracle() -> str:

@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["read_probed_partitions", "register_partitioned_store",
            "fs_exists", "fs_touch", "fs_write_text", "fs_read_text",
-           "escape_partition_value"]
+           "escape_partition_value", "tenant_values"]
 
 # the characters Spark/Hive escape in partition directory names
 # (ExternalCatalogUtils.escapePathName / Hive FileUtils.escapePathName —
@@ -48,6 +48,28 @@ __all__ = ["read_probed_partitions", "register_partitioned_store",
 # actually wrote (space, '=', ':'), so every tenant path below goes
 # through escape_partition_value (ADVICE r14).
 _HIVE_ESCAPE = set('"#%\'*/:=?\\\x7f{[]^') | {chr(c) for c in range(1, 32)}
+
+
+def tenant_values(df, tenant_col: str) -> list:
+    """Distinct tenant values for a tenant-scoped store write, sorted.
+
+    Raises on NULL: per-alias isolation needs a non-null alias (the
+    reference requires the index alias as user input before any write,
+    app/app.py:152-153).  Silently proceeding is worse than it looks —
+    ``F.col(tenant_col) == None`` matches NOTHING, so a null-tenant
+    row would vanish from every subtree while an empty, stats-less
+    ``tenant=__HIVE_DEFAULT_PARTITION__`` directory gets written (a
+    serve of that tenant then returns null scores)."""
+    from pyspark.sql import functions as F
+    rows = (df.select(tenant_col).distinct()
+            .orderBy(F.col(tenant_col).asc_nulls_first()).collect())
+    vals = [r[0] for r in rows]
+    if vals and vals[0] is None:
+        raise ValueError(
+            f"tenant column {tenant_col!r} contains NULL — per-tenant "
+            "stores need a non-null alias for every row (filter or "
+            "default the nulls before the write)")
+    return vals
 
 
 def escape_partition_value(value) -> str:

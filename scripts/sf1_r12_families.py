@@ -47,8 +47,10 @@ def drift_gate_state_rows(spark, sf_dir: str):
               .option("pathGlobFilter", "documents.parquet").load(sf_dir))
     cand = ta.with_quality_score(stream.filter(F.col("doc_id") % 2 == 1))
     reports: list = []
+    # r15 hook contract: the gate hands the callback the per-batch
+    # result DATAFRAME — the callback decides to collect
     q = (stream_drift_gate(cand, ref_counts, feats,
-                           lambda rows, bid: reports.append(rows))
+                           lambda rdf, bid: reports.append(rdf.collect()))
          .option("checkpointLocation", tempfile.mkdtemp(prefix="driftsz_"))
          .start())
     q.awaitTermination(600)

@@ -637,3 +637,37 @@ def test_stop_rule_answer_and_bound(spark, emb):
               nsw_knn(base, qvec, k=1 << 20, m=3, ef=8, rounds=6,
                       stride=7, n_entry=4, stop_k=12).collect()}
     assert stop_v <= full_v
+
+
+def test_tenant_writers_reject_null_tenant(spark, tmp_path):
+    """A NULL tenant must fail LOUDLY at write time: `col == None`
+    matches nothing, so the row would silently vanish from every
+    subtree while an empty __HIVE_DEFAULT_PARTITION__ store (n_docs=0,
+    NULL stats) got written (code-review r15)."""
+    import pytest as _pytest
+
+    from openai_vector_search_demo_spark.operators.bm25_index import (
+        write_bm25_index,
+    )
+    from openai_vector_search_demo_spark.operators.late_interaction import (
+        write_token_window_index,
+    )
+    from openai_vector_search_demo_spark.operators.nsw import (
+        write_nsw_index_tenants,
+    )
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [0.0, 1.0], None)],
+        "vec_id long, embedding array<double>, tenant string")
+    with _pytest.raises(ValueError, match="NULL"):
+        write_nsw_index_tenants(vecs, str(tmp_path / "nsw"), m=1,
+                                tenant_col="tenant")
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "a"), (1, "gamma delta", None)],
+        "doc_id long, text string, tenant string")
+    with _pytest.raises(ValueError, match="NULL"):
+        write_bm25_index(docs, str(tmp_path / "bm25"),
+                         tenant_col="tenant")
+    with _pytest.raises(ValueError, match="NULL"):
+        write_token_window_index(docs, str(tmp_path / "li"),
+                                 tenant_col="tenant")
