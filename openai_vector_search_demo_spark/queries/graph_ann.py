@@ -3720,3 +3720,106 @@ def ann_auto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(int(thr)).cast("long").alias("exact_max"),
             "vec_id", "label", "similarity"))
     return parts[0].unionByName(parts[1])
+
+
+# ===========================================================================
+# Gopher REPETITION filters (r15) — the curation family's other half:
+# quality heuristics gate style, these gate machine-generated /
+# boilerplate REPETITION (Rae et al. 2021 Table A1, public thresholds).
+# ---------------------------------------------------------------------------
+
+_REP_RULES = (("top_2gram_char_fraction", 2, "topf", 0.20),
+              ("top_3gram_char_fraction", 3, "topf", 0.18),
+              ("top_4gram_char_fraction", 4, "topf", 0.16),
+              ("dup_5gram_char_fraction", 5, "dupf", 0.15))
+
+
+def _repetition_oracle() -> str:
+    per_n = []
+    for n in (2, 3, 4, 5):
+        per_n.append(f"""rep{n}c AS (
+  SELECT doc_id, n_chars, gram, COUNT(*) AS c
+  FROM (SELECT doc_id, n_chars, UNNEST(
+          CASE WHEN len(toks) >= {n}
+               THEN list_transform(range(1, len(toks) - {n} + 2),
+                      i -> array_to_string(
+                             list_slice(toks, i, i + {n} - 1), ' '))
+               ELSE CAST([] AS VARCHAR[]) END) AS gram
+        FROM repw) GROUP BY doc_id, n_chars, gram),
+rep{n}a AS (
+  SELECT doc_id,
+         ROUND(LEAST(1.0, MAX(c * LENGTH(gram)) * 1.0 / n_chars), 6)
+           AS topf,
+         ROUND(LEAST(1.0, SUM(CASE WHEN c >= 2
+                                   THEN c * LENGTH(gram) ELSE 0 END)
+                          * 1.0 / n_chars), 6) AS dupf
+  FROM rep{n}c GROUP BY doc_id, n_chars)""")
+    ok_cols = ",\n         ".join(
+        f"CAST(COALESCE(a{n}.{m}, 0) <= {thr} AS INT) AS r{i}"
+        for i, (_, n, m, thr) in enumerate(_REP_RULES))
+    joins = "\n  ".join(f"LEFT JOIN rep{n}a a{n} USING (doc_id)"
+                        for n in (2, 3, 4, 5))
+    stack = "\n  UNION ALL ".join(
+        f"SELECT '{name}' AS rule, r{i} AS ok FROM repr"
+        for i, (name, *_rest) in enumerate(_REP_RULES))
+    conj = " * ".join(f"r{i}" for i in range(len(_REP_RULES)))
+    return f"""
+WITH repw AS (SELECT doc_id, LENGTH(text) AS n_chars, {_SQL_TOKS} AS toks
+              FROM documents),
+{",".join(per_n)},
+repr AS (
+  SELECT w.doc_id,
+         {ok_cols}
+  FROM repw w
+  {joins}),
+repu AS (
+  {stack}
+  UNION ALL SELECT 'ALL' AS rule, {conj} AS ok FROM repr)
+SELECT rule, CAST(SUM(ok) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_fail,
+       ROUND(SUM(1 - ok) * 1.0 / COUNT(*), 6) AS fail_rate
+FROM repu GROUP BY rule
+"""
+
+
+@query("gopher_repetition_rules", oracle=_repetition_oracle())
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION FILTERS (Rae et al. 2021 §A1.1 Table A1,
+    public method description + thresholds) — the intra-document half
+    the quality-rule slot doesn't cover: machine-generated and
+    boilerplate text repeats itself, so a document fails when its most
+    frequent n-gram covers too many characters (n = 2/3/4 at
+    0.20/0.18/0.16) or its duplicated 5-grams do (0.15); 'ALL' is the
+    conjunction gate.  The paper's duplicate line/paragraph rules are
+    the same computation with a line tokenizer and degenerate to 0 on
+    the single-line fixture — `operators/repetition.py` documents the
+    generalization.  Physical shape: one explode over token n-grams,
+    one partial-aggregated groupBy on document-local keys (uniform
+    shuffle by construction), a doc-level conditional agg — scan-bound,
+    no UDF; fractions 6-dp-rounded BEFORE threshold comparison so the
+    pass/fail decisions replay bit-for-bit in the oracle."""
+    from openai_vector_search_demo_spark.operators.repetition import (
+        ngram_repetition_signals,
+    )
+    docs = t(spark, sf_dir, "documents")
+    sig = ngram_repetition_signals(docs, ns=(2, 3, 4, 5))
+    w = sig.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("n") == n, F.col(m.replace("f", "_char_frac"))))
+        .alias(f"v{i}")
+        for i, (_, n, m, _t) in enumerate(_REP_RULES)])
+    r = (docs.select("doc_id").join(w, "doc_id", "left")
+         .select(*[
+             (F.coalesce(F.col(f"v{i}"), F.lit(0.0)) <= thr).cast("int")
+             .alias(f"r{i}")
+             for i, (_, _n, _m, thr) in enumerate(_REP_RULES)]))
+    conj = F.col("r0") * F.col("r1") * F.col("r2") * F.col("r3")
+    r = r.withColumn("rALL", conj)
+    pairs = ", ".join(f"'{name}', r{i}"
+                      for i, (name, *_rest) in enumerate(_REP_RULES))
+    u = r.selectExpr(
+        f"stack({len(_REP_RULES) + 1}, {pairs}, 'ALL', rALL) as (rule, ok)")
+    return (u.groupBy("rule")
+            .agg(F.sum("ok").alias("n_pass"),
+                 F.sum(1 - F.col("ok")).alias("n_fail"),
+                 F.round(F.sum(1 - F.col("ok")) * 1.0
+                         / F.count(F.lit(1)), 6).alias("fail_rate")))

@@ -1,0 +1,63 @@
+"""Gopher repetition signals (`operators.repetition`) — hand-computed
+fractions, short-doc edges, and the clamp (SURVEY.md §5.3 conventions)."""
+
+from __future__ import annotations
+
+import pytest
+
+from openai_vector_search_demo_spark.operators.repetition import (
+    GOPHER_REP_THRESHOLDS,
+    ngram_repetition_signals,
+)
+
+
+def _sig(spark, text, ns=(2,)):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    rows = ngram_repetition_signals(df, ns=ns).collect()
+    return {r["n"]: (r["top_char_frac"], r["dup_char_frac"]) for r in rows}
+
+
+def test_hand_computed_bigram_fractions(spark):
+    # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] — top "a b"
+    # appears 3x, len 3 -> 9 chars of 11; dup covers both grams:
+    # 3*3 + 2*3 = 15 -> clamped? 15/11 > 1 -> LEAST caps at 1.0
+    text = "a b a b a b"
+    top, dup = _sig(spark, text)[2]
+    assert top == round(9 / 11, 6)
+    assert dup == 1.0  # the documented clamp: overlaps exceed doc length
+
+
+def test_no_repetition_dup_is_zero(spark):
+    text = "one two three four five"
+    top, dup = _sig(spark, text)[2]
+    assert dup == 0.0
+    # all counts are 1, so top is the LONGEST bigram's char share
+    assert top == round(len("three four") / len(text), 6)
+
+
+def test_doc_shorter_than_n_emits_no_row(spark):
+    assert _sig(spark, "single", ns=(2, 3)) == {}
+
+
+def test_thresholds_are_the_published_table(spark):
+    assert GOPHER_REP_THRESHOLDS["top_2gram_char_frac"] == 0.20
+    assert GOPHER_REP_THRESHOLDS["dup_5gram_char_frac"] == 0.15
+    assert GOPHER_REP_THRESHOLDS["dup_10gram_char_frac"] == 0.10
+
+
+def test_slot_rule_rows_cover_all_and_conjunction(spark):
+    from openai_vector_search_demo_spark.queries.graph_ann import (
+        gopher_repetition_rules,
+    )
+    rows = {r["rule"]: r for r in
+            gopher_repetition_rules(spark, "/root/testdata/sf0.001")
+            .collect()}
+    assert set(rows) == {"top_2gram_char_fraction",
+                         "top_3gram_char_fraction",
+                         "top_4gram_char_fraction",
+                         "dup_5gram_char_fraction", "ALL"}
+    for r in rows.values():
+        assert r["n_pass"] + r["n_fail"] > 0
+    # the conjunction can never pass more docs than any single rule
+    assert all(rows["ALL"]["n_pass"] <= rows[k]["n_pass"]
+               for k in rows if k != "ALL")
