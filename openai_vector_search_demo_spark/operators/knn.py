@@ -174,8 +174,10 @@ def auto_knn(df: DataFrame,
              n: int | None = None,
              exact_max: int | None = None,
              vec_col: str = "embedding",
+             id_col: str = "vec_id",
              sim_col: str = "similarity",
              tie_break: str = "vec_id",
+             store_path: str | None = None,
              nsw_kwargs: dict | None = None) -> tuple[str, DataFrame]:
     """ANN tier ROUTER — the planner step the reference performs by
     configuration (redis serves FLAT vs HNSW per index type;
@@ -194,7 +196,14 @@ def auto_knn(df: DataFrame,
     ``n`` (the routing statistic) is a required input when the caller
     already knows it — passing it avoids a count job; left ``None`` it
     is computed from ``df`` once.  ``nsw_kwargs`` forwards serving
-    params (ef/rounds/stride/n1/…) to ``nsw_knn`` for the graph branch.
+    params (ef/rounds/stride/n1/…) to the graph branch.
+
+    ``store_path`` is the production graph branch: serve the STORED v4
+    index at that path via ``nsw_stored_knn`` (bucket-pruned point
+    reads — nobody builds an index per query; a fresh store serves the
+    graph a rebuild would produce, so the oracle is unchanged).
+    Without it the branch falls back to the inline build+search
+    (``nsw_knn`` — the oracled development form).
     """
     if n is None:
         n = df.filter(F.col(vec_col).isNotNull()).count()
@@ -206,7 +215,17 @@ def auto_knn(df: DataFrame,
         cols = [c for c in df.columns]
         return "exact", top.select(
             *cols, F.round("_raw_sim", 6).alias(sim_col))
+    kw = dict(nsw_kwargs or {})
+    if store_path is not None:
+        from openai_vector_search_demo_spark.operators.nsw import (
+            nsw_stored_knn,
+        )
+        kw.pop("n1", None)   # the stored path derives geometry from meta
+        top = nsw_stored_knn(df.sparkSession, store_path, df, query_vec,
+                             k=k, vec_col=vec_col, id_col=id_col,
+                             sim_col=sim_col, **kw)
+        return "graph", top
     from openai_vector_search_demo_spark.operators.nsw import nsw_knn
-    top = nsw_knn(df, query_vec, k=k, sim_col=sim_col,
-                  **(nsw_kwargs or {}))
+    top = nsw_knn(df, query_vec, k=k, vec_col=vec_col, id_col=id_col,
+                  sim_col=sim_col, **kw)
     return "graph", top

@@ -3692,15 +3692,23 @@ def ann_auto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     production threshold — exact at every test sf; the graph side of
     the rule at n > budget is receipted by ``ann_nsw_fixed_ef_scaling``
     at n = 10⁵) and ``forced_graph`` (threshold 0 — the identical
-    query THROUGH the router's graph branch).  The oracle computes the
-    same CASE from COUNT(*) and replays whichever branch it selects —
-    rule and results both value-checked."""
+    query THROUGH the router's graph branch, served off the SAME
+    content-fingerprint-cached stored index as ``ann_nsw_stored_knn``:
+    the router routes to a serving tier, nobody builds a graph per
+    query; a fresh store serves the graph a rebuild would produce, so
+    the beam oracle is unchanged).  The oracle computes the same CASE
+    from COUNT(*) and replays whichever branch it selects — rule and
+    results both value-checked."""
+    import hashlib
+    import os
+
     from openai_vector_search_demo_spark.operators.knn import (
         auto_knn,
         auto_knn_exact_max,
     )
     from openai_vector_search_demo_spark.operators.nsw import (
         nsw_serving_params,
+        write_nsw_index,
     )
     emb = t(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3708,12 +3716,19 @@ def ann_auto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _nsw_corpus_n(spark, sf_dir, base, 1)
     stride, ef, rounds = nsw_serving_params(n)
     kw = dict(m=_NSW_M, ef=ef, rounds=rounds, stride=stride,
-              n_entry=_NSW_ENTRY,
-              n1=_nsw_l1_n(spark, sf_dir, base, 1, stride))
+              n_entry=_NSW_ENTRY)
+    # the same store (same cache key) ann_nsw_stored_knn serves from
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|nswv4{_NSW_M}|{_parquet_fingerprint(emb_path)}".encode()) \
+        .hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_nsw_store_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_nsw_index(base, store, m=_NSW_M)
     parts = []
     for mode, thr in (("auto", auto_knn_exact_max()), ("forced_graph", 0)):
         tier, top = auto_knn(base, qvec, k=10, n=n, exact_max=thr,
-                             nsw_kwargs=kw)
+                             store_path=store, nsw_kwargs=kw)
         parts.append(top.select(
             F.lit(mode).alias("mode"), F.lit(tier).alias("tier"),
             F.lit(int(n)).cast("long").alias("n_corpus"),

@@ -78,3 +78,27 @@ def test_auto_counts_corpus_itself_when_n_not_passed(spark, base, qvec):
     tier, top = auto_knn(base, qvec, k=3)
     assert tier == "exact"
     assert len(top.collect()) == 3
+
+
+def test_stored_graph_branch_equals_direct_stored_serve(spark, base, qvec,
+                                                        tmp_path):
+    from openai_vector_search_demo_spark.operators.nsw import (
+        nsw_serving_params,
+        nsw_stored_knn,
+        write_nsw_index,
+    )
+    n = base.filter(F.col("embedding").isNotNull()).count()
+    stride, ef, rounds = nsw_serving_params(n)
+    store = str(tmp_path / "router_store")
+    write_nsw_index(base, store, m=4)
+    kw = dict(m=4, ef=ef, rounds=rounds, stride=stride)
+    tier, top = auto_knn(base, qvec, k=10, n=n, exact_max=0,
+                         store_path=store, nsw_kwargs=kw)
+    assert tier == "graph"
+    got = [(r["vec_id"], r["similarity"])
+           for r in top.select("vec_id", "similarity").collect()]
+    exp = [(r["vec_id"], r["similarity"])
+           for r in nsw_stored_knn(spark, store, base, qvec, k=10,
+                                   sim_col="similarity", **kw)
+           .select("vec_id", "similarity").collect()]
+    assert got == exp and len(got) == 10
