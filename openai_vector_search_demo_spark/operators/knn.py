@@ -176,7 +176,6 @@ def auto_knn(df: DataFrame,
              vec_col: str = "embedding",
              id_col: str = "vec_id",
              sim_col: str = "similarity",
-             tie_break: str = "vec_id",
              store_path: str | None = None,
              nsw_kwargs: dict | None = None) -> tuple[str, DataFrame]:
     """ANN tier ROUTER — the planner step the reference performs by
@@ -189,9 +188,12 @@ def auto_knn(df: DataFrame,
     cosine top-k — one broadcast-scan map stage,
     ``TakeOrderedAndProject``, recall 1.0.  Larger corpora: the v4
     constant-ef NSW graph beam (``operators.nsw.nsw_knn``), whose work
-    is independent of n.  Returns ``(tier, top-k DataFrame)`` with the
-    similarity 6-dp-rounded on both paths (the ANN-family determinism
-    contract), so either branch replays in the DuckDB oracle.
+    is independent of n.  Returns ``(tier, top-k DataFrame)`` with ONE
+    schema regardless of tier — ``(id_col, label?, sim_col)``, id ties
+    broken on ``id_col``, similarity 6-dp-rounded on both paths (the
+    ANN-family determinism contract) — so behavior cannot silently
+    change when a growing corpus crosses the routing threshold, and
+    either branch replays in the DuckDB oracle.
 
     ``n`` (the routing statistic) is a required input when the caller
     already knows it — passing it avoids a count job; left ``None`` it
@@ -209,12 +211,17 @@ def auto_knn(df: DataFrame,
         n = df.filter(F.col(vec_col).isNotNull()).count()
     if exact_max is None:
         exact_max = auto_knn_exact_max()
+    # both tiers return the SAME schema — (id_col, label?, sim_col) —
+    # and tie-break on id_col, so behavior cannot silently change at
+    # the routing boundary when a growing corpus crosses the threshold.
+    # 'label' rides along when present because the graph tier's beam
+    # currently requires it (operators.nsw beam contract).
+    out_cols = [id_col] + (["label"] if "label" in df.columns else [])
     if n <= exact_max:
         top = knn(df, query_vec, k=k, vec_col=vec_col, sim_col="_raw_sim",
-                  tie_break=tie_break, method="auto")
-        cols = [c for c in df.columns]
+                  tie_break=id_col, method="auto")
         return "exact", top.select(
-            *cols, F.round("_raw_sim", 6).alias(sim_col))
+            *out_cols, F.round("_raw_sim", 6).alias(sim_col))
     kw = dict(nsw_kwargs or {})
     if store_path is not None:
         from openai_vector_search_demo_spark.operators.nsw import (
@@ -224,8 +231,8 @@ def auto_knn(df: DataFrame,
         top = nsw_stored_knn(df.sparkSession, store_path, df, query_vec,
                              k=k, vec_col=vec_col, id_col=id_col,
                              sim_col=sim_col, **kw)
-        return "graph", top
+        return "graph", top.select(*out_cols, sim_col)
     from openai_vector_search_demo_spark.operators.nsw import nsw_knn
     top = nsw_knn(df, query_vec, k=k, vec_col=vec_col, id_col=id_col,
                   sim_col=sim_col, **kw)
-    return "graph", top
+    return "graph", top.select(*out_cols, sim_col)

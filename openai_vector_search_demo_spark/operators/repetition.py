@@ -90,8 +90,15 @@ def ngram_repetition_signals(df: DataFrame,
     counts = (ex.groupBy("doc_id", "n_chars", "n", "gram")
               .agg(F.count(F.lit(1)).alias("c")))
     cost = F.col("c") * F.length("gram")
+    # "most frequent n-gram" = max by COUNT (the paper's rule), ties by
+    # coverage — NOT max coverage over all grams (a long rare gram must
+    # not outscore a short frequent one)
+    from pyspark.sql import Window
+    cmax = F.max("c").over(Window.partitionBy("doc_id", "n"))
+    counts = counts.withColumn("_cmax", cmax)
     return (counts.groupBy("doc_id", "n_chars", "n")
-            .agg(F.max(cost).alias("_top"),
+            .agg(F.max(F.when(F.col("c") == F.col("_cmax"), cost))
+                 .alias("_top"),
                  F.sum(F.when(F.col("c") >= 2, cost).otherwise(0))
                  .alias("_dup"))
             .select(

@@ -3761,14 +3761,17 @@ def _repetition_oracle() -> str:
                              list_slice(toks, i, i + {n} - 1), ' '))
                ELSE CAST([] AS VARCHAR[]) END) AS gram
         FROM repw) GROUP BY doc_id, n_chars, gram),
+rep{n}m AS (SELECT *, MAX(c) OVER (PARTITION BY doc_id) AS cmax
+            FROM rep{n}c),
 rep{n}a AS (
   SELECT doc_id,
-         ROUND(LEAST(1.0, MAX(c * LENGTH(gram)) * 1.0 / n_chars), 6)
-           AS topf,
+         ROUND(LEAST(1.0, MAX(CASE WHEN c = cmax
+                                   THEN c * LENGTH(gram) END)
+                          * 1.0 / n_chars), 6) AS topf,
          ROUND(LEAST(1.0, SUM(CASE WHEN c >= 2
                                    THEN c * LENGTH(gram) ELSE 0 END)
                           * 1.0 / n_chars), 6) AS dupf
-  FROM rep{n}c GROUP BY doc_id, n_chars)""")
+  FROM rep{n}m GROUP BY doc_id, n_chars)""")
     ok_cols = ",\n         ".join(
         f"CAST(COALESCE(a{n}.{m}, 0) <= {thr} AS INT) AS r{i}"
         for i, (_, n, m, thr) in enumerate(_REP_RULES))

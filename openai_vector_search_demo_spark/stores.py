@@ -60,7 +60,6 @@ def tenant_values(df, tenant_col: str) -> list:
     row would vanish from every subtree while an empty, stats-less
     ``tenant=__HIVE_DEFAULT_PARTITION__`` directory gets written (a
     serve of that tenant then returns null scores)."""
-    from pyspark.sql import functions as F
     rows = (df.select(tenant_col).distinct()
             .orderBy(F.col(tenant_col).asc_nulls_first()).collect())
     vals = [r[0] for r in rows]

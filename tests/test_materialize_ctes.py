@@ -103,7 +103,8 @@ def test_every_registered_oracle_still_parses_in_duckdb():
                 err = con.execute(
                     "SELECT json_serialize_sql(?::VARCHAR)",
                     [sql]).fetchone()[0]
-                assert '"error":false' in err.replace(" ", ""), err[:400]
+                assert '"error":false' in err.replace(" ", ""), \
+                    f"{name}: {err[:400]}"
         except AssertionError:
             raise
         except Exception as e:  # pragma: no cover - failure reporting

@@ -61,3 +61,14 @@ def test_slot_rule_rows_cover_all_and_conjunction(spark):
     # the conjunction can never pass more docs than any single rule
     assert all(rows["ALL"]["n_pass"] <= rows[k]["n_pass"]
                for k in rows if k != "ALL")
+
+
+def test_top_is_most_frequent_not_max_coverage(spark):
+    # 'hello world' occurs 2x (coverage 22) but 'a b' occurs 3x
+    # (coverage 9): the Gopher rule scores the MOST FREQUENT n-gram's
+    # coverage — a long rare gram must not outscore a short frequent one
+    text = "hello world hello world a b a b a b"
+    top, dup = _sig(spark, text)[2]
+    assert top == round(3 * len("a b") / len(text), 6)
+    # dup still counts every duplicated gram's coverage
+    assert dup > top
