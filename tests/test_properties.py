@@ -481,3 +481,63 @@ def test_label_propagation_matches_reference(spark, edges, seeds, rounds):
     want = _lp_reference(edges, seeds, rounds)
     assert got == want
     spark.catalog.clearCache()
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "x"]),
+    min_size=0, max_size=30), min_size=1, max_size=8))
+def test_repetition_fractions_bounded_and_python_twin(spark, docs):
+    """Repetition signals ∈ [0, 1], match a direct Python recount, and
+    a doc of all-distinct tokens has dup_char_frac = 0."""
+    import collections
+
+    from openai_vector_search_demo_spark.operators.repetition import (
+        ngram_repetition_signals,
+    )
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["n"]): (r["top_char_frac"], r["dup_char_frac"])
+           for r in ngram_repetition_signals(df, ns=(2,)).collect()}
+    for i, toks in enumerate(docs):
+        text = " ".join(toks)
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        if not grams:
+            assert (i, 2) not in got
+            continue
+        c = collections.Counter(grams)
+        cmax = max(c.values())
+        top = max(cnt * len(g) for g, cnt in c.items() if cnt == cmax)
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        et = round(min(1.0, top / len(text)), 6)
+        ed = round(min(1.0, dup / len(text)), 6)
+        gt, gd = got[(i, 2)]
+        assert 0 <= gt <= 1 and 0 <= gd <= 1
+        assert (gt, gd) == (et, ed), (i, text)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.floats(min_value=-10, max_value=10,
+                                   allow_nan=False, width=32),
+                         min_size=4, max_size=4),
+                min_size=2, max_size=24),
+       st.integers(min_value=0, max_value=23))
+def test_router_exact_branch_equals_direct_knn(spark, vecs, qi):
+    """For any small corpus the router picks exact and equals knn()."""
+    from openai_vector_search_demo_spark.operators.knn import auto_knn, knn
+    from pyspark.sql import functions as F
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)
+            if any(x != 0 for x in v)]
+    if len(rows) < 2:
+        return
+    qvec = rows[qi % len(rows)][1]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tier, top = auto_knn(df, qvec, k=5)
+    assert tier == "exact"
+    got = [(r["vec_id"], r["similarity"]) for r in top.collect()]
+    exp = [(r["vec_id"], r["s"])
+           for r in knn(df, qvec, k=5, sim_col="_r", tie_break="vec_id")
+           .select("vec_id", F.round("_r", 6).alias("s")).collect()]
+    assert got == exp
