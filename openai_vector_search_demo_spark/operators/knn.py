@@ -218,11 +218,29 @@ def auto_knn(df: DataFrame,
     # currently requires it (operators.nsw beam contract).
     out_cols = [id_col] + (["label"] if "label" in df.columns else [])
     if n <= exact_max:
-        top = knn(df, query_vec, k=k, vec_col=vec_col, sim_col="_raw_sim",
-                  tie_break=id_col, method="auto")
-        return "exact", top.select(
-            *out_cols, F.round("_raw_sim", 6).alias(sim_col))
+        # round BEFORE the top-k ordering (the graph tier's rule): the
+        # returned 6-dp values then really are tie-broken on id_col,
+        # immune to cross-engine last-ulp noise at the k boundary;
+        # still one map stage + TakeOrderedAndProject, now keyed on the
+        # rounded value
+        if len(list(query_vec)) >= KNN_AUTO_NUMPY_MIN_DIM:
+            scored = _score_numpy(df, query_vec, vec_col, "_raw_sim",
+                                  "cosine", False)
+        else:
+            scored = df.withColumn(
+                "_raw_sim",
+                cosine_similarity(F.col(vec_col), vector_lit(query_vec)))
+        top = (scored.withColumn(sim_col, F.round("_raw_sim", 6))
+               .orderBy(F.col(sim_col).desc(), F.col(id_col).asc())
+               .limit(k))
+        return "exact", top.select(*out_cols, sim_col)
     kw = dict(nsw_kwargs or {})
+    if "label" not in df.columns:
+        # the graph beam carries a label column through its output
+        # (operators.nsw contract); ride a null along so unlabeled
+        # corpora serve identically on both sides of the threshold
+        # instead of crashing the day they cross it
+        df = df.withColumn("label", F.lit(None).cast("int"))
     if store_path is not None:
         from openai_vector_search_demo_spark.operators.nsw import (
             nsw_stored_knn,

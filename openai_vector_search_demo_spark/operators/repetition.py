@@ -92,15 +92,15 @@ def ngram_repetition_signals(df: DataFrame,
     cost = F.col("c") * F.length("gram")
     # "most frequent n-gram" = max by COUNT (the paper's rule), ties by
     # coverage — NOT max coverage over all grams (a long rare gram must
-    # not outscore a short frequent one)
-    from pyspark.sql import Window
-    cmax = F.max("c").over(Window.partitionBy("doc_id", "n"))
-    counts = counts.withColumn("_cmax", cmax)
+    # not outscore a short frequent one).  One struct-max aggregate:
+    # lexicographic max over (count, coverage) IS max-by-count with the
+    # coverage tie-break — no window pass, map-side partials intact.
     return (counts.groupBy("doc_id", "n_chars", "n")
-            .agg(F.max(F.when(F.col("c") == F.col("_cmax"), cost))
-                 .alias("_top"),
+            .agg(F.max(F.struct(F.col("c"), cost.alias("cost")))
+                 .alias("_m"),
                  F.sum(F.when(F.col("c") >= 2, cost).otherwise(0))
                  .alias("_dup"))
+            .withColumn("_top", F.col("_m.cost"))
             .select(
                 "doc_id", "n",
                 F.round(F.least(F.lit(1.0),

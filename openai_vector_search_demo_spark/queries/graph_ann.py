@@ -3652,7 +3652,8 @@ autex AS (SELECT e.vec_id, e.label, {_SQL_COS_TO_Q} AS sim
           FROM embeddings e, nswq q
           WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
 autex10 AS (SELECT vec_id, label, ROUND(sim, 6) AS similarity
-            FROM autex ORDER BY sim DESC, vec_id ASC LIMIT 10),
+            FROM autex
+            ORDER BY ROUND(sim, 6) DESC, vec_id ASC LIMIT 10),
 autg10 AS (SELECT vec_id, label, s AS similarity FROM v{_NSW_ROUNDS}
            ORDER BY s DESC, vec_id ASC LIMIT 10)
 SELECT mode, tier, (SELECT n FROM autn) AS n_corpus, exact_max,

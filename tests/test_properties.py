@@ -510,8 +510,14 @@ def test_repetition_fractions_bounded_and_python_twin(spark, docs):
         cmax = max(c.values())
         top = max(cnt * len(g) for g, cnt in c.items() if cnt == cmax)
         dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
-        et = round(min(1.0, top / len(text)), 6)
-        ed = round(min(1.0, dup / len(text)), 6)
+
+        # F.round is HALF_UP; python round() is banker's — emulate Spark
+        def r6(x):
+            from decimal import ROUND_HALF_UP, Decimal
+            return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                                   rounding=ROUND_HALF_UP))
+        et = r6(min(1.0, top / len(text)))
+        ed = r6(min(1.0, dup / len(text)))
         gt, gd = got[(i, 2)]
         assert 0 <= gt <= 1 and 0 <= gd <= 1
         assert (gt, gd) == (et, ed), (i, text)
@@ -537,7 +543,10 @@ def test_router_exact_branch_equals_direct_knn(spark, vecs, qi):
     tier, top = auto_knn(df, qvec, k=5)
     assert tier == "exact"
     got = [(r["vec_id"], r["similarity"]) for r in top.collect()]
-    exp = [(r["vec_id"], r["s"])
-           for r in knn(df, qvec, k=5, sim_col="_r", tie_break="vec_id")
-           .select("vec_id", F.round("_r", 6).alias("s")).collect()]
+    # mirror the router's contract: round first, then (sim desc, id asc)
+    full = [(r["vec_id"], r["s"])
+            for r in knn(df, qvec, k=len(rows), sim_col="_r",
+                         tie_break="vec_id")
+            .select("vec_id", F.round("_r", 6).alias("s")).collect()]
+    exp = sorted(full, key=lambda t: (-t[1], t[0]))[:5]
     assert got == exp

@@ -48,9 +48,12 @@ def test_auto_routes_exact_below_budget_and_equals_direct_knn(spark, base,
     assert tier == "exact"
     got = [(r["vec_id"], r["similarity"])
            for r in top.select("vec_id", "similarity").collect()]
-    exp = knn(base, qvec, k=10, sim_col="s", tie_break="vec_id") \
+    # the router's contract: round BEFORE the top-k ordering, id ties
+    full = knn(base, qvec, k=n, sim_col="s", tie_break="vec_id") \
         .select("vec_id", F.round("s", 6).alias("s")).collect()
-    assert got == [(r["vec_id"], r["s"]) for r in exp]
+    exp = sorted(((r["vec_id"], r["s"]) for r in full),
+                 key=lambda t: (-t[1], t[0]))[:10]
+    assert got == exp
 
 
 def test_forced_graph_branch_equals_direct_nsw_knn(spark, base, qvec):
@@ -102,3 +105,20 @@ def test_stored_graph_branch_equals_direct_stored_serve(spark, base, qvec,
                                    sim_col="similarity", **kw)
            .select("vec_id", "similarity").collect()]
     assert got == exp and len(got) == 10
+
+
+def test_unlabeled_corpus_serves_on_both_sides_of_the_threshold(spark):
+    """A corpus with no 'label' column must serve identically-shaped
+    results from BOTH tiers — crossing the routing threshold cannot be
+    the day an unlabeled corpus starts crashing (code-review r15)."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qvec = rows[0][1]
+    tier, top = auto_knn(df, qvec, k=5, n=30)
+    assert tier == "exact" and top.columns == ["vec_id", "similarity"]
+    tier2, top2 = auto_knn(df, qvec, k=5, n=30, exact_max=0,
+                           nsw_kwargs=dict(m=3, ef=8, rounds=3, stride=6))
+    assert tier2 == "graph" and top2.columns == ["vec_id", "similarity"]
+    assert len(top2.collect()) == 5
