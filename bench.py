@@ -218,6 +218,7 @@ HEADLINE = [
     "ann_nsw_compacted_knn",  # compacted graph serving: marker-free read (r15)
     "ann_auto_knn",  # tier router: exact-vs-graph by corpus size (r15)
     "gopher_repetition_rules",  # intra-doc n-gram repetition gates (r15)
+    "gopher_line_repetition_rules",  # duplicate-line gates (r15)
     # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
     # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
     # it is a driver-gated correctness/scale receipt, not an sf-scaled

@@ -11,9 +11,13 @@ repeats itself, and the paper removes documents whose
 - duplicated n-grams (count ≥ 2) cover too many characters
   (``dup_{n}gram_char_frac`` > threshold, n = 5..10).
 
-The paper's line/paragraph duplicate rules are the same computation
-with a line tokenizer; on single-line corpora (the test fixture) they
-degenerate to 0, so only the n-gram forms are implemented.
+- duplicated LINES cover too many of the lines or characters
+  (``dup_line_frac`` > 0.30 / ``dup_line_char_frac`` > 0.20 —
+  ``line_repetition_signals``; the paragraph rules are the same
+  computation with a paragraph separator).  The test fixture is
+  single-line, so the registered slot derives a deterministic line
+  structure from the token stream (both engines replay the same
+  derivation) — on real corpora pass the raw text.
 
 Scale: one explode over the token n-grams (linear in corpus bytes),
 one partial-aggregated ``groupBy(doc, n, gram)`` — keys are
@@ -36,10 +40,13 @@ from pyspark.sql import functions as F
 
 from openai_vector_search_demo_spark.functions.text_analysis import tokens
 
-__all__ = ["ngram_repetition_signals", "GOPHER_REP_THRESHOLDS"]
+__all__ = ["ngram_repetition_signals", "line_repetition_signals",
+           "GOPHER_REP_THRESHOLDS"]
 
 # Table A1's published thresholds (fail when the fraction EXCEEDS):
 GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
     "top_2gram_char_frac": 0.20,
     "top_3gram_char_frac": 0.18,
     "top_4gram_char_frac": 0.16,
@@ -109,3 +116,40 @@ def ngram_repetition_signals(df: DataFrame,
                 F.round(F.least(F.lit(1.0),
                                 F.col("_dup") / F.col("n_chars")), 6)
                 .alias("dup_char_frac")))
+
+
+def line_repetition_signals(df: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            line_sep: str = "\n") -> DataFrame:
+    """The Gopher duplicate-LINE rules (Rae et al. 2021 Table A1): per
+    document, ``dup_line_frac`` = fraction of lines whose exact content
+    occurs ≥ 2 times (all occurrences count), ``dup_line_char_frac`` =
+    those lines' characters over the document's characters.  Lines
+    cannot overlap, so no clamp is needed; both fractions 6-dp-rounded.
+    Documents with no non-empty line emit no row (nothing to gate).
+    Same physical shape as the n-gram form: explode → doc-local groupBy
+    (uniform shuffle) → doc-level agg, no UDF, ANSI-replayable."""
+    lines = F.filter(F.split(F.col(text_col), line_sep),
+                     lambda x: x != "")
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.length(text_col).alias("n_chars"),
+                      lines.alias("lines"))
+            .filter(F.size("lines") > 0)
+            .withColumn("n_lines", F.size("lines")))
+    ex = base.select("doc_id", "n_chars", "n_lines",
+                     F.explode("lines").alias("line"))
+    counts = (ex.groupBy("doc_id", "n_chars", "n_lines", "line")
+              .agg(F.count(F.lit(1)).alias("c")))
+    dup_lines = F.when(F.col("c") >= 2, F.col("c")).otherwise(0)
+    dup_chars = F.when(F.col("c") >= 2,
+                       F.col("c") * F.length("line")).otherwise(0)
+    return (counts.groupBy("doc_id", "n_chars", "n_lines")
+            .agg(F.sum(dup_lines).alias("_dl"),
+                 F.sum(dup_chars).alias("_dc"))
+            .select(
+                "doc_id",
+                F.round(F.col("_dl") / F.col("n_lines"), 6)
+                .alias("dup_line_frac"),
+                F.round(F.col("_dc") / F.col("n_chars"), 6)
+                .alias("dup_line_char_frac")))

@@ -3842,3 +3842,91 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(1 - F.col("ok")).alias("n_fail"),
                  F.round(F.sum(1 - F.col("ok")) * 1.0
                          / F.count(F.lit(1)), 6).alias("fail_rate")))
+
+
+_LINE_W = 3  # derived-line width (tokens) for the line-rule gate slot
+
+
+def _line_repetition_oracle() -> str:
+    return f"""
+WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE len({_SQL_TOKS}) > 0),
+lins AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(CEIL(len(toks) / {_LINE_W}.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(toks, i * {_LINE_W} + 1,
+                                    i * {_LINE_W} + {_LINE_W}), ' '))
+                  AS lines
+         FROM linw),
+lint AS (SELECT doc_id, lines,
+                LENGTH(array_to_string(lines, chr(10))) AS n_chars,
+                len(lines) AS n_lines
+         FROM lins),
+linc AS (SELECT doc_id, n_chars, n_lines, line, COUNT(*) AS c
+         FROM (SELECT doc_id, n_chars, n_lines, UNNEST(lines) AS line
+               FROM lint)
+         GROUP BY doc_id, n_chars, n_lines, line),
+lina AS (SELECT doc_id,
+                ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                      * 1.0 / n_lines, 6) AS dlf,
+                ROUND(SUM(CASE WHEN c >= 2 THEN c * LENGTH(line)
+                               ELSE 0 END) * 1.0 / n_chars, 6) AS dlcf
+         FROM linc GROUP BY doc_id, n_chars, n_lines),
+linr AS (SELECT doc_id,
+                CAST(dlf <= 0.30 AS INT) AS r0,
+                CAST(dlcf <= 0.20 AS INT) AS r1
+         FROM lina),
+linu AS (
+  SELECT 'duplicate_line_fraction' AS rule, r0 AS ok FROM linr
+  UNION ALL SELECT 'duplicate_line_char_fraction', r1 FROM linr
+  UNION ALL SELECT 'ALL', r0 * r1 FROM linr)
+SELECT rule, CAST(SUM(ok) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - ok) AS BIGINT) AS n_fail,
+       ROUND(SUM(1 - ok) * 1.0 / COUNT(*), 6) AS fail_rate
+FROM linu GROUP BY rule
+"""
+
+
+@query("gopher_line_repetition_rules", oracle=_line_repetition_oracle())
+def gopher_line_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER DUPLICATE-LINE FILTERS (Rae et al. 2021 Table A1:
+    duplicate-line fraction > 0.30 / duplicate-line char fraction >
+    0.20 fail) — the line-unit half of the repetition family.  The
+    fixture's documents are single-line, so the slot derives a
+    DETERMINISTIC line structure — {_LINE_W}-token lines off the token
+    stream — identically in both engines and gates on that; on a real
+    corpus ``operators.repetition.line_repetition_signals`` takes the
+    raw text's own newlines (same operator, same thresholds).  Same
+    audit shape and physical posture as the sibling rule slots:
+    explode → doc-local groupBy → doc-level agg, scan-bound, no UDF."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.repetition import (
+        line_repetition_signals,
+    )
+    docs = t(spark, sf_dir, "documents")
+    w = F.lit(_LINE_W)
+    base = (docs.select("doc_id", tokens("text").alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_toks") / w.cast("double"))
+                   .cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LINE_W),
+                               " "))
+    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    sig = line_repetition_signals(derived)
+    r = sig.select(
+        (F.col("dup_line_frac") <= 0.30).cast("int").alias("r0"),
+        (F.col("dup_line_char_frac") <= 0.20).cast("int").alias("r1"))
+    u = r.selectExpr(
+        "stack(3, 'duplicate_line_fraction', r0,"
+        " 'duplicate_line_char_fraction', r1,"
+        " 'ALL', r0 * r1) as (rule, ok)")
+    return (u.groupBy("rule")
+            .agg(F.sum("ok").alias("n_pass"),
+                 F.sum(1 - F.col("ok")).alias("n_fail"),
+                 F.round(F.sum(1 - F.col("ok")) * 1.0
+                         / F.count(F.lit(1)), 6).alias("fail_rate")))

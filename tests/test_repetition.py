@@ -72,3 +72,27 @@ def test_top_is_most_frequent_not_max_coverage(spark):
     assert top == round(3 * len("a b") / len(text), 6)
     # dup still counts every duplicated gram's coverage
     assert dup > top
+
+
+def test_line_signals_hand_computed(spark):
+    # 4 lines, 'dup line' occurs 2x: dup_line_frac = 2/4,
+    # dup_line_char_frac = 2*8 / len(text)
+    text = "dup line\nunique one\ndup line\nunique two"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    from openai_vector_search_demo_spark.operators.repetition import (
+        line_repetition_signals,
+    )
+    r = line_repetition_signals(df).collect()[0]
+    assert r["dup_line_frac"] == 0.5
+    assert r["dup_line_char_frac"] == round(16 / len(text), 6)
+
+
+def test_line_signals_skip_empty_lines_and_lineless_docs(spark):
+    df = spark.createDataFrame(
+        [(0, "a\n\n\na"), (1, "\n\n")], "doc_id long, text string")
+    from openai_vector_search_demo_spark.operators.repetition import (
+        line_repetition_signals,
+    )
+    rows = {r["doc_id"]: r for r in line_repetition_signals(df).collect()}
+    assert set(rows) == {0}          # doc 1 has no non-empty line
+    assert rows[0]["dup_line_frac"] == 1.0   # both 'a' lines duplicated
