@@ -9,7 +9,11 @@ repeats itself, and the paper removes documents whose
 - most frequent n-gram covers too many characters
   (``top_{n}gram_char_frac`` > threshold, n = 2..4), or
 - duplicated n-grams (count ≥ 2) cover too many characters
-  (``dup_{n}gram_char_frac`` > threshold, n = 5..10).
+  (``dup_{n}gram_char_frac`` > threshold, n = 5..10).  "Coverage"
+  counts the occurrences BEYOND the first — (count − 1) × length —
+  matching the public reference reproductions of the rules (a fully
+  once-duplicated document scores 0.5, not 1.0), so the published
+  thresholds remove what the paper's rule removes.
 
 - duplicated LINES cover too many of the lines or characters
   (``dup_line_frac`` > 0.30 / ``dup_line_char_frac`` > 0.20 —
@@ -26,11 +30,13 @@ doc-level conditional aggregation.  No UDF anywhere; every step is
 codegen'd built-ins, and the whole thing replays in ANSI SQL for the
 DuckDB correctness gate.
 
-Char fractions are defined deterministically: an n-gram's character
-cost is ``count × length(gram as written, single-space joined)`` over
-``length(raw text)``, clamped to 1.0 (overlapping occurrences can
-push the naive sum past the document length).  Fractions are rounded
-to 6 dp BEFORE threshold comparison so pass/fail replays bit-for-bit.
+Char fractions are defined deterministically: the TOP fraction is the
+most frequent n-gram's full coverage (``count × length(gram as
+written, single-space joined)``); DUP fractions count repeats beyond
+the first (``(count − 1) × length``); both over ``length(raw text)``,
+clamped to 1.0 (overlapping occurrences can still push the naive sum
+past the document length).  Fractions are rounded to 6 dp BEFORE
+threshold comparison so pass/fail replays bit-for-bit.
 """
 
 from __future__ import annotations
@@ -75,8 +81,9 @@ def ngram_repetition_signals(df: DataFrame,
                              ) -> DataFrame:
     """Long-form per-document repetition signals: one row per
     ``(doc_id, n)`` with ``top_char_frac`` (most frequent n-gram's
-    character coverage) and ``dup_char_frac`` (coverage of all n-grams
-    occurring ≥ 2 times), both 6-dp rounded.  Documents shorter than
+    character coverage) and ``dup_char_frac`` (repeat occurrences —
+    beyond the first — of all n-grams occurring ≥ 2 times), both 6-dp
+    rounded.  Documents shorter than
     ``n`` tokens emit no row for that n — absent means "cannot repeat",
     which every consumer must coalesce to 0 (the slot does)."""
     toks = tokens(text_col)
@@ -105,7 +112,9 @@ def ngram_repetition_signals(df: DataFrame,
     return (counts.groupBy("doc_id", "n_chars", "n")
             .agg(F.max(F.struct(F.col("c"), cost.alias("cost")))
                  .alias("_m"),
-                 F.sum(F.when(F.col("c") >= 2, cost).otherwise(0))
+                 F.sum(F.when(F.col("c") >= 2,
+                              (F.col("c") - 1) * F.length("gram"))
+                       .otherwise(0))
                  .alias("_dup"))
             .withColumn("_top", F.col("_m.cost"))
             .select(
@@ -123,14 +132,18 @@ def line_repetition_signals(df: DataFrame,
                             id_col: str = "doc_id",
                             line_sep: str = "\n") -> DataFrame:
     """The Gopher duplicate-LINE rules (Rae et al. 2021 Table A1): per
-    document, ``dup_line_frac`` = fraction of lines whose exact content
-    occurs ≥ 2 times (all occurrences count), ``dup_line_char_frac`` =
-    those lines' characters over the document's characters.  Lines
-    cannot overlap, so no clamp is needed; both fractions 6-dp-rounded.
-    Documents with no non-empty line emit no row (nothing to gate).
-    Same physical shape as the n-gram form: explode → doc-local groupBy
-    (uniform shuffle) → doc-level agg, no UDF, ANSI-replayable."""
-    lines = F.filter(F.split(F.col(text_col), line_sep),
+    document, ``dup_line_frac`` = fraction of lines that are REPEATS of
+    an earlier identical line (occurrences beyond the first — the
+    reference-reproduction counting; a fully once-duplicated doc scores
+    0.5), ``dup_line_char_frac`` = those repeat lines' characters over
+    the document's characters.  Lines cannot overlap, so no clamp is
+    needed; both fractions 6-dp-rounded.  Documents with no non-empty
+    line emit no row (nothing to gate).  Same physical shape as the
+    n-gram form: explode → doc-local groupBy (uniform shuffle) →
+    doc-level agg, no UDF, ANSI-replayable.  ``line_sep`` is a literal
+    separator (regex-escaped before the split)."""
+    import re
+    lines = F.filter(F.split(F.col(text_col), re.escape(line_sep)),
                      lambda x: x != "")
     base = (df.select(F.col(id_col).alias("doc_id"),
                       F.length(text_col).alias("n_chars"),
@@ -141,9 +154,9 @@ def line_repetition_signals(df: DataFrame,
                      F.explode("lines").alias("line"))
     counts = (ex.groupBy("doc_id", "n_chars", "n_lines", "line")
               .agg(F.count(F.lit(1)).alias("c")))
-    dup_lines = F.when(F.col("c") >= 2, F.col("c")).otherwise(0)
+    dup_lines = F.when(F.col("c") >= 2, F.col("c") - 1).otherwise(0)
     dup_chars = F.when(F.col("c") >= 2,
-                       F.col("c") * F.length("line")).otherwise(0)
+                       (F.col("c") - 1) * F.length("line")).otherwise(0)
     return (counts.groupBy("doc_id", "n_chars", "n_lines")
             .agg(F.sum(dup_lines).alias("_dl"),
                  F.sum(dup_chars).alias("_dc"))

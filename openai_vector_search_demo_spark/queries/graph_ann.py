@@ -3744,10 +3744,15 @@ def ann_auto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate REPETITION (Rae et al. 2021 Table A1, public thresholds).
 # ---------------------------------------------------------------------------
 
-_REP_RULES = (("top_2gram_char_fraction", 2, "topf", 0.20),
-              ("top_3gram_char_fraction", 3, "topf", 0.18),
-              ("top_4gram_char_fraction", 4, "topf", 0.16),
-              ("dup_5gram_char_fraction", 5, "dupf", 0.15))
+from openai_vector_search_demo_spark.operators.repetition import (  # noqa: E402
+    GOPHER_REP_THRESHOLDS as _REP_THR,
+)
+
+_REP_RULES = (
+    ("top_2gram_char_fraction", 2, "topf", _REP_THR["top_2gram_char_frac"]),
+    ("top_3gram_char_fraction", 3, "topf", _REP_THR["top_3gram_char_frac"]),
+    ("top_4gram_char_fraction", 4, "topf", _REP_THR["top_4gram_char_frac"]),
+    ("dup_5gram_char_fraction", 5, "dupf", _REP_THR["dup_5gram_char_frac"]))
 
 
 def _repetition_oracle() -> str:
@@ -3770,7 +3775,8 @@ rep{n}a AS (
                                    THEN c * LENGTH(gram) END)
                           * 1.0 / n_chars), 6) AS topf,
          ROUND(LEAST(1.0, SUM(CASE WHEN c >= 2
-                                   THEN c * LENGTH(gram) ELSE 0 END)
+                                   THEN (c - 1) * LENGTH(gram)
+                                   ELSE 0 END)
                           * 1.0 / n_chars), 6) AS dupf
   FROM rep{n}m GROUP BY doc_id, n_chars)""")
     ok_cols = ",\n         ".join(
@@ -3848,6 +3854,8 @@ _LINE_W = 3  # derived-line width (tokens) for the line-rule gate slot
 
 
 def _line_repetition_oracle() -> str:
+    thr_l = _REP_THR["dup_line_frac"]
+    thr_c = _REP_THR["dup_line_char_frac"]
     return f"""
 WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
               WHERE len({_SQL_TOKS}) > 0),
@@ -3868,15 +3876,15 @@ linc AS (SELECT doc_id, n_chars, n_lines, line, COUNT(*) AS c
                FROM lint)
          GROUP BY doc_id, n_chars, n_lines, line),
 lina AS (SELECT doc_id,
-                ROUND(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END)
+                ROUND(SUM(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END)
                       * 1.0 / n_lines, 6) AS dlf,
-                ROUND(SUM(CASE WHEN c >= 2 THEN c * LENGTH(line)
+                ROUND(SUM(CASE WHEN c >= 2 THEN (c - 1) * LENGTH(line)
                                ELSE 0 END) * 1.0 / n_chars, 6) AS dlcf
          FROM linc GROUP BY doc_id, n_chars, n_lines),
-linr AS (SELECT doc_id,
-                CAST(dlf <= 0.30 AS INT) AS r0,
-                CAST(dlcf <= 0.20 AS INT) AS r1
-         FROM lina),
+linr AS (SELECT d.doc_id,
+                CAST(COALESCE(dlf, 0) <= {thr_l} AS INT) AS r0,
+                CAST(COALESCE(dlcf, 0) <= {thr_c} AS INT) AS r1
+         FROM documents d LEFT JOIN lina USING (doc_id)),
 linu AS (
   SELECT 'duplicate_line_fraction' AS rule, r0 AS ok FROM linr
   UNION ALL SELECT 'duplicate_line_char_fraction', r1 FROM linr
@@ -3892,10 +3900,13 @@ FROM linu GROUP BY rule
 def gopher_line_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GOPHER DUPLICATE-LINE FILTERS (Rae et al. 2021 Table A1:
     duplicate-line fraction > 0.30 / duplicate-line char fraction >
-    0.20 fail) — the line-unit half of the repetition family.  The
-    fixture's documents are single-line, so the slot derives a
-    DETERMINISTIC line structure — {_LINE_W}-token lines off the token
-    stream — identically in both engines and gates on that; on a real
+    0.20 fail; repeats beyond the first occurrence count, the
+    reference-reproduction semantics) — the line-unit half of the
+    repetition family, over EVERY document (token-less docs pass: the
+    sibling n-gram audit's universe).  The fixture's documents are
+    single-line, so the slot derives a DETERMINISTIC line structure —
+    3-token lines off the token stream — identically in both engines
+    and gates on that; on a real
     corpus ``operators.repetition.line_repetition_signals`` takes the
     raw text's own newlines (same operator, same thresholds).  Same
     audit shape and physical posture as the sibling rule slots:
@@ -3918,9 +3929,12 @@ def gopher_line_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                                " "))
     derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
     sig = line_repetition_signals(derived)
-    r = sig.select(
-        (F.col("dup_line_frac") <= 0.30).cast("int").alias("r0"),
-        (F.col("dup_line_char_frac") <= 0.20).cast("int").alias("r1"))
+    r = (docs.select("doc_id").join(sig, "doc_id", "left")
+         .select(
+             (F.coalesce(F.col("dup_line_frac"), F.lit(0.0))
+              <= _REP_THR["dup_line_frac"]).cast("int").alias("r0"),
+             (F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0))
+              <= _REP_THR["dup_line_char_frac"]).cast("int").alias("r1")))
     u = r.selectExpr(
         "stack(3, 'duplicate_line_fraction', r0,"
         " 'duplicate_line_char_fraction', r1,"

@@ -509,7 +509,7 @@ def test_repetition_fractions_bounded_and_python_twin(spark, docs):
         c = collections.Counter(grams)
         cmax = max(c.values())
         top = max(cnt * len(g) for g, cnt in c.items() if cnt == cmax)
-        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt >= 2)
+        dup = sum((cnt - 1) * len(g) for g, cnt in c.items() if cnt >= 2)
 
         # F.round is HALF_UP; python round() is banker's — emulate Spark
         def r6(x):

@@ -19,12 +19,12 @@ def _sig(spark, text, ns=(2,)):
 
 def test_hand_computed_bigram_fractions(spark):
     # "a b a b a b": bigrams = [a b, b a, a b, b a, a b] — top "a b"
-    # appears 3x, len 3 -> 9 chars of 11; dup covers both grams:
-    # 3*3 + 2*3 = 15 -> clamped? 15/11 > 1 -> LEAST caps at 1.0
+    # appears 3x, len 3 -> 9 chars of 11; dup counts repeats BEYOND the
+    # first (reference-reproduction semantics): (3-1)*3 + (2-1)*3 = 9
     text = "a b a b a b"
     top, dup = _sig(spark, text)[2]
     assert top == round(9 / 11, 6)
-    assert dup == 1.0  # the documented clamp: overlaps exceed doc length
+    assert dup == round(9 / 11, 6)
 
 
 def test_no_repetition_dup_is_zero(spark):
@@ -83,8 +83,9 @@ def test_line_signals_hand_computed(spark):
         line_repetition_signals,
     )
     r = line_repetition_signals(df).collect()[0]
-    assert r["dup_line_frac"] == 0.5
-    assert r["dup_line_char_frac"] == round(16 / len(text), 6)
+    # repeats beyond the first: 1 of 4 lines, 8 of len(text) chars
+    assert r["dup_line_frac"] == 0.25
+    assert r["dup_line_char_frac"] == round(8 / len(text), 6)
 
 
 def test_line_signals_skip_empty_lines_and_lineless_docs(spark):
@@ -95,4 +96,5 @@ def test_line_signals_skip_empty_lines_and_lineless_docs(spark):
     )
     rows = {r["doc_id"]: r for r in line_repetition_signals(df).collect()}
     assert set(rows) == {0}          # doc 1 has no non-empty line
-    assert rows[0]["dup_line_frac"] == 1.0   # both 'a' lines duplicated
+    # one repeat beyond the first of 2 lines
+    assert rows[0]["dup_line_frac"] == 0.5
