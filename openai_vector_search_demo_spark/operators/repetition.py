@@ -23,12 +23,17 @@ repeats itself, and the paper removes documents whose
   structure from the token stream (both engines replay the same
   derivation) — on real corpora pass the raw text.
 
-Scale: one explode over the token n-grams (linear in corpus bytes),
-one partial-aggregated ``groupBy(doc, n, gram)`` — keys are
-document-local so the shuffle is uniform by construction — then a
-doc-level conditional aggregation.  No UDF anywhere; every step is
-codegen'd built-ins, and the whole thing replays in ANSI SQL for the
-DuckDB correctness gate.
+Scale: repetition signals are DOCUMENT-LOCAL, so they are computed
+entirely inside each row — ``array_sort`` the doc's n-grams, then one
+``F.aggregate`` run-length walk over the sorted array (equal
+neighbours = repeat occurrences) — a map-only plan with ZERO shuffle.
+The n-gram stream is ~Σn × corpus bytes (n = 2..10 ⇒ ~9×); the
+earlier explode → ``groupBy(doc, n, gram)`` design shuffled all of it,
+which at 100 TB is a ~900 TB shuffle for values every executor
+already held locally.  No UDF anywhere; the sort/walk are JVM
+built-ins, and the whole thing replays in ANSI SQL for the DuckDB
+correctness gate (the oracle keeps the declarative GROUP BY form —
+the gate compares values, not plans).
 
 Char fractions are defined deterministically: the TOP fraction is the
 most frequent n-gram's full coverage (``count × length(gram as
@@ -74,6 +79,57 @@ def _ngrams(toks, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _rep_walk(arr, sz):
+    """One ``F.aggregate`` run-length walk over a SORTED array: equal
+    neighbours are repeat occurrences.  Returns
+    ``struct(top: long, dup: long)`` — the most-frequent element's full
+    coverage (count × length; ties by coverage — a long rare element
+    must not outscore a short frequent one, so the comparison is
+    lexicographic on (count, coverage), the paper's rule) and the
+    repeat-beyond-the-first character total.  Zero shuffle: the walk
+    happens inside the owning row.  Only call with ``sz >= 1`` (the
+    finish fold indexes ``arr[sz]``, 1-based)."""
+    idx = F.when(sz >= 2, F.sequence(F.lit(1), sz - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    zero = F.struct(F.lit(1).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("topc"),
+                    F.lit(0).cast("long").alias("topcost"),
+                    F.lit(0).cast("long").alias("dup"))
+
+    def merge(acc, i):
+        # i is a 0-based position; element_at is 1-based, so
+        # prev = arr[i-1] (0-based) = element_at(arr, i)
+        prev, cur = F.element_at(arr, i), F.element_at(arr, i + 1)
+        cost = acc["run"] * F.length(prev)
+        better = (acc["run"] > acc["topc"]) | \
+                 ((acc["run"] == acc["topc"]) & (cost > acc["topcost"]))
+        return F.when(
+            cur == prev,
+            F.struct((acc["run"] + 1).alias("run"),
+                     acc["topc"].alias("topc"),
+                     acc["topcost"].alias("topcost"),
+                     (acc["dup"] + F.length(cur)).alias("dup"))
+        ).otherwise(
+            F.struct(F.lit(1).cast("long").alias("run"),
+                     F.when(better, acc["run"]).otherwise(acc["topc"])
+                     .alias("topc"),
+                     F.when(better, cost).otherwise(acc["topcost"])
+                     .alias("topcost"),
+                     acc["dup"].alias("dup")))
+
+    def finish(acc):
+        last_cost = acc["run"] * F.length(F.element_at(arr, sz))
+        better = (acc["run"] > acc["topc"]) | \
+                 ((acc["run"] == acc["topc"]) &
+                  (last_cost > acc["topcost"]))
+        return F.struct(
+            F.when(better, last_cost).otherwise(acc["topcost"])
+            .alias("top"),
+            acc["dup"].alias("dup"))
+
+    return F.aggregate(idx, zero, merge, finish)
+
+
 def ngram_repetition_signals(df: DataFrame,
                              text_col: str = "text",
                              id_col: str = "doc_id",
@@ -85,45 +141,35 @@ def ngram_repetition_signals(df: DataFrame,
     beyond the first — of all n-grams occurring ≥ 2 times), both 6-dp
     rounded.  Documents shorter than
     ``n`` tokens emit no row for that n — absent means "cannot repeat",
-    which every consumer must coalesce to 0 (the slot does)."""
+    which every consumer must coalesce to 0 (the slot does).
+
+    Physical shape: map-only.  Each n's grams are sorted ONCE per
+    document (the explode is a Generate barrier, so the walk's many
+    ``element_at`` references hit a BOUND attribute — inlining the sort
+    into the walk would re-sort per element, quadratic), then
+    run-length walked INSIDE the row (``_rep_walk``); the exploded rows
+    are ≤ len(ns) per document and nothing gram-sized ever shuffles."""
     toks = tokens(text_col)
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.length(text_col).alias("n_chars"),
                      toks.alias("toks"))
-    def _tag(n: int):
-        # NOT a default-arg lambda: pyspark passes (element, INDEX) to
-        # any 2-parameter callable in F.transform, which would shadow n
-        def tag(g):
-            return F.struct(F.lit(n).alias("n"), g.alias("gram"))
-        return tag
-
-    grams = F.concat(*[F.transform(_ngrams(F.col("toks"), n), _tag(n))
-                       for n in ns])
-    ex = (base.select("doc_id", "n_chars", F.explode(grams).alias("s"))
-          .select("doc_id", "n_chars", "s.n", "s.gram"))
-    counts = (ex.groupBy("doc_id", "n_chars", "n", "gram")
-              .agg(F.count(F.lit(1)).alias("c")))
-    cost = F.col("c") * F.length("gram")
-    # "most frequent n-gram" = max by COUNT (the paper's rule), ties by
-    # coverage — NOT max coverage over all grams (a long rare gram must
-    # not outscore a short frequent one).  One struct-max aggregate:
-    # lexicographic max over (count, coverage) IS max-by-count with the
-    # coverage tie-break — no window pass, map-side partials intact.
-    return (counts.groupBy("doc_id", "n_chars", "n")
-            .agg(F.max(F.struct(F.col("c"), cost.alias("cost")))
-                 .alias("_m"),
-                 F.sum(F.when(F.col("c") >= 2,
-                              (F.col("c") - 1) * F.length("gram"))
-                       .otherwise(0))
-                 .alias("_dup"))
-            .withColumn("_top", F.col("_m.cost"))
+    per_n = F.array(*[
+        F.struct(F.lit(n).alias("n"),
+                 F.array_sort(_ngrams(F.col("toks"), n)).alias("arr"))
+        for n in ns])
+    ex = (base.select("doc_id", "n_chars", F.explode(per_n).alias("s"))
+          .select("doc_id", "n_chars", F.col("s.n").alias("n"),
+                  F.col("s.arr").alias("arr"))
+          .filter(F.size("arr") >= 1))
+    walk = _rep_walk(F.col("arr"), F.size("arr"))
+    return (ex.select("doc_id", "n_chars", "n", walk.alias("_w"))
             .select(
                 "doc_id", "n",
                 F.round(F.least(F.lit(1.0),
-                                F.col("_top") / F.col("n_chars")), 6)
+                                F.col("_w.top") / F.col("n_chars")), 6)
                 .alias("top_char_frac"),
                 F.round(F.least(F.lit(1.0),
-                                F.col("_dup") / F.col("n_chars")), 6)
+                                F.col("_w.dup") / F.col("n_chars")), 6)
                 .alias("dup_char_frac")))
 
 
@@ -139,30 +185,41 @@ def line_repetition_signals(df: DataFrame,
     the document's characters.  Lines cannot overlap, so no clamp is
     needed; both fractions 6-dp-rounded.  Documents with no non-empty
     line emit no row (nothing to gate).  Same physical shape as the
-    n-gram form: explode → doc-local groupBy (uniform shuffle) →
-    doc-level agg, no UDF, ANSI-replayable.  ``line_sep`` is a literal
-    separator (regex-escaped before the split)."""
+    n-gram form: MAP-ONLY — the doc's lines are sorted and
+    neighbour-compared inside the row, zero shuffle, no UDF,
+    ANSI-replayable.  ``line_sep`` is a literal separator
+    (regex-escaped before the split)."""
     import re
     lines = F.filter(F.split(F.col(text_col), re.escape(line_sep)),
                      lambda x: x != "")
     base = (df.select(F.col(id_col).alias("doc_id"),
                       F.length(text_col).alias("n_chars"),
-                      lines.alias("lines"))
+                      F.array_sort(lines).alias("lines"))
             .filter(F.size("lines") > 0)
             .withColumn("n_lines", F.size("lines")))
-    ex = base.select("doc_id", "n_chars", "n_lines",
-                     F.explode("lines").alias("line"))
-    counts = (ex.groupBy("doc_id", "n_chars", "n_lines", "line")
-              .agg(F.count(F.lit(1)).alias("c")))
-    dup_lines = F.when(F.col("c") >= 2, F.col("c") - 1).otherwise(0)
-    dup_chars = F.when(F.col("c") >= 2,
-                       (F.col("c") - 1) * F.length("line")).otherwise(0)
-    return (counts.groupBy("doc_id", "n_chars", "n_lines")
-            .agg(F.sum(dup_lines).alias("_dl"),
-                 F.sum(dup_chars).alias("_dc"))
+    # in the sorted array an element equal to its predecessor IS a
+    # repeat beyond the first occurrence — one aggregate walk per doc
+    arr = F.col("lines")
+    idx = F.when(F.col("n_lines") >= 2,
+                 F.sequence(F.lit(1), F.col("n_lines") - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    zero = F.struct(F.lit(0).cast("long").alias("dl"),
+                    F.lit(0).cast("long").alias("dc"))
+
+    def merge(acc, i):
+        same = F.element_at(arr, i + 1) == F.element_at(arr, i)
+        return F.struct(
+            (acc["dl"] + F.when(same, 1).otherwise(0)).alias("dl"),
+            (acc["dc"] + F.when(same,
+                                F.length(F.element_at(arr, i + 1)))
+             .otherwise(0)).alias("dc"))
+
+    walk = F.aggregate(idx, zero, merge)
+    return (base.select("doc_id", "n_chars", "n_lines",
+                        walk.alias("_w"))
             .select(
                 "doc_id",
-                F.round(F.col("_dl") / F.col("n_lines"), 6)
+                F.round(F.col("_w.dl") / F.col("n_lines"), 6)
                 .alias("dup_line_frac"),
-                F.round(F.col("_dc") / F.col("n_chars"), 6)
+                F.round(F.col("_w.dc") / F.col("n_chars"), 6)
                 .alias("dup_line_char_frac")))

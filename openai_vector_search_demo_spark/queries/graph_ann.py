@@ -3744,20 +3744,40 @@ def ann_auto_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 # boilerplate REPETITION (Rae et al. 2021 Table A1, public thresholds).
 # ---------------------------------------------------------------------------
 
+import functools  # noqa: E402
+
 from openai_vector_search_demo_spark.operators.repetition import (  # noqa: E402
     GOPHER_REP_THRESHOLDS as _REP_THR,
 )
 
-_REP_RULES = (
-    ("top_2gram_char_fraction", 2, "topf", _REP_THR["top_2gram_char_frac"]),
-    ("top_3gram_char_fraction", 3, "topf", _REP_THR["top_3gram_char_frac"]),
-    ("top_4gram_char_fraction", 4, "topf", _REP_THR["top_4gram_char_frac"]),
-    ("dup_5gram_char_fraction", 5, "dupf", _REP_THR["dup_5gram_char_frac"]))
+_REP_RULES = tuple(
+    (f"top_{n}gram_char_fraction", n, "topf",
+     _REP_THR[f"top_{n}gram_char_frac"]) for n in (2, 3, 4)
+) + tuple(
+    (f"dup_{n}gram_char_fraction", n, "dupf",
+     _REP_THR[f"dup_{n}gram_char_frac"]) for n in (5, 6, 7, 8, 9, 10)
+)
+_REP_NS = tuple(sorted({n for _, n, _, _ in _REP_RULES}))
+
+
+def _split_doc_scan(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The repetition slots are MAP-ONLY, so their parallelism is the
+    scan's: a 100 TB corpus arrives in thousands of file splits, but
+    the local fixture is ONE parquet file → one partition → one core.
+    When (and only when) the scan yields fewer splits than the cluster
+    has slots, pay one 1× corpus repartition to spread the per-doc
+    walk — still strictly cheaper than the 9×-corpus-bytes gram shuffle
+    the map-only rewrite removed; on a real multi-file corpus this is
+    a no-op."""
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
 
 
 def _repetition_oracle() -> str:
     per_n = []
-    for n in (2, 3, 4, 5):
+    for n in _REP_NS:
         per_n.append(f"""rep{n}c AS (
   SELECT doc_id, n_chars, gram, COUNT(*) AS c
   FROM (SELECT doc_id, n_chars, UNNEST(
@@ -3783,7 +3803,7 @@ rep{n}a AS (
         f"CAST(COALESCE(a{n}.{m}, 0) <= {thr} AS INT) AS r{i}"
         for i, (_, n, m, thr) in enumerate(_REP_RULES))
     joins = "\n  ".join(f"LEFT JOIN rep{n}a a{n} USING (doc_id)"
-                        for n in (2, 3, 4, 5))
+                        for n in _REP_NS)
     stack = "\n  UNION ALL ".join(
         f"SELECT '{name}' AS rule, r{i} AS ok FROM repr"
         for i, (name, *_rest) in enumerate(_REP_RULES))
@@ -3814,20 +3834,23 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quality-rule slot doesn't cover: machine-generated and
     boilerplate text repeats itself, so a document fails when its most
     frequent n-gram covers too many characters (n = 2/3/4 at
-    0.20/0.18/0.16) or its duplicated 5-grams do (0.15); 'ALL' is the
-    conjunction gate.  The paper's duplicate line/paragraph rules are
+    0.20/0.18/0.16) or its duplicated n-grams do (the FULL table:
+    n = 5..10 at 0.15/0.14/0.13/0.12/0.11/0.10, repeats beyond the
+    first occurrence counted); 'ALL' is the conjunction gate.  The
+    paper's duplicate line/paragraph rules are
     the same computation with a line tokenizer and degenerate to 0 on
     the single-line fixture — `operators/repetition.py` documents the
-    generalization.  Physical shape: one explode over token n-grams,
-    one partial-aggregated groupBy on document-local keys (uniform
-    shuffle by construction), a doc-level conditional agg — scan-bound,
-    no UDF; fractions 6-dp-rounded BEFORE threshold comparison so the
-    pass/fail decisions replay bit-for-bit in the oracle."""
+    generalization.  Physical shape: MAP-ONLY — the signals are
+    document-local, so each doc's sorted grams are run-length walked
+    inside the row and nothing gram-sized (~9× corpus bytes) ever
+    shuffles; no UDF; fractions 6-dp-rounded BEFORE threshold
+    comparison so the pass/fail decisions replay bit-for-bit in the
+    oracle."""
     from openai_vector_search_demo_spark.operators.repetition import (
         ngram_repetition_signals,
     )
-    docs = t(spark, sf_dir, "documents")
-    sig = ngram_repetition_signals(docs, ns=(2, 3, 4, 5))
+    docs = _split_doc_scan(spark, t(spark, sf_dir, "documents"))
+    sig = ngram_repetition_signals(docs, ns=_REP_NS)
     w = sig.groupBy("doc_id").agg(*[
         F.max(F.when(F.col("n") == n, F.col(m.replace("f", "_char_frac"))))
         .alias(f"v{i}")
@@ -3837,7 +3860,8 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.coalesce(F.col(f"v{i}"), F.lit(0.0)) <= thr).cast("int")
              .alias(f"r{i}")
              for i, (_, _n, _m, thr) in enumerate(_REP_RULES)]))
-    conj = F.col("r0") * F.col("r1") * F.col("r2") * F.col("r3")
+    conj = functools.reduce(lambda a, b: a * b,
+                            [F.col(f"r{i}") for i in range(len(_REP_RULES))])
     r = r.withColumn("rALL", conj)
     pairs = ", ".join(f"'{name}', r{i}"
                       for i, (name, *_rest) in enumerate(_REP_RULES))
@@ -3910,14 +3934,14 @@ def gopher_line_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus ``operators.repetition.line_repetition_signals`` takes the
     raw text's own newlines (same operator, same thresholds).  Same
     audit shape and physical posture as the sibling rule slots:
-    explode → doc-local groupBy → doc-level agg, scan-bound, no UDF."""
+    map-only doc-local sort + neighbour walk, zero shuffle, no UDF."""
     from openai_vector_search_demo_spark.functions.text_analysis import (
         tokens,
     )
     from openai_vector_search_demo_spark.operators.repetition import (
         line_repetition_signals,
     )
-    docs = t(spark, sf_dir, "documents")
+    docs = _split_doc_scan(spark, t(spark, sf_dir, "documents"))
     w = F.lit(_LINE_W)
     base = (docs.select("doc_id", tokens("text").alias("_toks"))
             .filter(F.size("_toks") > 0))

@@ -52,10 +52,12 @@ def test_slot_rule_rows_cover_all_and_conjunction(spark):
     rows = {r["rule"]: r for r in
             gopher_repetition_rules(spark, "/root/testdata/sf0.001")
             .collect()}
-    assert set(rows) == {"top_2gram_char_fraction",
-                         "top_3gram_char_fraction",
-                         "top_4gram_char_fraction",
-                         "dup_5gram_char_fraction", "ALL"}
+    from openai_vector_search_demo_spark.queries.graph_ann import (
+        _REP_RULES,
+    )
+    # the FULL Table A1 gate set: top 2/3/4-gram + dup 5..10-gram
+    assert set(rows) == {name for name, *_ in _REP_RULES} | {"ALL"}
+    assert len(rows) == 10
     for r in rows.values():
         assert r["n_pass"] + r["n_fail"] > 0
     # the conjunction can never pass more docs than any single rule
