@@ -573,6 +573,46 @@ def bigram_lm_scores(df, text_col: str = "text", id_col: str = "doc_id",
                  .alias("avg_logprob")))
 
 
+def doc_term_counts(df, text_col: str = "text", id_col: str = "doc_id",
+                    with_dl: bool = False):
+    """Per-document term frequencies WITHOUT a shuffle — one
+    ``(doc_id[, dl], token, tf)`` row per distinct (doc, token).
+
+    TF is document-local, so each doc's sorted tokens are run-length
+    encoded INSIDE the row (run starts = elements differing from their
+    predecessor; run length = distance to the next start) and exploded
+    — value-identical to ``explode → groupBy(doc, token) → count`` but
+    with zero exchange: the groupBy's partial agg collapses duplicates
+    map-side, yet the merged rows still cross the wire to their key
+    partitions, a corpus-vocabulary-sized shuffle this form never pays.
+    Zero-token documents emit no rows.  The sorted array and the starts
+    are bound through SEPARATE projections so the lambdas'
+    ``element_at`` references hit attributes, never the sort expression
+    itself (inlining re-sorts per element — quadratic; the measured
+    failure mode in ``operators/repetition.py``)."""
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.array_sort(tokens(text_col)).alias("st"))
+            .filter(F.size("st") > 0))
+    st, sz = F.col("st"), F.size("st")
+    starts = F.filter(
+        F.sequence(F.lit(1), sz),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(st, i) != F.element_at(st, i - 1)))
+    s2 = base.select("doc_id", "st", starts.alias("starts"))
+    nxt = F.concat(F.slice(F.col("starts"), 2,
+                           F.size(F.col("starts")) - 1),
+                   F.array(F.size(F.col("st")) + 1))
+    pairs = F.zip_with(
+        F.col("starts"), nxt,
+        lambda s, nx: F.struct(
+            F.element_at(F.col("st"), s).alias("token"),
+            (nx - s).cast("long").alias("tf")))
+    dl = [F.size("st").cast("int").alias("dl")] if with_dl else []
+    return (s2.select("doc_id", *dl, F.explode(pairs).alias("p"))
+            .select("doc_id", *(["dl"] if with_dl else []),
+                    "p.token", "p.tf"))
+
+
 def doc_pair_counts(df, text_col: str = "text", id_col: str = "doc_id",
                     cache: bool = True):
     """Per-(doc, prev, cur) bigram-pair counts — the shared training

@@ -73,9 +73,16 @@ def write_bm25_index(df: DataFrame, path: str,
     toks = (df.select(F.col(id_col).alias("doc_id"),
                       tokens(text_col).alias("toks"))
             .withColumn("dl", F.size("toks")))
-    post = (toks.select("doc_id", "dl", F.explode("toks").alias("token"))
-            .groupBy("doc_id", "dl", "token")
-            .agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, token, tf) is computed IN-ROW (doc_term_counts: sorted
+    # run-length, zero shuffle) — the explode → groupBy(doc, dl, token)
+    # form is value-identical but pays a corpus-vocabulary-sized
+    # exchange before the bucket repartition, i.e. the build shuffles
+    # the postings twice instead of once
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        doc_term_counts,
+    )
+    post = (doc_term_counts(df, text_col=text_col, id_col=id_col,
+                            with_dl=True)
             .withColumn("bucket",
                         F.pmod(_hash60(F.col("token")),
                                F.lit(n_buckets)).cast("int")))

@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from openai_vector_search_demo_spark.functions.text_analysis import tokens
 from openai_vector_search_demo_spark.operators.dedup import adaptive_shingle_df
 
 
@@ -48,9 +47,13 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
     skips the sizing count when the caller already knows it."""
     if n_docs is None:
         n_docs = df.count()
-    ex = df.select(F.col(id_col).alias("doc_id"),
-                   F.explode(tokens(text_col)).alias("token"))
-    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # in-row term counts (sorted run-length walk, zero shuffle) — the
+    # explode → groupBy(doc, token) form is value-identical but pays a
+    # corpus-vocabulary-sized exchange first
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        doc_term_counts,
+    )
+    tf = doc_term_counts(df, text_col=text_col, id_col=id_col)
     dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
     if max_token_df == "auto":
         max_token_df = adaptive_shingle_df(n_docs)

@@ -504,12 +504,16 @@ WHERE rank <= 5
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with smoothed idf = ln((N+1)/(df+1)) + 1; top-5 terms per doc
     (first 50 docs).  Document frequency joins on the token — broadcast
-    (vocabulary ≪ corpus); corpus size enters as a literal from a 1-row agg."""
-    from openai_vector_search_demo_spark.functions.text_analysis import tokens
+    (vocabulary ≪ corpus); corpus size enters as a literal from a 1-row agg.
+    Term counts are computed IN-ROW (``doc_term_counts``: sorted
+    run-length walk, zero shuffle) — TF is doc-local, so the explode →
+    groupBy(doc, token) exchange was pure overhead."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        doc_term_counts,
+    )
     docs = t(spark, sf_dir, "documents")
     n_docs = docs.count()
-    ex = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = doc_term_counts(docs)
     dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfc"))
     scored = (tf.filter(F.col("doc_id") < 50)
               .join(F.broadcast(dfq), "token")

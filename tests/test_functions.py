@@ -407,3 +407,30 @@ def test_unigram_reuse_pairs_hits_bigram_cache(spark):
         assert direct == shared
     finally:
         spark.catalog.clearCache()
+
+
+def test_doc_term_counts_equals_groupby_form(spark):
+    """The in-row run-length TF (zero shuffle) must be value-identical
+    to explode -> groupBy(doc, token) -> count, including tf dtype and
+    zero-token docs emitting nothing."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        doc_term_counts,
+        tokens,
+    )
+
+    rows = [(1, "the cat the cat the"), (2, "solo"), (3, "   "), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_id, r.token): r.tf
+           for r in doc_term_counts(df).collect()}
+    ref = {(r.doc_id, r.token): r.tf
+           for r in (df.select("doc_id",
+                               F.explode(tokens("text")).alias("token"))
+                     .groupBy("doc_id", "token").count()
+                     .withColumnRenamed("count", "tf").collect())}
+    assert got == ref == {(1, "the"): 3, (1, "cat"): 2, (2, "solo"): 1}
+    out = doc_term_counts(df, with_dl=True)
+    assert dict(out.dtypes)["tf"] == "bigint"
+    assert dict(out.dtypes)["dl"] == "int"
+    assert {(r.doc_id, r.dl) for r in out.collect()} == {(1, 5), (2, 1)}

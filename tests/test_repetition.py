@@ -100,3 +100,16 @@ def test_line_signals_skip_empty_lines_and_lineless_docs(spark):
     assert set(rows) == {0}          # doc 1 has no non-empty line
     # one repeat beyond the first of 2 lines
     assert rows[0]["dup_line_frac"] == 0.5
+
+
+def test_line_signals_paragraph_separator(spark):
+    # the paper's duplicate-PARAGRAPH rules are the same operator with
+    # a paragraph separator: 3 paragraphs, one repeated once
+    text = "para one\n\npara two\n\npara one"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    from openai_vector_search_demo_spark.operators.repetition import (
+        line_repetition_signals,
+    )
+    r = line_repetition_signals(df, line_sep="\n\n").collect()[0]
+    assert r["dup_line_frac"] == round(1 / 3, 6)
+    assert r["dup_line_char_frac"] == round(len("para one") / len(text), 6)
