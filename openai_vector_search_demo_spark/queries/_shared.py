@@ -270,6 +270,20 @@ def _sql_stoplist() -> str:
 # ---------------------------------------------------------------------------
 
 
+
+def split_doc_scan(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Map-only slots' parallelism is the SCAN's: a 100 TB corpus
+    arrives in thousands of file splits, but a single-file local
+    fixture is one partition → one core.  When (and only when) the
+    scan yields fewer splits than the cluster has slots, pay one 1×
+    corpus repartition to spread the per-doc work; on a real
+    multi-file corpus this is a no-op."""
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        return docs.repartition(par)
+    return docs
+
+
 __all__ = [
     "run_concurrent",
     "os",
@@ -291,6 +305,7 @@ __all__ = [
     "RAW_ORACLE_SQL",
     "query",
     "t",
+    "split_doc_scan",
     "_read_events_raw",
     "_events_ts_us",
     "load_events",

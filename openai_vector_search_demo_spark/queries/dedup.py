@@ -530,3 +530,108 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup — the CCNet / RefinedWeb boilerplate pass
+# (operators/line_dedup.py; the cross-doc cousin of the intra-doc
+# repetition gates).
+# ---------------------------------------------------------------------------
+
+_LDW = 3  # derived-line width (tokens): the single-line-fixture contract
+# shared with gopher_line_repetition_rules
+
+
+def _line_dedup_oracle() -> str:
+    return f"""
+WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE len({_SQL_TOKS}) > 0),
+lins AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(toks, i * {_LDW} + 1,
+                                    i * {_LDW} + {_LDW}), ' '))
+                  AS lines
+         FROM linw),
+och AS (SELECT doc_id, md5(line) AS lh, line, pos FROM
+        (SELECT doc_id, unnest(lines) AS line,
+                generate_subscripts(lines, 1) - 1 AS pos
+         FROM lins)),
+bad AS (SELECT lh FROM
+        (SELECT lh, COUNT(DISTINCT doc_id) AS nd FROM och GROUP BY lh)
+        WHERE nd >= 2),
+keptb AS (SELECT * FROM och WHERE lh NOT IN (SELECT lh FROM bad)),
+keptf AS (SELECT doc_id, line, pos FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY lh
+                                        ORDER BY doc_id, pos) AS rn
+           FROM och)
+          WHERE rn = 1),
+rb AS (SELECT doc_id,
+              COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+              COUNT(*) AS n_kept
+       FROM keptb GROUP BY doc_id),
+rf AS (SELECT doc_id,
+              COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+              COUNT(*) AS n_kept
+       FROM keptf GROUP BY doc_id)
+SELECT l.doc_id, len(l.lines) AS n_lines,
+       CAST(COALESCE(b.n_kept, 0) AS BIGINT) AS kept_boiler,
+       CAST(COALESCE(f.n_kept, 0) AS BIGINT) AS kept_first,
+       md5(COALESCE(b.text, '')) AS clean_md5_boiler,
+       md5(COALESCE(f.text, '')) AS clean_md5_first
+FROM lins l LEFT JOIN rb b USING (doc_id) LEFT JOIN rf f USING (doc_id)
+WHERE l.doc_id < 20
+ORDER BY l.doc_id
+"""
+
+
+@query("ccnet_line_dedup", oracle=_line_dedup_oracle())
+def ccnet_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT LINE DEDUP (CCNet, Wenzek et al. 2020 §4.1;
+    RefinedWeb, Penedo et al. 2023 — public method descriptions): web
+    corpora share navigation chrome / banners / footers across millions
+    of pages, so lines whose exact content appears in multiple
+    documents are stripped and the documents rebuilt.  BOTH public
+    policies receipted per doc (first 20): ``boilerplate`` drops every
+    occurrence of a line found in ≥ 2 distinct docs; ``keep_first``
+    keeps only the globally first (doc_id, pos) occurrence.  The
+    reconstructed text is receipted by md5 — a line lost, resurrected,
+    or re-ordered is a value mismatch.  The fixture is single-line, so
+    the slot derives the same deterministic 3-token line structure as
+    `gopher_line_repetition_rules` in both engines; on a real corpus
+    the operator takes the raw text's own newlines.  Scale: grouping is
+    by md5(line) (fixed-width keys), the distinct-doc count is
+    two-phase so partial aggs collapse hot boilerplate keys before the
+    wire, and the verdict join is hash-keyed (AQE skew-split) — see
+    `operators/line_dedup.py`."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        dedup_lines_across_docs,
+    )
+    docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
+    w = F.lit(_LDW)
+    base = (docs.select("doc_id", tokens("text").alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_toks") / w.cast("double"))
+                   .cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
+                               " "))
+    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    b = dedup_lines_across_docs(derived, policy="boilerplate", min_docs=2)
+    f = dedup_lines_across_docs(derived, policy="keep_first")
+    return (b.select("doc_id", "n_lines",
+                     F.col("n_kept").alias("kept_boiler"),
+                     F.md5("text").alias("clean_md5_boiler"))
+            .join(f.select("doc_id",
+                           F.col("n_kept").alias("kept_first"),
+                           F.md5("text").alias("clean_md5_first")),
+                  "doc_id")
+            .filter(F.col("doc_id") < 20)
+            .orderBy("doc_id")
+            .select("doc_id", "n_lines", "kept_boiler", "kept_first",
+                    "clean_md5_boiler", "clean_md5_first"))

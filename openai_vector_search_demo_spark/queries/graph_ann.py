@@ -3760,19 +3760,9 @@ _REP_RULES = tuple(
 _REP_NS = tuple(sorted({n for _, n, _, _ in _REP_RULES}))
 
 
-def _split_doc_scan(spark: SparkSession, docs: DataFrame) -> DataFrame:
-    """The repetition slots are MAP-ONLY, so their parallelism is the
-    scan's: a 100 TB corpus arrives in thousands of file splits, but
-    the local fixture is ONE parquet file → one partition → one core.
-    When (and only when) the scan yields fewer splits than the cluster
-    has slots, pay one 1× corpus repartition to spread the per-doc
-    walk — still strictly cheaper than the 9×-corpus-bytes gram shuffle
-    the map-only rewrite removed; on a real multi-file corpus this is
-    a no-op."""
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        return docs.repartition(par)
-    return docs
+# single-file local scans run the map-only walks on one core; the
+# shared split_doc_scan (queries/_shared.py) repartitions only then
+_split_doc_scan = split_doc_scan  # noqa: F405 (wildcard _shared import)
 
 
 def _repetition_oracle() -> str:
