@@ -220,6 +220,7 @@ HEADLINE = [
     "gopher_repetition_rules",  # intra-doc n-gram repetition gates (r15)
     "gopher_line_repetition_rules",  # duplicate-line gates (r15)
     "ccnet_line_dedup",  # cross-doc boilerplate line dedup, 2 policies (r15)
+    "ccnet_line_dedup_incremental",  # shard-vs-stored-history line dedup (r15)
     # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
     # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
     # it is a driver-gated correctness/scale receipt, not an sf-scaled

@@ -38,6 +38,16 @@ partials collapse the hot key BEFORE the wire:
 Reconstruction is ``groupBy(doc)`` over KEPT lines only (bounded by
 document size, the same key class every per-doc agg in the repo
 uses).  No UDF anywhere; ANSI-SQL-replayable.
+
+The INCREMENTAL tier (``write_line_index`` /
+``dedup_lines_against_index`` / ``ingest_lines_against_index``) is
+CCNet's actual deployment shape — each arriving shard is deduplicated
+against the hash set of everything already ingested — as a stored,
+bucket-partitioned index of distinct line hashes: the history is
+never re-read, re-split, or re-hashed per batch, and concatenating
+the per-batch outputs equals the one-shot ``keep_first`` rule ordered
+by (batch, doc_id, pos).  The ``write_band_index`` pattern
+(``operators/dedup.py:449``) applied to the line unit.
 """
 
 from __future__ import annotations
@@ -47,25 +57,18 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dedup_lines_across_docs"]
+__all__ = ["dedup_lines_across_docs", "write_line_index",
+           "dedup_lines_against_index", "ingest_lines_against_index",
+           "LINE_INDEX_BUCKETS"]
+
+LINE_INDEX_BUCKETS = 16
 
 
-def dedup_lines_across_docs(df: DataFrame,
-                            text_col: str = "text",
-                            id_col: str = "doc_id",
-                            line_sep: str = "\n",
-                            min_docs: int = 2,
-                            policy: str = "boilerplate") -> DataFrame:
-    """Remove duplicated lines ACROSS documents and rebuild the text.
-
-    Returns one row per input document that has at least one non-empty
-    line: ``(doc_id, text, n_lines, n_kept, n_removed)`` where ``text``
-    is the kept lines re-joined with ``line_sep`` in original order
-    (empty string when everything was removed).  ``line_sep`` is a
-    literal separator.  See the module docstring for the two policies.
-    """
-    if policy not in ("boilerplate", "keep_first"):
-        raise ValueError(f"unknown policy {policy!r}")
+def _line_occurrences(df: DataFrame, text_col: str, id_col: str,
+                      line_sep: str):
+    """Shared derivation: ``(base, occ)`` where base = (doc_id, lines)
+    for docs with ≥ 1 non-empty line and occ = one (doc_id, pos, line,
+    lh=md5(line)) row per occurrence."""
     lines = F.filter(F.split(F.col(text_col), re.escape(line_sep)),
                      lambda x: x != "")
     base = (df.select(F.col(id_col).alias("doc_id"),
@@ -74,21 +77,13 @@ def dedup_lines_across_docs(df: DataFrame,
     occ = (base.select("doc_id", F.posexplode("lines")
                        .alias("pos", "line"))
            .withColumn("lh", F.md5("line")))
-    if policy == "boilerplate":
-        # distinct (hash, doc) first — unique keys, uniform shuffle —
-        # then a partial-agg count per hash: skew-safe both phases
-        bad = (occ.select("lh", "doc_id").distinct()
-               .groupBy("lh").agg(F.count(F.lit(1)).alias("nd"))
-               .filter(F.col("nd") >= min_docs)
-               .select("lh"))
-        kept = occ.join(bad, "lh", "left_anti")
-    else:
-        first = (occ.groupBy("lh")
-                 .agg(F.min(F.struct("doc_id", "pos")).alias("m")))
-        kept = (occ.join(first, "lh")
-                .filter((F.col("doc_id") == F.col("m.doc_id"))
-                        & (F.col("pos") == F.col("m.pos")))
-                .drop("m"))
+    return base, occ
+
+
+def _rebuild(base: DataFrame, kept: DataFrame,
+             line_sep: str) -> DataFrame:
+    """Reassemble kept lines into documents (original order), with
+    keep/remove counts; docs that lost everything get empty text."""
     rebuilt = (kept.groupBy("doc_id")
                .agg(F.array_join(
                         F.transform(
@@ -107,3 +102,112 @@ def dedup_lines_across_docs(df: DataFrame,
                     (F.col("n_lines")
                      - F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
                     .alias("n_removed")))
+
+
+def _keep_first_within(occ: DataFrame) -> DataFrame:
+    """Keep only the smallest (doc_id, pos) occurrence per line hash —
+    one partial-agg min per hash (skew-safe)."""
+    first = occ.groupBy("lh").agg(F.min(F.struct("doc_id", "pos"))
+                                  .alias("m"))
+    return (occ.join(first, "lh")
+            .filter((F.col("doc_id") == F.col("m.doc_id"))
+                    & (F.col("pos") == F.col("m.pos")))
+            .drop("m"))
+
+
+def dedup_lines_across_docs(df: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            line_sep: str = "\n",
+                            min_docs: int = 2,
+                            policy: str = "boilerplate") -> DataFrame:
+    """Remove duplicated lines ACROSS documents and rebuild the text.
+
+    Returns one row per input document that has at least one non-empty
+    line: ``(doc_id, text, n_lines, n_kept, n_removed)`` where ``text``
+    is the kept lines re-joined with ``line_sep`` in original order
+    (empty string when everything was removed).  ``line_sep`` is a
+    literal separator.  See the module docstring for the two policies.
+    """
+    if policy not in ("boilerplate", "keep_first"):
+        raise ValueError(f"unknown policy {policy!r}")
+    base, occ = _line_occurrences(df, text_col, id_col, line_sep)
+    if policy == "boilerplate":
+        # distinct (hash, doc) first — unique keys, uniform shuffle —
+        # then a partial-agg count per hash: skew-safe both phases
+        bad = (occ.select("lh", "doc_id").distinct()
+               .groupBy("lh").agg(F.count(F.lit(1)).alias("nd"))
+               .filter(F.col("nd") >= min_docs)
+               .select("lh"))
+        kept = occ.join(bad, "lh", "left_anti")
+    else:
+        kept = _keep_first_within(occ)
+    return _rebuild(base, kept, line_sep)
+
+
+def _line_bucket(lh):
+    """Stable bucket for a line hash: the store's partition key."""
+    return F.pmod(F.conv(F.substring(lh, 1, 15), 16, 10).cast("long"),
+                  F.lit(LINE_INDEX_BUCKETS)).cast("int")
+
+
+def write_line_index(df: DataFrame, path: str,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     line_sep: str = "\n",
+                     mode: str = "overwrite") -> None:
+    """Persist the corpus's DISTINCT line hashes, bucket-partitioned —
+    the stored side of CCNet's shard-against-history dedup (each shard
+    is deduplicated against the hash set of everything already
+    ingested; the history is never re-split or re-hashed).  One row per
+    distinct line content: ``(lh, bucket)``, laid out
+    ``bucket=B/part-*.parquet`` so the per-batch membership join
+    co-locates by a fixed-width key and a bucket's files stay bounded.
+    ``mode='append'`` adds a new batch's (already deduplicated) lines —
+    the continuous-ingestion loop `ingest_lines_against_index` drives."""
+    _, occ = _line_occurrences(df, text_col, id_col, line_sep)
+    (occ.select("lh").distinct()
+     .withColumn("bucket", _line_bucket(F.col("lh")))
+     .repartition(F.col("bucket"))
+     .write.mode(mode).partitionBy("bucket").parquet(path))
+
+
+def dedup_lines_against_index(spark, batch: DataFrame, store: str,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              line_sep: str = "\n") -> DataFrame:
+    """Deduplicate an arriving batch's lines against a
+    ``write_line_index`` store AND within the batch itself (CCNet shard
+    semantics): a line drops if its content hash is already in the
+    index (seen in any earlier shard) or if an earlier (doc_id, pos)
+    occurrence exists in this batch.  Returns the rebuilt documents —
+    the ``dedup_lines_across_docs`` output contract.  The history side
+    contributes one fixed-width row per distinct line ever seen; the
+    batch never re-reads, re-splits, or re-hashes earlier shards."""
+    base, occ = _line_occurrences(batch, text_col, id_col, line_sep)
+    seen = spark.read.parquet(store).select("lh")
+    fresh = occ.join(seen, "lh", "left_anti")
+    return _rebuild(base, _keep_first_within(fresh), line_sep)
+
+
+def ingest_lines_against_index(spark, batch: DataFrame, store: str,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               line_sep: str = "\n") -> DataFrame:
+    """One admission round of the continuous line-dedup loop: dedup the
+    batch against the store (and within itself), append the SURVIVING
+    distinct line hashes to the store, and return the rebuilt batch
+    documents.  The result is pinned with ``localCheckpoint`` before
+    the append (the band-index lesson: a lazy plan re-reading the very
+    files the append grows would double-count).  Replay-safe given the
+    caller's batch ordering: concatenating each batch's output equals
+    the one-shot ``keep_first`` rule ordered by (batch, doc_id, pos)."""
+    out = dedup_lines_against_index(spark, batch, store,
+                                    text_col=text_col, id_col=id_col,
+                                    line_sep=line_sep).localCheckpoint()
+    _, occ = _line_occurrences(
+        out.filter(F.col("text") != ""), "text", "doc_id", line_sep)
+    (occ.select("lh").distinct()
+     .withColumn("bucket", _line_bucket(F.col("lh")))
+     .repartition(F.col("bucket"))
+     .write.mode("append").partitionBy("bucket").parquet(store))
+    return out

@@ -635,3 +635,91 @@ def ccnet_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
             .select("doc_id", "n_lines", "kept_boiler", "kept_first",
                     "clean_md5_boiler", "clean_md5_first"))
+
+
+def _line_dedup_incr_oracle() -> str:
+    # the equality contract: shard A (even docs) ingested before shard
+    # B (odd docs) == the one-shot keep_first rule ordered by
+    # (batch = parity, doc_id, pos); the receipt reads B's first 20 docs
+    return f"""
+WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE len({_SQL_TOKS}) > 0),
+lins AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(toks, i * {_LDW} + 1,
+                                    i * {_LDW} + {_LDW}), ' '))
+                  AS lines
+         FROM linw),
+och AS (SELECT doc_id, md5(line) AS lh, line, pos FROM
+        (SELECT doc_id, unnest(lines) AS line,
+                generate_subscripts(lines, 1) - 1 AS pos
+         FROM lins)),
+kept AS (SELECT doc_id, line, pos FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY lh
+                    ORDER BY doc_id % 2, doc_id, pos) AS rn
+          FROM och)
+         WHERE rn = 1 AND doc_id % 2 = 1),
+rb AS (SELECT doc_id,
+              COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+              COUNT(*) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT l.doc_id, len(l.lines) AS n_lines,
+       CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(rb.text, '')) AS clean_md5
+FROM lins l LEFT JOIN rb USING (doc_id)
+WHERE l.doc_id % 2 = 1 AND l.doc_id < 40
+ORDER BY l.doc_id
+"""
+
+
+@query("ccnet_line_dedup_incremental", oracle=_line_dedup_incr_oracle())
+def ccnet_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cross-document line dedup — CCNet's deployment shape
+    (each arriving shard is deduplicated against the hash set of
+    everything already ingested): shard A (even docs) builds a stored
+    bucket-partitioned index of its distinct line hashes
+    (`write_line_index`); shard B (odd docs) is then deduplicated
+    against the STORE + within itself (`dedup_lines_against_index`) —
+    the history is never re-read, re-split, or re-hashed.  The oracle
+    replays the equivalent ONE-SHOT rule (keep_first ordered by batch,
+    doc_id, pos restricted to B), so a stored-index miss, stale entry,
+    or within-batch ordering slip is a value mismatch.  Store cached
+    under /tmp by corpus fingerprint, rebuild gated on the write's
+    _SUCCESS marker (wiped-/tmp safe); same derived 3-token line
+    structure as the sibling slots."""
+    import hashlib
+    import os
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        dedup_lines_against_index,
+        write_line_index,
+    )
+    docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
+    w = F.lit(_LDW)
+    base = (docs.select("doc_id", tokens("text").alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_toks") / w.cast("double"))
+                   .cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
+                               " "))
+    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|lineidx{_LDW}|{_parquet_fingerprint(docs_path)}"
+        .encode()).hexdigest()[:10]
+    store = os.path.join("/tmp", "spark_graft_lineidx_" + key)
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        write_line_index(derived.filter(F.col("doc_id") % 2 == 0), store)
+    out = dedup_lines_against_index(
+        spark, derived.filter(F.col("doc_id") % 2 == 1), store)
+    return (out.filter(F.col("doc_id") < 40)
+            .orderBy("doc_id")
+            .select("doc_id", "n_lines", "n_kept",
+                    F.md5("text").alias("clean_md5")))

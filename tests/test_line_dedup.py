@@ -65,3 +65,58 @@ def test_min_docs_threshold(spark, docs):
 def test_unknown_policy_raises(spark, docs):
     with pytest.raises(ValueError):
         dedup_lines_across_docs(docs, policy="nope")
+
+
+def test_incremental_equals_batch_rule(spark, docs, tmp_path):
+    """Two-shard ingestion == the one-shot keep_first rule ordered by
+    (batch, doc_id, pos): shard A (even docs) first, then shard B."""
+    from pyspark.sql import functions as F
+
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        dedup_lines_against_index,
+        ingest_lines_against_index,
+        write_line_index,
+    )
+
+    store = str(tmp_path / "lidx")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    write_line_index(a, store)
+    out_b = {r.doc_id: r for r in
+             dedup_lines_against_index(spark, b, store).collect()}
+    # doc 1 = "shared banner\nunique gamma": 'shared banner' is in shard
+    # A (docs 0, 2) -> dropped; doc 3 has no non-empty line -> no row
+    assert set(out_b) == {1}
+    assert out_b[1].text == "unique gamma"
+    assert (out_b[1].n_lines, out_b[1].n_kept, out_b[1].n_removed) \
+        == (2, 1, 1)
+
+    # the ingest loop: B's surviving lines join the store, so a
+    # re-arriving copy of B drops everything
+    out_b2 = ingest_lines_against_index(spark, b, store)
+    assert {r.doc_id: r.text for r in out_b2.collect()} \
+        == {1: "unique gamma"}
+    again = {r.doc_id: r for r in
+             dedup_lines_against_index(spark, b, store).collect()}
+    assert again[1].n_kept == 0 and again[1].text == ""
+
+
+def test_within_batch_keep_first_against_index(spark, tmp_path):
+    """A line repeated WITHIN the arriving batch (and absent from the
+    store) keeps only its first (doc_id, pos) occurrence."""
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        dedup_lines_against_index,
+        write_line_index,
+    )
+
+    hist = spark.createDataFrame([(100, "old line")],
+                                 "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(0, "new line\nold line"), (1, "new line\nfresh")],
+        "doc_id long, text string")
+    store = str(tmp_path / "lidx2")
+    write_line_index(hist, store)
+    out = {r.doc_id: r for r in
+           dedup_lines_against_index(spark, batch, store).collect()}
+    assert out[0].text == "new line"       # 'old line' is history
+    assert out[1].text == "fresh"          # 'new line' kept at (0, 0)
