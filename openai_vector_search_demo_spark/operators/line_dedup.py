@@ -151,24 +151,43 @@ def _line_bucket(lh):
                   F.lit(LINE_INDEX_BUCKETS)).cast("int")
 
 
+def _append_owners(occ: DataFrame, path: str,
+                   mode: str = "append") -> None:
+    """Write distinct ``(lh, doc_id)`` owner rows, bucket-partitioned."""
+    (occ.select("lh", "doc_id").distinct()
+     .withColumn("bucket", _line_bucket(F.col("lh")))
+     .repartition(F.col("bucket"))
+     .write.mode(mode).partitionBy("bucket").parquet(path))
+
+
 def write_line_index(df: DataFrame, path: str,
                      text_col: str = "text", id_col: str = "doc_id",
                      line_sep: str = "\n",
                      mode: str = "overwrite") -> None:
-    """Persist the corpus's DISTINCT line hashes, bucket-partitioned —
-    the stored side of CCNet's shard-against-history dedup (each shard
-    is deduplicated against the hash set of everything already
-    ingested; the history is never re-split or re-hashed).  One row per
-    distinct line content: ``(lh, bucket)``, laid out
-    ``bucket=B/part-*.parquet`` so the per-batch membership join
-    co-locates by a fixed-width key and a bucket's files stay bounded.
-    ``mode='append'`` adds a new batch's (already deduplicated) lines —
-    the continuous-ingestion loop `ingest_lines_against_index` drives."""
+    """Persist the corpus's distinct line hashes WITH THEIR OWNERS,
+    bucket-partitioned — the stored side of CCNet's
+    shard-against-history dedup (each shard is deduplicated against
+    the hash set of everything already ingested; the history is never
+    re-split or re-hashed).  One row per distinct line content:
+    ``(lh, doc_id=owner, bucket)`` where the owner is the keep_first
+    winner's document — the owner column is what makes the ingest loop
+    REPLAY-SAFE: a re-delivered batch's docs own their kept lines, so
+    they reproduce their original output instead of self-colliding
+    (the NSW store's merge-on-read idempotency argument applied to
+    lines; duplicate owner rows from replays are byte-identical and
+    collapse under the read side's min() resolution).  Laid out
+    ``bucket=B/part-*.parquet`` so the membership join co-locates by a
+    fixed-width key and a bucket's files stay bounded."""
     _, occ = _line_occurrences(df, text_col, id_col, line_sep)
-    (occ.select("lh").distinct()
-     .withColumn("bucket", _line_bucket(F.col("lh")))
-     .repartition(F.col("bucket"))
-     .write.mode(mode).partitionBy("bucket").parquet(path))
+    _append_owners(_keep_first_within(occ), path, mode=mode)
+
+
+def _store_owners(spark, store: str) -> DataFrame:
+    """Resolved ``(lh, owner)`` view of a line index: duplicate owner
+    rows (at-least-once appends) collapse to min — one partial-agg min
+    per hash, skew-safe."""
+    return (spark.read.parquet(store)
+            .groupBy("lh").agg(F.min("doc_id").alias("owner")))
 
 
 def dedup_lines_against_index(spark, batch: DataFrame, store: str,
@@ -177,16 +196,22 @@ def dedup_lines_against_index(spark, batch: DataFrame, store: str,
                               line_sep: str = "\n") -> DataFrame:
     """Deduplicate an arriving batch's lines against a
     ``write_line_index`` store AND within the batch itself (CCNet shard
-    semantics): a line drops if its content hash is already in the
-    index (seen in any earlier shard) or if an earlier (doc_id, pos)
-    occurrence exists in this batch.  Returns the rebuilt documents —
-    the ``dedup_lines_across_docs`` output contract.  The history side
+    semantics): a line drops if its content hash is owned by an EARLIER
+    document in the index, or if an earlier (doc_id, pos) occurrence
+    exists in this batch.  A batch doc that OWNS a stored line keeps
+    its first occurrence of it — that is the replay case (the doc's
+    own earlier delivery appended the owner row), and it reproduces
+    the original output exactly.  Returns the rebuilt documents — the
+    ``dedup_lines_across_docs`` output contract.  The history side
     contributes one fixed-width row per distinct line ever seen; the
     batch never re-reads, re-splits, or re-hashes earlier shards."""
     base, occ = _line_occurrences(batch, text_col, id_col, line_sep)
-    seen = spark.read.parquet(store).select("lh")
-    fresh = occ.join(seen, "lh", "left_anti")
-    return _rebuild(base, _keep_first_within(fresh), line_sep)
+    owners = _store_owners(spark, store)
+    eligible = (occ.join(owners, "lh", "left")
+                .filter(F.col("owner").isNull()
+                        | (F.col("owner") == F.col("doc_id")))
+                .drop("owner"))
+    return _rebuild(base, _keep_first_within(eligible), line_sep)
 
 
 def ingest_lines_against_index(spark, batch: DataFrame, store: str,
@@ -195,19 +220,19 @@ def ingest_lines_against_index(spark, batch: DataFrame, store: str,
                                line_sep: str = "\n") -> DataFrame:
     """One admission round of the continuous line-dedup loop: dedup the
     batch against the store (and within itself), append the SURVIVING
-    distinct line hashes to the store, and return the rebuilt batch
-    documents.  The result is pinned with ``localCheckpoint`` before
-    the append (the band-index lesson: a lazy plan re-reading the very
-    files the append grows would double-count).  Replay-safe given the
-    caller's batch ordering: concatenating each batch's output equals
-    the one-shot ``keep_first`` rule ordered by (batch, doc_id, pos)."""
+    lines' ``(lh, owner)`` rows to the store, and return the rebuilt
+    batch documents.  The result is pinned with ``localCheckpoint``
+    before the append (the band-index lesson: a lazy plan re-reading
+    the very files the append grows would double-count).  IDEMPOTENT
+    under at-least-once replay: a re-delivered batch's docs own their
+    kept lines in the store, so the dedup reproduces the original
+    output and the append re-writes byte-identical owner rows (min-
+    resolved at read).  Concatenating each batch's output equals the
+    one-shot ``keep_first`` rule ordered by (batch, doc_id, pos)."""
     out = dedup_lines_against_index(spark, batch, store,
                                     text_col=text_col, id_col=id_col,
                                     line_sep=line_sep).localCheckpoint()
     _, occ = _line_occurrences(
         out.filter(F.col("text") != ""), "text", "doc_id", line_sep)
-    (occ.select("lh").distinct()
-     .withColumn("bucket", _line_bucket(F.col("lh")))
-     .repartition(F.col("bucket"))
-     .write.mode("append").partitionBy("bucket").parquet(store))
+    _append_owners(occ, store)
     return out

@@ -723,3 +723,130 @@ def ccnet_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
             .select("doc_id", "n_lines", "n_kept",
                     F.md5("text").alias("clean_md5")))
+
+
+def _line_dedup_stream_oracle() -> str:
+    # one-shot replay of the SHARD SEQUENCE: history (even docs) first,
+    # then micro-batch 1 (doc % 4 == 1), then micro-batch 2 (% 4 == 3)
+    return f"""
+WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE len({_SQL_TOKS}) > 0),
+lins AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(toks, i * {_LDW} + 1,
+                                    i * {_LDW} + {_LDW}), ' '))
+                  AS lines
+         FROM linw),
+och AS (SELECT doc_id, md5(line) AS lh, line, pos FROM
+        (SELECT doc_id, unnest(lines) AS line,
+                generate_subscripts(lines, 1) - 1 AS pos
+         FROM lins)),
+kept AS (SELECT doc_id, line, pos FROM
+         (SELECT *, ROW_NUMBER() OVER (PARTITION BY lh
+                    ORDER BY CASE WHEN doc_id % 2 = 0 THEN 0
+                                  WHEN doc_id % 4 = 1 THEN 1
+                                  ELSE 2 END, doc_id, pos) AS rn
+          FROM och)
+         WHERE rn = 1 AND doc_id % 2 = 1),
+rb AS (SELECT doc_id,
+              COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+              COUNT(*) AS n_kept
+       FROM kept GROUP BY doc_id)
+SELECT l.doc_id, len(l.lines) AS n_lines,
+       CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(rb.text, '')) AS clean_md5
+FROM lins l LEFT JOIN rb USING (doc_id)
+WHERE l.doc_id % 2 = 1 AND l.doc_id < 40
+ORDER BY l.doc_id
+"""
+
+
+@query("streaming_line_dedup_ingest", oracle=_line_dedup_stream_oracle())
+def streaming_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE CROSS-DOCUMENT LINE DEDUP — a REAL Structured Streaming run
+    (file source, maxFilesPerTrigger=1 → two genuine micro-batches in a
+    PINNED order via explicit file mtimes, availableNow) feeding
+    ``streaming.jobs.stream_line_dedup_ingest``: the line-hash index is
+    built from the even-doc history (`write_line_index`), the odd docs
+    arrive as two parquet drops (doc%4==1 then doc%4==3), each
+    micro-batch dedups against the store + itself and appends its
+    surviving lines' owner rows — so the next batch's history already
+    includes it — and the concatenated outputs must equal the one-shot
+    keep_first rule ordered by (shard, doc_id, pos): the oracle IS that
+    one-shot rule, the ``ccnet_line_dedup_incremental`` proof carried
+    through a live at-least-once pipeline (owner rows make replays
+    reproduce their original output — the NSW merge-on-read idempotency
+    argument on the line unit)."""
+    import glob
+    import hashlib
+    import os
+    import shutil
+
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        write_line_index,
+    )
+    from openai_vector_search_demo_spark.streaming.jobs import (
+        stream_line_dedup_ingest,
+    )
+    docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
+    w = F.lit(_LDW)
+    base = (docs.select("doc_id", tokens("text").alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_toks") / w.cast("double"))
+                   .cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
+                               " "))
+    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(
+        f"{sf_dir}|linestream{_LDW}|{_parquet_fingerprint(docs_path)}"
+        .encode()).hexdigest()[:10]
+    root = os.path.join("/tmp", "spark_graft_linestream_" + key)
+    store = os.path.join(root, "lidx")
+    output_dir = os.path.join(root, "out")
+    marker = os.path.join(root, "_STREAMED")
+    if not os.path.exists(marker):
+        if os.path.exists(root):
+            shutil.rmtree(root)
+        drops = os.path.join(root, "drops")
+        ckpt = os.path.join(root, "ckpt")
+        write_line_index(derived.filter(F.col("doc_id") % 2 == 0), store)
+        # seed the output table (the job's replay guard reads it)
+        (spark.createDataFrame(
+            [], "doc_id long, text string, n_lines int,"
+                " n_kept long, n_removed long")
+         .write.parquet(output_dir))
+        # two live parquet drops with PINNED mtimes: the file source
+        # orders files by timestamp, so drop order == shard order
+        os.makedirs(drops)
+        now = os.path.getmtime(output_dir)
+        for rank, (pred, name) in enumerate(
+                [(F.col("doc_id") % 4 == 1, "drop-001.parquet"),
+                 (F.col("doc_id") % 4 == 3, "drop-002.parquet")]):
+            stage = os.path.join(root, f"stage{rank}")
+            derived.filter(pred).coalesce(1).write.parquet(stage)
+            part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+            dst = os.path.join(drops, name)
+            shutil.copy(part, dst)
+            os.utime(dst, (now - 100 + rank * 50, now - 100 + rank * 50))
+        stream = (spark.readStream
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(drops))
+        q = stream_line_dedup_ingest(stream, store, output_dir,
+                                     ckpt).start()
+        q.awaitTermination()
+        with open(marker, "w") as fh:
+            fh.write("1")
+    out = spark.read.parquet(output_dir)
+    return (out.filter(F.col("doc_id") < 40)
+            .orderBy("doc_id")
+            .select("doc_id", "n_lines", "n_kept",
+                    F.md5("text").alias("clean_md5")))

@@ -585,3 +585,52 @@ def reference_feature_counts(reference: DataFrame,
     return (feature_buckets(reference, features)
             .groupBy("feature", "bucket")
             .agg(F.count(F.lit(1)).alias("ca")))
+
+
+def stream_line_dedup_ingest(doc_stream: DataFrame, store: str,
+                             output_dir: str, checkpoint_dir: str,
+                             line_sep: str = "\n"):
+    """STREAMING CROSS-DOCUMENT LINE DEDUP — the live form of the
+    ``line_dedup`` ingest loop (CCNet's shard-against-history pass):
+    each micro-batch of arriving documents is deduplicated against the
+    stored line-hash index AND within itself
+    (``ingest_lines_against_index``), the surviving lines' owner rows
+    join the store, and the rebuilt documents append to
+    ``output_dir`` — so the NEXT batch's history already includes this
+    one, and concatenating the per-batch outputs equals the one-shot
+    ``keep_first`` rule ordered by (batch, doc_id, pos) — the oracled
+    ``streaming_line_dedup_ingest`` slot pins this.  The streaming
+    layer is wiring only (the engine's streaming design rule):
+    admission semantics live in the batch operator.
+
+    IDEMPOTENT under at-least-once replay, derived from the DATA: a
+    re-delivered batch's docs are anti-joined against the output
+    table first (fully-applied ⇒ no-op), and the half-applied window —
+    owner rows appended, output append lost — replays through the
+    operator's OWNER rule (the batch's docs own their kept lines, so
+    the dedup reproduces the original output and the owner re-append
+    is byte-identical, min-resolved at read) before completing the
+    output append.  ``output_dir`` must exist (seed it with zero rows
+    of the output schema) and ``store`` must hold the prior history
+    (``write_line_index``) before the stream starts."""
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        ingest_lines_against_index,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        done = spark.read.parquet(output_dir).select("doc_id")
+        fresh = (batch_df.join(done, "doc_id", "left_anti")
+                 .localCheckpoint())
+        if fresh.isEmpty():
+            return
+        out = ingest_lines_against_index(spark, fresh, store,
+                                         line_sep=line_sep)
+        out.write.mode("append").parquet(output_dir)
+
+    return (doc_stream.writeStream
+            .foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

@@ -91,14 +91,22 @@ def test_incremental_equals_batch_rule(spark, docs, tmp_path):
     assert (out_b[1].n_lines, out_b[1].n_kept, out_b[1].n_removed) \
         == (2, 1, 1)
 
-    # the ingest loop: B's surviving lines join the store, so a
-    # re-arriving copy of B drops everything
+    # the ingest loop: B's surviving lines join the store with B's
+    # docs as OWNERS
     out_b2 = ingest_lines_against_index(spark, b, store)
     assert {r.doc_id: r.text for r in out_b2.collect()} \
         == {1: "unique gamma"}
+    # REPLAY of the same batch (at-least-once): docs own their kept
+    # lines, so the original output reproduces exactly — and the
+    # byte-identical owner re-append collapses at read
+    replay = {r.doc_id: r for r in
+              ingest_lines_against_index(spark, b, store).collect()}
+    assert replay[1].text == "unique gamma" and replay[1].n_kept == 1
+    # the same CONTENT under NEW doc ids is genuine duplication: drops
+    b_new = b.select((F.col("doc_id") + 50).alias("doc_id"), "text")
     again = {r.doc_id: r for r in
-             dedup_lines_against_index(spark, b, store).collect()}
-    assert again[1].n_kept == 0 and again[1].text == ""
+             dedup_lines_against_index(spark, b_new, store).collect()}
+    assert again[51].n_kept == 0 and again[51].text == ""
 
 
 def test_within_batch_keep_first_against_index(spark, tmp_path):
