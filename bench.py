@@ -222,6 +222,7 @@ HEADLINE = [
     "ccnet_line_dedup",  # cross-doc boilerplate line dedup, 2 policies (r15)
     "ccnet_line_dedup_incremental",  # shard-vs-stored-history line dedup (r15)
     "streaming_line_dedup_ingest",  # live line-dedup ingest, pinned order (r15)
+    "bloom_line_dedup",  # bounded-state Bloom line dedup, map-only admission (r15)
     # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
     # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
     # it is a driver-gated correctness/scale receipt, not an sf-scaled

@@ -48,6 +48,15 @@ never re-read, re-split, or re-hashed per batch, and concatenating
 the per-batch outputs equals the one-shot ``keep_first`` rule ordered
 by (batch, doc_id, pos).  The ``write_band_index`` pattern
 (``operators/dedup.py:449``) applied to the line unit.
+
+The BOUNDED-STATE tier (``bloom_line_bitmap`` / ``bloom_admit_lines``)
+is the Dolma design: membership state is a FIXED ~33 KB bitmap
+(m=2^18 bits, k=5 md5-derived hashes) instead of a corpus-sized hash
+set, so at any corpus size the filter broadcasts whole and admission
+is map-only — the bitmap rides the plan as a constant array, zero
+joins, zero membership shuffle.  False positives are deterministic
+(md5 positions) and replay bit-for-bit in the DuckDB oracle; rate =
+(1 − e^(−k·n/m))^k for n distinct stored lines.
 """
 
 from __future__ import annotations
@@ -59,7 +68,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["dedup_lines_across_docs", "write_line_index",
            "dedup_lines_against_index", "ingest_lines_against_index",
-           "LINE_INDEX_BUCKETS"]
+           "bloom_line_bitmap", "bloom_admit_lines",
+           "LINE_INDEX_BUCKETS", "BLOOM_M_BITS", "BLOOM_K"]
 
 LINE_INDEX_BUCKETS = 16
 
@@ -236,3 +246,87 @@ def ingest_lines_against_index(spark, batch: DataFrame, store: str,
         out.filter(F.col("text") != ""), "text", "doc_id", line_sep)
     _append_owners(occ, store)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bounded-state tier: Bloom-filter line dedup (the Dolma design — public
+# method description: a fixed-size bit array replaces the exact hash set,
+# so corpus-scale membership state fits in one broadcastable bitmap and
+# admission is MAP-ONLY).
+# ---------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 18   # 262,144 bits ≈ 4,161 longs ≈ 33 KB bitmap
+BLOOM_K = 5              # hash functions per line
+_BLOOM_SLOT = 63         # bits per long: bit 63 unused — DuckDB's
+#                          checked arithmetic rejects 1::BIGINT << 63,
+#                          so both engines pack 63 bits/slot
+
+
+def _bloom_positions(line_col, m_bits: int = BLOOM_M_BITS,
+                     k: int = BLOOM_K):
+    """The k bit positions of a line: ``h60(j || '|' || line) % m`` —
+    md5-derived, so DuckDB replays every position (and therefore every
+    false positive) bit-for-bit."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60,
+    )
+    return [F.pmod(_hash60(F.concat(F.lit(f"{j}|"), line_col)),
+                   F.lit(m_bits)) for j in range(k)]
+
+
+def bloom_line_bitmap(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", line_sep: str = "\n",
+                      m_bits: int = BLOOM_M_BITS,
+                      k: int = BLOOM_K) -> list[int]:
+    """Build the corpus's line Bloom filter and return it as a Python
+    list of ``⌈m_bits / 63⌉`` longs (the driver-side state is the WHOLE
+    POINT: a fixed 10-bits-per-line bitmap fits in one machine at any
+    corpus size — Dolma's deployment shape — where the exact hash set
+    is corpus-sized).  Distributed build: explode the k positions,
+    distinct, ``bit_or`` per 64-bit slot — partial aggs collapse
+    everything map-side, the shuffle is ≤ m/64 rows."""
+    _, occ = _line_occurrences(df, text_col, id_col, line_sep)
+    px = (occ.select(F.explode(F.array(
+              *_bloom_positions(F.col("line"), m_bits, k))).alias("pos"))
+          .distinct())
+    rows = (px.selectExpr("CAST(pos DIV 63 AS INT) AS slot",
+                          "shiftleft(CAST(1 AS BIGINT),"
+                          " CAST(pos % 63 AS INT)) AS m")
+            .groupBy("slot").agg(F.bit_or("m").alias("bits"))
+            .collect())
+    arr = [0] * ((m_bits + 62) // 63)
+    for r in rows:
+        arr[r.slot] = r.bits
+    return arr
+
+
+def bloom_admit_lines(batch: DataFrame, bitmap: list[int],
+                      text_col: str = "text", id_col: str = "doc_id",
+                      line_sep: str = "\n",
+                      m_bits: int = BLOOM_M_BITS,
+                      k: int = BLOOM_K) -> DataFrame:
+    """MAP-ONLY admission against a ``bloom_line_bitmap``: a batch line
+    whose k bits are ALL set is (maybe-)seen and drops; the bitmap
+    rides the plan as one constant array (32 KB), so the whole pass is
+    a scan — zero joins, zero shuffles beyond the per-doc rebuild.
+    False positives are deterministic (md5-derived positions) and
+    shared bit-for-bit with the DuckDB oracle; the documented rate is
+    ``(1 − e^(−k·n/m))^k`` for n distinct stored lines.  Membership
+    only — compose with ``dedup_lines_across_docs(policy='keep_first')``
+    when within-batch dedup is also wanted.  Returns the
+    ``dedup_lines_across_docs`` output contract."""
+    base, occ = _line_occurrences(batch, text_col, id_col, line_sep)
+    blm = F.array(*[F.lit(int(v)) for v in bitmap])
+    occ = occ.withColumn("_blm", blm)
+    for j, p in enumerate(_bloom_positions(F.col("line"), m_bits, k)):
+        occ = occ.withColumn(f"_p{j}", p)
+    seen = None
+    for j in range(k):
+        test = F.expr(
+            f"(element_at(_blm, CAST(_p{j} DIV 63 AS INT) + 1)"
+            f" & shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(_p{j} % 63 AS INT))) != 0")
+        seen = test if seen is None else (seen & test)
+    kept = (occ.filter(~seen)
+            .select("doc_id", "pos", "line"))
+    return _rebuild(base, kept, line_sep)

@@ -850,3 +850,95 @@ def streaming_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id")
             .select("doc_id", "n_lines", "n_kept",
                     F.md5("text").alias("clean_md5")))
+
+
+def _bloom_line_dedup_oracle() -> str:
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+    )
+    h = "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || line), 1, 15)) AS BIGINT)"
+    return f"""
+WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE len({_SQL_TOKS}) > 0),
+lins AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(toks, i * {_LDW} + 1,
+                                    i * {_LDW} + {_LDW}), ' '))
+                  AS lines
+         FROM linw),
+och AS (SELECT doc_id, line, pos FROM
+        (SELECT doc_id, unnest(lines) AS line,
+                generate_subscripts(lines, 1) - 1 AS pos
+         FROM lins)),
+js AS (SELECT unnest(range({BLOOM_K})) AS j),
+bpos AS (SELECT DISTINCT {h} % {BLOOM_M_BITS} AS p
+         FROM och, js WHERE doc_id % 2 = 0),
+bmap AS (SELECT p // 63 AS slot,
+                bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+         FROM bpos GROUP BY 1),
+btest AS (SELECT o.doc_id, o.pos, o.line,
+                 SUM(CASE WHEN m.bits IS NOT NULL
+                          AND (m.bits >> CAST(({h} % {BLOOM_M_BITS}) % 63
+                                              AS INT)) & 1 = 1
+                     THEN 1 ELSE 0 END) AS nset
+          FROM och o CROSS JOIN js
+          LEFT JOIN bmap m ON m.slot = ({h} % {BLOOM_M_BITS}) // 63
+          WHERE o.doc_id % 2 = 1
+          GROUP BY o.doc_id, o.pos, o.line),
+rb AS (SELECT doc_id,
+              COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS text,
+              COUNT(*) AS n_kept
+       FROM btest WHERE nset < {BLOOM_K} GROUP BY doc_id)
+SELECT l.doc_id, len(l.lines) AS n_lines,
+       CAST(COALESCE(rb.n_kept, 0) AS BIGINT) AS n_kept,
+       md5(COALESCE(rb.text, '')) AS clean_md5
+FROM lins l LEFT JOIN rb USING (doc_id)
+WHERE l.doc_id % 2 = 1 AND l.doc_id < 40
+ORDER BY l.doc_id
+"""
+
+
+@query("bloom_line_dedup", oracle=_bloom_line_dedup_oracle())
+def bloom_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-STATE LINE DEDUP — the Bloom-filter form (Dolma's
+    deployment design, public method description): the history's
+    membership state is a FIXED 32 KB bitmap (m=2^18 bits, k=5
+    md5-derived hashes) instead of a corpus-sized hash set, so at
+    100 TB the filter still broadcasts whole and admission is MAP-ONLY
+    — the bitmap rides the plan as a constant array, zero joins, zero
+    membership shuffle (`operators/line_dedup.bloom_*`).  The even
+    docs' derived lines build the filter; the odd docs admit against
+    it; false positives are deterministic (md5 positions) and the
+    DuckDB oracle rebuilds the SAME bitmap from the tables, so every
+    FP replays bit-for-bit — the audit receipts the exact
+    maybe-seen/drop decisions, md5 of each rebuilt doc included.
+    Membership-only semantics (the exact/owner tiers handle
+    within-batch and provenance); rate = (1 − e^(−k·n/m))^k."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        bloom_admit_lines,
+        bloom_line_bitmap,
+    )
+    docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
+    w = F.lit(_LDW)
+    base = (docs.select("doc_id", tokens("text").alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_toks") / w.cast("double"))
+                   .cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
+                               " "))
+    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    bitmap = bloom_line_bitmap(derived.filter(F.col("doc_id") % 2 == 0))
+    out = bloom_admit_lines(derived.filter(F.col("doc_id") % 2 == 1),
+                            bitmap)
+    return (out.filter(F.col("doc_id") < 40)
+            .orderBy("doc_id")
+            .select("doc_id", "n_lines", "n_kept",
+                    F.md5("text").alias("clean_md5")))

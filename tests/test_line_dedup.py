@@ -128,3 +128,37 @@ def test_within_batch_keep_first_against_index(spark, tmp_path):
            dedup_lines_against_index(spark, batch, store).collect()}
     assert out[0].text == "new line"       # 'old line' is history
     assert out[1].text == "fresh"          # 'new line' kept at (0, 0)
+
+
+def test_bloom_membership_and_python_twin(spark):
+    """The bitmap build and the map-only admission agree with a plain
+    Python Bloom twin (same md5-derived positions), and a line absent
+    from the filter survives."""
+    import hashlib
+
+    from openai_vector_search_demo_spark.operators.line_dedup import (
+        BLOOM_K,
+        BLOOM_M_BITS,
+        bloom_admit_lines,
+        bloom_line_bitmap,
+    )
+
+    hist = spark.createDataFrame(
+        [(0, "seen one\nseen two"), (1, "seen three")],
+        "doc_id long, text string")
+    bitmap = bloom_line_bitmap(hist)
+
+    def py_positions(line):
+        return [int(hashlib.md5(f"{j}|{line}".encode())
+                    .hexdigest()[:15], 16) % BLOOM_M_BITS
+                for j in range(BLOOM_K)]
+
+    for line in ("seen one", "seen two", "seen three"):
+        assert all(bitmap[p // 63] >> (p % 63) & 1
+                   for p in py_positions(line)), line
+
+    batch = spark.createDataFrame(
+        [(10, "seen two\nbrand new line")], "doc_id long, text string")
+    out = bloom_admit_lines(batch, bitmap).collect()[0]
+    assert out.text == "brand new line"
+    assert (out.n_lines, out.n_kept, out.n_removed) == (2, 1, 1)
