@@ -257,9 +257,6 @@ def ingest_lines_against_index(spark, batch: DataFrame, store: str,
 
 BLOOM_M_BITS = 1 << 18   # 262,144 bits ≈ 4,161 longs ≈ 33 KB bitmap
 BLOOM_K = 5              # hash functions per line
-_BLOOM_SLOT = 63         # bits per long: bit 63 unused — DuckDB's
-#                          checked arithmetic rejects 1::BIGINT << 63,
-#                          so both engines pack 63 bits/slot
 
 
 def _bloom_positions(line_col, m_bits: int = BLOOM_M_BITS,
@@ -283,8 +280,10 @@ def bloom_line_bitmap(df: DataFrame, text_col: str = "text",
     POINT: a fixed 10-bits-per-line bitmap fits in one machine at any
     corpus size — Dolma's deployment shape — where the exact hash set
     is corpus-sized).  Distributed build: explode the k positions,
-    distinct, ``bit_or`` per 64-bit slot — partial aggs collapse
-    everything map-side, the shuffle is ≤ m/64 rows."""
+    distinct, ``bit_or`` per 63-bit slot (bit 63 unused: DuckDB's
+    checked arithmetic rejects ``1::BIGINT << 63``, so both engines
+    pack 63 bits/long) — partial aggs collapse everything map-side,
+    the shuffle is ≤ ⌈m/63⌉ rows."""
     _, occ = _line_occurrences(df, text_col, id_col, line_sep)
     px = (occ.select(F.explode(F.array(
               *_bloom_positions(F.col("line"), m_bits, k))).alias("pos"))
@@ -307,7 +306,7 @@ def bloom_admit_lines(batch: DataFrame, bitmap: list[int],
                       k: int = BLOOM_K) -> DataFrame:
     """MAP-ONLY admission against a ``bloom_line_bitmap``: a batch line
     whose k bits are ALL set is (maybe-)seen and drops; the bitmap
-    rides the plan as one constant array (32 KB), so the whole pass is
+    rides the plan as one constant array (~33 KB), so the whole pass is
     a scan — zero joins, zero shuffles beyond the per-doc rebuild.
     False positives are deterministic (md5-derived positions) and
     shared bit-for-bit with the DuckDB oracle; the documented rate is
