@@ -315,7 +315,9 @@ def bloom_admit_lines(batch: DataFrame, bitmap: list[int],
     when within-batch dedup is also wanted.  Returns the
     ``dedup_lines_across_docs`` output contract."""
     base, occ = _line_occurrences(batch, text_col, id_col, line_sep)
-    blm = F.array(*[F.lit(int(v)) for v in bitmap])
+    # ONE array literal — F.array over ~4k F.lit children costs seconds
+    # of driver-side analysis per call; F.lit(list) is a single Literal
+    blm = F.lit([int(v) for v in bitmap]).cast("array<bigint>")
     occ = occ.withColumn("_blm", blm)
     for j, p in enumerate(_bloom_positions(F.col("line"), m_bits, k)):
         occ = occ.withColumn(f"_p{j}", p)
