@@ -51,9 +51,11 @@ def write_bm25_index(df: DataFrame, path: str,
                      id_col: str = "doc_id", text_col: str = "text",
                      n_buckets: int = BM25_BUCKETS,
                      tenant_col: str | None = None) -> None:
-    """Persist postings/df/stats under ``path``.  One tokenize pass
-    feeds all three (the exploded stream is aggregated, never stored
-    raw); postings land one directory per token bucket.
+    """Persist postings/df/stats under ``path``.  Two tokenize passes:
+    postings come from the in-row ``doc_term_counts`` (zero-shuffle TF;
+    zero-token docs contribute nothing), stats from a separate pass
+    whose n_docs/avgdl must INCLUDE zero-token docs; df re-reads the
+    written postings.  Postings land one directory per token bucket.
 
     With ``tenant_col`` the store is TENANT-SCOPED (the reference's
     per-alias physical isolation, the ``write_nsw_index_tenants``

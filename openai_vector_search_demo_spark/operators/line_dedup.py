@@ -139,9 +139,15 @@ def dedup_lines_across_docs(df: DataFrame,
     (empty string when everything was removed).  ``line_sep`` is a
     literal separator.  See the module docstring for the two policies.
     """
-    if policy not in ("boilerplate", "keep_first"):
-        raise ValueError(f"unknown policy {policy!r}")
     base, occ = _line_occurrences(df, text_col, id_col, line_sep)
+    return _rebuild(base, _policy_kept(occ, policy, min_docs), line_sep)
+
+
+def _policy_kept(occ: DataFrame, policy: str,
+                 min_docs: int = 2) -> DataFrame:
+    """The kept occurrences of one policy over a shared occurrence
+    frame — callers auditing BOTH policies derive them from ONE
+    tokenize/split/md5 pass instead of two."""
     if policy == "boilerplate":
         # distinct (hash, doc) first — unique keys, uniform shuffle —
         # then a partial-agg count per hash: skew-safe both phases
@@ -149,10 +155,10 @@ def dedup_lines_across_docs(df: DataFrame,
                .groupBy("lh").agg(F.count(F.lit(1)).alias("nd"))
                .filter(F.col("nd") >= min_docs)
                .select("lh"))
-        kept = occ.join(bad, "lh", "left_anti")
-    else:
-        kept = _keep_first_within(occ)
-    return _rebuild(base, kept, line_sep)
+        return occ.join(bad, "lh", "left_anti")
+    if policy == "keep_first":
+        return _keep_first_within(occ)
+    raise ValueError(f"unknown policy {policy!r}")
 
 
 def _line_bucket(lh):
@@ -200,6 +206,20 @@ def _store_owners(spark, store: str) -> DataFrame:
             .groupBy("lh").agg(F.min("doc_id").alias("owner")))
 
 
+def _admitted_occurrences(spark, batch: DataFrame, store: str,
+                          text_col: str, id_col: str, line_sep: str):
+    """Shared admission core: ``(base, kept)`` where kept = the batch's
+    surviving line occurrences after the store-owner rule + within-
+    batch keep_first."""
+    base, occ = _line_occurrences(batch, text_col, id_col, line_sep)
+    owners = _store_owners(spark, store)
+    eligible = (occ.join(owners, "lh", "left")
+                .filter(F.col("owner").isNull()
+                        | (F.col("owner") == F.col("doc_id")))
+                .drop("owner"))
+    return base, _keep_first_within(eligible)
+
+
 def dedup_lines_against_index(spark, batch: DataFrame, store: str,
                               text_col: str = "text",
                               id_col: str = "doc_id",
@@ -215,13 +235,10 @@ def dedup_lines_against_index(spark, batch: DataFrame, store: str,
     ``dedup_lines_across_docs`` output contract.  The history side
     contributes one fixed-width row per distinct line ever seen; the
     batch never re-reads, re-splits, or re-hashes earlier shards."""
-    base, occ = _line_occurrences(batch, text_col, id_col, line_sep)
-    owners = _store_owners(spark, store)
-    eligible = (occ.join(owners, "lh", "left")
-                .filter(F.col("owner").isNull()
-                        | (F.col("owner") == F.col("doc_id")))
-                .drop("owner"))
-    return _rebuild(base, _keep_first_within(eligible), line_sep)
+    base, kept = _admitted_occurrences(batch=batch, spark=spark,
+                                       store=store, text_col=text_col,
+                                       id_col=id_col, line_sep=line_sep)
+    return _rebuild(base, kept, line_sep)
 
 
 def ingest_lines_against_index(spark, batch: DataFrame, store: str,
@@ -231,21 +248,22 @@ def ingest_lines_against_index(spark, batch: DataFrame, store: str,
     """One admission round of the continuous line-dedup loop: dedup the
     batch against the store (and within itself), append the SURVIVING
     lines' ``(lh, owner)`` rows to the store, and return the rebuilt
-    batch documents.  The result is pinned with ``localCheckpoint``
-    before the append (the band-index lesson: a lazy plan re-reading
-    the very files the append grows would double-count).  IDEMPOTENT
-    under at-least-once replay: a re-delivered batch's docs own their
-    kept lines in the store, so the dedup reproduces the original
-    output and the append re-writes byte-identical owner rows (min-
-    resolved at read).  Concatenating each batch's output equals the
-    one-shot ``keep_first`` rule ordered by (batch, doc_id, pos)."""
-    out = dedup_lines_against_index(spark, batch, store,
-                                    text_col=text_col, id_col=id_col,
-                                    line_sep=line_sep).localCheckpoint()
-    _, occ = _line_occurrences(
-        out.filter(F.col("text") != ""), "text", "doc_id", line_sep)
-    _append_owners(occ, store)
-    return out
+    batch documents.  The kept OCCURRENCES are pinned with
+    ``localCheckpoint`` before the append (the band-index lesson: a
+    lazy plan re-reading the very files the append grows would
+    double-count) and feed both the owner append and the rebuild — the
+    admitted lines are never re-split or re-hashed.  IDEMPOTENT under
+    at-least-once replay: a re-delivered batch's docs own their kept
+    lines in the store, so the dedup reproduces the original output
+    and the append re-writes byte-identical owner rows (min-resolved
+    at read).  Concatenating each batch's output equals the one-shot
+    ``keep_first`` rule ordered by (batch, doc_id, pos)."""
+    base, kept = _admitted_occurrences(batch=batch, spark=spark,
+                                       store=store, text_col=text_col,
+                                       id_col=id_col, line_sep=line_sep)
+    kept = kept.localCheckpoint()
+    _append_owners(kept, store)
+    return _rebuild(base, kept, line_sep)
 
 
 # ---------------------------------------------------------------------------

@@ -284,6 +284,35 @@ def split_doc_scan(spark: SparkSession, docs: DataFrame) -> DataFrame:
     return docs
 
 
+
+DERIVED_LINE_W = 3  # tokens per derived line: the single-line-fixture
+#                     contract shared by every line-unit slot
+
+
+def derived_token_lines(docs: DataFrame, w: int = DERIVED_LINE_W) -> DataFrame:
+    """``(doc_id, text)`` with text = the doc's tokens re-joined as
+    w-token lines — the deterministic line structure the line-unit
+    slots (gopher_line_repetition_rules, ccnet_line_dedup*,
+    streaming_line_dedup_ingest, bloom_line_dedup) derive IDENTICALLY
+    in both engines because the fixture's documents are single-line;
+    on real corpora the operators take the raw text's own newlines.
+    The SQL twin is ``text_analysis._sql_derived_lines(w)``."""
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        tokens,
+    )
+    wl = F.lit(w)
+    base = (docs.select("doc_id", tokens("text").alias("_toks"))
+            .filter(F.size("_toks") > 0))
+    lines = F.transform(
+        F.sequence(F.lit(0),
+                   F.ceil(F.size("_toks") / wl.cast("double"))
+                   .cast("int") - 1),
+        lambda i: F.array_join(F.slice(F.col("_toks"), i * wl + 1, w),
+                               " "))
+    return base.select("doc_id",
+                       F.array_join(lines, "\n").alias("text"))
+
+
 __all__ = [
     "run_concurrent",
     "os",
@@ -306,6 +335,8 @@ __all__ = [
     "query",
     "t",
     "split_doc_scan",
+    "derived_token_lines",
+    "DERIVED_LINE_W",
     "_read_events_raw",
     "_events_ts_us",
     "load_events",

@@ -8,6 +8,7 @@ from openai_vector_search_demo_spark.queries.text_analysis import _SQL_TOKS  # n
 from openai_vector_search_demo_spark.queries.text_analysis import _SQL_H60  # noqa: F401
 from openai_vector_search_demo_spark.queries.text_analysis import _SQL_SHINGLE_CTE  # noqa: F401
 from openai_vector_search_demo_spark.queries.text_analysis import _SQL_FINGERPRINT  # noqa: F401
+from openai_vector_search_demo_spark.queries.text_analysis import _sql_derived_lines  # noqa: F401
 
 # Training-data pipeline: deduplication (north star / BASELINE.json)
 # ---------------------------------------------------------------------------
@@ -538,22 +539,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repetition gates).
 # ---------------------------------------------------------------------------
 
-_LDW = 3  # derived-line width (tokens): the single-line-fixture contract
-# shared with gopher_line_repetition_rules
+_LDW = DERIVED_LINE_W  # derived-line width: the shared single-line-
+# fixture contract (queries/_shared.py) — one constant for every
+# line-unit slot and its oracle
 
 
 def _line_dedup_oracle() -> str:
     return f"""
-WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-              WHERE len({_SQL_TOKS}) > 0),
-lins AS (SELECT doc_id,
-                list_transform(
-                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
-                  i -> array_to_string(
-                         list_slice(toks, i * {_LDW} + 1,
-                                    i * {_LDW} + {_LDW}), ' '))
-                  AS lines
-         FROM linw),
+WITH {_sql_derived_lines(_LDW)},
 och AS (SELECT doc_id, md5(line) AS lh, line, pos FROM
         (SELECT doc_id, unnest(lines) AS line,
                 generate_subscripts(lines, 1) - 1 AS pos
@@ -605,25 +598,20 @@ def ccnet_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase so partial aggs collapse hot boilerplate keys before the
     wire, and the verdict join is hash-keyed (AQE skew-split) — see
     `operators/line_dedup.py`."""
-    from openai_vector_search_demo_spark.functions.text_analysis import (
-        tokens,
-    )
     from openai_vector_search_demo_spark.operators.line_dedup import (
-        dedup_lines_across_docs,
+        _line_occurrences,
+        _policy_kept,
+        _rebuild,
     )
     docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
-    w = F.lit(_LDW)
-    base = (docs.select("doc_id", tokens("text").alias("_toks"))
-            .filter(F.size("_toks") > 0))
-    lines = F.transform(
-        F.sequence(F.lit(0),
-                   F.ceil(F.size("_toks") / w.cast("double"))
-                   .cast("int") - 1),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
-                               " "))
-    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
-    b = dedup_lines_across_docs(derived, policy="boilerplate", min_docs=2)
-    f = dedup_lines_across_docs(derived, policy="keep_first")
+    derived = derived_token_lines(docs, _LDW)
+    # ONE tokenize/split/md5 pass feeds BOTH policies' audits (the
+    # persisted occurrence frame is the shared input; two operator
+    # calls would scan and hash the corpus twice)
+    base, occ = _line_occurrences(derived, "text", "doc_id", "\n")
+    occ = scoped_persist(occ)
+    b = _rebuild(base, _policy_kept(occ, "boilerplate", min_docs=2), "\n")
+    f = _rebuild(base, _policy_kept(occ, "keep_first"), "\n")
     return (b.select("doc_id", "n_lines",
                      F.col("n_kept").alias("kept_boiler"),
                      F.md5("text").alias("clean_md5_boiler"))
@@ -642,16 +630,7 @@ def _line_dedup_incr_oracle() -> str:
     # B (odd docs) == the one-shot keep_first rule ordered by
     # (batch = parity, doc_id, pos); the receipt reads B's first 20 docs
     return f"""
-WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-              WHERE len({_SQL_TOKS}) > 0),
-lins AS (SELECT doc_id,
-                list_transform(
-                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
-                  i -> array_to_string(
-                         list_slice(toks, i * {_LDW} + 1,
-                                    i * {_LDW} + {_LDW}), ' '))
-                  AS lines
-         FROM linw),
+WITH {_sql_derived_lines(_LDW)},
 och AS (SELECT doc_id, md5(line) AS lh, line, pos FROM
         (SELECT doc_id, unnest(lines) AS line,
                 generate_subscripts(lines, 1) - 1 AS pos
@@ -692,24 +671,12 @@ def ccnet_line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
-    from openai_vector_search_demo_spark.functions.text_analysis import (
-        tokens,
-    )
     from openai_vector_search_demo_spark.operators.line_dedup import (
         dedup_lines_against_index,
         write_line_index,
     )
     docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
-    w = F.lit(_LDW)
-    base = (docs.select("doc_id", tokens("text").alias("_toks"))
-            .filter(F.size("_toks") > 0))
-    lines = F.transform(
-        F.sequence(F.lit(0),
-                   F.ceil(F.size("_toks") / w.cast("double"))
-                   .cast("int") - 1),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
-                               " "))
-    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    derived = derived_token_lines(docs, _LDW)
     docs_path = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{sf_dir}|lineidx{_LDW}|{_parquet_fingerprint(docs_path)}"
@@ -729,16 +696,7 @@ def _line_dedup_stream_oracle() -> str:
     # one-shot replay of the SHARD SEQUENCE: history (even docs) first,
     # then micro-batch 1 (doc % 4 == 1), then micro-batch 2 (% 4 == 3)
     return f"""
-WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-              WHERE len({_SQL_TOKS}) > 0),
-lins AS (SELECT doc_id,
-                list_transform(
-                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
-                  i -> array_to_string(
-                         list_slice(toks, i * {_LDW} + 1,
-                                    i * {_LDW} + {_LDW}), ' '))
-                  AS lines
-         FROM linw),
+WITH {_sql_derived_lines(_LDW)},
 och AS (SELECT doc_id, md5(line) AS lh, line, pos FROM
         (SELECT doc_id, unnest(lines) AS line,
                 generate_subscripts(lines, 1) - 1 AS pos
@@ -784,9 +742,6 @@ def streaming_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    from openai_vector_search_demo_spark.functions.text_analysis import (
-        tokens,
-    )
     from openai_vector_search_demo_spark.operators.line_dedup import (
         write_line_index,
     )
@@ -794,16 +749,7 @@ def streaming_line_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_line_dedup_ingest,
     )
     docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
-    w = F.lit(_LDW)
-    base = (docs.select("doc_id", tokens("text").alias("_toks"))
-            .filter(F.size("_toks") > 0))
-    lines = F.transform(
-        F.sequence(F.lit(0),
-                   F.ceil(F.size("_toks") / w.cast("double"))
-                   .cast("int") - 1),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
-                               " "))
-    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    derived = derived_token_lines(docs, _LDW)
     docs_path = os.path.join(sf_dir, "documents.parquet")
     key = hashlib.md5(
         f"{sf_dir}|linestream{_LDW}|{_parquet_fingerprint(docs_path)}"
@@ -862,16 +808,7 @@ def _bloom_line_dedup_oracle() -> str:
     )
     h = "CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || line), 1, 15)) AS BIGINT)"
     return f"""
-WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-              WHERE len({_SQL_TOKS}) > 0),
-lins AS (SELECT doc_id,
-                list_transform(
-                  range(0, CAST(CEIL(len(toks) / {_LDW}.0) AS BIGINT)),
-                  i -> array_to_string(
-                         list_slice(toks, i * {_LDW} + 1,
-                                    i * {_LDW} + {_LDW}), ' '))
-                  AS lines
-         FROM linw),
+WITH {_sql_derived_lines(_LDW)},
 och AS (SELECT doc_id, line, pos FROM
         (SELECT doc_id, unnest(lines) AS line,
                 generate_subscripts(lines, 1) - 1 AS pos
@@ -920,24 +857,12 @@ def bloom_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     maybe-seen/drop decisions, md5 of each rebuilt doc included.
     Membership-only semantics (the exact/owner tiers handle
     within-batch and provenance); rate = (1 − e^(−k·n/m))^k."""
-    from openai_vector_search_demo_spark.functions.text_analysis import (
-        tokens,
-    )
     from openai_vector_search_demo_spark.operators.line_dedup import (
         bloom_admit_lines,
         bloom_line_bitmap,
     )
     docs = split_doc_scan(spark, t(spark, sf_dir, "documents"))
-    w = F.lit(_LDW)
-    base = (docs.select("doc_id", tokens("text").alias("_toks"))
-            .filter(F.size("_toks") > 0))
-    lines = F.transform(
-        F.sequence(F.lit(0),
-                   F.ceil(F.size("_toks") / w.cast("double"))
-                   .cast("int") - 1),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LDW),
-                               " "))
-    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    derived = derived_token_lines(docs, _LDW)
     # bitmap memoized per corpus CONTENT fingerprint (the _nsw_corpus_n
     # pattern): it is a pure function of the even-doc lines, 33 KB, and
     # three bench runs would otherwise each pay the build job

@@ -3864,23 +3864,19 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count(F.lit(1)), 6).alias("fail_rate")))
 
 
-_LINE_W = 3  # derived-line width (tokens) for the line-rule gate slot
+from openai_vector_search_demo_spark.queries.text_analysis import (  # noqa: E402
+    _sql_derived_lines,
+)
+
+_LINE_W = DERIVED_LINE_W  # derived-line width: the shared single-line-
+# fixture contract (queries/_shared.py)
 
 
 def _line_repetition_oracle() -> str:
     thr_l = _REP_THR["dup_line_frac"]
     thr_c = _REP_THR["dup_line_char_frac"]
     return f"""
-WITH linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
-              WHERE len({_SQL_TOKS}) > 0),
-lins AS (SELECT doc_id,
-                list_transform(
-                  range(0, CAST(CEIL(len(toks) / {_LINE_W}.0) AS BIGINT)),
-                  i -> array_to_string(
-                         list_slice(toks, i * {_LINE_W} + 1,
-                                    i * {_LINE_W} + {_LINE_W}), ' '))
-                  AS lines
-         FROM linw),
+WITH {_sql_derived_lines(_LINE_W)},
 lint AS (SELECT doc_id, lines,
                 LENGTH(array_to_string(lines, chr(10))) AS n_chars,
                 len(lines) AS n_lines
@@ -3925,23 +3921,11 @@ def gopher_line_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw text's own newlines (same operator, same thresholds).  Same
     audit shape and physical posture as the sibling rule slots:
     map-only doc-local sort + neighbour walk, zero shuffle, no UDF."""
-    from openai_vector_search_demo_spark.functions.text_analysis import (
-        tokens,
-    )
     from openai_vector_search_demo_spark.operators.repetition import (
         line_repetition_signals,
     )
     docs = _split_doc_scan(spark, t(spark, sf_dir, "documents"))
-    w = F.lit(_LINE_W)
-    base = (docs.select("doc_id", tokens("text").alias("_toks"))
-            .filter(F.size("_toks") > 0))
-    lines = F.transform(
-        F.sequence(F.lit(0),
-                   F.ceil(F.size("_toks") / w.cast("double"))
-                   .cast("int") - 1),
-        lambda i: F.array_join(F.slice(F.col("_toks"), i * w + 1, _LINE_W),
-                               " "))
-    derived = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    derived = derived_token_lines(docs, _LINE_W)
     sig = line_repetition_signals(derived)
     r = (docs.select("doc_id").join(sig, "doc_id", "left")
          .select(

@@ -12,6 +12,22 @@ _SQL_TOKS = r"list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '
 _SQL_H60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 _SQL_NORM_TEXT = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
 _SQL_FINGERPRINT = _SQL_H60.format(expr=_SQL_NORM_TEXT)
+def _sql_derived_lines(w: int) -> str:
+    """CTE pair (linw, lins) deriving the w-token line structure — the
+    DuckDB twin of ``_shared.derived_token_lines`` (one source for the
+    arithmetic both engines must share)."""
+    return f"""linw AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+              WHERE len({_SQL_TOKS}) > 0),
+lins AS (SELECT doc_id,
+                list_transform(
+                  range(0, CAST(CEIL(len(toks) / {w}.0) AS BIGINT)),
+                  i -> array_to_string(
+                         list_slice(toks, i * {w} + 1,
+                                    i * {w} + {w}), ' '))
+                  AS lines
+         FROM linw)"""
+
+
 _SQL_SHINGLE_CTE = rf"""
 tok AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT doc_id,
