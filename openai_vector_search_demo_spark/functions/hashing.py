@@ -161,3 +161,92 @@ def dataset_split(df, key: str, fractions: dict[str, float],
     for name, hi in zip(names[1:-1], bounds[1:-1]):
         expr = expr.when(h < hi, F.lit(name))
     return df.withColumn(split_col, expr.otherwise(F.lit(names[-1])))
+
+
+def sample_priority(key: Column | str, seed: int = 42) -> Column:
+    """The bottom-k / quota sampling PRIORITY: a salted 60-bit md5 hash
+    of the key.  Ordering rows by (priority, key) yields a uniform
+    random permutation that every engine reproduces bit-for-bit —
+    the deterministic stand-in for ``rand()`` that makes exact-k
+    sampling oracle-checkable and re-run-stable."""
+    from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+    k = F.col(key) if isinstance(key, str) else key
+    return _hash60(F.concat_ws(":", F.lit(str(seed)), k.cast("string")))
+
+
+def bottomk_sample(df, key: str, k: int, seed: int = 42,
+                   priority_col: str | None = None):
+    """Global EXACT-k uniform sample: the k rows with the smallest salted
+    key-hashes — a bottom-k (priority) sample, the distributed form of
+    reservoir sampling.  ``hash_sample_predicate`` trades exactness for
+    a map-only plan (E[n] = frac·N, zero coordination); this is the
+    other point on that curve: exactly k rows, still deterministic,
+    still engine-portable.
+
+    Physical shape is the whole point: ``orderBy(priority, key).limit(k)``
+    compiles to ``TakeOrderedAndProject`` — every scan partition keeps a
+    k-row heap, the driver merges the per-partition heaps.  NO exchange,
+    NO global sort, memory Θ(k·partitions) at the driver and Θ(k) per
+    task, so the plan survives a 100 TB scan unchanged as long as k is
+    driver-mergeable (k ≤ ~10⁶).  Ties (md5 collisions) break on the raw
+    key, so the result is a set, not a sample-of-a-sample.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    pri = sample_priority(key, seed)
+    if priority_col is not None:
+        df = df.withColumn(priority_col, pri)
+        pri = F.col(priority_col)
+    return df.orderBy(pri.asc(), F.col(key).asc()).limit(k)
+
+
+def stratified_quota_sample(df, strata: str, key: str,
+                            quotas: dict[str, int], default: int = 0,
+                            seed: int = 42, rank_col: str | None = None,
+                            two_phase: bool = True):
+    """Per-stratum EXACT quotas — the sampling dual of
+    ``stratified_sample_predicate`` (rates → expected counts) and the
+    plan you need when the mixture spec says "exactly 100k docs of
+    src0", not "about 10% of it": rank each stratum's rows by salted
+    key-hash and keep the first ``quota`` (a stratum smaller than its
+    quota contributes everything — min(quota, |stratum|), never
+    resampled repeats).
+
+    Scale posture: a naive ``row_number() OVER (PARTITION BY strata)``
+    hash-partitions the FULL corpus by the stratum column — with few
+    strata that is one reducer per stratum holding terabytes.  The
+    default two-phase plan prunes first: rank within
+    (``spark_partition_id()``, stratum) — thousands of distinct groups,
+    each bounded by one scan split, hashed across all reducers — keep
+    per-group top-``quota`` (a superset of every stratum's global
+    top-``quota``, since a global winner wins its own partition too),
+    THEN rank the ≤ quota·n_partitions survivors per stratum.  The
+    second exchange moves quota-bounded rows, not the corpus: the skew
+    is gone and the answer is value-identical (the final rank is
+    computed over a pruned superset of the kept set, so ranks equal the
+    single-phase ranks).  DuckDB oracle: the single-phase window — the
+    two plans agree row-for-row by construction.
+    """
+    for s, q in list(quotas.items()) + [("default", default)]:
+        if q < 0:
+            raise ValueError(f"quota for {s!r} must be >= 0")
+    from pyspark.sql import Window
+
+    s = F.col(strata)
+    quota = F.lit(int(default))
+    for name, q in sorted(quotas.items()):
+        quota = F.when(s == name, F.lit(int(q))).otherwise(quota)
+    pri = sample_priority(key, seed)
+    order = [pri.asc(), F.col(key).asc()]
+    if two_phase:
+        pruned = (df.withColumn("_pid", F.spark_partition_id())
+                  .withColumn("_prn", F.row_number().over(
+                      Window.partitionBy("_pid", strata).orderBy(*order)))
+                  .filter(F.col("_prn") <= quota).drop("_pid", "_prn"))
+    else:
+        pruned = df
+    rn = F.row_number().over(Window.partitionBy(strata).orderBy(*order))
+    out = pruned.withColumn("_rn", rn).filter(F.col("_rn") <= quota)
+    if rank_col is not None:
+        return out.withColumnRenamed("_rn", rank_col)
+    return out.drop("_rn")

@@ -1716,3 +1716,91 @@ def ann_sq8_recall_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+@query("bottomk_uniform_sample", oracle=f"""
+WITH pri AS (
+  SELECT *, {_SQL_H60.format(expr="'42:' || CAST(doc_id AS VARCHAR)")} AS pri
+  FROM documents),
+keep AS (SELECT * FROM pri ORDER BY pri, doc_id LIMIT 120)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM keep GROUP BY source ORDER BY source
+""")
+def bottomk_uniform_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k SAMPLING: a global uniform 120-doc sample as the 120
+    smallest salted key-hashes (``functions.hashing.bottomk_sample``) —
+    the bottom-k / priority sample, i.e. the distributed, deterministic
+    form of reservoir sampling.  The rate-based twin
+    (``stratified_mix_sample``) is map-only but only E[n] sized; this is
+    the other point on the exactness/coordination curve: exactly k, same
+    engine-portability.  The physical plan is the receipt:
+    ``TakeOrderedAndProject`` — each scan split keeps a k-row heap, the
+    driver merges heaps; no exchange, no global sort (pinned in
+    tests/test_plans.py), so the same plan serves a 100 TB scan for any
+    driver-mergeable k.  Reported per source: docs, tokens, id range of
+    the sampled rows."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        bottomk_sample,
+    )
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    kept = bottomk_sample(docs, "doc_id", 120)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ta.token_count("text").cast("long")).alias("n_tokens"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .orderBy("source"))
+
+
+@query("stratified_quota_sample_docs", oracle=f"""
+WITH pri AS (
+  SELECT *, {_SQL_H60.format(expr="'42:' || CAST(doc_id AS VARCHAR)")} AS pri
+  FROM documents),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY pri, doc_id) AS rn
+       FROM pri),
+keep AS (SELECT * FROM rk
+         WHERE rn <= CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 6
+                                 WHEN 'src2' THEN 1000000000 ELSE 2 END)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens,
+       MAX(rn) AS max_rank
+FROM keep GROUP BY source ORDER BY source
+""")
+def stratified_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-QUOTA stratified sampling
+    (``functions.hashing.stratified_quota_sample``): the mixture spec as
+    COUNTS — exactly 12 docs of src0, 6 of src1, everything of src2 (a
+    10⁹ quota proves the min(quota, |stratum|) clip), 2 of every other
+    source — ranked by salted key-hash so every engine keeps the same
+    rows.  The rate-based twin can only promise E[n]; training mixtures
+    are specified in exact token/doc budgets.
+
+    Scale posture (the reason the helper defaults to TWO-PHASE): a naive
+    per-stratum ``row_number`` window hash-partitions the whole corpus
+    by source — few strata ⇒ one reducer drowns.  Phase 1 ranks within
+    (scan-split, stratum) — thousands of bounded groups — and keeps only
+    per-group top-quota; phase 2's per-stratum window then ranks
+    quota·splits survivors, not the corpus.  Value-identical to the
+    single-phase window by construction (a global top-quota row wins its
+    own split too), which is exactly what the DuckDB single-phase oracle
+    checks.  ``max_rank == n_docs`` per source receipts rank contiguity."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        stratified_quota_sample,
+    )
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    kept = stratified_quota_sample(
+        docs, "source", "doc_id",
+        {"src0": 12, "src1": 6, "src2": 1_000_000_000},
+        default=2, rank_col="rn")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ta.token_count("text").cast("long")).alias("n_tokens"),
+                 F.max("rn").alias("max_rank"))
+            .orderBy("source"))
