@@ -1566,3 +1566,54 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+@query("exact_quantiles_binned", oracle="""
+WITH n AS (SELECT event_type, COUNT(*) AS n FROM events
+           WHERE value IS NOT NULL GROUP BY 1),
+r AS (SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value) AS rn
+      FROM events WHERE value IS NOT NULL),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) v(q))
+SELECT r.event_type, qs.q, ROUND(r.value, 6) AS value
+FROM qs CROSS JOIN n
+JOIN r ON r.event_type = n.event_type
+      AND r.rn = GREATEST(1, CAST(CEIL(qs.q * n.n) AS BIGINT))
+ORDER BY r.event_type, qs.q
+""")
+def exact_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT quantiles at bounded memory — iterative bin refinement
+    (``operators/quantiles.exact_quantiles``), the third tier of the
+    engine's quantile ladder and the one that survives 100 TB: exact
+    ``F.percentile`` buffers a whole group per executor (Θ(n) memory —
+    the first OOM at scale), the GK sketch is approximate AND
+    merge-order-sensitive (unreplayable by any oracle), while this is
+    the classic distributed-selection pattern — per pass ONE
+    map-side-combinable histogram over the candidate interval
+    (shuffle carries ≤ states·bins rows), descend into the bin holding
+    rank k = ceil(q·n), finish with one tiny in-window selection over
+    ≤ threshold survivors.  Candidates shrink ~bins× per pass; KB of
+    driver state.  Next intervals are the chosen bin's OBSERVED
+    [min,max] — float-exact membership (IEEE bin arithmetic is
+    monotone, so a bin's member set is a contiguous double range),
+    where arithmetic bin edges can drift an ulp and shift the rank.
+    bins=64/threshold=256 here forces real refinement passes at every
+    SF; the oracle replays the rank definition (DuckDB
+    ``quantile_disc`` convention) via an explicit ROW_NUMBER."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    with cache_scope():
+        out = exact_quantiles(ev, "value", ["event_type"],
+                              [0.5, 0.9, 0.99], bins=64,
+                              final_threshold=256)
+        out = out.select("event_type", "q",
+                         F.round("value", 6).alias("value")) \
+                 .orderBy("event_type", "q")
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

@@ -1,0 +1,87 @@
+"""Exact distributed quantiles (operators/quantiles.py): the bounded-
+memory exact tier.  Contracts: the k = ceil(q·n) order statistic
+exactly (Python twin), partitioning invariance, degenerate-value
+robustness (the observed-[min,max] float-exactness claim), and pass
+bounding."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from openai_vector_search_demo_spark.operators.quantiles import exact_quantiles
+
+
+def _twin(values, qs):
+    s = sorted(values)
+    return {q: s[max(1, math.ceil(q * len(s))) - 1] for q in qs}
+
+
+def _check(spark, values_by_group, qs, **kw):
+    rows = [(g, float(v)) for g, vs in values_by_group.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {(r.g, r.q): r.value
+           for r in exact_quantiles(df, "v", ["g"], qs, **kw).collect()}
+    want = {(g, q): _twin(vs, qs)[q]
+            for g, vs in values_by_group.items() for q in qs}
+    assert got == want
+
+
+def test_matches_python_twin_random(spark):
+    rng = random.Random(7)
+    data = {"a": [rng.uniform(-100, 100) for _ in range(500)],
+            "b": [rng.gauss(0, 1) for _ in range(333)]}
+    _check(spark, data, [0.01, 0.5, 0.9, 0.99, 1.0],
+           bins=16, final_threshold=8)
+
+
+def test_heavy_duplicates_and_constant_group(spark):
+    rng = random.Random(11)
+    data = {"dup": [float(rng.choice([1.0, 2.0, 2.0, 2.0, 9.0]))
+                    for _ in range(400)],
+            "const": [5.0] * 100}
+    _check(spark, data, [0.25, 0.5, 0.75], bins=4, final_threshold=2)
+
+
+def test_adjacent_doubles_interval(spark):
+    # interval of two adjacent representable doubles: the observed
+    # [min,max] rule must still terminate and pick the right element
+    lo = 1.0
+    hi = math.nextafter(1.0, 2.0)
+    data = {"g": [lo] * 30 + [hi] * 70}
+    _check(spark, data, [0.2, 0.3, 0.31, 0.9], bins=8, final_threshold=1)
+
+
+def test_partitioning_invariant(spark):
+    rng = random.Random(3)
+    rows = [("g", float(rng.uniform(0, 1))) for _ in range(300)]
+    a = spark.createDataFrame(rows, "g string, v double")
+    b = a.repartition(13)
+    qa = sorted(map(tuple, exact_quantiles(
+        a, "v", ["g"], [0.5, 0.95], bins=8, final_threshold=4).collect()))
+    qb = sorted(map(tuple, exact_quantiles(
+        b, "v", ["g"], [0.5, 0.95], bins=8, final_threshold=4).collect()))
+    assert qa == qb
+
+
+def test_nulls_excluded_and_q_edges(spark):
+    df = spark.createDataFrame(
+        [("g", None), ("g", 3.0), ("g", 1.0), ("g", None), ("g", 2.0)],
+        "g string, v double")
+    got = {r.q: r.value
+           for r in exact_quantiles(df, "v", ["g"],
+                                    [0.0, 1.0], bins=4,
+                                    final_threshold=1).collect()}
+    assert got == {0.0: 1.0, 1.0: 3.0}       # n=3 non-null; k=1 and k=3
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", ["g"], [])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", ["g"], [1.5])
+    with pytest.raises(ValueError):
+        exact_quantiles(df, "v", ["g"], [0.5], bins=1)
