@@ -8,6 +8,8 @@ optimizer.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -102,3 +104,30 @@ def highlight_keywords(keywords: Column | str, text: Column | str) -> Column:
 # A regex-piece counter previously duplicated here under the name
 # `token_count` — removed: two same-named functions with different semantics
 # in sibling modules is how silent wrong statistics happen.
+
+
+def unicode_normalize(text: Column | str, form: str = "NFC") -> Column:
+    """UAX#15 Unicode normalization — the ENCODING-REPAIR stage every
+    multilingual web pipeline runs before hashing (C4/mC4, CCNet):
+    byte-different spellings of the same grapheme ('e'+U+0301 vs 'é',
+    U+212B vs 'Å') otherwise defeat every exact-dup, line-dedup, and
+    fingerprint pass downstream.
+
+    Spark ships no built-in normalizer, so this is one of the engine's
+    few sanctioned Python hot-path UDFs: ``unicodedata.normalize`` over
+    Arrow batches (the E1 embedder's contract class — batched, never
+    row-at-a-time py4j).  The standard is what makes it oracle-able:
+    DuckDB's utf8proc ``nfc_normalize`` implements the same UAX#15 NFC
+    bit-for-bit (pinned by tests/test_unicode.py).
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize(form, x))
+
+    return _norm(_col(text))

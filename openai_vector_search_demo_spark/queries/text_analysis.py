@@ -155,3 +155,65 @@ def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+
+
+@query("unicode_nfc_repair", oracle=f"""
+WITH c AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0
+              THEN replace(text, 'e', 'e' || chr(769)) || chr(8491)
+              ELSE text END AS corrupt
+  FROM documents),
+r AS (SELECT source, corrupt, nfc_normalize(corrupt) AS rep FROM c)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rep != corrupt THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repaired,
+       CAST(SUM(length(corrupt)) AS BIGINT) AS chars_corrupt,
+       CAST(SUM(length(rep)) AS BIGINT) AS chars_repaired,
+       CAST(SUM({_SQL_H60.format(expr='rep')} % 1000000000) AS BIGINT)
+         AS content_digest
+FROM r GROUP BY source ORDER BY source
+""")
+def unicode_nfc_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING REPAIR (UAX#15 NFC) — the normalize-before-hash stage of
+    every multilingual pipeline (C4/mC4, CCNet): decomposed accents
+    ('e'+U+0301) and compatibility singletons (U+212B ANGSTROM SIGN)
+    are byte-different spellings of identical graphemes that defeat
+    every downstream exact-dup / line-dedup / fingerprint pass.  The
+    fixture corpus is ASCII, so — the multimodal-stub convention: real
+    plumbing, synthetic payload — every third document is
+    deterministically mojibake'd IN-PLAN (accents decomposed, an
+    angstrom appended) in BOTH engines, then repaired by the engine's
+    ``functions.text.unicode_normalize`` (Arrow-batched
+    ``unicodedata.normalize`` — Spark has no built-in normalizer; the
+    E1 UDF contract class) and by DuckDB's utf8proc ``nfc_normalize``
+    on the oracle side: two INDEPENDENT UAX#15 implementations must
+    agree on every byte, which is precisely what the per-source md5
+    content digest receipts.  Map-only until the final small agg;
+    composition SHRINKS the text (chars_repaired < chars_corrupt on
+    corrupted sources — the combining marks fold into precomposed
+    codepoints)."""
+    from openai_vector_search_demo_spark.functions.text import (
+        unicode_normalize,
+    )
+    from openai_vector_search_demo_spark.functions.text_analysis import (
+        _hash60,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corrupt = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.regexp_replace("text", "e", "e\u0301"),
+                 F.lit("\u212B"))).otherwise(F.col("text"))
+    d = docs.select("source", corrupt.alias("corrupt"))
+    d = d.withColumn("rep", unicode_normalize("corrupt"))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("rep") != F.col("corrupt")).cast("long"))
+                 .alias("n_repaired"),
+                 F.sum(F.length("corrupt").cast("long"))
+                 .alias("chars_corrupt"),
+                 F.sum(F.length("rep").cast("long")).alias("chars_repaired"),
+                 F.sum(F.pmod(_hash60(F.col("rep")), F.lit(1_000_000_000)))
+                 .alias("content_digest"))
+            .orderBy("source"))
