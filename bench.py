@@ -223,6 +223,10 @@ HEADLINE = [
     "ccnet_line_dedup_incremental",  # shard-vs-stored-history line dedup (r15)
     "streaming_line_dedup_ingest",  # live line-dedup ingest, pinned order (r15)
     "bloom_line_dedup",  # bounded-state Bloom line dedup, map-only admission (r15)
+    "bottomk_uniform_sample",  # exact-k sampling: TakeOrderedAndProject (r15)
+    "stratified_quota_sample_docs",  # two-phase exact quotas, skew-proof (r15)
+    "exact_quantiles_binned",  # bounded-memory exact quantiles, 2-pass (r15)
+    "unicode_nfc_repair",  # UAX#15 repair: Arrow-batched UDF hot path (r15)
     # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
     # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
     # it is a driver-gated correctness/scale receipt, not an sf-scaled
