@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from openai_vector_search_demo_spark.functions.text_analysis import _hash60
 
-__all__ = ["assign_shards", "write_shards", "shard_manifest"]
+__all__ = ["assign_shards", "write_shards", "shard_manifest",
+           "rendezvous_shard"]
 
 
 def _shard_key(id_col: str, salt: str) -> Column:
@@ -81,3 +82,34 @@ def shard_manifest(df: DataFrame, id_col: str, num_shards: int,
     if token_count is not None:
         aggs.insert(1, F.sum(token_count).alias("n_tokens"))
     return a.groupBy("shard").agg(*aggs)
+
+
+def rendezvous_shard(df: DataFrame, id_col: str, shards: list[str],
+                     salt: str = "0", out: str = "shard") -> DataFrame:
+    """Highest-random-weight (rendezvous / HRW) shard assignment — the
+    ELASTIC counterpart of ``assign_shards``'s ``hash % N``: each key
+    goes to the shard maximizing ``h(key, shard)``, so adding a shard
+    moves only the keys whose new per-shard hash wins — an expected
+    1/(N+1) of the corpus — and removing one moves only ITS keys.
+    ``pmod`` remaps nearly everything on any N change (a key stays put
+    only when ``h % N == h % N'``), which at 100 TB is the difference
+    between rebalancing one shard's worth of bytes and rewriting the
+    corpus (the Thaler/HRW + consistent-hashing argument; same law
+    memcached/Dynamo rings rely on).
+
+    Shape: the shard list is tiny and rides the plan as an array
+    literal — per row, |shards| hash evaluations and one ``array_max``
+    over (hash, name) structs (struct comparison is lexicographic, so
+    the name breaks 60-bit hash ties deterministically).  MAP-ONLY: no
+    join, no shuffle, no driver state; the oracle replays it with an
+    unnest + argmax window.
+    """
+    if not shards or len(set(shards)) != len(shards):
+        raise ValueError("shards must be a non-empty list of unique names")
+    key = F.col(id_col).cast("string")
+    scored = F.array(*[
+        F.struct(
+            _hash60(F.concat_ws(":", F.lit(salt), key, F.lit(s))).alias("h"),
+            F.lit(s).alias("s"))
+        for s in shards])
+    return df.withColumn(out, F.array_max(scored).getField("s"))

@@ -1804,3 +1804,77 @@ def stratified_quota_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(ta.token_count("text").cast("long")).alias("n_tokens"),
                  F.max("rn").alias("max_rank"))
             .orderBy("source"))
+
+
+@query("rendezvous_shard_rebalance", oracle=f"""
+WITH sc AS (
+  SELECT doc_id, v.s,
+         {_SQL_H60.format(expr="'0:' || CAST(doc_id AS VARCHAR) || ':' || v.s")} AS h
+  FROM documents
+  CROSS JOIN (VALUES ('s0'),('s1'),('s2'),('s3'),('s4'),('s5')) v(s)),
+h5 AS (SELECT doc_id, s FROM (
+         SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY h DESC, s DESC) AS rn
+         FROM sc WHERE s <> 's5') WHERE rn = 1),
+h6 AS (SELECT doc_id, s FROM (
+         SELECT doc_id, s, ROW_NUMBER() OVER (PARTITION BY doc_id
+                  ORDER BY h DESC, s DESC) AS rn
+         FROM sc) WHERE rn = 1),
+pm AS (SELECT doc_id,
+              {_SQL_H60.format(expr="'0:' || CAST(doc_id AS VARCHAR)")} % 5 AS p5,
+              {_SQL_H60.format(expr="'0:' || CAST(doc_id AS VARCHAR)")} % 6 AS p6
+       FROM documents),
+j AS (SELECT h5.doc_id, h5.s AS s5, h6.s AS s6, pm.p5, pm.p6
+      FROM h5 JOIN h6 ON h5.doc_id = h6.doc_id
+              JOIN pm ON h5.doc_id = pm.doc_id)
+SELECT 'pmod' AS method, COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN p5 <> p6 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       ROUND(SUM(CASE WHEN p5 <> p6 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS moved_frac
+FROM j
+UNION ALL
+SELECT 'rendezvous', COUNT(*),
+       CAST(SUM(CASE WHEN s5 <> s6 THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(SUM(CASE WHEN s5 <> s6 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+FROM j
+ORDER BY method
+""")
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELASTIC RESHARDING — rendezvous (HRW) assignment vs ``hash % N``,
+    both widths computed in ONE map-only pass and contrasted in-row:
+    growing 5 → 6 shards moves an expected 1/6 of keys under HRW (each
+    key moves only if the NEW shard's per-key hash wins) but ~5/6 under
+    pmod (a key stays only when h%5 == h%6 — 1/6 of a uniform hash).
+    At 100 TB that is rebalancing one shard's worth of bytes versus
+    rewriting the corpus — the consistent-hashing argument, receipted
+    by value (expect moved_frac ≈ 0.167 vs ≈ 0.833).
+    ``operators/sharding.rendezvous_shard`` evaluates |shards| hashes
+    per row and one ``array_max`` over (hash, name) structs — no join,
+    no shuffle, no driver state; the oracle replays it as unnest +
+    argmax window."""
+    from openai_vector_search_demo_spark.operators.sharding import (
+        _shard_key,
+        rendezvous_shard,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    d = rendezvous_shard(docs, "doc_id",
+                         [f"s{i}" for i in range(5)], out="s5")
+    d = rendezvous_shard(d, "doc_id",
+                         [f"s{i}" for i in range(6)], out="s6")
+    h = _shard_key("doc_id", "0")
+    d = (d.withColumn("p5", F.pmod(h, F.lit(5)))
+          .withColumn("p6", F.pmod(h, F.lit(6))))
+    agg = d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("p5") != F.col("p6")).cast("long")).alias("pm_moved"),
+        F.sum((F.col("s5") != F.col("s6")).cast("long")).alias("rv_moved"))
+    pm = agg.select(F.lit("pmod").alias("method"), "n_total",
+                    F.col("pm_moved").alias("n_moved"),
+                    F.round(F.col("pm_moved") / F.col("n_total"), 6)
+                    .alias("moved_frac"))
+    rv = agg.select(F.lit("rendezvous").alias("method"), "n_total",
+                    F.col("rv_moved").alias("n_moved"),
+                    F.round(F.col("rv_moved") / F.col("n_total"), 6)
+                    .alias("moved_frac"))
+    return pm.unionByName(rv).orderBy("method")

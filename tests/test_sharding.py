@@ -209,3 +209,54 @@ def test_dataset_split_partitions_everything_and_validates(spark):
         dataset_split(df, "doc_id", {"a": 0.5, "b": 0.4})
     single = dataset_split(df, "doc_id", {"all": 1.0}).collect()
     assert all(r.split == "all" for r in single)
+
+
+def test_rendezvous_matches_python_twin(docs):
+    from openai_vector_search_demo_spark.operators.sharding import (
+        rendezvous_shard,
+    )
+    import hashlib
+
+    def h(key, s):
+        return int(hashlib.md5(f"0:{key}:{s}".encode())
+                   .hexdigest()[:15], 16)
+
+    shards = ["s0", "s1", "s2"]
+    out = {r.doc_id: r.shard
+           for r in rendezvous_shard(docs, "doc_id", shards).collect()}
+    for k, got in out.items():
+        want = max(shards, key=lambda s: (h(k, s), s))
+        assert got == want
+
+
+def test_rendezvous_minimal_remap_on_grow_and_shrink(docs):
+    """THE property: growing N -> N+1 moves EXACTLY the keys the new
+    shard wins (nothing else may change), and removing a shard moves
+    only its own keys."""
+    from openai_vector_search_demo_spark.operators.sharding import (
+        rendezvous_shard,
+    )
+    five = [f"s{i}" for i in range(5)]
+    d = rendezvous_shard(docs, "doc_id", five, out="s5")
+    d = rendezvous_shard(d, "doc_id", five + ["s5"], out="s6")
+    rows = d.collect()
+    for r in rows:
+        if r.s5 != r.s6:
+            assert r.s6 == "s5"            # a mover went to the new shard
+    # shrink: drop s0 — only s0's keys move
+    d2 = rendezvous_shard(docs, "doc_id", five, out="a")
+    d2 = rendezvous_shard(d2, "doc_id", [s for s in five if s != "s0"],
+                          out="b")
+    for r in d2.collect():
+        if r.a != "s0":
+            assert r.b == r.a              # survivors keep their shard
+
+
+def test_rendezvous_validation(docs):
+    from openai_vector_search_demo_spark.operators.sharding import (
+        rendezvous_shard,
+    )
+    with pytest.raises(ValueError):
+        rendezvous_shard(docs, "doc_id", [])
+    with pytest.raises(ValueError):
+        rendezvous_shard(docs, "doc_id", ["a", "a"])
