@@ -250,3 +250,48 @@ def stratified_quota_sample(df, strata: str, key: str,
     if rank_col is not None:
         return out.withColumnRenamed("_rn", rank_col)
     return out.drop("_rn")
+
+
+def weighted_priority(key: Column | str, weight: Column,
+                      seed: int = 42) -> Column:
+    """Integer-exact Efraimidis–Spirakis priority: the MAX of ``w``
+    salted 60-bit hashes of the key.  ES weighted sampling without
+    replacement keeps the k smallest of Exp(w) draws per key; the min
+    of w i.i.d. Exp(1) draws IS Exp(w) exactly, and -ln(u) is a
+    monotone map, so "k smallest of min(-ln(u_c))" ≡ "k LARGEST of
+    max_c u_c" — every comparison collapses onto the integer hash
+    values themselves.  No ln/pow in the plan: the scheme is bit-exact
+    across engines (float transcendentals differ in the last ulp
+    across libms, which can flip a rank at the sample boundary —
+    unacceptable for an oracle-gated sampler).
+
+    Cost: Θ(w) hash evaluations per row via ``transform(sequence(1,w))``
+    + ``array_max`` — map-only, no explode, no shuffle.  Integer
+    weights only (replicate-the-draw semantics); keep w small
+    (domain-mixing weights are single digits) — for large weights scale
+    them down to the same ratios first.
+    """
+    from openai_vector_search_demo_spark.functions.text_analysis import _hash60
+    k = F.col(key) if isinstance(key, str) else key
+    ks = k.cast("string")
+    return F.array_max(F.transform(
+        F.sequence(F.lit(1), weight.cast("int")),
+        lambda c: _hash60(F.concat_ws(
+            ":", F.lit(str(seed)), ks, c.cast("string")))))
+
+
+def weighted_bottomk_sample(df, key: str, weight: Column, k: int,
+                            seed: int = 42):
+    """Weighted sample WITHOUT replacement, exactly k rows — the fourth
+    rung of the sampling family (uniform bottom-k / stratified quota /
+    weighted WITH replacement are the other three): inclusion is
+    ES-distributed ∝ weight (a weight-8 doc is ~8× as likely in the
+    sample as a weight-1 doc at k ≪ n), deterministic, engine-portable,
+    and — like ``bottomk_sample`` — a ``TakeOrderedAndProject`` plan:
+    per-partition k-row heaps, no exchange, no global sort."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    pri = weighted_priority(key, weight, seed)
+    return (df.withColumn("_pri", pri)
+            .orderBy(F.col("_pri").desc(), F.col(key).asc()).limit(k)
+            .drop("_pri"))

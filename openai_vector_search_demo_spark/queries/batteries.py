@@ -1878,3 +1878,51 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("rv_moved") / F.col("n_total"), 6)
                     .alias("moved_frac"))
     return pm.unionByName(rv).orderBy("method")
+
+
+@query("weighted_bottomk_sample_docs", oracle=f"""
+WITH w AS (SELECT doc_id, source, text,
+        CASE source WHEN 'src0' THEN 8 WHEN 'src1' THEN 4
+                    WHEN 'src2' THEN 2 ELSE 1 END AS w
+    FROM documents),
+d AS (SELECT doc_id, source, unnest(generate_series(1, w)) AS c FROM w),
+p AS (SELECT doc_id, any_value(source) AS source,
+        MAX({_SQL_H60.format(
+            expr="'42:' || CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)")})
+          AS pri
+    FROM d GROUP BY doc_id),
+keep AS (SELECT p.*, w.text FROM p JOIN w USING (doc_id)
+         ORDER BY pri DESC, doc_id LIMIT 100)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+FROM keep GROUP BY source ORDER BY source
+""")
+def weighted_bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED sampling WITHOUT replacement, exactly k=100 — the fourth
+    rung of the sampling family (uniform bottom-k / exact quotas /
+    weighted-WITH-replacement are the others), Efraimidis–Spirakis made
+    integer-exact: ES keeps the k smallest Exp(w) draws; min of w
+    i.i.d. Exp(1) IS Exp(w), and by monotonicity that is "k largest of
+    max-of-w salted hashes" (``functions.hashing.weighted_priority``) —
+    pure integer comparisons, so the sample is bit-stable across
+    engines where a ln/pow formulation can flip a boundary rank in the
+    last ulp.  A weight-8 source's docs are ~8× likelier in the sample
+    (visible in n_docs: src0 18/25 vs baseline ~4/25 at this k/n).
+    Θ(w) hashes per row via transform+array_max — map-only, no explode
+    — then the same TakeOrderedAndProject heap-merge as the uniform
+    bottom-k: no exchange, no global sort at any corpus size."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        weighted_bottomk_sample,
+    )
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    w = (F.when(F.col("source") == "src0", 8)
+         .when(F.col("source") == "src1", 4)
+         .when(F.col("source") == "src2", 2).otherwise(1))
+    kept = weighted_bottomk_sample(docs, "doc_id", w, 100)
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(ta.token_count("text").cast("long"))
+                 .alias("n_tokens"))
+            .orderBy("source"))

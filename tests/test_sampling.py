@@ -126,3 +126,54 @@ def test_validation_errors(spark):
         bottomk_sample(df, "doc_id", -1)
     with pytest.raises(ValueError):
         stratified_quota_sample(df, "source", "doc_id", {"src0": -2})
+
+
+def test_weighted_bottomk_matches_python_twin(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        weighted_bottomk_sample,
+    )
+    import hashlib
+
+    def pri(key, w):
+        return max(int(hashlib.md5(f"42:{key}:{c}".encode())
+                       .hexdigest()[:15], 16) for c in range(1, w + 1))
+
+    df = _docs(spark, n=90, n_src=3)
+    w = (F.when(F.col("source") == "src0", 5)
+         .when(F.col("source") == "src1", 2).otherwise(1))
+    got = sorted(r.doc_id
+                 for r in weighted_bottomk_sample(df, "doc_id", w, 15)
+                 .collect())
+    wmap = {0: 5, 1: 2, 2: 1}
+    want = sorted(sorted(range(90),
+                         key=lambda i: (-pri(i, wmap[i % 3]), i))[:15])
+    assert got == want
+
+
+def test_weighted_bottomk_weight_one_equals_uniform_ordering(spark):
+    """w=1 collapses to a plain salted-hash bottom-k over the ':1'
+    salt — the ES construction's base case."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        weighted_bottomk_sample,
+    )
+    import hashlib
+
+    df = _docs(spark, n=60, n_src=1)
+    got = set(r.doc_id for r in
+              weighted_bottomk_sample(df, "doc_id", F.lit(1), 10).collect())
+    want = set(sorted(
+        range(60),
+        key=lambda i: -int(hashlib.md5(f"42:{i}:1".encode())
+                           .hexdigest()[:15], 16))[:10])
+    assert got == want
+
+
+def test_weighted_bottomk_higher_weight_dominates(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        weighted_bottomk_sample,
+    )
+    df = _docs(spark, n=200, n_src=2)        # 100 docs each stratum
+    w = F.when(F.col("source") == "src0", 8).otherwise(1)
+    kept = weighted_bottomk_sample(df, "doc_id", w, 40).collect()
+    n0 = sum(1 for r in kept if r.source == "src0")
+    assert n0 > 25                            # w=8 must dominate a fair split
