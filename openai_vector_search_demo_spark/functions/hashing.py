@@ -295,3 +295,56 @@ def weighted_bottomk_sample(df, key: str, weight: Column, k: int,
     return (df.withColumn("_pri", pri)
             .orderBy(F.col("_pri").desc(), F.col(key).asc()).limit(k)
             .drop("_pri"))
+
+
+def token_budget_fill(df, strata: str, key: str, tokens_col: str,
+                      budgets: dict[str, int], default: int = 0,
+                      seed: int = 42, cum_col: str | None = None,
+                      two_phase: bool = True):
+    """Fill each stratum to a TOKEN budget — the materialization half of
+    mixture planning (``mixture_allocation`` computes per-source token
+    targets; this consumes them): walk the stratum in salted key-hash
+    order and keep a row iff the tokens BEFORE it are still under
+    budget (so the boundary-crossing doc is included — every stratum
+    with a positive budget contributes at least one doc, and overshoot
+    is bounded by one document).  Deterministic, engine-portable, and
+    composes with the other sampling rungs (same salted key order).
+
+    Two-phase for the same reason as ``stratified_quota_sample``: a
+    per-stratum running sum is one reducer per stratum.  Phase 1 runs
+    the cumulative sum within (scan-split, stratum) and keeps rows
+    whose WITHIN-SPLIT prefix is under budget — a value-identical
+    superset of the answer: a globally-kept row's every predecessor
+    survives (its split prefix is bounded by the global one), and a
+    row the global rule drops is still dropped over survivors (any
+    pruned predecessor's split already contributes ≥ budget surviving
+    tokens ahead of it).  Phase 2's per-stratum window then sums
+    budget-bounded survivors, not the corpus.
+    """
+    for s, b in list(budgets.items()) + [("default", default)]:
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0")
+    from pyspark.sql import Window
+
+    s = F.col(strata)
+    budget = F.lit(int(default))
+    for name, b in sorted(budgets.items()):
+        budget = F.when(s == name, F.lit(int(b))).otherwise(budget)
+    pri = sample_priority(key, seed)
+    order = [pri.asc(), F.col(key).asc()]
+    tok = F.col(tokens_col).cast("long")
+
+    def cum_before(*part):
+        w = (Window.partitionBy(*part).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return F.coalesce(F.sum(tok).over(w), F.lit(0))
+
+    if two_phase:
+        df = (df.withColumn("_pid", F.spark_partition_id())
+              .withColumn("_pcum", cum_before("_pid", strata))
+              .filter(F.col("_pcum") < budget).drop("_pid", "_pcum"))
+    out = (df.withColumn("_cum", cum_before(strata))
+           .filter(F.col("_cum") < budget))
+    if cum_col is not None:
+        return out.withColumnRenamed("_cum", cum_col)
+    return out.drop("_cum")

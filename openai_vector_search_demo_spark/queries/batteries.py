@@ -1926,3 +1926,56 @@ def weighted_bottomk_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(ta.token_count("text").cast("long"))
                  .alias("n_tokens"))
             .orderBy("source"))
+
+
+@query("token_budget_fill_docs", oracle=f"""
+WITH b AS (
+  SELECT doc_id, source, len({_SQL_TOKS}) AS toks,
+         {_SQL_H60.format(expr="'42:' || CAST(doc_id AS VARCHAR)")} AS pri
+  FROM documents),
+c AS (SELECT *, COALESCE(SUM(toks) OVER (
+          PARTITION BY source ORDER BY pri, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM b),
+keep AS (SELECT * FROM c
+         WHERE cb < CASE source WHEN 'src0' THEN 2000 WHEN 'src1' THEN 1000
+                                WHEN 'src2' THEN 1000000000 ELSE 500 END)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       CAST(MAX(cb) AS BIGINT) AS max_cum_before
+FROM keep GROUP BY source ORDER BY source
+""")
+def token_budget_fill_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET FILL — the materialization half of data mixing
+    (``mixture_allocation`` plans per-source token targets; this
+    consumes them, ``functions.hashing.token_budget_fill``): each
+    source fills in salted key-hash order until the tokens BEFORE the
+    row reach its budget (2 000 / 1 000 tokens for src0/src1, a 10⁹
+    budget proves the whole-stratum clip, 500 for the rest) — the
+    boundary doc is included, so overshoot is bounded by one document
+    and ``max_cum_before < budget`` is receipted in-row.  Mixture
+    specs are token counts, not doc counts — this is the rung between
+    exact doc quotas and rate sampling that training runs actually
+    consume.  Two-phase like the quota sampler (per-stratum running
+    sums are one-reducer-per-stratum skew at few strata): phase 1's
+    (scan-split, stratum) prefix keeps a value-identical superset —
+    a globally-kept row's every predecessor survives, and a pruned
+    predecessor's split already carries ≥ budget surviving tokens
+    ahead — phase 2 sums budget-bounded survivors.  The oracle replays
+    the single-phase window rule the two-phase plan must equal."""
+    from openai_vector_search_demo_spark.functions.hashing import (
+        token_budget_fill,
+    )
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.withColumn("toks", ta.token_count("text").cast("long"))
+    kept = token_budget_fill(
+        d, "source", "doc_id", "toks",
+        {"src0": 2000, "src1": 1000, "src2": 1_000_000_000},
+        default=500, cum_col="cb")
+    return (kept.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("toks").alias("n_tokens"),
+                 F.max("cb").alias("max_cum_before"))
+            .orderBy("source"))

@@ -177,3 +177,61 @@ def test_weighted_bottomk_higher_weight_dominates(spark):
     kept = weighted_bottomk_sample(df, "doc_id", w, 40).collect()
     n0 = sum(1 for r in kept if r.source == "src0")
     assert n0 > 25                            # w=8 must dominate a fair split
+
+
+def test_token_budget_fill_rule_and_clip(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        token_budget_fill,
+    )
+    rows = [(i, f"src{i % 2}", 10 + (i % 7)) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, toks long")
+    out = token_budget_fill(df, "source", "doc_id", "toks",
+                            {"src0": 100, "src1": 10_000_000},
+                            cum_col="cb").collect()
+    # python twin: per stratum, hash order, keep while cum_before < budget
+    budgets = {"src0": 100, "src1": 10_000_000}
+    want = {}
+    for srcv in ("src0", "src1"):
+        docs = sorted((i for i in range(80) if f"src{i % 2}" == srcv),
+                      key=lambda i: (_pri(42, i), i))
+        cum = 0
+        for i in docs:
+            tok = 10 + (i % 7)
+            if cum < budgets[srcv]:
+                want[i] = cum
+            cum += tok
+    got = {r.doc_id: r.cb for r in out}
+    assert got == want
+    # src1's huge budget keeps the whole stratum
+    assert sum(1 for i in got if i % 2 == 1) == 40
+    # overshoot bounded by one doc: max cum_before < budget per stratum
+    for r in out:
+        assert r.cb < budgets[r.source]
+
+
+def test_token_budget_two_phase_equals_single_phase(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        token_budget_fill,
+    )
+    rows = [(i, f"s{i % 3}", 5 + (i % 11)) for i in range(120)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, toks long").repartition(9)
+    kw = dict(budgets={"s0": 60, "s1": 9}, default=200, cum_col="cb")
+    a = token_budget_fill(df, "source", "doc_id", "toks",
+                          two_phase=True, **kw)
+    b = token_budget_fill(df, "source", "doc_id", "toks",
+                          two_phase=False, **kw)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_token_budget_zero_and_validation(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        token_budget_fill,
+    )
+    import pytest
+    df = spark.createDataFrame([(1, "a", 5)],
+                               "doc_id long, source string, toks long")
+    assert token_budget_fill(df, "source", "doc_id", "toks",
+                             {}, default=0).count() == 0
+    with pytest.raises(ValueError):
+        token_budget_fill(df, "source", "doc_id", "toks", {"a": -1})
