@@ -274,10 +274,13 @@ def weighted_priority(key: Column | str, weight: Column,
     from openai_vector_search_demo_spark.functions.text_analysis import _hash60
     k = F.col(key) if isinstance(key, str) else key
     ks = k.cast("string")
-    return F.array_max(F.transform(
-        F.sequence(F.lit(1), weight.cast("int")),
+    w = weight.cast("int")
+    # w < 1 → NULL priority (never sampled); an unguarded sequence(1, 0)
+    # would DESCEND ([1, 0]) and hand weight-0 rows a real draw
+    return F.when(w >= 1, F.array_max(F.transform(
+        F.sequence(F.lit(1), w),
         lambda c: _hash60(F.concat_ws(
-            ":", F.lit(str(seed)), ks, c.cast("string")))))
+            ":", F.lit(str(seed)), ks, c.cast("string"))))))
 
 
 def weighted_bottomk_sample(df, key: str, weight: Column, k: int,
@@ -293,6 +296,7 @@ def weighted_bottomk_sample(df, key: str, weight: Column, k: int,
         raise ValueError("k must be >= 0")
     pri = weighted_priority(key, weight, seed)
     return (df.withColumn("_pri", pri)
+            .filter(F.col("_pri").isNotNull())   # weight < 1: never sampled
             .orderBy(F.col("_pri").desc(), F.col(key).asc()).limit(k)
             .drop("_pri"))
 

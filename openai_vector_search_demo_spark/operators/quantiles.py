@@ -137,8 +137,12 @@ def exact_quantiles(df: DataFrame, value_col: str,
     resolved = [(key, s) for key, s in states.items() if s["val"] is not None]
     pending = [(key, s) for key, s in states.items() if s["val"] is None]
 
+    # group columns come back as strings (state round-trips through the
+    # driver); the q/value columns are double
     out_schema = ", ".join(f"`{c}` string" for c in gcols) \
         + ", q double, value double"
+    if not states:                            # empty input: empty result
+        return spark.createDataFrame([], out_schema)
     parts = []
     if resolved:
         parts.append(spark.createDataFrame(

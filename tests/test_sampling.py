@@ -235,3 +235,21 @@ def test_token_budget_zero_and_validation(spark):
                              {}, default=0).count() == 0
     with pytest.raises(ValueError):
         token_budget_fill(df, "source", "doc_id", "toks", {"a": -1})
+
+
+def test_weighted_bottomk_zero_weight_excluded(spark):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        weighted_bottomk_sample,
+    )
+    df = _docs(spark, n=30, n_src=2)
+    w = F.when(F.col("source") == "src0", 0).otherwise(3)
+    kept = weighted_bottomk_sample(df, "doc_id", w, 25).collect()
+    assert kept and all(r.source == "src1" for r in kept)
+
+
+def test_exact_quantiles_empty_input(spark):
+    from openai_vector_search_demo_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+    df = spark.createDataFrame([], "g string, v double")
+    assert exact_quantiles(df, "v", ["g"], [0.5]).count() == 0
