@@ -163,7 +163,7 @@ def dataset_split(df, key: str, fractions: dict[str, float],
     return df.withColumn(split_col, expr.otherwise(F.lit(names[-1])))
 
 
-def sample_priority(key: Column | str, seed: int = 42) -> Column:
+def sample_priority(key: Column | str, seed: int | str = 42) -> Column:
     """The bottom-k / quota sampling PRIORITY: a salted 60-bit md5 hash
     of the key.  Ordering rows by (priority, key) yields a uniform
     random permutation that every engine reproduces bit-for-bit —
@@ -200,6 +200,26 @@ def bottomk_sample(df, key: str, k: int, seed: int = 42,
     return df.orderBy(pri.asc(), F.col(key).asc()).limit(k)
 
 
+def _per_stratum_literal(strata: str, mapping: dict[str, int],
+                         default: int, what: str) -> Column:
+    """Validated per-stratum integer literal as an inlined when-chain —
+    the shared scaffolding of the exact-count samplers (quota counts,
+    token budgets): tiny literal map, broadcast by value, no join."""
+    for name, v in list(mapping.items()) + [("default", default)]:
+        if v < 0:
+            raise ValueError(f"{what} for {name!r} must be >= 0")
+    s = F.col(strata)
+    lit = F.lit(int(default))
+    for name, v in sorted(mapping.items()):
+        lit = F.when(s == name, F.lit(int(v))).otherwise(lit)
+    return lit
+
+
+def _stratum_order(key: str, seed: int) -> list[Column]:
+    """The samplers' shared total order: (salted key-hash, key)."""
+    return [sample_priority(key, seed).asc(), F.col(key).asc()]
+
+
 def stratified_quota_sample(df, strata: str, key: str,
                             quotas: dict[str, int], default: int = 0,
                             seed: int = 42, rank_col: str | None = None,
@@ -227,17 +247,10 @@ def stratified_quota_sample(df, strata: str, key: str,
     single-phase ranks).  DuckDB oracle: the single-phase window — the
     two plans agree row-for-row by construction.
     """
-    for s, q in list(quotas.items()) + [("default", default)]:
-        if q < 0:
-            raise ValueError(f"quota for {s!r} must be >= 0")
     from pyspark.sql import Window
 
-    s = F.col(strata)
-    quota = F.lit(int(default))
-    for name, q in sorted(quotas.items()):
-        quota = F.when(s == name, F.lit(int(q))).otherwise(quota)
-    pri = sample_priority(key, seed)
-    order = [pri.asc(), F.col(key).asc()]
+    quota = _per_stratum_literal(strata, quotas, default, "quota")
+    order = _stratum_order(key, seed)
     if two_phase:
         pruned = (df.withColumn("_pid", F.spark_partition_id())
                   .withColumn("_prn", F.row_number().over(
@@ -325,17 +338,10 @@ def token_budget_fill(df, strata: str, key: str, tokens_col: str,
     tokens ahead of it).  Phase 2's per-stratum window then sums
     budget-bounded survivors, not the corpus.
     """
-    for s, b in list(budgets.items()) + [("default", default)]:
-        if b < 0:
-            raise ValueError(f"budget for {s!r} must be >= 0")
     from pyspark.sql import Window
 
-    s = F.col(strata)
-    budget = F.lit(int(default))
-    for name, b in sorted(budgets.items()):
-        budget = F.when(s == name, F.lit(int(b))).otherwise(budget)
-    pri = sample_priority(key, seed)
-    order = [pri.asc(), F.col(key).asc()]
+    budget = _per_stratum_literal(strata, budgets, default, "budget")
+    order = _stratum_order(key, seed)
     tok = F.col(tokens_col).cast("long")
 
     def cum_before(*part):

@@ -126,8 +126,7 @@ def unicode_normalize(text: Column | str, form: str = "NFC") -> Column:
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
-        import unicodedata
-        return s.map(lambda x: None if x is None
-                     else unicodedata.normalize(form, x))
+        # pandas' C string loop; nulls propagate natively
+        return s.str.normalize(form)
 
     return _norm(_col(text))

@@ -59,10 +59,20 @@ def exact_quantiles(df: DataFrame, value_col: str,
             raise ValueError(f"quantile {q} outside [0, 1]")
     if bins < 2:
         raise ValueError("bins must be >= 2")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty (add a literal "
+                         "constant column for a global quantile)")
     spark = df.sparkSession
     gcols = list(group_cols)
-    rows = (df.select(*gcols, F.col(value_col).cast("double").alias("_v"))
-            .filter(F.col("_v").isNotNull()))
+    # group keys are normalized to STRING once, Spark-side, so the
+    # driver state round-trips through createDataFrame with exactly the
+    # rendering Spark produced (a Python str(v) disagrees with Spark's
+    # cast for booleans/floats); rows with NULL group keys or values
+    # are excluded (documented: group columns come back as strings)
+    rows = (df.select(*[F.col(c).cast("string").alias(c) for c in gcols],
+                      F.col(value_col).cast("double").alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .na.drop(subset=gcols))
     rows = scoped_persist(rows)
 
     bounds = (rows.groupBy(*gcols)
@@ -85,20 +95,31 @@ def exact_quantiles(df: DataFrame, value_col: str,
         + ", _q double, _slo double, _shi double"
 
     def active_items():
-        return [(key, s) for key, s in states.items()
-                if s["val"] is None and not s["frozen"]
-                and s["n"] > final_threshold]
+        act = []
+        for key, s in states.items():
+            if s["val"] is not None or s["frozen"] \
+                    or s["n"] <= final_threshold:
+                continue
+            if (s["hi"] - s["lo"]) / bins == 0.0:
+                # interval width underflows double precision: the
+                # histogram pass would divide by zero (ANSI cast
+                # overflow on the +Inf) — freeze BEFORE building it
+                # and let the final windowed selection take the state
+                s["frozen"] = True
+                continue
+            act.append((key, s))
+        return act
 
     for _ in range(max_passes):
         act = active_items()
         if not act:
             break
         sdf = spark.createDataFrame(
-            [tuple(str(v) for v in key[0]) + (float(key[1]), s["lo"], s["hi"])
+            [key[0] + (float(key[1]), s["lo"], s["hi"])
              for key, s in act], schema)
         cond = (F.col("_v") >= F.col("_slo")) & (F.col("_v") <= F.col("_shi"))
         for c, gc in zip(gcols, gstate):
-            cond = cond & (F.col(c).cast("string") == F.col(gc))
+            cond = cond & (F.col(c) == F.col(gc))
         j = rows.join(F.broadcast(sdf), cond)
         w = (F.col("_shi") - F.col("_slo")) / F.lit(bins)
         b = F.least(F.floor((F.col("_v") - F.col("_slo")) / w).cast("int"),
@@ -113,11 +134,8 @@ def exact_quantiles(df: DataFrame, value_col: str,
                 (r["_b"], r["_c"], r["_mn"], r["_mx"]))
         progressed = False
         for key, s in act:
-            skey = (tuple(str(v) for v in key[0]), float(key[1]))
+            skey = (key[0], float(key[1]))
             hist = sorted(per_state.get(skey, []))
-            if (s["hi"] - s["lo"]) / bins == 0.0:   # width underflow
-                s["frozen"] = True
-                continue
             cum = 0
             for _b, c, mn, mx in hist:
                 if cum + c >= s["k"]:
@@ -146,17 +164,16 @@ def exact_quantiles(df: DataFrame, value_col: str,
     parts = []
     if resolved:
         parts.append(spark.createDataFrame(
-            [tuple(str(v) for v in key[0]) + (float(key[1]), float(s["val"]))
+            [key[0] + (float(key[1]), float(s["val"]))
              for key, s in resolved], out_schema))
     if pending:
         pschema = schema + ", _sk long"
         sdf = spark.createDataFrame(
-            [tuple(str(v) for v in key[0])
-             + (float(key[1]), s["lo"], s["hi"], int(s["k"]))
+            [key[0] + (float(key[1]), s["lo"], s["hi"], int(s["k"]))
              for key, s in pending], pschema)
         cond = (F.col("_v") >= F.col("_slo")) & (F.col("_v") <= F.col("_shi"))
         for c, gc in zip(gcols, gstate):
-            cond = cond & (F.col(c).cast("string") == F.col(gc))
+            cond = cond & (F.col(c) == F.col(gc))
         j = rows.join(F.broadcast(sdf), cond)
         rn = F.row_number().over(
             Window.partitionBy(*gstate, "_q").orderBy(F.col("_v").asc()))

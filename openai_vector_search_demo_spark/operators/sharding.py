@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from openai_vector_search_demo_spark.functions.hashing import sample_priority
 from openai_vector_search_demo_spark.functions.text_analysis import _hash60
 
 __all__ = ["assign_shards", "write_shards", "shard_manifest",
@@ -27,8 +28,8 @@ __all__ = ["assign_shards", "write_shards", "shard_manifest",
 
 
 def _shard_key(id_col: str, salt: str) -> Column:
-    return _hash60(F.concat_ws(":", F.lit(salt),
-                               F.col(id_col).cast("string")))
+    # one definition of the '<salt>:<key>' 60-bit layout engine-wide
+    return sample_priority(id_col, seed=salt)
 
 
 def assign_shards(df: DataFrame, id_col: str, num_shards: int,

@@ -85,3 +85,31 @@ def test_validation(spark):
         exact_quantiles(df, "v", ["g"], [1.5])
     with pytest.raises(ValueError):
         exact_quantiles(df, "v", ["g"], [0.5], bins=1)
+
+
+def test_boolean_group_column_round_trips(spark):
+    # group keys normalize through Spark's own string cast (str(True)
+    # vs 'true' was a silent empty-result bug)
+    df = spark.createDataFrame(
+        [(True, 1.0), (True, 3.0), (False, 7.0)], "g boolean, v double")
+    got = {(r.g, r.q): r.value
+           for r in exact_quantiles(df, "v", ["g"], [1.0], bins=4,
+                                    final_threshold=1).collect()}
+    assert got == {("true", 1.0): 3.0, ("false", 1.0): 7.0}
+
+
+def test_subnormal_width_interval_freezes_not_crashes(spark):
+    # (hi-lo)/bins underflows to 0.0: the state must freeze BEFORE the
+    # histogram pass divides by it (ANSI cast overflow on the +Inf)
+    d1 = 5e-324 * 10
+    d2 = math.nextafter(d1, 1.0)
+    assert (d2 - d1) / 8 == 0.0
+    vals = [d1] * 30 + [d2] * 20
+    data = {"g": vals}
+    _check(spark, data, [0.5, 0.9], bins=8, final_threshold=1)
+
+
+def test_empty_group_cols_rejected(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="group_cols"):
+        exact_quantiles(df, "v", [], [0.5])
