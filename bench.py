@@ -230,6 +230,7 @@ HEADLINE = [
     "weighted_bottomk_sample_docs",  # integer-exact ES weighted sample (r15)
     "rendezvous_shard_rebalance",  # HRW vs pmod remap fractions (r15)
     "token_budget_fill_docs",  # mixture materialization to token budgets (r15)
+    "weighted_quantiles_tokens",  # token-weighted exact quantiles (r15)
     # ann_nsw_fixed_ef_scaling is deliberately NOT benched: it ignores
     # sf_dir (its corpus IS the 100k scale point) and costs ~2 min warm —
     # it is a driver-gated correctness/scale receipt, not an sf-scaled

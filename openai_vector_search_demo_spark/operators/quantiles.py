@@ -47,11 +47,21 @@ from openai_vector_search_demo_spark.caching import scoped_persist
 def exact_quantiles(df: DataFrame, value_col: str,
                     group_cols: list[str], qs: list[float],
                     bins: int = 1024, final_threshold: int = 4096,
-                    max_passes: int = 32) -> DataFrame:
+                    max_passes: int = 32,
+                    weight_col: str | None = None) -> DataFrame:
     """Exact discrete quantiles (k-th smallest, k = ceil(q·n)) of
     ``value_col`` per group, one row ``(*group_cols, q, value)`` per
     (group, q).  See the module docstring for the algorithm and why
-    it is the 100 TB-safe exact tier."""
+    it is the 100 TB-safe exact tier.
+
+    ``weight_col`` (integer weights; rows with weight < 1 are ignored)
+    switches to the WEIGHTED quantile: the smallest value v whose
+    cumulative weight over values ≤ v reaches ceil(q·W) — e.g. the
+    token-weighted corpus median, where a 10k-token document counts
+    10 000×.  Identical pass structure: the histogram aggregates
+    SUM(weight) per bin instead of COUNT, the descent follows
+    cumulative weight, and the survivor bound (``final_threshold``)
+    still counts ROWS, so memory bounds are unchanged."""
     if not qs:
         raise ValueError("qs must be non-empty")
     for q in qs:
@@ -69,23 +79,28 @@ def exact_quantiles(df: DataFrame, value_col: str,
     # rendering Spark produced (a Python str(v) disagrees with Spark's
     # cast for booleans/floats); rows with NULL group keys or values
     # are excluded (documented: group columns come back as strings)
+    w = (F.col(weight_col).cast("long") if weight_col is not None
+         else F.lit(1).cast("long"))
     rows = (df.select(*[F.col(c).cast("string").alias(c) for c in gcols],
-                      F.col(value_col).cast("double").alias("_v"))
-            .filter(F.col("_v").isNotNull())
+                      F.col(value_col).cast("double").alias("_v"),
+                      w.alias("_w"))
+            .filter(F.col("_v").isNotNull() & (F.col("_w") >= 1))
             .na.drop(subset=gcols))
     rows = scoped_persist(rows)
 
     bounds = (rows.groupBy(*gcols)
-              .agg(F.count(F.lit(1)).alias("_n"), F.min("_v").alias("_lo"),
+              .agg(F.count(F.lit(1)).alias("_n"), F.sum("_w").alias("_tw"),
+                   F.min("_v").alias("_lo"),
                    F.max("_v").alias("_hi")).collect())
     # state: candidate interval [lo, hi] (inclusive, both ends observed
-    # data points), rank k within it, candidate count n
+    # data points), target rank k in cumulative WEIGHT, candidate ROW
+    # count n (bounds the final selection)
     states: dict = {}
     for r in bounds:
         g = tuple(r[c] for c in gcols)
         for q in qs:
             s = {"lo": r["_lo"], "hi": r["_hi"], "n": r["_n"],
-                 "k": max(1, math.ceil(q * r["_n"])),
+                 "k": max(1, math.ceil(q * r["_tw"])),
                  "val": r["_lo"] if r["_lo"] == r["_hi"] else None,
                  "frozen": False}
             states[(g, q)] = s
@@ -125,20 +140,21 @@ def exact_quantiles(df: DataFrame, value_col: str,
         b = F.least(F.floor((F.col("_v") - F.col("_slo")) / w).cast("int"),
                     F.lit(bins - 1))
         cnt = (j.groupBy(*gstate, "_q", b.alias("_b"))
-               .agg(F.count(F.lit(1)).alias("_c"), F.min("_v").alias("_mn"),
+               .agg(F.count(F.lit(1)).alias("_c"), F.sum("_w").alias("_cw"),
+                    F.min("_v").alias("_mn"),
                     F.max("_v").alias("_mx")).collect())
         per_state: dict = {}
         for r in cnt:
             key = (tuple(r[c] for c in gstate), r["_q"])
             per_state.setdefault(key, []).append(
-                (r["_b"], r["_c"], r["_mn"], r["_mx"]))
+                (r["_b"], r["_c"], r["_cw"], r["_mn"], r["_mx"]))
         progressed = False
         for key, s in act:
             skey = (key[0], float(key[1]))
             hist = sorted(per_state.get(skey, []))
-            cum = 0
-            for _b, c, mn, mx in hist:
-                if cum + c >= s["k"]:
+            cum = 0                       # cumulative WEIGHT before bin
+            for _b, c, cw, mn, mx in hist:
+                if cum + cw >= s["k"]:
                     if mn == mx:                    # all survivors equal
                         s["val"] = mn
                     elif (mn, mx, c) == (s["lo"], s["hi"], s["n"]):
@@ -148,7 +164,7 @@ def exact_quantiles(df: DataFrame, value_col: str,
                     s["k"] -= cum
                     s["n"], s["lo"], s["hi"] = c, mn, mx
                     break
-                cum += c
+                cum += cw
         if not progressed:
             break
 
@@ -175,9 +191,15 @@ def exact_quantiles(df: DataFrame, value_col: str,
         for c, gc in zip(gcols, gstate):
             cond = cond & (F.col(c) == F.col(gc))
         j = rows.join(F.broadcast(sdf), cond)
-        rn = F.row_number().over(
-            Window.partitionBy(*gstate, "_q").orderBy(F.col("_v").asc()))
-        sel = (j.withColumn("_rn", rn).filter(F.col("_rn") == F.col("_sk"))
+        # weighted rank: the row whose running weight crosses k.  Row
+        # order among equal values is arbitrary, but the crossing row's
+        # VALUE is invariant (all full value-groups before it sum < k)
+        cw = F.sum("_w").over(
+            Window.partitionBy(*gstate, "_q").orderBy(F.col("_v").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        sel = (j.withColumn("_cw", cw)
+               .filter((F.col("_cw") >= F.col("_sk"))
+                       & (F.col("_cw") - F.col("_w") < F.col("_sk")))
                .select(*[F.col(gc).alias(c)
                          for c, gc in zip(gcols, gstate)],
                        F.col("_q").alias("q"), F.col("_v").alias("value")))

@@ -1617,3 +1617,48 @@ def exact_quantiles_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .orderBy("event_type", "q")
         out = spark.createDataFrame(out.collect(), out.schema)
     return out
+
+
+@query("weighted_quantiles_tokens", oracle=f"""
+WITH b AS (SELECT lang, CAST(n_chars AS DOUBLE) AS v, len({_SQL_TOKS}) AS w
+           FROM documents),
+tw AS (SELECT lang, CAST(SUM(w) AS BIGINT) AS W FROM b GROUP BY 1),
+g AS (SELECT lang, v, SUM(w) AS gw FROM b GROUP BY 1, 2),
+c AS (SELECT *, SUM(gw) OVER (PARTITION BY lang ORDER BY v) AS cw FROM g),
+qs AS (SELECT CAST(q AS DOUBLE) AS q
+       FROM (VALUES (0.5), (0.9), (0.99)) v(q))
+SELECT c.lang, qs.q, ROUND(MIN(c.v), 6) AS value
+FROM qs CROSS JOIN tw
+JOIN c ON c.lang = tw.lang
+      AND c.cw >= GREATEST(1, CAST(CEIL(qs.q * tw.W) AS BIGINT))
+GROUP BY c.lang, qs.q ORDER BY c.lang, qs.q
+""")
+def weighted_quantiles_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-WEIGHTED exact quantiles — the corpus-statistics form that
+    matters for training data: a 10k-token document influences the
+    distribution 10 000×, so "median document length" over ROWS and
+    over TOKENS are different answers (token-weighted p50 sits above
+    the unweighted one whenever long docs dominate the budget).  Same
+    bounded-memory bin refinement as ``exact_quantiles_binned`` —
+    the histogram aggregates SUM(weight) per bin, the descent follows
+    cumulative weight, passes and memory bounds unchanged
+    (``operators/quantiles.exact_quantiles`` ``weight_col``).  The
+    weighted rank (smallest v whose cumulative weight over values ≤ v
+    reaches ceil(q·W)) is replayed in the oracle as a value-grouped
+    running sum — fully deterministic under value ties."""
+    from openai_vector_search_demo_spark.caching import cache_scope
+    from openai_vector_search_demo_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+    from openai_vector_search_demo_spark.functions import text_analysis as ta
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select("lang", F.col("n_chars").cast("double").alias("nc"),
+                    ta.token_count("text").cast("long").alias("w"))
+    with cache_scope():
+        out = exact_quantiles(d, "nc", ["lang"], [0.5, 0.9, 0.99],
+                              bins=64, final_threshold=64, weight_col="w")
+        out = (out.select("lang", "q", F.round("value", 6).alias("value"))
+               .orderBy("lang", "q"))
+        out = spark.createDataFrame(out.collect(), out.schema)
+    return out

@@ -113,3 +113,61 @@ def test_empty_group_cols_rejected(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError, match="group_cols"):
         exact_quantiles(df, "v", [], [0.5])
+
+
+def _wtwin(pairs, qs):
+    """Weighted twin: min v whose cumulative weight over values <= v
+    reaches ceil(q * W)."""
+    W = sum(w for _, w in pairs)
+    by_v = {}
+    for v, w in pairs:
+        by_v[v] = by_v.get(v, 0) + w
+    out = {}
+    for q in qs:
+        k = max(1, math.ceil(q * W))
+        cum = 0
+        for v in sorted(by_v):
+            cum += by_v[v]
+            if cum >= k:
+                out[q] = v
+                break
+    return out
+
+
+def test_weighted_matches_python_twin(spark):
+    rng = random.Random(19)
+    pairs = [(round(rng.uniform(0, 50), 3), rng.randint(1, 9))
+             for _ in range(400)]
+    df = spark.createDataFrame([("g", v, w) for v, w in pairs],
+                               "g string, v double, w int")
+    got = {r.q: r.value
+           for r in exact_quantiles(df, "v", ["g"], [0.1, 0.5, 0.9, 1.0],
+                                    bins=8, final_threshold=4,
+                                    weight_col="w").collect()}
+    assert got == _wtwin(pairs, [0.1, 0.5, 0.9, 1.0])
+
+
+def test_weighted_heavy_ties_and_dominant_weight(spark):
+    # one value carries 90% of the weight: every inner quantile hits it
+    pairs = [(1.0, 5), (2.0, 180), (3.0, 5), (4.0, 10)]
+    df = spark.createDataFrame([("g", v, w) for v, w in pairs],
+                               "g string, v double, w int")
+    got = {r.q: r.value
+           for r in exact_quantiles(df, "v", ["g"], [0.05, 0.5, 0.9, 1.0],
+                                    bins=4, final_threshold=1,
+                                    weight_col="w").collect()}
+    assert got == _wtwin(pairs, [0.05, 0.5, 0.9, 1.0])
+    assert got[0.5] == 2.0
+
+
+def test_weight_one_equals_unweighted(spark):
+    rng = random.Random(23)
+    rows = [("g", float(rng.uniform(0, 9)), 1) for _ in range(150)]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    a = sorted(map(tuple, exact_quantiles(
+        df, "v", ["g"], [0.25, 0.75], bins=8, final_threshold=4,
+        weight_col="w").collect()))
+    b = sorted(map(tuple, exact_quantiles(
+        df, "v", ["g"], [0.25, 0.75], bins=8,
+        final_threshold=4).collect()))
+    assert a == b
