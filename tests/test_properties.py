@@ -550,3 +550,89 @@ def test_router_exact_branch_equals_direct_knn(spark, vecs, qi):
             .select("vec_id", F.round("_r", 6).alias("s")).collect()]
     exp = sorted(full, key=lambda t: (-t[1], t[0]))[:5]
     assert got == exp
+
+
+# ---- sampling family (r15 s4): fuzzed against Python twins ----------------
+
+def _h60py(s: str) -> int:
+    import hashlib
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(0, 3)),
+                min_size=1, max_size=60, unique_by=lambda t: t[0]),
+       st.integers(0, 20))
+def test_bottomk_always_matches_twin(spark, rows, k):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        bottomk_sample,
+    )
+    df = spark.createDataFrame([(i, f"s{g}") for i, g in rows],
+                               "doc_id long, source string")
+    got = sorted(r.doc_id for r in bottomk_sample(df, "doc_id", k).collect())
+    want = sorted(sorted((i for i, _ in rows),
+                         key=lambda i: (_h60py(f"42:{i}"), i))[:k])
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 300), st.integers(0, 2),
+                          st.integers(1, 40)),
+                min_size=1, max_size=50, unique_by=lambda t: t[0]),
+       st.integers(0, 300), st.integers(0, 120))
+def test_token_budget_fill_always_matches_twin(spark, rows, b0, bdef):
+    from openai_vector_search_demo_spark.functions.hashing import (
+        token_budget_fill,
+    )
+    df = spark.createDataFrame(
+        [(i, f"s{g}", w) for i, g, w in rows],
+        "doc_id long, source string, toks long")
+    budgets = {"s0": b0}
+    kept = sorted(r.doc_id
+                  for r in token_budget_fill(df, "source", "doc_id", "toks",
+                                             budgets, default=bdef)
+                  .collect())
+    want = []
+    for g in {f"s{t[1]}" for t in rows}:
+        order = sorted((t for t in rows if f"s{t[1]}" == g),
+                       key=lambda t: (_h60py(f"42:{t[0]}"), t[0]))
+        budget = budgets.get(g, bdef)
+        cum = 0
+        for i, _, w in order:
+            if cum < budget:
+                want.append(i)
+            cum += w
+    assert kept == sorted(want)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.floats(min_value=-1e6, max_value=1e6,
+                                    allow_nan=False, width=64),
+                          st.integers(1, 9)),
+                min_size=1, max_size=80),
+       st.floats(min_value=0.0, max_value=1.0, allow_nan=False))
+def test_weighted_quantile_always_matches_twin(spark, pairs, q):
+    import math as _m
+    from openai_vector_search_demo_spark.operators.quantiles import (
+        exact_quantiles,
+    )
+    df = spark.createDataFrame([("g", v, w) for v, w in pairs],
+                               "g string, v double, w int")
+    got = {r.q: r.value
+           for r in exact_quantiles(df, "v", ["g"], [q], bins=4,
+                                    final_threshold=2,
+                                    weight_col="w").collect()}
+    W = sum(w for _, w in pairs)
+    k = max(1, _m.ceil(q * W))
+    by_v: dict = {}
+    for v, w in pairs:
+        by_v[v] = by_v.get(v, 0) + w
+    cum = 0
+    for v in sorted(by_v):
+        cum += by_v[v]
+        if cum >= k:
+            assert got == {q: v}
+            break
