@@ -10,17 +10,24 @@ Plain KNN returns near-duplicates when the corpus has them (and a
 deduplicated training corpus is exactly where the near-dups that remain
 are the interesting ones); MMR is the standard retrieval-side fix.
 
-Plan shape: the candidate POOL comes from the distributed KNN
+Plan shape (r15): the candidate POOL comes from the distributed KNN
 (``operators.knn.knn`` — TakeOrderedAndProject over the corpus, the
-scale-bearing stage); the greedy loop then runs over that BOUNDED pool
-(``fetch_k`` rows) as k chained tiny plan rounds — each round an
-anti-join + cross-join against the ≤ k selected rows + one argmax
-``limit(1)``, lineage-cut with ``localCheckpoint`` so round r does not
-re-evaluate rounds 1..r−1.  Nothing reaches the driver; the sequential
-dependency is inherent to greedy MMR, and every round touches
-O(fetch_k · |S|) rows.
-``candidates`` SHOULD be persisted by the caller when it is not a trivial
-scan — each round re-evaluates it otherwise.
+scale-bearing stage); the pool is BOUNDED (``fetch_k`` rows) by
+construction, so its full pairwise similarity matrix is fetch_k²
+scalars — ONE cross-join job computes every pair with the same cosine
+expression the greedy rounds consume (bit-identical doubles), and the
+k-round greedy argmax then runs driver-side over that KB-class state
+(the ``beam_search_knn`` bounded-collect pattern).  This replaces the
+r12 shape — k chained crossJoin + groupBy-shuffle + eager
+``localCheckpoint`` plan rounds (2 jobs + 1 shuffle per selection) —
+with 2 bounded jobs total; the sequential dependency inherent to
+greedy MMR costs Python loop iterations instead of scheduler
+round-trips.  Selection order is unchanged: the driver loop applies
+exactly Spark's (score DESC NULLS LAST, id ASC) total order (NaN above
++Inf) to Spark-computed doubles, and the MMR combine ``λ·rel −
+(1−λ)·ms`` is the same IEEE arithmetic the in-plan column expressed.
+``candidates`` SHOULD be persisted by the caller when it is not a
+trivial scan — the two jobs re-evaluate it otherwise.
 """
 
 from __future__ import annotations
@@ -50,38 +57,63 @@ def mmr_select(candidates: DataFrame, k: int, lam: float = 0.5,
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
 
+    import math
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     cand = candidates.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v"),
                              F.col(rel_col).alias("rel"))
-    selected: DataFrame | None = None
-    for r in range(1, k + 1):
-        if selected is None:
-            pick = (cand.orderBy(F.col("rel").desc(), F.col("id").asc())
-                    .limit(1))
+
+    # job 1: (id, rel) of the bounded pool
+    pool = cand.select("id", "rel").collect()
+    # job 2: the pool's pairwise cosines, Spark-computed — the SAME
+    # scalar expression per pair the per-round plan evaluated, so every
+    # double the greedy loop compares is bit-identical to the old shape
+    a = cand.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = cand.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    sim_rows = (a.crossJoin(b).filter(F.col("ia") != F.col("ib"))
+                .select("ia", "ib",
+                        cosine_similarity("va", "vb").alias("s"))
+                .collect())
+    sims: dict[tuple, float] = {(r.ia, r.ib): r.s for r in sim_rows}
+
+    def dkey(x):
+        """Spark's (x DESC NULLS LAST) as an ascending sort key:
+        NaN > +Inf > … > −Inf > NULL."""
+        if x is None:
+            return (2, 0.0)
+        if isinstance(x, float) and math.isnan(x):
+            return (0, 0.0)
+        return (1, -x)
+
+    rels = {r.id: r.rel for r in pool}
+    remaining = sorted(rels)          # id ASC is every round's tie-break
+    selected: list = []               # ids in selection order
+    for _ in range(min(k, len(remaining))):
+        if not selected:
+            best = min(remaining, key=lambda i: (dkey(rels[i]), i))
         else:
-            sel = selected.select(F.col("id").alias("sid"),
-                                  F.col("v").alias("sv"))
-            # aliased key → fresh attribute ids: a checkpointed plan keeps
-            # its exprIds, and joining it back against its own ancestor
-            # trips "conflicting references" resolution
-            rem = cand.join(sel.select("sid"),
-                            F.col("id") == F.col("sid"),
-                            "left_anti")
-            scored = (rem.crossJoin(sel)
-                      .withColumn("s", cosine_similarity("v", "sv"))
-                      .groupBy("id")
-                      .agg(F.first("v").alias("v"),
-                           F.first("rel").alias("rel"),
-                           F.max("s").alias("ms"))
-                      .withColumn("mmr", F.lit(lam) * F.col("rel")
-                                  - F.lit(1.0 - lam) * F.col("ms")))
-            pick = (scored.orderBy(F.col("mmr").desc(), F.col("id").asc())
-                    .limit(1).select("id", "v", "rel"))
-        # cut lineage each round: pick_r's plan contains every earlier
-        # round's — without this, round r re-evaluates rounds 1..r−1 and
-        # the chain goes exponential (the duplicate_clusters pattern; the
-        # materialized state is ≤ k rows)
-        pick = pick.withColumn("rank", F.lit(r)).localCheckpoint(eager=True)
-        selected = pick if selected is None else selected.unionByName(pick)
-    return selected.select("rank", F.col("id").alias(id_col),
-                           F.col("rel").alias(rel_col))
+            def mmr_of(i):
+                ss = [sims.get((i, s)) for s in selected]
+                ss = [x for x in ss if x is not None]
+                ms = (min(ss, key=dkey) if ss else None)  # max by DESC key
+                rel = rels[i]
+                if rel is None or ms is None:
+                    return None       # null propagates, sorts last
+                # same IEEE double ops, same order, as the in-plan
+                # column lam*rel - (1-lam)*ms
+                return lam * rel - (1.0 - lam) * ms
+            best = min(remaining, key=lambda i: (dkey(mmr_of(i)), i))
+        selected.append(best)
+        remaining.remove(best)
+
+    fields = {f.name: f for f in cand.schema.fields}
+    schema = StructType([
+        StructField("rank", IntegerType(), False),
+        StructField(id_col, fields["id"].dataType, fields["id"].nullable),
+        StructField(rel_col, fields["rel"].dataType,
+                    fields["rel"].nullable)])
+    return candidates.sparkSession.createDataFrame(
+        [(r, i, rels[i]) for r, i in enumerate(selected, start=1)],
+        schema)

@@ -590,6 +590,44 @@ def beam_search_knn(edges, source: DataFrame,
                     cosine_similarity(F.col(vec_col), q), 6))
                 .select(id_col, "label", "_s"))
 
+    def expand_round(lk, ids, seen) -> dict:
+        """One beam round's newcomer scoring, shaped by what the lookup
+        returns (r15):
+
+        - a DataFrame (fresh stores, in-memory graphs): ONE action —
+          the pruned candidate relation broadcast-probes ``source`` and
+          the driver set-dedups (the historical shape; collapsing it to
+          a collect + IN-scan was MEASURED SLOWER here — it doubles the
+          scheduler round-trips per round);
+        - an id LIST (delta stores — their merge-on-read resolution is
+          already a driver-side selection over stored 6-dp sims): the
+          already-deduped unseen ids are pushed into the scan as an IN
+          filter — no broadcast exchange, no join, and every scored row
+          is a newcomer.
+
+        Either way the score is the same in-plan rounded cosine, so the
+        visited set and trajectory are bit-identical across shapes."""
+        res = lk(ids)
+        if isinstance(res, DataFrame):
+            cand = res.select(F.col("dst").alias(id_col))
+            rows = (source.join(F.broadcast(cand), id_col)
+                    .withColumn("_s", F.round(
+                        cosine_similarity(F.col(vec_col), q), 6))
+                    .select(id_col, "label", "_s").collect())
+        else:
+            todo = sorted(set(res) - seen)
+            rows = [] if not todo else (
+                source.filter(F.col(id_col).isin(todo))
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col(vec_col), q), 6))
+                .select(id_col, "label", "_s").collect())
+        new = {}
+        for r in rows:
+            i = r[id_col]
+            if i not in seen and i not in new:
+                new[i] = r
+        return new
+
     if (hier_levels is None and stride is not None
             and l1_edges is not None and n1 is not None
             and n1 >= NSW_HIER_FLOOR):
@@ -612,17 +650,7 @@ def beam_search_knn(edges, source: DataFrame,
             for _ in range(NSW_L1_ROUNDS):
                 if not hf:
                     break
-                cand = lk(hf).select(F.col("dst").alias(id_col))
-                cand_rows = (source.join(F.broadcast(cand), id_col)
-                             .withColumn("_s", F.round(
-                                 cosine_similarity(F.col(vec_col), q),
-                                 6))
-                             .select(id_col, "label", "_s").collect())
-                new = {}
-                for r in cand_rows:
-                    i = r[id_col]
-                    if i not in seen and i not in new:
-                        new[i] = r
+                new = expand_round(lk, hf, seen)
                 if not new:
                     break
                 seen.update(new)
@@ -654,16 +682,7 @@ def beam_search_knn(edges, source: DataFrame,
     for _ in range(rounds):
         if not frontier:
             break
-        cand = lookup(frontier).select(F.col("dst").alias(id_col))
-        cand_rows = (source.join(F.broadcast(cand), id_col)
-                     .withColumn("_s", F.round(
-                         cosine_similarity(F.col(vec_col), q), 6))
-                     .select(id_col, "label", "_s").collect())
-        new = {}
-        for r in cand_rows:
-            i = r[id_col]
-            if i not in seen and i not in new:
-                new[i] = r
+        new = expand_round(lookup, frontier, seen)
         if not new:
             break
         seen.update(new)
@@ -1283,47 +1302,66 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
     # store URI (s3a://, hdfs://) or an upserted remote store would
     # silently take the fresh-store fast path and serve a stale graph.
     has_deltas = fs_exists(spark, path.rstrip("/") + "/_DELTAS")
-    wm = Window.partitionBy("src").orderBy(F.col("sim").desc(),
-                                           F.col("dst").asc())
 
-    def resolved_fwd(ids: list[int]) -> DataFrame:
-        # DENSE_RANK, not row_number: an at-least-once replay of an
-        # upsert micro-batch appends byte-identical (src, dst, sim)
-        # rows, and under row_number each copy would burn a top-m slot.
-        # (sim desc, dst asc) totally orders DISTINCT dsts, so the two
-        # rankings agree everywhere except exact duplicates — which
-        # dense_rank collapses onto one rank (the beam set-dedups the
-        # repeated (src, dst) output rows for free).
+    def _dsc(s):
+        """Spark's (sim DESC NULLS LAST, NaN largest) as an ascending
+        key — the stored sims are 6-dp-rounded doubles written by the
+        build/upsert, so sorting THEM driver-side replays the
+        merge-on-read window's order bit-for-bit (no recomputation)."""
+        if s is None:
+            return (2, 0.0)
+        if s != s:          # NaN sorts above every number under DESC
+            return (0, 0.0)
+        return (1, -s)
+
+    def _topm_dsts(rows, mm: int) -> dict:
+        """Driver replay of the merge-on-read DENSE_RANK window over
+        (sim DESC, dst ASC) per src, rank ≤ mm: distinct (sim, dst)
+        pairs — an at-least-once replay's byte-identical appended rows
+        collapse, exactly like dense_rank (r15: the window ran as a
+        per-round SHUFFLE inside the lookup plan before; the lookup is
+        a ≤ ef·M-row pruned point read, so the selection is KB-class
+        driver work)."""
+        bysrc: dict = {}
+        for src, dst, sim in rows:
+            bysrc.setdefault(src, set()).add((sim, dst))
+        return {src: [d for _, d in
+                      sorted(pairs, key=lambda p: (_dsc(p[0]), p[1]))[:mm]]
+                for src, pairs in bysrc.items()}
+
+    def lookup(ids: list[int]):
         buckets = sorted({i % n_buckets for i in ids})
-        return (edges.filter(F.col("bucket").isin(buckets)
-                             & F.col("src").isin(ids) & F.col("fwd"))
-                .withColumn("_rn", F.dense_rank().over(wm))
-                .filter(F.col("_rn") <= m).select("src", "dst"))
-
-    def lookup(ids: list[int]) -> DataFrame:
         if not has_deltas:
             # never-upserted store (the common serving case): every src
             # has exactly m fwd rows and every mirror is valid — one
             # pruned read, no window, no validation round-trip
-            buckets = sorted({i % n_buckets for i in ids})
             return (edges.filter(F.col("bucket").isin(buckets)
                                  & F.col("src").isin(ids))
                     .select("src", "dst"))
-        buckets = sorted({i % n_buckets for i in ids})
-        fwd = resolved_fwd(ids)
-        mirrors = (edges.filter(F.col("bucket").isin(buckets)
-                                & F.col("src").isin(ids) & ~F.col("fwd"))
-                   .select("src", "dst"))
-        # no .distinct() anywhere in this path: each would be a full
-        # shuffle stage on a ≤ ef·M-row relation, and the beam set-dedups
-        # candidates driver-side anyway — duplicates here are harmless
-        xs = sorted({r.dst for r in mirrors.select("dst").collect()})
-        if not xs:
-            return fwd
-        valid = resolved_fwd(xs).select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"))
-        return fwd.unionByName(mirrors.join(valid, ["src", "dst"],
-                                            "left_semi"))
+        # delta store: ONE pruned point read returns the frontier's fwd
+        # AND mirror rows; the top-m resolution and mirror validation
+        # are driver-side selections over the stored 6-dp sims (r15 —
+        # this was 1 extra collect + 2 window shuffles + a broadcast
+        # semi-join per round)
+        rows = (edges.filter(F.col("bucket").isin(buckets)
+                             & F.col("src").isin(ids))
+                .select("src", "dst", "sim", "fwd").collect())
+        fwd_top = _topm_dsts([(r.src, r.dst, r.sim)
+                              for r in rows if r.fwd], m)
+        cands = {d for ds in fwd_top.values() for d in ds}
+        mirrors = {(r.src, r.dst) for r in rows if not r.fwd}
+        xs = sorted({x for _, x in mirrors})
+        if xs:
+            # validation: mirror (w ← x) is kept only if (x → w)
+            # survives x's own resolved top-m — one more pruned read
+            xb = sorted({i % n_buckets for i in xs})
+            vrows = (edges.filter(F.col("bucket").isin(xb)
+                                  & F.col("src").isin(xs) & F.col("fwd"))
+                     .select("src", "dst", "sim").collect())
+            x_top = _topm_dsts([(r.src, r.dst, r.sim) for r in vrows], m)
+            cands |= {x for (w, x) in mirrors
+                      if w in x_top.get(x, ())}
+        return sorted(cands)
 
     # v4 hierarchical entry off the store's own level stack: each
     # level's lookup prunes its _L{l} bucket directories by the
@@ -1352,7 +1390,7 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
             def level_cb(lvl: int):
                 le = spark.read.parquet(f"{path.rstrip('/')}/_L{lvl}")
 
-                def cb(ids: list[int]) -> DataFrame:
+                def cb(ids: list[int]):
                     buckets = sorted({i % n_buckets for i in ids})
                     sel = (le.filter(F.col("bucket").isin(buckets)
                                      & F.col("src").isin(ids)))
@@ -1361,28 +1399,27 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                         # (symmetric, no fwd/mirror split): rows ARE
                         # the traversal relation
                         return sel.select("src", "dst")
-                    fwd = (sel.filter(F.col("fwd"))
-                           .withColumn("_rn", F.dense_rank().over(wm))
-                           .filter(F.col("_rn") <= mm)
-                           .select("src", "dst"))
-                    mirrors = (sel.filter(~F.col("fwd"))
-                               .select("src", "dst"))
-                    xs = sorted({r.dst for r in
-                                 mirrors.select("dst").collect()})
-                    if not xs:
-                        return fwd
-                    xb = sorted({i % n_buckets for i in xs})
-                    valid = (le.filter(F.col("bucket").isin(xb)
-                                       & F.col("src").isin(xs)
-                                       & F.col("fwd"))
-                             .withColumn("_rn",
-                                         F.dense_rank().over(wm))
-                             .filter(F.col("_rn") <= mm)
-                             .select(F.col("dst").alias("src"),
-                                     F.col("src").alias("dst")))
-                    return fwd.unionByName(
-                        mirrors.join(valid, ["src", "dst"],
-                                     "left_semi"))
+                    # delta store: same one-read + driver-side
+                    # resolution/validation as the base lookup (r15)
+                    rows = (sel.select("src", "dst", "sim", "fwd")
+                            .collect())
+                    fwd_top = _topm_dsts([(r.src, r.dst, r.sim)
+                                          for r in rows if r.fwd], mm)
+                    cands = {d for ds in fwd_top.values() for d in ds}
+                    mirrors = {(r.src, r.dst)
+                               for r in rows if not r.fwd}
+                    xs = sorted({x for _, x in mirrors})
+                    if xs:
+                        xb = sorted({i % n_buckets for i in xs})
+                        vrows = (le.filter(F.col("bucket").isin(xb)
+                                           & F.col("src").isin(xs)
+                                           & F.col("fwd"))
+                                 .select("src", "dst", "sim").collect())
+                        x_top = _topm_dsts([(r.src, r.dst, r.sim)
+                                            for r in vrows], mm)
+                        cands |= {x for (w, x) in mirrors
+                                  if w in x_top.get(x, ())}
+                    return sorted(cands)
                 return cb
 
             levels = []
