@@ -1550,7 +1550,11 @@ def ccnet_perplexity_buckets(spark: SparkSession,
     from openai_vector_search_demo_spark.functions.text_analysis import (
         unigram_lm_scores,
     )
-    docs = t(spark, sf_dir, "documents")
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    # spread before the LM tokenize/count derivation (r15, guide §2.5)
+    docs = spread_for_python(t(spark, sf_dir, "documents"), factor=4)
     lm = unigram_lm_scores(docs)
     b = (lm.join(docs.select("doc_id", "lang"), "doc_id")
          .withColumn("bucket", F.ntile(3).over(

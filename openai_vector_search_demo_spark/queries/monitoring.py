@@ -692,6 +692,9 @@ def unigram_lm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
+    # NOT spread (r15): paired A/B put the extra exchange at a small
+    # net loss here (2.36 → 2.62 s) — the budget join's shuffles
+    # dominate, not the tokenize map
     docs = t(spark, sf_dir, "documents")
     with cache_scope():
         wf = scoped_persist(word_frequencies(docs))
@@ -738,9 +741,13 @@ def unigram_lm_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_frequencies,
     )
 
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
     with cache_scope():
-        wf = scoped_persist(
-            word_frequencies(t(spark, sf_dir, "documents")))
+        # spread before the tokenize/explode pass (r15, guide §2.5)
+        wf = scoped_persist(word_frequencies(
+            spread_for_python(t(spark, sf_dir, "documents"), factor=1)))
         voc = train_unigram_vocab(wf)
         keyed = viterbi_word_scores(wf.select("word"), voc)
         out = (wf.join(keyed, "word")
@@ -1652,7 +1659,11 @@ def weighted_quantiles_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from openai_vector_search_demo_spark.functions import text_analysis as ta
 
-    docs = t(spark, sf_dir, "documents")
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    # spread before the per-pass token_count derivation (r15, guide §2.5)
+    docs = spread_for_python(t(spark, sf_dir, "documents"), factor=1)
     d = docs.select("lang", F.col("n_chars").cast("double").alias("nc"),
                     ta.token_count("text").cast("long").alias("w"))
     with cache_scope():

@@ -245,6 +245,9 @@ def ta_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openai_vector_search_demo_spark.functions.text_analysis import (
         unigram_lm_scores,
     )
+    # NOT spread (r15): the unigram scorer is counts-only — its first
+    # shuffle sits right after the tokenize map, and the paired A/B put
+    # the extra round-robin exchange at a small net LOSS (1.90 → 2.12 s)
     return unigram_lm_scores(t(spark, sf_dir, "documents"))
 
 
@@ -291,7 +294,12 @@ def ta_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openai_vector_search_demo_spark.functions.text_analysis import (
         bigram_lm_scores,
     )
-    return bigram_lm_scores(t(spark, sf_dir, "documents"))
+    # spread before the tokenize/lag/count derivation (r15, guide §2.5)
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    return bigram_lm_scores(
+        spread_for_python(t(spark, sf_dir, "documents"), factor=4))
 
 
 _CDCN_K, _CDCN_DIV, _CDCN_MIN, _CDCN_MAX = 4, 16, 8, 32
@@ -1247,8 +1255,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.operators.dsir import (
         dsir_importance_weights as _w)
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
 
-    docs = t(spark, sf_dir, "documents")
+    # spread before the hashed-n-gram feature pass (r15, guide §2.5)
+    docs = spread_for_python(t(spark, sf_dir, "documents"), factor=1)
     with cache_scope():
         w = _w(docs, docs.where(F.col("lang") == "en"), buckets=_DSIR_B,
                target_within_pool=True)
@@ -1279,8 +1291,12 @@ def dsir_resample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key rounded 6 dp in-engine.  See ``operators/dsir.py``."""
     from openai_vector_search_demo_spark.caching import cache_scope
     from openai_vector_search_demo_spark.operators.dsir import dsir_resample
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
 
-    docs = t(spark, sf_dir, "documents")
+    # spread before the hashed-n-gram feature pass (r15, guide §2.5)
+    docs = spread_for_python(t(spark, sf_dir, "documents"), factor=1)
     with cache_scope():
         out = dsir_resample(docs, docs.where(F.col("lang") == "en"),
                             k=50, buckets=_DSIR_B,

@@ -150,7 +150,12 @@ def ta_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite Gopher/C4-style quality heuristic, pure codegen SQL
     (DataFrame form — tokenizes once per row)."""
     from openai_vector_search_demo_spark.functions import text_analysis as ta
-    scored = ta.with_quality_score(t(spark, sf_dir, "documents"))
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    # spread before the regexp-heavy scoring pass (r15, guide §2.5)
+    scored = ta.with_quality_score(
+        spread_for_python(t(spark, sf_dir, "documents"), factor=1))
     return scored.select("doc_id", F.round("quality", 6).alias("quality"))
 
 

@@ -563,6 +563,13 @@ def stream_decontamination_gate(doc_stream: DataFrame, bench: DataFrame,
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # input-parallelism repair (r15, guide §2.5): a micro-batch of
+        # few file splits would run the 8-gram derivation serially —
+        # spread it first (no-op when the batch already has ≥ slots
+        # partitions; per-doc verdicts are partition-independent)
+        par = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < par:
+            batch_df = batch_df.repartition(par)
         # hook contract (r15): the callback receives the per-batch audit
         # DATAFRAME — a heavily contaminated batch at scale would make a
         # gate-side collect unbounded; the admission policy decides
