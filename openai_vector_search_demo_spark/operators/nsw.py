@@ -605,6 +605,15 @@ def beam_search_knn(edges, source: DataFrame,
           filter — no broadcast exchange, no join, and every scored row
           is a newcomer.
 
+        A lookup may also return ``(certain_ids, maybe_ids, resolve)``
+        — candidates whose membership needs one more read (delta-store
+        mirror validation): the resolve() read and the scoring read are
+        INDEPENDENT Spark jobs, so they run on two driver threads
+        (guide §2.6) and the round costs max(validate, score) instead
+        of their sum; scored rows whose id fails validation are
+        discarded before entering the visited set — identical
+        trajectory, one fewer sequential round-trip per round.
+
         Either way the score is the same in-plan rounded cosine, so the
         visited set and trajectory are bit-identical across shapes."""
         res = lk(ids)
@@ -615,12 +624,36 @@ def beam_search_knn(edges, source: DataFrame,
                         cosine_similarity(F.col(vec_col), q), 6))
                     .select(id_col, "label", "_s").collect())
         else:
-            todo = sorted(set(res) - seen)
-            rows = [] if not todo else (
-                source.filter(F.col(id_col).isin(todo))
-                .withColumn("_s", F.round(
-                    cosine_similarity(F.col(vec_col), q), 6))
-                .select(id_col, "label", "_s").collect())
+            def score(todo):
+                return [] if not todo else (
+                    source.filter(F.col(id_col).isin(todo))
+                    .withColumn("_s", F.round(
+                        cosine_similarity(F.col(vec_col), q), 6))
+                    .select(id_col, "label", "_s").collect())
+
+            if isinstance(res, tuple):
+                certain, maybe, resolve = res
+                todo = sorted((set(certain) | set(maybe)) - seen)
+                import threading
+                out = [None, None]
+
+                def _run(i, fn):
+                    try:
+                        out[i] = ("ok", fn())
+                    except BaseException as exc:  # noqa: BLE001
+                        out[i] = ("err", exc)
+                th = threading.Thread(target=_run, args=(1, resolve))
+                th.start()
+                _run(0, lambda: score(todo))
+                th.join()
+                for tag, val in out:
+                    if tag == "err":
+                        raise val
+                rows, valid = out[0][1], out[1][1]
+                keep = set(certain) | set(valid)
+                rows = [r for r in rows if r[id_col] in keep]
+            else:
+                rows = score(sorted(set(res) - seen))
         new = {}
         for r in rows:
             i = r[id_col]
@@ -1351,17 +1384,21 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
         cands = {d for ds in fwd_top.values() for d in ds}
         mirrors = {(r.src, r.dst) for r in rows if not r.fwd}
         xs = sorted({x for _, x in mirrors})
-        if xs:
+        if not xs:
+            return sorted(cands)
+
+        def resolve() -> set:
             # validation: mirror (w ← x) is kept only if (x → w)
-            # survives x's own resolved top-m — one more pruned read
+            # survives x's own resolved top-m — one more pruned read,
+            # run CONCURRENTLY with the round's scoring read (§2.6)
             xb = sorted({i % n_buckets for i in xs})
             vrows = (edges.filter(F.col("bucket").isin(xb)
                                   & F.col("src").isin(xs) & F.col("fwd"))
                      .select("src", "dst", "sim").collect())
             x_top = _topm_dsts([(r.src, r.dst, r.sim) for r in vrows], m)
-            cands |= {x for (w, x) in mirrors
-                      if w in x_top.get(x, ())}
-        return sorted(cands)
+            return {x for (w, x) in mirrors if w in x_top.get(x, ())}
+
+        return (cands, {x for _, x in mirrors}, resolve)
 
     # v4 hierarchical entry off the store's own level stack: each
     # level's lookup prunes its _L{l} bucket directories by the
@@ -1409,7 +1446,10 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                     mirrors = {(r.src, r.dst)
                                for r in rows if not r.fwd}
                     xs = sorted({x for _, x in mirrors})
-                    if xs:
+                    if not xs:
+                        return sorted(cands)
+
+                    def resolve() -> set:
                         xb = sorted({i % n_buckets for i in xs})
                         vrows = (le.filter(F.col("bucket").isin(xb)
                                            & F.col("src").isin(xs)
@@ -1417,9 +1457,10 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                                  .select("src", "dst", "sim").collect())
                         x_top = _topm_dsts([(r.src, r.dst, r.sim)
                                             for r in vrows], mm)
-                        cands |= {x for (w, x) in mirrors
-                                  if w in x_top.get(x, ())}
-                    return sorted(cands)
+                        return {x for (w, x) in mirrors
+                                if w in x_top.get(x, ())}
+
+                    return (cands, {x for _, x in mirrors}, resolve)
                 return cb
 
             levels = []

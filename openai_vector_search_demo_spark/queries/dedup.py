@@ -414,8 +414,13 @@ def late_interaction_topk_query(spark: SparkSession,
     from openai_vector_search_demo_spark.operators.late_interaction import (
         late_interaction_topk,
     )
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    # spread before the per-position feature derivation (r15, guide §2.5)
     return late_interaction_topk(
-        t(spark, sf_dir, "documents"), _LATE_Q, k=_LATE_K,
+        spread_for_python(t(spark, sf_dir, "documents"), factor=1),
+        _LATE_Q, k=_LATE_K,
         max_tokens=_LATE_MT, window=_LATE_W, dim=_LATE_DIM)
 
 

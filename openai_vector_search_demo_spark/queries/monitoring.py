@@ -1273,12 +1273,17 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes assignment, pairing, transitive closure, and the keep
     window — every retained/dropped decision is value-checked."""
     from openai_vector_search_demo_spark.operators.semdedup import semdedup
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
     emb = t(spark, sf_dir, "embeddings")
     cent_rows = (emb.filter((F.col("vec_id") >= 1)
                             & (F.col("vec_id") <= _SEMDEDUP_NLIST))
                  .select("vec_id", "embedding").orderBy("vec_id").collect())
     centroids = [[float(x) for x in r.embedding] for r in cent_rows]
-    return semdedup(emb, centroids, threshold=_SEMDEDUP_T)
+    # spread before the assignment scoring pass (r15, guide §2.5)
+    return semdedup(spread_for_python(emb, factor=4), centroids,
+                    threshold=_SEMDEDUP_T)
 
 
 _BM25_TERMS = ["hash", "join", "spark"]

@@ -289,7 +289,13 @@ def _wide_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim 1024 (the width of real sentence embeddings; the reference's default
     model is even wider — 12288d, modules/utilities.py:420-475).  Tiling
     preserves cosine exactly, so the oracle stays value-checkable."""
-    emb = t(spark, sf_dir, "embeddings")
+    from openai_vector_search_demo_spark.plans.pipeline import (
+        spread_for_python,
+    )
+    # spread before the 16× tiling + 1024-dim scoring (r15, guide §2.5):
+    # the single-row-group fixture otherwise runs the whole derivation
+    # on one task; no-op on a multi-split real corpus
+    emb = spread_for_python(t(spark, sf_dir, "embeddings"), factor=4)
     return emb.select(
         "vec_id", "label",
         F.flatten(F.array_repeat(F.col("embedding"), _WIDE_TILE))

@@ -1101,6 +1101,10 @@ def supplier_part_pagerank_dangling(spark: SparkSession,
         pagerank,
     )
 
+    # NOT spread (r15): a lineitem-scan spread before the edge agg was
+    # MEASURED a wash (6.57 → 6.88 s paired) — the iteration joins, not
+    # the scan, are this slot's floor (third declined lever, after the
+    # r11 repartition/broadcast A/Bs)
     li = t(spark, sf_dir, "lineitem")
     # Node id space: negated supplier keys vs raw part keys — integer
     # keys keep every per-round shuffle/join fixed-width (paired A/B:
