@@ -39,7 +39,14 @@ from openai_vector_search_demo_spark.functions.vectors import (
     cosine_similarity,
 )
 
-__all__ = ["mmr_select"]
+__all__ = ["MMR_MAX_POOL", "mmr_select"]
+
+MMR_MAX_POOL = 4096
+"""Hard cap on the candidate pool (ADVICE r15): the greedy loop and
+the pairwise cross-join are pool² driver-side work — a caller handing
+an unbounded relation must fail loudly BEFORE the k² collect, not OOM
+the driver during it.  Real pools are fetch_k ≤ tens of rows; the cap
+is two orders above that."""
 
 
 def mmr_select(candidates: DataFrame, k: int, lam: float = 0.5,
@@ -67,6 +74,19 @@ def mmr_select(candidates: DataFrame, k: int, lam: float = 0.5,
 
     # job 1: (id, rel) of the bounded pool
     pool = cand.select("id", "rel").collect()
+    if len(pool) > MMR_MAX_POOL:
+        raise ValueError(
+            f"mmr_select pool has {len(pool)} rows > MMR_MAX_POOL="
+            f"{MMR_MAX_POOL}; MMR is a RERANKER — bound the pool "
+            "(fetch_k) upstream")
+    pids = [r.id for r in pool]
+    if any(i is None for i in pids):
+        raise ValueError("mmr_select requires non-null candidate ids "
+                         "(the id is every argmax's tie-break)")
+    if len(set(pids)) != len(pids):
+        raise ValueError("mmr_select requires unique candidate ids "
+                         "(duplicates make the greedy argmax "
+                         "ill-defined)")
     # job 2: the pool's pairwise cosines, Spark-computed — the SAME
     # scalar expression per pair the per-round plan evaluated, so every
     # double the greedy loop compares is bit-identical to the old shape

@@ -433,7 +433,7 @@ def write_nsw_index(df: DataFrame, path: str, m: int = NSW_M,
                                  id_col=id_col)
         _write_graph_dual(ledges, f"{path.rstrip('/')}/_L{lvl}",
                           n_buckets)
-    _write_hier_meta(df.sparkSession, path, strides, counts, m)
+    _write_hier_meta(df.sparkSession, path, strides, counts, m, n=n)
 
 
 def _write_graph_dual(edges: DataFrame, path: str,
@@ -454,22 +454,28 @@ def _write_graph_dual(edges: DataFrame, path: str,
 
 
 def _write_hier_meta(spark, path: str, strides: list[int],
-                     counts: list[int], m: int) -> None:
+                     counts: list[int], m: int,
+                     n: int | None = None) -> None:
     """``_L1_META``: the frozen write-time geometry (v4 adds the full
     ``strides``/``counts`` stack; the v3 scalar keys stay for
-    compatibility with pre-v4 readers and tests)."""
+    compatibility with pre-v4 readers and tests; r16 adds the corpus
+    size ``n`` so serving slots can derive their stride from the store
+    artifact instead of a per-run count job)."""
     import json
 
     from openai_vector_search_demo_spark.stores import fs_write_text
     legacy_stride2 = strides[1] if len(strides) > 1 else \
         nsw_l1_params(counts[0])[0]
+    meta = {"stride": int(strides[0]),
+            "n1": int(counts[0]),
+            "stride2": int(legacy_stride2),
+            "m": int(m),
+            "strides": [int(s) for s in strides],
+            "counts": [int(c) for c in counts]}
+    if n is not None:
+        meta["n"] = int(n)
     fs_write_text(spark, path.rstrip("/") + "/_L1_META",
-                  json.dumps({"stride": int(strides[0]),
-                              "n1": int(counts[0]),
-                              "stride2": int(legacy_stride2),
-                              "m": int(m),
-                              "strides": [int(s) for s in strides],
-                              "counts": [int(c) for c in counts]}))
+                  json.dumps(meta))
 
 
 def build_l1_graph(df: DataFrame, stride: int, m: int = NSW_M,
@@ -528,6 +534,69 @@ def nsw_tenant_path(path: str, tenant) -> str:
     return f"{path.rstrip('/')}/tenant={escape_partition_value(tenant)}"
 
 
+NSW_PREFETCH_CAP = 8192
+"""Adjacency-prefetch bound for the fused round (r16): a round that
+scores ≤ this many newcomers ALSO prefetches their adjacency inside
+the same action, so the next round pays zero lookup jobs; a larger
+round skips the prefetch — its ≤ ef·2M candidates would drag MBs of
+edge rows the stop rule may never use into the collect — and the next
+round pays one frontier-sized catch-up read instead (the r15 two-read
+shape, now the rare case).  At the registered serving point
+(ef = {NSW_EF_SERVE}, M = {NSW_M}) a round's candidate set tops out at
+ef·2M = 5120 ids ≤ the cap, so serving rounds stay fused."""
+
+
+class AdjRelation:
+    """Pruned adjacency RELATION for the fused one-action-per-round
+    serving engine (r16, guide §1.2/§2.6 — VERDICT r15 #1): ``rel(ids)``
+    returns the lookup's stored rows for ``src IN ids`` as an
+    UNEXECUTED DataFrame — (src, dst) for trusted relations, (src, dst,
+    sim, fwd) for delta stores — so the engine can UNION it with the
+    round's scoring scan and pay ONE scheduler round-trip for the
+    scores AND the next round's adjacency (prefetch).  ``trusted``
+    marks a never-upserted relation: every stored row is a live
+    undirected edge — no merge-on-read window, no mirror validation.
+    Untrusted relations are resolved DRIVER-side from the prefetched
+    rows (the r15 ``_topm_dsts`` replay over stored 6-dp sims): per-src
+    top-``m`` over distinct fwd pairs, plus mirror rows validated
+    against the mirrored node's own top-m — fed by the SAME prefetched
+    rows, so r15's separate per-round validation read disappears.
+    ``pred_rel`` (optional) is the predicate form — used once per serve
+    to prefetch the flat-top entry's adjacency inside the entry scan's
+    own job; it is only ever called on the DEEPEST hierarchy level,
+    whose node count is < NSW_HIER_FLOOR² by construction, so the
+    unpruned scan it implies reads < 256 nodes at ANY corpus size."""
+
+    def __init__(self, rel, trusted: bool = True, m: int = NSW_M,
+                 pred_rel=None):
+        self.rel = rel
+        self.trusted = trusted
+        self.m = m
+        self.pred_rel = pred_rel
+
+
+def _dsc(s):
+    """Spark's (sim DESC NULLS LAST, NaN largest) as an ascending key —
+    stored sims are 6-dp-rounded doubles written by the build/upsert,
+    so sorting THEM driver-side replays the merge-on-read window's
+    order bit-for-bit (no recomputation)."""
+    if s is None:
+        return (2, 0.0)
+    if s != s:          # NaN sorts above every number under DESC
+        return (0, 0.0)
+    return (1, -s)
+
+
+def _topm_from(rows, mm: int) -> list:
+    """Driver replay of the merge-on-read DENSE_RANK window over
+    (sim DESC, dst ASC), rank ≤ mm, for ONE src's (dst, sim, fwd) rows:
+    distinct (sim, dst) fwd pairs — an at-least-once replay's
+    byte-identical appended rows collapse, exactly like dense_rank."""
+    pairs = {(s, d) for d, s, f in rows if f}
+    return [d for _, d in
+            sorted(pairs, key=lambda p: (_dsc(p[0]), p[1]))[:mm]]
+
+
 def beam_search_knn(edges, source: DataFrame,
                     qvec: Sequence[float], k: int = 10,
                     ef: int = NSW_EF, rounds: int = NSW_ROUNDS,
@@ -542,123 +611,192 @@ def beam_search_knn(edges, source: DataFrame,
                     flat_mod: int | None = None,
                     stop_k: int | None = NSW_STOP_K) -> DataFrame:
     """Multi-seed beam search over an adjacency relation — the
-    SINGLE-QUERY serving form: ONE Spark job per round (the frontier's
-    pruned edge lookup broadcast-joined against ``source`` and scored
-    in the same plan), with the ≤ ef·2M scored rows accumulated
-    driver-side — visited-set dedup, per-round top-ef, and the final
-    top-k are Python sorts over KB-class state, costing zero extra
-    jobs (at real-cluster scheduler latency the job count IS the query
-    latency — the local-cluster smoke measured ~0.5 s per round-trip;
-    query THROUGHPUT belongs to ``beam_search_knn_batch``, which keeps
-    all per-query state in-plan).  Scores stay exact 6-dp-rounded
-    cosines computed in the plan; every selection orders by
-    (score desc, id asc) — the same total order Spark's orderBy gives,
-    so the trajectory is oracle-replayable bit-for-bit.
+    SINGLE-QUERY serving form, FUSED (r16): each beam round pays ONE
+    Spark action that both scores the round's unseen candidates (an
+    IN-pushdown point read of ``source``) and PREFETCHES those
+    candidates' adjacency (the same pruned read the next round would
+    otherwise issue), unioned into a single plan — at real-cluster
+    scheduler latency the action count IS the query latency, and r15's
+    shape paid 2-3 actions per round (broadcast build + probe, or
+    read + score ∥ validate).  Candidate resolution, visited-set
+    dedup, per-round top-ef, merge-on-read top-m and mirror validation
+    are Python selections over the KB-class prefetched state — zero
+    extra jobs.  Scores stay exact 6-dp-rounded cosines computed in
+    the plan; every selection orders by (score desc, id asc) — the
+    same total order Spark's orderBy gives — so the trajectory is
+    oracle-replayable bit-for-bit and identical to the r15 shapes.
 
     Entry points (v4, HIERARCHICAL): with ``hier_levels``/``flat_mod``
     set — or the legacy depth-1 shape ``stride``+``l1_edges``+``n1``
     (upgraded internally) — entry DESCENDS the level stack: the flat
     top subset ``id % flat_mod == 0`` (< {NSW_HIER_FLOOR} nodes) is
-    scored exactly, then each graph level from the top down runs
-    {NSW_L1_ROUNDS} beam rounds at CONSTANT width {NSW_HIER_W}
-    (seeded by the running pool's top-{NSW_HIER_W}), and the
-    top-``n_entry`` of everything visited seeds the base beam — all
-    hierarchy-visited stay candidates (their exact scores are paid).
-    Entry work is depth·{NSW_L1_ROUNDS}·{NSW_HIER_W}·2M evaluations —
-    flat in n (depth is log log n).  With only ``stride`` set, the
-    whole coarse layer is scored flat (the registered degeneration
-    when ``n1 < NSW_HIER_FLOOR``).  Without ``stride``, ``seeds`` are
-    used verbatim (legacy fixed-entry mode).
+    scored exactly — with the deepest level's adjacency prefetched in
+    the SAME action when the level exposes ``pred_rel`` — then each
+    graph level from the top down runs {NSW_L1_ROUNDS} fused rounds at
+    CONSTANT width {NSW_HIER_W}, and the top-``n_entry`` of everything
+    visited seeds the base beam.  A level TRANSITION pays one
+    frontier-sized catch-up read (the new level's adjacency was never
+    prefetched); everything else is one action per round.  With only
+    ``stride`` set, the whole coarse layer is scored flat (the
+    registered degeneration when ``n1 < NSW_HIER_FLOOR``).  Without
+    ``stride``, ``seeds`` are used verbatim — their known ids let the
+    seed scoring and seed adjacency ride one action too.
 
-    ``edges`` / level entries are DataFrames or ``ids -> DataFrame``
-    lookup callables (the stored path passes ones that also filter the
-    store's bucket partition column, so the IN-list prunes
-    DIRECTORIES, not just row groups); ``hier_levels`` is ordered
-    L1 → Ld (the descent runs it reversed)."""
+    ``edges`` / level entries are ``AdjRelation``s (the stored path's
+    bucket-pruned form), DataFrames of (src, dst), or legacy
+    ``ids -> DataFrame`` callables; ``hier_levels`` is ordered L1 → Ld
+    (the descent runs it reversed)."""
+    from pyspark.sql import Row
+
     q = vector_lit(qvec)
-    lookup = edges if callable(edges) else (
-        lambda ids: edges.filter(F.col("src").isin(ids)))
+    sess = source.sparkSession
+    lbl_type = source.schema["label"].dataType
+    RowF = Row(id_col, "label", "_s")
+
+    def _as_adj(e):
+        if isinstance(e, AdjRelation):
+            return e
+        if callable(e):
+            return AdjRelation(e)
+        return AdjRelation(
+            lambda ids, _e=e: _e.filter(F.col("src").isin(ids)),
+            pred_rel=lambda pred, _e=e: _e.filter(pred))
 
     def skey(r):
         s = r["_s"]
-        # Spark orderBy(desc) puts NULLs last; -inf reproduces that
-        return (-(s if s is not None else float("-inf")), r[id_col])
+        # Spark orderBy(desc): NaN above every number, NULLs last
+        if s is None:
+            return (2, 0.0, r[id_col])
+        if s != s:
+            return (0, 0.0, r[id_col])
+        return (1, -s, r[id_col])
 
-    def score_ids(pred) -> DataFrame:
+    def score_pred(pred) -> DataFrame:
         return (source.filter(F.col(vec_col).isNotNull() & pred)
                 .withColumn("_s", F.round(
                     cosine_similarity(F.col(vec_col), q), 6))
                 .select(id_col, "label", "_s"))
 
-    def expand_round(lk, ids, seen) -> dict:
-        """One beam round's newcomer scoring, shaped by what the lookup
-        returns (r15):
+    def score_ids(ids) -> DataFrame:
+        # round scoring carries no isNotNull filter — exactly the r15
+        # shapes (a null vector scores NULL and sorts last)
+        return (source.filter(F.col(id_col).isin(ids))
+                .withColumn("_s", F.round(
+                    cosine_similarity(F.col(vec_col), q), 6))
+                .select(id_col, "label", "_s"))
 
-        - a DataFrame (fresh stores, in-memory graphs): ONE action —
-          the pruned candidate relation broadcast-probes ``source`` and
-          the driver set-dedups (the historical shape; collapsing it to
-          a collect + IN-scan was MEASURED SLOWER here — it doubles the
-          scheduler round-trips per round);
-        - an id LIST (delta stores — their merge-on-read resolution is
-          already a driver-side selection over stored 6-dp sims): the
-          already-deduped unseen ids are pushed into the scan as an IN
-          filter — no broadcast exchange, no join, and every scored row
-          is a newcomer.
+    def _sb(df: DataFrame) -> DataFrame:
+        """Scoring branch normalized for the round union."""
+        return df.select(
+            F.lit(0).alias("_t"),
+            F.col(id_col).cast("long").alias("_a"),
+            F.col("label").alias("_lbl"),
+            F.col("_s").cast("double").alias("_s"),
+            F.lit(None).cast("long").alias("_b"),
+            F.lit(True).alias("_f"))
 
-        A lookup may also return ``(certain_ids, maybe_ids, resolve)``
-        — candidates whose membership needs one more read (delta-store
-        mirror validation): the resolve() read and the scoring read are
-        INDEPENDENT Spark jobs, so they run on two driver threads
-        (guide §2.6) and the round costs max(validate, score) instead
-        of their sum; scored rows whose id fails validation are
-        discarded before entering the visited set — identical
-        trajectory, one fewer sequential round-trip per round.
+    def _ab(df: DataFrame, tag: int = 1) -> DataFrame:
+        """Adjacency branch normalized for the round union; ``tag``
+        separates the primary prefetch from a NEXT-lookup prefetch
+        riding the same action."""
+        cols = set(df.columns)
+        sim = (F.col("sim").cast("double") if "sim" in cols
+               else F.lit(None).cast("double"))
+        fwd = F.col("fwd") if "fwd" in cols else F.lit(True)
+        return df.select(
+            F.lit(tag).alias("_t"),
+            F.col("src").cast("long").alias("_a"),
+            F.lit(None).cast(lbl_type).alias("_lbl"),
+            sim.alias("_s"),
+            F.col("dst").cast("long").alias("_b"),
+            fwd.alias("_f"))
 
-        Either way the score is the same in-plan rounded cosine, so the
-        visited set and trajectory are bit-identical across shapes."""
-        res = lk(ids)
-        if isinstance(res, DataFrame):
-            cand = res.select(F.col("dst").alias(id_col))
-            rows = (source.join(F.broadcast(cand), id_col)
-                    .withColumn("_s", F.round(
-                        cosine_similarity(F.col(vec_col), q), 6))
-                    .select(id_col, "label", "_s").collect())
-        else:
-            def score(todo):
-                return [] if not todo else (
-                    source.filter(F.col(id_col).isin(todo))
-                    .withColumn("_s", F.round(
-                        cosine_similarity(F.col(vec_col), q), 6))
-                    .select(id_col, "label", "_s").collect())
-
-            if isinstance(res, tuple):
-                certain, maybe, resolve = res
-                todo = sorted((set(certain) | set(maybe)) - seen)
-                import threading
-                out = [None, None]
-
-                def _run(i, fn):
-                    try:
-                        out[i] = ("ok", fn())
-                    except BaseException as exc:  # noqa: BLE001
-                        out[i] = ("err", exc)
-                th = threading.Thread(target=_run, args=(1, resolve))
-                th.start()
-                _run(0, lambda: score(todo))
-                th.join()
-                for tag, val in out:
-                    if tag == "err":
-                        raise val
-                rows, valid = out[0][1], out[1][1]
-                keep = set(certain) | set(valid)
-                rows = [r for r in rows if r[id_col] in keep]
+    def _collect(branches):
+        df = branches[0]
+        for b in branches[1:]:
+            df = df.unionByName(b)
+        scored, adj = [], {}
+        for r in df.collect():
+            if r["_t"] == 0:
+                scored.append(r)
             else:
-                rows = score(sorted(set(res) - seen))
+                adj.setdefault(r["_t"], []).append(r)
+        return scored, adj
+
+    def _ingest(cache, ids, adjrows):
+        for i in ids:
+            cache.setdefault(int(i), [])
+        for r in adjrows:
+            cache.setdefault(r["_a"], []).append(
+                (r["_b"], r["_s"], r["_f"]))
+
+    caches: dict[int, dict] = {}
+
+    def _cache(adj) -> dict:
+        return caches.setdefault(id(adj), {})
+
+    def fused_round(adj: AdjRelation, frontier, seen,
+                    also=None) -> dict:
+        """One beam round = ONE action (plus a frontier-sized catch-up
+        read only when this lookup's adjacency was never prefetched —
+        level transitions).  ``also=(next_adj, seed_ids)`` rides a
+        NEXT-lookup prefetch on the same action: the next phase's
+        frontier is a subset of (current top seed_ids ∪ this round's
+        todo), so prefetching that superset's next-level adjacency now
+        makes the transition catch-up read unnecessary (guide §2.6 —
+        the extra rows ride an action already being paid)."""
+        cache = _cache(adj)
+        missing = sorted({int(i) for i in frontier} - cache.keys())
+        if missing:
+            _, adjrows = _collect([_ab(adj.rel(missing))])
+            _ingest(cache, missing, adjrows.get(1, []))
+        certain, mirrors = set(), set()
+        for i in frontier:
+            rows = cache.get(int(i), ())
+            if adj.trusted:
+                certain.update(d for d, _s, _f in rows)
+            else:
+                certain.update(_topm_from(rows, adj.m))
+                mirrors.update((int(i), d)
+                               for d, s, f in rows if not f)
+        todo = sorted((certain | {x for _, x in mirrors}) - seen)
+        if not todo:
+            return {}
+        need = sorted(set(todo) - cache.keys())
+        if len(todo) > NSW_PREFETCH_CAP:
+            # oversize round: prefetch only what mirror VALIDATION
+            # needs (delta stores); the next round catches up instead
+            need = sorted({x for _, x in mirrors
+                           if x not in seen and x not in cache}) \
+                if not adj.trusted else []
+        branches = [_sb(score_ids(todo))]
+        if need:
+            branches.append(_ab(adj.rel(need)))
+        also_ids = []
+        if also is not None and len(todo) <= NSW_PREFETCH_CAP:
+            next_adj, seed_ids = also
+            also_ids = sorted(({int(i) for i in seed_ids}
+                               | set(todo)) - _cache(next_adj).keys())
+            if also_ids:
+                branches.append(_ab(next_adj.rel(also_ids), tag=2))
+        scored, adjrows = _collect(branches)
+        _ingest(cache, need, adjrows.get(1, []))
+        if also_ids:
+            _ingest(_cache(also[0]), also_ids, adjrows.get(2, []))
+        if not adj.trusted and mirrors:
+            valid = set()
+            for w, x in mirrors:
+                if x in valid:
+                    continue
+                if w in _topm_from(cache.get(x, ()), adj.m):
+                    valid.add(x)
+            keep = certain | valid
+            scored = [r for r in scored if r["_a"] in keep]
         new = {}
-        for r in rows:
-            i = r[id_col]
+        for r in scored:
+            i = r["_a"]
             if i not in seen and i not in new:
-                new[i] = r
+                new[i] = RowF(i, r["_lbl"], r["_s"])
         return new
 
     if (hier_levels is None and stride is not None
@@ -667,23 +805,40 @@ def beam_search_knn(edges, source: DataFrame,
         # legacy depth-1 call shape -> the v4 descent with one level
         hier_levels = [l1_edges]
         flat_mod = int(stride) * nsw_l1_params(n1)[0]
+    base_adj = _as_adj(edges)
     if hier_levels:
-        lookups = [lv if callable(lv) else
-                   (lambda ids, _e=lv: _e.filter(F.col("src").isin(ids)))
-                   for lv in hier_levels]
-        scored0 = score_ids(
+        adjs = [_as_adj(lv) for lv in hier_levels]
+        deep = adjs[-1]
+        scored0 = score_pred(
             F.pmod(F.col(id_col), F.lit(int(flat_mod))) == 0)
         schema = scored0.schema
-        rows = scored0.collect()
-        visited = {r[id_col]: r for r in rows}
+        branches = [_sb(scored0)]
+        if deep.pred_rel is not None:
+            # the flat top is a subset of the deepest graph level, so
+            # its first-descent adjacency rides the entry scan's action
+            branches.append(_ab(deep.pred_rel(
+                F.pmod(F.col("src"), F.lit(int(flat_mod))) == 0)))
+        scored, adjrows = _collect(branches)
+        _ingest(_cache(deep), [r["_a"] for r in scored],
+                adjrows.get(1, []))
+        visited = {r["_a"]: RowF(r["_a"], r["_lbl"], r["_s"])
+                   for r in scored}
         seen = set(visited)
-        for lk in reversed(lookups):
+        stack = list(reversed(adjs))
+        for li, adj in enumerate(stack):
+            nxt = stack[li + 1] if li + 1 < len(stack) else base_adj
             hf = [r[id_col] for r in
                   sorted(visited.values(), key=skey)[:NSW_HIER_W]]
             for _ in range(NSW_L1_ROUNDS):
                 if not hf:
                     break
-                new = expand_round(lk, hf, seen)
+                # the next phase's frontier ⊆ current top pool ∪ this
+                # round's newcomers: prefetch its adjacency NOW so the
+                # level transition pays no catch-up action
+                seed_ids = [r[id_col] for r in
+                            sorted(visited.values(), key=skey)
+                            [:max(NSW_HIER_W, n_entry)]]
+                new = fused_round(adj, hf, seen, also=(nxt, seed_ids))
                 if not new:
                     break
                 seen.update(new)
@@ -693,7 +848,7 @@ def beam_search_knn(edges, source: DataFrame,
         frontier = [r[id_col] for r in
                     sorted(visited.values(), key=skey)[:n_entry]]
     elif stride is not None:
-        scored0 = score_ids(
+        scored0 = score_pred(
             F.pmod(F.col(id_col), F.lit(int(stride))) == 0)
         schema = scored0.schema
         rows = scored0.collect()
@@ -701,21 +856,23 @@ def beam_search_knn(edges, source: DataFrame,
         frontier = [r[id_col] for r in sorted(rows, key=skey)[:n_entry]]
         seen = set(visited)
     else:
-        seed_df = (source.sparkSession
-                   .createDataFrame([(int(x),) for x in seeds],
-                                    f"{id_col} long"))
-        scored0 = (source.join(F.broadcast(seed_df), id_col)
-                   .withColumn("_s", F.round(
-                       cosine_similarity(F.col(vec_col), q), 6))
-                   .select(id_col, "label", "_s"))
+        # seeds are known ids: the seed scoring (an IN point read —
+        # value-identical to the r15 broadcast join) and the seed
+        # adjacency prefetch ride one action
+        seed_ids = [int(x) for x in seeds]
+        scored0 = score_ids(seed_ids)
         schema = scored0.schema
-        visited = {r[id_col]: r for r in scored0.collect()}
-        frontier = [int(x) for x in seeds]
+        branches = [_sb(scored0), _ab(base_adj.rel(sorted(seed_ids)))]
+        scored, adjrows = _collect(branches)
+        _ingest(_cache(base_adj), sorted(seed_ids), adjrows.get(1, []))
+        visited = {r["_a"]: RowF(r["_a"], r["_lbl"], r["_s"])
+                   for r in scored}
+        frontier = seed_ids
         seen = set(visited) | set(frontier)
     for _ in range(rounds):
         if not frontier:
             break
-        new = expand_round(lookup, frontier, seen)
+        new = fused_round(base_adj, frontier, seen)
         if not new:
             break
         seen.update(new)
@@ -742,7 +899,7 @@ def beam_search_knn(edges, source: DataFrame,
         # is the documented recompaction case (rebuild without them).
         dead = set(exclude_ids)
         out_rows = [r for r in out_rows if r[id_col] not in dead]
-    top = source.sparkSession.createDataFrame(out_rows[:k], schema)
+    top = sess.createDataFrame(out_rows[:k], schema)
     return top.withColumnRenamed("_s", sim_col)
 
 
@@ -906,9 +1063,19 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
     Traversal is SYMMETRIC over the directed top-m build; with
     ``stride`` set the whole level stack is graph-indexed inline too
     and entry is the v4 HIERARCHICAL descent (``n1`` skips the first
-    coarse count job when the caller already knows it)."""
+    coarse count job when the caller already knows it).
+
+    The built adjacency is ``localCheckpoint``-ed ONCE per call (r16,
+    guide §5): every beam round filters the edge relation, and an
+    unpersisted build plan re-ran the blocked-BLAS pass per round —
+    profiling showed the inline slots paying the n²/block build 5-8×
+    per serve.  The checkpoint is n·m rows, recomputed from the input
+    on every invocation (within-query reuse, not a cross-run cache);
+    the build is deterministic (xxhash salting, 6-dp rounds), so the
+    materialized bytes equal any replay's."""
     edges = symmetrize_edges(
-        build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col))
+        build_knn_graph(df, m=m, vec_col=vec_col, id_col=id_col)
+    ).localCheckpoint()
     levels, flat_mod = None, None
     if stride is not None:
         import math
@@ -935,7 +1102,8 @@ def nsw_knn(df: DataFrame, qvec: Sequence[float], k: int = 10,
                 break
             levels.append(build_l1_graph(base, prod, m=m,
                                          vec_col=vec_col,
-                                         id_col=id_col))
+                                         id_col=id_col)
+                          .localCheckpoint())
         flat_mod = prod
         if not levels:
             # degenerate corpus: flat coarse entry at the caller stride
@@ -1042,7 +1210,7 @@ def upsert_nsw_index(spark, path: str, batch: DataFrame,
             _write_graph_dual(
                 build_knn_graph(sub, m=m, vec_col="v", id_col="id"),
                 lpath, n_buckets)
-    _write_hier_meta(spark, path, strides, counts, m)
+    _write_hier_meta(spark, path, strides, counts, m, n=n)
 
 
 def _append_graph_delta(spark, path: str, brows, existing: DataFrame,
@@ -1321,13 +1489,14 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
     MERGE-ON-READ: the per-src top-``m`` window resolves the current
     OUT-list from (original ∪ ``upsert_nsw_index``-appended) fwd rows —
     a no-op on a never-upserted store and the exact full-rebuild list
-    after inserts; it runs on the frontier-sized lookup, never the
-    store.  Traversal is SYMMETRIC (v2): the frontier's fwd=false
-    mirror rows contribute reversed edges after VALIDATION — each
-    mirror (w←x) is kept only if (x→w) survives x's own resolved
-    top-m, one extra bucket-pruned point read per round — so stale
-    mirrors left behind by upsert displacement can never steer the
-    beam off the oracle's graph."""
+    after inserts; it is a driver-side selection over the round's
+    prefetched rows (``_topm_from``), never a job.  Traversal is
+    SYMMETRIC (v2): the frontier's fwd=false mirror rows contribute
+    reversed edges after VALIDATION — each mirror (w←x) is kept only
+    if (x→w) survives x's own resolved top-m — resolved from the SAME
+    prefetched rows (r16: r15 paid one extra concurrent read per
+    round for this), so stale mirrors left behind by upsert
+    displacement can never steer the beam off the oracle's graph."""
     from openai_vector_search_demo_spark.stores import fs_exists
 
     edges = spark.read.parquet(path)
@@ -1336,69 +1505,18 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
     # silently take the fresh-store fast path and serve a stale graph.
     has_deltas = fs_exists(spark, path.rstrip("/") + "/_DELTAS")
 
-    def _dsc(s):
-        """Spark's (sim DESC NULLS LAST, NaN largest) as an ascending
-        key — the stored sims are 6-dp-rounded doubles written by the
-        build/upsert, so sorting THEM driver-side replays the
-        merge-on-read window's order bit-for-bit (no recomputation)."""
-        if s is None:
-            return (2, 0.0)
-        if s != s:          # NaN sorts above every number under DESC
-            return (0, 0.0)
-        return (1, -s)
-
-    def _topm_dsts(rows, mm: int) -> dict:
-        """Driver replay of the merge-on-read DENSE_RANK window over
-        (sim DESC, dst ASC) per src, rank ≤ mm: distinct (sim, dst)
-        pairs — an at-least-once replay's byte-identical appended rows
-        collapse, exactly like dense_rank (r15: the window ran as a
-        per-round SHUFFLE inside the lookup plan before; the lookup is
-        a ≤ ef·M-row pruned point read, so the selection is KB-class
-        driver work)."""
-        bysrc: dict = {}
-        for src, dst, sim in rows:
-            bysrc.setdefault(src, set()).add((sim, dst))
-        return {src: [d for _, d in
-                      sorted(pairs, key=lambda p: (_dsc(p[0]), p[1]))[:mm]]
-                for src, pairs in bysrc.items()}
-
-    def lookup(ids: list[int]):
-        buckets = sorted({i % n_buckets for i in ids})
+    def _rel(ids):
+        buckets = sorted({int(i) % n_buckets for i in ids})
+        sel = edges.filter(F.col("bucket").isin(buckets)
+                           & F.col("src").isin(ids))
         if not has_deltas:
-            # never-upserted store (the common serving case): every src
-            # has exactly m fwd rows and every mirror is valid — one
-            # pruned read, no window, no validation round-trip
-            return (edges.filter(F.col("bucket").isin(buckets)
-                                 & F.col("src").isin(ids))
-                    .select("src", "dst"))
-        # delta store: ONE pruned point read returns the frontier's fwd
-        # AND mirror rows; the top-m resolution and mirror validation
-        # are driver-side selections over the stored 6-dp sims (r15 —
-        # this was 1 extra collect + 2 window shuffles + a broadcast
-        # semi-join per round)
-        rows = (edges.filter(F.col("bucket").isin(buckets)
-                             & F.col("src").isin(ids))
-                .select("src", "dst", "sim", "fwd").collect())
-        fwd_top = _topm_dsts([(r.src, r.dst, r.sim)
-                              for r in rows if r.fwd], m)
-        cands = {d for ds in fwd_top.values() for d in ds}
-        mirrors = {(r.src, r.dst) for r in rows if not r.fwd}
-        xs = sorted({x for _, x in mirrors})
-        if not xs:
-            return sorted(cands)
+            # never-upserted store (the common serving case): every
+            # src has exactly m fwd rows and every mirror is valid —
+            # the rows ARE the undirected adjacency
+            return sel.select("src", "dst")
+        return sel.select("src", "dst", "sim", "fwd")
 
-        def resolve() -> set:
-            # validation: mirror (w ← x) is kept only if (x → w)
-            # survives x's own resolved top-m — one more pruned read,
-            # run CONCURRENTLY with the round's scoring read (§2.6)
-            xb = sorted({i % n_buckets for i in xs})
-            vrows = (edges.filter(F.col("bucket").isin(xb)
-                                  & F.col("src").isin(xs) & F.col("fwd"))
-                     .select("src", "dst", "sim").collect())
-            x_top = _topm_dsts([(r.src, r.dst, r.sim) for r in vrows], m)
-            return {x for (w, x) in mirrors if w in x_top.get(x, ())}
-
-        return (cands, {x for _, x in mirrors}, resolve)
+    lookup = AdjRelation(_rel, trusted=not has_deltas, m=m)
 
     # v4 hierarchical entry off the store's own level stack: each
     # level's lookup prunes its _L{l} bucket directories by the
@@ -1424,44 +1542,29 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
             counts = meta.get("counts", [meta["n1"], 0])
             mm = int(meta.get("m", m))
 
-            def level_cb(lvl: int):
+            def level_adj(lvl: int) -> AdjRelation:
                 le = spark.read.parquet(f"{path.rstrip('/')}/_L{lvl}")
+                # pre-v4 layers were written whole (symmetric, no
+                # fwd/mirror split): their rows ARE the traversal
+                # relation, delta markers or not
+                delta_layer = has_deltas and "fwd" in le.columns
 
-                def cb(ids: list[int]):
-                    buckets = sorted({i % n_buckets for i in ids})
-                    sel = (le.filter(F.col("bucket").isin(buckets)
-                                     & F.col("src").isin(ids)))
-                    if not has_deltas or "fwd" not in le.columns:
-                        # no deltas — or a pre-v4 layer written whole
-                        # (symmetric, no fwd/mirror split): rows ARE
-                        # the traversal relation
+                def rel(ids, _le=le, _d=delta_layer):
+                    buckets = sorted({int(i) % n_buckets for i in ids})
+                    sel = _le.filter(F.col("bucket").isin(buckets)
+                                     & F.col("src").isin(ids))
+                    if not _d:
                         return sel.select("src", "dst")
-                    # delta store: same one-read + driver-side
-                    # resolution/validation as the base lookup (r15)
-                    rows = (sel.select("src", "dst", "sim", "fwd")
-                            .collect())
-                    fwd_top = _topm_dsts([(r.src, r.dst, r.sim)
-                                          for r in rows if r.fwd], mm)
-                    cands = {d for ds in fwd_top.values() for d in ds}
-                    mirrors = {(r.src, r.dst)
-                               for r in rows if not r.fwd}
-                    xs = sorted({x for _, x in mirrors})
-                    if not xs:
-                        return sorted(cands)
+                    return sel.select("src", "dst", "sim", "fwd")
 
-                    def resolve() -> set:
-                        xb = sorted({i % n_buckets for i in xs})
-                        vrows = (le.filter(F.col("bucket").isin(xb)
-                                           & F.col("src").isin(xs)
-                                           & F.col("fwd"))
-                                 .select("src", "dst", "sim").collect())
-                        x_top = _topm_dsts([(r.src, r.dst, r.sim)
-                                            for r in vrows], mm)
-                        return {x for (w, x) in mirrors
-                                if w in x_top.get(x, ())}
+                def pred_rel(pred, _le=le, _d=delta_layer):
+                    sel = _le.filter(pred)
+                    if not _d:
+                        return sel.select("src", "dst")
+                    return sel.select("src", "dst", "sim", "fwd")
 
-                    return (cands, {x for _, x in mirrors}, resolve)
-                return cb
+                return AdjRelation(rel, trusted=not delta_layer, m=mm,
+                                   pred_rel=pred_rel)
 
             levels = []
             prod = 1
@@ -1470,7 +1573,7 @@ def nsw_stored_knn(spark, path: str, source: DataFrame,
                 prod *= s
                 if cnt < NSW_HIER_FLOOR:
                     break
-                levels.append(level_cb(lvl))
+                levels.append(level_adj(lvl))
             flat_mod = prod
             if not levels:
                 levels, flat_mod = None, None

@@ -1001,8 +1001,11 @@ def q2_knn_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998): fetch the
     top-20 candidate pool with the distributed KNN (the scale-bearing
     stage), then greedily select 5 by
-    ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` as lazily-chained bounded
-    plan rounds (``operators.mmr.mmr_select`` — nothing collected).  The
+    ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` — 2 bounded Spark jobs
+    (pool + fetch_k² pairwise cosines, both Spark-computed doubles)
+    and a driver-side greedy loop replaying Spark's
+    (DESC NULLS LAST, id ASC) order over that KB-class state
+    (``operators.mmr.mmr_select``, the r15 bounded-collect shape).  The
     oracle unrolls the same greedy selection as 5 chained CTEs with a
     correlated MAX over the selected set — every pick and tie-break is
     value-checked."""

@@ -565,11 +565,14 @@ def stream_decontamination_gate(doc_stream: DataFrame, bench: DataFrame,
             return
         # input-parallelism repair (r15, guide §2.5): a micro-batch of
         # few file splits would run the 8-gram derivation serially —
-        # spread it first (no-op when the batch already has ≥ slots
-        # partitions; per-doc verdicts are partition-independent)
+        # spread it UNCONDITIONALLY (ADVICE r15: the old
+        # rdd.getNumPartitions() gate converted the batch plan to an
+        # RDD every micro-batch, the exact planner-rerun cost the
+        # spread helper's docstring warns against; the gate derivation
+        # dominates any batch small enough for the repartition to be
+        # wasted, and per-doc verdicts are partition-independent)
         par = batch_df.sparkSession.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < par:
-            batch_df = batch_df.repartition(par)
+        batch_df = batch_df.repartition(par)
         # hook contract (r15): the callback receives the per-batch audit
         # DATAFRAME — a heavily contaminated batch at scale would make a
         # gate-side collect unbounded; the admission policy decides
