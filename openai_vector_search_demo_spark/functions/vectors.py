@@ -37,7 +37,15 @@ def _as_double(v: Column) -> Column:
 
 def vector_lit(vec: Sequence[float]) -> Column:
     """A literal array<double> column from a Python vector (broadcast by value
-    into the plan — the 'broadcast the query vector' half of the KNN join)."""
+    into the plan — the 'broadcast the query vector' half of the KNN join).
+
+    Deliberately ``F.array`` of per-element ``F.lit``s, NOT one
+    ``F.lit(list)`` array literal (r16 declined A/B): the flat array
+    literal looks cheaper to plan, but CreateArray-of-foldable-literals
+    is what lets Catalyst CONSTANT-FOLD the query-side norm inside
+    ``cosine_similarity`` — with a single Literal the fold stopped
+    firing and every scored row re-reduced the 64-dim norm (stored-knn
+    task time measured 2× worse: 6.4 → 10.6 s same-session)."""
     return F.array(*[F.lit(float(x)) for x in vec])
 
 

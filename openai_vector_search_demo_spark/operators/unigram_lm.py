@@ -94,7 +94,15 @@ def train_unigram_vocab(words: DataFrame, max_piece: int = 4,
     longer = (sub.filter(F.length("piece") >= 2)
               .withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") <= top_k).drop("_rn"))
-    kept = chars.unionByName(longer)
+    # localCheckpoint the vocabulary-sized result (chars + top_k rows)
+    # BEFORE the total scalar: the substring-explode aggregation above
+    # is the operator's whole cost, and without this it executed TWICE
+    # per training — once for ``total`` here and once more when the
+    # caller's first action re-evaluated the returned plan (r16,
+    # guide §5; profiled as the dominant stages of the token-budget
+    # slot).  Within-call reuse only — recomputed from the corpus on
+    # every invocation.
+    kept = chars.unionByName(longer).localCheckpoint()
     total = kept.agg(F.sum("cnt")).first()[0]
     return kept.select(
         "piece",

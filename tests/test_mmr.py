@@ -59,3 +59,30 @@ def test_validation(pool):
         mmr_select(pool, k=0)
     with pytest.raises(ValueError, match="lam"):
         mmr_select(pool, k=1, lam=1.5)
+
+
+def test_oversized_pool_fails_loudly(spark):
+    from openai_vector_search_demo_spark.operators.mmr import MMR_MAX_POOL
+    n = MMR_MAX_POOL + 1
+    big = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        F.lit(0.5).alias("rel"))
+    with pytest.raises(ValueError, match="MMR_MAX_POOL"):
+        mmr_select(big, k=2)
+
+
+def test_duplicate_ids_fail_loudly(spark):
+    rows = [(1, [1.0, 0.0], 0.9), (1, [0.0, 1.0], 0.8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, rel double")
+    with pytest.raises(ValueError, match="unique"):
+        mmr_select(df, k=1)
+
+
+def test_null_id_fails_loudly(spark):
+    rows = [(None, [1.0, 0.0], 0.9), (2, [0.0, 1.0], 0.8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, rel double")
+    with pytest.raises(ValueError, match="non-null"):
+        mmr_select(df, k=1)

@@ -671,3 +671,48 @@ def test_tenant_writers_reject_null_tenant(spark, tmp_path):
     with _pytest.raises(ValueError, match="NULL"):
         write_token_window_index(docs, str(tmp_path / "li"),
                                  tenant_col="tenant")
+
+
+def test_trusted_and_delta_resolution_agree_on_valid_store(
+        spark, emb, tmp_path):
+    """r16 fused engine: a never-upserted store served through the
+    UNTRUSTED path (merge-on-read top-m + mirror validation replayed
+    driver-side from the prefetched rows) must equal the trusted
+    fast path — on a valid store every fwd list is exactly m rows and
+    every mirror validates, so the two resolutions are provably the
+    same adjacency."""
+    from openai_vector_search_demo_spark.stores import fs_touch
+
+    qvec = [0.15] * DIM
+    store = str(tmp_path / "nsw")
+    write_nsw_index(emb, store, m=3, n_buckets=4)
+    trusted = [(r.vec_id, r.similarity) for r in
+               nsw_stored_knn(spark, store, emb, qvec, k=10, ef=5,
+                              rounds=3, seeds=[1, 9], m=3,
+                              n_buckets=4).collect()]
+    # the _DELTAS marker flips the SAME store onto the untrusted path
+    fs_touch(spark, store + "/_DELTAS")
+    delta = [(r.vec_id, r.similarity) for r in
+             nsw_stored_knn(spark, store, emb, qvec, k=10, ef=5,
+                            rounds=3, seeds=[1, 9], m=3,
+                            n_buckets=4).collect()]
+    assert delta == trusted
+
+
+def test_topm_from_replays_dense_rank_order():
+    """_topm_from == the merge-on-read DENSE_RANK window: distinct
+    (sim, dst) pairs, (sim DESC NULLS LAST, NaN largest, dst ASC),
+    rank <= m — including the replay-duplicate collapse."""
+    from openai_vector_search_demo_spark.operators.nsw import _topm_from
+
+    rows = [  # (dst, sim, fwd)
+        (7, 0.5, True),
+        (7, 0.5, True),          # byte-identical replay duplicate
+        (3, 0.9, True),
+        (4, float("nan"), True),  # NaN sorts above every number
+        (5, None, True),          # NULL sorts last
+        (6, 0.9, True),           # tie with 3 -> dst ASC
+        (9, 0.1, False),          # mirror rows never enter the window
+    ]
+    assert _topm_from(rows, 3) == [4, 3, 6]
+    assert _topm_from(rows, 5) == [4, 3, 6, 7, 5]

@@ -572,26 +572,33 @@ def test_nsw_stored_lookup_prunes_buckets_and_search_is_python_free(
     top = nsw_stored_knn(spark, store, base, qvec, k=10, ef=6,
                          rounds=2, seeds=(1, 101), n_buckets=8)
     p = _physical(top)
-    # r13: the single-query beam accumulates scored rows driver-side
-    # (one broadcast-scored job per round), so the RESULT plan is just
-    # the bounded k-row relation — that boundedness is the assertion
+    # the single-query beam accumulates scored rows driver-side, so the
+    # RESULT plan is just the bounded k-row relation — that boundedness
+    # is the assertion
     assert "ExistingRDD" in p
     assert "BatchEvalPython" not in p and "MapInPandas" not in p
-    # the per-round scoring plan (what each job actually runs): pruned
-    # edge lookup broadcast against the vector table, python-free,
-    # never a corpus-sized shuffle join
+    # the per-round plan (what each fused action actually runs, r16):
+    # ONE union of the IN-pushdown scoring point-read and the pruned
+    # adjacency prefetch — no join, no exchange, no Python; both
+    # branches push their IN lists to the parquet scan
     from openai_vector_search_demo_spark.functions.vectors import (
         cosine_similarity,
         vector_lit,
     )
-    cand = lookup.select(F.col("dst").alias("vec_id"))
-    rp = _physical(
-        base.join(F.broadcast(cand), "vec_id")
-        .withColumn("_s", F.round(
-            cosine_similarity(F.col("embedding"), vector_lit(qvec)), 6))
-        .select("vec_id", "label", "_s"))
-    assert "BroadcastHashJoin" in rp    # scored-id vector point-reads
-    assert "SortMergeJoin" not in rp    # never a corpus-sized shuffle join
+    todo = [1, 2, 101, 102]
+    score = (base.filter(F.col("vec_id").isin(todo))
+             .withColumn("_s", F.round(
+                 cosine_similarity(F.col("embedding"),
+                                   vector_lit(qvec)), 6))
+             .select(F.lit(0).alias("_t"),
+                     F.col("vec_id").alias("_a"), F.col("_s")))
+    adj = lookup.select(F.lit(1).alias("_t"),
+                        F.col("src").alias("_a"),
+                        F.col("sim").alias("_s"))
+    rp = _physical(score.unionByName(adj))
+    assert "PushedFilters" in rp and "In(vec_id" in rp
+    assert "Exchange" not in rp         # no shuffle anywhere in a round
+    assert "Join" not in rp             # point reads, not joins (r16)
     assert "BatchEvalPython" not in rp and "MapInPandas" not in rp
 
 
@@ -807,4 +814,11 @@ def test_unigram_vocab_training_is_jvm_only(spark):
     p = _physical(voc)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "MapInPandas" not in p
-    assert "HashAggregate" in p
+    # r16: the trained vocabulary is localCheckpoint-ed (the substring
+    # aggregation executed ONCE, during training) — the returned plan
+    # is the materialized vocab, and the JVM-only aggregation shape is
+    # pinned on the trainer's input pipeline instead
+    assert "ExistingRDD" in p
+    wp = _physical(word_frequencies(docs))
+    assert "HashAggregate" in wp
+    assert "BatchEvalPython" not in wp and "ArrowEvalPython" not in wp
